@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.Status
+import graft.pipeline.TributePipeline
+import graft.sources.Sources
+
+/** Runnable demo of the flagship pipeline: replay event-batch JSON files in
+  * order through enrich + latest-state and print the final state table.
+  *
+  * Usage: runMain graft.Main <streamingDataDir> <tributeCsv> <gameJson>
+  */
+object Main {
+  /** Reference replay order (reference: README.md:138-185). Files not in
+    * this list run after the known ones, alphabetically.
+    */
+  private val replayOrder = Seq(
+    "preCornucopia", "postCornucopia", "aFewDaysAfterCornucopia",
+    "katnissEdgeOfMap", "katnissInjured", "afterSponsorHelpsKatniss",
+    "afterRue", "almostTheEnd", "theEnd")
+
+  def main(args: Array[String]): Unit = {
+    val Array(streamDir, tributeCsv, gameJson) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-flagship")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val files = {
+      val all = new java.io.File(streamDir).listFiles()
+        .filter(_.getName.endsWith(".json")).map(_.getPath).toSeq
+      val known = replayOrder.flatMap(n => all.find(_.endsWith(s"/$n.json")))
+      known ++ (all.toSet -- known.toSet).toSeq.sorted
+    }
+    val events = files.map(Sources.eventBatch(spark, _)).reduce(_ unionAll _)
+    val tributes = Sources.tributeDim(spark, tributeCsv)
+    val games = Sources.gameDim(spark, gameJson)
+
+    val enriched = Status.enrich(events, tributes, games)
+    println(s"events enriched: ${enriched.count()}")
+    val state = TributePipeline.latestStatePerTribute(enriched)
+      .orderBy("tributeId")
+    state.show(100, truncate = false)
+    spark.stop()
+  }
+}

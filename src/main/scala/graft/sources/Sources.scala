@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Schemas
+
+/** Source loaders.
+  *
+  * Dimension loaders mirror the reference's two static reads
+  * (reference: script/TributeStreamingJob.py:85-97): header-only all-string
+  * CSV, and schema-on-read JSON standing in for the key-value-store scan
+  * (the Glue DynamicFrame layer collapses to a plain DataFrame — we are
+  * DataFrame-native from the start, SURVEY.md §2 #4-5).
+  */
+object Sources {
+
+  /** Batch CSV dimension scan: header row, NO inferSchema → all columns
+    * StringType, cached for reuse across micro-batches
+    * (reference: script/TributeStreamingJob.py:85-86).
+    */
+  def tributeDim(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("csv").option("header", "true").load(path).cache()
+
+  /** Key-value-store dimension scan stand-in: schema-on-read JSON, cached
+    * (reference: script/TributeStreamingJob.py:90-97). Integer literals
+    * infer as LongType, matching what the reference's connector surfaces.
+    * A DataSource V2 connector would slot in here for a real KV store
+    * without touching any query.
+    */
+  def gameDim(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("multiLine", "true") // fixture is a single pretty-printed object
+      .json(path)
+      .cache()
+
+  /** Streaming event source for tests/local runs: a directory of JSON files,
+    * one micro-batch per file, with the externally declared schema
+    * (inferSchema=false ≡ explicit schema; TRIM_HORIZON ≡ read from oldest —
+    * reference: script/TributeStreamingJob.py:101-103). In production the
+    * same declared-schema pattern applies over format("kafka") +
+    * from_json(col("value"), eventSchema).
+    */
+  def eventStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(Schemas.eventSchema)
+      .option("multiLine", "true") // fixtures are JSON arrays
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(dir)
+
+  /** Batch read of the same event fixtures (slice-0 batch-mode flagship). */
+  def eventBatch(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(Schemas.eventSchema)
+      .option("multiLine", "true")
+      .json(path)
+}
+
+/** The driver-generated synthetic tables (TESTDATA.md). One loader per
+  * table so queries never hand-roll paths.
+  */
+object Tables {
+  private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "region"))
+  def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "nation"))
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "customer"))
+  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "supplier"))
+  def part(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "part"))
+  def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "orders"))
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
+  def events(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "events"))
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+}
