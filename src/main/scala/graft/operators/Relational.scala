@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Exact._
+import graft.ops.Status
+import graft.sources.Tables
+
+/** The SURVEY §2 operator inventory re-expressed over the driver testdata
+  * so each has a DuckDB-checkable oracle (TESTDATA.md). Every query is a
+  * declarative DataFrame plan — Catalyst handles pushdown/pruning/broadcast;
+  * plan-shape expectations live in the specs.
+  *
+  * Scale notes are attached per operator: the testdata is small, but each
+  * plan is written to hold at 100 TB (broadcast only genuinely small dims,
+  * partial aggregation before shuffles, no driver-side collects).
+  */
+object Relational {
+
+  /** Scan + filter + projection + rename (SURVEY §2 #2/#16/#17).
+    * Filter and 3-column projection push into the parquet scan.
+    */
+  def scanFilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"))
+
+  /** Aggregation with exact (order-independent) double math — TPC-H Q1
+    * shape. Partial aggregation (map-side combine) happens before the
+    * 1-key-per-group shuffle, so this scales linearly with input.
+    */
+  def aggPricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsumProduct(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("n"))
+
+  /** Stream-static-style equi-join (SURVEY §2 #8): fact side stays
+    * partition-local; the 150-row dim broadcasts.
+    */
+  def joinEnrichBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("user_id") === col("c_custkey"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("c_name"), col("c_mktsegment"))
+
+  /** Multi-hop dimensional join + aggregate (SURVEY §2 #9 widened):
+    * orders ⋈ customer ⋈ nation ⋈ region → revenue per region. All dims
+    * broadcast; one shuffle for the final group-by.
+    */
+  def joinMultiRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** The flagship enrichment analog on testdata (SURVEY §2 #10-#15):
+    * per-entity thresholds from a joined dim drive ordered CASE bands,
+    * exactly the reference's shape (threshold band + equality status +
+    * banded classification).
+    */
+  def statusBands(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    e.join(broadcast(c), col("user_id") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("c_name"), col("n_name"),
+        when(col("value") > col("c_acctbal"), "OVER")
+          .when(col("c_acctbal") - col("value") < 100, "NEAR")
+          .otherwise("UNDER").as("acct_status"),
+        when(col("value") < 50, "LOW")
+          .when(col("value") < 150, "MID")
+          .otherwise("HIGH").as("value_band"),
+        when(col("value") === 0, "DEAD").otherwise("ALIVE").as("liveness"))
+  }
+
+  /** Last-writer-wins keyed state as a batch query (SURVEY §2 #20): the
+    * latest event per user. Single hash-partition shuffle on the key; at
+    * scale this is the canonical "current state from a changelog" pattern.
+    */
+  def latestStatePerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+  }
+
+  /** Row→JSON serialization (SURVEY §2 #18). */
+  def rowToJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type")))
+          .as("payload"))
+
+  /** Scalar casts number→string (SURVEY §2 #17). */
+  def castProjection(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        col("c_custkey").cast("string").as("key_str"),
+        col("c_nationkey").cast("bigint").as("nation_big"),
+        col("c_acctbal").cast("string").as("bal_str"))
+
+  /** Deterministic top-k: total order with unique tiebreak then limit.
+    * At scale Spark runs TakeOrderedAndProject — no global sort.
+    */
+  def topKOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .limit(10)
+
+  /** Left-semi join: customers having orders (EXISTS). */
+  def semiJoinActiveCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def antiJoinDormantCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Distinct (hash de-dup with partial aggregation). */
+  def distinctUserEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"), col("event_type")).distinct()
+
+  /** Tumbling-window aggregation (the event-time extension the reference
+    * lacks — SURVEY §2 "not implemented" + §7.1 extensions): per-day,
+    * per-type counts and exact value sums. Streaming twin lives in
+    * graft.streaming.
+    */
+  def windowTumblingDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_trunc("day", col("ts")).as("day"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"))
+
+  /** Set operation: union of two filtered projections, aggregated. */
+  def unionHighLowValue(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val high = e.filter(col("value") >= 200)
+      .select(col("user_id"), lit("high").as("bucket"))
+    val low = e.filter(col("value") < 20)
+      .select(col("user_id"), lit("low").as("bucket"))
+    high.unionAll(low)
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Sessionization via gaps-and-islands (extension; SURVEY §7.1 #5):
+    * a session breaks after 30 idle minutes per user. Two window passes
+    * over the same (user_id, ts) partitioning — one shuffle total.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("timestamp").cast("long") -
+            col("prev_ts").cast("timestamp").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"))
+  }
+}

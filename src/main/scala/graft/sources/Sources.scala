@@ -58,7 +58,23 @@ object Sources {
   * table so queries never hand-roll paths.
   */
 object Tables {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.TimestampNTZType
+
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read the ns ticks as long and
+    * truncate to a µs wall-clock timestamp; sub-µs detail only exists in
+    * this synthetic data and every consumer (windows, ordering with an id
+    * tiebreak) is insensitive to it.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(p(dir, "events"))
+      .withColumn("ts",
+        timestamp_micros((col("ts") / 1000L).cast("long")).cast(TimestampNTZType))
+  }
 
   def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "region"))
   def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "nation"))
@@ -67,7 +83,6 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "part"))
   def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "orders"))
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
-  def events(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "events"))
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 }
