@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,18 @@ object SparkEntry {
     "q13_window_tumbling_daily" -> (Relational.windowTumblingDaily _),
     "q14_union_high_low" -> (Relational.unionHighLowValue _),
     "q15_sessionize" -> (Relational.sessionize _),
+    "q16_text_tokens" -> (TextAnalysis.tokens _),
+    "q17_text_quality" -> (TextAnalysis.quality _),
+    "q18_text_langid" -> (TextAnalysis.langid _),
+    "q19_text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "q20_dedup_exact" -> (Dedup.exact _),
+    "q21_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q22_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q23_dedup_simhash" -> (Dedup.simhash _),
+    "q24_ann_topk" -> ((s, d) => Similarity.annBruteForceTopK(s, d)),
+    "q25_emb_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
+    "q26_multimodal_meta" -> (Multimodal.meta _),
+    "q27_multimodal_decode" -> (Multimodal.decodeFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -146,5 +158,157 @@ object SparkEntry {
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM g GROUP BY user_id, session_seq""".stripMargin,
+
+    "q16_text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re_tokens
+        |FROM documents""".stripMargin,
+
+    "q17_text_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_m, len(string_split(text, ' ')) AS n_words,
+        |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','is','in','a'))) AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio
+        |FROM documents""".stripMargin,
+
+    "q18_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labelled, string_split(text, ' ') AS w FROM documents
+        |), sc AS (
+        |  SELECT doc_id, labelled,
+        |    len(list_filter(w, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |    len(list_filter(w, x -> x IN ('el','la','de','que','los'))) AS s_es,
+        |    len(list_filter(w, x -> x IN ('le','les','des','et','une'))) AS s_fr,
+        |    len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS s_de
+        |  FROM t
+        |)
+        |SELECT doc_id, labelled,
+        |  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        |       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |       ELSE 'de' END AS predicted
+        |FROM sc""".stripMargin,
+
+    "q19_text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q20_dedup_exact" ->
+      "SELECT md5(text) AS fp, min(doc_id) AS keeper, COUNT(*) AS n FROM documents GROUP BY md5(text)",
+
+    "q21_dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin,
+
+    "q22_dedup_minhash_lsh" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), mh AS (
+        |  SELECT doc_id, i, min(md5(i || ':' || sh)) AS minh
+        |  FROM sh, range(0, 8) t(i) GROUP BY doc_id, i
+        |), keys AS (
+        |  SELECT doc_id, i // 2 AS band, md5(string_agg(minh, '|' ORDER BY i)) AS bkey
+        |  FROM mh GROUP BY doc_id, i // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT doc_a, doc_b, COUNT(*) AS inter
+        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+
+    "q23_dedup_simhash" ->
+      """WITH wd AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents
+        |), bits AS (
+        |  SELECT doc_id, j,
+        |    SUM((((instr('0123456789abcdef', substr(md5(w), CAST(j // 4 AS INT) + 1, 1)) - 1) >> CAST(3 - (j % 4) AS INT)) & 1) * 2 - 1) AS votes
+        |  FROM wd, range(0, 32) t(j) GROUP BY doc_id, j
+        |)
+        |SELECT doc_id, string_agg(CASE WHEN votes >= 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q24_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+        |), pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS dot,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS na,
+        |    SUM(CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS nq
+        |  FROM embeddings e, q, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |  WHERE e.vec_id != q.query_id
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) AS cosine FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM c
+        |) WHERE "rank" <= 10""".stripMargin,
+
+    "q25_emb_neardup_lsh" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 8) tp(p), range(1, 65) ti(i)
+        |), proj AS (
+        |  SELECT e.vec_id, hp.p,
+        |    CASE WHEN SUM(CAST(floor(CAST(e.embedding[hp.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * hp.s) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM embeddings e, hp GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+        |), cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), cos AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE)) *
+        |       sqrt(CAST(SUM(CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.vec_a = ea.vec_id
+        |  JOIN embeddings eb ON c.vec_b = eb.vec_id,
+        |  LATERAL (SELECT unnest(range(1, len(ea.embedding) + 1)) AS i) t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.4""".stripMargin,
+
+    "q26_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS checksum,
+        |  64 + octet_length(encode(text)) % 1024 AS width,
+        |  64 + (octet_length(encode(text)) * 7) % 768 AS height,
+        |  1 + octet_length(encode(text)) % 30 AS frames
+        |FROM documents""".stripMargin,
+
+    "q27_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(64 + octet_length(encode(text)) % 1024 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 768 AS INT) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'rgb8' ELSE 'yuv420' END AS format
+        |FROM documents""".stripMargin,
   )
 }

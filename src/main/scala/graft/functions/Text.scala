@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline extensions:
+  * tokenisation, quality features, language-ID heuristic, fingerprinting,
+  * shingling. All are built-in expression compositions (codegen'd, no
+  * UDFs) with exact DuckDB-SQL equivalents for the oracle.
+  */
+object Text {
+
+  /** Whitespace tokens (single-space split, like the synthetic corpus). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex token count: letter runs, digit runs, or single
+    * punctuation. Oracle: `len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))`.
+    */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  /** Distinct word-`k`-grams ("shingles"). Requires size(words) >= k
+    * (callers filter; `sequence` would run backwards otherwise).
+    * Oracle (k=3): `list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] FOR i IN range(1, len(w)-1)])`.
+    */
+  def shingles(ws: Column, k: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(ws) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
+
+  /** Normalised text: lowercase, non-alphanumeric runs → single space,
+    * trimmed. The canonical form for fingerprinting.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Document fingerprint: md5 of the normalised text (content identity
+    * robust to case/punctuation/whitespace).
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Language marker words. Deliberately tiny, fixed sets — the point is a
+    * deterministic, engine-portable heuristic, not linguistic accuracy.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "et", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+  )
+
+  /** Marker hits (with multiplicity) for one language's marker set. */
+  def markerHits(ws: Column, markers: Seq[String]): Column = {
+    val inList = markers.map(m => s"'$m'").mkString(", ")
+    size(filter(ws, w => w.isin(markers: _*)))
+  }
+
+  /** Predicted language: argmax of marker hits with fixed priority order
+    * (first in `langMarkers` wins ties); "und" (undetermined) when no
+    * marker hits at all.
+    */
+  def langId(ws: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(ws, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lang).otherwise(acc)
+    }
+  }
+}

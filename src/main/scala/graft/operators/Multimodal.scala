@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns travelling beside typed metadata. The Spark-side
+  * machinery (schema, batching, partition-local decode, feature columns)
+  * is real; the actual codec is STUBBED with a deterministic fake
+  * (`decodeStub`) because media libraries aren't in this container — a
+  * real deployment swaps the stub for an actual decoder inside the same
+  * `mapPartitions` (partition-local, batched, no driver involvement).
+  */
+object Multimodal {
+
+  /** Deterministic fake "decode": derives plausible media metadata purely
+    * from the payload bytes. Stands in for ??? (real codec).
+    */
+  private[operators] def decodeStub(payload: Array[Byte]): (Int, Int, Int, String) = {
+    val n = payload.length
+    val width = 64 + (n % 1024)
+    val height = 64 + ((n * 7) % 768)
+    val frames = 1 + (n % 30)
+    val format = if (n % 2 == 0) "rgb8" else "yuv420"
+    (width, height, frames, format)
+  }
+
+  /** SQL-expressible metadata over the binary payload (oracle-checkable):
+    * byte length, sha256 checksum, and stub-derived dimensions. The
+    * documents table's text doubles as the payload (cast to binary).
+    */
+  def meta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text").cast("binary")).as("byte_len"),
+        sha2(col("text").cast("binary"), 256).as("checksum"),
+        (lit(64) + length(col("text").cast("binary")) % 1024).as("width"),
+        (lit(64) + (length(col("text").cast("binary")) * 7) % 768).as("height"),
+        (lit(1) + length(col("text").cast("binary")) % 30).as("frames"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frames", IntegerType),
+    StructField("format", StringType),
+  ))
+
+  /** Partition-local decode → feature rows. This is the real plumbing a
+    * decoder plugs into: binary payloads arrive batched per partition,
+    * features leave as typed columns; no data ever crosses the driver.
+    */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    payloads.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val (w, h, f, fmt) = decodeStub(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), w, h, f, fmt)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Text-analysis queries over the documents table (training-data pipeline
+  * extensions): token counting, quality features, language-ID,
+  * fingerprinting. All expression-only (codegen'd).
+  */
+object TextAnalysis {
+
+  /** Token counts: whitespace tokens + BPE-ish regex tokens. */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(Text.words(col("text"))).as("n_ws_tokens"),
+        Text.regexTokenCount(col("text")).as("n_re_tokens"))
+
+  /** Quality features: lengths, mean word length, stopword + punctuation
+    * ratios. Per-row double divisions only — deterministic everywhere.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "is", "in", "a")
+    val ws = Text.words(col("text"))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(ws).as("n_words"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / size(ws))
+          .as("avg_word_len"),
+        (size(filter(ws, w => w.isin(stop: _*))).cast("double") / size(ws))
+          .as("stopword_ratio"),
+        (regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double") /
+          length(col("text"))).as("punct_ratio"))
+  }
+
+  /** Heuristic language-ID vs the labelled lang column. */
+  def langid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("labelled"),
+        Text.langId(Text.words(col("text"))).as("predicted"))
+
+  /** Content fingerprint of normalised text. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+}
