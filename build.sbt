@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Whole-stage codegen emits one or more classes per query stage; the
+  // JVM default 240m JIT code cache fills after a few dozen Spark query
+  // plans, after which the JIT compiler shuts off and everything runs
+  // interpreted (10-50x slower, and erratically so). Size it generously
+  // and allow flushing.
+  "-XX:ReservedCodeCacheSize=2g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -1,23 +1,55 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
+  *
+  * Methodology: the session is warmed first (each table's footer/schema
+  * read + one tiny job so codegen/JIT paths exist), then each query is
+  * timed on a full materialization through the `noop` sink — every output
+  * column is computed, nothing is skipped the way `count()` would skip
+  * projections. Caches are cleared between queries so one query's persist
+  * can't subsidize (or memory-starve) the next.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: touch the main tables (footer + schema + one scan) and
+    // exercise shuffle/codegen once, so the first timed query isn't
+    // charged for session bring-up.
+    try {
+      import org.apache.spark.sql.functions._
+      Seq(
+        graft.sources.Tables.lineitem(spark, sfDir),
+        graft.sources.Tables.orders(spark, sfDir),
+        graft.sources.Tables.customer(spark, sfDir),
+        graft.sources.Tables.events(spark, sfDir),
+        graft.sources.Tables.documents(spark, sfDir),
+        graft.sources.Tables.embeddings(spark, sfDir)
+      ).foreach(df => df.limit(1000).groupBy(spark_partition_id())
+        .count().collect())
+    } catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

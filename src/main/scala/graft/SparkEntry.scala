@@ -216,29 +216,33 @@ object SparkEntry {
 
     "q22_dedup_minhash_lsh" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
         |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
-        |  FROM d
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
         |), mh AS (
-        |  SELECT doc_id, i, min(md5(i || ':' || sh)) AS minh
-        |  FROM sh, range(0, 8) t(i) GROUP BY doc_id, i
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
         |), keys AS (
-        |  SELECT doc_id, i // 2 AS band, md5(string_agg(minh, '|' ORDER BY i)) AS bkey
-        |  FROM mh GROUP BY doc_id, i // 2
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |), cnt AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT doc_a, doc_b, COUNT(*) AS inter
-        |  FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
-        |  GROUP BY 1, 2
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
         |)
-        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
-        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8""".stripMargin,
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+        |FROM verified
+        |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8""".stripMargin,
 
     "q23_dedup_simhash" ->
       """WITH wd AS (

@@ -29,13 +29,36 @@ object Dedup {
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
 
-  /** (doc_id, shingle) pairs: distinct word-3-grams per document. */
-  private[operators] def docShingles(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  /** Per-doc distinct word-3-gram sets: (doc_id, shs array, n_sh).
+    * Repartitioned by doc_id BEFORE the shingling: the source may arrive
+    * in few partitions (one small parquet file locally; coarse splits at
+    * scale), and shingling multiplies the data ~50× — spreading docs
+    * across the full shuffle-partition count first keeps the hash work on
+    * every core instead of one.
+    */
+  def docShingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      // explicit N: an un-pinned repartition gets AQE-coalesced back to
+      // ~1 partition at small scale, serializing the hash work
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-    d.select(col("doc_id"), explode(Text.shingles(col("w"))).as("sh"))
-  }
+      .select(col("doc_id"), Text.shingles(col("w")).as("shs"))
+      .withColumn("n_sh", size(col("shs")))
+
+  /** (doc_id, shingle) pairs: distinct word-3-grams per document.
+    * `explode_outer`, deliberately: plain `explode` makes Catalyst emit an
+    * implicit `size(shs) > 0 AND isnotnull(shs)` filter and push it below
+    * the repartition with the full shingle expression inlined — the
+    * heaviest (interpreted, higher-order) work then runs on the narrow
+    * pre-shuffle side. The `size(w) >= 3` guard already guarantees a
+    * non-empty shingle set, so outer-explode is semantically identical
+    * and generates no filter at all.
+    */
+  def docShingles(s: SparkSession, dir: String): DataFrame =
+    docShingleSets(s, dir)
+      .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
 
   /** Per-doc distinct-shingle counts. */
   private def shingleCounts(sh: DataFrame): DataFrame =
@@ -56,8 +79,16 @@ object Dedup {
     * baseline; use `minhashLsh` at scale.
     */
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(s, dir)
-    val inter = sh.as("a")
+    // the shingle set feeds both self-join sides and the per-doc counts;
+    // persist so the explode+md5 scan runs once, not three times
+    val sh = docShingles(s, dir).persist()
+    // shuffle_hash: never broadcast the shingle relation — it cannot
+    // broadcast at real scale, and a broadcast build here would execute
+    // the whole shingle pipeline in a single thread before the cache is
+    // materialized. A shuffled hash join builds per-partition maps in
+    // parallel (AQE may still downgrade to broadcast AFTER the parallel
+    // shuffle ran, which is fine).
+    val inter = sh.as("a").hint("shuffle_hash")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -67,50 +98,73 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: k = bands*rowsPerBand hash functions; minhash_i =
-    * lexicographic min over shingles of md5("i:shingle") (fixed-width hex,
-    * so string min ≡ numeric min — portable to any engine with md5).
-    */
-  private[operators] def minhashes(
-      sh: DataFrame, k: Int): DataFrame =
-    sh.crossJoin(spark_range_k(sh, k))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("sh")))).as("minh"))
-
-  private def spark_range_k(sh: DataFrame, k: Int): DataFrame =
-    sh.sparkSession.range(0, k).select(col("id").as("i"))
-
   /** LSH candidate pairs + true-Jaccard verification (the scale path).
     * Docs land in the same bucket when one full band of `rowsPerBand`
     * consecutive minhashes matches; candidates are verified with exact
     * Jaccard and filtered at `threshold`. With 4 bands × 2 rows, a pair at
     * Jaccard 0.8 is caught with prob 1-(1-0.8^2)^4 ≈ 0.98.
+    *
+    * minhash_i = lexicographic min over shingles of a 32-bit slice of
+    * md5("g:shingle"), g = i/4 — md5s sliced into 8 fixed-width hex
+    * hashes (fixed width ⇒ string min ≡ numeric min; portable to any
+    * engine with md5). Signatures are per-row `array_min(transform(...))`
+    * projections over the doc's shingle SET — embarrassingly parallel,
+    * zero shuffle, no k-way row explosion. Band keys derive columnar
+    * from the signature row.
+    *
+    * Verification joins the (small) candidate set against per-doc shingle
+    * SETS and computes `array_intersect` per pair — no second pass over
+    * the full (doc, shingle) relation, no big-side shuffle. At scale the
+    * candidate side is the skew risk, not the corpus side; per-pair cost
+    * is bounded by document length.
     */
   def minhashLsh(
       s: SparkSession, dir: String,
       bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    val sh = docShingles(s, dir)
-    val mh = minhashes(sh, bands * rowsPerBand)
-      .withColumn("band", floor(col("i") / rowsPerBand))
-    // band key: md5 over the band's minhashes in i-order
-    val keys = mh.groupBy(col("doc_id"), col("band"))
-      .agg(md5(concat_ws("|",
-        transform(array_sort(collect_list(struct(col("i"), col("minh")))),
-          x => x.getField("minh")))).as("bkey"))
-    val cands = keys.as("a")
+    require(bands * rowsPerBand <= 8, "8 minhash slices available (2 md5s x 4)")
+    val shSets = docShingleSets(s, dir).persist()
+    val k = bands * rowsPerBand
+    // two md5 arrays materialized once per doc in their own projection
+    // (a non-cheap alias consumed 4x is not inlined by CollapseProject),
+    // then 8 slice-mins read them without recomputing any hash
+    val hashed = shSets.select(
+      col("doc_id"),
+      transform(col("shs"), sh => md5(concat(lit("0:"), sh))).as("h0"),
+      transform(col("shs"), sh => md5(concat(lit("1:"), sh))).as("h1"))
+    val mhCols = (0 until k).map { i =>
+      array_min(transform(col(s"h${i / 4}"), h =>
+        substring(h, 1 + 8 * (i % 4), 8))).as(s"mh$i")
+    }
+    val sig = hashed.select(col("doc_id") +: mhCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b.toLong).as("band"),
+        md5(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)).as("bkey"))
+    }
+    val keys = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // shuffle_hash everywhere below: every frame derives from the cached
+    // shingle pipeline, and a planner-chosen broadcast would execute that
+    // pipeline single-threaded in the broadcast-build thread (see
+    // ngramJaccard). Shuffled hash joins keep every stage parallel; AQE
+    // may still convert to broadcast after the parallel shuffle ran.
+    val cands = keys.as("a").hint("shuffle_hash")
       .join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    withJaccard(inter, shingleCounts(sh))
+    cands.hint("shuffle_hash")
+      .join(shSets.select(col("doc_id").as("doc_a"),
+        col("shs").as("sh_a"), col("n_sh").as("n_a")).hint("shuffle_hash"), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"),
+        col("shs").as("sh_b"), col("n_sh").as("n_b")).hint("shuffle_hash"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -119,24 +173,29 @@ object Dedup {
     * the sign of the weighted vote where each word contributes ±1 from bit
     * j of (the first 8 hex chars of) its md5. Emitted as a 32-char bit
     * string, MSB (j=0) first — portable across engines.
+    *
+    * Each word's md5 prefix is parsed ONCE into a 32-bit integer, and the
+    * 32 per-bit votes are 32 parallel `sum` aggregates in a single hash
+    * aggregate — no 32× row explosion, one shuffle keyed by doc_id, and
+    * map-side partial aggregation reduces each partition to one row per
+    * doc before it moves. (Bit j of the big-endian 32-bit prefix == the
+    * reference nibble formula `(nibble(j/4) >> (3-j%4)) & 1`.)
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val wordsDf = Tables.documents(s, dir)
+      // spread the ~50× word explosion (see docShingleSets; explicit N)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(Text.words(col("text")))).as("w"))
-    val k = s.range(0, 32).select(col("id").as("j"))
-    val contrib = wordsDf.crossJoin(k)
-      .withColumn("nib",
-        expr("substr(md5(w), cast(j div 4 as int) + 1, 1)"))
-      .withColumn("bit",
-        expr("((instr('0123456789abcdef', nib) - 1) >> (3 - cast(j % 4 as int))) & 1"))
-      .withColumn("vote", col("bit") * 2 - 1)
-    contrib.groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("vote")).as("votes"))
-      .withColumn("sbit", when(col("votes") >= 0, "1").otherwise("0"))
-      .groupBy(col("doc_id"))
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("j"), col("sbit")))),
-          x => x.getField("sbit"))).as("simhash"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("n"))
+    val voteCols = (0 until 32).map { j =>
+      sum(shiftright(col("n"), 31 - j).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
+    wordsDf.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until 32).map(j =>
+          when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
 }

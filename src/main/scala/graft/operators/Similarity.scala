@@ -20,23 +20,41 @@ import graft.sources.Tables
   *
   * All dot products/norms are exact int64 fixed-point sums
   * (order-independent; see graft.functions.Vectors) so DuckDB oracles
-  * match bit-for-bit.
+  * match bit-for-bit. Vectors are quantized once per row and squared
+  * norms precomputed per vector — the per-pair work is a single dot
+  * product.
   */
 object Similarity {
+
+  private val Dims = 64
+
+  /** vec_id, quantized vector, and its precomputed squared norm.
+    * Repartitioned by vec_id first: the higher-order array expressions run
+    * interpreted (outside codegen), so per-row cost is high — spread the
+    * rows across all cores even when the source is one small file.
+    */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      // explicit N — see Dedup.docShingleSets on AQE re-coalescing
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("vec_id"))
+      .select(col("vec_id"), Vectors.quantVec(col("embedding")).as("qv"))
+      .withColumn("n2", Vectors.normSqQ(col("qv")))
 
   /** Exact cosine top-k neighbours for queries `vec_id < nQueries`. */
   def annBruteForceTopK(
       s: SparkSession, dir: String,
       k: Int = 10, nQueries: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = quantized(s, dir)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("n2").as("qn2"))
     val pairs = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
-        Vectors.cosine(col("embedding"), col("qe")).as("cosine"))
+        Vectors.cosineFromParts(
+          Vectors.dotQ(col("qv"), col("qqv")), col("n2"), col("qn2")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -51,17 +69,21 @@ object Similarity {
   def nearDupLsh(
       s: SparkSession, dir: String,
       nPlanes: Int = 8, threshold: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val sig = e.select(
-      col("vec_id"), col("embedding"),
-      Vectors.lshBucket(col("embedding"), nPlanes).as("bucket"))
-    sig.as("a")
+    val sig = quantized(s, dir)
+      .withColumn("bucket", Vectors.lshBucketQ(col("qv"), nPlanes, Dims))
+    // shuffle_hash: a planner-chosen broadcast would evaluate the whole
+    // quantize+bucket pipeline single-threaded in the broadcast-build
+    // thread, and the signature relation could never broadcast at real
+    // corpus scale anyway (see Dedup.ngramJaccard).
+    sig.as("a").hint("shuffle_hash")
       .join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
-        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+        Vectors.cosineFromParts(
+          Vectors.dotQ(col("a.qv"), col("b.qv")),
+          col("a.n2"), col("b.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
