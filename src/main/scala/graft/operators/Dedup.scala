@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -11,23 +11,32 @@ import graft.sources.Tables
   * MinHash+LSH (the scale path: candidates via banded signature buckets,
   * verified with true Jaccard), and SimHash signatures.
   *
+  * Every operator is a DataFrame-in/DataFrame-out transform over a
+  * `(doc_id, text)` corpus; the `(SparkSession, dir)` overloads bind the
+  * testdata `documents` table for the driver contract.
+  *
   * All hashing is md5-based so every stage is reproducible in any engine —
   * the DuckDB oracles compute identical signatures, buckets, and pairs.
   *
   * Scale design: nothing here is all-pairs except the explicitly-named
-  * ground-truth operator. MinHash/LSH cost is O(docs × shingles × k) for
-  * signatures plus per-bucket joins; the shuffle keys (shingle, band+key)
-  * are high-cardinality so partitions stay balanced.
+  * ground-truth operator. MinHash/LSH cost is O(docs × shingles) for
+  * signatures (embarrassingly parallel projections) plus per-bucket joins;
+  * the shuffle keys (shingle, band+key) are high-cardinality so partitions
+  * stay balanced.
   */
 object Dedup {
 
   /** Exact dedup by content hash: one row per distinct text, keeper = min
-    * doc_id, n = group size. Pure hash-aggregate, one shuffle.
+    * doc_id, n = group size. Pure hash-aggregate, one shuffle with map-side
+    * partial aggregation.
     */
-  def exact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def exact(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+
+  def exact(s: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(s, dir))
 
   /** Per-doc distinct word-3-gram sets: (doc_id, shs array, n_sh).
     * Repartitioned by doc_id BEFORE the shingling: the source may arrive
@@ -36,16 +45,21 @@ object Dedup {
     * across the full shuffle-partition count first keeps the hash work on
     * every core instead of one.
     */
-  def docShingleSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  def docShingleSets(docs: DataFrame): DataFrame =
+    docs
       // explicit N: an un-pinned repartition gets AQE-coalesced back to
       // ~1 partition at small scale, serializing the hash work
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("doc_id"))
+      .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), Text.shingles(col("w")).as("shs"))
       .withColumn("n_sh", size(col("shs")))
+
+  def docShingleSets(s: SparkSession, dir: String): DataFrame =
+    docShingleSets(Tables.documents(s, dir))
+
+  private def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   /** (doc_id, shingle) pairs: distinct word-3-grams per document.
     * `explode_outer`, deliberately: plain `explode` makes Catalyst emit an
@@ -56,9 +70,12 @@ object Dedup {
     * non-empty shingle set, so outer-explode is semantically identical
     * and generates no filter at all.
     */
-  def docShingles(s: SparkSession, dir: String): DataFrame =
-    docShingleSets(s, dir)
+  def docShingles(docs: DataFrame): DataFrame =
+    docShingleSets(docs)
       .select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+
+  def docShingles(s: SparkSession, dir: String): DataFrame =
+    docShingles(Tables.documents(s, dir))
 
   /** Per-doc distinct-shingle counts. */
   private def shingleCounts(sh: DataFrame): DataFrame =
@@ -78,10 +95,10 @@ object Dedup {
     * threshold. The shingle self-join is the honest quadratic-in-collisions
     * baseline; use `minhashLsh` at scale.
     */
-  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     // the shingle set feeds both self-join sides and the per-doc counts;
-    // persist so the explode+md5 scan runs once, not three times
-    val sh = docShingles(s, dir).persist()
+    // persist so the explode+shingle scan runs once, not three times
+    val sh = docShingles(docs).persist()
     // shuffle_hash: never broadcast the shingle relation — it cannot
     // broadcast at real scale, and a broadcast build here would execute
     // the whole shingle pipeline in a single thread before the cache is
@@ -97,6 +114,9 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    ngramJaccard(Tables.documents(s, dir), threshold)
 
   /** LSH candidate pairs + true-Jaccard verification (the scale path).
     * Docs land in the same bucket when one full band of `rowsPerBand`
@@ -119,11 +139,11 @@ object Dedup {
     * is bounded by document length.
     */
   def minhashLsh(
-      s: SparkSession, dir: String,
-      bands: Int = 4, rowsPerBand: Int = 2,
-      threshold: Double = 0.8): DataFrame = {
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
     require(bands * rowsPerBand <= 8, "8 minhash slices available (2 md5s x 4)")
-    val shSets = docShingleSets(s, dir).persist()
+    val shSets = docShingleSets(docs).persist()
     val k = bands * rowsPerBand
     // two md5 arrays materialized once per doc in their own projection
     // (a non-cheap alias consumed 4x is not inlined by CollapseProject),
@@ -169,6 +189,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  def minhashLsh(
+      s: SparkSession, dir: String,
+      bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame =
+    minhashLsh(Tables.documents(s, dir), bands, rowsPerBand, threshold)
+
   /** 32-bit SimHash signature per document from distinct words: bit j is
     * the sign of the weighted vote where each word contributes ±1 from bit
     * j of (the first 8 hex chars of) its md5. Emitted as a 32-char bit
@@ -181,11 +207,10 @@ object Dedup {
     * doc before it moves. (Bit j of the big-endian 32-bit prefix == the
     * reference nibble formula `(nibble(j/4) >> (3-j%4)) & 1`.)
     */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val wordsDf = Tables.documents(s, dir)
+  def simhash(docs: DataFrame): DataFrame = {
+    val wordsDf = docs
       // spread the ~50× word explosion (see docShingleSets; explicit N)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("doc_id"))
+      .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(Text.words(col("text")))).as("w"))
       .select(col("doc_id"),
@@ -198,4 +223,7 @@ object Dedup {
         concat((0 until 32).map(j =>
           when(col(s"v$j") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(s, dir))
 }

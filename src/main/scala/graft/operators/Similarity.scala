@@ -26,26 +26,23 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private val Dims = 64
-
   /** vec_id, quantized vector, and its precomputed squared norm.
     * Repartitioned by vec_id first: the higher-order array expressions run
     * interpreted (outside codegen), so per-row cost is high — spread the
     * rows across all cores even when the source is one small file.
     */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+  private def quantized(emb: DataFrame): DataFrame =
+    emb
       // explicit N — see Dedup.docShingleSets on AQE re-coalescing
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      .repartition(
+        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
         col("vec_id"))
       .select(col("vec_id"), Vectors.quantVec(col("embedding")).as("qv"))
       .withColumn("n2", Vectors.normSqQ(col("qv")))
 
   /** Exact cosine top-k neighbours for queries `vec_id < nQueries`. */
-  def annBruteForceTopK(
-      s: SparkSession, dir: String,
-      k: Int = 10, nQueries: Int = 10): DataFrame = {
-    val e = quantized(s, dir)
+  def annBruteForceTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val e = quantized(emb)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("n2").as("qn2"))
     val pairs = e.crossJoin(broadcast(q))
@@ -61,16 +58,19 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  def annBruteForceTopK(
+      s: SparkSession, dir: String,
+      k: Int = 10, nQueries: Int = 10): DataFrame =
+    annBruteForceTopK(Tables.embeddings(s, dir), k, nQueries)
+
   /** Near-duplicate vector pairs via hyperplane-LSH buckets, verified with
     * exact cosine >= threshold. Recall is bucket-limited by design (the
     * scale path); the bucketing is deterministic so results are exactly
     * reproducible.
     */
-  def nearDupLsh(
-      s: SparkSession, dir: String,
-      nPlanes: Int = 8, threshold: Double = 0.4): DataFrame = {
-    val sig = quantized(s, dir)
-      .withColumn("bucket", Vectors.lshBucketQ(col("qv"), nPlanes, Dims))
+  def nearDupLsh(emb: DataFrame, nPlanes: Int, threshold: Double, dims: Int): DataFrame = {
+    val sig = quantized(emb)
+      .withColumn("bucket", Vectors.lshBucketQ(col("qv"), nPlanes, dims))
     // shuffle_hash: a planner-chosen broadcast would evaluate the whole
     // quantize+bucket pipeline single-threaded in the broadcast-build
     // thread, and the signature relation could never broadcast at real
@@ -86,4 +86,9 @@ object Similarity {
           col("a.n2"), col("b.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  def nearDupLsh(
+      s: SparkSession, dir: String,
+      nPlanes: Int = 8, threshold: Double = 0.4): DataFrame =
+    nearDupLsh(Tables.embeddings(s, dir), nPlanes, threshold, dims = 64)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.operators.Relational
+
+/** Plan-shape regression tests (SURVEY.md §5 item 4): the physical plans
+  * the operators rely on at scale — filter pushdown into the parquet scan,
+  * column pruning, broadcast joins for dimension enrichment — must survive
+  * refactors. All assertions run on sf0.001 plans (shape is scale-free).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collect { case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+  }
+
+  test("q01: filters are pushed into the parquet scan and columns pruned") {
+    val df = Relational.scanFilterProject(spark, sf0001)
+    val scan = scans(df).find(_.tableIdentifier.isEmpty).getOrElse(scans(df).head)
+    val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("GreaterThan(l_quantity") || pushed.contains("IsNotNull"),
+      s"expected pushed filters, got $pushed")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag"),
+      s"scan reads more than the projection needs: $readCols")
+  }
+
+  test("q03: dimension join broadcasts the small side (no event-side shuffle)") {
+    val df = Relational.joinEnrichBroadcast(spark, sf0001)
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast dimension join, plan:\n$plan")
+  }
+
+  test("q02: aggregation is a two-phase hash aggregate (map-side partial combine)") {
+    val df = Relational.aggPricingSummary(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("HashAggregate").length - 1 >= 2,
+      s"expected partial+final HashAggregate, plan:\n$plan")
+    assert(!plan.contains("SortAggregate"), "pricing summary must hash-aggregate")
+  }
+}

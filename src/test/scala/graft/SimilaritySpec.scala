@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Similarity
+
+/** Property + unit coverage for the vector similarity family. */
+class SimilaritySpec extends SparkSpec {
+
+  private val dims = 8
+
+  private def emb(rows: (Long, Seq[Float])*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  /** Scala-side reference of the operator's fixed-point cosine. */
+  private def refCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    def q(x: Float): Long = math.floor(x.toDouble * 1e8 + 0.5).toLong
+    val dot = a.zip(b).map { case (x, y) => q(x) * q(y) }.sum
+    val na = a.map(x => q(x) * q(x)).sum
+    val nb = b.map(x => q(x) * q(x)).sum
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  test("brute-force top-k returns exact neighbours in cosine order") {
+    val v0 = Seq.fill(dims)(0.5f)
+    val v1 = v0.updated(0, 0.51f)              // very close to v0
+    val v2 = v0.map(_ * -1f)                    // opposite of v0
+    val v3 = Seq.tabulate(dims)(i => if (i % 2 == 0) 0.9f else -0.9f)
+    val df = emb(0L -> v0, 1L -> v1, 2L -> v2, 3L -> v3)
+
+    val out = Similarity.annBruteForceTopK(df, k = 3, nQueries = 1).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+      .sortBy(_._3)
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L))
+    assert(out.head._2 > 0.99)
+    assert(out.last._2 < -0.99)
+    // engine cosine matches the Scala reference bit-for-bit
+    assert(out.head._2 === refCosine(v0, v1))
+  }
+
+  test("LSH near-dup search finds planted near-identical vectors") {
+    val v = Seq.tabulate(dims)(i => (math.sin(i + 1) * 0.4).toFloat)
+    val vNear = v.updated(3, v(3) + 1e-4f)
+    val noise = (1 to 20).map { s =>
+      (s + 10).toLong -> Seq.tabulate(dims)(i => (math.sin(s * 31 + i * 7) * 0.4).toFloat)
+    }
+    val df = emb((Seq(0L -> v, 1L -> vNear) ++ noise): _*)
+    val pairs = Similarity.nearDupLsh(df, nPlanes = 8, threshold = 0.999, dims = dims)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("property: engine cosine equals the Scala fixed-point reference and is bounded") {
+    val rnd = new scala.util.Random(42)
+    def vec(): Seq[Float] =
+      Seq.fill(dims)((rnd.nextDouble() * 1.8 - 0.9).toFloat)
+        .map(x => if (math.abs(x) < 1e-3) 0.1f else x)
+    // one Spark job for all 15 trials: pairs (2i, 2i+1)
+    val trials = (0 until 15).map(i => (i, vec(), vec()))
+    val rows = trials.flatMap { case (i, a, b) =>
+      Seq((2L * i) -> a, (2L * i + 1) -> b)
+    }
+    val out = Similarity.annBruteForceTopK(emb(rows: _*), k = 64, nQueries = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    trials.foreach { case (i, a, b) =>
+      val c = out((2L * i, 2L * i + 1))
+      assert(c === refCosine(a, b), s"trial $i")
+      assert(c >= -1.0000001 && c <= 1.0000001, s"trial $i out of bounds: $c")
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import graft.pipeline.{KVRegistry, TributePipeline}
+import graft.sources.Sources
+
+/** Slice-1 end-to-end: replay the reference's 9 fixture batches through the
+  * STREAMING pipeline (file source, one file per trigger), with a
+  * kill/restart from the same checkpoint in the middle — the recovery test
+  * of SURVEY.md §5. Asserts the converged KV state table and the
+  * path-keyed event log (one JSON per streamingeventid, 65 total;
+  * reference: script/TributeStreamingJob.py:70-74, README.md:138-185).
+  */
+class StreamingReplaySpec extends SparkSpec {
+
+  private val batchOrder = Seq(
+    "preCornucopia", "postCornucopia", "aFewDaysAfterCornucopia",
+    "katnissEdgeOfMap", "katnissInjured", "afterSponsorHelpsKatniss",
+    "afterRue", "almostTheEnd", "theEnd")
+
+  test("9-batch streaming replay with mid-stream restart converges to the golden state") {
+    val base = Files.createTempDirectory("graft-replay")
+    val streamDir = Files.createDirectory(base.resolve("stream"))
+    val logDir = base.resolve("eventlog").toString
+    val ckpt = base.resolve("checkpoint").toString
+    val storeName = s"replay-${System.nanoTime()}"
+
+    // stage fixture files one at a time with ascending mtimes so the file
+    // source's arrival order is the documented send order
+    def stage(names: Seq[String], t0: Long): Unit =
+      names.zipWithIndex.foreach { case (n, i) =>
+        val dst = streamDir.resolve(s"$n.json")
+        Files.copy(Paths.get(fixture(s"streamingData/$n.json")), dst,
+          StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(t0 + i * 1000)
+        ()
+      }
+
+    def runUntilDrained(): Unit = {
+      val events = Sources.eventStream(spark, streamDir.toString)
+      val tributes = Sources.tributeDim(spark, fixture("staticData/tributeData.csv"))
+      val games = Sources.gameDim(spark, fixture("staticData/gameData.json"))
+      val q = TributePipeline.run(events, tributes, games, storeName, logDir, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    val t0 = System.currentTimeMillis() - 60000
+    stage(batchOrder.take(5), t0)
+    runUntilDrained() // first incarnation: 5 batches, then "crash"
+
+    stage(batchOrder.drop(5), t0 + 10000)
+    runUntilDrained() // recovery: same checkpoint resumes at batch 6
+
+    // event log: one JSON file per streamingeventid
+    val logged = Files.list(Paths.get(logDir)).count()
+    assert(logged === 65, s"expected 65 event-log files, got $logged")
+
+    // final state table matches the documented ending (README.md:175-185):
+    // only Peeta (8) and Katniss (9) alive; Cato (3) dead; Katniss in bounds
+    val state = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(state.size === 16, s"16 tributes seen, got ${state.size}")
+    assert(state("3")("status") === "DEAD")
+    assert(state("8")("status") === "ALIVE")
+    assert(state("9")("status") === "ALIVE")
+    assert(state("9")("locationStatus") === "IN BOUNDS")
+    val alive = state.values.count(_("status") == "ALIVE")
+    assert(alive === 2, s"exactly 2 tributes end ALIVE, got $alive")
+  }
+
+  test("restarting an already-drained checkpoint is a no-op (idempotent recovery)") {
+    val base = Files.createTempDirectory("graft-replay2")
+    val streamDir = Files.createDirectory(base.resolve("stream"))
+    val logDir = base.resolve("eventlog").toString
+    val ckpt = base.resolve("checkpoint").toString
+    val storeName = s"replay2-${System.nanoTime()}"
+
+    val src = Paths.get(fixture("streamingData/preCornucopia.json"))
+    Files.copy(src, streamDir.resolve("preCornucopia.json"))
+
+    def drain(): Unit = {
+      val q = TributePipeline.run(
+        Sources.eventStream(spark, streamDir.toString),
+        Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+        Sources.gameDim(spark, fixture("staticData/gameData.json")),
+        storeName, logDir, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    drain()
+    val snap1 = KVRegistry.getOrCreate(storeName).snapshot()
+    val logged1 = Files.list(Paths.get(logDir)).count()
+    drain() // second incarnation re-reads nothing
+    val snap2 = KVRegistry.getOrCreate(storeName).snapshot()
+    val logged2 = Files.list(Paths.get(logDir)).count()
+
+    assert(snap1 === snap2)
+    assert(logged1 === logged2)
+    assert(logged1 === 16) // preCornucopia has 16 events
+  }
+}
