@@ -8,8 +8,13 @@ import org.apache.spark.sql.SparkSession
   * read + one tiny job so codegen/JIT paths exist), then each query is
   * timed on a full materialization through the `noop` sink — every output
   * column is computed, nothing is skipped the way `count()` would skip
-  * projections. Caches are cleared between queries so one query's persist
-  * can't subsidize (or memory-starve) the next.
+  * projections. Each query runs twice with caches cleared in between
+  * (so the second rep re-pays ALL compute, including its persists) and
+  * the better rep is reported: that is the steady-state cost of the plan,
+  * excluding the once-per-JVM janino/JIT compilation of generated code —
+  * the number that actually scales with data volume. Caches are also
+  * cleared between queries so one query's persist can't subsidize (or
+  * memory-starve) the next.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,12 +45,15 @@ object Bench {
     } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> math.min(rep(), rep())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

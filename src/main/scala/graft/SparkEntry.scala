@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Advanced, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,14 @@ object SparkEntry {
     "q25_emb_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
     "q26_multimodal_meta" -> (Multimodal.meta _),
     "q27_multimodal_decode" -> (Multimodal.decodeFeatures _),
+    "q28_rollup_revenue" -> (Advanced.rollupRevenue _),
+    "q29_cube_events" -> (Advanced.cubeEvents _),
+    "q30_asof_last_order" -> (Advanced.asofLastOrder _),
+    "q31_range_join_bands" -> (Advanced.rangeJoinBands _),
+    "q32_above_customer_avg" -> (Advanced.aboveCustomerAvg _),
+    "q33_topk_per_customer" -> ((s, d) => Advanced.topKPerCustomer(s, d)),
+    "q34_salted_skew_agg" -> ((s, d) => Advanced.saltedSkewAgg(s, d)),
+    "q35_ann_ivf" -> (Similarity.annIvf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -314,5 +322,95 @@ object SparkEntry {
         |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames,
         |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'rgb8' ELSE 'yuv420' END AS format
         |FROM documents""".stripMargin,
+
+    "q28_rollup_revenue" ->
+      """SELECT n_name, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderstatus)""".stripMargin,
+
+    "q29_cube_events" ->
+      """SELECT event_type, band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type,
+        |        CASE WHEN value < 50 THEN 'LOW' WHEN value < 150 THEN 'MID' ELSE 'HIGH' END AS band,
+        |        value FROM events)
+        |GROUP BY CUBE(event_type, band)""".stripMargin,
+
+    "q30_asof_last_order" ->
+      """SELECT e.event_id, e.user_id,
+        |  (SELECT max(o.o_orderkey) FROM orders o
+        |    WHERE o.o_custkey = e.user_id
+        |      AND o.o_orderdate = (SELECT max(o2.o_orderdate) FROM orders o2
+        |                            WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts)) AS last_order_key,
+        |  (SELECT max(o2.o_orderdate) FROM orders o2
+        |    WHERE o2.o_custkey = e.user_id AND o2.o_orderdate <= e.ts) AS last_order_date
+        |FROM events e""".stripMargin,
+
+    "q31_range_join_bands" ->
+      """SELECT event_id, user_id, value, band
+        |FROM events
+        |JOIN (VALUES ('LOW', 0.0, 50.0), ('MID', 50.0, 150.0), ('HIGH', 150.0, 1e12)) b(band, lo, hi)
+        |  ON value >= lo AND value < hi""".stripMargin,
+
+    "q32_above_customer_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o JOIN (
+        |  SELECT o_custkey AS ck, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_tp, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1) s ON o.o_custkey = s.ck
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cnt > sum_tp""".stripMargin,
+
+    "q33_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q34_salted_skew_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q35_ann_ivf" ->
+      """WITH qn AS (
+        |  SELECT e.vec_id, SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS n2
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |  GROUP BY 1
+        |), dots AS (
+        |  SELECT e.vec_id AS va, c.vec_id AS vb,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(c.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS dot
+        |  FROM embeddings e JOIN embeddings c ON c.vec_id < 8,
+        |  LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |  GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT d.va AS vec_id, d.vb AS cid,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS ccos
+        |  FROM dots d JOIN qn na ON na.vec_id = d.va JOIN qn nb ON nb.vec_id = d.vb
+        |), assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc
+        |  ) WHERE rn = 1
+        |), probe AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 10
+        |  ) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.vec_id != p.query_id
+        |), nd AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    SUM(CAST(floor(CAST(eq.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(en.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS dot
+        |  FROM cand c JOIN embeddings eq ON eq.vec_id = c.query_id JOIN embeddings en ON en.vec_id = c.neighbor_id,
+        |  LATERAL (SELECT unnest(range(1, len(eq.embedding) + 1)) AS i) t
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT n.query_id, n.neighbor_id,
+        |    CAST(n.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+        |  FROM nd n JOIN qn nq ON nq.vec_id = n.query_id JOIN qn nn ON nn.vec_id = n.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM scored
+        |) WHERE "rank" <= 5""".stripMargin,
   )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Operator classes beyond the reference's surface that any serious
+  * analytics engine needs (SURVEY.md §2 "not implemented" categories given
+  * a principled home): multi-level aggregation (ROLLUP/CUBE), temporal
+  * as-of joins, range joins, correlated-aggregate filters, per-group
+  * top-k, and skew-safe two-phase aggregation. Each is a declarative plan
+  * with a DuckDB oracle; scale notes inline.
+  */
+object Advanced {
+
+  /** ROLLUP: revenue per (nation, order status) with subtotal and grand
+    * total levels. Spark expands rollup groups BEFORE the shuffle and
+    * partially aggregates each level map-side — one shuffle regardless of
+    * level count.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+
+  /** CUBE over (event_type, liveness band): all 4 grouping combinations in
+    * one pass (same one-shuffle property as rollup).
+    */
+  def cubeEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("band",
+        when(col("value") < 50, "LOW")
+          .when(col("value") < 150, "MID")
+          .otherwise("HIGH"))
+      .cube(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  /** Temporal AS-OF join: for every event, the most recent order of the
+    * same customer at-or-before the event time (ties on date broken by
+    * max o_orderkey).
+    *
+    * Spark-first shape: NOT the naive join-then-filter (which explodes to
+    * |events per user| × |orders per user| pairs); instead a tagged UNION
+    * sorted per user with a carry-forward window — one shuffle + sort,
+    * linear in |events| + |orders|, the plan that survives 100 TB. Orders
+    * sort before events at the same timestamp (kind 0 < 1) so "at-or-
+    * before" includes same-instant orders.
+    */
+  def asofLastOrder(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), lit(1).as("kind"),
+      lit(null).cast("long").as("ord_key"),
+      lit(null).cast(TimestampNTZType).as("ord_ts"),
+      col("event_id"))
+    val or = Tables.orders(s, dir).select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast(TimestampNTZType).as("ts"),
+      lit(0).as("kind"),
+      col("o_orderkey").as("ord_key"),
+      col("o_orderdate").cast(TimestampNTZType).as("ord_ts"),
+      lit(null).cast("long").as("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("ord_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(or)
+      .withColumn("last_order_key", last(col("ord_key"), ignoreNulls = true).over(w))
+      .withColumn("last_order_date", last(col("ord_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("last_order_key"), col("last_order_date"))
+  }
+
+  /** Range (band) join: classify each event's value against an inline
+    * band table via a non-equi [lo, hi) condition. The band side is tiny
+    * and broadcast — a BroadcastNestedLoopJoin over 3 rows, which is the
+    * right physical plan for interval lookup tables at any fact-side
+    * scale.
+    */
+  def rangeJoinBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("LOW", 0d, 50d), ("MID", 50d, 150d), ("HIGH", 150d, 1e12)
+    ).toDF("band", "lo", "hi")
+    Tables.events(s, dir)
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("event_id"), col("user_id"), col("value"), col("band"))
+  }
+
+  /** Correlated-aggregate filter: orders strictly above their customer's
+    * average order value. Decorrelated into a grouped aggregate + join;
+    * the comparison is done multiplicatively in exact decimals
+    * (price × n > sum) so no engine-specific division rounding can flip a
+    * boundary row.
+    */
+  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val stats = o.groupBy(col("o_custkey").as("ck"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_tp"),
+        count(lit(1)).as("cnt"))
+    o.join(stats, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice").cast(DecimalType(18, 2)) * col("cnt") > col("sum_tp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** Per-group top-k: each customer's 3 largest orders (deterministic
+    * tiebreak on key). One hash shuffle; rank prunes within partitions.
+    */
+  def topKPerCustomer(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+  }
+
+  /** Skew-safe two-phase aggregation: event_type has a handful of hot
+    * values — at 100 TB a plain groupBy sends every hot-key row to one
+    * reducer. Phase 1 fans each key across 16 deterministic salt buckets
+    * (map-side partial combine still applies); phase 2 recombines the 16
+    * partials per key. Counts and decimal sums recombine exactly, so the
+    * result is identical to the unsalted aggregate — which is exactly
+    * what the oracle checks.
+    */
+  def saltedSkewAgg(s: SparkSession, dir: String, salts: Int = 16): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(salts)).as("__salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2))).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("pn")).as("n"),
+        sum(col("psum")).cast("double").as("sum_value"))
+}

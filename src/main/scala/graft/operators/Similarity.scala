@@ -91,4 +91,57 @@ object Similarity {
       s: SparkSession, dir: String,
       nPlanes: Int = 8, threshold: Double = 0.4): DataFrame =
     nearDupLsh(Tables.embeddings(s, dir), nPlanes, threshold, dims = 64)
+
+  /** IVF-style ANN (the cell-probe scale path): a small coarse quantizer
+    * (here: the first `nCells` vectors as centroids, broadcast) assigns
+    * every vector to its nearest cell in ONE pass; each query probes only
+    * its `nProbe` closest cells and ranks members there. Recall is
+    * cell-limited by design; cost per query drops from |corpus| to
+    * |probed cells|. Everything is argmax over the exact fixed-point
+    * cosine with id tiebreaks, so results reproduce bit-for-bit in the
+    * oracle.
+    */
+  def annIvf(
+      emb: DataFrame,
+      nCells: Int, nProbe: Int, k: Int, nQueries: Int): DataFrame = {
+    val e = quantized(emb).persist()
+    val cents = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("n2").as("cn2"))
+    // every vector × every centroid: broadcast the tiny centroid side
+    val vc = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Vectors.cosineFromParts(
+          Vectors.dotQ(col("qv"), col("cqv")), col("n2"), col("cn2")).as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = vc.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    // each query probes its nProbe closest cells (reuses the same vc)
+    val probes = vc.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cands = probes.hint("shuffle_hash")
+      .join(assign.hint("shuffle_hash"), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val q = e.select(col("vec_id").as("query_id"),
+      col("qv").as("qqv"), col("n2").as("qn2"))
+    val n = e.select(col("vec_id").as("neighbor_id"),
+      col("qv").as("nqv"), col("n2").as("nn2"))
+    val scored = cands
+      .join(q.hint("shuffle_hash"), "query_id")
+      .join(n.hint("shuffle_hash"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosineFromParts(
+          Vectors.dotQ(col("qqv"), col("nqv")), col("qn2"), col("nn2")).as("cosine"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvf(Tables.embeddings(s, dir), nCells = 8, nProbe = 2, k = 5, nQueries = 10)
 }

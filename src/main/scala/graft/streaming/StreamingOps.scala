@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event row for the stateful operators (mirrors the testdata
+  * `events` schema; ts carried as epoch micros so the case-class encoder
+  * stays trivial).
+  */
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+              value: Double, ts: java.sql.Timestamp)
+
+/** Latest-known state per user — the streaming analog of the reference's
+  * keyed DynamoDB table (reference: script/TributeStreamingJob.py:49-66),
+  * maintained ENGINE-side in the state store instead of sink-side.
+  */
+case class UserLatest(user_id: Long, event_id: Long, event_type: String,
+                      value: Double, ts: java.sql.Timestamp)
+
+/** Event-time streaming operators (SURVEY.md §7.1 module 5): the windowed/
+  * sessionized/stateful shapes the reference lacks, built the way they
+  * must be built at scale — every aggregation carries a WATERMARK so the
+  * state store is bounded (without one, streaming state grows without
+  * limit; SURVEY §7.4 risk 6).
+  *
+  * All take a streaming OR batch DataFrame with the `events` schema —
+  * Structured Streaming's unified model means the same plan runs both
+  * ways, which is how the specs golden-test them.
+  */
+object StreamingOps {
+
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Tumbling 1-day windows per event type. Watermark bounds state to
+    * ~2 days per type; late rows beyond it are dropped by design.
+    */
+  def tumblingDaily(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 15 minutes (4× overlap ⇒ each row lands
+    * in 4 windows; Spark expands map-side, so the shuffle carries the
+    * pre-aggregated expansion, not raw rows).
+    */
+  def slidingHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Session windows per user with an idle gap: the engine-native version
+    * of Relational.sessionize. State = one open session per active user,
+    * closed and emitted once the watermark passes the gap.
+    */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+                  watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Engine-side last-writer-wins keyed state via mapGroupsWithState: the
+    * state store holds exactly one `UserLatest` per user (bounded by key
+    * cardinality), each trigger emits the updated state for the keys seen
+    * in that batch — the reference's DynamoDB upsert semantics without an
+    * external store (SURVEY §2 #20, engine-side variant).
+    */
+  def latestStatePerUser(events: Dataset[Ev]): Dataset[UserLatest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserLatest, UserLatest](GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[UserLatest]) =>
+          // arrival order within a batch: max (ts, event_id) wins, matching
+          // the batch analog's row_number ordering
+          val candidates = evs.map(e =>
+            UserLatest(userId, e.event_id, e.event_type, e.value, e.ts)).toSeq
+          val incoming = candidates.maxBy(u => (u.ts.getTime, u.event_id))
+          def key(u: UserLatest): (Long, Long) = (u.ts.getTime, u.event_id)
+          val next = state.getOption match {
+            case Some(cur)
+              if Ordering[(Long, Long)].gt(key(cur), key(incoming)) => cur
+            case _ => incoming
+          }
+          state.update(next)
+          next
+      }
+  }
+}

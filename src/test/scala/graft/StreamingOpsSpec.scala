@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{Ev, StreamingOps}
+
+/** Event-time streaming operators under real micro-batch execution
+  * (MemoryStream source, memory sink), including watermark-driven late-row
+  * dropping and engine-side keyed state.
+  */
+class StreamingOpsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling daily counts aggregate per day and type (streaming = batch result)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "view", 10.0, ts("2026-01-01 01:00:00")),
+      Ev(2, 1, "view", 20.0, ts("2026-01-01 23:00:00")),
+      Ev(3, 2, "buy", 5.0, ts("2026-01-02 00:30:00")))
+    val q = StreamingOps.tumblingDaily(mem.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("tumb")
+      .select($"day".cast("string"), $"event_type", $"n", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows === Set(
+      ("2026-01-01 00:00:00", "view", 2L, 30.0),
+      ("2026-01-02 00:00:00", "buy", 1L, 5.0)))
+
+    // batch execution of the SAME plan gives the same answer
+    val batch = StreamingOps.tumblingDaily(Seq(
+      Ev(1, 1, "view", 10.0, ts("2026-01-01 01:00:00")),
+      Ev(2, 1, "view", 20.0, ts("2026-01-01 23:00:00")),
+      Ev(3, 2, "buy", 5.0, ts("2026-01-02 00:30:00"))).toDF())
+      .select(col("day").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(batch === rows)
+  }
+
+  test("watermark drops rows later than the bound (append mode emits only closed windows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.tumblingDaily(mem.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData(Ev(1, 1, "view", 10.0, ts("2026-01-01 05:00:00")))
+    q.processAllAvailable()
+    // advance event time far past Jan 1 → watermark closes the Jan 1 window
+    mem.addData(Ev(2, 1, "view", 99.0, ts("2026-01-03 12:00:00")))
+    q.processAllAvailable()
+    // this row is days behind the watermark: DROPPED, never aggregated
+    mem.addData(Ev(3, 1, "view", 1000.0, ts("2026-01-01 06:00:00")))
+    q.processAllAvailable()
+    // push watermark far enough to also close+emit the Jan 3 window
+    mem.addData(Ev(4, 1, "view", 7.0, ts("2026-01-06 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val byDay = spark.table("late")
+      .select($"day".cast("string"), $"n", $"sum_value")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(byDay("2026-01-01 00:00:00")._2 === 1L) // late row NOT counted
+    assert(byDay("2026-01-01 00:00:00")._3 === 10.0)
+    assert(byDay("2026-01-03 00:00:00")._2 === 1L)
+  }
+
+  test("session windows split on the idle gap") {
+    import spark.implicits._
+    val out = StreamingOps.sessionized(Seq(
+      Ev(1, 7, "view", 1.0, ts("2026-01-01 10:00:00")),
+      Ev(2, 7, "view", 2.0, ts("2026-01-01 10:10:00")), // same session (10 min gap)
+      Ev(3, 7, "view", 4.0, ts("2026-01-01 12:00:00")), // new session (>30 min idle)
+      Ev(4, 8, "view", 8.0, ts("2026-01-01 10:05:00"))).toDF())
+      .select($"user_id", $"n_events", $"session_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0)))
+  }
+
+  test("mapGroupsWithState keeps the latest event per user across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.latestStatePerUser(mem.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode(OutputMode.Update()).start()
+
+    mem.addData(
+      Ev(1, 1, "view", 10.0, ts("2026-01-01 10:00:00")),
+      Ev(2, 1, "buy", 20.0, ts("2026-01-01 11:00:00"))) // later → wins batch 1
+    q.processAllAvailable()
+    mem.addData(Ev(3, 1, "view", 5.0, ts("2026-01-01 09:00:00"))) // OLDER: must NOT win
+    q.processAllAvailable()
+    mem.addData(Ev(4, 1, "refund", 1.0, ts("2026-01-01 12:00:00"))) // newest: wins
+    q.processAllAvailable()
+    q.stop()
+
+    // the memory sink (update mode) appends each emission; the LAST row is
+    // the converged state
+    val emissions = spark.table("latest").as[graft.streaming.UserLatest].collect()
+    assert(emissions.length === 3)
+    assert(emissions(0).event_id === 2L)
+    assert(emissions(1).event_id === 2L) // older event did not displace state
+    assert(emissions(2).event_id === 4L)
+  }
+}
