@@ -58,6 +58,8 @@ object SparkEntry {
     "q33_topk_per_customer" -> ((s, d) => Advanced.topKPerCustomer(s, d)),
     "q34_salted_skew_agg" -> ((s, d) => Advanced.saltedSkewAgg(s, d)),
     "q35_ann_ivf" -> (Similarity.annIvf _),
+    "q36_mm_resize" -> (Multimodal.resizeThumbnail _),
+    "q37_mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -321,6 +323,16 @@ object SparkEntry {
         |  CAST(64 + (octet_length(encode(text)) * 7) % 768 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames,
         |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'rgb8' ELSE 'yuv420' END AS format
+        |FROM documents""".stripMargin,
+
+    "q36_mm_resize" ->
+      """SELECT doc_id, 64 AS width, 64 AS height,
+        |  octet_length(encode(substring(text, 1, 256))) AS thumb_len,
+        |  sha256(substring(text, 1, 256)) AS thumb_sha
+        |FROM documents""".stripMargin,
+
+    "q37_mm_frame_sample" ->
+      """SELECT doc_id, unnest(range(0, 1 + octet_length(encode(text)) % 30, 4)) AS frame_idx
         |FROM documents""".stripMargin,
 
     "q28_rollup_revenue" ->

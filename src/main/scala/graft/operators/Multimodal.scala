@@ -66,4 +66,50 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Deterministic fake "resize" to a 64×64 thumbnail: truncate the
+    * payload to 256 bytes (stands in for ??? real image downsampling).
+    */
+  private[operators] def resizeStub(payload: Array[Byte]): Array[Byte] =
+    payload.take(256)
+
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("thumb", BinaryType),
+  ))
+
+  /** Resize: binary→binary transformation, partition-local via
+    * mapPartitions (the shape a real image library plugs into). The
+    * emitted columns are derived metadata + checksum of the new payload,
+    * so the result is oracle-checkable without shipping binaries around.
+    */
+  def resizeThumbnail(s: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizedSchema)
+    payloads.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val thumb = resizeStub(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), 64, 64, thumb)
+      }
+    }(enc)
+      .select(col("doc_id"), col("width"), col("height"),
+        length(col("thumb")).as("thumb_len"),
+        sha2(col("thumb"), 256).as("thumb_sha"))
+  }
+
+  /** Frame sampling: every `step`-th frame index of the stub-decoded
+    * frame count, exploded to one row per sampled frame — the fan-out
+    * shape of a video pipeline (decode happens per emitted frame
+    * downstream, never materializing whole videos).
+    */
+  def frameSample(s: SparkSession, dir: String, step: Int = 4): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (lit(1) + length(col("text").cast("binary")) % 30).as("frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
 }
