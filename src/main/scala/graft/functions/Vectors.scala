@@ -95,4 +95,26 @@ object Vectors {
   /** LSH bucket signature for a raw `array<float>` column. */
   def lshBucket(vec: Column, nPlanes: Int, dims: Int): Column =
     lshBucketQ(quantVec(vec), nPlanes, dims)
+
+  /** The `dims` signs of plane `p` as a constant FLOAT array literal, for
+    * the codegen'd projection path: quant(±1.0f) = ±1e8, so the projected
+    * sum is the ±-weighted fixed-point sum scaled by the positive constant
+    * 1e8 — its SIGN (all the bucket bit needs) is identical to the
+    * reference formulation, and the DuckDB oracle (which uses ±1 weights)
+    * agrees on every bit.
+    */
+  def hyperplaneSignsF(p: Int, dims: Int): Column =
+    array((1 to dims).map(i =>
+      lit(if (hyperplaneSign(p, i) > 0) 1.0f else -1.0f)): _*)
+
+  /** LSH bucket signature via the codegen'd fixed-point dot product — the
+    * execution hot path (see graft.functions.FixedPointDot); bit-identical
+    * to `lshBucket`.
+    */
+  def lshBucketF(vec: Column, nPlanes: Int, dims: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      when(FixedPoint.dotF(vec, hyperplaneSignsF(p, dims)) >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
 }

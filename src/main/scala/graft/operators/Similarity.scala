@@ -4,54 +4,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.Vectors
+import graft.functions.{FixedPoint, Vectors}
 import graft.sources.Tables
 
 /** Similarity search over the embedding column (`array<float>` 64-dim).
   *
-  * Two paths, per the north star:
+  * Three paths, per the north star:
   *  - `annBruteForceTopK`: exact top-k for a bounded query set — the
   *    correctness baseline. Queries broadcast; the corpus side never
   *    shuffles, so this scales to any corpus size (cost = one pass).
   *  - `nearDupLsh`: random-hyperplane LSH bucketing (deterministic,
   *    md5-derived planes) → per-bucket candidate pairs → exact cosine
-  *    verification. The all-pairs join is confined to buckets, which is
-  *    what survives a 100×-scale corpus.
+  *    verification. The all-pairs join is confined to buckets.
+  *  - `annIvf`: coarse-quantizer cell probing — per-query cost bounded by
+  *    the probed cells, the 100×-corpus scale path.
   *
-  * All dot products/norms are exact int64 fixed-point sums
-  * (order-independent; see graft.functions.Vectors) so DuckDB oracles
-  * match bit-for-bit. Vectors are quantized once per row and squared
-  * norms precomputed per vector — the per-pair work is a single dot
-  * product.
+  * All dot products/norms are exact int64 fixed-point sums evaluated by
+  * the codegen'd `FixedPointDot` expression (graft.functions.FixedPoint) —
+  * a tight primitive loop inside whole-stage codegen, bit-identical to
+  * the `Vectors` higher-order-function formulation and to the DuckDB
+  * oracle. Squared norms are precomputed per vector, so the per-pair work
+  * is a single dot product over the raw float arrays (half the shuffle
+  * width of quantized long arrays).
   */
 object Similarity {
 
-  /** vec_id, quantized vector, and its precomputed squared norm.
-    * Repartitioned by vec_id first: the higher-order array expressions run
-    * interpreted (outside codegen), so per-row cost is high — spread the
-    * rows across all cores even when the source is one small file.
+  /** vec_id, raw embedding, and its precomputed fixed-point squared norm,
+    * spread across the full shuffle width (the source may arrive in few
+    * partitions — one small file locally, coarse splits at scale; explicit
+    * N so AQE can't re-coalesce, see Dedup.docShingleSets).
     */
-  private def quantized(emb: DataFrame): DataFrame =
+  private def prepared(emb: DataFrame): DataFrame =
     emb
-      // explicit N — see Dedup.docShingleSets on AQE re-coalescing
       .repartition(
         emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
         col("vec_id"))
-      .select(col("vec_id"), Vectors.quantVec(col("embedding")).as("qv"))
-      .withColumn("n2", Vectors.normSqQ(col("qv")))
+      .select(col("vec_id"), col("embedding"),
+        FixedPoint.normSqF(col("embedding")).as("n2"))
 
   /** Exact cosine top-k neighbours for queries `vec_id < nQueries`. */
   def annBruteForceTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
-    val e = quantized(emb)
+    val e = prepared(emb)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("n2").as("qn2"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
     val pairs = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
         Vectors.cosineFromParts(
-          Vectors.dotQ(col("qv"), col("qqv")), col("n2"), col("qn2")).as("cosine"))
+          FixedPoint.dotF(col("embedding"), col("qe")), col("n2"), col("qn2")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -69,12 +71,12 @@ object Similarity {
     * reproducible.
     */
   def nearDupLsh(emb: DataFrame, nPlanes: Int, threshold: Double, dims: Int): DataFrame = {
-    val sig = quantized(emb)
-      .withColumn("bucket", Vectors.lshBucketQ(col("qv"), nPlanes, dims))
+    val sig = prepared(emb)
+      .withColumn("bucket", Vectors.lshBucketF(col("embedding"), nPlanes, dims))
     // shuffle_hash: a planner-chosen broadcast would evaluate the whole
-    // quantize+bucket pipeline single-threaded in the broadcast-build
-    // thread, and the signature relation could never broadcast at real
-    // corpus scale anyway (see Dedup.ngramJaccard).
+    // norm+bucket pipeline single-threaded in the broadcast-build thread,
+    // and the signature relation could never broadcast at real corpus
+    // scale anyway (see Dedup.ngramJaccard).
     sig.as("a").hint("shuffle_hash")
       .join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -82,7 +84,7 @@ object Similarity {
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
         Vectors.cosineFromParts(
-          Vectors.dotQ(col("a.qv"), col("b.qv")),
+          FixedPoint.dotF(col("a.embedding"), col("b.embedding")),
           col("a.n2"), col("b.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -104,14 +106,14 @@ object Similarity {
   def annIvf(
       emb: DataFrame,
       nCells: Int, nProbe: Int, k: Int, nQueries: Int): DataFrame = {
-    val e = quantized(emb).persist()
+    val e = prepared(emb).persist()
     val cents = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cid"), col("qv").as("cqv"), col("n2").as("cn2"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
     // every vector × every centroid: broadcast the tiny centroid side
     val vc = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         Vectors.cosineFromParts(
-          Vectors.dotQ(col("qv"), col("cqv")), col("n2"), col("cn2")).as("ccos"))
+          FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val assign = vc.withColumn("rn", row_number().over(wAssign))
@@ -127,15 +129,15 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val q = e.select(col("vec_id").as("query_id"),
-      col("qv").as("qqv"), col("n2").as("qn2"))
+      col("embedding").as("qe"), col("n2").as("qn2"))
     val n = e.select(col("vec_id").as("neighbor_id"),
-      col("qv").as("nqv"), col("n2").as("nn2"))
+      col("embedding").as("ne"), col("n2").as("nn2"))
     val scored = cands
       .join(q.hint("shuffle_hash"), "query_id")
       .join(n.hint("shuffle_hash"), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         Vectors.cosineFromParts(
-          Vectors.dotQ(col("qqv"), col("nqv")), col("qn2"), col("nn2")).as("cosine"))
+          FixedPoint.dotF(col("qe"), col("ne")), col("qn2"), col("nn2")).as("cosine"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(wRank))
