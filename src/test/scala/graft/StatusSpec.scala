@@ -67,6 +67,20 @@ class StatusSpec extends SparkSpec {
     assert(loc(95.0, 50.0) === "IN BOUNDS") // maxX - x == 5 is NOT < 5
   }
 
+  test("coercion parity: string thresholds behave exactly like pre-cast doubles (SURVEY §7.4 risk 2)") {
+    // the reference compares decimal stream columns against STRING csv
+    // thresholds and relies on implicit string→double coercion; verify
+    // the coerced path equals an explicitly-cast path over a dense grid
+    val grid = for {
+      l <- BigDecimal(0) to BigDecimal(12) by BigDecimal("0.5")
+      t <- Seq("3", "3.0", "7.5", "08.0") // includes a leading-zero form
+    } yield (l.toDouble, t)
+    val df = grid.toDF("level", "min").select(
+      Status.hydrationStatus(col("level"), col("min")).as("viaString"),
+      Status.hydrationStatus(col("level"), col("min").cast("double")).as("viaDouble"))
+    assert(df.filter(col("viaString") =!= col("viaDouble")).count() === 0)
+  }
+
   test("alive/dead and pain") {
     assert(Seq(java.math.BigDecimal.ZERO).toDF("hr")
       .select(Status.aliveStatus(col("hr"))).as[String].head() === "DEAD")
