@@ -60,6 +60,7 @@ object SparkEntry {
     "q35_ann_ivf" -> (Similarity.annIvf _),
     "q36_mm_resize" -> (Multimodal.resizeThumbnail _),
     "q37_mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "q38_text_winnow" -> ((s, d) => TextAnalysis.winnowFingerprint(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -323,6 +324,11 @@ object SparkEntry {
         |  CAST(64 + (octet_length(encode(text)) * 7) % 768 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames,
         |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'rgb8' ELSE 'yuv420' END AS format
+        |FROM documents""".stripMargin,
+
+    "q38_text_winnow" ->
+      """SELECT doc_id,
+        |  list_min([md5(substr(text, i, 8)) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)]) AS winnow_fp
         |FROM documents""".stripMargin,
 
     "q36_mm_resize" ->

@@ -51,4 +51,18 @@ object TextAnalysis {
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+
+  /** Rolling-window fingerprint (winnowing-style): hash every character
+    * k-gram of the text with a sliding window and keep the minimum — a
+    * content identity robust to local edits anywhere except the winning
+    * window, unlike whole-document hashing. Pure per-row projection
+    * (embarrassingly parallel); the window slide is the `transform` over
+    * gram start positions.
+    */
+  def winnowFingerprint(s: SparkSession, dir: String, k: Int = 8): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+          i => md5(col("text").substr(i, lit(k))))).as("winnow_fp"))
 }
