@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Advanced, Corpus, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,10 @@ object SparkEntry {
     "q36_mm_resize" -> (Multimodal.resizeThumbnail _),
     "q37_mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
     "q38_text_winnow" -> ((s, d) => TextAnalysis.winnowFingerprint(s, d)),
+    "q39_vocab_topk" -> (Corpus.vocabTopK _),
+    "q40_split_assign" -> (Corpus.splitAssign _),
+    "q41_length_quantiles" -> (Corpus.lengthQuantiles _),
+    "q42_sketch_profile" -> (Corpus.sketchProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -330,6 +334,39 @@ object SparkEntry {
       """SELECT doc_id,
         |  list_min([md5(substr(text, i, 8)) FOR i IN range(1, greatest(length(text) - 7, 1) + 1)]) AS winnow_fp
         |FROM documents""".stripMargin,
+
+    "q39_vocab_topk" ->
+      """SELECT w AS word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "q40_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
+
+    "q41_length_quantiles" ->
+      """WITH w AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN n_chars END) AS p25,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN n_chars END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN n_chars END) AS p75,
+        |  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN n_chars END) AS p95,
+        |  MAX(n) AS n_docs
+        |FROM w GROUP BY lang""".stripMargin,
 
     "q36_mm_resize" ->
       """SELECT doc_id, 64 AS width, 64 AS height,

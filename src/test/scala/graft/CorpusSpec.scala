@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Corpus
+
+/** Unit coverage for the corpus-preparation operators (vocab, splits,
+  * quantiles, sketch profile) on a synthetic corpus with known counts.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta alpha", "en", "web", 16L),
+      (1L, "alpha gamma", "en", "web", 11L),
+      (2L, "beta beta beta", "en", "books", 14L),
+      (3L, "delta", "fr", "web", 5L),
+      (4L, "alpha delta epsilon", "fr", "web", 19L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("vocabTopK counts term and document frequency with a deterministic cut") {
+    val top = Corpus.vocabTopK(corpus, 2).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("n"), r.getAs[Long]("n_docs")))
+    // beta: 4 occurrences in 2 docs; alpha: 4 occurrences in 3 docs — tie on
+    // n broken by word asc, so alpha ranks first
+    assert(top.toSeq === Seq(("alpha", 4L, 3L), ("beta", 4L, 2L)))
+  }
+
+  test("splitAssign is deterministic, complete, and within bucket bounds") {
+    val a = Corpus.splitAssign(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+    val b = Corpus.splitAssign(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap
+    assert(a === b)
+    assert(a.size === 5)
+    a.values.foreach { case (bucket, split) =>
+      assert(bucket >= 0 && bucket < 100)
+      val expected = if (bucket < 80) "train" else if (bucket < 90) "valid" else "test"
+      assert(split === expected)
+    }
+  }
+
+  test("lengthQuantiles picks exact rank-order statistics per language") {
+    val q = Corpus.lengthQuantiles(corpus).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("p25"), r.getAs[Long]("p50"), r.getAs[Long]("p95"), r.getAs[Long]("n_docs"))).toMap
+    // en sorted n_chars: 11, 14, 16 -> p25=ceil(0.75)=rn1=11, p50=ceil(1.5)=rn2=14, p95=ceil(2.85)=rn3=16
+    assert(q("en") === ((11L, 14L, 16L, 3L)))
+    // fr sorted: 5, 19 -> p25=rn1=5, p50=rn1=5, p95=rn2=19
+    assert(q("fr") === ((5L, 5L, 19L, 2L)))
+  }
+
+  test("sketchProfile approximates exact distinct counts on a small corpus") {
+    val p = Corpus.sketchProfile(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("ndv_text"))).toMap
+    assert(p("web") === ((4L, 4L))) // HLL is exact at this cardinality
+    assert(p("books") === ((1L, 1L)))
+  }
+}
