@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Corpus, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Advanced, Corpus, Dedup, Multimodal, Prep, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -65,6 +65,15 @@ object SparkEntry {
     "q40_split_assign" -> (Corpus.splitAssign _),
     "q41_length_quantiles" -> (Corpus.lengthQuantiles _),
     "q42_sketch_profile" -> (Corpus.sketchProfile _),
+    "q43_intersect_users" -> (Relational.intersectUsers _),
+    "q44_except_users" -> (Relational.exceptUsers _),
+    "q45_pivot_event_counts" -> (Relational.pivotEventCounts _),
+    "q46_full_outer_activity" -> (Relational.fullOuterActivity _),
+    "q47_grouping_sets" -> (Relational.groupingSetsRevenue _),
+    "q48_text_clean" -> (Prep.textClean _),
+    "q49_quality_filter" -> (Prep.qualityFilter _),
+    "q50_stratified_sample" -> (Prep.stratifiedSample _),
+    "q51_bigram_lm" -> (Prep.bigramLm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -367,6 +376,88 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN n_chars END) AS p95,
         |  MAX(n) AS n_docs
         |FROM w GROUP BY lang""".stripMargin,
+
+    "q43_intersect_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q44_except_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin,
+
+    "q45_pivot_event_counts" ->
+      """SELECT user_id,
+        |  NULLIF(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click_n,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click_val,
+        |  NULLIF(COUNT(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error_n,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error_val,
+        |  NULLIF(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase_n,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_val,
+        |  NULLIF(COUNT(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup_n,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup_val,
+        |  NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view_n,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view_val
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q46_full_outer_activity" ->
+      """SELECT cust, COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events
+        |FROM (SELECT o_custkey AS cust, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT user_id AS cust, COUNT(*) AS n_events FROM events GROUP BY 1) e
+        |USING (cust)""".stripMargin,
+
+    "q47_grouping_sets" ->
+      """SELECT n_name, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), (o_orderstatus))""".stripMargin,
+
+    "q48_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean_text,
+        |  length(text) AS n_raw,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS n_clean
+        |FROM documents""".stripMargin,
+
+    "q49_quality_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS w,
+        |    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_len,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) AS punct
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    [x FOR x IN [
+        |      CASE WHEN n_chars < 50 THEN 'too_short' END,
+        |      CASE WHEN n_chars > 5000 THEN 'too_long' END,
+        |      CASE WHEN len(w) < 10 THEN 'few_words' END,
+        |      CASE WHEN mean_len > 12.0 THEN 'long_words' END,
+        |      CASE WHEN punct > 0.10 THEN 'high_punct' END] IF x IS NOT NULL] AS reasons
+        |  FROM f
+        |)
+        |SELECT doc_id, len(reasons) = 0 AS keep,
+        |  COALESCE(list_aggregate(reasons, 'string_agg', ','), '') AS reasons
+        |FROM r""".stripMargin,
+
+    "q50_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100
+        |  < CASE WHEN lang = 'en' THEN 10 ELSE 50 END""".stripMargin,
+
+    "q51_bigram_lm" ->
+      """WITH bg AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |), c AS (
+        |  SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |)
+        |SELECT bigram, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS DOUBLE) AS p_cond
+        |FROM c""".stripMargin,
 
     "q36_mm_resize" ->
       """SELECT doc_id, 64 AS width, 64 AS height,

@@ -198,4 +198,68 @@ object Relational {
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("session_value"))
   }
+
+  /** Set intersection: users who both clicked AND purchased. Plans as a
+    * left-semi aggregate join; both sides partial-aggregate (distinct)
+    * before the shuffle, so data movement is bounded by distinct users,
+    * not events.
+    */
+  def intersectUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .intersect(e.filter(col("event_type") === "purchase").select(col("user_id")))
+  }
+
+  /** Set difference: users who clicked but never purchased (left-anti over
+    * distincts). Same shuffle profile as [[intersectUsers]].
+    */
+  def exceptUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "click").select(col("user_id"))
+      .except(e.filter(col("event_type") === "purchase").select(col("user_id")))
+  }
+
+  /** Pivot (long→wide): per-user event counts and exact value sums, one
+    * column pair per event type. The type list is pinned so the plan is
+    * static (no extra distinct-values job, deterministic column order) —
+    * at scale an unpinned pivot would add a full pass just to discover
+    * the column set. Single hash aggregate keyed by user_id; each cell is
+    * a filtered partial aggregate (map-side combined).
+    */
+  def pivotEventCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("val"))
+
+  /** Full-outer join of two aggregated activity views: order counts vs
+    * event counts per customer, keeping customers present in either side.
+    * Both inputs pre-aggregate to one row per key before the join, so the
+    * full-outer shuffle moves at most |customers| rows per side.
+    */
+  def fullOuterActivity(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("cust")).agg(count(lit(1)).as("n_orders"))
+    val e = Tables.events(s, dir)
+      .groupBy(col("user_id").as("cust")).agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("cust"), "full_outer")
+      .select(col("cust"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Explicit GROUPING SETS — (nation, status), (nation), (status) — i.e.
+    * rollup minus the grand total plus the status-only margin; exercises
+    * arbitrary set lists rather than the rollup/cube prefixes. Spark plans
+    * one Expand (3× row multiplication) + one hash aggregate: a single
+    * shuffle regardless of how many sets are asked for.
+    */
+  def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("o_orderstatus")), Seq(col("n_name")), Seq(col("o_orderstatus"))),
+        col("n_name"), col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Prep, Relational}
+
+/** Unit coverage for dataset-preparation operators (clean, quality filter,
+  * stratified sample, bigram LM) and the set/pivot/outer-join relational
+  * additions, on corpora with hand-computable truth.
+  */
+class PrepSpec extends SparkSpec {
+
+  private def docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "The quick, brown fox!", "en", "web", 21L),
+      (1L, "a b", "en", "web", 3L),
+      (2L, "plain lower text with several simple words here now ten", "en", "books", 56L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("textClean lowercases, strips punctuation, collapses runs") {
+    val m = Prep.textClean(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("n_raw"), r.getAs[Int]("n_clean"))).toMap
+    assert(m(0L) === (("the quick brown fox", 21, 19)))
+    assert(m(1L) === (("a b", 3, 3)))
+  }
+
+  test("qualityFilter emits keep verdict with comma-joined reasons") {
+    val m = Prep.qualityFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("reasons"))).toMap
+    // doc 0: 21 chars (<50), 4 words (<10); punct 2/21 = 0.095 is under the
+    // 0.10 high_punct line
+    assert(m(0L)._1 === false)
+    assert(m(0L)._2 === "too_short,few_words")
+    // doc 2: 56 chars (>=50), 10 words (not <10), no punctuation → keep
+    assert(m(2L) === ((true, "")))
+  }
+
+  test("bigramLm counts adjacent pairs with conditional probability") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b a b c", "en", "w", 9L),
+      (1L, "a", "en", "w", 1L), // 1-word doc contributes nothing
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Prep.bigramLm(d).collect()
+      .map(r => r.getAs[String]("bigram") -> (r.getAs[Long]("n"), r.getAs[Double]("p_cond"))).toMap
+    // bigrams: a b, b a, a b, b c → c(a b)=2, c(b a)=1, c(b c)=1
+    assert(m("a b") === ((2L, 1.0)))          // P(b|a) = 2/2
+    assert(m("b a") === ((1L, 0.5)))          // P(a|b) = 1/2
+    assert(m("b c") === ((1L, 0.5)))
+    assert(m.size === 3)
+  }
+
+  test("stratified sample keeps a deterministic per-language subset") {
+    val a = Prep.stratifiedSample(docs).collect().map(_.getAs[Long]("doc_id")).sorted
+    val b = Prep.stratifiedSample(docs).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(a === b)
+  }
+
+  test("intersect/except split users by event-type membership") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prep-events").toString
+    // ts is int64 nanos in the driver's events parquet (see Sources.events)
+    Seq(
+      (1L, 1700000000L * 1000000000L, 10L, "click", 1.0, "{}"),
+      (2L, 1700000000L * 1000000000L, 10L, "purchase", 1.0, "{}"),
+      (3L, 1700000000L * 1000000000L, 20L, "click", 1.0, "{}"),
+      (4L, 1700000000L * 1000000000L, 30L, "purchase", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val both = Relational.intersectUsers(spark, dir).collect().map(_.getLong(0)).sorted
+    val only = Relational.exceptUsers(spark, dir).collect().map(_.getLong(0)).sorted
+    assert(both === Array(10L))
+    assert(only === Array(20L))
+  }
+}
