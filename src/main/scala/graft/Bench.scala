@@ -51,6 +51,9 @@ object Bench {
         catch { case _: Throwable => }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // reclaim the dropped cache/shuffle buffers now, so one query's
+        // garbage doesn't tax the next query's reps with GC pauses
+        System.gc()
         dt
       }
       name -> math.min(rep(), rep())

@@ -48,4 +48,44 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial+final HashAggregate, plan:\n$plan")
     assert(!plan.contains("SortAggregate"), "pricing summary must hash-aggregate")
   }
+
+  private def shuffles(plan: String): Int =
+    plan.split("Exchange hashpartitioning").length - 1
+
+  test("q45: pinned pivot pre-aggregates before pivoting — two bounded shuffles, no distinct-values pass") {
+    val df = Relational.pivotEventCounts(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // shuffle 1 carries one row per (user, type) — already partially
+    // aggregated map-side; shuffle 2 (PivotFirst) carries one row per user
+    assert(shuffles(plan) <= 2,
+      s"pivot should shuffle at most twice, plan:\n$plan")
+    assert(plan.contains("partial_pivotfirst") || plan.contains("pivotfirst"),
+      s"expected PivotFirst aggregation path:\n$plan")
+  }
+
+  test("q47: grouping sets plan one Expand + one aggregate shuffle (dims broadcast)") {
+    val df = Relational.groupingSetsRevenue(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("Expand").length - 1 >= 1, s"expected Expand, plan:\n$plan")
+    assert(shuffles(plan) <= 1,
+      s"grouping sets should shuffle once, got ${shuffles(plan)}:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dimension joins must broadcast:\n$plan")
+  }
+
+  test("q50: stratified sample prunes the text column from the scan") {
+    val df = graft.operators.Prep.stratifiedSample(spark, sf0001)
+    val scan = scans(df).head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(!readCols.contains("text"),
+      s"sample must not read the payload column; scan reads $readCols")
+  }
+
+  test("q39: vocab top-k plans a bounded TakeOrdered, never a global sort") {
+    val df = graft.operators.Corpus.vocabTopK(
+      graft.sources.Tables.documents(spark, sf0001), 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for top-k, plan:\n$plan")
+  }
 }
