@@ -72,6 +72,47 @@ object StreamingOps {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exactly-once-per-id dedup: drops re-deliveries of the same
+    * event_id within the watermark horizon. State = one entry per distinct
+    * id seen in the last `watermark` of event time — bounded, because the
+    * watermark lets the store expire ids older than the horizon (an
+    * unbounded `dropDuplicates` without watermark would grow forever; at
+    * 100 TB/day that is the difference between a working pipeline and an
+    * OOM). An at-least-once source (Kinesis/Kafka replay after failure,
+    * reference: checkpoint + foreach redelivery, SURVEY §2 #23) composes
+    * with this into effective exactly-once.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: purchases matched to the click that preceded
+    * them by at most `horizon` for the same user. BOTH sides carry
+    * watermarks and the join condition carries an explicit event-time range
+    * — that pair is what lets the engine expire buffered rows (a
+    * stream-stream join without a time bound buffers both streams forever).
+    * Shuffles both sides by user_id once; state per user is bounded by the
+    * horizon.
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "1 hour"): DataFrame = {
+    val c = withEventTime(clicks)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val p = withEventTime(purchases)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("amount"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("amount"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Engine-side last-writer-wins keyed state via mapGroupsWithState: the
     * state store holds exactly one `UserLatest` per user (bounded by key
     * cardinality), each trigger emits the updated state for the keys seen

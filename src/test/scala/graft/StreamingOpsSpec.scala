@@ -87,6 +87,54 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out === Set((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0)))
   }
 
+  test("dedupEvents drops re-delivered event ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData(
+      Ev(1, 1, "view", 10.0, ts("2026-01-01 10:00:00")),
+      Ev(1, 1, "view", 10.0, ts("2026-01-01 10:00:00")), // same-batch dup
+      Ev(2, 1, "buy", 20.0, ts("2026-01-01 10:05:00")))
+    q.processAllAvailable()
+    // redelivery in a LATER batch (the at-least-once failure mode)
+    mem.addData(Ev(1, 1, "view", 10.0, ts("2026-01-01 10:00:00")))
+    q.processAllAvailable()
+    mem.addData(Ev(3, 2, "view", 1.0, ts("2026-01-01 10:10:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup").as[Ev].collect().map(_.event_id).sorted
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
+  test("stream-stream join matches purchases to preceding clicks within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("c2p")
+      .outputMode(OutputMode.Append()).start()
+
+    clicks.addData(
+      Ev(10, 1, "click", 0.0, ts("2026-01-01 10:00:00")),
+      Ev(11, 2, "click", 0.0, ts("2026-01-01 08:00:00"))) // >1h before purchase
+    purchases.addData(
+      Ev(20, 1, "purchase", 99.0, ts("2026-01-01 10:30:00")), // joins click 10
+      Ev(21, 2, "purchase", 50.0, ts("2026-01-01 10:30:00"))) // click too old: no match
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("c2p")
+      .select($"user_id", $"purchase_id", $"click_id", $"amount")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows === Set((1L, 20L, 10L, 99.0)))
+  }
+
   test("mapGroupsWithState keeps the latest event per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
