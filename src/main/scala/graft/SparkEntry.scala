@@ -74,6 +74,7 @@ object SparkEntry {
     "q49_quality_filter" -> (Prep.qualityFilter _),
     "q50_stratified_sample" -> (Prep.stratifiedSample _),
     "q51_bigram_lm" -> (Prep.bigramLm _),
+    "q52_dedup_embedding" -> (Dedup.embeddingNearDup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -458,6 +459,37 @@ object SparkEntry {
         |SELECT bigram, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS DOUBLE) AS p_cond
         |FROM c""".stripMargin,
+
+    "q52_dedup_embedding" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 8) tp(p), range(1, 65) ti(i)
+        |), proj AS (
+        |  SELECT e.vec_id, hp.p,
+        |    CASE WHEN SUM(CAST(floor(CAST(e.embedding[hp.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * hp.s) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM embeddings e, hp GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+        |), cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), cos AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE)) *
+        |       sqrt(CAST(SUM(CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.vec_a = ea.vec_id
+        |  JOIN embeddings eb ON c.vec_b = eb.vec_id,
+        |  LATERAL (SELECT unnest(range(1, len(ea.embedding) + 1)) AS i) t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT vec_a AS doc_a, vec_b AS doc_b, cosine, least(vec_a, vec_b) AS keeper
+        |FROM cos
+        |WHERE cosine >= 0.4
+        |  AND vec_a IN (SELECT doc_id FROM documents)
+        |  AND vec_b IN (SELECT doc_id FROM documents)""".stripMargin,
 
     "q36_mm_resize" ->
       """SELECT doc_id, 64 AS width, 64 AS height,

@@ -226,4 +226,27 @@ object Dedup {
 
   def simhash(s: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(s, dir))
+
+  /** Embedding-cosine near-duplicate DOCUMENTS: semantic dedup, the layer
+    * that catches paraphrases n-gram methods miss. Candidate pairs come
+    * from hyperplane-LSH buckets over the embedding column (the scale
+    * path — never all-pairs), verified with exact cosine >= threshold,
+    * then restricted to ids present in the document corpus (left-semi
+    * joins: nothing from the corpus is shuffled wide) and annotated with
+    * the dedup verdict (keeper = least id).
+    */
+  def embeddingNearDup(docs: DataFrame, emb: DataFrame,
+                       nPlanes: Int, threshold: Double, dims: Int): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    Similarity.nearDupLsh(emb, nPlanes, threshold, dims)
+      .join(ids.select(col("doc_id").as("vec_a")), Seq("vec_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("vec_b")), Seq("vec_b"), "left_semi")
+      .select(
+        col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cosine"),
+        least(col("vec_a"), col("vec_b")).as("keeper"))
+  }
+
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      nPlanes = 8, threshold = 0.4, dims = 64)
 }

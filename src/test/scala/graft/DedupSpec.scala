@@ -60,4 +60,22 @@ class DedupSpec extends SparkSpec {
     val far = hamming(sig(0L), sig(3L))
     assert(near < far, s"near-dup hamming $near should be < unrelated $far")
   }
+
+  test("embedding near-dup restricts pairs to corpus ids and picks the least keeper") {
+    import spark.implicits._
+    val dims = 16
+    val v = Seq.tabulate(dims)(i => (math.sin(i + 1) * 0.4).toFloat)
+    val vNear = v.updated(3, v(3) + 1e-4f)
+    val vOther = Seq.tabulate(dims)(i => (math.cos(i * 3 + 1) * 0.4).toFloat)
+    // vec 9's near-dup partner (vec 1) is NOT in the document corpus →
+    // that pair must be filtered out
+    val emb = Seq(0L -> v, 9L -> vNear, 1L -> vNear, 5L -> vOther)
+      .toDF("vec_id", "embedding")
+    val docs = Seq((0L, "a"), (9L, "b"), (5L, "c")).toDF("doc_id", "text")
+    val pairs = Dedup.embeddingNearDup(docs, emb,
+      nPlanes = 4, threshold = 0.999, dims = dims)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("keeper")))
+    assert(pairs.toSeq === Seq((0L, 9L, 0L)))
+  }
 }
