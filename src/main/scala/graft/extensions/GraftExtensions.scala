@@ -1,0 +1,46 @@
+package graft.extensions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FixedPointDot
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as native SQL functions, so `spark.sql` users get
+  * the same codegen'd primitives the Column API exposes
+  * (graft.functions.FixedPoint).
+  *
+  * Wire up either way:
+  *  - config: `.config("spark.sql.extensions", "graft.extensions.GraftExtensions")`
+  *  - code:   `SparkSession.builder.withExtensions(new GraftExtensions)`
+  *
+  * `injectFunction` is the narrowest extension hook that delivers the
+  * feature — no custom parser, Rule, or Strategy is warranted by anything
+  * this engine computes (SURVEY.md §4): every plan shape we need is
+  * expressible declaratively, and Catalyst plans it well.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.fixedPointDot)
+  }
+}
+
+object GraftExtensions {
+
+  /** `fixed_point_dot(array<float>, array<float>) -> bigint`:
+    * Σ floor(a[i]*1e8+0.5) * floor(b[i]*1e8+0.5), exact and
+    * order-independent — the deterministic vector primitive.
+    */
+  val fixedPointDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fixed_point_dot"),
+    new ExpressionInfo(
+      classOf[FixedPointDot].getCanonicalName, null, "fixed_point_dot",
+      "_FUNC_(a, b) - exact int64 fixed-point dot product of two float arrays.",
+      "", "", "", "", "4.0.0", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "fixed_point_dot takes exactly 2 arguments")
+      FixedPointDot(children.head, children(1))
+    })
+}
