@@ -8,13 +8,13 @@ import org.apache.spark.sql.SparkSession
   * read + one tiny job so codegen/JIT paths exist), then each query is
   * timed on a full materialization through the `noop` sink — every output
   * column is computed, nothing is skipped the way `count()` would skip
-  * projections. Each query runs twice with caches cleared in between
-  * (so the second rep re-pays ALL compute, including its persists) and
-  * the better rep is reported: that is the steady-state cost of the plan,
-  * excluding the once-per-JVM janino/JIT compilation of generated code —
-  * the number that actually scales with data volume. Caches are also
-  * cleared between queries so one query's persist can't subsidize (or
-  * memory-starve) the next.
+  * projections. Each query runs three times with caches cleared in
+  * between (so every rep re-pays ALL compute, including its persists) and
+  * the best of three reps is reported: that is the steady-state cost of
+  * the plan, excluding the once-per-JVM janino/JIT compilation of
+  * generated code — the number that actually scales with data volume.
+  * Caches are also cleared between queries so one query's persist can't
+  * subsidize (or memory-starve) the next.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -56,7 +56,10 @@ object Bench {
         System.gc()
         dt
       }
-      name -> math.min(rep(), rep())
+      // three reps: the first pays janino compilation, the second still
+      // runs much of the hot path under C1 tiering — steady state (the
+      // number that scales with data volume) arrives by the third
+      name -> Seq(rep(), rep(), rep()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -99,7 +99,10 @@ object Prep {
     * vs corpus), so the second shuffle moves vocab-sized data only.
     */
   def bigramLm(docs: DataFrame): DataFrame = {
-    val w = Text.words(col("text"))
+    // materialize the split ONCE as a column before the higher-order
+    // transform: a lambda body referencing the split expression directly
+    // re-evaluates it per element (O(len²) per document)
+    val w = col("w")
     // guard: sequence(1, 0) DESCENDS in Spark, so a 1-word doc must yield
     // an empty bigram array explicitly (explode then drops the row)
     val bigrams = when(size(w) >= 2,
@@ -109,6 +112,7 @@ object Prep {
       .otherwise(array().cast("array<string>"))
     val counts = docs
       .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(Text.words(col("text")).as("w"))
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
