@@ -50,20 +50,27 @@ object Text {
   )
 
   /** Marker hits (with multiplicity) for one language's marker set. */
-  def markerHits(ws: Column, markers: Seq[String]): Column = {
-    val inList = markers.map(m => s"'$m'").mkString(", ")
+  def markerHits(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => w.isin(markers: _*)))
-  }
 
-  /** Predicted language: argmax of marker hits with fixed priority order
-    * (first in `langMarkers` wins ties); "und" (undetermined) when no
-    * marker hits at all.
+  /** Predicted language from ALREADY-MATERIALIZED score columns: argmax
+    * with fixed priority order (first in `langMarkers` wins ties); "und"
+    * when no marker hits. Callers must compute the scores in their own
+    * projection first (see TextAnalysis.langid) — passing raw
+    * `markerHits(...)` expressions here would re-evaluate each split+filter
+    * once per reference in this argmax tree (~10× per row).
     */
-  def langId(ws: Column): Column = {
-    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(ws, ms) }
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
       when(sc === best && best > 0, lang).otherwise(acc)
     }
   }
+
+  /** One-shot language-ID (argmax of marker hits over the words array).
+    * Convenience for tests/small data; prefer the two-stage form at scale
+    * (see langIdFromScores).
+    */
+  def langId(ws: Column): Column =
+    langIdFromScores(langMarkers.map { case (lang, ms) => lang -> markerHits(ws, ms) })
 }
