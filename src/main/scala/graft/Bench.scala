@@ -44,27 +44,44 @@ object Bench {
         .count().collect())
     } catch { case _: Throwable => }
 
+    // A crashed rep must never masquerade as a fast one: each rep returns
+    // either its wall time or the failure message, and a query only reports
+    // a time if at least one rep SUCCEEDED (best successful rep). Queries
+    // with zero successful reps are excluded from the total and surfaced in
+    // an "errors" object instead.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def rep(): Double = {
+      def rep(): Either[String, Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        val outcome =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(300))
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         // reclaim the dropped cache/shuffle buffers now, so one query's
         // garbage doesn't tax the next query's reps with GC pauses
         System.gc()
-        dt
+        outcome.toLeft(dt)
       }
       // three reps: the first pays janino compilation, the second still
       // runs much of the hot path under C1 tiering — steady state (the
       // number that scales with data volume) arrives by the third
-      name -> Seq(rep(), rep(), rep()).min
+      val reps = Seq(rep(), rep(), rep())
+      val ok = reps.collect { case Right(t) => t }
+      if (ok.nonEmpty) name -> Right(ok.min)
+      else name -> Left(reps.collectFirst { case Left(m) => m }.getOrElse("unknown"))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val timed = results.collect { case (k, Right(t)) => k -> t }
+    val failed = results.collect { case (k, Left(m)) => k -> m }
+    failed.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
+    val total = timed.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,7 +42,13 @@ object Main {
     val tributes = Sources.tributeDim(spark, tributeCsv)
     val games = Sources.gameDim(spark, gameJson)
 
+    // schema introspection ×3, mirroring the reference's observability
+    // surface (reference: script/TributeStreamingJob.py:87,98,137)
+    tributes.printSchema()
+    games.printSchema()
+
     val enriched = Status.enrich(events, tributes, games)
+    enriched.printSchema()
     println(s"events enriched: ${enriched.count()}")
     val state = TributePipeline.latestStatePerTribute(enriched)
       .orderBy("tributeId")

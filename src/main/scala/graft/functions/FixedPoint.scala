@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   *
   * Overflow bound: |x| < 92 keeps a 64-dim sum inside int64 (our data is
   * unit-scale). Null ELEMENTS are not expected (embeddings are dense);
-  * null arrays propagate null. Result is bit-identical to the Vectors
-  * composition and to the DuckDB oracle's
+  * null arrays propagate null; mismatched array lengths throw — the
+  * contract is dense equal-dimension embeddings, and a silent
+  * truncated-or-padded dot would be silently wrong. Result is
+  * bit-identical to the Vectors composition and to the DuckDB oracle's
   * `SUM(CAST(floor(x*1e8+0.5) AS BIGINT) * ...)`.
   */
 case class FixedPointDot(left: Expression, right: Expression)
@@ -43,7 +45,12 @@ case class FixedPointDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"fixed_point_dot: mismatched vector dimensions ($n vs ${y.numElements()}); " +
+          "inputs must be dense equal-dimension embeddings")
+    }
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -63,7 +70,12 @@ case class FixedPointDot(left: Expression, right: Expression)
       val qx = ctx.freshName("qx")
       val qy = ctx.freshName("qy")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "fixed_point_dot: mismatched vector dimensions (" + $n + " vs " +
+         |    $y.numElements() + "); inputs must be dense equal-dimension embeddings");
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $qx = (long) java.lang.Math.floor((double) $x.getFloat($i) * 1.0E8D + 0.5D);

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate in a per-group top-k. */
+final case class Scored(neighborId: Long, cosine: Double)
+
+/** Bounded per-group top-k as a typed `Aggregator` — the scale-safe
+  * replacement for `row_number() over (partition by group)` + filter when
+  * the pre-window row count is unbounded (e.g. |corpus| × |queries| scored
+  * pairs feeding a per-query top-k).
+  *
+  * Why not the window: a window's exchange moves EVERY input row into
+  * |groups| partitions before any row can be discarded — at 100× corpus
+  * that is a handful of reducers each sorting tens of millions of rows.
+  * This aggregate is map-side combined (ObjectHashAggregate plans a
+  * partial pass before the exchange), so each map task contributes at most
+  * k rows per group to the shuffle: exchange volume drops from
+  * O(|corpus|·|queries|) to O(partitions·k·|queries|), and no reducer ever
+  * sorts more than partitions·k rows per group.
+  *
+  * The buffer is a best-first sorted list capped at k (insertion into a
+  * ≤k list — k is small; no heap needed). Total order (cosine DESC,
+  * neighborId ASC) makes the result deterministic and bit-identical to the
+  * `row_number`-over-total-order formulation it replaces.
+  */
+final class BoundedTopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def beats(a: Scored, b: Scored): Boolean =
+    a.cosine > b.cosine || (a.cosine == b.cosine && a.neighborId < b.neighborId)
+
+  private def insert(buf: List[Scored], x: Scored): List[Scored] =
+    if (buf.lengthCompare(k) >= 0 && beats(buf.last, x)) buf
+    else {
+      val (pre, post) = buf.span(beats(_, x))
+      (pre ::: x :: post).take(k)
+    }
+
+  override def zero: List[Scored] = Nil
+  override def reduce(buf: List[Scored], x: Scored): List[Scored] = insert(buf, x)
+  override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
+    b2.foldLeft(b1)(insert)
+  override def finish(buf: List[Scored]): Seq[Scored] = buf
+
+  override def bufferEncoder: Encoder[List[Scored]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+}

@@ -97,14 +97,19 @@ object Corpus {
     * mergeable sketches: map-side partials are O(1) per partition
     * regardless of data volume. Approximate by design, so registered as a
     * rows-only check (no DuckDB oracle can reproduce Spark's sketches).
+    *
+    * The quantile sketch is emitted as SCALAR columns (one aggregate per
+    * percentile, same sketch cost — the sketch is built once per group and
+    * queried twice) so downstream consumers and the verification harness
+    * see plain numeric columns, not an array cell.
     */
   def sketchProfile(docs: DataFrame): DataFrame =
     docs.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       approx_count_distinct(col("text"), 0.01).as("ndv_text"),
       approx_count_distinct(col("lang")).as("ndv_lang"),
-      percentile_approx(col("n_chars"), array(lit(0.5), lit(0.95)), lit(10000))
-        .as("len_p50_p95"))
+      percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("len_p50"),
+      percentile_approx(col("n_chars"), lit(0.95), lit(10000)).as("len_p95"))
 
   def sketchProfile(s: SparkSession, dir: String): DataFrame =
     sketchProfile(Tables.documents(s, dir))

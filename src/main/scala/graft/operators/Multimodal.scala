@@ -68,10 +68,17 @@ object Multimodal {
   }
 
   /** Deterministic fake "resize" to a 64×64 thumbnail: truncate the
-    * payload to 256 bytes (stands in for ??? real image downsampling).
+    * payload to its first 256 CHARACTERS when decoded as UTF-8 (stands in
+    * for ??? real image downsampling). Character (not byte) truncation so a
+    * multi-byte code point is never split and the result matches a
+    * `substring(text, 1, 256)` formulation exactly on non-ASCII corpora.
     */
-  private[operators] def resizeStub(payload: Array[Byte]): Array[Byte] =
-    payload.take(256)
+  private[operators] def resizeStub(payload: Array[Byte]): Array[Byte] = {
+    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val nCp = s.codePointCount(0, s.length)
+    val end = s.offsetByCodePoints(0, math.min(256, nCp))
+    s.substring(0, end).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   private val resizedSchema = StructType(Seq(
     StructField("doc_id", LongType),

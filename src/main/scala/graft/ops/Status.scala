@@ -81,23 +81,29 @@ object Status {
           games("minXCoordinate"), games("maxXCoordinate"),
           games("minYCoordinate"), games("maxYCoordinate")))
 
-  /** Sink-side projection + rename to the 12-field state item
-    * (reference: script/TributeStreamingJob.py:52-65). Done in the plan —
+  /** The 12 sink-side state-item columns: projection + rename + casts
+    * (reference: script/TributeStreamingJob.py:52-65). Exposed as columns
+    * (not only as a transform) so per-row sinks can pack them into a
+    * struct alongside other payload columns.
+    */
+  def stateItemCols: Seq[Column] = Seq(
+    col("tributeid").cast("string").as("tributeId"),
+    col("firstName").as("name"),
+    col("district"),
+    col("age"),
+    col("status"),
+    col("heartrate").cast("string").as("heartRate"),
+    col("painstatus").as("painStatus"),
+    col("hydrationstatus").as("hydrationStatus"),
+    col("hungerstatus").as("hungerStatus"),
+    col("xcoordinate").cast("string").as("xCoordinate"),
+    col("ycoordinate").cast("string").as("yCoordinate"),
+    col("locationstatus").as("locationStatus"),
+  )
+
+  /** Sink-side projection to the 12-field state item. Done in the plan —
     * not in the writer — so Catalyst can prune columns upstream.
     */
   def stateItem(enriched: DataFrame): DataFrame =
-    enriched.select(
-      col("tributeid").cast("string").as("tributeId"),
-      col("firstName").as("name"),
-      col("district"),
-      col("age"),
-      col("status"),
-      col("heartrate").cast("string").as("heartRate"),
-      col("painstatus").as("painStatus"),
-      col("hydrationstatus").as("hydrationStatus"),
-      col("hungerstatus").as("hungerStatus"),
-      col("xcoordinate").cast("string").as("xCoordinate"),
-      col("ycoordinate").cast("string").as("yCoordinate"),
-      col("locationstatus").as("locationStatus"),
-    )
+    enriched.select(stateItemCols: _*)
 }

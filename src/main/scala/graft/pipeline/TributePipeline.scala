@@ -5,10 +5,14 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, ForeachWriter, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.Status
 
@@ -45,14 +49,19 @@ object KVRegistry {
 /** The flagship continuous pipeline: stream-static enrich + two sinks
   * (reference: script/TributeStreamingJob.py:101-146).
   *
-  * Differences from the reference, both deliberate scale wins (SURVEY §4):
-  *   - `foreachBatch` instead of per-row `foreach`: batch-level dedup +
-  *     bulk upserts instead of one external put per row (the reference's
-  *     5-WCU DynamoDB table was its de-facto output bottleneck).
-  *   - last-writer-wins is EXPLICIT: `row_number()` over arrival order per
-  *     key picks the final event per tribute per micro-batch. The reference
-  *     gets the same result implicitly from sequential put_item calls in
-  *     record order (SURVEY §4 last paragraph).
+  * Two sink variants:
+  *   - `run` (default): `foreachBatch` — batch-level last-writer-wins dedup
+  *     + bulk upserts instead of one external put per row (the reference's
+  *     5-WCU DynamoDB table was its de-facto output bottleneck). LWW is
+  *     EXPLICIT: an arrival-sequence column is stamped on the RAW source
+  *     batch before any transformation, and `row_number()` over it per key
+  *     picks the final event per tribute per micro-batch.
+  *   - `runForeach`: per-row `ForeachWriter[Row]` parity sink — the direct
+  *     mapping of the reference's `writeStream.foreach(write_data)`
+  *     (script/TributeStreamingJob.py:78-82,139-144): one KV put + one log
+  *     write per row, in record order per partition. Same converged state
+  *     for single-partition batches (the reference's regime: one Kinesis
+  *     shard); the foreachBatch path is the scale-correct default.
   *
   * At-least-once delivery from checkpointing + idempotent keyed upsert +
   * idempotent path-keyed log writes ⇒ converged output is effectively
@@ -60,19 +69,66 @@ object KVRegistry {
   */
 object TributePipeline {
 
-  /** Enriched rows → 12-field state items, one per tribute (the LAST event
-    * per tribute in arrival order wins). Pure batch transform, reused by
-    * the streaming sink and the batch-mode flagship. `arrivalSeq` must be
-    * a monotonically increasing per-row sequence.
+  /** Name of the arrival-sequence column stamped by the streaming runners. */
+  val ArrivalSeqCol = "__arrival_seq"
+
+  private def hasShuffle(plan: SparkPlan): Boolean = {
+    val searchRoot = plan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    searchRoot.collectFirst { case _: ShuffleExchangeLike => () }.isDefined
+  }
+
+  /** Enriched rows → 12-field state items, one per tribute: the event with
+    * the highest `arrivalSeq` per tribute wins (reference semantics: last
+    * processed event per key, README.md:109-111). `arrivalSeq` must be an
+    * expression over `enriched`'s columns that is monotone in arrival
+    * order — a source offset, a (batch ordinal, record index) encoding, or
+    * a column stamped on the raw source scan before any shuffle.
     */
-  def latestStatePerTribute(enriched: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("tributeid")).orderBy(col("__arrival_seq").desc)
+  def latestStatePerTribute(enriched: DataFrame, arrivalSeq: Column): DataFrame = {
+    val w = Window.partitionBy(col("tributeid")).orderBy(arrivalSeq.desc)
     val latest = enriched
-      .withColumn("__arrival_seq", monotonically_increasing_id())
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__arrival_seq")
+      .drop("__rn")
     Status.stateItem(latest)
+  }
+
+  /** Convenience overload deriving arrival order from physical layout
+    * (`monotonically_increasing_id()`): valid ONLY while the input plan is
+    * shuffle-free, because the id encodes (partition ordinal, row index) and
+    * tracks record arrival order only when partition ordinals track
+    * file/record order. Guarded: refuses a plan containing a shuffle
+    * exchange rather than silently picking an arbitrary "winner" — callers
+    * with a shuffled input must supply an explicit `arrivalSeq`. (The guard
+    * inspects the physical plan; a cached input hides its upstream plan and
+    * is accepted — cache preserves the partition order it captured.)
+    */
+  def latestStatePerTribute(enriched: DataFrame): DataFrame = {
+    require(!hasShuffle(enriched.queryExecution.executedPlan),
+      "latestStatePerTribute(df) derives arrival order from physical layout, " +
+        "which a shuffle upstream destroys; pass an explicit arrivalSeq column " +
+        "captured at the source (latestStatePerTribute(df, arrivalSeq))")
+    latestStatePerTribute(
+      enriched.withColumn(ArrivalSeqCol, monotonically_increasing_id()),
+      col(ArrivalSeqCol))
+  }
+
+  /** JSON-serialize a full row with the reference's decimal parity: the
+    * reference's `DecimalEncoder` renders `Decimal` values as JSON
+    * *strings* (`str(decimal)` — reference: script/TributeStreamingJob.py:
+    * 41-45, applied at :73), so every decimal column is cast to string
+    * before `to_json`. Strings render the value at its carried scale,
+    * exactly as `str()` of the same decimal does.
+    */
+  private def rowJson(enriched: DataFrame): Column = {
+    val fields = enriched.schema.fields.toIndexedSeq.map { f =>
+      if (f.dataType.isInstanceOf[DecimalType]) col(f.name).cast("string").as(f.name)
+      else col(f.name)
+    }
+    to_json(struct(fields: _*))
   }
 
   /** Append-only event-history log: one JSON object of the full enriched row
@@ -85,7 +141,7 @@ object TributePipeline {
     Files.createDirectories(Paths.get(logDir))
     val jsonised = enriched.select(
       col("streamingeventid").cast("string").as("__id"),
-      to_json(struct(enriched.columns.map(col).toIndexedSeq: _*)).as("__json"))
+      rowJson(enriched).as("__json"))
     jsonised.foreachPartition { rows: Iterator[Row] =>
       rows.foreach { r =>
         val path = Paths.get(logDir, r.getString(0) + ".json")
@@ -114,6 +170,11 @@ object TributePipeline {
 
   /** Wire the continuous query: enrich → foreachBatch(upsert + append log),
     * checkpointed (reference: script/TributeStreamingJob.py:139-144).
+    *
+    * The arrival sequence is stamped on the RAW batch, before enrichment or
+    * anything else, so the (shuffle-free) source scan's layout is the only
+    * thing it depends on; any downstream re-plan, repartition, or AQE
+    * coalesce merely carries the already-stamped values.
     */
   def run(
       streamingEvents: DataFrame,
@@ -122,19 +183,73 @@ object TributePipeline {
       storeName: String,
       logDir: String,
       checkpointDir: String): StreamingQuery = {
-    val enriched = Status.enrich(streamingEvents, tributes, games)
-    enriched.writeStream
+    streamingEvents.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val pinned = batch.persist()
+          val stamped = batch.withColumn(ArrivalSeqCol, monotonically_increasing_id())
+          val enriched = Status.enrich(stamped, tributes, games).persist()
           try {
-            appendEventLog(pinned, logDir)
-            upsertState(latestStatePerTribute(pinned), storeName)
-          } finally { pinned.unpersist(); () }
+            appendEventLog(enriched.drop(ArrivalSeqCol), logDir)
+            upsertState(latestStatePerTribute(enriched, col(ArrivalSeqCol)), storeName)
+          } finally { enriched.unpersist(); () }
         }
       }
+      .start()
+  }
+
+  /** Per-row parity writer: one KV put + one event-log file per processed
+    * row, the direct mapping of the reference's `write_data` callback
+    * (reference: script/TributeStreamingJob.py:78-82 — put_item at :49-66,
+    * S3 put at :70-74). Row layout: (streamingeventid, full-row JSON,
+    * 12-field state struct).
+    */
+  private final class TributeForeachWriter(storeName: String, logDir: String)
+    extends ForeachWriter[Row] {
+    @transient private var store: KVStore = _
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      store = KVRegistry.getOrCreate(storeName)
+      Files.createDirectories(Paths.get(logDir))
+      true
+    }
+    override def process(r: Row): Unit = {
+      Files.write(Paths.get(logDir, r.getString(0) + ".json"),
+        r.getString(1).getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+        StandardOpenOption.WRITE)
+      val st = r.getStruct(2)
+      val item = st.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => n -> (if (st.isNullAt(i)) null else st.get(i).toString) }
+        .toMap
+      store.put(item("tributeId"), item)
+    }
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** The reference's exact sink shape: `writeStream.foreach(writer)`, row at
+    * a time (SURVEY §2 #19's first mapping). Last-writer-wins emerges from
+    * put order, as in the reference: rows are processed in record order per
+    * partition, so with single-partition micro-batches (the reference's
+    * 1-shard regime, and the fixture replay) the converged state is
+    * identical to the batch path. Prefer `run` at scale.
+    */
+  def runForeach(
+      streamingEvents: DataFrame,
+      tributes: DataFrame,
+      games: DataFrame,
+      storeName: String,
+      logDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val enriched = Status.enrich(streamingEvents, tributes, games)
+    val payload = enriched.select(
+      col("streamingeventid").cast("string"),
+      rowJson(enriched),
+      struct(Status.stateItemCols: _*))
+    payload.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreach(new TributeForeachWriter(storeName, logDir))
       .start()
   }
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json}
 import graft.model.Schemas
 
 /** Source loaders.
@@ -52,6 +53,38 @@ object Sources {
       .schema(Schemas.eventSchema)
       .option("multiLine", "true")
       .json(path)
+
+  /** Decode a message-transport frame (binary `value` column, one JSON
+    * event per message) into typed event rows under the DECLARED schema —
+    * the `inferSchema=false` discipline of the reference's catalog read
+    * (reference: script/TributeStreamingJob.py:103) applied to a broker
+    * source. Pure column logic, so it unit-tests without any broker and
+    * behaves identically batch or streaming.
+    */
+  def decodeEventValue(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"), Schemas.eventSchema).as("e"))
+      .select(col("e.*"))
+
+  /** Production streaming source: a Kafka topic of JSON events, decoded
+    * under the declared schema. TRIM_HORIZON ≡ startingOffsets=earliest
+    * (reference: script/TributeStreamingJob.py:101-103). The broker's
+    * per-partition `offset` column is the natural explicit `arrivalSeq`
+    * for TributePipeline.latestStatePerTribute — project it alongside the
+    * decoded fields if LWW must survive downstream shuffles.
+    */
+  def eventStreamKafka(
+      spark: SparkSession,
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    decodeEventValue(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load())
 }
 
 /** The driver-generated synthetic tables (TESTDATA.md). One loader per

@@ -53,10 +53,20 @@ class CorpusSpec extends SparkSpec {
   }
 
   test("sketchProfile approximates exact distinct counts on a small corpus") {
+    val df = Corpus.sketchProfile(corpus)
+    // scalar percentile columns (no array cells — consumers and the
+    // verification harness sort/compare plain numerics)
+    assert(df.schema("len_p50").dataType.typeName !== "array")
+    assert(df.schema("len_p95").dataType.typeName !== "array")
     val p = Corpus.sketchProfile(corpus).collect()
       .map(r => r.getAs[String]("source") ->
-        (r.getAs[Long]("n_docs"), r.getAs[Long]("ndv_text"))).toMap
-    assert(p("web") === ((4L, 4L))) // HLL is exact at this cardinality
-    assert(p("books") === ((1L, 1L)))
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("ndv_text"),
+          r.getAs[Number]("len_p50").longValue(), r.getAs[Number]("len_p95").longValue())).toMap
+    assert(p("web")._1 === 4L) // HLL is exact at this cardinality
+    assert(p("web")._2 === 4L)
+    assert(p("books")._1 === 1L)
+    assert(p("books")._2 === 1L)
+    // percentile_approx is exact at this size: p50 <= p95, within data range
+    assert(p("web")._3 <= p("web")._4)
   }
 }

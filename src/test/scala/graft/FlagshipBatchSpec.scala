@@ -82,4 +82,33 @@ class FlagshipBatchSpec extends SparkSpec {
       "status", "heartRate", "painStatus", "hydrationStatus", "hungerStatus",
       "xCoordinate", "yCoordinate", "locationStatus"))
   }
+
+  test("explicit arrival order: LWW converges even after arbitrary repartitioning") {
+    // data-derived arrival sequence: (batch ordinal in the documented send
+    // order) * 1e6 + numeric suffix of streamingeventid — survives any
+    // physical re-layout because it is computed from row values
+    val stamped = batchOrder.zipWithIndex.map { case (b, i) =>
+      Sources.eventBatch(spark, fixture(s"streamingData/$b.json"))
+        .withColumn("__seq",
+          lit(i.toLong * 1000000L) +
+            regexp_extract(col("streamingeventid"), "Event(\\d+)$", 1).cast("long"))
+    }.reduce(_ unionAll _)
+    val shuffled = Status.enrich(stamped, tributes, games).repartition(17)
+    val state = TributePipeline.latestStatePerTribute(shuffled, col("__seq"))
+    val rows = state.collect().map(r => r.getAs[String]("tributeId") -> r).toMap
+    assert(rows.size === 16)
+    assert(rows("3").getAs[String]("status") === "DEAD")
+    assert(rows("8").getAs[String]("status") === "ALIVE")
+    assert(rows("9").getAs[String]("status") === "ALIVE")
+    assert(rows("9").getAs[String]("locationStatus") === "IN BOUNDS")
+    assert(rows.values.count(_.getAs[String]("status") == "ALIVE") === 2)
+  }
+
+  test("layout-derived overload refuses a shuffled input instead of guessing") {
+    val shuffled = Status.enrich(allEvents, tributes, games).repartition(17)
+    val e = intercept[IllegalArgumentException] {
+      TributePipeline.latestStatePerTribute(shuffled)
+    }
+    assert(e.getMessage.contains("arrivalSeq"))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
+import graft.functions.{BoundedTopK, Scored}
 import graft.operators.Similarity
 
 /** Property + unit coverage for the vector similarity family. */
@@ -50,6 +51,33 @@ class SimilaritySpec extends SparkSpec {
     val pairs = Similarity.nearDupLsh(df, nPlanes = 8, threshold = 0.999, dims = dims)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
     assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("bounded top-k aggregator: reduce/merge keep best-first total order, cap at k") {
+    val agg = new BoundedTopK(3)
+    val xs = Seq(Scored(5, 0.1), Scored(2, 0.9), Scored(1, 0.9), Scored(3, 0.5), Scored(4, 0.7))
+    val all = xs.foldLeft(agg.zero)(agg.reduce)
+    // ties broken by neighborId ascending; list capped at k, best first
+    assert(agg.finish(all) === Seq(Scored(1, 0.9), Scored(2, 0.9), Scored(4, 0.7)))
+    // any split-and-merge yields the same result (map-side combine soundness)
+    (1 until xs.length).foreach { cut =>
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) === agg.finish(all), s"cut at $cut")
+    }
+  }
+
+  test("top-k plan: bounded map-side aggregate, no window over the full scored pairs") {
+    val df = Similarity.annBruteForceTopK(
+      graft.sources.Tables.embeddings(spark, sf0001), k = 10, nQueries = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected object-hash aggregation for bounded top-k, plan:\n$plan")
+    assert(plan.toLowerCase.contains("partial_boundedtopk"),
+      s"expected a map-side partial pass before the exchange, plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"per-query ranking must not window-sort the full pair set, plan:\n$plan")
   }
 
   test("property: engine cosine equals the Scala fixed-point reference and is bounded") {

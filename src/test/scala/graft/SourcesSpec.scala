@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.sources.Sources
+
+/** The production-source seam: broker messages (binary JSON `value`) decode
+  * under the DECLARED event schema to exactly the rows the file-based batch
+  * read produces — proving the format("kafka") wiring's value→schema hop
+  * without a broker (SURVEY.md §2 #7).
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("kafka value decode reproduces the declared-schema batch read") {
+    val batch = Sources.eventBatch(spark, fixture("streamingData/preCornucopia.json"))
+    // one JSON object per message, as a broker would carry it
+    val messages = batch.select(
+      to_json(struct(batch.columns.map(col).toIndexedSeq: _*)).cast("binary").as("value"))
+    val decoded = Sources.decodeEventValue(messages)
+
+    assert(decoded.schema === Schemas.eventSchema)
+    val expect = batch.collect().map(_.toString).sorted.toSeq
+    val got = decoded.collect().map(_.toString).sorted.toSeq
+    assert(got === expect)
+    assert(got.size === 16)
+  }
+
+  test("decode tolerates malformed messages as null-field rows, not crashes") {
+    import spark.implicits._
+    val junk = Seq("{not json", """{"streamingeventid":"x1","heartrate":"nope"}""")
+      .toDF("s").select($"s".cast("binary").as("value"))
+    val rows = Sources.decodeEventValue(junk).collect()
+    assert(rows.length === 2) // from_json yields null-populated rows
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("heartrate"))))
+  }
+}

@@ -67,6 +67,49 @@ class StreamingReplaySpec extends SparkSpec {
     assert(state("9")("locationStatus") === "IN BOUNDS")
     val alive = state.values.count(_("status") == "ALIVE")
     assert(alive === 2, s"exactly 2 tributes end ALIVE, got $alive")
+
+    // decimal parity with the reference's DecimalEncoder
+    // (script/TributeStreamingJob.py:41-45): decimal fields serialize as
+    // JSON *strings* rendered at their carried scale, not JSON numbers
+    val logged1 = new String(
+      Files.readAllBytes(Paths.get(logDir, "preCornucopiaEvent1.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(logged1.contains("\"heartrate\":\"70.00\""),
+      s"decimal must be a JSON string, got: $logged1")
+    assert(logged1.contains("\"xcoordinate\":\"50.00\""), s"got: $logged1")
+    assert(!logged1.contains("\"heartrate\":70"), s"got: $logged1")
+  }
+
+  test("per-row ForeachWriter parity sink converges to the same golden state") {
+    val base = Files.createTempDirectory("graft-replay-fe")
+    val streamDir = Files.createDirectory(base.resolve("stream"))
+    val logDir = base.resolve("eventlog").toString
+    val ckpt = base.resolve("checkpoint").toString
+    val storeName = s"replay-fe-${System.nanoTime()}"
+
+    batchOrder.zipWithIndex.foreach { case (n, i) =>
+      val dst = streamDir.resolve(s"$n.json")
+      Files.copy(Paths.get(fixture(s"streamingData/$n.json")), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 60000 + i * 1000)
+      ()
+    }
+    val q = TributePipeline.runForeach(
+      Sources.eventStream(spark, streamDir.toString),
+      Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+      Sources.gameDim(spark, fixture("staticData/gameData.json")),
+      storeName, logDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(Files.list(Paths.get(logDir)).count() === 65)
+    val state = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(state.size === 16)
+    assert(state("3")("status") === "DEAD")
+    assert(state("8")("status") === "ALIVE")
+    assert(state("9")("status") === "ALIVE")
+    assert(state("9")("locationStatus") === "IN BOUNDS")
+    assert(state.values.count(_("status") == "ALIVE") === 2)
   }
 
   test("restarting an already-drained checkpoint is a no-op (idempotent recovery)") {
