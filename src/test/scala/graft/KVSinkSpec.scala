@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Status
+import graft.pipeline.{KVRegistry, TributePipeline}
+import graft.sources.Sources
+
+/** DataSource V2 KV sink (SURVEY.md §7.3's optional DynamoDB-shaped
+  * writer): `format("graft-kv")` batch and streaming writes upsert
+  * key→item into a KVRegistry store from executor tasks.
+  */
+class KVSinkSpec extends SparkSpec {
+
+  private val batchOrder = Seq(
+    "preCornucopia", "postCornucopia", "aFewDaysAfterCornucopia",
+    "katnissEdgeOfMap", "katnissInjured", "afterSponsorHelpsKatniss",
+    "afterRue", "almostTheEnd", "theEnd")
+
+  private def stateItems: DataFrame = {
+    val events = batchOrder
+      .map(b => Sources.eventBatch(spark, fixture(s"streamingData/$b.json")))
+      .reduce(_ unionAll _)
+    val enriched = Status.enrich(events,
+      Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+      Sources.gameDim(spark, fixture("staticData/gameData.json")))
+    TributePipeline.latestStatePerTribute(enriched)
+  }
+
+  test("batch V2 write upserts the golden state by key") {
+    val storeName = s"v2-batch-${System.nanoTime()}"
+    stateItems.write.format("graft-kv")
+      .option("store", storeName)
+      .mode("append").save()
+
+    val state = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(state.size === 16)
+    assert(state("3")("status") === "DEAD")
+    assert(state("8")("status") === "ALIVE")
+    assert(state("9")("status") === "ALIVE")
+    assert(state("9")("name") === "Katniss")
+    // re-running the same write is an idempotent upsert, not a duplicate
+    stateItems.write.format("graft-kv").option("store", storeName)
+      .mode("append").save()
+    assert(KVRegistry.getOrCreate(storeName).snapshot() === state)
+  }
+
+  test("missing store option or key column fail loudly") {
+    val e1 = intercept[Exception] {
+      stateItems.write.format("graft-kv").mode("append").save()
+    }
+    assert(e1.getMessage.contains("store"))
+    val e2 = intercept[Exception] {
+      stateItems.drop("tributeId").write.format("graft-kv")
+        .option("store", "x").mode("append").save()
+    }
+    assert(e2.getMessage.contains("tributeId"))
+  }
+
+  test("streaming V2 write converges per micro-batch") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft-kv-stream")
+    val streamDir = Files.createDirectory(base.resolve("stream"))
+    val ckpt = base.resolve("ckpt").toString
+    val storeName = s"v2-stream-${System.nanoTime()}"
+
+    batchOrder.zipWithIndex.foreach { case (n, i) =>
+      val dst = streamDir.resolve(s"$n.json")
+      Files.copy(Paths.get(fixture(s"streamingData/$n.json")), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 60000 + i * 1000)
+      ()
+    }
+    val enriched = Status.enrich(
+      Sources.eventStream(spark, streamDir.toString),
+      Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+      Sources.gameDim(spark, fixture("staticData/gameData.json")))
+    // one event per key per fixture batch, so per-row upsert order within a
+    // micro-batch cannot flip a key's final value (fixture property, SURVEY §4)
+    val q = Status.stateItem(enriched).writeStream
+      .format("graft-kv")
+      .option("store", storeName)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val state = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(state.size === 16)
+    assert(state("3")("status") === "DEAD")
+    assert(state.values.count(_("status") == "ALIVE") === 2)
+  }
+}
