@@ -75,6 +75,12 @@ object SparkEntry {
     "q50_stratified_sample" -> (Prep.stratifiedSample _),
     "q51_bigram_lm" -> (Prep.bigramLm _),
     "q52_dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "q53_repetition_ratio" -> (Prep.repetitionRatios _),
+    "q54_pii_scrub" -> (Prep.piiScrub _),
+    "q55_contamination" -> (Dedup.contamination _),
+    "q56_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
+    "q57_tfidf_topk" -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
+    "q58_freq_spectrum" -> (Corpus.freqSpectrum _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -590,5 +596,126 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, "rank" FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM scored
         |) WHERE "rank" <= 5""".stripMargin,
+
+    "q53_repetition_ratio" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), b AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+        |         ELSE [] END AS bg
+        |  FROM t
+        |)
+        |SELECT doc_id, len(w) AS n_words,
+        |  CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_ratio,
+        |  CASE WHEN len(bg) > 0
+        |       THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |       ELSE 0.0 END AS dup_bigram_ratio
+        |FROM b""".stripMargin,
+
+    "q54_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_phones,
+        |  len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]+\b')) AS n_numbers,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        |      '\b[0-9]+\b', '<NUM>', 'g')) AS scrubbed_fp
+        |FROM documents""".stripMargin,
+
+    "q55_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), b AS (
+        |  SELECT doc_id, sh,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM sh
+        |), train AS (
+        |  SELECT DISTINCT sh FROM b WHERE bucket < 80
+        |), test AS (
+        |  SELECT doc_id, sh FROM b WHERE bucket >= 90
+        |), tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM test GROUP BY 1
+        |), hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_contam FROM test
+        |  WHERE sh IN (SELECT sh FROM train) GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_sh, COALESCE(h.n_contam, 0) AS n_contam,
+        |  CAST(COALESCE(h.n_contam, 0) AS DOUBLE) / t.n_sh AS contam_ratio
+        |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q56_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |FROM reach GROUP BY src""".stripMargin,
+
+    "q57_tfidf_topk" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+        |), s AS (
+        |  SELECT t.doc_id, t.word, t.tf, d.df, CAST(t.tf AS DOUBLE) / d.df AS score
+        |  FROM tf t JOIN dfreq d USING (word)
+        |)
+        |SELECT doc_id, word, tf, df, score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk FROM s
+        |) WHERE rnk <= 3""".stripMargin,
+
+    "q58_freq_spectrum" ->
+      """SELECT freq, COUNT(*) AS n_words FROM (
+        |  SELECT word, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word
+        |) GROUP BY freq""".stripMargin,
   )
 }

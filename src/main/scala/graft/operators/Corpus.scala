@@ -45,6 +45,14 @@ object Corpus {
   def vocabTopK(s: SparkSession, dir: String): DataFrame =
     vocabTopK(Tables.documents(s, dir), 100)
 
+  /** md5-derived bucket in [0,100) of an id column: the deterministic
+    * sampling/splitting primitive shared by splitAssign, stratified
+    * sampling, and the contamination check — engine-portable (md5 prefix),
+    * repartition-proof (pure function of the id).
+    */
+  def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
   /** Deterministic train/valid/test assignment: bucket 0-99 from a 16-bit
     * md5 prefix of the document id, split at 80/90. Hash-based (not
     * random) so the assignment is reproducible across runs, engines, and
@@ -52,9 +60,7 @@ object Corpus {
     * Pure per-row projection — zero shuffle at any scale.
     */
   def splitAssign(docs: DataFrame): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
-    docs.select(col("doc_id"), bucket.as("bucket"))
+    docs.select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "valid")
@@ -113,4 +119,61 @@ object Corpus {
 
   def sketchProfile(s: SparkSession, dir: String): DataFrame =
     sketchProfile(Tables.documents(s, dir))
+
+  /** Top-`k` most characteristic terms per document by tf-idf-style
+    * relevance. The score is `tf / df` (term frequency over document
+    * frequency): for a fixed corpus it ranks identically to
+    * tf·log(N/df) per term-rarity band while staying a single IEEE
+    * division — bit-reproducible in any engine, no transcendental
+    * functions to disagree about.
+    *
+    * Plan: one explode → hash-agg keyed by (doc, word) [high-cardinality,
+    * map-side combined], a vocab-sized df aggregate, a word-keyed join,
+    * then a window partitioned by doc_id. The window input is one row per
+    * DISTINCT (doc, word) — vocab-per-doc, already aggregated — and
+    * doc_id is high-cardinality, so partitions stay balanced at any
+    * corpus size (unlike a low-cardinality-keyed window, cf.
+    * lengthQuantiles).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val words = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    // tf has one row per distinct (doc, word), so counting rows per word
+    // IS the document frequency — no second distinct pass
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // shuffle_hash: both sides derive from the same aggregate lineage; a
+    // broadcast build of dfreq would serialize the vocab aggregate into
+    // one thread and could not broadcast at real vocab sizes anyway
+    val scored = tf.hint("shuffle_hash")
+      .join(dfreq.hint("shuffle_hash"), "word")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    scored
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(s, dir))
+
+  /** Token frequency-of-frequencies (the Zipf spectrum): how many distinct
+    * words occur exactly `freq` times. The shape statistic behind
+    * vocabulary-size estimation and Good-Turing smoothing. Two cascaded
+    * hash aggregates, both map-side combined; the second one's key space
+    * is tiny (distinct frequencies ~ O(log corpus)).
+    */
+  def freqSpectrum(docs: DataFrame): DataFrame =
+    docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_words"))
+
+  def freqSpectrum(s: SparkSession, dir: String): DataFrame =
+    freqSpectrum(Tables.documents(s, dir))
 }

@@ -249,4 +249,95 @@ object Dedup {
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     embeddingNearDup(Tables.documents(s, dir), Tables.embeddings(s, dir),
       nPlanes = 8, threshold = 0.4, dims = 64)
+
+  /** Benchmark-contamination check: for every TEST-split document, how
+    * many of its word-3-grams also occur anywhere in the TRAIN split —
+    * the decontamination pass every serious training pipeline runs before
+    * evaluation. Splits come from the deterministic hash bucket
+    * (Corpus.splitAssign semantics), computed INLINE on the shingle rows:
+    * a pure function of doc_id, so no join against a split table at all.
+    *
+    * Scale: the train side collapses to DISTINCT shingles (hash-agg,
+    * map-side combined); the test side left-semi-joins it keyed by
+    * shingle — high-cardinality key, balanced partitions, and the
+    * left-semi means train shingles are never duplicated per match.
+    */
+  def contamination(docs: DataFrame): DataFrame = {
+    val tagged = docShingles(docs)
+      .withColumn("bucket", Corpus.hashBucket(col("doc_id")))
+      .persist()
+    val trainSh = tagged.filter(col("bucket") < 80).select(col("sh")).distinct()
+    val testSh = tagged.filter(col("bucket") >= 90).select(col("doc_id"), col("sh"))
+    val totals = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = testSh.hint("shuffle_hash")
+      .join(trainSh.hint("shuffle_hash"), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_sh"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (coalesce(col("n_contam"), lit(0L)).cast("double") / col("n_sh"))
+          .as("contam_ratio"))
+  }
+
+  def contamination(s: SparkSession, dir: String): DataFrame =
+    contamination(Tables.documents(s, dir))
+
+  /** Connected components over the MinHash-LSH near-duplicate graph:
+    * groups transitive duplicate chains (A~B, B~C ⇒ {A,B,C}) into
+    * clusters labelled by their least doc_id — the final "keep one per
+    * cluster" step of corpus dedup, where pairwise verdicts alone would
+    * keep both ends of a chain.
+    *
+    * Algorithm: iterative min-label propagation (each doc takes the min
+    * of its own label and its neighbours' labels) to a fixpoint — the
+    * standard Spark formulation of small-diameter connected components.
+    * Duplicate clusters have tiny diameters (they are near-cliques: every
+    * member shares most shingles), so convergence takes a handful of
+    * supersteps; the driver loop moves no row data, only the converged
+    * flag. Each superstep is one edge-keyed join + one hash-agg, both on
+    * the (tiny relative to corpus) duplicate-pair graph, not the corpus.
+    */
+  def dupClusters(
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      threshold: Double,
+      maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLsh(docs, bands, rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster", col("doc_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nbr")), "dst")
+        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupClusters(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
 }

@@ -20,12 +20,11 @@ object Prep {
   private def shuffleWidth(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-  /** md5-derived bucket in [0,100): the shared deterministic-sampling
-    * primitive (same formula as Corpus.splitAssign so strata and splits
-    * compose predictably).
+  /** Shared deterministic-sampling bucket (same formula as splitAssign so
+    * strata and splits compose predictably).
     */
   private def hashBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    Corpus.hashBucket(id)
 
   /** Text normalisation scrub: lowercase, strip every non-[a-z0-9 ] rune to
     * a space, collapse space runs, trim — the canonical form fed to exact
@@ -125,4 +124,67 @@ object Prep {
 
   def bigramLm(s: SparkSession, dir: String): DataFrame =
     bigramLm(Tables.documents(s, dir))
+
+  /** Repetition signals (the Gopher-style "duplicate mass" quality
+    * features): fraction of word occurrences that are repeats of an
+    * earlier word, and the same over adjacent-word bigrams. High values
+    * flag boilerplate / keyword-stuffed / degenerate documents before
+    * they pollute a training mix. Pure per-row array arithmetic — zero
+    * shuffle at any scale.
+    */
+  def repetitionRatios(docs: DataFrame): DataFrame = {
+    val w = Text.words(col("text"))
+    val bigrams = when(size(col("w")) >= 2,
+      transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"), bigrams.as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        ((size(col("w")) - size(array_distinct(col("w")))).cast("double") /
+          size(col("w"))).as("dup_word_ratio"),
+        when(size(col("bg")) > 0,
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double") /
+            size(col("bg")))
+          .otherwise(0.0).as("dup_bigram_ratio"))
+  }
+
+  def repetitionRatios(s: SparkSession, dir: String): DataFrame =
+    repetitionRatios(Tables.documents(s, dir))
+
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"""
+  private val NumberRe = """\b[0-9]+\b"""
+
+  /** PII scrub: redact emails, phone-shaped sequences, and standalone
+    * digit runs to typed placeholder tokens, with per-category counts for
+    * the audit trail. Redaction order (email → phone → number) is fixed so
+    * later patterns never match inside an earlier placeholder; the number
+    * count is likewise taken after email/phone redaction so digits inside
+    * an already-redacted match are not double-counted. Per-row regex
+    * projection — embarrassingly parallel.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        NumberRe, "<NUM>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+      regexp_count(
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+        lit(NumberRe)).as("n_numbers"),
+      md5(scrubbed).as("scrubbed_fp"))
+  }
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrub(Tables.documents(s, dir))
 }

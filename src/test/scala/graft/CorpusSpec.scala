@@ -52,6 +52,28 @@ class CorpusSpec extends SparkSpec {
     assert(q("fr") === ((5L, 5L, 19L, 2L)))
   }
 
+  test("tfidfTopTerms ranks rare-but-frequent terms first with deterministic ties") {
+    val rows = Corpus.tfidfTopTerms(corpus, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk")) ->
+        (r.getAs[String]("word"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("score"))).toMap
+    // doc0: alpha tf=2 df=3 (0.667) beats beta tf=1 df=2 (0.5)
+    assert(rows((0L, 1))._1 === "alpha")
+    assert(rows((0L, 1))._4 === 2.0 / 3.0)
+    assert(rows((0L, 2))._1 === "beta")
+    // doc1: gamma is unique to the doc (score 1.0) and outranks corpus-wide alpha
+    assert(rows((1L, 1)) === (("gamma", 1L, 1L, 1.0)))
+    // doc4: epsilon (1.0) > delta (0.5) > alpha (0.333)
+    assert(Seq(1, 2, 3).map(r => rows((4L, r))._1) === Seq("epsilon", "delta", "alpha"))
+  }
+
+  test("freqSpectrum counts words per occurrence frequency") {
+    val m = Corpus.freqSpectrum(corpus).collect()
+      .map(r => r.getAs[Long]("freq") -> r.getAs[Long]("n_words")).toMap
+    // gamma+epsilon once, delta twice, alpha+beta four times
+    assert(m === Map(1L -> 2L, 2L -> 1L, 4L -> 2L))
+  }
+
   test("sketchProfile approximates exact distinct counts on a small corpus") {
     val df = Corpus.sketchProfile(corpus)
     // scalar percentile columns (no array cells — consumers and the

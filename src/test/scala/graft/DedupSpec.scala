@@ -61,6 +61,61 @@ class DedupSpec extends SparkSpec {
     assert(near < far, s"near-dup hamming $near should be < unrelated $far")
   }
 
+  /** Scala-side twin of Corpus.hashBucket (md5 16-bit prefix % 100) for
+    * picking doc ids with known split membership.
+    */
+  private def bucketOf(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(4)
+    java.lang.Long.parseLong(hex, 16) % 100
+  }
+
+  test("contamination: a test-split copy of a train-split doc is fully contaminated") {
+    import spark.implicits._
+    val trainId = (0L to 500L).find(bucketOf(_) < 80).get
+    val testId = (0L to 500L).find(bucketOf(_) >= 90).get
+    val cleanTestId = (testId + 1 to 900L).find(bucketOf(_) >= 90).get
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (trainId, shared),
+      (testId, shared), // every shingle also in train → ratio 1.0
+      (cleanTestId, "unrelated words entirely disjoint vocabulary sequence"),
+    ).toDF("doc_id", "text")
+    val m = Dedup.contamination(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_contam"), r.getAs[Double]("contam_ratio")))
+      .toMap
+    assert(m.keySet === Set(testId, cleanTestId)) // only test-split docs reported
+    assert(m(testId) === ((6L, 6L, 1.0)))
+    assert(m(cleanTestId) === ((4L, 0L, 0.0)))
+  }
+
+  test("dupClusters groups a transitive near-dup chain under the least id") {
+    import spark.implicits._
+    // 40-word docs: one changed word at an end shifts jaccard only to
+    // ~0.95, and 8 one-row bands catch a 0.95 pair unless all 8 minhash
+    // slices deterministically disagree ((1-0.95)^8 — md5-deterministic,
+    // verified stable by this test)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val chain1 = base.replace("w40", "x40")
+    val chain2 = chain1.replace("w1 ", "x1 ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = Seq(
+      (10L, base), (11L, chain1), (12L, chain2), // one chain
+      (20L, other), (21L, other),                // exact pair, separate cluster
+      (30L, "totally disjoint singleton document with enough words here"),
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.dupClusters(d, bands = 8, rowsPerBand = 1, threshold = 0.8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    assert(clusters(10L) === 10L)
+    assert(clusters(11L) === 10L)
+    assert(clusters(12L) === 10L) // transitive: even if (10,12) missed pairwise
+    assert(clusters(20L) === 20L)
+    assert(clusters(21L) === 20L)
+    assert(!clusters.contains(30L)) // singletons aren't in the dup graph
+  }
+
   test("embedding near-dup restricts pairs to corpus ids and picks the least keeper") {
     import spark.implicits._
     val dims = 16

@@ -19,6 +19,45 @@ class PrepSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("repetitionRatios: duplicate word and bigram mass with hand-computed truth") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a a a b", "en", "web", 7L),      // 4 words, 2 distinct; bigrams: "a a","a a","a b" → 3, 2 distinct
+      (1L, "x", "en", "web", 1L),            // single word: bigram ratio defined 0.0
+      (2L, "p q r s", "en", "web", 7L),      // all distinct
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Prep.repetitionRatios(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_words"), r.getAs[Double]("dup_word_ratio"),
+          r.getAs[Double]("dup_bigram_ratio"))).toMap
+    assert(m(0L) === ((4, 0.5, 1.0 / 3.0)))
+    assert(m(1L) === ((1, 0.0, 0.0)))
+    assert(m(2L) === ((4, 0.0, 0.0)))
+  }
+
+  test("piiScrub redacts emails, phones, and digit runs with audit counts") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "mail bob@example.com or call 555-123-4567 room 42", "en", "web", 49L),
+      (1L, "no pii here at all", "en", "web", 18L),
+      (2L, "ids 7 8 9 and a.b-c@d.org twice a.b-c@d.org", "en", "web", 43L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Prep.piiScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"), r.getAs[Int]("n_numbers"))).toMap
+    assert(m(0L) === ((1, 1, 1))) // 42 survives; digits inside email/phone don't count
+    assert(m(1L) === ((0, 0, 0)))
+    assert(m(2L) === ((2, 0, 3)))
+    // fingerprint changes only when something was redacted
+    val fp = Prep.piiScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("scrubbed_fp")).toMap
+    import org.apache.spark.sql.functions.{col, md5}
+    val rawFp = d.select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(fp(0L) !== rawFp(0L))
+    assert(fp(1L) === rawFp(1L))
+  }
+
   test("textClean lowercases, strips punctuation, collapses runs") {
     val m = Prep.textClean(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
