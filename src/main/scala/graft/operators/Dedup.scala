@@ -305,36 +305,60 @@ object Dedup {
       maxIters: Int = 20): DataFrame = {
     val pairs = minhashLsh(docs, bands, rowsPerBand, threshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
+    val rawEdges = pairs
       .unionAll(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster", col("doc_id"))
-      .persist()
+    // size superstep shuffles to the GRAPH, not the corpus: the dup graph
+    // is corpus-size × dup-rate, often orders of magnitude smaller, and
+    // each superstep pays per-partition scheduling overhead — one
+    // partition per ~500k edges, capped at the session width
+    val width = math.max(1L,
+      math.min(shuffleWidth(docs).toLong, rawEdges.count() / 500000L + 1L)).toInt
+    // edges are the static probe side of every superstep's join: hash-
+    // partition by dst ONCE before caching so the cached partitioning
+    // satisfies each iteration's join and only the label side moves
+    val edges = rawEdges.repartition(width, col("dst")).persist()
+    // Labels are LINEAGE-TRUNCATED each superstep (localCheckpoint), not
+    // persist/unpersist-chained: unpersisting an iteration's cache entry
+    // cascades through the CacheManager and silently rebuilds every
+    // dependent cached plan from raw lineage — i.e. re-runs the whole LSH
+    // chain per superstep. Truncation also keeps the plan size O(1) in
+    // the iteration count instead of growing a join per superstep.
+    // initial labels fold the first propagation step into the label
+    // construction itself (label = min(self, direct neighbours)) — for
+    // clique-shaped clusters (the common case: near-dups share most
+    // shingles, so most pairs are direct edges) this converges in ONE
+    // verification superstep
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
+      .withColumnRenamed("src", "doc_id")
+      .localCheckpoint()
+    // Convergence: labels are min-monotone (each superstep can only lower
+    // them), so the fixpoint is reached exactly when the label SUM stops
+    // decreasing — one scalar per superstep, no compare-join. One
+    // superstep = one edge join + one min-aggregate.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nbr")), "dst")
-        .groupBy(col("src")).agg(min(col("nbr")).as("nbr_min"))
-        .withColumnRenamed("src", "doc_id")
-      val next = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev"))
-        .count()
-      labels.unpersist()
+      val propagated = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster")), "dst")
+        .select(col("src").as("doc_id"), col("cluster"))
+      // lazy checkpoint: the convergence aggregate right below is the one
+      // action that materializes it — one job per superstep, not two
+      val next = labels.unionAll(propagated)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(false)
+      val s = next.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     edges.unpersist()
+    rawEdges.unpersist()
     labels
   }
 
