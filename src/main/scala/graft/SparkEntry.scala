@@ -81,6 +81,8 @@ object SparkEntry {
     "q56_dup_clusters" -> ((s, d) => Dedup.dupClusters(s, d)),
     "q57_tfidf_topk" -> ((s, d) => Corpus.tfidfTopTerms(s, d)),
     "q58_freq_spectrum" -> (Corpus.freqSpectrum _),
+    "q59_chunking" -> ((s, d) => Prep.chunk(s, d)),
+    "q60_lm_score" -> (Prep.lmScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -717,5 +719,34 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  GROUP BY word
         |) GROUP BY freq""".stripMargin,
+
+    "q59_chunking" ->
+      """SELECT doc_id,
+        |  CAST(chunk_off AS INT) AS chunk_off,
+        |  length(substring(text, CAST(chunk_off AS INT), 200)) AS chunk_len,
+        |  md5(substring(text, CAST(chunk_off AS INT), 200)) AS chunk_fp
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS chunk_off
+        |  FROM documents
+        |)""".stripMargin,
+
+    "q60_lm_score" ->
+      """WITH docbg AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), c AS (
+        |  SELECT bigram, COUNT(*) AS n
+        |  FROM (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |        FROM (SELECT string_split(text, ' ') AS w FROM documents)) GROUP BY bigram
+        |), lm AS (
+        |  SELECT bigram,
+        |    CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS DOUBLE) AS p_cond
+        |  FROM c
+        |)
+        |SELECT d.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CAST(p_cond AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS lm_score
+        |FROM docbg d JOIN lm USING (bigram)
+        |GROUP BY d.doc_id""".stripMargin,
   )
 }

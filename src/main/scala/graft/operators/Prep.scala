@@ -187,4 +187,69 @@ object Prep {
 
   def piiScrub(s: SparkSession, dir: String): DataFrame =
     piiScrub(Tables.documents(s, dir))
+
+  /** Overlapping fixed-size chunking: split each document into
+    * `chunkSize`-char windows starting every `chunkSize - overlap` chars —
+    * the context-window preparation step before tokenisation/packing.
+    * One row per chunk keyed by (doc_id, chunk_off); the chunk itself is
+    * carried as a length + fingerprint (a real pipeline would carry the
+    * text — same plan shape, wider rows). Pure per-row explode of an
+    * arithmetic sequence: no shuffle, no join, scales linearly.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 200, overlap: Int = 50): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"),
+        explode(sequence(
+          lit(1), greatest(length(col("text")) - overlap, lit(1)), lit(stride)))
+          .as("chunk_off"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        col("chunk_off"),
+        length(substring(col("text"), col("chunk_off"), lit(chunkSize))).as("chunk_len"),
+        md5(substring(col("text"), col("chunk_off"), lit(chunkSize))).as("chunk_fp"))
+  }
+
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    chunk(Tables.documents(s, dir))
+
+  /** Bigram-LM quality score: mean conditional probability of a document's
+    * adjacent word pairs under the corpus bigram model (Prep.bigramLm) —
+    * the cheap, fully deterministic stand-in for perplexity-based quality
+    * filtering (no logs: a mean of exact-division probabilities is
+    * bit-reproducible across engines, a mean of ln() values is not).
+    * Boilerplate scores high, out-of-distribution noise scores low.
+    *
+    * Plan: the per-doc bigram explode joins the (vocab²-sized, already
+    * aggregated) LM relation keyed by bigram — high-cardinality key, and
+    * the probability sum routes through decimal so the per-doc mean is
+    * independent of aggregation order.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      transform(
+        sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val docBigrams = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    // shuffle_hash: the LM side is an aggregate over the whole corpus — a
+    // broadcast build would run it single-threaded and could not broadcast
+    // at real vocab sizes
+    docBigrams.hint("shuffle_hash")
+      .join(bigramLm(docs).hint("shuffle_hash"), "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("p_cond").cast("decimal(28,15)")).cast("double") /
+          count(lit(1))).as("lm_score"))
+  }
+
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScore(Tables.documents(s, dir))
 }

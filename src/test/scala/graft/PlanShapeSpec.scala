@@ -88,4 +88,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject for top-k, plan:\n$plan")
   }
+
+  test("q53/q54/q59: per-row quality/scrub/chunk operators plan zero exchanges") {
+    Seq[(String, DataFrame)](
+      "repetition" -> graft.operators.Prep.repetitionRatios(spark, sf0001),
+      "pii" -> graft.operators.Prep.piiScrub(spark, sf0001),
+      "chunk" -> graft.operators.Prep.chunk(spark, sf0001),
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name must stay a pure projection (scan→project), plan:\n$plan")
+    }
+  }
+
+  test("q55: contamination probes train shingles with a left-semi join") {
+    val df = graft.operators.Dedup.contamination(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"test-side shingles must semi-join the train set, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  test("q57: tf-idf aggregates before its per-doc window (no raw-token window)") {
+    val df = graft.operators.Corpus.tfidfTopTerms(
+      graft.sources.Tables.documents(spark, sf0001), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // the window must consume the (doc,word) aggregate, so at least the
+    // tf aggregate (partial+final) sits below it
+    assert(plan.split("HashAggregate").length - 1 >= 2,
+      s"expected map-side-combined tf aggregate below the window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
 }

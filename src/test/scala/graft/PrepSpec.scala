@@ -58,6 +58,44 @@ class PrepSpec extends SparkSpec {
     assert(fp(1L) === rawFp(1L))
   }
 
+  test("chunk: overlapping windows cover the doc with a short tail") {
+    import spark.implicits._
+    val text500 = "ab" * 250 // 500 chars
+    val d = Seq((0L, text500, "en", "web", 500L), (1L, "tiny", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Prep.chunk(d, chunkSize = 200, overlap = 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_off")) -> r.getAs[Int]("chunk_len"))
+      .toMap
+    // stride 150, stop at len-overlap=450: offsets 1, 151, 301 — and the
+    // last window (301..500) reaches the end, so coverage is complete
+    assert(rows.keys.filter(_._1 == 0L).map(_._2).toSeq.sorted === Seq(1, 151, 301))
+    assert(rows((0L, 1)) === 200)
+    assert(rows((0L, 301)) === 200)
+    val lastCovered = rows.keys.filter(_._1 == 0L).map(o => o._2 + rows(o) - 1).max
+    assert(lastCovered === 500)
+    // a doc shorter than one window still yields exactly one chunk
+    assert(rows.keys.filter(_._1 == 1L).map(_._2).toSeq === Seq(1))
+    assert(rows((1L, 1)) === 4)
+  }
+
+  test("lmScore: mean conditional bigram probability under the corpus LM") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b", "en", "web", 3L),
+      (1L, "a b", "en", "web", 3L),
+      (2L, "a c", "en", "web", 3L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // LM: p(b|a) = 2/3, p(c|a) = 1/3
+    val m = Prep.lmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("lm_score"))).toMap
+    assert(m(0L)._1 === 1L)
+    assert(math.abs(m(0L)._2 - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(m(2L)._2 - 1.0 / 3.0) < 1e-12)
+    // the common phrasing scores higher than the rare one
+    assert(m(0L)._2 > m(2L)._2)
+  }
+
   test("textClean lowercases, strips punctuation, collapses runs") {
     val m = Prep.textClean(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
