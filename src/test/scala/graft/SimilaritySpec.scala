@@ -68,6 +68,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("property: BoundedTopK equals sort-take-k for random inputs and partitionings") {
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { trial =>
+      val n = rnd.nextInt(40)
+      // duplicate cosines on purpose (coarse grid) to exercise tie-breaks
+      val items = List.fill(n)(
+        Scored(rnd.nextInt(20).toLong, (rnd.nextInt(9) - 4) / 4.0))
+      val k = 1 + rnd.nextInt(8)
+      val agg = new BoundedTopK(k)
+      val expected = items.sortWith((a, b) =>
+        a.cosine > b.cosine || (a.cosine == b.cosine && a.neighborId < b.neighborId)).take(k)
+      // arbitrary split → per-split reduce → arbitrary-order merge
+      val nSplits = 1 + rnd.nextInt(5)
+      val splits = rnd.shuffle(items).grouped(math.max(1, (n + nSplits - 1) / nSplits))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = rnd.shuffle(splits).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) === expected, s"trial $trial (n=$n k=$k)")
+    }
+  }
+
   test("top-k plan: bounded map-side aggregate, no window over the full scored pairs") {
     val df = Similarity.annBruteForceTopK(
       graft.sources.Tables.embeddings(spark, sf0001), k = 10, nQueries = 10)

@@ -112,6 +112,48 @@ class StreamingReplaySpec extends SparkSpec {
     assert(state.values.count(_("status") == "ALIVE") === 2)
   }
 
+  test("broker-shaped replay: message-stream decode feeds the pipeline to the same golden state") {
+    // the kafka-seam end-to-end without a broker: each fixture batch is
+    // re-staged as a file of one-JSON-object-per-line messages (what a
+    // topic would carry), streamed as a raw `value` column, decoded under
+    // the declared schema, and run through the flagship pipeline
+    val base = Files.createTempDirectory("graft-replay-kafka")
+    val msgDir = Files.createDirectory(base.resolve("messages"))
+    val logDir = base.resolve("eventlog").toString
+    val ckpt = base.resolve("checkpoint").toString
+    val storeName = s"replay-kafka-${System.nanoTime()}"
+
+    import org.apache.spark.sql.functions._
+    batchOrder.zipWithIndex.foreach { case (n, i) =>
+      val batch = Sources.eventBatch(spark, fixture(s"streamingData/$n.json"))
+      val lines = batch
+        .select(to_json(struct(batch.columns.map(col).toIndexedSeq: _*)).as("v"))
+        .collect().map(_.getString(0))
+      val dst = msgDir.resolve(s"$n.jsonl")
+      Files.write(dst, String.join("\n", lines: _*).getBytes("UTF-8"))
+      dst.toFile.setLastModified(System.currentTimeMillis() - 60000 + i * 1000)
+      ()
+    }
+
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(msgDir.toString) // one `value` column, like a broker frame
+    val q = TributePipeline.run(
+      Sources.decodeEventValue(raw),
+      Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+      Sources.gameDim(spark, fixture("staticData/gameData.json")),
+      storeName, logDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(Files.list(Paths.get(logDir)).count() === 65)
+    val state = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(state.size === 16)
+    assert(state("3")("status") === "DEAD")
+    assert(state.values.count(_("status") == "ALIVE") === 2)
+    assert(state("9")("locationStatus") === "IN BOUNDS")
+  }
+
   test("restarting an already-drained checkpoint is a no-op (idempotent recovery)") {
     val base = Files.createTempDirectory("graft-replay2")
     val streamDir = Files.createDirectory(base.resolve("stream"))
