@@ -83,6 +83,9 @@ object SparkEntry {
     "q58_freq_spectrum" -> (Corpus.freqSpectrum _),
     "q59_chunking" -> ((s, d) => Prep.chunk(s, d)),
     "q60_lm_score" -> (Prep.lmScore _),
+    // no oracle (iterative k-means training is not one SQL query) →
+    // rows-only check; semantics verified by SimilaritySpec
+    "q61_ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -745,7 +748,7 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT d.doc_id, COUNT(*) AS n_bigrams,
-        |  CAST(SUM(CAST(p_cond AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*) AS lm_score
+        |  CAST(SUM(CAST(floor(p_cond * 1e15) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e15) AS lm_score
         |FROM docbg d JOIN lm USING (bigram)
         |GROUP BY d.doc_id""".stripMargin,
   )

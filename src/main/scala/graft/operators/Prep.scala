@@ -223,9 +223,11 @@ object Prep {
     * Boilerplate scores high, out-of-distribution noise scores low.
     *
     * Plan: the per-doc bigram explode joins the (vocab²-sized, already
-    * aggregated) LM relation keyed by bigram — high-cardinality key, and
-    * the probability sum routes through decimal so the per-doc mean is
-    * independent of aggregation order.
+    * aggregated) LM relation keyed by bigram — high-cardinality key. The
+    * probability mean is computed over int64 FIXED-POINT values
+    * (floor(p·1e15), exact in both engines — a double→decimal cast would
+    * hit engine-specific rounding-mode ties), so it is independent of
+    * aggregation order AND bit-identical to the oracle.
     */
   def lmScore(docs: DataFrame): DataFrame = {
     val w = col("w")
@@ -246,8 +248,8 @@ object Prep {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        (sum(col("p_cond").cast("decimal(28,15)")).cast("double") /
-          count(lit(1))).as("lm_score"))
+        (sum(floor(col("p_cond") * 1e15).cast("long")).cast("double") /
+          (count(lit(1)) * 1e15)).as("lm_score"))
   }
 
   def lmScore(s: SparkSession, dir: String): DataFrame =

@@ -125,6 +125,18 @@ object Similarity {
     val e = prepared(emb).persist()
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+    ivfProbe(e, cents, nProbe, k, nQueries)
+  }
+
+  /** Cell-probe search against a given coarse quantizer `cents`
+    * (cid, ce: array<float>, cn2): assign every vector to its best cell in
+    * one broadcast pass, probe each query's `nProbe` closest cells, rank
+    * candidates by exact cosine. Shared by the untrained (first-k
+    * centroids) and k-means-trained IVF variants.
+    */
+  private def ivfProbe(
+      e: DataFrame, cents: DataFrame,
+      nProbe: Int, k: Int, nQueries: Int): DataFrame = {
     // every vector × every centroid: broadcast the tiny centroid side
     val vc = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
@@ -162,4 +174,76 @@ object Similarity {
 
   def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvf(Tables.embeddings(s, dir), nCells = 8, nProbe = 2, k = 5, nQueries = 10)
+
+  /** Deterministic Lloyd k-means over the embedding corpus — the trained
+    * coarse quantizer for IVF. Initialization is the first `k` vectors
+    * (deterministic); each iteration assigns every vector to its
+    * highest-cosine centroid (broadcast pass, window keyed by
+    * high-cardinality vec_id) and recomputes centroids as per-dimension
+    * means.
+    *
+    * Determinism: the mean is computed over int64 FIXED-POINT sums
+    * (exact, aggregation-order independent) and only then divided — so
+    * the trained centroids are bit-identical across runs, partitionings,
+    * and cluster sizes, unlike a naive float-sum mean. Centroids are
+    * lineage-truncated per iteration (localCheckpoint) so the plan stays
+    * O(1) in the iteration count. A cell that loses all members drops out
+    * (k shrinks) rather than carrying a stale centroid.
+    *
+    * Returns (cid, ce: array<float>).
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = prepared(emb).persist()
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val vc = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          Vectors.cosineFromParts(
+            FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      val assign = vc.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("embedding"))
+      // per-(cell, dimension) exact fixed-point sums: one explode, one
+      // map-side-combined hash aggregate; the result is k × dims rows
+      val sums = assign
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(
+          sum(floor(col("x").cast("double") * 1e8 + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+      cents = sums
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(
+          col("pos"),
+          (col("s").cast("double") / (col("n") * 1e8)).cast("float").as("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("ce"))
+        .withColumn("cn2", FixedPoint.normSqF(col("ce")))
+        .localCheckpoint()
+    }
+    cents.select(col("cid"), col("ce"))
+  }
+
+  /** IVF search with a k-means-trained quantizer: train `nCells` centroids
+    * for `iters` Lloyd iterations, then cell-probe search (ivfProbe).
+    * Trained cells track the data distribution, so at a fixed probe budget
+    * recall beats the untrained first-k quantizer. No SQL oracle (the
+    * iterative training is not expressible as one query) — verified by
+    * SimilaritySpec's planted-cluster recall and determinism tests, and
+    * registered as a rows-only check.
+    */
+  def annIvfTrained(
+      emb: DataFrame,
+      nCells: Int, iters: Int, nProbe: Int, k: Int, nQueries: Int): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, iters)
+      .withColumn("cn2", FixedPoint.normSqF(col("ce")))
+    ivfProbe(prepared(emb).persist(), cents, nProbe, k, nQueries)
+  }
+
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame =
+    annIvfTrained(Tables.embeddings(s, dir),
+      nCells = 8, iters = 2, nProbe = 2, k = 5, nQueries = 10)
 }

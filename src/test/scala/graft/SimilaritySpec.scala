@@ -100,6 +100,38 @@ class SimilaritySpec extends SparkSpec {
       s"per-query ranking must not window-sort the full pair set, plan:\n$plan")
   }
 
+  test("kmeans-trained IVF: centroids converge to planted clusters, search stays in-cluster") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // three well-separated direction clusters, 12 vectors each; ids
+    // interleaved so the first-k init starts from mixed clusters
+    val bases = Seq(
+      Seq.tabulate(dims)(i => if (i < 3) 0.9f else 0.01f),
+      Seq.tabulate(dims)(i => if (i >= 3 && i < 6) 0.9f else 0.01f),
+      Seq.tabulate(dims)(i => if (i >= 6) 0.9f else 0.01f))
+    val vecs = (0 until 36).map { id =>
+      val b = bases(id % 3)
+      id.toLong -> b.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    }
+    val df = emb(vecs: _*)
+    val out = Similarity.annIvfTrained(df,
+      nCells = 3, iters = 3, nProbe = 1, k = 5, nQueries = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(out.nonEmpty)
+    // with one probe on trained cells, every retrieved neighbour shares
+    // the query's planted cluster (id mod 3)
+    out.foreach { case (q, n) =>
+      assert(q % 3 === n % 3, s"query $q retrieved out-of-cluster neighbour $n")
+    }
+    // determinism: an arbitrary repartition yields bit-identical centroids
+    val c1 = Similarity.kmeansCentroids(df, 3, 3).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Seq[Float]]("ce").toList).toMap
+    val c2 = Similarity.kmeansCentroids(df.repartition(7), 3, 3).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Seq[Float]]("ce").toList).toMap
+    assert(c1 === c2)
+  }
+
   test("property: engine cosine equals the Scala fixed-point reference and is bounded") {
     val rnd = new scala.util.Random(42)
     def vec(): Seq[Float] =
