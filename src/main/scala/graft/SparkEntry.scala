@@ -86,6 +86,10 @@ object SparkEntry {
     // no oracle (iterative k-means training is not one SQL query) →
     // rows-only check; semantics verified by SimilaritySpec
     "q61_ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
+    "q62_rolling_revenue" -> (Advanced.rollingRevenue _),
+    "q63_gap_fill_daily" -> (Advanced.gapFillDaily _),
+    "q64_funnel_stages" -> (Advanced.funnelStages _),
+    "q65_props_extract" -> (Advanced.propsExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -751,5 +755,55 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor(p_cond * 1e15) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e15) AS lm_score
         |FROM docbg d JOIN lm USING (bigram)
         |GROUP BY d.doc_id""".stripMargin,
+
+    "q62_rolling_revenue" ->
+      """SELECT o_orderkey, o_custkey, day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |        o_totalprice
+        |      FROM orders)""".stripMargin,
+
+    "q63_gap_fill_daily" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), scaffold AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |)
+        |SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n, COALESCE(d.sum_value, 0.0) AS sum_value
+        |FROM scaffold s LEFT JOIN daily d USING (user_id, day)""".stripMargin,
+
+    "q64_funnel_stages" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events
+        |), v AS (
+        |  SELECT user_id, MIN(sec) AS view_sec FROM e WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT user_id, MIN(sec) AS click_sec FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND sec >= view_sec GROUP BY 1
+        |), p AS (
+        |  SELECT user_id, MIN(sec) AS purchase_sec FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec >= click_sec GROUP BY 1
+        |)
+        |SELECT user_id, view_sec, click_sec, purchase_sec,
+        |  CASE WHEN purchase_sec IS NOT NULL THEN 3
+        |       WHEN click_sec IS NOT NULL THEN 2
+        |       ELSE 1 END AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q65_props_extract" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

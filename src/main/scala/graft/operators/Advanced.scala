@@ -140,4 +140,93 @@ object Advanced {
       .agg(
         sum(col("pn")).as("n"),
         sum(col("psum")).cast("double").as("sum_value"))
+
+  /** Range-frame rolling aggregate: each order's trailing-30-day revenue
+    * for its customer — the moving-window analytic every revenue dashboard
+    * runs. RANGE (value-based) framing over epoch-day, so same-day orders
+    * all see the same trailing total regardless of intra-day order: the
+    * result is deterministic with no timestamp tiebreak needed. Window
+    * keyed by o_custkey (high-cardinality → balanced partitions); sums in
+    * exact decimal.
+    */
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), day.as("day"), col("o_totalprice"))
+      .withColumn("trailing_30d",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"), col("trailing_30d"))
+  }
+
+  /** Time-series gap filling: densify each user's daily activity series —
+    * one row per calendar day between the user's first and last event,
+    * zero-filled where no events occurred. The resample/fill step before
+    * any time-series modelling. Day scaffold comes from a per-user date
+    * sequence explode (bounded by span, not corpus) left-joined back to
+    * the daily aggregate on the high-cardinality (user, day) key.
+    */
+  def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .persist()
+    val scaffold = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    scaffold.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  /** Ordered funnel analysis: per user, how far through
+    * view → click → purchase they progressed, with the timestamp of each
+    * first qualifying step (a later stage only counts at-or-after the
+    * previous stage's first occurrence). Timestamps are compared and
+    * emitted at SECOND granularity (epoch seconds), the engine-portable
+    * resolution (cf. sessionize) — sub-second source precision differs
+    * between readers. Three filtered aggregates joined on the
+    * high-cardinality user key; each stage's input shrinks to users that
+    * reached the previous stage.
+    */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("sec"))
+    def firstAtOrAfter(stage: String, prev: DataFrame, prevCol: String, out: String) =
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col(prevCol)), "user_id")
+        .filter(col("sec") >= col(prevCol))
+        .groupBy(col("user_id"))
+        .agg(min(col("sec")).as(out))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("view_sec"))
+    val c = firstAtOrAfter("click", v, "view_sec", "click_sec")
+    val p = firstAtOrAfter("purchase", c, "click_sec", "purchase_sec")
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_sec"), col("click_sec"), col("purchase_sec"),
+        when(col("purchase_sec").isNotNull, 3)
+          .when(col("click_sec").isNotNull, 2)
+          .otherwise(1).as("stage"))
+  }
+
+  /** Semi-structured extraction: pull a typed field out of the events
+    * table's JSON `props` column and aggregate on it — the schema-on-read
+    * path for property bags. The JSON path evaluates per-row inside the
+    * scan projection (no UDF, pushes through whole-stage codegen); the
+    * aggregate is an ordinary two-phase hash agg on the extracted key.
+    */
+  def propsExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"),
+        col("value"))
+      .groupBy(col("event_type"), col("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
 }

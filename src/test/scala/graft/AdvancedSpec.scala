@@ -67,6 +67,72 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("rolling revenue equals a naive trailing-30-day recomputation on samples") {
+    import spark.implicits._
+    val out = Advanced.rollingRevenue(spark, sf0001).cache()
+    val base = out.select($"o_orderkey", $"o_custkey", $"day", $"trailing_30d").collect()
+    val byCust = base.groupBy(_.getAs[Long]("o_custkey"))
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+      .select($"o_orderkey",
+        datediff($"o_orderdate".cast("date"), to_date(lit("1970-01-01"))).as("day"),
+        $"o_totalprice".cast("decimal(18,2)").as("tp"))
+      .collect().map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Int]("day"), r.getAs[java.math.BigDecimal]("tp"))).toMap
+    base.take(200).foreach { r =>
+      val cust = r.getAs[Long]("o_custkey")
+      val day = r.getAs[Int]("day")
+      val naive = byCust(cust)
+        .map(x => orders(x.getAs[Long]("o_orderkey")))
+        .filter { case (d, _) => d >= day - 29 && d <= day }
+        .map(_._2.doubleValue).sum
+      assert(math.abs(r.getAs[Double]("trailing_30d") - naive) < 1e-6,
+        s"order ${r.getAs[Long]("o_orderkey")}")
+    }
+  }
+
+  test("gap fill densifies each user's span and preserves event mass") {
+    import spark.implicits._
+    val out = Advanced.gapFillDaily(spark, sf0001).cache()
+    // per user: exactly (last day - first day + 1) rows
+    val spans = out.groupBy($"user_id")
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max($"day"), min($"day")) + 1).as("span"))
+      .filter($"rows" =!= $"span").count()
+    assert(spans === 0)
+    // total event count is preserved; filled rows are genuine zeros
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    assert(out.agg(sum($"n")).collect().head.getLong(0) === total)
+    assert(out.filter($"n" === 0 && $"sum_value" =!= 0.0).count() === 0)
+  }
+
+  test("funnel stages: stage counts reconcile and each step is at-or-after the previous") {
+    import spark.implicits._
+    val out = Advanced.funnelStages(spark, sf0001).cache()
+    out.collect().foreach { r =>
+      val stage = r.getAs[Int]("stage")
+      val v = r.getAs[Long]("view_sec")
+      if (stage >= 2) assert(r.getAs[Long]("click_sec") >= v)
+      if (stage === 3) assert(r.getAs[Long]("purchase_sec") >= r.getAs[Long]("click_sec"))
+      if (stage === 1) assert(r.isNullAt(r.fieldIndex("click_sec")))
+      if (stage <= 2) assert(r.isNullAt(r.fieldIndex("purchase_sec")))
+    }
+    // every user with a view appears exactly once
+    val viewers = graft.sources.Tables.events(spark, sf0001)
+      .filter($"event_type" === "view").select($"user_id").distinct().count()
+    assert(out.count() === viewers)
+  }
+
+  test("props extraction buckets every event and preserves counts") {
+    import spark.implicits._
+    val out = Advanced.propsExtract(spark, sf0001).cache()
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    assert(out.agg(sum($"n")).collect().head.getLong(0) === total)
+    out.collect().foreach { r =>
+      val b = r.getAs[Long]("k_bucket")
+      assert(b >= 0 && b <= 9, s"bucket out of range: $b")
+    }
+  }
+
   test("rollup emits leaf, subtotal, and grand-total levels consistently") {
     import spark.implicits._
     val out = Advanced.rollupRevenue(spark, sf0001).cache()
