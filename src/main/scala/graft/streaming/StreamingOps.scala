@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Typed event row for the stateful operators (mirrors the testdata
   * `events` schema; ts carried as epoch micros so the case-class encoder
@@ -17,6 +17,19 @@ case class Ev(event_id: Long, user_id: Long, event_type: String,
   */
 case class UserLatest(user_id: Long, event_id: Long, event_type: String,
                       value: Double, ts: java.sql.Timestamp)
+
+/** Per-user funnel progress (view seen? click seen?) — the arbitrary
+  * state carried by `StreamingOps.funnelTracker`.
+  */
+case class FunnelProgress(viewSec: Option[Long], clickSec: Option[Long])
+
+/** A funnel emission: a completed view→click→purchase (stage 3,
+  * completed=true) or an abandoned funnel flushed by idle timeout
+  * (stage 1-2, completed=false).
+  */
+case class FunnelEmit(user_id: Long, stage: Int,
+                      view_sec: Option[Long], click_sec: Option[Long],
+                      purchase_sec: Option[Long], completed: Boolean)
 
 /** Event-time streaming operators (SURVEY.md §7.1 module 5): the windowed/
   * sessionized/stateful shapes the reference lacks, built the way they
@@ -119,6 +132,65 @@ object StreamingOps {
     * in that batch — the reference's DynamoDB upsert semantics without an
     * external store (SURVEY §2 #20, engine-side variant).
     */
+  /** Continuous funnel tracking via flatMapGroupsWithState — the
+    * arbitrary-state API shape the other operators don't exercise:
+    * multi-row output per group per trigger, plus an EVENT-TIME TIMEOUT
+    * that flushes abandoned funnels. The streaming twin of
+    * operators.Advanced.funnelStages.
+    *
+    * Semantics: per user, a view opens a funnel, the first later click
+    * advances it, a purchase after a click completes it (emitted
+    * immediately, completed=true, state cleared for the next funnel). A
+    * user idle for more than `idle` of EVENT time (watermark-driven, not
+    * wall clock) has their in-progress funnel emitted as abandoned
+    * (completed=false) and the state removed — so state is bounded by
+    * ACTIVE users within the idle horizon, never by all users ever seen.
+    * Within a trigger, events apply in (ts, event_id) order; across
+    * triggers, in arrival order — the micro-batch contract.
+    */
+  def funnelTracker(events: Dataset[Ev], idle: String = "1 day"): Dataset[FunnelEmit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", idle)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelEmit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val stage = if (st.clickSec.nonEmpty) 2 else 1
+            Iterator.single(
+              FunnelEmit(uid, stage, st.viewSec, st.clickSec, None, completed = false))
+          } else {
+            var st = state.getOption.getOrElse(FunnelProgress(None, None))
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ListBuffer.empty[FunnelEmit]
+            sorted.foreach { e =>
+              val sec = e.ts.getTime / 1000
+              e.event_type match {
+                case "view" if st.viewSec.isEmpty =>
+                  st = FunnelProgress(Some(sec), None)
+                case "click" if st.viewSec.nonEmpty && st.clickSec.isEmpty =>
+                  st = st.copy(clickSec = Some(sec))
+                case "purchase" if st.clickSec.nonEmpty =>
+                  out += FunnelEmit(uid, 3, st.viewSec, st.clickSec, Some(sec),
+                    completed = true)
+                  st = FunnelProgress(None, None)
+                case _ => ()
+              }
+            }
+            if (st == FunnelProgress(None, None)) state.remove()
+            else {
+              state.update(st)
+              // timeout at (latest event this trigger) + idle, in event time
+              state.setTimeoutTimestamp(sorted.last.ts.getTime, idle)
+            }
+            out.iterator
+          }
+      }
+  }
+
   def latestStatePerUser(events: Dataset[Ev]): Dataset[UserLatest] = {
     import events.sparkSession.implicits._
     events

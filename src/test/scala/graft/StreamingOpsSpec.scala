@@ -135,6 +135,42 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows === Set((1L, 20L, 10L, 99.0)))
   }
 
+  test("flatMapGroupsWithState funnel: completion emits immediately, idle timeout flushes abandoned") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.funnelTracker(mem.toDS(), idle = "1 hour")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1 completes the funnel across two triggers; user 2 only views
+    mem.addData(
+      Ev(1, 1, "view", 0.0, ts("2026-01-01 10:00:00")),
+      Ev(2, 1, "click", 0.0, ts("2026-01-01 10:05:00")),
+      Ev(3, 2, "view", 0.0, ts("2026-01-01 10:00:00")))
+    q.processAllAvailable()
+    mem.addData(Ev(4, 1, "purchase", 42.0, ts("2026-01-01 10:10:00")))
+    q.processAllAvailable()
+    // push the watermark far past user 2's idle horizon → abandoned flush
+    mem.addData(Ev(5, 3, "view", 0.0, ts("2026-01-01 15:00:00")))
+    q.processAllAvailable()
+    mem.addData(Ev(6, 3, "click", 0.0, ts("2026-01-01 15:01:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    import graft.streaming.FunnelEmit
+    val rows = spark.table("funnel").as[FunnelEmit].collect()
+    val u1 = rows.filter(_.user_id == 1L)
+    assert(u1.length === 1)
+    assert(u1.head.stage === 3 && u1.head.completed)
+    assert(u1.head.view_sec.get < u1.head.click_sec.get)
+    assert(u1.head.click_sec.get < u1.head.purchase_sec.get)
+    val u2 = rows.filter(_.user_id == 2L)
+    assert(u2.length === 1)
+    assert(u2.head.stage === 1 && !u2.head.completed)
+    assert(u2.head.purchase_sec.isEmpty)
+  }
+
   test("mapGroupsWithState keeps the latest event per user across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
