@@ -204,9 +204,13 @@ object Advanced {
         .filter(col("sec") >= col(prevCol))
         .groupBy(col("user_id"))
         .agg(min(col("sec")).as(out))
+    // v and c each feed the next stage AND the final assembly join:
+    // persist so each stage aggregate (|users| rows, tiny vs events)
+    // computes once instead of re-scanning events per consumer
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("sec")).as("view_sec"))
-    val c = firstAtOrAfter("click", v, "view_sec", "click_sec")
+      .persist()
+    val c = firstAtOrAfter("click", v, "view_sec", "click_sec").persist()
     val p = firstAtOrAfter("purchase", c, "click_sec", "purchase_sec")
     v.join(c, Seq("user_id"), "left")
       .join(p, Seq("user_id"), "left")

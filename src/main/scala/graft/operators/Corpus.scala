@@ -139,8 +139,11 @@ object Corpus {
     val words = docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+    // tf feeds BOTH the df aggregate and the scoring join: persist it so
+    // the explode + (doc,word) aggregation runs once, not twice
     val tf = words.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     // tf has one row per distinct (doc, word), so counting rows per word
     // IS the document frequency — no second distinct pass
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
