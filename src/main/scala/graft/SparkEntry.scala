@@ -90,6 +90,8 @@ object SparkEntry {
     "q63_gap_fill_daily" -> (Advanced.gapFillDaily _),
     "q64_funnel_stages" -> (Advanced.funnelStages _),
     "q65_props_extract" -> (Advanced.propsExtract _),
+    "q66_mixture_sample" -> (Prep.mixtureSample _),
+    "q67_cohort_retention" -> (Advanced.cohortRetention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -805,5 +807,31 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q66_mixture_sample" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY 1
+        |), rates AS (
+        |  SELECT source, sqrt(CAST((SELECT MIN(n_src) FROM counts) AS DOUBLE) / n_src) AS keep_rate
+        |  FROM counts
+        |)
+        |SELECT doc_id, d.source, keep_rate
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE CAST(( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |           + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |           + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |           + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS DOUBLE)
+        |      < keep_rate * 100.0""".stripMargin,
+
+    "q67_cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+        |)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM days JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

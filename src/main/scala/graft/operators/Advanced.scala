@@ -220,6 +220,24 @@ object Advanced {
           .otherwise(1).as("stage"))
   }
 
+  /** Cohort retention grid: users grouped by their first-activity day
+    * (the cohort), counted by how many are active again k days later —
+    * the classic retention triangle. Two keyed aggregates (per-user first
+    * day, then distinct users per (cohort, offset)) joined on the
+    * high-cardinality user key; COUNT(DISTINCT) partial-aggregates
+    * map-side on (cohort, offset, user) before the final collapse.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .persist()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
   /** Semi-structured extraction: pull a typed field out of the events
     * table's JSON `props` column and aggregate on it — the schema-on-read
     * path for property bags. The JSON path evaluates per-row inside the

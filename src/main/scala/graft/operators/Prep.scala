@@ -215,6 +215,34 @@ object Prep {
   def chunk(s: SparkSession, dir: String): DataFrame =
     chunk(Tables.documents(s, dir))
 
+  /** Temperature-weighted source mixture sampling: rebalance an uneven
+    * source mix by keeping each source at rate min(1, sqrt(p_min / p_s))
+    * (temperature alpha = 0.5 relative to the smallest source) — the
+    * data-mixing step that stops one giant crawl from drowning curated
+    * sources in a training mix. The smallest source keeps everything;
+    * a source 4x its share keeps half.
+    *
+    * The per-source share table is one tiny aggregate joined back
+    * broadcast; membership is the shared deterministic hash bucket, so
+    * the SAME documents are kept on every run/engine/partitioning, and
+    * all arithmetic (division, sqrt) is exactly-rounded IEEE — identical
+    * across engines.
+    */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("n_src")).as("n_min"))))
+    val rates = withMin.select(col("source"),
+      sqrt(col("n_min").cast("double") / col("n_src")).as("keep_rate"))
+    docs
+      .join(broadcast(rates), "source")
+      .filter(hashBucket(col("doc_id")).cast("double") < col("keep_rate") * 100.0)
+      .select(col("doc_id"), col("source"), col("keep_rate"))
+  }
+
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables.documents(s, dir))
+
   /** Bigram-LM quality score: mean conditional probability of a document's
     * adjacent word pairs under the corpus bigram model (Prep.bigramLm) —
     * the cheap, fully deterministic stand-in for perplexity-based quality

@@ -133,6 +133,25 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("cohort retention: offset-0 row counts the full cohort, later offsets never exceed it") {
+    import spark.implicits._
+    val out = Advanced.cohortRetention(spark, sf0001).cache()
+    val grid = out.collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString, r.getAs[Int]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(grid.nonEmpty)
+    // every user appears in their cohort's offset-0 cell by construction
+    val day0Total = grid.collect { case ((_, 0), n) => n }.sum
+    val totalUsers = graft.sources.Tables.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(day0Total === totalUsers)
+    // retention can only shrink or hold vs the cohort's own size
+    grid.foreach { case ((cohort, off), n) =>
+      assert(off >= 0)
+      assert(n <= grid((cohort, 0)), s"cohort $cohort offset $off exceeds day-0")
+    }
+  }
+
   test("rollup emits leaf, subtotal, and grand-total levels consistently") {
     import spark.implicits._
     val out = Advanced.rollupRevenue(spark, sf0001).cache()

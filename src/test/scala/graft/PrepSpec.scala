@@ -58,6 +58,26 @@ class PrepSpec extends SparkSpec {
     assert(fp(1L) === rawFp(1L))
   }
 
+  test("mixtureSample downsamples the dominant source toward the smallest") {
+    import spark.implicits._
+    // 400 docs from "crawl", 25 from "curated": crawl keeps ~sqrt(25/400)=25%
+    val d = ((0L until 400L).map(i => (i, s"t$i", "en", "crawl", 5L)) ++
+      (1000L until 1025L).map(i => (i, s"t$i", "en", "curated", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Prep.mixtureSample(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Double]("keep_rate")))
+    val bySource = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySource("curated") === 25) // smallest source keeps everything
+    val crawlKept = bySource.getOrElse("crawl", 0)
+    // hash-bucketed 25% rate: expect ~100 of 400, generous band
+    assert(crawlKept > 60 && crawlKept < 140, s"crawl kept $crawlKept of 400")
+    assert(kept.filter(_._2 == "crawl").forall(_._3 === 0.25))
+    // determinism: same docs kept on a repartitioned input
+    val kept2 = Prep.mixtureSample(d.repartition(13)).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted
+    assert(kept2.toSeq === kept.map(_._1).sorted.toSeq)
+  }
+
   test("chunk: overlapping windows cover the doc with a short tail") {
     import spark.implicits._
     val text500 = "ab" * 250 // 500 chars
