@@ -55,8 +55,7 @@ object Bench {
         val outcome =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable =>
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(300))
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
@@ -76,9 +75,9 @@ object Bench {
     val timed = results.collect { case (k, Right(t)) => k -> t }
     val failed = results.collect { case (k, Left(m)) => k -> m }
     failed.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }
-    val qs = timed.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = timed.map { case (k, v) => JsonEscape.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = failed.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+    val errs = failed.map { case (k, m) => JsonEscape.quote(k) + ":" + JsonEscape.quote(m) }
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")

@@ -28,6 +28,20 @@ object Text {
       sequence(lit(1), size(ws) - (k - 1)),
       i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o)): _*)))
 
+  /** Adjacent-word bigrams. Pass a MATERIALIZED words column (a column
+    * reference, not the split expression itself — a lambda body that
+    * references the split re-evaluates it per element, O(len²) per doc).
+    * Guard: `sequence(1, 0)` DESCENDS in Spark, so a doc with <2 words
+    * must yield an empty array explicitly (size(ws)-1 would sweep back).
+    * Oracle: `[w[i]||' '||w[i+1] FOR i IN range(1, len(w))]`.
+    */
+  def bigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(
+        sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** Normalised text: lowercase, non-alphanumeric runs → single space,
     * trimmed. The canonical form for fingerprinting.
     */

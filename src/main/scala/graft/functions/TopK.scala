@@ -24,13 +24,20 @@ final case class Scored(neighborId: Long, cosine: Double)
   * The buffer is a best-first sorted list capped at k (insertion into a
   * ≤k list — k is small; no heap needed). Total order (cosine DESC,
   * neighborId ASC) makes the result deterministic and bit-identical to the
-  * `row_number`-over-total-order formulation it replaces.
+  * `row_number`-over-total-order formulation it replaces. The comparison
+  * goes through `Double.compare`, not IEEE `>`: IEEE makes NaN incomparable
+  * (both directions false), which would turn the insert position — and
+  * therefore the surviving k — into a function of row arrival order.
+  * `Double.compare` ranks NaN above every other value, matching how both
+  * Spark and DuckDB order NaN in a DESC sort.
   */
 final class BoundedTopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
-  private def beats(a: Scored, b: Scored): Boolean =
-    a.cosine > b.cosine || (a.cosine == b.cosine && a.neighborId < b.neighborId)
+  private def beats(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.cosine, b.cosine)
+    c > 0 || (c == 0 && a.neighborId < b.neighborId)
+  }
 
   private def insert(buf: List[Scored], x: Scored): List[Scored] =
     if (buf.lengthCompare(k) >= 0 && beats(buf.last, x)) buf

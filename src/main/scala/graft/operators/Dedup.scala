@@ -313,8 +313,9 @@ object Dedup {
     // is corpus-size × dup-rate, often orders of magnitude smaller, and
     // each superstep pays per-partition scheduling overhead — one
     // partition per ~500k edges, capped at the session width
+    val edgeCount = rawEdges.count()
     val width = math.max(1L,
-      math.min(shuffleWidth(docs).toLong, rawEdges.count() / 500000L + 1L)).toInt
+      math.min(shuffleWidth(docs).toLong, edgeCount / 500000L + 1L)).toInt
     // edges are the static probe side of every superstep's join: hash-
     // partition by dst ONCE before caching so the cached partitioning
     // satisfies each iteration's join and only the label side moves
@@ -339,7 +340,10 @@ object Dedup {
     // decreasing — one scalar per superstep, no compare-join. One
     // superstep = one edge join + one min-aggregate.
     var prevSum: java.math.BigDecimal = null
-    var converged = false
+    // an empty dup graph is already at its (empty) fixpoint — the sum
+    // probe would return NULL forever and never satisfy the equality test,
+    // so skip the loop outright instead of burning maxIters no-op jobs
+    var converged = edgeCount == 0L
     var iter = 0
     while (!converged && iter < maxIters) {
       val propagated = edges
@@ -359,6 +363,15 @@ object Dedup {
     }
     edges.unpersist()
     rawEdges.unpersist()
+    // labels at iter == maxIters without a detected fixpoint are NOT the
+    // transitive closure — a path-shaped dup chain of diameter > maxIters
+    // would still carry intermediate labels. Cluster membership decides
+    // which documents get DELETED downstream, so fail loudly rather than
+    // return silently-partial components.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within $maxIters supersteps; the dup " +
+        "graph has a component of diameter > maxIters (not clique-shaped " +
+        "near-dups) — raise maxIters or lower the pairing threshold")
     labels
   }
 

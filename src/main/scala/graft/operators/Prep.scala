@@ -98,21 +98,10 @@ object Prep {
     * vs corpus), so the second shuffle moves vocab-sized data only.
     */
   def bigramLm(docs: DataFrame): DataFrame = {
-    // materialize the split ONCE as a column before the higher-order
-    // transform: a lambda body referencing the split expression directly
-    // re-evaluates it per element (O(len²) per document)
-    val w = col("w")
-    // guard: sequence(1, 0) DESCENDS in Spark, so a 1-word doc must yield
-    // an empty bigram array explicitly (explode then drops the row)
-    val bigrams = when(size(w) >= 2,
-      transform(
-        sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val counts = docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(Text.words(col("text")).as("w"))
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(Text.bigrams(col("w"))).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
     val byW1 = org.apache.spark.sql.expressions.Window
@@ -133,15 +122,9 @@ object Prep {
     * shuffle at any scale.
     */
   def repetitionRatios(docs: DataFrame): DataFrame = {
-    val w = Text.words(col("text"))
-    val bigrams = when(size(col("w")) >= 2,
-      transform(
-        sequence(lit(1), size(col("w")) - 1),
-        i => concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + 1))))
-      .otherwise(array().cast("array<string>"))
     docs
-      .select(col("doc_id"), w.as("w"))
-      .select(col("doc_id"), col("w"), bigrams.as("bg"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), Text.bigrams(col("w")).as("bg"))
       .select(
         col("doc_id"),
         size(col("w")).as("n_words"),
@@ -258,16 +241,10 @@ object Prep {
     * aggregation order AND bit-identical to the oracle.
     */
   def lmScore(docs: DataFrame): DataFrame = {
-    val w = col("w")
-    val bigrams = when(size(w) >= 2,
-      transform(
-        sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val docBigrams = docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), Text.words(col("text")).as("w"))
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"), explode(Text.bigrams(col("w"))).as("bigram"))
     // shuffle_hash: the LM side is an aggregate over the whole corpus — a
     // broadcast build would run it single-threaded and could not broadcast
     // at real vocab sizes

@@ -107,6 +107,14 @@ object TributePipeline {
     * is accepted — cache preserves the partition order it captured.)
     */
   def latestStatePerTribute(enriched: DataFrame): DataFrame = {
+    // forcing executedPlan on a streaming frame throws an unrelated
+    // "must be executed with writeStream.start()" AnalysisException from
+    // inside this guard — reject streaming inputs with the actionable
+    // message first (streaming callers use streaming/StreamingOps.lwwState)
+    require(!enriched.isStreaming,
+      "latestStatePerTribute(df) inspects the batch physical plan and cannot " +
+        "accept a streaming DataFrame; use StreamingOps.latestStatePerUser / " +
+        "foreachBatch upsert for streams, or pass an explicit arrivalSeq column")
     require(!hasShuffle(enriched.queryExecution.executedPlan),
       "latestStatePerTribute(df) derives arrival order from physical layout, " +
         "which a shuffle upstream destroys; pass an explicit arrivalSeq column " +

@@ -110,14 +110,21 @@ private final class KVDataWriter(schema: StructType, storeName: String, keyCol: 
   private val store = KVRegistry.getOrCreate(storeName)
   private val fields = schema.fields
   private val keyIdx = schema.fieldIndex(keyCol)
+  // InternalRow carries Catalyst-internal representations (timestamps as
+  // micros longs, strings as UTF8String, dates as day ints); stringify the
+  // EXTERNAL value so this path stores the same rendering as the Row-based
+  // foreachBatch/upsertState path for the same data
+  private val toExternal = fields.map(f =>
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(f.dataType))
 
   override def write(row: InternalRow): Unit = {
     val item = fields.indices.map { i =>
       fields(i).name ->
-        (if (row.isNullAt(i)) null else row.get(i, fields(i).dataType).toString)
+        (if (row.isNullAt(i)) null
+         else toExternal(i)(row.get(i, fields(i).dataType)).toString)
     }.toMap
     val key = if (row.isNullAt(keyIdx)) null
-      else row.get(keyIdx, fields(keyIdx).dataType).toString
+      else toExternal(keyIdx)(row.get(keyIdx, fields(keyIdx).dataType)).toString
     store.put(key, item)
   }
 

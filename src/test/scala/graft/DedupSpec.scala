@@ -116,6 +116,23 @@ class DedupSpec extends SparkSpec {
     assert(!clusters.contains(30L)) // singletons aren't in the dup graph
   }
 
+  test("dupClusters on a corpus with zero dup pairs returns empty without iterating") {
+    import spark.implicits._
+    // every doc disjoint → empty dup graph; the empty graph is its own
+    // fixpoint, so the superstep loop must be skipped outright (the sum
+    // probe is NULL on empty labels and would never satisfy the equality
+    // convergence test — this used to burn all maxIters no-op jobs)
+    val d = (1 to 4)
+      .map(i => (i.toLong, (1 to 40).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    assert(Dedup.dupClusters(d, bands = 4, rowsPerBand = 2, threshold = 0.8,
+      maxIters = 1000).count() === 0L)
+    // generous bound: 1000 skipped supersteps would take minutes; the
+    // short-circuited path is a handful of jobs
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+  }
+
   test("embedding near-dup restricts pairs to corpus ids and picks the least keeper") {
     import spark.implicits._
     val dims = 16

@@ -111,4 +111,19 @@ class FlagshipBatchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("arrivalSeq"))
   }
+
+  test("layout-derived overload rejects a streaming input with an actionable message") {
+    // forcing executedPlan on a streaming frame would otherwise surface as
+    // an unrelated "must be executed with writeStream.start()" error from
+    // inside the shuffle guard itself
+    val dir = java.nio.file.Files.createTempDirectory("lww-stream").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture("streamingData/preCornucopia.json")),
+      java.nio.file.Paths.get(dir, "preCornucopia.json"))
+    val streaming = Status.enrich(Sources.eventStream(spark, dir), tributes, games)
+    val e = intercept[IllegalArgumentException] {
+      TributePipeline.latestStatePerTribute(streaming)
+    }
+    assert(e.getMessage.contains("StreamingOps"))
+  }
 }

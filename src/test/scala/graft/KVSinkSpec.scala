@@ -46,6 +46,24 @@ class KVSinkSpec extends SparkSpec {
     assert(KVRegistry.getOrCreate(storeName).snapshot() === state)
   }
 
+  test("non-string column types store their EXTERNAL rendering, not Catalyst internals") {
+    import spark.implicits._
+    val storeName = s"v2-types-${System.nanoTime()}"
+    val df = Seq(("k1", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+        java.sql.Date.valueOf("2026-01-02"), BigDecimal("12.50"), 7L))
+      .toDF("tributeId", "seen_at", "day", "score", "n")
+      .withColumn("score", col("score").cast("decimal(9,2)"))
+    df.write.format("graft-kv").option("store", storeName).mode("append").save()
+    val item = KVRegistry.getOrCreate(storeName).snapshot()("k1")
+    // a timestamp must NOT surface as its internal micros long, nor the
+    // date as a day count — the store must agree with the Row-based
+    // foreachBatch path's rendering of the same data
+    assert(item("seen_at") === "2026-01-01 00:00:00.0")
+    assert(item("day") === "2026-01-02")
+    assert(item("score") === "12.50")
+    assert(item("n") === "7")
+  }
+
   test("missing store option or key column fail loudly") {
     val e1 = intercept[Exception] {
       stateItems.write.format("graft-kv").mode("append").save()

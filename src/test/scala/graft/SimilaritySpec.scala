@@ -68,6 +68,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("BoundedTopK ranks NaN deterministically (Double.compare total order)") {
+    // IEEE > makes NaN incomparable (both directions false), which would
+    // make the surviving k depend on arrival order; Double.compare ranks
+    // NaN above all reals, matching Spark's and DuckDB's DESC sort
+    val agg = new BoundedTopK(2)
+    val xs = Seq(Scored(1, 0.9), Scored(2, Double.NaN), Scored(3, 0.5), Scored(4, Double.NaN))
+    val expected = Seq(Scored(2, Double.NaN), Scored(4, Double.NaN))
+    xs.permutations.foreach { perm =>
+      val r = agg.finish(perm.foldLeft(agg.zero)(agg.reduce))
+      assert(r.map(_.neighborId) === expected.map(_.neighborId), s"order $perm")
+    }
+  }
+
   test("property: BoundedTopK equals sort-take-k for random inputs and partitionings") {
     val rnd = new scala.util.Random(7)
     (1 to 300).foreach { trial =>
