@@ -75,12 +75,28 @@ object Bench {
     val timed = results.collect { case (k, Right(t)) => k -> t }
     val failed = results.collect { case (k, Left(m)) => k -> m }
     failed.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }
-    val qs = timed.map { case (k, v) => JsonEscape.quote(k) + ":" + v }
-      .mkString("{", ",", "}")
-    val errs = failed.map { case (k, m) => JsonEscape.quote(k) + ":" + JsonEscape.quote(m) }
-      .mkString("{", ",", "}")
+    // Full-name per-query detail goes to stderr for humans; the machine-read
+    // stdout line below must stay SHORT. The harness that collects this
+    // output keeps only the final ~2000 characters of the run log, and a
+    // full-name/full-precision map for 67 queries is ~2800 chars — the JSON
+    // line gets truncated and never parses. So the stdout line uses each
+    // query's unique "qNN" prefix and millisecond precision (~12 chars per
+    // query), keeping the whole line comfortably inside the captured tail
+    // even as the query count grows.
+    timed.sortBy(-_._2).foreach { case (k, v) =>
+      System.err.println(f"BENCH $k%-28s ${v}%9.3f s")
+    }
+    def ms3(v: Double): String = f"$v%.3f"
+    val qs = timed.map { case (k, v) =>
+      JsonEscape.quote(k.takeWhile(_ != '_')) + ":" + ms3(v)
+    }.mkString("{", ",", "}")
+    val errsPart =
+      if (failed.isEmpty) ""
+      else failed.map { case (k, m) =>
+        JsonEscape.quote(k.takeWhile(_ != '_')) + ":" + JsonEscape.quote(m.take(60))
+      }.mkString(""","errors":{""", ",", "}")
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs$errsPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
