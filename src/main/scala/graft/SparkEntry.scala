@@ -64,7 +64,7 @@ object SparkEntry {
     "q39_vocab_topk" -> (Corpus.vocabTopK _),
     "q40_split_assign" -> (Corpus.splitAssign _),
     "q41_length_quantiles" -> (Corpus.lengthQuantiles _),
-    "q42_sketch_profile" -> (Corpus.sketchProfile _),
+    "q42_sketch_profile" -> (Corpus.sketchProfileKmv _),
     "q43_intersect_users" -> (Relational.intersectUsers _),
     "q44_except_users" -> (Relational.exceptUsers _),
     "q45_pivot_event_counts" -> (Relational.pivotEventCounts _),
@@ -394,6 +394,65 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN n_chars END) AS p95,
         |  MAX(n) AS n_docs
         |FROM w GROUP BY lang""".stripMargin,
+
+    // KMV sketch: k-th smallest distinct 48-bit md5 hash per source, estimate
+    // by int64 floor division (17732923532771328 = 63 << 48); quantiles are
+    // exact discrete percentiles of the deterministic 12% md5-bucket sample.
+    // Mirrors graft.functions.KMinValues + Corpus.sketchProfileKmv exactly.
+    "q42_sketch_profile" ->
+      """WITH tx AS (
+        |  SELECT DISTINCT source, md5(text) AS m FROM documents
+        |), ht AS (
+        |  SELECT DISTINCT source,
+        |    SUM(((instr('0123456789abcdef', substr(m, CAST(j + 1 AS INT), 1)) - 1)::BIGINT) << CAST((11 - j) * 4 AS INT)) AS h
+        |  FROM tx, range(0, 12) r(j) GROUP BY source, m
+        |), lx AS (
+        |  SELECT DISTINCT source, md5(lang) AS m FROM documents
+        |), hl AS (
+        |  SELECT DISTINCT source,
+        |    SUM(((instr('0123456789abcdef', substr(m, CAST(j + 1 AS INT), 1)) - 1)::BIGINT) << CAST((11 - j) * 4 AS INT)) AS h
+        |  FROM lx, range(0, 12) r(j) GROUP BY source, m
+        |), kt AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS nd
+        |  FROM ht
+        |), ndv_t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |         ELSE 17732923532771328 // MAX(CASE WHEN rn = 64 THEN h END) END AS BIGINT) AS ndv_text
+        |  FROM kt GROUP BY source
+        |), kl AS (
+        |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS nd
+        |  FROM hl
+        |), ndv_l AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |         ELSE 17732923532771328 // MAX(CASE WHEN rn = 64 THEN h END) END AS BIGINT) AS ndv_lang
+        |  FROM kl GROUP BY source
+        |), sq AS (
+        |  SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |  WHERE ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |        + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 < 12
+        |), quants AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN n_chars END) AS len_p50,
+        |    MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN n_chars END) AS len_p95,
+        |    MAX(n) AS samp_n
+        |  FROM sq GROUP BY source
+        |), base AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        |)
+        |SELECT b.source, b.n_docs, t.ndv_text, l.ndv_lang, q.len_p50, q.len_p95, q.samp_n
+        |FROM base b
+        |JOIN ndv_t t USING (source)
+        |JOIN ndv_l l USING (source)
+        |LEFT JOIN quants q USING (source)""".stripMargin,
 
     "q43_intersect_users" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

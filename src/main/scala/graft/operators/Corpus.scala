@@ -120,6 +120,58 @@ object Corpus {
   def sketchProfile(s: SparkSession, dir: String): DataFrame =
     sketchProfile(Tables.documents(s, dir))
 
+  /** 48-bit md5-prefix hash — the KMV sketch input. 12 hex chars keep every
+    * downstream arithmetic step exact even in engines that route integer
+    * math through doubles (48 < 53 mantissa bits).
+    */
+  private def h48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Deterministic sketch-based corpus profile per source — the same shape
+    * as `sketchProfile` (distinct counts + length quantiles from bounded,
+    * mergeable state) but built from engine-portable primitives, so unlike
+    * HLL/KLL it hash-matches a plain-SQL oracle bit for bit:
+    *
+    *  - distinct counts: `KMinValues` (graft.functions.KMinValues), a KMV
+    *    sketch over a 48-bit md5 hash — k longs per group, map-side
+    *    combined, estimate = pure int64 floor division.
+    *  - quantiles: EXACT discrete percentiles over a deterministic 12%
+    *    hash-sample of the rows (md5 bucket of doc_id < 12 — the same
+    *    engine-portable bucketing as `splitAssign`). A fixed-rate Bernoulli
+    *    sample is the simplest mergeable quantile summary: the union of two
+    *    partitions' samples IS the sample of their union — no sketch-merge
+    *    logic to get wrong — and the per-stratum sort that q41 pays on the
+    *    full corpus is paid on 12% of it (tune the rate down as the corpus
+    *    grows; the absolute sample size is what the final sort pays for).
+    *
+    * One hash-aggregate for the sketches, one sample-side window for the
+    * quantiles, one tiny per-source join. Groups (sources) are
+    * low-cardinality but the aggregate state is O(k), so the reduce side
+    * carries partitions × k longs per source, never the data.
+    */
+  def sketchProfileKmv(docs: DataFrame, k: Int = 64, samplePct: Int = 12): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val kmv = udaf(new graft.functions.KMinValues(k), Encoders.scalaLong)
+    val sketches = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      kmv(h48(col("text"))).as("ndv_text"),
+      kmv(h48(col("lang"))).as("ndv_lang"))
+    val bySrc = Window.partitionBy(col("source"))
+    val ranked = docs
+      .filter(hashBucket(col("doc_id")) < samplePct)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(bySrc.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    def at(p: Double) = max(when(col("rn") === ceil(col("n") * p), col("n_chars")))
+    val quants = ranked.groupBy(col("source")).agg(
+      at(0.50).as("len_p50"), at(0.95).as("len_p95"),
+      max(col("n")).as("samp_n"))
+    sketches.join(quants, Seq("source"), "left")
+  }
+
+  def sketchProfileKmv(s: SparkSession, dir: String): DataFrame =
+    sketchProfileKmv(Tables.documents(s, dir))
+
   /** Top-`k` most characteristic terms per document by tf-idf-style
     * relevance. The score is `tf / df` (term frequency over document
     * frequency): for a fixed corpus it ranks identically to
