@@ -71,23 +71,34 @@ object Corpus {
     splitAssign(Tables.documents(s, dir))
 
   /** Exact per-language length quantiles (p25/p50/p75/p95 of `n_chars`) via
-    * rank arithmetic: value at row `ceil(p*n)` in (n_chars, doc_id) order —
-    * the classic discrete percentile, expressed with one window sort per
-    * stratum plus a conditional aggregate, identical in any SQL engine.
+    * rank arithmetic: value at row `ceil(p*n)` in n_chars order — the
+    * classic discrete percentile, identical in any SQL engine.
     *
-    * The per-stratum sort is the honest cost of EXACT quantiles; lang is
-    * low-cardinality so at 100 TB this operator is the one place we would
-    * swap in a sketch (see `sketchProfile`) — kept exact here because it is
-    * the oracle-verified ground truth the sketch is judged against.
+    * Scale shape: aggregate-then-rank. The corpus first collapses to its
+    * VALUE DISTRIBUTION — one hash aggregate keyed by (lang, n_chars),
+    * high-cardinality, map-side combined — and only those distribution
+    * rows (distinct values per stratum, vocabulary-sized) enter the
+    * cumulative-count window. The rank-`ceil(p*n)` value is the n_chars
+    * whose cumulative count first reaches that rank, exactly the value the
+    * naive per-stratum corpus sort would select — same answers, but the
+    * low-cardinality-keyed window never sees raw corpus rows, so the plan
+    * survives a 100× corpus where a per-`lang` full sort would funnel
+    * everything through a handful of reducers.
     */
   def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val dist = docs
+      .select(col("lang"), col("n_chars"))
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
     val byLang = Window.partitionBy(col("lang"))
-    val ranked = docs
-      .select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("rn", row_number().over(byLang.orderBy(col("n_chars"), col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(byLang))
-    def at(p: Double) = max(when(col("rn") === ceil(col("n") * p), col("n_chars")))
-    ranked.groupBy(col("lang")).agg(
+    val cum = dist
+      .withColumn("cum", sum(col("cnt")).over(byLang.orderBy(col("n_chars"))))
+      .withColumn("n", sum(col("cnt")).over(byLang))
+    // rank r lands on this value iff cum - cnt < r <= cum
+    def at(p: Double) = max(when(
+      ceil(col("n") * p) > col("cum") - col("cnt") &&
+        ceil(col("n") * p) <= col("cum"), col("n_chars")))
+    cum.groupBy(col("lang")).agg(
       at(0.25).as("p25"), at(0.50).as("p50"),
       at(0.75).as("p75"), at(0.95).as("p95"),
       max(col("n")).as("n_docs"))
@@ -101,8 +112,13 @@ object Corpus {
     * 100 TB-scale stand-in for `lengthQuantiles`/`count_distinct`, where a
     * full sort or exact distinct is not worth its shuffle. Fixed-size
     * mergeable sketches: map-side partials are O(1) per partition
-    * regardless of data volume. Approximate by design, so registered as a
-    * rows-only check (no DuckDB oracle can reproduce Spark's sketches).
+    * regardless of data volume.
+    *
+    * SUPERSEDED as the registered q42 query by `sketchProfileKmv`: Spark's
+    * HLL/KLL sketches cannot be reproduced by a plain-SQL oracle, so this
+    * variant is spec-verified only (CorpusSpec). Kept as the built-in-
+    * sketch alternative for users who prefer Spark's native
+    * `approx_count_distinct`/`percentile_approx` over oracle parity.
     *
     * The quantile sketch is emitted as SCALAR columns (one aggregate per
     * percentile, same sketch cost — the sketch is built once per group and
@@ -148,6 +164,13 @@ object Corpus {
     * quantiles, one tiny per-source join. Groups (sources) are
     * low-cardinality but the aggregate state is O(k), so the reduce side
     * carries partitions × k longs per source, never the data.
+    *
+    * Contract: `text`/`lang` are NON-NULL (the documents schema guarantees
+    * it) — a null would hash to null and the typed udaf's primitive Long
+    * encoder does not model it. The registered q42 oracle additionally
+    * hard-codes the defaults (k = 64 → rank-64 row, estimate constant
+    * 63 << 48; samplePct = 12): call with non-default parameters only
+    * outside oracle verification.
     */
   def sketchProfileKmv(docs: DataFrame, k: Int = 64, samplePct: Int = 12): DataFrame = {
     import org.apache.spark.sql.Encoders

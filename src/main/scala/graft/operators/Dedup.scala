@@ -171,17 +171,29 @@ object Dedup {
     // pipeline single-threaded in the broadcast-build thread (see
     // ngramJaccard). Shuffled hash joins keep every stage parallel; AQE
     // may still convert to broadcast after the parallel shuffle ran.
+    // candidate pairs feed three consumers (two semi-joins + the pair
+    // join); persist so the band self-join runs once
     val cands = keys.as("a").hint("shuffle_hash")
       .join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .persist()
+    // left-semi-restrict the WIDE shingle-set relation to candidate ids
+    // BEFORE the pair joins (the embeddingNearDup pattern): only candidate
+    // rows — typically a tiny fraction of the corpus — carry their shingle
+    // arrays into the verification exchanges, instead of shuffling every
+    // doc's array twice
+    val setsA = shSets
+      .join(cands.select(col("doc_a").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("shs").as("sh_a"), col("n_sh").as("n_a"))
+    val setsB = shSets
+      .join(cands.select(col("doc_b").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("shs").as("sh_b"), col("n_sh").as("n_b"))
     cands.hint("shuffle_hash")
-      .join(shSets.select(col("doc_id").as("doc_a"),
-        col("shs").as("sh_a"), col("n_sh").as("n_a")).hint("shuffle_hash"), "doc_a")
-      .join(shSets.select(col("doc_id").as("doc_b"),
-        col("shs").as("sh_b"), col("n_sh").as("n_b")).hint("shuffle_hash"), "doc_b")
+      .join(setsA.hint("shuffle_hash"), "doc_a")
+      .join(setsB.hint("shuffle_hash"), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
