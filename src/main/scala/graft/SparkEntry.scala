@@ -817,6 +817,92 @@ object SparkEntry {
         |FROM docbg d JOIN lm USING (bigram)
         |GROUP BY d.doc_id""".stripMargin,
 
+    // q61: the fixed iters=2 Lloyd loop (Similarity.kmeansCentroids)
+    // unrolled into a non-recursive CTE chain. Centroids live as
+    // (cid, pos, m) rows; every dot product / norm is the same int64
+    // fixed-point sum (floor(x*1e8+0.5)) as Similarity.scala:216 and
+    // FixedPointDot, so assignments, means, and the final ranking
+    // reproduce bit-for-bit. Two rounds of (argmax-cosine assign with cid
+    // tiebreak -> per-(cell,dim) fixed-point mean cast to FLOAT), then
+    // the identical probe/score/rank phase as q35.
+    "q61_ann_ivf_trained" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), vn AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qe GROUP BY 1
+        |), qc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qe WHERE vec_id < 8
+        |), cn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc0 GROUP BY 1
+        |), d1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d1 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a1 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m1
+        |), cn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc1 GROUP BY 1
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d2 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a2 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m2
+        |), cn2t AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc2 GROUP BY 1
+        |), d3 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc2 c ON c.pos = q.pos GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+        |  FROM d3 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn2t c ON c.cid = d.cid
+        |), assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc
+        |  ) WHERE rn = 1
+        |), probe AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 10
+        |  ) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.vec_id != p.query_id
+        |), nd AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(qa.qx * qb.qx) AS dot
+        |  FROM cand c JOIN qe qa ON qa.vec_id = c.query_id
+        |  JOIN qe qb ON qb.vec_id = c.neighbor_id AND qb.pos = qa.pos
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT n.query_id, n.neighbor_id,
+        |    CAST(n.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+        |  FROM nd n JOIN vn nq ON nq.vec_id = n.query_id JOIN vn nn ON nn.vec_id = n.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, cosine, "rank" FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM scored
+        |) WHERE "rank" <= 5""".stripMargin,
+
     "q62_rolling_revenue" ->
       """SELECT o_orderkey, o_custkey, day,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -152,14 +152,29 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
+    // candidate pairs feed two semi-joins + the scored join below;
+    // persist so the probe-assign join runs once
     val cands = probes.hint("shuffle_hash")
       .join(assign.hint("shuffle_hash"), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val q = e.select(col("vec_id").as("query_id"),
-      col("embedding").as("qe"), col("n2").as("qn2"))
-    val n = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("ne"), col("n2").as("nn2"))
+      .persist()
+    // left-semi-restrict the WIDE embedding relation to ids actually in
+    // the candidate set BEFORE the scored joins (the minhashLsh pattern,
+    // Dedup.minhashLsh): only candidate rows — probe-bounded, a tiny
+    // fraction of the corpus — carry their float arrays into the
+    // verification exchanges. No join hint on purpose: the build side is
+    // a cheap id projection of the persisted cands, so a planner-chosen
+    // broadcast is the scale-correct plan — it leaves the huge embedding
+    // side entirely unshuffled.
+    val q = e
+      .join(cands.select(col("query_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))
+    val n = e
+      .join(cands.select(col("neighbor_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))
     val scored = cands
       .join(q.hint("shuffle_hash"), "query_id")
       .join(n.hint("shuffle_hash"), "neighbor_id")
@@ -230,10 +245,11 @@ object Similarity {
   /** IVF search with a k-means-trained quantizer: train `nCells` centroids
     * for `iters` Lloyd iterations, then cell-probe search (ivfProbe).
     * Trained cells track the data distribution, so at a fixed probe budget
-    * recall beats the untrained first-k quantizer. No SQL oracle (the
-    * iterative training is not expressible as one query) — verified by
-    * SimilaritySpec's planted-cluster recall and determinism tests, and
-    * registered as a rows-only check.
+    * recall beats the untrained first-k quantizer. The fixed `iters = 2`
+    * loop unrolls into a non-recursive SQL CTE chain, so the DuckDB
+    * oracle reproduces training bit-for-bit (see the q61 entry in
+    * SparkEntry.oracleSql); SimilaritySpec additionally checks
+    * planted-cluster recall and run-to-run determinism.
     */
   def annIvfTrained(
       emb: DataFrame,
