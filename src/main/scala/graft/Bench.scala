@@ -58,6 +58,9 @@ object Bench {
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           }
         val dt = (System.nanoTime() - t0) / 1e9
+        // drain the operator cache registry (see graft.Caches), then drop
+        // anything else (the reference-parity source cache hints)
+        Caches.releaseAll()
         spark.catalog.clearCache()
         // reclaim the dropped cache/shuffle buffers now, so one query's
         // garbage doesn't tax the next query's reps with GC pauses

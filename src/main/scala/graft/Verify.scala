@@ -22,6 +22,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the parquet dump was the terminal action: release the caches the
+      // operators persisted for it (see graft.Caches)
+      finally Caches.releaseAll()
     }
     def q(s: String): String = JsonEscape.quote(s)
     val json = SparkEntry.oracleSql

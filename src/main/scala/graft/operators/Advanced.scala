@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
 
+import graft.Caches
 import graft.functions.Exact._
 import graft.sources.Tables
 
@@ -169,11 +170,10 @@ object Advanced {
     * the daily aggregate on the high-cardinality (user, day) key.
     */
   def gapFillDaily(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+    val daily = Caches.track(Tables.events(s, dir)
       .select(col("user_id"), col("ts").cast("date").as("day"), col("value"))
       .groupBy(col("user_id"), col("day"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-      .persist()
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
     val scaffold = daily
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
@@ -207,10 +207,9 @@ object Advanced {
     // v and c each feed the next stage AND the final assembly join:
     // persist so each stage aggregate (|users| rows, tiny vs events)
     // computes once instead of re-scanning events per consumer
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("sec")).as("view_sec"))
-      .persist()
-    val c = firstAtOrAfter("click", v, "view_sec", "click_sec").persist()
+    val v = Caches.track(ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("view_sec")))
+    val c = Caches.track(firstAtOrAfter("click", v, "view_sec", "click_sec"))
     val p = firstAtOrAfter("purchase", c, "click_sec", "purchase_sec")
     v.join(c, Seq("user_id"), "left")
       .join(p, Seq("user_id"), "left")
@@ -228,10 +227,9 @@ object Advanced {
     * map-side on (cohort, offset, user) before the final collapse.
     */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
-    val days = Tables.events(s, dir)
+    val days = Caches.track(Tables.events(s, dir)
       .select(col("user_id"), col("ts").cast("date").as("day"))
-      .distinct()
-      .persist()
+      .distinct())
     val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     days.join(cohorts, "user_id")
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))

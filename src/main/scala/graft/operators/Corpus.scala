@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Caches
 import graft.functions.Text
 import graft.sources.Tables
 
@@ -216,9 +217,8 @@ object Corpus {
       .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
     // tf feeds BOTH the df aggregate and the scoring join: persist it so
     // the explode + (doc,word) aggregation runs once, not twice
-    val tf = words.groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
+    val tf = Caches.track(words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf")))
     // tf has one row per distinct (doc, word), so counting rows per word
     // IS the document frequency — no second distinct pass
     val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

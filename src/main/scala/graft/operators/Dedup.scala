@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Caches
 import graft.functions.Text
 import graft.sources.Tables
 
@@ -98,7 +99,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     // the shingle set feeds both self-join sides and the per-doc counts;
     // persist so the explode+shingle scan runs once, not three times
-    val sh = docShingles(docs).persist()
+    // (caller-released, see graft.Caches)
+    val sh = Caches.track(docShingles(docs))
     // shuffle_hash: never broadcast the shingle relation — it cannot
     // broadcast at real scale, and a broadcast build here would execute
     // the whole shingle pipeline in a single thread before the cache is
@@ -143,7 +145,7 @@ object Dedup {
       bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     require(bands * rowsPerBand <= 8, "8 minhash slices available (2 md5s x 4)")
-    val shSets = docShingleSets(docs).persist()
+    val shSets = Caches.track(docShingleSets(docs))
     val k = bands * rowsPerBand
     // two md5 arrays materialized once per doc in their own projection
     // (a non-cheap alias consumed 4x is not inlined by CollapseProject),
@@ -172,19 +174,23 @@ object Dedup {
     // ngramJaccard). Shuffled hash joins keep every stage parallel; AQE
     // may still convert to broadcast after the parallel shuffle ran.
     // candidate pairs feed three consumers (two semi-joins + the pair
-    // join); persist so the band self-join runs once
-    val cands = keys.as("a").hint("shuffle_hash")
+    // join); persist so the band self-join runs once (caller-released)
+    val cands = Caches.track(keys.as("a").hint("shuffle_hash")
       .join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .persist()
+      .distinct())
     // left-semi-restrict the WIDE shingle-set relation to candidate ids
     // BEFORE the pair joins (the embeddingNearDup pattern): only candidate
     // rows — typically a tiny fraction of the corpus — carry their shingle
     // arrays into the verification exchanges, instead of shuffling every
-    // doc's array twice
+    // doc's array twice. These two joins intentionally carry NO
+    // shuffle_hash hint (unlike everything else here): their build side
+    // is a cheap id projection of the PERSISTED cands — materialized by
+    // the pair join below, not recomputed — so a planner-chosen broadcast
+    // is the scale-correct plan: it leaves the wide shingle side entirely
+    // unshuffled.
     val setsA = shSets
       .join(cands.select(col("doc_a").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("shs").as("sh_a"), col("n_sh").as("n_a"))
@@ -275,9 +281,8 @@ object Dedup {
     * left-semi means train shingles are never duplicated per match.
     */
   def contamination(docs: DataFrame): DataFrame = {
-    val tagged = docShingles(docs)
-      .withColumn("bucket", Corpus.hashBucket(col("doc_id")))
-      .persist()
+    val tagged = Caches.track(docShingles(docs)
+      .withColumn("bucket", Corpus.hashBucket(col("doc_id"))))
     val trainSh = tagged.filter(col("bucket") < 80).select(col("sh")).distinct()
     val testSh = tagged.filter(col("bucket") >= 90).select(col("doc_id"), col("sh"))
     val totals = testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

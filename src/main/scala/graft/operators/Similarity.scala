@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.Caches
 import graft.functions.{BoundedTopK, FixedPoint, Scored, Vectors}
 import graft.sources.Tables
 
@@ -122,7 +123,7 @@ object Similarity {
   def annIvf(
       emb: DataFrame,
       nCells: Int, nProbe: Int, k: Int, nQueries: Int): DataFrame = {
-    val e = prepared(emb).persist()
+    val e = Caches.track(prepared(emb))
     val cents = e.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
     ivfProbe(e, cents, nProbe, k, nQueries)
@@ -153,12 +154,11 @@ object Similarity {
       .filter(col("rn") <= nProbe)
       .select(col("vec_id").as("query_id"), col("cid"))
     // candidate pairs feed two semi-joins + the scored join below;
-    // persist so the probe-assign join runs once
-    val cands = probes.hint("shuffle_hash")
+    // persist so the probe-assign join runs once (caller-released)
+    val cands = Caches.track(probes.hint("shuffle_hash")
       .join(assign.hint("shuffle_hash"), "cid")
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
-      .persist()
+      .select(col("query_id"), col("vec_id").as("neighbor_id")))
     // left-semi-restrict the WIDE embedding relation to ids actually in
     // the candidate set BEFORE the scored joins (the minhashLsh pattern,
     // Dedup.minhashLsh): only candidate rows — probe-bounded, a tiny
@@ -208,7 +208,7 @@ object Similarity {
     * Returns (cid, ce: array<float>).
     */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    val e = prepared(emb).persist()
+    val e = Caches.track(prepared(emb))
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
       .localCheckpoint()
@@ -256,7 +256,7 @@ object Similarity {
       nCells: Int, iters: Int, nProbe: Int, k: Int, nQueries: Int): DataFrame = {
     val cents = kmeansCentroids(emb, nCells, iters)
       .withColumn("cn2", FixedPoint.normSqF(col("ce")))
-    ivfProbe(prepared(emb).persist(), cents, nProbe, k, nQueries)
+    ivfProbe(Caches.track(prepared(emb)), cents, nProbe, k, nQueries)
   }
 
   def annIvfTrained(s: SparkSession, dir: String): DataFrame =

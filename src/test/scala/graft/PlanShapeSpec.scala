@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 import graft.operators.Relational
 
@@ -106,6 +108,47 @@ class PlanShapeSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"),
       s"test-side shingles must semi-join the train set, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  private def nodes(df: DataFrame): Seq[SparkPlan] =
+    df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect { case n => n }
+      case n => Seq(n)
+    }.flatten
+
+  test("q41: quantile windows consume the (lang, n_chars) aggregate, never raw documents") {
+    val df = graft.operators.Corpus.lengthQuantiles(
+      graft.sources.Tables.documents(spark, sf0001))
+    val wins = nodes(df).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty,
+      s"expected window nodes:\n${df.queryExecution.executedPlan}")
+    // every window's input subtree must contain the value-distribution
+    // hash aggregate — a window directly over the document scan would be
+    // the low-cardinality-keyed corpus sort this operator exists to avoid
+    wins.foreach { w =>
+      assert(w.child.collect { case a: HashAggregateExec => a }.nonEmpty,
+        s"window input is not aggregated:\n$w")
+    }
+  }
+
+  test("q22: minhash verification semi-restricts shingle sets to candidates before the pair joins") {
+    val df = graft.operators.Dedup.minhashLsh(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // one LeftSemi per pair side: the wide shs arrays enter the
+    // verification exchanges only for candidate ids
+    assert(plan.split("LeftSemi").length - 1 >= 2,
+      s"expected two left-semi candidate restrictions, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  test("q35: ivf probe semi-restricts the embedding relation to candidates before scoring") {
+    val df = graft.operators.Similarity.annIvf(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // one LeftSemi per scored-join side (query + neighbor): only
+    // candidate rows carry float arrays into the verification exchanges
+    assert(plan.split("LeftSemi").length - 1 >= 2,
+      s"expected two left-semi candidate restrictions, plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
   }
 
