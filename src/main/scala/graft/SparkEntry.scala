@@ -83,8 +83,9 @@ object SparkEntry {
     "q58_freq_spectrum" -> (Corpus.freqSpectrum _),
     "q59_chunking" -> ((s, d) => Prep.chunk(s, d)),
     "q60_lm_score" -> (Prep.lmScore _),
-    // no oracle (iterative k-means training is not one SQL query) →
-    // rows-only check; semantics verified by SimilaritySpec
+    // oracle: the fixed iters=2 Lloyd loop unrolled into a CTE chain
+    // (see the q61 oracleSql entry); semantics also verified by
+    // SimilaritySpec's planted-cluster recall + determinism tests
     "q61_ann_ivf_trained" -> ((s, d) => Similarity.annIvfTrained(s, d)),
     "q62_rolling_revenue" -> (Advanced.rollingRevenue _),
     "q63_gap_fill_daily" -> (Advanced.gapFillDaily _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q65_props_extract" -> (Advanced.propsExtract _),
     "q66_mixture_sample" -> (Prep.mixtureSample _),
     "q67_cohort_retention" -> (Advanced.cohortRetention _),
+    "q68_curated_readback" -> (Prep.curatedReadback _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -978,5 +980,29 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM days JOIN cohorts USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // q68: the Spark side writes the split-partitioned curated corpus and
+    // reads the train split back; the oracle recomputes the same aggregate
+    // straight from `documents` with the identical md5-bucket split — a
+    // green row proves the partitioned write/read round trip is lossless
+    // (text fingerprint included) and the split boundary matches.
+    "q68_curated_readback" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars, text,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(
+        |      (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) AS BIGINT) AS text_fp
+        |FROM b WHERE bucket < 80
+        |GROUP BY lang""".stripMargin,
   )
 }

@@ -259,4 +259,54 @@ object Prep {
 
   def lmScore(s: SparkSession, dir: String): DataFrame =
     lmScore(Tables.documents(s, dir))
+
+  /** Partitioned curated-corpus writer — the last mile of a training
+    * pipeline (reference analog: the historical event writes to object
+    * storage, reference: script/TributeStreamingJob.py:70-74, done at
+    * table scale instead of per-row). Documents are stamped with their
+    * deterministic split (Corpus.splitAssign semantics — a pure md5
+    * projection, zero shuffle) and written as parquet PARTITIONED BY
+    * split, so a downstream training job reads exactly one directory
+    * (`split=train/`) and Spark prunes the rest at planning time (see
+    * PlanShapeSpec's q68 partition-pruning test).
+    *
+    * Scale notes: `partitionBy` on a 3-value column means each write task
+    * opens at most 3 files — no small-file explosion; within a split,
+    * file count tracks input partitions, which the caller sizes via
+    * `spark.sql.files.maxPartitionBytes`. The split column itself costs
+    * nothing to store (it lives in the directory name).
+    */
+  def writeCurated(docs: DataFrame, outDir: String): Unit =
+    docs
+      .withColumn("split",
+        when(hashBucket(col("doc_id")) < 80, "train")
+          .when(hashBucket(col("doc_id")) < 90, "valid")
+          .otherwise("test"))
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+
+  /** Deterministic scratch location for the curated corpus of `dir`. */
+  def curatedDir(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-curated/${new java.io.File(dir).getName}"
+
+  /** Write-then-read round trip over the partitioned curated corpus: write
+    * with `writeCurated`, read back ONLY the train split (pruned to one
+    * partition directory at planning time), and aggregate per language —
+    * doc count, total chars, and a 16-bit md5 text fingerprint sum that
+    * catches any corruption of the text payload in the round trip. The
+    * aggregate is oracle-checked against the source `documents` table, so
+    * a green row proves the writer layout is lossless and the split
+    * assignment matches the engine-portable md5-bucket formula.
+    */
+  def curatedReadback(s: SparkSession, dir: String): DataFrame = {
+    val out = curatedDir(dir)
+    writeCurated(Tables.documents(s, dir), out)
+    s.read.parquet(out)
+      .filter(col("split") === "train")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
+          .as("text_fp"))
+  }
 }

@@ -152,6 +152,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
   }
 
+  test("q68: curated read-back prunes to the train partition at planning time") {
+    val df = graft.operators.Prep.curatedReadback(spark, sf0001)
+    val scan = scans(df).head
+    assert(scan.partitionFilters.exists(_.toString.contains("split")),
+      s"expected a partition filter on split, got ${scan.partitionFilters}")
+    // the filter must reach the directory listing: exactly the one
+    // split=train directory survives out of {train, valid, test}
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned partition, got ${scan.selectedPartitions.partitionCount}")
+    // and split must NOT be read from file contents (it lives in the path)
+    assert(!scan.requiredSchema.fieldNames.contains("split"),
+      s"split must come from the partition path, scan reads ${scan.requiredSchema}")
+  }
+
   test("q57: tf-idf aggregates before its per-doc window (no raw-token window)") {
     val df = graft.operators.Corpus.tfidfTopTerms(
       graft.sources.Tables.documents(spark, sf0001), 3)
