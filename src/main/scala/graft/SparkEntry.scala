@@ -94,6 +94,7 @@ object SparkEntry {
     "q66_mixture_sample" -> (Prep.mixtureSample _),
     "q67_cohort_retention" -> (Advanced.cohortRetention _),
     "q68_curated_readback" -> (Prep.curatedReadback _),
+    "q69_mm_png_roundtrip" -> (Multimodal.pngRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1004,5 +1005,26 @@ object SparkEntry {
         |    + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) AS BIGINT) AS text_fp
         |FROM b WHERE bucket < 80
         |GROUP BY lang""".stripMargin,
+
+    // q69: the Spark side synthesizes a real PNG per doc and DECODES it
+    // with javax.imageio; width/height/pixel-sum come from the decoded
+    // image. The oracle recomputes them from the closed-form pixel
+    // function (PNG is lossless), so a hash match proves genuine binary
+    // codec work round-tripped exactly.
+    "q69_mm_png_roundtrip" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 48 AS INT) AS width,
+        |    CAST(16 + (doc_id * 7) % 48 AS INT) AS height
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, d.width, d.height,
+        |  CAST(SUM( (x * 31 + y * 17 + d.doc_id) % 256
+        |          + (x * 13 + y * 29 + d.doc_id * 3) % 256
+        |          + (x * 7 + y * 11 + d.doc_id * 5) % 256) AS BIGINT) AS px_sum
+        |FROM dims d,
+        |LATERAL (SELECT unnest(range(0, d.width)) AS x) tx,
+        |LATERAL (SELECT unnest(range(0, d.height)) AS y) ty
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -9,10 +9,13 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns travelling beside typed metadata. The Spark-side
   * machinery (schema, batching, partition-local decode, feature columns)
-  * is real; the actual codec is STUBBED with a deterministic fake
-  * (`decodeStub`) because media libraries aren't in this container — a
-  * real deployment swaps the stub for an actual decoder inside the same
-  * `mapPartitions` (partition-local, batched, no driver involvement).
+  * is real; for video/audio the codec is STUBBED with a deterministic
+  * fake (`decodeStub`) because those media libraries aren't in this
+  * container — a real deployment swaps the stub for an actual decoder
+  * inside the same `mapPartitions` (partition-local, batched, no driver
+  * involvement). For IMAGES the codec is REAL: `pngRoundtrip` encodes and
+  * decodes actual PNG bytes through `javax.imageio` (pure JVM, in every
+  * JRE), proving the seam carries genuine binary media work.
   */
 object Multimodal {
 
@@ -119,4 +122,84 @@ object Multimodal {
         (lit(1) + length(col("text").cast("binary")) % 30).as("frames"))
       .select(col("doc_id"),
         explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
+
+  /** Deterministic synthetic PNG for `docId`: a w×h RGB image whose every
+    * pixel channel is a pure function of (docId, x, y), encoded to REAL
+    * PNG bytes by javax.imageio. Because the pixel formula is closed-form
+    * and PNG is lossless, anything recovered from a decode is
+    * SQL-predictable — the trick that makes a genuine binary codec
+    * oracle-checkable.
+    */
+  private[graft] def syntheticPng(docId: Long): Array[Byte] = {
+    val w = (16 + docId % 48).toInt
+    val h = (16 + (docId * 7) % 48).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 31 + y * 17 + docId) % 256).toInt
+        val g = ((x * 13 + y * 29 + docId * 3) % 256).toInt
+        val b = ((x * 7 + y * 11 + docId * 5) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: parse PNG bytes with javax.imageio and return
+    * (width, height, sum of all RGB channel values) read from the DECODED
+    * PIXELS — not from any metadata shortcut.
+    */
+  private[graft] def decodePng(payload: Array[Byte]): (Int, Int, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sum)
+  }
+
+  private val pngSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("px_sum", LongType),
+  ))
+
+  /** Real-codec round trip, partition-local: synthesize PNG bytes per doc,
+    * then DECODE them with javax.imageio and emit width/height/pixel-sum
+    * read from the decoded image. The oracle recomputes the same numbers
+    * from the closed-form pixel function, so a hash match proves actual
+    * PNG binary work happened losslessly inside the mapPartitions seam —
+    * the same seam decodeFeatures/resizeThumbnail stub. Encode+decode stay
+    * inside one task (no payload shuffle); ImageIO's disk cache is off so
+    * executor threads never contend on temp files.
+    */
+  def pngRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pngSchema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h, sum) = decodePng(syntheticPng(id))
+        Row(id, w, h, sum)
+      }
+    }(enc)
+  }
 }

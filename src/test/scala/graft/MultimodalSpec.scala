@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** The real-codec image path: synthetic PNGs must be genuine PNG bytes,
+  * and the javax.imageio decode must recover exactly the closed-form
+  * pixel function — the property the q69 oracle relies on.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("syntheticPng emits real PNG bytes (magic header) with formula dimensions") {
+    val bytes = Multimodal.syntheticPng(42L)
+    assert(bytes.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "PNG signature")
+    val (w, h, _) = Multimodal.decodePng(bytes)
+    assert(w === (16 + 42 % 48) && h === (16 + (42 * 7) % 48))
+  }
+
+  test("decode recovers the closed-form pixel sum losslessly") {
+    for (id <- Seq(0L, 1L, 7L, 499L)) {
+      val (w, h, got) = Multimodal.decodePng(Multimodal.syntheticPng(id))
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        expect += (x * 31 + y * 17 + id) % 256
+        expect += (x * 13 + y * 29 + id * 3) % 256
+        expect += (x * 7 + y * 11 + id * 5) % 256
+      }
+      assert(got === expect, s"doc $id")
+    }
+  }
+
+  test("pngRoundtrip runs distributed and matches per-row decode") {
+    val rows = Multimodal.pngRoundtrip(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(rows.size === 500)
+    val (w, h, sum) = Multimodal.decodePng(Multimodal.syntheticPng(3L))
+    assert(rows(3L) === ((w, h, sum)))
+  }
+}

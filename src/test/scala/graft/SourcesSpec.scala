@@ -26,6 +26,24 @@ class SourcesSpec extends SparkSpec {
     assert(got.size === 16)
   }
 
+  test("kinesis record decode reproduces the declared-schema batch read") {
+    val batch = Sources.eventBatch(spark, fixture("streamingData/preCornucopia.json"))
+    // the spark-sql-kinesis connector's record shape: binary `data`
+    // payload plus shard metadata columns
+    val records = batch.select(
+      to_json(struct(batch.columns.map(col).toIndexedSeq: _*)).cast("binary").as("data"),
+      lit("shardId-000000000000").as("shardId"),
+      monotonically_increasing_id().cast("string").as("sequenceNumber"),
+      current_timestamp().as("approximateArrivalTimestamp"))
+    val decoded = Sources.decodeKinesisRecords(records)
+
+    assert(decoded.schema === Schemas.eventSchema)
+    val expect = batch.collect().map(_.toString).sorted.toSeq
+    val got = decoded.collect().map(_.toString).sorted.toSeq
+    assert(got === expect)
+    assert(got.size === 16)
+  }
+
   test("decode tolerates malformed messages as null-field rows, not crashes") {
     import spark.implicits._
     val junk = Seq("{not json", """{"streamingeventid":"x1","heartrate":"nope"}""")
