@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Corpus, Dedup, Multimodal, Prep, Relational, Similarity, TextAnalysis}
+import graft.operators.{Advanced, Corpus, Dedup, Multimodal, Prep, Relational, Similarity, TextAnalysis, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,6 +95,7 @@ object SparkEntry {
     "q67_cohort_retention" -> (Advanced.cohortRetention _),
     "q68_curated_readback" -> (Prep.curatedReadback _),
     "q69_mm_png_roundtrip" -> (Multimodal.pngRoundtrip _),
+    "q70_bucketed_join" -> (Warehouse.bucketedJoinRevenue _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1026,5 +1027,14 @@ object SparkEntry {
         |LATERAL (SELECT unnest(range(0, d.width)) AS x) tx,
         |LATERAL (SELECT unnest(range(0, d.height)) AS y) ty
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q70: the Spark side joins through bucketed catalog tables (zero
+    // join-side exchanges — the write pre-shuffled); the answer must be
+    // identical to the plain join, which is exactly what the oracle runs.
+    "q70_bucketed_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
   )
 }

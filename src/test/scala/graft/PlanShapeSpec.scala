@@ -166,6 +166,22 @@ class PlanShapeSpec extends SparkSpec {
       s"split must come from the partition path, scan reads ${scan.requiredSchema}")
   }
 
+  test("q70: bucketed join runs with zero exchanges below the sort-merge join") {
+    val df = graft.operators.Warehouse.bucketedJoinRevenue(spark, sf0001)
+    val joins = nodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty,
+      s"expected a sort-merge join over the bucketed tables:\n${df.queryExecution.executedPlan}")
+    joins.foreach { j =>
+      val exchanges = j.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must not shuffle either side:\n$j")
+    }
+  }
+
   test("q57: tf-idf aggregates before its per-doc window (no raw-token window)") {
     val df = graft.operators.Corpus.tfidfTopTerms(
       graft.sources.Tables.documents(spark, sf0001), 3)
