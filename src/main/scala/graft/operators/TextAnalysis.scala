@@ -69,13 +69,14 @@ object TextAnalysis {
     * k-gram of the text with a sliding window and keep the minimum — a
     * content identity robust to local edits anywhere except the winning
     * window, unlike whole-document hashing. Pure per-row projection
-    * (embarrassingly parallel); the window slide is the `transform` over
-    * gram start positions.
+    * (embarrassingly parallel), evaluated by the codegen'd single-pass
+    * kernel (graft.functions.MinGramMd5) — bit-identical to the
+    * `array_min(transform(sequence(...), i => md5(substr(text, i, k))))`
+    * composition it replaced, without that form's interpreted lambda and
+    * O(n²) re-scanning `substr` calls.
     */
   def winnowFingerprint(s: SparkSession, dir: String, k: Int = 8): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        array_min(transform(
-          sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
-          i => md5(col("text").substr(i, lit(k))))).as("winnow_fp"))
+        graft.functions.Winnow.minGramMd5(col("text"), k).as("winnow_fp"))
 }
