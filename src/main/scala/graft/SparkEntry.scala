@@ -96,6 +96,7 @@ object SparkEntry {
     "q68_curated_readback" -> (Prep.curatedReadback _),
     "q69_mm_png_roundtrip" -> (Multimodal.pngRoundtrip _),
     "q70_bucketed_join" -> (Warehouse.bucketedJoinRevenue _),
+    "q71_salted_skew_join" -> ((s, d) => Advanced.saltedSkewJoin(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1036,5 +1037,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey""".stripMargin,
+
+    // q71: the Spark side joins through (event_type, salt) sub-keys; the
+    // salt only affects row placement, so the answer must be identical to
+    // the plain join — which is what the oracle runs.
+    "q71_salted_skew_join" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS type_mean
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value, s.type_mean,
+        |  e.value - s.type_mean AS deviation
+        |FROM events e JOIN stats s USING (event_type)""".stripMargin,
   )
 }

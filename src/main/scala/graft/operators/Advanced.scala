@@ -142,6 +142,38 @@ object Advanced {
         sum(col("pn")).as("n"),
         sum(col("psum")).cast("double").as("sum_value"))
 
+  /** Skew-proof equi-join — the join-side complement of saltedSkewAgg.
+    * A hash join on a skewed key funnels each hot key's rows through ONE
+    * reducer; at 100 TB that reducer runs for hours while the rest idle.
+    * Salting splits every key into `salts` sub-keys: the big side derives
+    * a deterministic salt from its row id, the build side replicates each
+    * row once per salt value, and the join key becomes (key, salt) — so
+    * every reducer receives ~1/salts of each hot key. Salt choice only
+    * affects PLACEMENT; the result is identical to the unsalted join,
+    * which is exactly what the oracle checks.
+    *
+    * The demo joins events on their 5-value event_type (extreme skew:
+    * every key is hot) against per-type stats, emitting each event's
+    * deviation from its type mean. shuffle_hash pins the shuffled plan a
+    * real skew scenario faces — at test scale the 5-row build side would
+    * broadcast and make salting moot, but at real scale the build side
+    * is itself table-sized and cannot.
+    */
+  def saltedSkewJoin(s: SparkSession, dir: String, salts: Int = 16): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(davg(col("value")).as("type_mean"))
+    val replicated = stats
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    val salted = ev
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("__salt", pmod(col("event_id"), lit(salts)).cast("int"))
+    salted.hint("shuffle_hash")
+      .join(replicated.hint("shuffle_hash"), Seq("event_type", "__salt"))
+      .select(col("event_id"), col("event_type"), col("value"), col("type_mean"),
+        (col("value") - col("type_mean")).as("deviation"))
+  }
+
   /** Range-frame rolling aggregate: each order's trailing-30-day revenue
     * for its customer — the moving-window analytic every revenue dashboard
     * runs. RANGE (value-based) framing over epoch-day, so same-day orders

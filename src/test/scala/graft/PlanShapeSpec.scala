@@ -182,6 +182,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q71: salted join shuffles on (key, salt), spreading hot keys across reducers") {
+    val df = graft.operators.Advanced.saltedSkewJoin(spark, sf0001)
+    val joins = nodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty,
+      s"expected a shuffled hash join:\n${df.queryExecution.executedPlan}")
+    // the salt must be part of the join keys — that is the whole point
+    assert(joins.exists(_.leftKeys.exists(_.toString.contains("__salt"))),
+      s"join keys must include the salt:\n${joins.map(_.leftKeys)}")
+  }
+
   test("q57: tf-idf aggregates before its per-doc window (no raw-token window)") {
     val df = graft.operators.Corpus.tfidfTopTerms(
       graft.sources.Tables.documents(spark, sf0001), 3)
