@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FixedPointDot
+import graft.functions.{FixedPointDot, MinGramMd5}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as native SQL functions, so `spark.sql` users get
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fixedPointDot)
+    ext.injectFunction(GraftExtensions.minGramMd5)
   }
 }
 
@@ -42,5 +43,24 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "fixed_point_dot takes exactly 2 arguments")
       FixedPointDot(children.head, children(1))
+    })
+
+  /** `min_gram_md5(string, k) -> string`: minimum md5 hex digest over all
+    * character k-grams — the single-pass winnowing kernel.
+    */
+  val minGramMd5: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("min_gram_md5"),
+    new ExpressionInfo(
+      classOf[MinGramMd5].getCanonicalName, null, "min_gram_md5",
+      "_FUNC_(text, k) - minimum md5 hex digest over all character k-grams of text.",
+      "", "", "", "", "4.0.0", "", "built-in"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "min_gram_md5 takes exactly 2 arguments")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"min_gram_md5: k must be an integer literal, got $other")
+      }
+      MinGramMd5(children.head, k)
     })
 }

@@ -19,9 +19,11 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // when another suite already started a session, getOrCreate returns it
     // and builder extensions are ignored — register the same triple into
     // the live registry so the assertion holds either way
-    val (ident, info, builder) = GraftExtensions.fixedPointDot
-    if (!spark.catalog.functionExists(ident.funcName)) {
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Seq(GraftExtensions.fixedPointDot, GraftExtensions.minGramMd5).foreach {
+      case (ident, info, builder) =>
+        if (!spark.catalog.functionExists(ident.funcName)) {
+          spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+        }
     }
     try {
       import spark.implicits._
@@ -38,6 +40,16 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(sql === api)
       // 1*0.5 + 2*(-1) + 3*2 = 4.5 on the 1e8 grid
       assert(sql === (4.5e16).toLong)
+
+      val texts = Seq("the quick brown fox", "héllo wörld").toDF("text")
+      texts.createOrReplaceTempView("texts")
+      val sqlFp = spark.sql(
+        "SELECT min_gram_md5(text, 8) AS fp FROM texts ORDER BY fp")
+        .collect().map(_.getString(0)).toSeq
+      val apiFp = texts.select(
+        graft.functions.Winnow.minGramMd5($"text", 8).as("fp"))
+        .orderBy($"fp").collect().map(_.getString(0)).toSeq
+      assert(sqlFp === apiFp)
     } finally spark.stop()
   }
 }

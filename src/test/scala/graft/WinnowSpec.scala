@@ -44,6 +44,18 @@ class WinnowSpec extends SparkSpec {
       "ß" * 20), k = 8)
   }
 
+  test("kernel matches the built-in composition on 200 random mixed-unicode strings") {
+    val rnd = new scala.util.Random(13)
+    // whole codepoints (the emoji is a surrogate pair — never split it)
+    val alphabet = "abc XYZ09.,!äöüß日本語🙂€—\n\t".codePoints().toArray
+      .map(cp => new String(Character.toChars(cp)))
+    val texts = Seq.tabulate(200) { _ =>
+      val len = rnd.nextInt(40)
+      Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for (k <- Seq(1, 4, 8)) check(texts, k)
+  }
+
   test("kernel matches on the real corpus at sf0.001 for k=8 and k=3") {
     for (k <- Seq(8, 3)) {
       val docs = graft.sources.Tables.documents(spark, sf0001)
