@@ -135,6 +135,10 @@ object Multimodal {
     val h = (16 + (docId * 7) % 48).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // write the backing int raster directly: for TYPE_INT_RGB this stores
+    // exactly what setRGB would, without its per-call color-model hop
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
       var x = 0
@@ -142,7 +146,7 @@ object Multimodal {
         val r = ((x * 31 + y * 17 + docId) % 256).toInt
         val g = ((x * 13 + y * 29 + docId * 3) % 256).toInt
         val b = ((x * 7 + y * 11 + docId * 5) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
@@ -159,12 +163,16 @@ object Multimodal {
   private[graft] def decodePng(payload: Array[Byte]): (Int, Int, Long) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     val (w, h) = (img.getWidth, img.getHeight)
+    // one bulk ARGB read instead of a per-pixel getRGB color-model hop;
+    // values are identical ints, just fetched in one converted pass
+    val row = new Array[Int](w)
     var sum = 0L
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = row(x)
         sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
         x += 1
       }

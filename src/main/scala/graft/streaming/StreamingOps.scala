@@ -191,6 +191,33 @@ object StreamingOps {
       }
   }
 
+  /** Split-partitioned streaming parquet sink — the streaming arm of the
+    * curated-corpus last mile (batch arm: operators/Prep.writeCurated).
+    * Each micro-batch's rows land under their `split=.../` directory with
+    * the same deterministic md5-bucket assignment as the batch writer
+    * (graft.operators.Corpus.hashBucket of `idCol`), so stream and batch
+    * curation agree row-for-row. The parquet sink's transactional file
+    * log + checkpoint make the append exactly-once across restarts, and
+    * downstream training reads still prune to one split directory.
+    */
+  def writeCuratedStream(
+      docs: DataFrame,
+      idCol: String,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs
+      .withColumn("split",
+        when(graft.operators.Corpus.hashBucket(col(idCol)) < 80, "train")
+          .when(graft.operators.Corpus.hashBucket(col(idCol)) < 90, "valid")
+          .otherwise("test"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("split")
+      .outputMode(OutputMode.Append())
+      .start()
+
   def latestStatePerUser(events: Dataset[Ev]): Dataset[UserLatest] = {
     import events.sparkSession.implicits._
     events

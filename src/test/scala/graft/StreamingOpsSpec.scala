@@ -8,6 +8,9 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.{Ev, StreamingOps}
 
+/** Minimal curated-corpus row for the streaming writer test. */
+case class StreamDoc(doc_id: Long, text: String, lang: String)
+
 /** Event-time streaming operators under real micro-batch execution
   * (MemoryStream source, memory sink), including watermark-driven late-row
   * dropping and engine-side keyed state.
@@ -196,5 +199,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(emissions(0).event_id === 2L)
     assert(emissions(1).event_id === 2L) // older event did not displace state
     assert(emissions(2).event_id === 4L)
+  }
+
+  test("curated streaming sink partitions by split, agrees with the batch assignment, and restarts exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-curated-stream").toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+
+    val mem = MemoryStream[StreamDoc]
+    mem.addData((1L to 8L).map(i => StreamDoc(i, s"text $i", "en")): _*)
+    val q1 = StreamingOps.writeCuratedStream(mem.toDF(), "doc_id", out, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    val first = spark.read.parquet(out)
+    assert(first.count() === 8)
+    // split agreement with the batch assignment for the same ids
+    val expected = graft.operators.Corpus
+      .splitAssign(first.select(col("doc_id"), col("text"), col("lang")))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val got = first.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(got === expected)
+    // the split really is a partition directory
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("split=")))
+
+    // restart from the same checkpoint: new rows append exactly once,
+    // old rows are not re-emitted
+    mem.addData(StreamDoc(9L, "text 9", "en"), StreamDoc(10L, "text 10", "de"))
+    val q2 = StreamingOps.writeCuratedStream(mem.toDF(), "doc_id", out, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val second = spark.read.parquet(out)
+    assert(second.count() === 10)
+    assert(second.select($"doc_id").as[Long].collect().sorted.toSeq === (1L to 10L))
   }
 }
