@@ -51,6 +51,8 @@ object Bench {
     // an "errors" object instead.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def rep(): Either[String, Double] = {
+        // scope the rep so only ITS tracked caches are dropped (graft.Caches)
+        val scope = Caches.open()
         val t0 = System.nanoTime()
         val outcome =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -58,9 +60,9 @@ object Bench {
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        // drain the operator cache registry (see graft.Caches), then drop
-        // anything else (the reference-parity source cache hints)
-        Caches.releaseAll()
+        // drain the rep's cache scope, then drop anything else (the
+        // reference-parity source cache hints)
+        scope.release()
         spark.catalog.clearCache()
         // reclaim the dropped cache/shuffle buffers now, so one query's
         // garbage doesn't tax the next query's reps with GC pauses

@@ -17,14 +17,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // the parquet dump is the terminal action: scope the query and
+      // release the caches its operators persisted for it (graft.Caches)
+      val scope = Caches.open()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // the parquet dump was the terminal action: release the caches the
-      // operators persisted for it (see graft.Caches)
-      finally Caches.releaseAll()
+      finally scope.release()
     }
     def q(s: String): String = JsonEscape.quote(s)
     val json = SparkEntry.oracleSql

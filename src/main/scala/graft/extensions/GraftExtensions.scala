@@ -55,11 +55,29 @@ object GraftExtensions {
       "_FUNC_(text, k) - minimum md5 hex digest over all character k-grams of text.",
       "", "", "", "", "4.0.0", "", "built-in"),
     (children: Seq[Expression]) => {
-      require(children.length == 2, "min_gram_md5 takes exactly 2 arguments")
+      // a bad k is the USER's analysis error, not an engine bug: raise a
+      // proper AnalysisException (not a bare IllegalArgumentException) so
+      // spark.sql callers get a catchable, positioned analysis failure.
+      def bad(msg: String) = new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
+      if (children.length != 2) throw bad("min_gram_md5 takes exactly 2 arguments")
+      // k only needs to be CONSTANT at analysis time, not a bare literal:
+      // accept any foldable integral expression (8, 2+2, CAST(8 AS BIGINT))
+      // by constant-folding it here.
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       val k = children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"min_gram_md5: k must be an integer literal, got $other")
+        case e if e.foldable && (e.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }) =>
+          e.eval() match {
+            case null => throw bad("min_gram_md5: k must not be NULL")
+            case n: Number if n.longValue() >= 1 && n.longValue() <= Int.MaxValue =>
+              n.intValue()
+            case n => throw bad(s"min_gram_md5: k out of range [1, 2^31): $n")
+          }
+        case other => throw bad(
+          s"min_gram_md5: k must be a constant integral expression, got ${other.sql}")
       }
       MinGramMd5(children.head, k)
     })

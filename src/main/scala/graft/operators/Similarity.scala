@@ -138,11 +138,18 @@ object Similarity {
   private def ivfProbe(
       e: DataFrame, cents: DataFrame,
       nProbe: Int, k: Int, nQueries: Int): DataFrame = {
-    // every vector × every centroid: broadcast the tiny centroid side
-    val vc = e.crossJoin(broadcast(cents))
+    // every vector × every centroid: broadcast the tiny centroid side.
+    // Persisted (caller-released) because BOTH the assign branch and the
+    // probes branch below consume it: without the persist the probes
+    // branch re-derives it (cheap — its vec_id < nQueries filter pushes
+    // below the crossJoin — but a second pass nonetheless); with it the
+    // vec×cell scoring runs exactly once. The cached relation is narrow
+    // (id, id, double) × |corpus|·|cells| rows, bounded by the small,
+    // fixed cell count.
+    val vc = Caches.track(e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         Vectors.cosineFromParts(
-          FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
+          FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
     val assign = vc.withColumn("rn", row_number().over(wAssign))

@@ -14,11 +14,16 @@ class CacheLifecycleSpec extends SparkSpec {
 
   private def pinned: Int = spark.sparkContext.getPersistentRDDs.size
 
-  private def awaitReleased(): Int = {
+  private def awaitReleased(floor: Int = 0): Int = {
     // unpersist is issued with blocking = false; give the async block
-    // removal a moment before asserting
+    // removal a moment before asserting. localCheckpoint RDDs pinned by
+    // EARLIER suites release via GC + ContextCleaner, so nudge the
+    // collector each poll or a full-suite run can flake here.
     val deadline = System.nanoTime() + 10_000_000_000L
-    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    while (pinned > floor && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(50)
+    }
     pinned
   }
 
@@ -46,5 +51,42 @@ class CacheLifecycleSpec extends SparkSpec {
     Caches.releaseAll()
     Caches.releaseAll()
     assert(awaitReleased() === 0)
+  }
+
+  test("scopes isolate two queries in flight: releasing one leaves the other pinned") {
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+    assert(awaitReleased() === 0, "dirty session before the test")
+
+    // query A: opened scope on this thread, built AND materialized
+    val scopeA = Caches.open()
+    try {
+      operators.Dedup.minhashLsh(spark, sf0001)
+        .write.format("noop").mode("overwrite").save()
+      val pinnedA = pinned
+      assert(pinnedA > 0, "minhashLsh should persist its intermediates")
+
+      // query B: its own scope on its own thread (a concurrent session)
+      @volatile var scopeB: Caches.Scope = null
+      @volatile var failure: Throwable = null
+      val tb = new Thread(() => {
+        try {
+          scopeB = Caches.open()
+          operators.Similarity.annIvf(spark, sf0001)
+            .write.format("noop").mode("overwrite").save()
+        } catch { case t: Throwable => failure = t }
+      })
+      tb.start()
+      tb.join()
+      assert(failure === null, s"query B failed: $failure")
+      assert(pinned > pinnedA, "annIvf should persist additional relations")
+
+      // releasing B must drop ONLY B's caches: A's stay pinned
+      scopeB.release()
+      assert(awaitReleased(floor = pinnedA) === pinnedA,
+        s"B's release touched A's caches: ${spark.sparkContext.getPersistentRDDs}")
+    } finally scopeA.release()
+    assert(awaitReleased() === 0,
+      s"caches leaked after both releases: ${spark.sparkContext.getPersistentRDDs}")
   }
 }

@@ -50,6 +50,28 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         graft.functions.Winnow.minGramMd5($"text", 8).as("fp"))
         .orderBy($"fp").collect().map(_.getString(0)).toSeq
       assert(sqlFp === apiFp)
+
+      // k is any CONSTANT integral expression, not just a bare int literal:
+      // a foldable arithmetic expression and a BIGINT cast both resolve
+      val folded = spark.sql(
+        "SELECT min_gram_md5(text, 2 + 6) AS fp FROM texts ORDER BY fp")
+        .collect().map(_.getString(0)).toSeq
+      assert(folded === apiFp)
+      val bigint = spark.sql(
+        "SELECT min_gram_md5(text, CAST(8 AS BIGINT)) AS fp FROM texts ORDER BY fp")
+        .collect().map(_.getString(0)).toSeq
+      assert(bigint === apiFp)
+
+      // a NON-constant or out-of-range k is the caller's analysis error —
+      // a proper AnalysisException, not a bare IllegalArgumentException
+      val nonConst = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT min_gram_md5(text, length(text)) FROM texts").collect()
+      }
+      assert(nonConst.getMessage.contains("constant integral"))
+      val zero = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT min_gram_md5(text, 0) FROM texts").collect()
+      }
+      assert(zero.getMessage.contains("out of range"))
     } finally spark.stop()
   }
 }
