@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Heavy-query scale smoke: run the three most expensive operators (q22
+  * MinHash-LSH, q56 dup clusters, q61 trained IVF) on an N×-amplified
+  * corpus, assert completion, and report wall times — the "scales to
+  * 100×" design claims get at least one measured 10× data point.
+  *
+  * Amplification preserves the dup STRUCTURE instead of inflating it:
+  * each copy of the documents table gets a per-copy character bijection
+  * (`translate` over the lowercase alphabet, rotated by the copy index),
+  * so documents that were near-dups of each other stay near-dups WITHIN a
+  * copy but no document is a near-dup of its sibling in another copy.
+  * True dup pairs therefore grow linearly with the multiplier — the same
+  * way a real 10× crawl grows — not quadratically the way verbatim
+  * replication would. Embeddings get a per-copy, per-dimension
+  * perturbation for the same reason (identical copies would make every
+  * ranking a tie).
+  *
+  * Usage: `runMain graft.ScaleSmoke [sfDir] [multiplier]`
+  * Prints one JSON line: {"multiplier":N,"rows":{...},"queries":{"q22":s,...}}
+  */
+object ScaleSmoke {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** documents amplified `mult`×: ids shifted by a fixed stride, text
+    * re-lettered per copy so cross-copy pairs are never near-dups. */
+  def amplifyDocs(docs: DataFrame, mult: Int, stride: Long = 100000000L): DataFrame =
+    (0 until mult).map { i =>
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      docs.select(
+        (col("doc_id") + lit(i * stride)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+
+  /** embeddings amplified `mult`×: ids shifted, vectors nudged per
+    * (copy, dimension) so rankings keep strict orderings. */
+  def amplifyEmb(emb: DataFrame, mult: Int, stride: Long = 100000000L): DataFrame =
+    (0 until mult).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * stride)).as("vec_id"),
+        transform(col("embedding"),
+          (x, pos) => x + (pos + lit(1)).cast("float") * lit(i * 1e-5f)).as("embedding"))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = amplifyDocs(graft.sources.Tables.documents(spark, sfDir), mult)
+    val emb = amplifyEmb(graft.sources.Tables.embeddings(spark, sfDir), mult)
+    val nDocs = docs.count()
+    val nEmb = emb.count()
+
+    def timed(name: String)(df: => DataFrame): (String, Double) = {
+      val scope = Caches.open()
+      val t0 = System.nanoTime()
+      try df.write.format("noop").mode("overwrite").save()
+      finally { scope.release(); spark.catalog.clearCache() }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"SCALE $name%-8s $dt%9.3f s")
+      name -> dt
+    }
+
+    val times = Seq(
+      timed("q22") {
+        graft.operators.Dedup.minhashLsh(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      },
+      timed("q56") {
+        graft.operators.Dedup.dupClusters(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      },
+      timed("q61") {
+        graft.operators.Similarity.annIvfTrained(
+          emb, nCells = 8, iters = 2, nProbe = 2, k = 5, nQueries = 10)
+      })
+
+    val qs = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"multiplier":$mult,"rows":{"documents":$nDocs,"embeddings":$nEmb},"queries":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

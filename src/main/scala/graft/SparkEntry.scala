@@ -95,8 +95,9 @@ object SparkEntry {
     "q67_cohort_retention" -> (Advanced.cohortRetention _),
     "q68_curated_readback" -> (Prep.curatedReadback _),
     "q69_mm_png_roundtrip" -> (Multimodal.pngRoundtrip _),
-    "q70_bucketed_join" -> (Warehouse.bucketedJoinRevenue _),
+    "q70_bucketed_join" -> ((s, d) => Warehouse.bucketedJoinRevenue(s, d)),
     "q71_salted_skew_join" -> ((s, d) => Advanced.saltedSkewJoin(s, d)),
+    "q72_mm_wav_roundtrip" -> (Multimodal.wavRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1050,5 +1051,22 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, e.value, s.type_mean,
         |  e.value - s.type_mean AS deviation
         |FROM events e JOIN stats s USING (event_type)""".stripMargin,
+
+    // q72: the Spark side synthesizes a real RIFF/WAVE file per doc and
+    // DECODES it with javax.sound.sampled; count/sum/abs-sum come from
+    // the decoded PCM frames. The oracle recomputes them from the
+    // closed-form sample function (WAV PCM is lossless), so a hash match
+    // proves genuine audio codec work round-tripped exactly.
+    "q72_mm_wav_roundtrip" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(256 + doc_id % 512 AS INT) AS n_samples
+        |  FROM documents
+        |)
+        |SELECT l.doc_id, l.n_samples,
+        |  CAST(SUM((l.doc_id * 31 + t * 17) % 65536 - 32768) AS BIGINT) AS sample_sum,
+        |  CAST(SUM(ABS((l.doc_id * 31 + t * 17) % 65536 - 32768)) AS BIGINT) AS sample_abs_sum
+        |FROM lens l,
+        |LATERAL (SELECT unnest(range(0, l.n_samples)) AS t) tt
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

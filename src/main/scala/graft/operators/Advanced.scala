@@ -158,6 +158,28 @@ object Advanced {
     * real skew scenario faces — at test scale the 5-row build side would
     * broadcast and make salting moot, but at real scale the build side
     * is itself table-sized and cannot.
+    *
+    * Salting vs AQE skew handling: Spark's adaptive skew join
+    * (`spark.sql.adaptive.skewJoin.enabled`) does the same thing at
+    * RUNTIME — it splits an oversized shuffle partition into chunks and
+    * replicates the matching build-side partition per chunk — and when it
+    * applies it is the better default: no plan rewrite, no replication of
+    * the whole build side, and it only pays for partitions that actually
+    * measured skewed. But its pattern is narrow — `OptimizeSkewedJoin`
+    * only matches a sort-merge join whose BOTH inputs are
+    * sort-over-shuffle DIRECTLY. Reach for explicit salting when AQE's
+    * rewrite does NOT apply: when any operator sits between a side's
+    * shuffle and the join — THIS query's build side is an aggregate, so
+    * its HashAggregate defeats the match even with
+    * `forceOptimizeSkewedJoin` on (AdvancedSpec proves it); when the
+    * skewed shuffle feeds an AGGREGATION rather than a join (AQE cannot
+    * split a partial-agg partition — see saltedSkewAgg); inside
+    * Structured Streaming micro-batches (no AQE re-planning for stateful
+    * shuffles); or when you need a layout that is deterministic across
+    * runs rather than dependent on runtime size estimates. Either way
+    * the ANSWER is identical — AdvancedSpec proves the salted plan, the
+    * un-rewritable agg-fed AQE plan, and a genuinely skew-split AQE plan
+    * (build side materialized first) all reproduce the q71 oracle rows.
     */
   def saltedSkewJoin(s: SparkSession, dir: String, salts: Int = 16): DataFrame = {
     val ev = Tables.events(s, dir)

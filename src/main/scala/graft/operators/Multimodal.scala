@@ -210,4 +210,84 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Deterministic synthetic WAV for `docId`: 16-bit signed little-endian
+    * mono PCM whose every sample is a pure function of (docId, t), wrapped
+    * in a REAL RIFF/WAVE container by javax.sound.sampled. WAV PCM is
+    * lossless, so anything recovered from a decode is SQL-predictable —
+    * the same closed-form trick as syntheticPng.
+    */
+  private[graft] def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (256 + docId % 512).toInt
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      // int16 in [-32768, 32767], exactly (docId*31 + t*17) % 65536 - 32768
+      val v = (((docId * 31 + t.toLong * 17) % 65536) - 32768).toInt
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: parse WAV bytes with javax.sound.sampled and
+    * return (sample count, sample sum, abs-sample sum) computed from the
+    * DECODED PCM frames — not from any metadata shortcut.
+    */
+  private[graft] def decodeWav(payload: Array[Byte]): (Int, Long, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected decoded format: $fmt")
+    val bytes = ais.readAllBytes()
+    val n = bytes.length / 2
+    var sum = 0L
+    var absSum = 0L
+    var i = 0
+    while (i < n) {
+      val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+      sum += v
+      absSum += math.abs(v)
+      i += 1
+    }
+    (n, sum, absSum)
+  }
+
+  private val wavSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("sample_sum", LongType),
+    StructField("sample_abs_sum", LongType),
+  ))
+
+  /** Real-codec round trip for AUDIO, partition-local: synthesize WAV
+    * bytes per doc, DECODE them with javax.sound.sampled and emit
+    * count/sum/abs-sum read from the decoded PCM. The oracle recomputes
+    * the same numbers from the closed-form sample function, so a hash
+    * match proves an actual RIFF/WAVE encode→decode happened losslessly
+    * inside the mapPartitions seam — completing the real-codec story
+    * (q69 images, q72 audio; video has no pure-JVM decoder, so its stub
+    * is the honest ceiling in this container).
+    */
+  def wavRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(wavSchema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (n, sum, absSum) = decodeWav(syntheticWav(id))
+        Row(id, n, sum, absSum)
+      }
+    }(enc)
+  }
 }

@@ -24,8 +24,22 @@ import graft.sources.Tables
   */
 object Warehouse {
 
-  private def tablePath(dir: String, table: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-warehouse/${new java.io.File(dir).getName}/$table"
+  /** Catalog/table identity is scoped per (application, data dir, tag):
+    * the Spark applicationId keys out concurrent JVMs sharing one
+    * java.io.tmpdir, the data-dir name keys out SFs, and the optional
+    * caller tag keys out concurrent queries inside one session. Without
+    * this, two sessions running q70 would clobber each other's catalog
+    * entries and table files mid-join.
+    */
+  private def token(s: SparkSession, dir: String, tag: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val d = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val t = if (tag.isEmpty) "" else "_" + tag.replaceAll("[^A-Za-z0-9]", "_")
+    s"${d}_$app$t"
+  }
+
+  private def tablePath(token: String, table: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-warehouse/$token/$table"
 
   /** Bucket count: fixed and SMALL at test scale. At 100 TB you size this
     * so one bucket ≈ one task's worth of data (e.g. 4096 for a 4 TB
@@ -58,13 +72,15 @@ object Warehouse {
     * scale two fact tables leave no broadcast option). The only exchange
     * in the whole plan is the tiny post-join per-nation aggregate.
     */
-  def bucketedJoinRevenue(s: SparkSession, dir: String): DataFrame = {
+  def bucketedJoinRevenue(s: SparkSession, dir: String, tag: String = ""): DataFrame = {
+    val tok = token(s, dir, tag)
+    val (ordersT, customerT) = (s"graft_orders_b_$tok", s"graft_customer_b_$tok")
     writeBucketed(Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
-      "graft_orders_b", "o_custkey", tablePath(dir, "orders_b"))
+      ordersT, "o_custkey", tablePath(tok, "orders_b"))
     writeBucketed(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
-      "graft_customer_b", "c_custkey", tablePath(dir, "customer_b"))
-    s.table("graft_orders_b").hint("merge")
-      .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+      customerT, "c_custkey", tablePath(tok, "customer_b"))
+    s.table(ordersT).hint("merge")
+      .join(s.table(customerT), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
       .agg(
         count(lit(1)).as("n_orders"),

@@ -54,6 +54,74 @@ class AdvancedSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("AQE skew-join: cannot rewrite q71's agg-fed shape, fires once the build side is a plain shuffle, answers match salting either way") {
+    import spark.implicits._
+    val salted = Advanced.saltedSkewJoin(spark, sf0001)
+      .as[(Long, String, Double, Double, Double)].collect().toSet
+
+    // AQE skew handling forced on, thresholds shrunk so sf0.001
+    // partitions qualify (and coalescing kept from merging them away)
+    val aqeConfs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = aqeConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    aqeConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // AQE splits a skewed reduce partition along MAP-output boundaries;
+      // sf0.001's single-split parquet scan would feed the shuffle from
+      // one mapper and leave nothing to split, so spread the scan across
+      // several upstream tasks first (at real scale this is free — the
+      // scan has thousands of splits)
+      val ev = graft.sources.Tables.events(spark, sf0001)
+        .select($"event_id", $"event_type", $"value")
+        .repartition(8)
+      val stats = graft.sources.Tables.events(spark, sf0001)
+        .groupBy($"event_type")
+        .agg(graft.functions.Exact.davg($"value").as("type_mean"))
+
+      def deviations(build: org.apache.spark.sql.DataFrame) = {
+        val joined = ev.hint("merge").join(build, Seq("event_type"))
+          .select($"event_id", $"event_type", $"value", $"type_mean",
+            ($"value" - $"type_mean").as("deviation"))
+        // collect THIS dataset (not an .as[] sibling) so its adaptive
+        // plan finalizes and can be inspected
+        val got = joined.collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getDouble(3), r.getDouble(4))).toSet
+        (got, joined.queryExecution.executedPlan.toString)
+      }
+
+      // Shape 1 — q71's own shape: the build side is an AGGREGATE, so a
+      // HashAggregate sits between its shuffle and the join.
+      // OptimizeSkewedJoin only matches SMJ(Sort(shuffle), Sort(shuffle))
+      // directly; even forced, the rewrite structurally cannot fire here.
+      // The answer is still right — AQE just couldn't help with the skew.
+      val (aggGot, aggPlan) = deviations(stats)
+      assert(aggGot === salted,
+        "unsalted agg-fed join under AQE must equal the salted answer")
+      assert(!aggPlan.toLowerCase.contains("skew"),
+        s"AQE should NOT have rewritten the agg-fed join shape:\n$aggPlan")
+
+      // Shape 2 — materialize the build side first (localCheckpoint cuts
+      // the agg out of the plan), leaving a plain shuffle under both
+      // sorts: now the skew rewrite fires.
+      val (ckGot, ckPlan) = deviations(stats.localCheckpoint())
+      assert(ckGot === salted,
+        "AQE skew-join answer must equal the salted-join answer")
+      assert(ckPlan.toLowerCase.contains("skew"),
+        s"expected the AQE skew rewrite in the final plan:\n$ckPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("range join assigns every event to exactly one band") {
     import spark.implicits._
     val out = Advanced.rangeJoinBands(spark, sf0001).cache()

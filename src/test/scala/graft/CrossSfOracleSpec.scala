@@ -1,0 +1,225 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Corpus, Prep, Relational, Similarity}
+
+/** Cross-scale oracle consistency: the driver's DuckDB gate runs at ONE
+  * scale (sf0.01), so a scale-dependent divergence — decimal widening, a
+  * sampling boundary, a KMV exact→estimate transition, fixed-point
+  * accumulation — could pass today and fail at 10×. This spec recomputes
+  * the most hash-sensitive queries with an INDEPENDENT implementation
+  * (plain JVM: BigDecimal, MessageDigest md5, int64 fixed-point, driver
+  * loops — none of Spark's expression evaluation) and requires exact
+  * equality at TWO data scales per query.
+  *
+  * Scale choice: documents/embeddings are identical at sf0.001 and
+  * sf0.01 (500 rows each) and only grow at sf0.1 (5000 docs / 2000
+  * vectors), so document/embedding queries compare sf0.001 vs sf0.1;
+  * the lineitem-based q02 compares sf0.001 (6k rows) vs sf0.01 (60k).
+  */
+class CrossSfOracleSpec extends SparkSpec {
+
+  // ---- the independent primitive layer (no Spark evaluation) ----
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Corpus.hashBucket twin: 16-bit md5 prefix of the id's decimal string,
+    * mod 100. */
+  private def bucket(id: Long): Long =
+    java.lang.Long.parseLong(md5Hex(id.toString).substring(0, 4), 16) % 100
+
+  /** Corpus.h48 twin: 48-bit md5 prefix of the raw string. */
+  private def h48(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 12), 16)
+
+  /** Spark's double→decimal(18,2) cast twin: shortest-decimal repr of the
+    * double, rounded HALF_UP at scale 2. */
+  private def dec2(d: Double): JBigDecimal =
+    JBigDecimal.valueOf(d).setScale(2, RoundingMode.HALF_UP)
+
+  /** FixedPointDot twin. */
+  private def qdot(a: Array[Float], b: Array[Float]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc += math.floor(a(i).toDouble * 1e8 + 0.5).toLong *
+        math.floor(b(i).toDouble * 1e8 + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
+  private def cosine(dot: Long, n2a: Long, n2b: Long): Double =
+    dot.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))
+
+  private def docs(dir: String): Seq[(Long, String, String, String, Long)] =
+    graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+
+  // ---- q02: exact decimal aggregation over lineitem ----
+
+  test("q02 agg_pricing_summary matches a BigDecimal recompute at sf0.001 and sf0.01") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val rows = graft.sources.Tables.lineitem(spark, dir)
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+        .collect()
+      case class Acc(var qty: JBigDecimal = JBigDecimal.ZERO,
+                     var price: JBigDecimal = JBigDecimal.ZERO,
+                     var disc: JBigDecimal = JBigDecimal.ZERO,
+                     var discPrice: JBigDecimal = JBigDecimal.ZERO,
+                     var n: Long = 0L)
+      val acc = scala.collection.mutable.LinkedHashMap.empty[(String, String), Acc]
+      rows.foreach { r =>
+        val a = acc.getOrElseUpdate((r.getString(0), r.getString(1)), Acc())
+        a.qty = a.qty.add(dec2(r.getDouble(2)))
+        a.price = a.price.add(dec2(r.getDouble(3)))
+        a.disc = a.disc.add(dec2(r.getDouble(4)))
+        a.discPrice = a.discPrice.add(dec2(r.getDouble(3)).multiply(dec2(1.0 - r.getDouble(4))))
+        a.n += 1
+      }
+      val expected = acc.map { case ((rf, ls), a) =>
+        (rf, ls, a.qty.doubleValue, a.price.doubleValue,
+          a.discPrice.doubleValue, a.disc.doubleValue / a.n, a.n)
+      }.toSet
+      val got = Relational.aggPricingSummary(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+      assert(got === expected, s"q02 diverged from the BigDecimal recompute at $dir")
+    }
+  }
+
+  // ---- q42: KMV sketch + deterministic-sample quantiles ----
+
+  test("q42 sketch_profile matches a plain-JVM KMV recompute at sf0.001 and sf0.1") {
+    val k = 64
+    val samplePct = 12
+    def kmv(hashes: Iterable[Long]): Long = {
+      val distinct = hashes.to(scala.collection.immutable.SortedSet)
+      if (distinct.size < k) distinct.size.toLong
+      else ((k - 1).toLong << 48) / distinct.take(k).last
+    }
+    for (dir <- Seq(sf0001, sf01)) {
+      val ds = docs(dir)
+      val bySrc = ds.groupBy(_._4)
+      val expected = bySrc.map { case (src, rs) =>
+        val sample = rs.filter(r => bucket(r._1) < samplePct)
+          .map(r => (r._5, r._1)).sorted.map(_._1)
+        def at(p: Double): Option[Long] =
+          if (sample.isEmpty) None
+          else Some(sample(math.ceil(sample.size * p).toInt - 1))
+        (src, rs.size.toLong,
+          kmv(rs.map(r => h48(r._2))), kmv(rs.map(r => h48(r._3))),
+          at(0.50), at(0.95),
+          if (sample.isEmpty) None else Some(sample.size.toLong))
+      }.toSet
+      val got = Corpus.sketchProfileKmv(spark, dir).collect().map { r =>
+        def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), opt(4), opt(5), opt(6))
+      }.toSet
+      assert(got === expected, s"q42 diverged from the KMV recompute at $dir")
+    }
+  }
+
+  // ---- q51: bigram counts + windowed conditional probability ----
+
+  test("q51 bigram_lm matches a driver-side count recompute at sf0.001 and sf0.1") {
+    for (dir <- Seq(sf0001, sf01)) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      docs(dir).foreach { case (_, text, _, _, _) =>
+        val w = text.split(" ", -1)
+        if (w.length >= 2)
+          (0 until w.length - 1).foreach { i =>
+            val bg = w(i) + " " + w(i + 1)
+            counts(bg) = counts.getOrElse(bg, 0L) + 1L
+          }
+      }
+      val byW1 = counts.toSeq.groupBy(_._1.split(" ", 2)(0))
+        .map { case (w1, bgs) => w1 -> bgs.map(_._2).sum }
+      val expected = counts.map { case (bg, n) =>
+        (bg, n, n.toDouble / byW1(bg.split(" ", 2)(0)))
+      }.toSet
+      val got = Prep.bigramLm(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"q51 diverged from the count recompute at $dir")
+    }
+  }
+
+  // ---- q66: temperature-weighted mixture sampling ----
+
+  test("q66 mixture_sample matches a driver-side rate recompute at sf0.001 and sf0.1") {
+    for (dir <- Seq(sf0001, sf01)) {
+      val ds = docs(dir)
+      val nSrc = ds.groupBy(_._4).map { case (s, rs) => s -> rs.size.toLong }
+      val nMin = nSrc.values.min
+      val rate = nSrc.map { case (s, n) => s -> math.sqrt(nMin.toDouble / n) }
+      val expected = ds.flatMap { case (id, _, _, src, _) =>
+        val r = rate(src)
+        if (bucket(id).toDouble < r * 100.0) Some((id, src, r)) else None
+      }.toSet
+      val got = Prep.mixtureSample(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(got === expected, s"q66 diverged from the rate recompute at $dir")
+    }
+  }
+
+  // ---- q61: fixed-point Lloyd k-means + IVF cell-probe search ----
+
+  test("q61 ann_ivf_trained matches a driver-side Lloyd+probe recompute at sf0.001 and sf0.1") {
+    val (nCells, iters, nProbe, k, nQueries) = (8, 2, 2, 5, 10)
+    for (dir <- Seq(sf0001, sf01)) {
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val n2 = emb.map { case (id, v) => id -> qdot(v, v) }.toMap
+      val vecs = emb.toMap
+
+      // training: first-nCells init, two exact-arithmetic Lloyd iterations
+      var cents: Seq[(Long, Array[Float], Long)] = emb.filter(_._1 < nCells)
+        .map { case (id, v) => (id, v, n2(id)) }
+      for (_ <- 1 to iters) {
+        val members = emb.map { case (id, v) =>
+          // argmax cosine, ties to the smallest cid — Spark's
+          // (ccos DESC, cid ASC) row_number ordering
+          val best = cents.map { case (cid, ce, cn2) =>
+            (cosine(qdot(v, ce), n2(id), cn2), cid)
+          }.sortBy(t => (-t._1, t._2)).head
+          (best._2, v)
+        }
+        cents = members.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, ms) =>
+          val dims = ms.head._2.length
+          val m = Array.tabulate(dims) { d =>
+            val s = ms.map(x => math.floor(x._2(d).toDouble * 1e8 + 0.5).toLong).sum
+            (s.toDouble / (ms.size * 1e8)).toFloat
+          }
+          (cid, m, qdot(m, m))
+        }
+      }
+
+      // probe: assign every vector, each query probes nProbe cells, exact
+      // cosine rank with (cosine DESC, neighbor_id ASC) tie-break
+      def rankedCells(id: Long): Seq[Long] = cents
+        .map { case (cid, ce, cn2) => (cosine(qdot(vecs(id), ce), n2(id), cn2), cid) }
+        .sortBy(t => (-t._1, t._2)).map(_._2)
+      val assign = emb.map { case (id, _) => id -> rankedCells(id).head }.toMap
+      val expected = emb.map(_._1).filter(_ < nQueries).flatMap { q =>
+        val probed = rankedCells(q).take(nProbe).toSet
+        val cands = emb.map(_._1).filter(v => v != q && probed.contains(assign(v)))
+        cands.map(v => (cosine(qdot(vecs(q), vecs(v)), n2(q), n2(v)), v))
+          .sortBy(t => (-t._1, t._2)).take(k).zipWithIndex
+          .map { case ((cos, v), i) => (q, v, cos, i + 1) }
+      }.toSet
+      val got = Similarity.annIvfTrained(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got === expected, s"q61 diverged from the Lloyd+probe recompute at $dir")
+    }
+  }
+}

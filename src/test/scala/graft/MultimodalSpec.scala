@@ -36,4 +36,36 @@ class MultimodalSpec extends SparkSpec {
     val (w, h, sum) = Multimodal.decodePng(Multimodal.syntheticPng(3L))
     assert(rows(3L) === ((w, h, sum)))
   }
+
+  test("syntheticWav emits a real RIFF/WAVE container with formula sample count") {
+    val bytes = Multimodal.syntheticWav(42L)
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF", "RIFF magic")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE", "WAVE form type")
+    val (n, _, _) = Multimodal.decodeWav(bytes)
+    assert(n === 256 + 42 % 512)
+  }
+
+  test("WAV decode recovers the closed-form sample sums losslessly") {
+    for (id <- Seq(0L, 1L, 7L, 499L)) {
+      val (n, sum, absSum) = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      assert(n === (256 + id % 512).toInt, s"doc $id count")
+      var eSum = 0L
+      var eAbs = 0L
+      for (t <- 0 until n) {
+        val v = (id * 31 + t.toLong * 17) % 65536 - 32768
+        eSum += v
+        eAbs += math.abs(v)
+      }
+      assert(sum === eSum, s"doc $id sum")
+      assert(absSum === eAbs, s"doc $id abs sum")
+    }
+  }
+
+  test("wavRoundtrip runs distributed and matches per-row decode") {
+    val rows = Multimodal.wavRoundtrip(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.size === 500)
+    val (n, sum, absSum) = Multimodal.decodeWav(Multimodal.syntheticWav(3L))
+    assert(rows(3L) === ((n, sum, absSum)))
+  }
 }

@@ -17,4 +17,6 @@ trait SparkSpec extends AnyFunSuite {
     getClass.getResource(s"/fixtures/$rel").getPath
 
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
+  val sf01 = "/root/testdata/sf0.1"
 }
