@@ -98,6 +98,10 @@ object SparkEntry {
     "q70_bucketed_join" -> ((s, d) => Warehouse.bucketedJoinRevenue(s, d)),
     "q71_salted_skew_join" -> ((s, d) => Advanced.saltedSkewJoin(s, d)),
     "q72_mm_wav_roundtrip" -> (Multimodal.wavRoundtrip _),
+    "q73_pack_sequences" -> ((s, d) => Prep.packSequences(s, d)),
+    "q74_boilerplate_ngrams" -> ((s, d) => Dedup.boilerplate(s, d)),
+    "q75_scd2_history" -> (Warehouse.scd2History _),
+    "q76_zorder_readback" -> ((s, d) => Warehouse.zorderReadback(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

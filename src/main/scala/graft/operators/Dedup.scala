@@ -394,4 +394,50 @@ object Dedup {
 
   def dupClusters(s: SparkSession, dir: String): DataFrame =
     dupClusters(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
+
+  /** Boilerplate mass per document (the C4/RefinedWeb "repeated passage"
+    * quality signal): the fraction of a document's distinct word-5-grams
+    * that also occur in ≥ `minDocs` documents of the SAME source — nav
+    * bars, license footers, and template text repeat across a crawl
+    * source, while genuine prose does not. Dedup removes whole duplicate
+    * documents; this finds duplicated REGIONS inside otherwise-unique
+    * documents, the part of curation dedup alone can't do.
+    *
+    * Scale: one explode feeds one map-side-combined hash agg keyed by
+    * (source, shingle) — each doc contributes a shingle at most once
+    * (distinct within doc), so `count(*)` IS the distinct-doc count and
+    * no expensive count-distinct state is needed. The common-shingle set
+    * (tiny: only shingles crossing the threshold) joins back against the
+    * per-doc shingles keyed by the same high-cardinality key, left-semi
+    * so common shingles are never duplicated per match. Shingles travel
+    * as md5 digests, not raw 5-gram strings, so shuffle rows stay fixed
+    * width.
+    */
+  def boilerplate(docs: DataFrame, k: Int = 5, minDocs: Int = 5): DataFrame = {
+    val sh = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("source"),
+        explode_outer(Text.shingles(col("w"), k)).as("sh"))
+      .select(col("doc_id"), col("source"), md5(col("sh")).as("sh")))
+    val common = sh
+      .groupBy(col("source"), col("sh"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("source"), col("sh"))
+    val totals = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val boiler = sh.hint("shuffle_hash")
+      .join(common.hint("shuffle_hash"), Seq("source", "sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    totals.join(boiler, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_sh"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_sh"))
+          .as("boiler_ratio"))
+  }
+
+  def boilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables.documents(s, dir))
 }

@@ -309,4 +309,42 @@ object Prep {
         sum(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
           .as("text_fp"))
   }
+
+  /** Token-budget sequence packing: assign each document to a training
+    * sequence so consecutive docs fill a fixed token budget — the step
+    * that turns a curated corpus into fixed-length LM training rows.
+    *
+    * Packing is inherently sequential (each bin depends on everything
+    * before it), so a single global order would serialize the corpus
+    * through one reducer. Instead docs are sharded by an md5 bucket of
+    * doc_id and packed WITHIN each shard: every shard is an independent
+    * greedy run over its docs in doc_id order, so per-reducer work is
+    * corpus/shards and the shard count is the scale knob (32 here; ~10⁵
+    * at 100 TB). A doc whose tokens straddle a budget boundary belongs to
+    * the sequence its FIRST token lands in (`floor(cum_before / budget)`)
+    * — the standard concat-then-slice packing, where sequence boundaries
+    * cut documents rather than padding them.
+    *
+    * Determinism: shard and order are md5/id-derived, so the same doc
+    * lands in the same sequence on every run, engine, and partitioning.
+    * One shuffle (the per-shard window sort); everything else is
+    * projection.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % shards).cast("int").as("shard"),
+        size(Text.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / budget).cast("int").as("seq_id"))
+  }
+
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir))
 }
