@@ -102,6 +102,7 @@ object SparkEntry {
     "q74_boilerplate_ngrams" -> ((s, d) => Dedup.boilerplate(s, d)),
     "q75_scd2_history" -> (Warehouse.scd2History _),
     "q76_zorder_readback" -> ((s, d) => Warehouse.zorderReadback(s, d)),
+    "q77_scd2_asof" -> ((s, d) => Warehouse.scd2AsOf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1072,5 +1073,85 @@ object SparkEntry {
         |FROM lens l,
         |LATERAL (SELECT unnest(range(0, l.n_samples)) AS t) tt
         |GROUP BY 1, 2""".stripMargin,
+
+    // q73: shard and order are pure md5/id functions, so the oracle
+    // reproduces the exact same greedy packing — the window sum BEFORE
+    // each doc, floor-divided by the budget, IS the sequence of the doc's
+    // first token (the straddle rule).
+    "q73_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 32 AS INT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |              - n_tokens) / 2048.0) AS INT) AS seq_id
+        |FROM t""".stripMargin,
+
+    // q74: q55's shingle CTEs at k=5 with a (source, shingle) HAVING —
+    // the Spark side keys on md5 digests of the shingles, which changes
+    // nothing about the counts (same distinct sets), so raw-shingle SQL
+    // is the honest oracle. Docs with <5 words have no 5-shingles and are
+    // absent from both sides by construction.
+    "q74_boilerplate_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5
+        |), sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |                          FOR i IN range(1, len(w)-3)])) AS sh
+        |  FROM d
+        |), common AS (
+        |  SELECT source, sh FROM sh GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+        |), boiler AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_boiler
+        |  FROM sh s JOIN common c USING (source, sh) GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_sh, COALESCE(b.n_boiler, 0) AS n_boiler,
+        |  CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / t.n_sh AS boiler_ratio
+        |FROM tot t LEFT JOIN boiler b USING (doc_id)""".stripMargin,
+
+    // q75: SCD2 intervals are a single LEAD window — directly
+    // expressible; the tie-break on o_orderkey makes the versioning
+    // total, so the hash compare is exact.
+    "q75_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders""".stripMargin,
+
+    // q76: the result set is layout-independent — a plain filtered scan
+    // answers it; the z-order LAYOUT benefit (file pruning) is measured
+    // separately by WarehouseSpec's fileBoxes test.
+    "q76_zorder_readback" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND o_custkey BETWEEN 100 AND 250""".stripMargin,
+
+    // q77: the as-of probe against the q75 interval table — one version
+    // per customer qualifies at any T, enforced by the half-open
+    // [valid_from, valid_to) intervals.
+    "q77_scd2_asof" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    o_orderdate AS valid_from,
+        |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders
+        |)
+        |SELECT o_custkey, o_orderkey, o_totalprice, valid_from, valid_to
+        |FROM h
+        |WHERE valid_from <= TIMESTAMP '1996-06-01'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-01')""".stripMargin,
   )
 }

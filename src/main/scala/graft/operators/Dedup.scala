@@ -406,7 +406,11 @@ object Dedup {
     * Scale: one explode feeds one map-side-combined hash agg keyed by
     * (source, shingle) — each doc contributes a shingle at most once
     * (distinct within doc), so `count(*)` IS the distinct-doc count and
-    * no expensive count-distinct state is needed. The common-shingle set
+    * no expensive count-distinct state is needed. Documents with fewer
+    * than `k` words have no k-shingles and are DROPPED from the output
+    * (no n_sh=0 row) — same contract as the other shingle operators;
+    * callers wanting full-corpus coverage left-join this result back to
+    * the doc table. The common-shingle set
     * (tiny: only shingles crossing the threshold) joins back against the
     * per-doc shingles keyed by the same high-cardinality key, left-semi
     * so common shingles are never duplicated per match. Shingles travel

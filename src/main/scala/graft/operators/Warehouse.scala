@@ -98,12 +98,15 @@ object Warehouse {
     * partitions of a handful of rows each at 100 TB, no reducer hotspot):
     * `lead(valid_from)` closes each interval with the next version's
     * start. Ties on date break by o_orderkey so versioning is total and
-    * deterministic.
+    * deterministic. The window orders by the POST-rename column
+    * (`valid_from`) because `lead().over(w)` resolves against the frame
+    * the select already produced — ordering by `o_orderdate` here fails
+    * analysis with UNRESOLVED_COLUMN.
     */
   def scd2History(orders: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .orderBy(col("valid_from"), col("o_orderkey"))
     orders
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
@@ -115,16 +118,41 @@ object Warehouse {
   def scd2History(s: SparkSession, dir: String): DataFrame =
     scd2History(Tables.orders(s, dir))
 
-  /** Z-value: bit-interleave the low 16 bits of two non-negative integer
-    * dimensions (x₁₅y₁₅…x₀y₀), mapping 2-D locality onto a 1-D sort key.
+  /** Point-in-time ("as of") probe against the SCD2 interval table — the
+    * read-side query the history table exists for: which version of each
+    * customer dimension was live at time T? With half-open
+    * [valid_from, valid_to) intervals this is a plain range filter — no
+    * window, no self-join, no state at read time — and at 100 TB it is a
+    * pure scan-side predicate the parquet reader prunes on valid_from
+    * min/max stats. Exactly one row per customer qualifies for any T
+    * (intervals partition each customer's timeline), which the
+    * WarehouseSpec invariant test asserts.
+    */
+  def scd2AsOf(orders: DataFrame, asOf: String): DataFrame = {
+    val t = lit(asOf).cast("timestamp")
+    scd2History(orders)
+      .filter(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("valid_from"), col("valid_to"))
+  }
+
+  def scd2AsOf(s: SparkSession, dir: String): DataFrame =
+    scd2AsOf(Tables.orders(s, dir), "1996-06-01")
+
+  /** Z-value: bit-interleave the low 21 bits of two non-negative integer
+    * dimensions (x₂₀y₂₀…x₀y₀), mapping 2-D locality onto a 1-D sort key.
     * Sorting files by this key gives every file a TIGHT min/max box in
     * BOTH dimensions, so a 2-D box query skips most files via ordinary
     * parquet min/max stats — single-column sorting can only be tight in
-    * one dimension. Pure bit arithmetic on built-ins, whole-stage
-    * codegen'd.
+    * one dimension. 21 bits per dimension (42-bit key, comfortably inside
+    * a long) covers custkey to ~2.1M — beyond sf10's 1.5M customers —
+    * and every epoch-day this side of year 7000; 16 bits would silently
+    * truncate custkey above 65535 (~sf0.5) and degrade clustering
+    * locality. Pure bit arithmetic on built-ins, whole-stage codegen'd.
     */
   def zvalue(x: Column, y: Column): Column =
-    (0 until 16).map { b =>
+    (0 until 21).map { b =>
       shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b + 1)
         .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b))
     }.reduce(_ bitwiseOR _)

@@ -150,4 +150,34 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("keeper")))
     assert(pairs.toSeq === Seq((0L, 9L, 0L)))
   }
+
+  test("boilerplate flags a planted repeated footer within one source only") {
+    import spark.implicits._
+    val footer = "all rights reserved by the example corpus publishing company"
+    // 5 web docs share the footer (minDocs=5 → its shingles are common);
+    // the books doc has the SAME footer but is alone in its source → the
+    // per-source grouping must NOT flag it; one unique doc, one short doc
+    val d = (0L until 5L).map(i =>
+      (i, s"unique prose number $i about topic ${i * 7} and subject ${i * 13} $footer", "web")) ++
+      Seq(
+        (5L, s"a lone book manuscript with entirely original content inside $footer", "books"),
+        (6L, "completely unique web text with no repeated template material at all", "web"),
+        (7L, "too short", "web")) // < 5 words → dropped, no output row
+    val out = Dedup.boilerplate(
+        d.toDF("doc_id", "text", "source"), k = 5, minDocs = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_boiler"), r.getAs[Double]("boiler_ratio"))).toMap
+
+    assert(!out.contains(7L)) // short doc has no 5-shingles
+    assert(out(6L)._2 === 0L && out(6L)._3 === 0.0) // unique doc: nothing flagged
+    assert(out(5L)._2 === 0L) // footer is unique WITHIN 'books' → not boilerplate there
+    // every footer-carrying web doc has exactly the footer's 5-shingles
+    // flagged: a 9-word footer yields 5 five-grams, all common across the
+    // 5 docs (the prose words before it differ per doc)
+    (0L until 5L).foreach { i =>
+      val (nSh, nBoiler, ratio) = out(i)
+      assert(nBoiler === 5L, s"doc $i: expected the 5 footer shingles, got $nBoiler")
+      assert(ratio === 5.0 / nSh)
+    }
+  }
 }

@@ -173,4 +173,30 @@ class PrepSpec extends SparkSpec {
     assert(both === Array(10L))
     assert(only === Array(20L))
   }
+
+  test("packSequences matches an independent greedy pack per shard, incl. the straddle rule") {
+    // small budget on the real corpus → many sequences, many straddling docs
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val budget = 50
+    val out = Prep.packSequences(docs, budget = budget, shards = 4).collect()
+    assert(out.length === docs.count()) // every doc packed exactly once
+
+    var sawStraddle = false
+    out.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rows) =>
+      // replay the greedy pack in plain Scala: walk the shard in doc_id
+      // order; a doc's sequence is where its FIRST token lands
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        val expectedSeq = (cum / budget).toInt
+        assert(r.getAs[Int]("seq_id") === expectedSeq,
+          s"shard $shard doc ${r.getAs[Long]("doc_id")}: seq mismatch")
+        if (cum / budget != (cum + n - 1) / budget) sawStraddle = true
+        cum += n
+      }
+    }
+    // the invariant above is only interesting if boundary-straddling docs
+    // actually occurred (they must, with 50-token budgets and real docs)
+    assert(sawStraddle, "no document straddled a budget boundary — test too weak")
+  }
 }

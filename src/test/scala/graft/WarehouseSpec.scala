@@ -41,4 +41,87 @@ class WarehouseSpec extends SparkSpec {
     assert(names.exists(_.endsWith("_qa")) && names.exists(_.endsWith("_qb")),
       s"expected per-tag bucketed tables, got $names")
   }
+
+  test("scd2History: one current row per customer; intervals half-open, chained, non-overlapping") {
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    val hist = Warehouse.scd2History(orders).collect()
+    assert(hist.length === orders.count()) // every order becomes exactly one version row
+
+    val byCust = hist.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (ck, rows) =>
+      // exactly one open (current) interval per customer
+      assert(rows.count(_.getAs[Boolean]("is_current")) === 1,
+        s"customer $ck must have exactly one is_current row")
+      // sorted by (valid_from, o_orderkey), each interval's valid_to is the
+      // next version's valid_from (chained, half-open, non-overlapping) and
+      // only the last is open
+      val sorted = rows.sortBy(r =>
+        (r.getAs[java.time.LocalDateTime]("valid_from")
+          .toEpochSecond(java.time.ZoneOffset.UTC), r.getAs[Long]("o_orderkey")))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.time.LocalDateTime]("valid_to") ===
+            b.getAs[java.time.LocalDateTime]("valid_from"),
+            s"customer $ck: interval chain broken")
+        case _ => ()
+      }
+      assert(sorted.init.forall(!_.getAs[Boolean]("is_current")) &&
+        sorted.last.getAs[Boolean]("is_current"))
+    }
+  }
+
+  test("scd2AsOf: at most one version per customer qualifies at any probe time") {
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    val t = java.time.LocalDateTime.parse("1996-06-01T00:00:00")
+    val asOf = Warehouse.scd2AsOf(orders, "1996-06-01").collect()
+    val perCust = asOf.groupBy(_.getAs[Long]("o_custkey")).view.mapValues(_.length)
+    assert(perCust.values.forall(_ == 1),
+      s"duplicate as-of versions: ${perCust.filter(_._2 > 1).toMap}")
+    // exactly the customers with at least one order on/before T appear
+    val expected = orders
+      .filter(col("o_orderdate") <= lit("1996-06-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct().count()
+    assert(asOf.length === expected)
+    // and every returned interval actually covers T
+    assert(asOf.forall { r =>
+      val from = r.getAs[java.time.LocalDateTime]("valid_from")
+      val to = r.getAs[java.time.LocalDateTime]("valid_to")
+      !from.isAfter(t) && (to == null || to.isAfter(t))
+    })
+  }
+
+  test("z-order layout prunes a 2-D box query to fewer files than a date-only sort") {
+    val orders = graft.sources.Tables.orders(spark, sf001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-spec").toString
+    val (zPath, dPath) = (s"$tmp/z", s"$tmp/d")
+    val nFiles = 64 // enough files that custkey bits participate in the split
+    Warehouse.writeZordered(orders, zPath, nFiles)
+    Warehouse.writeDateSorted(orders, dPath, nFiles)
+
+    // sum file hits over a 3x3 grid of ~10% x ~10% boxes (single boxes are
+    // noisy: one straddling a major z-boundary can touch as many files as
+    // the date sort does; aggregate pruning is the honest measure)
+    val b = orders.agg(
+      min(datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))),
+      max(datediff(col("o_orderdate").cast("date"), to_date(lit("1970-01-01")))),
+      min(col("o_custkey")), max(col("o_custkey"))).collect()(0)
+    val (d0, d1, c0, c1) = (b.getInt(0), b.getInt(1), b.getLong(2), b.getLong(3))
+    def boxes(path: String): Array[(Long, Long, Long, Long)] =
+      Warehouse.fileBoxes(spark, path).collect().map(r =>
+        (r.getAs[Int]("day_min").toLong, r.getAs[Int]("day_max").toLong,
+          r.getAs[Long]("ck_min"), r.getAs[Long]("ck_max")))
+    def touched(bs: Array[(Long, Long, Long, Long)]): Int =
+      (for (dc <- Seq(20, 50, 80); cc <- Seq(20, 50, 80)) yield {
+        val (dayLo, dayHi) = (d0 + (d1 - d0) * (dc - 5) / 100, d0 + (d1 - d0) * (dc + 5) / 100)
+        val (ckLo, ckHi) = (c0 + (c1 - c0) * (cc - 5) / 100, c0 + (c1 - c0) * (cc + 5) / 100)
+        bs.count { case (dMin, dMax, cMin, cMax) =>
+          dMin <= dayHi && dMax >= dayLo && cMin <= ckHi && cMax >= ckLo }
+      }).sum
+
+    val (zTouched, dTouched) = (touched(boxes(zPath)), touched(boxes(dPath)))
+    // date-sorted files each span the full custkey range, so only the date
+    // dimension prunes; z-ordered files are rectangles in BOTH dimensions
+    assert(zTouched < dTouched,
+      s"z-order touched $zTouched file-hits over 9 boxes vs date-sort $dTouched — no pruning win")
+  }
 }
