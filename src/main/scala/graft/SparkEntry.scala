@@ -103,6 +103,10 @@ object SparkEntry {
     "q75_scd2_history" -> (Warehouse.scd2History _),
     "q76_zorder_readback" -> ((s, d) => Warehouse.zorderReadback(s, d)),
     "q77_scd2_asof" -> ((s, d) => Warehouse.scd2AsOf(s, d)),
+    "q78_inverted_index" -> ((s, d) => Corpus.invertedIndex(s, d)),
+    "q79_emb_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "q80_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    "q81_lang_centroid" -> ((s, d) => Similarity.langCentroids(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1153,5 +1157,85 @@ object SparkEntry {
         |FROM h
         |WHERE valid_from <= TIMESTAMP '1996-06-01'
         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-01')""".stripMargin,
+
+    // q78: the df band and the 20-id posting cap are part of the
+    // contract (they are the scale guards), so the oracle applies the
+    // same band and the same sorted slice.
+    "q78_inverted_index" ->
+      """WITH dw AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+        |  FROM documents
+        |), banded AS (
+        |  SELECT word, COUNT(*) AS df FROM dw GROUP BY 1
+        |  HAVING COUNT(*) >= 3
+        |    AND COUNT(*) <= floor((SELECT COUNT(*) FROM documents) * 0.95)
+        |)
+        |SELECT w.word, b.df,
+        |  array_to_string(
+        |    list_transform(list_sort(list(w.doc_id))[1:20], x -> CAST(x AS VARCHAR)),
+        |    ',') AS postings
+        |FROM dw w JOIN banded b USING (word)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q79: every value is an elementwise double function of one row's
+    // array — round() is spelled floor(x + 0.5) on both engines so the
+    // .5 boundary branches identically, and within-row fold order is
+    // fixed, so doubles hash-match exactly.
+    "q79_emb_quantize" ->
+      """WITH x AS (
+        |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS xd
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, xd, list_min(xd) AS mn, list_max(xd) AS mx FROM x
+        |), s AS (
+        |  SELECT vec_id, xd, mn, mx, (mx - mn) / 255.0 AS scale FROM m
+        |)
+        |SELECT vec_id, mn, mx, scale,
+        |  CAST(list_sum(list_transform(xd,
+        |    e -> CAST(floor((e - mn) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+        |  list_max(list_transform(xd,
+        |    e -> abs(e - (mn + floor((e - mn) / scale + 0.5) * scale)))) AS max_err
+        |FROM s""".stripMargin,
+
+    // q80: distinct (source, shingle) sets at k=3; md5 digesting on the
+    // Spark side changes no counts, so raw-shingle SQL is the oracle.
+    "q80_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), ss AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source,
+        |      unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |    FROM d
+        |  )
+        |), sizes AS (
+        |  SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY 1
+        |), inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  COALESCE(i.n_common, 0) AS n_common,
+        |  CAST(COALESCE(i.n_common, 0) AS DOUBLE) /
+        |    (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)) AS jaccard
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source""".stripMargin,
+
+    // q81: same 1e8 fixed-point quantization as the IVF trainer (q61),
+    // so the per-dimension sums are exact integers and the one double
+    // division at the end is bit-identical on both engines.
+    "q81_lang_centroid" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, CAST(i AS INT) AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |)
+        |SELECT d.lang, q.pos, COUNT(*) AS n_vecs,
+        |  CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS centroid
+        |FROM qe q JOIN documents d ON d.doc_id = q.vec_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -254,4 +254,52 @@ object Corpus {
 
   def freqSpectrum(s: SparkSession, dir: String): DataFrame =
     freqSpectrum(Tables.documents(s, dir))
+
+  /** Banded inverted index: word → (document frequency, capped sorted
+    * posting list) for mid-frequency vocabulary — the retrieval-side
+    * structure behind corpus search and per-term drill-down during
+    * curation triage ("show me the docs that contain this term").
+    *
+    * The df band is the scale story: stopwords (df near the corpus size)
+    * would each collect a posting list the size of the corpus into one
+    * reducer — the classic inverted-index hot-key — and hapaxes
+    * (df < minDf) are noise. So pass 1 computes df alone
+    * (map-side-combined count, bytes of state per word), the band filter
+    * shrinks the vocabulary BEFORE any list is built, and only banded
+    * words enter the posting-collection aggregate, whose per-group state
+    * is further capped at `maxPostings` ids after an explicit sort
+    * (collect_list order is partitioning-dependent; sort_array restores
+    * determinism). The stopword cap is RELATIVE (df ≤ maxDfFrac of the
+    * corpus, carried as a broadcast scalar) — an absolute cap tuned at
+    * one corpus size silently bands out everything, or nothing, at
+    * another. Postings ship as one comma-joined string per word: fixed
+    * row shape for the sink, and engine-portable for the oracle compare.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      minDf: Int = 3, maxDfFrac: Double = 0.95, maxPostings: Int = 20): DataFrame = {
+    val dw = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(Text.words(col("text")))).as("word")))
+    val banded = dw
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .filter(col("df") >= minDf && col("df") <= floor(col("n_docs") * maxDfFrac))
+      .select(col("word"), col("df"))
+    // shuffle_hash: both sides are word-keyed aggregates of the same
+    // corpus; a broadcast build of the vocabulary would not survive a
+    // real vocabulary size
+    dw.hint("shuffle_hash")
+      .join(banded.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("word"), col("df"))
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings),
+          i => i.cast("string")),
+        ",").as("postings"))
+  }
+
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables.documents(s, dir))
 }

@@ -444,4 +444,50 @@ object Dedup {
 
   def boilerplate(s: SparkSession, dir: String): DataFrame =
     boilerplate(Tables.documents(s, dir))
+
+  /** Pairwise shingle-set Jaccard BETWEEN sources: how much of each
+    * crawl/source's content overlaps each other source — the
+    * corpus-composition view of dedup (is "web2" a mirror of "web"?
+    * does the books source leak into the crawl?), where doc-level dedup
+    * only answers the per-pair question.
+    *
+    * Scale: the only corpus-sized work is one distinct over (source,
+    * shingle-digest) — map-side combined, high-cardinality key. The
+    * self-join that follows is keyed on the shingle, and each shingle
+    * contributes at most (#sources choose 2) pairs — sources number in
+    * the tens, so the join output is bounded by 10-100× the distinct
+    * shingle count, never |docs|². The final cross join runs on the
+    * per-source size table (tens of rows). Shingles travel as md5
+    * digests (fixed width); counts are digest-set counts, identical to
+    * raw-shingle counts.
+    */
+  def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val ss = Caches.track(docs
+      .select(col("source"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("source"), explode_outer(Text.shingles(col("w"), k)).as("sh"))
+      .select(col("source"), md5(col("sh")).as("sh"))
+      .distinct())
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = ss.select(col("source").as("source_a"), col("sh"))
+      .hint("shuffle_hash")
+      .join(ss.select(col("source").as("source_b"), col("sh")).hint("shuffle_hash"),
+        Seq("sh"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.select(col("source").as("source_a"), col("n_sh").as("n_a"))
+      .crossJoin(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))))
+          .as("jaccard"))
+  }
+
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(s, dir))
 }

@@ -269,4 +269,65 @@ object Similarity {
   def annIvfTrained(s: SparkSession, dir: String): DataFrame =
     annIvfTrained(Tables.embeddings(s, dir),
       nCells = 8, iters = 2, nProbe = 2, k = 5, nQueries = 10)
+
+  /** Per-vector int8 range quantization — the storage-side step of an
+    * embedding pipeline (4× smaller than float32 before any index is
+    * built): q_i = round((x_i − min) / scale) with scale = (max − min)/255,
+    * reported with the max absolute dequantization error and the quantized
+    * checksum.
+    *
+    * Scale: a pure per-row projection — every value is an elementwise
+    * function of that row's array, no shuffle, no state, whole-stage
+    * codegen over the array lambdas. Determinism: floats widen to double
+    * (exact), and round() is spelled floor(x + 0.5) so both engines take
+    * the identical branch at .5 boundaries; within-row fold order is
+    * fixed, so the double sums are bit-stable under any partitioning.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val xd = transform(col("embedding"), e => e.cast("double"))
+    emb
+      .select(col("vec_id"), xd.as("xd"))
+      .select(col("vec_id"), col("xd"),
+        array_min(col("xd")).as("mn"), array_max(col("xd")).as("mx"))
+      .select(col("vec_id"), col("xd"), col("mn"), col("mx"),
+        ((col("mx") - col("mn")) / 255.0d).as("scale"))
+      .select(
+        col("vec_id"), col("mn"), col("mx"), col("scale"),
+        aggregate(col("xd"), lit(0L),
+          (acc, e) => acc + floor((e - col("mn")) / col("scale") + 0.5d).cast("long"))
+          .as("q_sum"),
+        array_max(transform(col("xd"),
+          e => abs(e - (col("mn") +
+            floor((e - col("mn")) / col("scale") + 0.5d) * col("scale")))))
+          .as("max_err"))
+  }
+
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    quantizeInt8(Tables.embeddings(s, dir))
+
+  /** Per-language embedding centroids: dimension-wise means of each
+    * language's vectors (embeddings tied to documents by vec_id =
+    * doc_id) — the profiling table behind cluster drift checks and
+    * language-conditioned retrieval.
+    *
+    * Long form (lang, pos, n_vecs, centroid) rather than one array row
+    * per language: the aggregate is then a plain high-cardinality
+    * (lang × dim) hash agg — map-side combined, no per-group array
+    * state, no collect. Sums run in the same 1e8 fixed-point used by the
+    * IVF trainer, so the means are bit-identical across partitionings
+    * and engines; the single double division at the end is exact given
+    * an exact numerator and denominator.
+    */
+  def langCentroids(docs: DataFrame, emb: DataFrame): DataFrame =
+    emb
+      .join(docs.select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+      .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("lang"), (col("pos") + 1).as("pos"),
+        floor(col("x").cast("double") * 1e8 + 0.5d).cast("long").as("qx"))
+      .groupBy(col("lang"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("qx")).cast("double") / (count(lit(1)) * 1e8)).as("centroid"))
+
+  def langCentroids(s: SparkSession, dir: String): DataFrame =
+    langCentroids(Tables.documents(s, dir), Tables.embeddings(s, dir))
 }

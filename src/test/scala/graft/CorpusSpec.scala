@@ -91,4 +91,29 @@ class CorpusSpec extends SparkSpec {
     // percentile_approx is exact at this size: p50 <= p95, within data range
     assert(p("web")._3 <= p("web")._4)
   }
+
+  test("invertedIndex bands the vocabulary and caps sorted postings") {
+    // dfs over the 5-doc corpus: alpha 3 (docs 0,1,4), beta 2 (0,2),
+    // delta 2 (3,4), gamma/epsilon 1; maxDfFrac 0.95 -> cap floor(4.75)=4
+    val m = Corpus.invertedIndex(corpus, minDf = 2, maxDfFrac = 0.95, maxPostings = 2)
+      .collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"))).toMap
+    assert(m.keySet === Set("alpha", "beta", "delta")) // hapaxes banded out
+    assert(m("alpha") === ((3L, "0,1"))) // df counts ALL docs, postings cap at 2
+    assert(m("beta") === ((2L, "0,2")))
+    assert(m("delta") === ((2L, "3,4")))
+  }
+
+  test("invertedIndex drops corpus-wide stopwords via the relative cap") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "omni red"), (1L, "omni blue"), (2L, "omni red"),
+      (3L, "omni blue"), (4L, "omni red"),
+    ).toDF("doc_id", "text")
+    // omni df=5 > floor(5*0.95)=4 -> out; red df=3, blue df=2 stay
+    val words = Corpus.invertedIndex(d, minDf = 2, maxDfFrac = 0.95, maxPostings = 20)
+      .collect().map(_.getAs[String]("word")).toSet
+    assert(words === Set("red", "blue"))
+  }
 }

@@ -180,4 +180,22 @@ class DedupSpec extends SparkSpec {
       assert(ratio === 5.0 / nSh)
     }
   }
+
+  test("sourceOverlap: pairwise shingle jaccard with zero-overlap pairs present") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d", "srcA"), // shingles {abc, bcd}
+      (1L, "x y z", "srcA"),   // {xyz} -> A = 3 shingles
+      (2L, "a b c e", "srcB"), // {abc, bce} -> B = 2
+      (3L, "p q r", "srcC"),   // {pqr} -> C = 1
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlap(d).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    assert(m.size === 3) // all pairs appear, even with zero overlap
+    assert(m(("srcA", "srcB")) === ((3L, 2L, 1L, 1.0 / 4.0))) // share "a b c"
+    assert(m(("srcA", "srcC")) === ((3L, 1L, 0L, 0.0)))
+    assert(m(("srcB", "srcC")) === ((2L, 1L, 0L, 0.0)))
+  }
 }

@@ -204,4 +204,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected map-side-combined tf aggregate below the window:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
   }
+
+  test("q79: int8 quantization is a pure projection — zero exchanges") {
+    val df = graft.operators.Similarity.quantizeInt8(
+      graft.sources.Tables.embeddings(spark, sf0001))
+    val exchanges = nodes(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"per-row quantization must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q78: inverted index broadcasts the corpus-count scalar, never the posting side") {
+    val df = graft.operators.Corpus.invertedIndex(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    // the n_docs scalar rides a broadcast; the df aggregate is two-phase
+    assert(plan.contains("Broadcast"),
+      s"corpus-count scalar must broadcast:\n$plan")
+    assert(plan.split("HashAggregate").length - 1 >= 2,
+      s"df count must partial-combine map-side:\n$plan")
+  }
+
+  test("q81: language centroids aggregate with map-side partial combine") {
+    val df = graft.operators.Similarity.langCentroids(
+      graft.sources.Tables.documents(spark, sf0001),
+      graft.sources.Tables.embeddings(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("HashAggregate").length - 1 >= 2,
+      s"(lang, pos) sums must partial-combine below the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
 }

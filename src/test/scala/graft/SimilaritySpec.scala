@@ -165,4 +165,42 @@ class SimilaritySpec extends SparkSpec {
       assert(c >= -1.0000001 && c <= 1.0000001, s"trial $i out of bounds: $c")
     }
   }
+
+  test("quantizeInt8: hand-computed codes and the half-step error bound") {
+    val out = Similarity.quantizeInt8(emb(0L -> Seq(0f, 0.5f, 1f))).collect()(0)
+    val scale = 1.0 / 255
+    assert(out.getAs[Double]("mn") === 0.0)
+    assert(out.getAs[Double]("mx") === 1.0)
+    assert(out.getAs[Double]("scale") === scale)
+    // q = floor(x/scale + 0.5) = [0, 128, 255] -> checksum 383
+    assert(out.getAs[Long]("q_sum") === 383L)
+    // only the middle element has error: |0.5 - 128*scale|
+    val expectedErr = math.abs(0.5 - math.floor(0.5 / scale + 0.5) * scale)
+    assert(out.getAs[Double]("max_err") === expectedErr)
+
+    // invariant on random vectors: rounding to the nearest of 256 levels
+    // never errs more than half a step
+    val rnd = new scala.util.Random(7)
+    val vs = (0 until 20).map(i =>
+      i.toLong -> Seq.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    Similarity.quantizeInt8(emb(vs: _*)).collect().foreach { r =>
+      assert(r.getAs[Double]("max_err") <= r.getAs[Double]("scale") / 2 + 1e-12,
+        s"vec ${r.getAs[Long]("vec_id")} err over half-step")
+    }
+  }
+
+  test("langCentroids: dimension-wise means per language with exact fixed-point sums") {
+    import spark.implicits._
+    val docs = Seq((0L, "en"), (1L, "en"), (2L, "fr"))
+      .toDF("doc_id", "lang")
+    val e = emb(0L -> Seq(1f, 2f), 1L -> Seq(3f, 4f), 2L -> Seq(5f, 6f))
+    val m = Similarity.langCentroids(docs, e).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Int]("pos")) ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid"))).toMap
+    assert(m.size === 4) // 2 langs x 2 dims
+    assert(m(("en", 1)) === ((2L, 2.0))) // (1+3)/2
+    assert(m(("en", 2)) === ((2L, 3.0))) // (2+4)/2
+    assert(m(("fr", 1)) === ((1L, 5.0)))
+    assert(m(("fr", 2)) === ((1L, 6.0)))
+  }
 }
