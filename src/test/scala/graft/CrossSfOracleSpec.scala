@@ -222,4 +222,53 @@ class CrossSfOracleSpec extends SparkSpec {
       assert(got === expected, s"q61 diverged from the Lloyd+probe recompute at $dir")
     }
   }
+
+  // ---- q79: elementwise int8 quantization ----
+
+  test("q79 emb_quantize matches a plain-JVM recompute at sf0.001 and sf0.1") {
+    for (dir <- Seq(sf0001, sf01)) {
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val expected = emb.map { case (id, v) =>
+        val xd = v.map(_.toDouble)
+        val (mn, mx) = (xd.min, xd.max)
+        val scale = (mx - mn) / 255.0
+        val qSum = xd.map(e => math.floor((e - mn) / scale + 0.5).toLong).sum
+        val maxErr = xd.map(e =>
+          math.abs(e - (mn + math.floor((e - mn) / scale + 0.5) * scale))).max
+        (id, mn, mx, scale, qSum, maxErr)
+      }.toSet
+      val got = Similarity.quantizeInt8(graft.sources.Tables.embeddings(spark, dir))
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("mn"),
+          r.getAs[Double]("mx"), r.getAs[Double]("scale"),
+          r.getAs[Long]("q_sum"), r.getAs[Double]("max_err"))).toSet
+      assert(got === expected, s"q79 diverged from the plain-JVM recompute at $dir")
+    }
+  }
+
+  // ---- q81: fixed-point per-language centroids ----
+
+  test("q81 lang_centroid matches a fixed-point recompute at sf0.001 and sf0.1") {
+    for (dir <- Seq(sf0001, sf01)) {
+      val lang = docs(dir).map(d => d._1 -> d._3).toMap
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .filter(e => lang.contains(e._1))
+      val expected = emb
+        .flatMap { case (id, v) =>
+          v.zipWithIndex.map { case (x, i) =>
+            ((lang(id), i + 1), math.floor(x.toDouble * 1e8 + 0.5).toLong) }
+        }
+        .groupBy(_._1).map { case ((lg, pos), xs) =>
+          (lg, pos, xs.length.toLong, xs.map(_._2).sum.toDouble / (xs.length * 1e8))
+        }.toSet
+      val got = Similarity.langCentroids(spark, dir).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Int]("pos"),
+          r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid"))).toSet
+      assert(got === expected, s"q81 diverged from the fixed-point recompute at $dir")
+    }
+  }
 }
