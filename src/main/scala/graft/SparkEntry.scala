@@ -107,6 +107,8 @@ object SparkEntry {
     "q79_emb_quantize" -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "q80_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "q81_lang_centroid" -> ((s, d) => Similarity.langCentroids(s, d)),
+    "q82_feature_hash_embed" -> ((s, d) => Corpus.featureHashEmbed(s, d)),
+    "q83_bigram_lift" -> ((s, d) => Corpus.bigramLift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1237,5 +1239,53 @@ object SparkEntry {
         |  CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS centroid
         |FROM qe q JOIN documents d ON d.doc_id = q.vec_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // q82: dimension = 48-bit md5 prefix mod 64 (the same instr-shift
+    // reconstruction as q42's KMV hash), sign = parity of hex digit 13.
+    "q82_feature_hash_embed" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), wc AS (
+        |  SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2
+        |), h AS (
+        |  SELECT doc_id, word, n,
+        |    SUM(((instr('0123456789abcdef', substr(md5(word), CAST(j + 1 AS INT), 1)) - 1)::BIGINT)
+        |      << CAST((11 - j) * 4 AS INT)) AS h48
+        |  FROM wc, range(0, 12) r(j)
+        |  GROUP BY doc_id, word, n
+        |)
+        |SELECT doc_id, CAST(h48 % 64 AS INT) AS pos,
+        |  CAST(SUM(CASE WHEN (instr('0123456789abcdef', substr(md5(word), 13, 1)) - 1) % 2 = 0
+        |           THEN n ELSE -n END) AS BIGINT) AS value
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // q83: all inputs are exact integer counts; the score is the same
+    // fixed shape of three double divisions on both engines, so the
+    // (lift DESC, bigram) top-50 cut is deterministic.
+    "q83_bigram_lift" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), uni AS (
+        |  SELECT unnest(w) AS word FROM t
+        |), uc AS (
+        |  SELECT word, COUNT(*) AS n_w FROM uni GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT SUM(n_w) FROM uc) AS n_tot,
+        |    (SELECT SUM(greatest(len(w) - 1, 0)) FROM t) AS n_bg
+        |), bg AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |  FROM t WHERE len(w) >= 2
+        |), bc AS (
+        |  SELECT bigram, COUNT(*) AS n_ab FROM bg GROUP BY 1 HAVING COUNT(*) >= 5
+        |)
+        |SELECT b.bigram, b.n_ab, a.n_w AS n_a, c.n_w AS n_b,
+        |  (CAST(b.n_ab AS DOUBLE) / t.n_bg) /
+        |    ((CAST(a.n_w AS DOUBLE) / t.n_tot) * (CAST(c.n_w AS DOUBLE) / t.n_tot)) AS lift
+        |FROM bc b
+        |JOIN uc a ON a.word = string_split(b.bigram, ' ')[1]
+        |JOIN uc c ON c.word = string_split(b.bigram, ' ')[2]
+        |CROSS JOIN tot t
+        |ORDER BY lift DESC, b.bigram
+        |LIMIT 50""".stripMargin,
   )
 }

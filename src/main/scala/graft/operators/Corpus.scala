@@ -302,4 +302,81 @@ object Corpus {
 
   def invertedIndex(s: SparkSession, dir: String): DataFrame =
     invertedIndex(Tables.documents(s, dir))
+
+  /** Signed feature-hashing text embedding ("hashing trick"): each word
+    * maps to dimension h48(word) mod `dims` with a deterministic ±1 sign
+    * from the next md5 hex digit, and a document's embedding is the
+    * per-dimension signed count — the classic cheap text featurizer
+    * (Weinberger et al.), the step before any learned embedding exists.
+    * The sign bit halves collision bias: two words colliding into one
+    * dimension cancel half the time instead of always inflating it.
+    *
+    * Long form (doc_id, pos, value): the aggregate is a plain
+    * high-cardinality (doc × dim) hash agg — map-side combined, no
+    * per-group array state — and zero-valued dimensions ship implicitly.
+    * Pure projection + one aggregate; md5-derived, so the embedding is
+    * identical across runs, engines, and partitionings.
+    */
+  def featureHashEmbed(docs: DataFrame, dims: Int = 64): DataFrame = {
+    val h = conv(substring(md5(col("word")), 1, 12), 16, 10).cast("long")
+    val sgn = when(
+      conv(substring(md5(col("word")), 13, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+      .select(col("doc_id"), (h % dims).cast("int").as("pos"), sgn.as("sgn"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("sgn")).as("value"))
+  }
+
+  def featureHashEmbed(s: SparkSession, dir: String): DataFrame =
+    featureHashEmbed(Tables.documents(s, dir))
+
+  /** Collocation mining by lift (log-free PMI): how much more often a
+    * bigram occurs than its unigrams predict — lift = p(ab) / (p(a)p(b)).
+    * The corpus statistic behind multi-word-expression detection and
+    * tokenizer merge candidates. Lift, not log-PMI, deliberately: every
+    * input is an exact integer count and the score is three IEEE double
+    * divisions in a fixed expression shape, bit-identical across engines,
+    * where ln() would differ in the last ulp between libm builds.
+    *
+    * Two map-side-combined counting aggregates (unigrams, bigrams), the
+    * corpus totals ride a broadcast, and only bigrams past `minCount`
+    * (rarer by orders of magnitude than tokens) enter the two unigram
+    * joins. The final top-k is a bounded TakeOrderedAndProject with a
+    * total (lift DESC, bigram) order — never a global sort.
+    */
+  def bigramLift(docs: DataFrame, minCount: Int = 5, k: Int = 50): DataFrame = {
+    val toks = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("w")))
+    val uni = Caches.track(toks
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_w")))
+    val totals = uni.agg(sum(col("n_w")).as("n_tot"))
+      .crossJoin(toks.agg(
+        sum(greatest(size(col("w")) - 1, lit(0))).cast("long").as("n_bg")))
+    val bg = toks
+      .select(explode(Text.bigrams(col("w"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bg
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .hint("shuffle_hash")
+      .join(uni.select(col("word").as("w1"), col("n_w").as("n_a")).hint("shuffle_hash"), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("n_w").as("n_b")).hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") / col("n_bg")) /
+          ((col("n_a").cast("double") / col("n_tot")) *
+            (col("n_b").cast("double") / col("n_tot")))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+  }
+
+  def bigramLift(s: SparkSession, dir: String): DataFrame =
+    bigramLift(Tables.documents(s, dir))
 }

@@ -116,4 +116,55 @@ class CorpusSpec extends SparkSpec {
       .collect().map(_.getAs[String]("word")).toSet
     assert(words === Set("red", "blue"))
   }
+
+  test("featureHashEmbed matches a plain-JVM signed-hash recompute, duplicates included") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val dims = 64
+    val expected = corpus.collect()
+      .flatMap { r =>
+        r.getAs[String]("text").split(" ", -1).map { w =>
+          val hex = md5Hex(w)
+          val pos = (java.lang.Long.parseLong(hex.substring(0, 12), 16) % dims).toInt
+          val sgn = if (Integer.parseInt(hex.substring(12, 13), 16) % 2 == 0) 1L else -1L
+          ((r.getAs[Long]("doc_id"), pos), sgn)
+        }
+      }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val got = Corpus.featureHashEmbed(corpus, dims).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")) -> r.getAs[Long]("value"))
+      .toMap
+    assert(got === expected)
+    // doc 0 "alpha beta alpha": duplicate alpha must contribute twice
+    val alphaPos = (java.lang.Long.parseLong(md5Hex("alpha").substring(0, 12), 16) % dims).toInt
+    val alphaSgn = if (Integer.parseInt(md5Hex("alpha").substring(12, 13), 16) % 2 == 0) 1L else -1L
+    if (alphaPos != (java.lang.Long.parseLong(md5Hex("beta").substring(0, 12), 16) % dims).toInt)
+      assert(got((0L, alphaPos)) === 2L * alphaSgn)
+  }
+
+  test("bigramLift ranks the planted collocation first with hand-checked counts") {
+    import spark.implicits._
+    // "new york" always together (4x); "new" and "york" never co-occur
+    // otherwise; "the cat" co-occurs but both words are common elsewhere
+    val d = Seq(
+      (0L, "new york is big"), (1L, "new york at night"),
+      (2L, "see new york now"), (3L, "in new york today"),
+      (4L, "the cat sat on the mat"), (5L, "the cat ate the fish"),
+      (6L, "the dog and the cat"),
+    ).toDF("doc_id", "text")
+    val rows = Corpus.bigramLift(d, minCount = 3, k = 5).collect()
+      .map(r => r.getAs[String]("bigram") ->
+        (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("lift")))
+    val m = rows.toMap
+    // totals: 7 docs, 32 words, 25 bigram slots
+    assert(m("new york") === ((4L, 4L, 4L,
+      (4.0 / 25) / ((4.0 / 32) * (4.0 / 32)))))
+    assert(m("the cat") === ((3L, 6L, 3L,
+      (3.0 / 25) / ((6.0 / 32) * (3.0 / 32)))))
+    // the exclusive pair must out-lift the common-word pair
+    assert(rows.head._1 === "new york")
+    assert(m("new york")._4 > m("the cat")._4)
+  }
 }
