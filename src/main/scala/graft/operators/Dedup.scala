@@ -140,34 +140,51 @@ object Dedup {
     * candidate side is the skew risk, not the corpus side; per-pair cost
     * is bounded by document length.
     */
-  def minhashLsh(
-      docs: DataFrame,
+  /** (doc_id [, carry...], band, bkey) LSH band keys from per-doc shingle
+    * sets — every step a stateless per-row projection (minhashes are
+    * array_min over the shingle array, band keys are md5 concats), so
+    * this is safe on STREAMING frames too. `carry` columns ride through
+    * the band explode for callers that cannot join them back afterwards
+    * (a stream cannot self-join); batch callers pass none and keep rows
+    * narrow.
+    */
+  private[graft] def bandKeys(
+      shSets: DataFrame,
       bands: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
+      carry: Seq[String] = Nil): DataFrame = {
     require(bands * rowsPerBand <= 8, "8 minhash slices available (2 md5s x 4)")
-    val shSets = Caches.track(docShingleSets(docs))
     val k = bands * rowsPerBand
     // two md5 arrays materialized once per doc in their own projection
     // (a non-cheap alias consumed 4x is not inlined by CollapseProject),
     // then 8 slice-mins read them without recomputing any hash
     val hashed = shSets.select(
-      col("doc_id"),
-      transform(col("shs"), sh => md5(concat(lit("0:"), sh))).as("h0"),
-      transform(col("shs"), sh => md5(concat(lit("1:"), sh))).as("h1"))
+      (col("doc_id") +: carry.map(col)) :+
+        transform(col("shs"), sh => md5(concat(lit("0:"), sh))).as("h0") :+
+        transform(col("shs"), sh => md5(concat(lit("1:"), sh))).as("h1"): _*)
     val mhCols = (0 until k).map { i =>
       array_min(transform(col(s"h${i / 4}"), h =>
         substring(h, 1 + 8 * (i % 4), 8))).as(s"mh$i")
     }
-    val sig = hashed.select(col("doc_id") +: mhCols: _*)
+    val sig = hashed.select((col("doc_id") +: carry.map(col)) ++ mhCols: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b.toLong).as("band"),
         md5(concat_ws("|",
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)).as("bkey"))
     }
-    val keys = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    sig
+      .select((col("doc_id") +: carry.map(col)) :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+      .select((col("doc_id") +: carry.map(col)) :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+  }
+
+  def minhashLsh(
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val shSets = Caches.track(docShingleSets(docs))
+    val keys = bandKeys(shSets, bands, rowsPerBand)
     // shuffle_hash everywhere below: every frame derives from the cached
     // shingle pipeline, and a planner-chosen broadcast would execute that
     // pipeline single-threaded in the broadcast-build thread (see

@@ -218,6 +218,61 @@ object StreamingOps {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Continuous-ingestion near-dup detection: flag each arriving document
+    * that is a MinHash-LSH near-duplicate of a STATIC reference corpus —
+    * the streaming arm of corpus dedup (batch arm:
+    * operators/Dedup.minhashLsh), the shape a live crawl runs so
+    * duplicates never enter the training corpus in the first place.
+    *
+    * Structure: the corpus side is indexed ONCE — band keys joined back
+    * to shingle sets, cached (caller-released via graft.Caches) — and
+    * every micro-batch equi-joins it on (band, bkey), a stateless
+    * stream-static join. The stream side's shingle sets and band keys
+    * are pure per-row projections (Dedup.bandKeys is projection-only by
+    * construction), with the payload CARRIED through the band explode:
+    * a stream cannot self-join to fetch its shingle array back, so rows
+    * ride ~`bands`× wider here than in the batch path — the price of
+    * statelessness, paid in bytes instead of state-store entries.
+    * Verification is the exact per-pair Jaccard on the joined arrays.
+    *
+    * A pair matching in several bands would emit duplicates;
+    * `dropDuplicatesWithinWatermark` collapses them with state bounded
+    * by the event-time watermark — the only stateful operator in the
+    * query, and the state key is (doc, corpus-doc) pairs of actual
+    * near-dups, a vanishingly small fraction of the stream.
+    */
+  def nearDupAgainstCorpus(
+      stream: DataFrame,
+      corpus: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    val corpusSets = graft.Caches.track(Dedup.docShingleSets(corpus))
+    val corpusIdx = graft.Caches.track(
+      Dedup.bandKeys(corpusSets, bands, rowsPerBand)
+        .join(corpusSets, Seq("doc_id"))
+        .select(col("band"), col("bkey"), col("doc_id").as("corpus_id"),
+          col("shs").as("corpus_shs"), col("n_sh").as("corpus_n")))
+    val streamSets = stream
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.Text.shingles(col("w")).as("shs"))
+      .withColumn("n_sh", size(col("shs")))
+    Dedup.bandKeys(streamSets, bands, rowsPerBand, carry = Seq("ts", "shs", "n_sh"))
+      .join(corpusIdx, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("shs"), col("corpus_shs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_sh") + col("corpus_n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ts"), col("corpus_id"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+
   def latestStatePerUser(events: Dataset[Ev]): Dataset[UserLatest] = {
     import events.sparkSession.implicits._
     events

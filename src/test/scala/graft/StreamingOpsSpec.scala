@@ -11,6 +11,9 @@ import graft.streaming.{Ev, StreamingOps}
 /** Minimal curated-corpus row for the streaming writer test. */
 case class StreamDoc(doc_id: Long, text: String, lang: String)
 
+/** Arriving document row for the streaming near-dup test. */
+case class StreamTextDoc(doc_id: Long, text: String, ts: Timestamp)
+
 /** Event-time streaming operators under real micro-batch execution
   * (MemoryStream source, memory sink), including watermark-driven late-row
   * dropping and engine-side keyed state.
@@ -232,5 +235,51 @@ class StreamingOpsSpec extends SparkSpec {
     val second = spark.read.parquet(out)
     assert(second.count() === 10)
     assert(second.select($"doc_id").as[Long].collect().sorted.toSeq === (1L to 10L))
+  }
+
+  test("streaming near-dup flags arrivals against the static corpus exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "totally different reference text about catalyst and tungsten internals"),
+    ).toDF("doc_id", "text")
+
+    val mem = MemoryStream[StreamTextDoc]
+    val q = StreamingOps.nearDupAgainstCorpus(mem.toDF(), corpus, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: an exact copy of corpus doc 100 (matches in EVERY band —
+    // the within-watermark pair dedup must still emit it once) and a
+    // clean doc that must pass silently
+    mem.addData(
+      StreamTextDoc(1L, base, ts("2026-01-01 00:00:00")),
+      StreamTextDoc(2L, "unrelated fresh content words entirely new and never seen before",
+        ts("2026-01-01 00:00:10")))
+    q.processAllAvailable()
+    // batch 2: a near-dup (one word changed) arrives later
+    mem.addData(StreamTextDoc(3L, base.replace("today", "tonight"),
+      ts("2026-01-01 00:01:00")))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("neardup")
+      .select($"doc_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).length === 1, s"multi-band match must dedup to one row: ${byDoc(1L).toSeq}")
+    assert(byDoc(1L).head === ((1L, 100L, 1.0))) // exact copy: jaccard 1
+    assert(!byDoc.contains(2L)) // clean doc never flagged
+    val near = byDoc(3L)
+    assert(near.length === 1 && near.head._2 === 100L)
+    assert(near.head._3 > 0.5 && near.head._3 < 1.0)
+    // and the streaming verdicts agree with the batch LSH on the same pair
+    val batch = graft.operators.Dedup.minhashLsh(
+        corpus.union(Seq((1L, base)).toDF("doc_id", "text")),
+        bands = 4, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(batch((1L, 100L)) === 1.0)
   }
 }
