@@ -84,7 +84,9 @@ object ScaleSmoke {
       timed("q61") {
         graft.operators.Similarity.annIvfTrained(
           emb, nCells = 8, iters = 2, nProbe = 2, k = 5, nQueries = 10)
-      })
+      },
+      timed("q74") { graft.operators.Dedup.boilerplate(docs) },
+      timed("q80") { graft.operators.Dedup.sourceOverlap(docs) })
 
     val qs = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(
