@@ -226,6 +226,18 @@ class PlanShapeSpec extends SparkSpec {
       s"df count must partial-combine map-side:\n$plan")
   }
 
+  test("q83: collocation top-k plans a bounded TakeOrdered, never a global sort") {
+    val df = graft.operators.Corpus.bigramLift(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap merge:\n$plan")
+    // the totals scalar rides a broadcast nested-loop (1-row build side);
+    // a CartesianProduct would mean the cross join lost its broadcast
+    assert(!plan.contains("CartesianProduct"),
+      s"the totals cross join must broadcast its 1-row side:\n$plan")
+  }
+
   test("q81: language centroids aggregate with map-side partial combine") {
     val df = graft.operators.Similarity.langCentroids(
       graft.sources.Tables.documents(spark, sf0001),
