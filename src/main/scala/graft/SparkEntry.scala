@@ -109,6 +109,7 @@ object SparkEntry {
     "q81_lang_centroid" -> ((s, d) => Similarity.langCentroids(s, d)),
     "q82_feature_hash_embed" -> ((s, d) => Corpus.featureHashEmbed(s, d)),
     "q83_bigram_lift" -> ((s, d) => Corpus.bigramLift(s, d)),
+    "q84_sparse_topk" -> ((s, d) => Similarity.sparseLexicalTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1287,5 +1288,34 @@ object SparkEntry {
         |CROSS JOIN tot t
         |ORDER BY lift DESC, b.bigram
         |LIMIT 50""".stripMargin,
+
+    // q84: dots and norms are exact integer tf sums; sqrt and the one
+    // division are correctly-rounded IEEE doubles, and the rank order
+    // (cos_sim DESC, doc_id) is total — same determinism story as q24/q61.
+    "q84_sparse_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |  ) GROUP BY 1, 2
+        |), n2 AS (
+        |  SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1
+        |), dots AS (
+        |  SELECT q.doc_id AS query_id, d.doc_id, SUM(q.tf * d.tf) AS dot
+        |  FROM tf q JOIN tf d USING (word)
+        |  WHERE q.doc_id < 10 AND d.doc_id <> q.doc_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT s.query_id, s.doc_id,
+        |    CAST(s.dot AS DOUBLE) /
+        |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+        |  FROM dots s
+        |  JOIN n2 a ON a.doc_id = s.query_id
+        |  JOIN n2 b ON b.doc_id = s.doc_id
+        |)
+        |SELECT query_id, doc_id, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+        |  SELECT query_id, doc_id, cos_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rnk
+        |  FROM scored
+        |) WHERE rnk <= 5""".stripMargin,
   )
 }

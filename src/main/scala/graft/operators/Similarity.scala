@@ -330,4 +330,58 @@ object Similarity {
 
   def langCentroids(s: SparkSession, dir: String): DataFrame =
     langCentroids(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
+  /** Sparse LEXICAL top-k similarity: cosine over term-frequency vectors,
+    * computed through posting-list joins — similarity search with no
+    * embeddings at all, the retrieval path that works before any encoder
+    * exists (and the candidate generator BM25 systems are built on).
+    *
+    * The sparse trick is that the dot product only needs terms the query
+    * and candidate SHARE: joining the query's tf rows to the corpus tf
+    * relation on `word` enumerates exactly the nonzero products, so
+    * per-query cost is Σ_w df(w) over the query's words — never a pass
+    * over the corpus. At a real vocabulary, compose with q78's df band
+    * (drop stopword postings) to keep that sum small; this corpus's
+    * 31-word vocabulary is the degenerate worst case and still bounded
+    * by the query count. Ranking reuses the BoundedTopK aggregate
+    * (O(partitions·k) exchange per query, same total order as q24).
+    * Determinism: dots and norms are exact integer sums; sqrt and one
+    * division are correctly-rounded IEEE ops, identical on both engines.
+    */
+  def sparseLexicalTopK(docs: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    import graft.functions.Text
+    val tf = Caches.track(docs
+      .repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
+    val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))
+    val qtf = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("word"), col("tf").as("tf_q"))
+    // shuffle_hash: both sides derive from the cached tf relation — a
+    // broadcast build would run that pipeline single-threaded
+    val dots = qtf.hint("shuffle_hash")
+      .join(tf.hint("shuffle_hash"), Seq("word"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf_q") * col("tf")).as("dot"))
+    val scored = dots
+      .join(norms.select(col("doc_id").as("query_id"), col("n2").as("qn2")), Seq("query_id"))
+      .join(norms, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))))
+          .as("cos_sim"))
+    val topk = udaf(new BoundedTopK(k), ExpressionEncoder[Scored]())
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("doc_id"), col("cos_sim")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.neighborId").as("doc_id"),
+        col("t.cosine").as("cos_sim"), (col("pos") + 1).as("rnk"))
+  }
+
+  def sparseLexicalTopK(s: SparkSession, dir: String): DataFrame =
+    sparseLexicalTopK(Tables.documents(s, dir))
 }

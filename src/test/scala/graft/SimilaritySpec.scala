@@ -189,6 +189,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sparseLexicalTopK: tf-cosine over shared terms, sparse candidates, exact tie-break") {
+    import spark.implicits._
+    val d = Seq((0L, "a a b"), (1L, "a b"), (2L, "c c c"), (3L, "b b a"))
+      .toDF("doc_id", "text")
+    val rows = Similarity.sparseLexicalTopK(d, k = 3, nQueries = 2).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk")) ->
+        (r.getAs[Long]("doc_id"), r.getAs[Double]("cos_sim"))).toMap
+    assert(rows.size === 4) // doc 2 shares no word with any query: never a candidate
+    // q0: d1 = 3/(sqrt5*sqrt2) ~ 0.949 beats d3 = 4/(sqrt5*sqrt5) = 0.8
+    assert(rows((0L, 1)) === ((1L, 3.0 / (math.sqrt(5.0) * math.sqrt(2.0)))))
+    assert(rows((0L, 2)) === ((3L, 4.0 / (math.sqrt(5.0) * math.sqrt(5.0)))))
+    // q1 vs d0 and vs d3: SAME dot (3) and SAME norm product (sqrt2*sqrt5)
+    // -> bit-identical cosines; the doc_id tie-break must decide the order
+    assert(rows((1L, 1))._1 === 0L)
+    assert(rows((1L, 2))._1 === 3L)
+    assert(rows((1L, 1))._2 === rows((1L, 2))._2)
+  }
+
   test("langCentroids: dimension-wise means per language with exact fixed-point sums") {
     import spark.implicits._
     val docs = Seq((0L, "en"), (1L, "en"), (2L, "fr"))
