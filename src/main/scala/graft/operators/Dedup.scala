@@ -469,14 +469,17 @@ object Dedup {
     * only answers the per-pair question.
     *
     * Scale: the only corpus-sized work is one distinct over (source,
-    * shingle-digest) — map-side combined, high-cardinality key. The
-    * self-join that follows is keyed on the shingle, and each shingle
-    * contributes at most (#sources choose 2) pairs — sources number in
-    * the tens, so the join output is bounded by 10-100× the distinct
-    * shingle count, never |docs|². The final cross join runs on the
-    * per-source size table (tens of rows). Shingles travel as md5
-    * digests (fixed width); counts are digest-set counts, identical to
-    * raw-shingle counts.
+    * shingle-digest) — map-side combined, high-cardinality key. Pair
+    * enumeration then collapses the relation to ONE ROW PER SHINGLE
+    * first (collect_set of its sources — state bounded by the source
+    * count, tens), and explodes the (sources choose 2) pairs from that
+    * array: the same pairs a shingle-keyed self-join would emit, minus
+    * the second full shuffle of the relation and the join build. The
+    * explode feeds a map-side-combined pair count, so the only rows that
+    * ever move are (shingle, source-array) once and the tiny pair
+    * partials. The final cross join runs on the per-source size table
+    * (tens of rows). Shingles travel as md5 digests (fixed width);
+    * counts are digest-set counts, identical to raw-shingle counts.
     */
   def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
     val ss = Caches.track(docs
@@ -486,10 +489,11 @@ object Dedup {
       .select(col("source"), md5(col("sh")).as("sh"))
       .distinct())
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val inter = ss.select(col("source").as("source_a"), col("sh"))
-      .hint("shuffle_hash")
-      .join(ss.select(col("source").as("source_b"), col("sh")).hint("shuffle_hash"),
-        Seq("sh"))
+    val inter = ss
+      .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_common"))
