@@ -110,6 +110,7 @@ object SparkEntry {
     "q82_feature_hash_embed" -> ((s, d) => Corpus.featureHashEmbed(s, d)),
     "q83_bigram_lift" -> ((s, d) => Corpus.bigramLift(s, d)),
     "q84_sparse_topk" -> ((s, d) => Similarity.sparseLexicalTopK(s, d)),
+    "q85_orc_roundtrip" -> (Prep.orcRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1317,5 +1318,19 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rnk
         |  FROM scored
         |) WHERE rnk <= 5""".stripMargin,
+
+    // q85: the result is format-independent — the oracle computes the
+    // same fingerprinted aggregate straight from the parquet source, so
+    // a hash match proves the ORC write/read conversion was lossless.
+    "q85_orc_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(
+        |      (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) AS BIGINT) AS text_fp
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
   )
 }

@@ -310,6 +310,31 @@ object Prep {
           .as("text_fp"))
   }
 
+  /** ORC write/read round trip: the second columnar format a warehouse
+    * interop layer must speak (Hive-ecosystem tables are ORC as often as
+    * parquet). Documents are written as zlib ORC and read back through
+    * Spark's native vectorized ORC reader; the per-language aggregate
+    * carries the same 16-bit md5 text fingerprint as q68, so a hash-equal
+    * oracle row (computed straight from the parquet source) proves the
+    * text payload survived the format conversion byte-for-byte. The
+    * scratch path is keyed by (application, data dir) like the warehouse
+    * tables, so concurrent sessions never clobber each other's files.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft-orc/" +
+      s"${new java.io.File(dir).getName}_$app/documents_orc"
+    Tables.documents(s, dir)
+      .write.mode("overwrite").option("compression", "zlib").orc(out)
+    s.read.orc(out)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
+          .as("text_fp"))
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * sequence so consecutive docs fill a fixed token budget — the step
     * that turns a curated corpus into fixed-length LM training rows.
