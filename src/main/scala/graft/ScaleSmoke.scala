@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Heavy-query scale smoke: run the three most expensive operators (q22
-  * MinHash-LSH, q56 dup clusters, q61 trained IVF) on an N×-amplified
-  * corpus, assert completion, and report wall times — the "scales to
-  * 100×" design claims get at least one measured 10× data point.
+/** Heavy-query scale smoke: run the five most expensive operators (q22
+  * MinHash-LSH, q56 dup clusters, q61 trained IVF, q74 boilerplate,
+  * q80 source overlap) on an N×-amplified corpus, assert completion, and
+  * report wall times — the "scales to 100×" design claims get at least
+  * one measured 10× data point.
   *
   * Amplification preserves the dup STRUCTURE instead of inflating it:
   * each copy of the documents table gets a per-copy character bijection

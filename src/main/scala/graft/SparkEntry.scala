@@ -1195,10 +1195,12 @@ object SparkEntry {
         |  SELECT vec_id, xd, mn, mx, (mx - mn) / 255.0 AS scale FROM m
         |)
         |SELECT vec_id, mn, mx, scale,
-        |  CAST(list_sum(list_transform(xd,
-        |    e -> CAST(floor((e - mn) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
-        |  list_max(list_transform(xd,
-        |    e -> abs(e - (mn + floor((e - mn) / scale + 0.5) * scale)))) AS max_err
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |    ELSE list_sum(list_transform(xd,
+        |      e -> CAST(floor((e - mn) / scale + 0.5) AS BIGINT))) END AS BIGINT) AS q_sum,
+        |  CASE WHEN scale = 0 THEN 0.0
+        |    ELSE list_max(list_transform(xd,
+        |      e -> abs(e - (mn + floor((e - mn) / scale + 0.5) * scale)))) END AS max_err
         |FROM s""".stripMargin,
 
     // q80: distinct (source, shingle) sets at k=3; md5 digesting on the

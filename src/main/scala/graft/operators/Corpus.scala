@@ -267,13 +267,16 @@ object Corpus {
     * (map-side-combined count, bytes of state per word), the band filter
     * shrinks the vocabulary BEFORE any list is built, and only banded
     * words enter the posting-collection aggregate, whose per-group state
-    * is further capped at `maxPostings` ids after an explicit sort
-    * (collect_list order is partitioning-dependent; sort_array restores
-    * determinism). The stopword cap is RELATIVE (df ≤ maxDfFrac of the
-    * corpus, carried as a broadcast scalar) — an absolute cap tuned at
-    * one corpus size silently bands out everything, or nothing, at
-    * another. Postings ship as one comma-joined string per word: fixed
-    * row shape for the sink, and engine-portable for the oracle compare.
+    * is bounded INSIDE the aggregate: the BoundedTopK aggregator keeps at
+    * most `maxPostings` ids per word at every partial/merge step (scored
+    * by -doc_id, so "best" = smallest id — exact for ids below 2^53),
+    * where a collect-then-slice would buffer a banded-but-still-hot
+    * word's entire posting list in one reducer before cutting it. The
+    * stopword cap is RELATIVE (df ≤ maxDfFrac of the corpus, carried as
+    * a broadcast scalar) — an absolute cap tuned at one corpus size
+    * silently bands out everything, or nothing, at another. Postings
+    * ship as one comma-joined string per word: fixed row shape for the
+    * sink, and engine-portable for the oracle compare.
     */
   def invertedIndex(
       docs: DataFrame,
@@ -290,14 +293,16 @@ object Corpus {
     // shuffle_hash: both sides are word-keyed aggregates of the same
     // corpus; a broadcast build of the vocabulary would not survive a
     // real vocabulary size
+    val topk = udaf(new graft.functions.BoundedTopK(maxPostings),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.Scored]())
     dw.hint("shuffle_hash")
       .join(banded.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("word"), col("df"))
-      .agg(array_join(
-        transform(
-          slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings),
-          i => i.cast("string")),
-        ",").as("postings"))
+      .agg(topk(col("doc_id"), -col("doc_id").cast("double")).as("top"))
+      .select(col("word"), col("df"),
+        array_join(
+          transform(col("top"), t => t.getField("neighborId").cast("string")),
+          ",").as("postings"))
   }
 
   def invertedIndex(s: SparkSession, dir: String): DataFrame =

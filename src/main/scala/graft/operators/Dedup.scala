@@ -483,6 +483,9 @@ object Dedup {
     */
   def sourceOverlap(docs: DataFrame, k: Int = 3): DataFrame = {
     val ss = Caches.track(docs
+      // same hazard as docShingleSets: the source may arrive in few
+      // partitions and shingling multiplies rows ~50x — spread first
+      .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("source"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= k)
       .select(col("source"), explode_outer(Text.shingles(col("w"), k)).as("sh"))

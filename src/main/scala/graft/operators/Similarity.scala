@@ -293,12 +293,17 @@ object Similarity {
         ((col("mx") - col("mn")) / 255.0d).as("scale"))
       .select(
         col("vec_id"), col("mn"), col("mx"), col("scale"),
-        aggregate(col("xd"), lit(0L),
-          (acc, e) => acc + floor((e - col("mn")) / col("scale") + 0.5d).cast("long"))
+        // scale = 0 (constant vector) would make every (x-mn)/scale a
+        // 0/0 NaN; by convention such a vector quantizes to code 0
+        // everywhere with zero error
+        when(col("scale") === 0.0d, lit(0L))
+          .otherwise(aggregate(col("xd"), lit(0L),
+            (acc, e) => acc + floor((e - col("mn")) / col("scale") + 0.5d).cast("long")))
           .as("q_sum"),
-        array_max(transform(col("xd"),
-          e => abs(e - (col("mn") +
-            floor((e - col("mn")) / col("scale") + 0.5d) * col("scale")))))
+        when(col("scale") === 0.0d, lit(0.0d))
+          .otherwise(array_max(transform(col("xd"),
+            e => abs(e - (col("mn") +
+              floor((e - col("mn")) / col("scale") + 0.5d) * col("scale"))))))
           .as("max_err"))
   }
 

@@ -262,9 +262,12 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"),
         graft.functions.Text.shingles(col("w")).as("shs"))
       .withColumn("n_sh", size(col("shs")))
+    // NO id-inequality filter, deliberately: stream and corpus ids come
+    // from independent systems, so equality is not identity — and a
+    // re-ingest of a corpus document under its own id is exactly the
+    // "already in the corpus" event this operator must flag
     Dedup.bandKeys(streamSets, bands, rowsPerBand, carry = Seq("ts", "shs", "n_sh"))
       .join(corpusIdx, Seq("band", "bkey"))
-      .filter(col("doc_id") =!= col("corpus_id"))
       .withColumn("inter", size(array_intersect(col("shs"), col("corpus_shs"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_sh") + col("corpus_n") - col("inter")))

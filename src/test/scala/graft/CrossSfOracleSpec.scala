@@ -234,9 +234,11 @@ class CrossSfOracleSpec extends SparkSpec {
         val xd = v.map(_.toDouble)
         val (mn, mx) = (xd.min, xd.max)
         val scale = (mx - mn) / 255.0
-        val qSum = xd.map(e => math.floor((e - mn) / scale + 0.5).toLong).sum
-        val maxErr = xd.map(e =>
-          math.abs(e - (mn + math.floor((e - mn) / scale + 0.5) * scale))).max
+        val qSum = if (scale == 0.0) 0L
+          else xd.map(e => math.floor((e - mn) / scale + 0.5).toLong).sum
+        val maxErr = if (scale == 0.0) 0.0
+          else xd.map(e =>
+            math.abs(e - (mn + math.floor((e - mn) / scale + 0.5) * scale))).max
         (id, mn, mx, scale, qSum, maxErr)
       }.toSet
       val got = Similarity.quantizeInt8(graft.sources.Tables.embeddings(spark, dir))

@@ -31,7 +31,7 @@ class OracleCoverageSpec extends AnyFunSuite {
       // the classic silent hash-mismatch, so keep the contract visible here
       val castTypes = Set("INT", "BIGINT", "DOUBLE", "FLOAT", "VARCHAR", "DECIMAL",
         "TIMESTAMP", "DATE", "BOOLEAN", "HUGEINT", "SMALLINT", "TINYINT")
-      "AS\\s+([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(sql).foreach { m =>
+      "(?i)\\bAS\\s+([A-Za-z_][A-Za-z0-9_]*)".r.findAllMatchIn(sql).foreach { m =>
         val alias = m.group(1) // either a column alias or a CAST target type
         assert(alias == alias.toLowerCase || castTypes.contains(alias.toUpperCase),
           s"$name: mixed-case alias '$alias' will hash-mismatch the Spark column")

@@ -1,7 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** Executes EVERY registered query once at sf0.001 — the other half of
   * the no-query-lands-without-one-run rule. OracleCoverageSpec proves a
   * query HAS an oracle; this spec proves it RUNS: an analysis-time error
@@ -10,21 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * it. One shared session, one scoped cache per query, smallest SF —
   * the whole sweep costs about a minute.
   */
-class QuerySmokeSpec extends AnyFunSuite {
-
-  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+class QuerySmokeSpec extends SparkSpec {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val scope = Caches.open()
       try {
-        val n = fn(spark, "/root/testdata/sf0.001").count()
+        val n = fn(spark, sf0001).count()
         assert(n >= 0)
       } finally scope.release()
     }

@@ -187,6 +187,12 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("max_err") <= r.getAs[Double]("scale") / 2 + 1e-12,
         s"vec ${r.getAs[Long]("vec_id")} err over half-step")
     }
+
+    // constant vector: scale 0 must not NaN — by convention code 0, error 0
+    val const = Similarity.quantizeInt8(emb(0L -> Seq(0.5f, 0.5f, 0.5f))).collect()(0)
+    assert(const.getAs[Double]("scale") === 0.0)
+    assert(const.getAs[Long]("q_sum") === 0L)
+    assert(const.getAs[Double]("max_err") === 0.0)
   }
 
   test("sparseLexicalTopK: tf-cosine over shared terms, sparse candidates, exact tie-break") {

@@ -259,9 +259,12 @@ class StreamingOpsSpec extends SparkSpec {
       StreamTextDoc(2L, "unrelated fresh content words entirely new and never seen before",
         ts("2026-01-01 00:00:10")))
     q.processAllAvailable()
-    // batch 2: a near-dup (one word changed) arrives later
-    mem.addData(StreamTextDoc(3L, base.replace("today", "tonight"),
-      ts("2026-01-01 00:01:00")))
+    // batch 2: a near-dup (one word changed) arrives later, plus a
+    // re-ingest of corpus doc 100 under its OWN id — stream and corpus
+    // id spaces are independent, so this must still be flagged
+    mem.addData(
+      StreamTextDoc(3L, base.replace("today", "tonight"), ts("2026-01-01 00:01:00")),
+      StreamTextDoc(100L, base, ts("2026-01-01 00:01:30")))
     q.processAllAvailable(); q.stop()
 
     val rows = spark.table("neardup")
@@ -274,6 +277,8 @@ class StreamingOpsSpec extends SparkSpec {
     val near = byDoc(3L)
     assert(near.length === 1 && near.head._2 === 100L)
     assert(near.head._3 > 0.5 && near.head._3 < 1.0)
+    // id collision with the corpus does not suppress the match
+    assert(byDoc(100L).toSeq === Seq((100L, 100L, 1.0)))
     // and the streaming verdicts agree with the batch LSH on the same pair
     val batch = graft.operators.Dedup.minhashLsh(
         corpus.union(Seq((1L, base)).toDF("doc_id", "text")),
