@@ -111,6 +111,7 @@ object SparkEntry {
     "q83_bigram_lift" -> ((s, d) => Corpus.bigramLift(s, d)),
     "q84_sparse_topk" -> ((s, d) => Similarity.sparseLexicalTopK(s, d)),
     "q85_orc_roundtrip" -> (Prep.orcRoundtrip _),
+    "q86_compaction_readback" -> (Warehouse.compactionReadback _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1334,5 +1335,16 @@ object SparkEntry {
         |    + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) AS BIGINT) AS text_fp
         |FROM documents
         |GROUP BY lang""".stripMargin,
+
+    // q86: the per-month aggregate is layout-independent — the oracle
+    // recomputes it straight from the source; the compaction mechanics
+    // (file count collapse, range clustering) are asserted by
+    // WarehouseSpec, not the hash.
+    "q86_compaction_readback" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY 1""".stripMargin,
   )
 }

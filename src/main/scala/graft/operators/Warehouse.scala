@@ -226,4 +226,49 @@ object Warehouse {
       .agg(
         min(orderDay).as("day_min"), max(orderDay).as("day_max"),
         min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"))
+
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * or frequently-appended table needs: thousands of kilobyte files
+    * (one per micro-batch per partition) make scans open-file-bound and
+    * crush the namenode/listing layer, so periodically rewrite the
+    * directory into files of a target row size. `repartitionByRange` on
+    * the sort key keeps the compacted files range-clustered (footer
+    * min/max stay tight, so pruning survives compaction), and the target
+    * file count derives from the actual row count — a fixed count would
+    * under-split at 100× or shatter at 0.01×. The rewrite lands in a new
+    * directory: at scale compaction must be atomic-swap (write new, swap
+    * pointer, drop old), never in-place.
+    */
+  def compact(
+      s: SparkSession, inPath: String, outPath: String,
+      sortKey: String, rowsPerFile: Long = 1000000L): Long = {
+    val src = s.read.parquet(inPath)
+    val nFiles = math.max(1L, (src.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    src.repartitionByRange(nFiles, col(sortKey))
+      .sortWithinPartitions(col(sortKey))
+      .write.mode("overwrite").parquet(outPath)
+    nFiles.toLong
+  }
+
+  /** Compaction round trip the oracle can check: fragment orders into
+    * one file per day-ish slice (the streaming-append pathology), compact
+    * to ~`rowsPerFile` rows per file, then aggregate per month from the
+    * compacted table. The answer is layout-independent — exactly what the
+    * oracle recomputes from the source — while WarehouseSpec asserts the
+    * mechanical claims: file count collapses and per-file row counts hit
+    * the target.
+    */
+  def compactionReadback(s: SparkSession, dir: String): DataFrame = {
+    val tok = token(s, dir, "compact")
+    val (fragPath, outPath) = (tablePath(tok, "orders_frag"), tablePath(tok, "orders_compact"))
+    Tables.orders(s, dir)
+      .repartition(64, col("o_orderkey"))
+      .write.mode("overwrite").parquet(fragPath)
+    compact(s, fragPath, outPath, "o_orderdate", rowsPerFile = 5000L)
+    s.read.parquet(outPath)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
 }

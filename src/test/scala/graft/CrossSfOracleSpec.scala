@@ -250,6 +250,30 @@ class CrossSfOracleSpec extends SparkSpec {
     }
   }
 
+  // ---- q82: signed feature-hashing embeddings ----
+
+  test("q82 feature_hash_embed matches a plain-JVM signed-hash recompute at sf0.001 and sf0.1") {
+    val dims = 64
+    for (dir <- Seq(sf0001, sf01)) {
+      val expected = docs(dir)
+        .flatMap { case (id, text, _, _, _) =>
+          text.split(" ", -1).map { w =>
+            val hex = md5Hex(w)
+            val pos = (java.lang.Long.parseLong(hex.substring(0, 12), 16) % dims).toInt
+            val sgn = if (Integer.parseInt(hex.substring(12, 13), 16) % 2 == 0) 1L else -1L
+            ((id, pos), sgn)
+          }
+        }
+        .groupBy(_._1).map { case ((id, pos), vs) => (id, pos, vs.map(_._2).sum) }
+        .toSet
+      val got = Corpus.featureHashEmbed(graft.sources.Tables.documents(spark, dir), dims)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("value")))
+        .toSet
+      assert(got === expected, s"q82 diverged from the signed-hash recompute at $dir")
+    }
+  }
+
   // ---- q81: fixed-point per-language centroids ----
 
   test("q81 lang_centroid matches a fixed-point recompute at sf0.001 and sf0.1") {

@@ -124,4 +124,30 @@ class WarehouseSpec extends SparkSpec {
     assert(zTouched < dTouched,
       s"z-order touched $zTouched file-hits over 9 boxes vs date-sort $dTouched — no pruning win")
   }
+
+  test("compact collapses fragmented files to the target size and keeps ranges disjoint") {
+    val orders = graft.sources.Tables.orders(spark, sf001) // 15000 rows
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
+    val (frag, out) = (s"$tmp/frag", s"$tmp/out")
+    orders.repartition(64, col("o_orderkey")).write.parquet(frag)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files(frag) === 64) // the streaming-append pathology
+
+    val n = Warehouse.compact(spark, frag, out, "o_orderdate", rowsPerFile = 5000L)
+    assert(n === 3L) // ceil(15000 / 5000)
+    assert(files(out) === 3)
+    assert(spark.read.parquet(out).count() === 15000L) // lossless
+
+    // range clustering survives: per-file day ranges must not overlap
+    // (range partitioning never splits one key value across files)
+    val spans = Warehouse.fileBoxes(spark, out).collect()
+      .map(r => (r.getAs[Int]("day_min"), r.getAs[Int]("day_max")))
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._1 >= a._2, s"compacted file ranges overlap: $a then $b")
+      case _ => ()
+    }
+  }
 }
