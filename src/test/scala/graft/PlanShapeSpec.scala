@@ -238,6 +238,16 @@ class PlanShapeSpec extends SparkSpec {
       s"the totals cross join must broadcast its 1-row side:\n$plan")
   }
 
+  test("q84: sparse top-k ranks through the bounded aggregate, not a window") {
+    val df = graft.operators.Similarity.sparseLexicalTopK(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"BoundedTopK must rank via ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"ranking must not window over the full scored relation:\n$plan")
+  }
+
   test("q81: language centroids aggregate with map-side partial combine") {
     val df = graft.operators.Similarity.langCentroids(
       graft.sources.Tables.documents(spark, sf0001),
