@@ -19,8 +19,6 @@ import graft.sources.Tables
   */
 object Corpus {
 
-  private def shuffleWidth(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   /** Top-`k` corpus vocabulary by term frequency (with document frequency):
     * the heavy-hitter / vocab-building pass of a tokenizer pipeline.

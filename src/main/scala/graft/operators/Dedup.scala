@@ -39,28 +39,33 @@ object Dedup {
   def exact(s: SparkSession, dir: String): DataFrame =
     exact(Tables.documents(s, dir))
 
-  /** Per-doc distinct word-3-gram sets: (doc_id, shs array, n_sh).
-    * Repartitioned by doc_id BEFORE the shingling: the source may arrive
-    * in few partitions (one small parquet file locally; coarse splits at
-    * scale), and shingling multiplies the data ~50× — spreading docs
-    * across the full shuffle-partition count first keeps the hash work on
-    * every core instead of one.
+  /** Per-doc distinct word-3-gram sets: (doc_id [, carry...], shs array,
+    * n_sh). Repartitioned by doc_id BEFORE the shingling: the source may
+    * arrive in few partitions (one small parquet file locally; coarse
+    * splits at scale), and shingling multiplies the data ~50× — spreading
+    * docs across the full shuffle-partition count first keeps the hash
+    * work on every core instead of one. `carry` columns ride through for
+    * callers that cannot join them back (a streaming frame cannot
+    * self-join) — same mechanism as bandKeys. The repartition is skipped
+    * on streaming frames (hash partitioning of a micro-batch is the
+    * stream's own concern; an explicit exchange is not supported there).
     */
-  def docShingleSets(docs: DataFrame): DataFrame =
-    docs
-      // explicit N: an un-pinned repartition gets AQE-coalesced back to
-      // ~1 partition at small scale, serializing the hash work
-      .repartition(shuffleWidth(docs), col("doc_id"))
-      .select(col("doc_id"), Text.words(col("text")).as("w"))
+  def docShingleSets(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    // explicit N: an un-pinned repartition gets AQE-coalesced back to
+    // ~1 partition at small scale, serializing the hash work
+    val spread =
+      if (docs.isStreaming) docs
+      else docs.repartition(shuffleWidth(docs), col("doc_id"))
+    spread
+      .select((col("doc_id") +: carry.map(col)) :+ Text.words(col("text")).as("w"): _*)
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), Text.shingles(col("w")).as("shs"))
+      .select((col("doc_id") +: carry.map(col)) :+ Text.shingles(col("w")).as("shs"): _*)
       .withColumn("n_sh", size(col("shs")))
+  }
 
   def docShingleSets(s: SparkSession, dir: String): DataFrame =
     docShingleSets(Tables.documents(s, dir))
 
-  private def shuffleWidth(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   /** (doc_id, shingle) pairs: distinct word-3-grams per document.
     * `explode_outer`, deliberately: plain `explode` makes Catalyst emit an
@@ -493,7 +498,7 @@ object Dedup {
       .distinct())
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val inter = ss
-      .groupBy(col("sh")).agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .groupBy(col("sh")).agg(collect_set(col("source")).as("srcs"))
       .filter(size(col("srcs")) >= 2)
       .select(explode(col("srcs")).as("source_a"), col("srcs"))
       .select(col("source_a"), explode(col("srcs")).as("source_b"))

@@ -17,8 +17,6 @@ import graft.sources.Tables
   */
 object Prep {
 
-  private def shuffleWidth(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   /** Shared deterministic-sampling bucket (same formula as splitAssign so
     * strata and splits compose predictably).
@@ -297,17 +295,24 @@ object Prep {
     * a green row proves the writer layout is lossless and the split
     * assignment matches the engine-portable md5-bucket formula.
     */
-  def curatedReadback(s: SparkSession, dir: String): DataFrame = {
-    val out = curatedDir(dir)
-    writeCurated(Tables.documents(s, dir), out)
-    s.read.parquet(out)
-      .filter(col("split") === "train")
-      .groupBy(col("lang"))
+  /** The shared lossless-round-trip check: doc count, char total, and a
+    * 16-bit md5 text fingerprint sum per language — any corruption of the
+    * text payload in a write/read cycle changes the fingerprint. One
+    * definition, used by every format round trip (q68 parquet, q85 ORC),
+    * so "lossless" always means the same thing.
+    */
+  private def langFingerprint(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         sum(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
           .as("text_fp"))
+
+  def curatedReadback(s: SparkSession, dir: String): DataFrame = {
+    val out = curatedDir(dir)
+    writeCurated(Tables.documents(s, dir), out)
+    langFingerprint(s.read.parquet(out).filter(col("split") === "train"))
   }
 
   /** ORC write/read round trip: the second columnar format a warehouse
@@ -326,13 +331,7 @@ object Prep {
       s"${new java.io.File(dir).getName}_$app/documents_orc"
     Tables.documents(s, dir)
       .write.mode("overwrite").option("compression", "zlib").orc(out)
-    s.read.orc(out)
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        sum(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"))
-          .as("text_fp"))
+    langFingerprint(s.read.orc(out))
   }
 
   /** Token-budget sequence packing: assign each document to a training

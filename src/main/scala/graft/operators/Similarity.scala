@@ -38,9 +38,7 @@ object Similarity {
     */
   private def prepared(emb: DataFrame): DataFrame =
     emb
-      .repartition(
-        emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("vec_id"))
+      .repartition(shuffleWidth(emb), col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         FixedPoint.normSqF(col("embedding")).as("n2"))
 
@@ -356,9 +354,7 @@ object Similarity {
   def sparseLexicalTopK(docs: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
     import graft.functions.Text
     val tf = Caches.track(docs
-      .repartition(
-        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("doc_id"))
+      .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
     val norms = tf.groupBy(col("doc_id")).agg(sum(col("tf") * col("tf")).as("n2"))

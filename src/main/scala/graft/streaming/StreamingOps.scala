@@ -225,7 +225,11 @@ object StreamingOps {
     * duplicates never enter the training corpus in the first place.
     *
     * Structure: the corpus side is indexed ONCE — band keys joined back
-    * to shingle sets, cached (caller-released via graft.Caches) — and
+    * to shingle sets, cached via graft.Caches. NOTE the cache lifetime:
+    * unlike the batch operators, the caller's scope must outlive the
+    * STREAMING QUERY, not just the plan construction — releasing after
+    * `start()` unpersists the index and every later micro-batch rebuilds
+    * the corpus pipeline from scratch. Release after `query.stop()`. And
     * every micro-batch equi-joins it on (band, bkey), a stateless
     * stream-static join. The stream side's shingle sets and band keys
     * are pure per-row projections (Dedup.bandKeys is projection-only by
@@ -254,14 +258,8 @@ object StreamingOps {
         .join(corpusSets, Seq("doc_id"))
         .select(col("band"), col("bkey"), col("doc_id").as("corpus_id"),
           col("shs").as("corpus_shs"), col("n_sh").as("corpus_n")))
-    val streamSets = stream
-      .withWatermark("ts", watermark)
-      .select(col("doc_id"), col("ts"),
-        graft.functions.Text.words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), col("ts"),
-        graft.functions.Text.shingles(col("w")).as("shs"))
-      .withColumn("n_sh", size(col("shs")))
+    val streamSets =
+      Dedup.docShingleSets(stream.withWatermark("ts", watermark), carry = Seq("ts"))
     // NO id-inequality filter, deliberately: stream and corpus ids come
     // from independent systems, so equality is not identity — and a
     // re-ingest of a corpus document under its own id is exactly the
