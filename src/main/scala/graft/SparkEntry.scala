@@ -112,6 +112,8 @@ object SparkEntry {
     "q84_sparse_topk" -> ((s, d) => Similarity.sparseLexicalTopK(s, d)),
     "q85_orc_roundtrip" -> (Prep.orcRoundtrip _),
     "q86_compaction_readback" -> (Warehouse.compactionReadback _),
+    "q87_bpe_pairs" -> ((s, d) => Corpus.bpePairCounts(s, d)),
+    "q88_length_deciles" -> ((s, d) => Corpus.lengthDeciles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1346,5 +1348,60 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders
         |GROUP BY 1""".stripMargin,
+
+    // q87: pair counts run on the collapsed vocabulary weighted by word
+    // frequency — the oracle mirrors that exactly (same totals as
+    // counting over the raw corpus, provably: sum over words of
+    // per-word pairs × count).
+    "q87_bpe_pairs" ->
+      """WITH v AS (
+        |  SELECT word, COUNT(*) AS n_word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |  ) GROUP BY 1
+        |), p AS (
+        |  SELECT n_word,
+        |    unnest([substr(word, CAST(i AS INT), 2) FOR i IN range(1, len(word))]) AS pair
+        |  FROM v WHERE len(word) >= 2
+        |)
+        |SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n
+        |FROM p GROUP BY 1
+        |ORDER BY n DESC, pair
+        |LIMIT 100""".stripMargin,
+
+    // q88: boundary-based deciles (value at rank ceil(n*d/10), ties share
+    // the lower bucket) — deterministic where ntile's positional ties are
+    // not; the oracle computes the identical boundaries from the value
+    // distribution.
+    "q88_length_deciles" ->
+      """WITH dist AS (
+        |  SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1
+        |), cum AS (
+        |  SELECT n_chars, cnt, SUM(cnt) OVER (ORDER BY n_chars) AS cum FROM dist
+        |), tot AS (
+        |  SELECT COUNT(*) AS n FROM documents
+        |), b AS (
+        |  SELECT
+        |    MIN(CASE WHEN cum >= ceil(n * 1 / 10.0) THEN n_chars END) AS b1,
+        |    MIN(CASE WHEN cum >= ceil(n * 2 / 10.0) THEN n_chars END) AS b2,
+        |    MIN(CASE WHEN cum >= ceil(n * 3 / 10.0) THEN n_chars END) AS b3,
+        |    MIN(CASE WHEN cum >= ceil(n * 4 / 10.0) THEN n_chars END) AS b4,
+        |    MIN(CASE WHEN cum >= ceil(n * 5 / 10.0) THEN n_chars END) AS b5,
+        |    MIN(CASE WHEN cum >= ceil(n * 6 / 10.0) THEN n_chars END) AS b6,
+        |    MIN(CASE WHEN cum >= ceil(n * 7 / 10.0) THEN n_chars END) AS b7,
+        |    MIN(CASE WHEN cum >= ceil(n * 8 / 10.0) THEN n_chars END) AS b8,
+        |    MIN(CASE WHEN cum >= ceil(n * 9 / 10.0) THEN n_chars END) AS b9
+        |  FROM cum CROSS JOIN tot
+        |)
+        |SELECT doc_id, n_chars,
+        |  CAST(1 + (CASE WHEN b1 < n_chars THEN 1 ELSE 0 END)
+        |         + (CASE WHEN b2 < n_chars THEN 1 ELSE 0 END)
+        |         + (CASE WHEN b3 < n_chars THEN 1 ELSE 0 END)
+        |         + (CASE WHEN b4 < n_chars THEN 1 ELSE 0 END)
+        |         + (CASE WHEN b5 < n_chars THEN 1 ELSE 0 END)
+        |         + (CASE WHEN b6 < n_chars THEN 1 ELSE 0 END)
+        |         + (CASE WHEN b7 < n_chars THEN 1 ELSE 0 END)
+        |         + (CASE WHEN b8 < n_chars THEN 1 ELSE 0 END)
+        |         + (CASE WHEN b9 < n_chars THEN 1 ELSE 0 END) AS INT) AS decile
+        |FROM documents CROSS JOIN b""".stripMargin,
   )
 }

@@ -382,4 +382,68 @@ object Corpus {
 
   def bigramLift(s: SparkSession, dir: String): DataFrame =
     bigramLift(Tables.documents(s, dir))
+
+  /** The counting kernel of one BPE-training step: adjacent character-pair
+    * frequencies over the corpus, weighted by word frequency — the
+    * statistic a byte-pair-encoding tokenizer maximizes at every merge.
+    *
+    * The scale insight is that BPE counting NEVER runs on the corpus: the
+    * corpus collapses to its vocabulary (word, n_word) first — one
+    * map-side-combined hash agg — and pair extraction walks each DISTINCT
+    * word once, multiplying by its count. A 100 TB corpus has a
+    * vocabulary in the millions, so the pair stage costs megabytes no
+    * matter the input size (this is also exactly how reference BPE
+    * trainers are implemented). Top-k by (n DESC, pair) is a bounded
+    * TakeOrderedAndProject.
+    */
+  def bpePairCounts(docs: DataFrame, topK: Int = 100): DataFrame = {
+    val vocab = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+    vocab
+      .filter(length(col("word")) >= 2)
+      .select(col("n_word"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n_word")).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topK)
+  }
+
+  def bpePairCounts(s: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Tables.documents(s, dir))
+
+  /** Per-document decile assignment by length — score-based binning, the
+    * mechanism behind curriculum ordering and quality-stratified mixes.
+    *
+    * NOT `ntile`: a global ntile sorts the whole corpus through one
+    * ordering (and its tie behavior is position-dependent, so it cannot
+    * be reproduced engine-portably). Instead the corpus collapses to its
+    * VALUE DISTRIBUTION (the q41 aggregate-then-rank shape), the nine
+    * decile boundaries are computed on those distribution rows, and every
+    * document gets its bucket from one broadcast of a 1×9 boundary row —
+    * a pure per-row projection, no corpus sort at any scale. Ties share a
+    * bucket (documents equal to a boundary stay in the lower decile),
+    * which is deterministic under any partitioning.
+    */
+  def lengthDeciles(docs: DataFrame): DataFrame = {
+    val dist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+    // unpartitioned window, deliberately: it runs on the distinct-value
+    // distribution (vocabulary-sized), never on corpus rows
+    val w = Window.orderBy(col("n_chars"))
+    val cum = dist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+    val bounds = cum.agg(
+      min(when(col("cum") >= ceil(col("n") * lit(1) / lit(10.0)), col("n_chars"))).as("b1"),
+      (2 to 9).map(d =>
+        min(when(col("cum") >= ceil(col("n") * lit(d) / lit(10.0)), col("n_chars"))).as(s"b$d")): _*)
+    docs.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_chars"),
+        (lit(1) + (1 to 9).map(d =>
+          when(col(s"b$d") < col("n_chars"), 1).otherwise(0)).reduce(_ + _))
+          .as("decile"))
+  }
+
+  def lengthDeciles(s: SparkSession, dir: String): DataFrame =
+    lengthDeciles(Tables.documents(s, dir))
 }

@@ -167,4 +167,29 @@ class CorpusSpec extends SparkSpec {
     assert(rows.head._1 === "new york")
     assert(m("new york")._4 > m("the cat")._4)
   }
+
+  test("bpePairCounts weights character pairs by word frequency over the vocabulary") {
+    import spark.implicits._
+    val d = Seq((0L, "ab ab abc x")).toDF("doc_id", "text")
+    val m = Corpus.bpePairCounts(d, topK = 10).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+    // "ab" occurs twice as a word (1 pair each) and once inside "abc";
+    // "bc" once inside "abc"; the 1-char word "x" contributes nothing
+    assert(m === Map("ab" -> 3L, "bc" -> 1L))
+  }
+
+  test("lengthDeciles assigns boundary-based buckets; ties share the lower decile") {
+    import spark.implicits._
+    // ten distinct lengths 1..10: boundary_d = d, so decile(v) = v
+    val d = (1L to 10L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val m = Corpus.lengthDeciles(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("decile")).toMap
+    assert(m === (1L to 10L).map(i => i -> i.toInt).toMap)
+
+    // all-equal scores: every boundary equals the score, nothing is
+    // strictly below it -> everyone lands in decile 1
+    val flat = (1L to 8L).map(i => (i, 42L)).toDF("doc_id", "n_chars")
+    val deciles = Corpus.lengthDeciles(flat).collect().map(_.getAs[Int]("decile")).toSet
+    assert(deciles === Set(1))
+  }
 }
