@@ -192,4 +192,42 @@ class CorpusSpec extends SparkSpec {
     val deciles = Corpus.lengthDeciles(flat).collect().map(_.getAs[Int]("decile")).toSet
     assert(deciles === Set(1))
   }
+
+  test("property: lengthDeciles equals a plain-Scala boundary recompute on random multisets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 5) {
+      val n = 20 + rnd.nextInt(200)
+      // heavy ties on purpose: values drawn from a small range
+      val rows = (0L until n).map(i => (i, (rnd.nextInt(12) + 1).toLong))
+      val expected = {
+        val sorted = rows.map(_._2).sorted
+        val bounds = (1 to 9).map(d => sorted(math.ceil(n * d / 10.0).toInt - 1))
+        rows.map { case (id, v) => id -> (1 + bounds.count(_ < v)) }.toMap
+      }
+      val got = Corpus.lengthDeciles(rows.toDF("doc_id", "n_chars")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("decile")).toMap
+      assert(got === expected, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("property: bpePairCounts equals a plain-Scala recompute on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcd"
+    def word() = (0 until 1 + rnd.nextInt(5))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (trial <- 0 until 3) {
+      val texts = (0L until 30L).map(i =>
+        (i, (0 until 3 + rnd.nextInt(10)).map(_ => word()).mkString(" ")))
+      val expected = texts
+        .flatMap(_._2.split(" ", -1))
+        .filter(_.length >= 2)
+        .flatMap(w => w.sliding(2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = Corpus.bpePairCounts(texts.toDF("doc_id", "text"), topK = 1000)
+        .collect().map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
 }
