@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for the heaviest queries to a markdown
+  * file — committed plan evidence, so a reviewer can audit the physical
+  * shapes (pushed filters, broadcast vs shuffled joins, partial
+  * aggregates, bounded top-k operators) without executing anything.
+  *
+  * Usage: `runMain graft.PlanDump <sfDir> <outFile> [qNN qNN ...]`
+  * (defaults to the scale-critical headliners).
+  */
+object PlanDump {
+
+  private val defaults = Seq(
+    "q01_scan_filter_project", "q03_join_enrich_broadcast",
+    "q22_dedup_minhash_lsh", "q24_ann_topk", "q35_ann_ivf",
+    "q56_dup_clusters", "q61_ann_ivf_trained", "q70_bucketed_join",
+    "q71_salted_skew_join", "q78_inverted_index", "q80_source_overlap",
+    "q84_sparse_topk", "q87_bpe_pairs", "q88_length_deciles")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outFile = if (args.length > 1) args(1) else "PLANS.md"
+    val names = if (args.length > 2) args.drop(2).toSeq else defaults
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sb = new StringBuilder
+    sb.append(s"# Physical plans (`explain formatted`, $sfDir)\n\n")
+    sb.append("Regenerate: `sbt \"runMain graft.PlanDump <sfDir> PLANS.md\"`\n")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          val scope = Caches.open()
+          try {
+            val plan = fn(spark, sfDir).queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            sb.append(s"\n## $name\n\n```\n$plan```\n")
+          } finally scope.release()
+        case None =>
+          System.err.println(s"[plandump] unknown query: $name")
+      }
+    }
+    Files.writeString(Paths.get(outFile), sb.toString)
+    println(s"wrote ${names.size} plans to $outFile")
+    spark.stop()
+  }
+}
