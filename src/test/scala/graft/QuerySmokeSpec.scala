@@ -10,6 +10,10 @@ package graft
   */
 class QuerySmokeSpec extends SparkSpec {
 
+  test("entry (the driver's flagship smoke) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val scope = Caches.open()
