@@ -114,6 +114,8 @@ object SparkEntry {
     "q86_compaction_readback" -> (Warehouse.compactionReadback _),
     "q87_bpe_pairs" -> ((s, d) => Corpus.bpePairCounts(s, d)),
     "q88_length_deciles" -> ((s, d) => Corpus.lengthDeciles(s, d)),
+    "q89_schema_evolution" -> (Warehouse.schemaEvolutionReadback _),
+    "q90_null_semantics" -> (Relational.nullSemantics _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1403,5 +1405,34 @@ object SparkEntry {
         |         + (CASE WHEN b8 < n_chars THEN 1 ELSE 0 END)
         |         + (CASE WHEN b9 < n_chars THEN 1 ELSE 0 END) AS INT) AS decile
         |FROM documents CROSS JOIN b""".stripMargin,
+
+    // q89: the aggregate is layout-independent — the oracle computes the
+    // same per-priority rollup straight from the source, with the
+    // pre-cutover rows (written in the v1 layout that predates the
+    // priority column) foldered under the same sentinel mergeSchema
+    // null-fills them into.
+    "q89_schema_evolution" ->
+      """SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+        |            THEN 'PRE_SCHEMA' ELSE o_orderpriority END AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q90: pins the three standard null behaviors the Spark side relies
+    // on — GROUP BY folds nulls into one group, COUNT(*) vs COUNT(col),
+    // and IS NOT DISTINCT FROM (Spark's <=>) matching the null group.
+    "q90_null_semantics" ->
+      """WITH k AS (
+        |  SELECT CASE WHEN event_type = 'view' THEN NULL
+        |              ELSE event_type END AS key
+        |  FROM events
+        |), agg AS (
+        |  SELECT key, COUNT(*) AS n_rows, COUNT(key) AS n_nonnull
+        |  FROM k GROUP BY key
+        |), dim(dkey, dim_id) AS (
+        |  VALUES ('click', CAST(1 AS BIGINT)), (NULL, CAST(2 AS BIGINT))
+        |)
+        |SELECT key, n_rows, n_nonnull, dim_id
+        |FROM agg LEFT JOIN dim ON agg.key IS NOT DISTINCT FROM dim.dkey""".stripMargin,
   )
 }

@@ -262,4 +262,33 @@ object Relational {
         Seq(Seq(col("n_name"), col("o_orderstatus")), Seq(col("n_name")), Seq(col("o_orderstatus"))),
         col("n_name"), col("o_orderstatus"))
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+
+  /** SQL null-semantics parity in one query — the behaviors that silently
+    * diverge between hand-rolled engines and the standard, pinned here
+    * against the oracle: GROUP BY collects all nulls into ONE group,
+    * COUNT(*) counts them while COUNT(col) skips them, and the null-safe
+    * equality join (`<=>` / IS NOT DISTINCT FROM) matches the null group
+    * to a null dim key where plain `=` never would. The nullable key is
+    * synthesized deterministically (view events → null). All plain
+    * projections and one hash aggregate; the two-row dim broadcasts.
+    */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val dim = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("click", 1L),
+        org.apache.spark.sql.Row(null, 2L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dkey",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("dim_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    Tables.events(s, dir)
+      .select(
+        when(col("event_type") === "view", lit(null))
+          .otherwise(col("event_type")).as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_rows"), count(col("key")).as("n_nonnull"))
+      .join(broadcast(dim), col("key") <=> col("dkey"), "left")
+      .select(col("key"), col("n_rows"), col("n_nonnull"), col("dim_id"))
+  }
 }

@@ -258,6 +258,36 @@ object Warehouse {
     * mechanical claims: file count collapses and per-file row counts hit
     * the target.
     */
+  /** Schema evolution on read — the interop capability every long-lived
+    * table needs: files written before a column existed coexist with
+    * files that carry it, and one `mergeSchema` read unions the layouts,
+    * null-filling the column where it predates the schema. Here orders
+    * split into a v1 layout (3 columns, "before the priority column
+    * shipped") and a v2 layout (4 columns); the merged read aggregates by
+    * priority with the pre-schema rows foldered under an explicit
+    * sentinel. At 100 TB this is a footer-only concern — mergeSchema
+    * reconciles footers at planning time; no data is rewritten (the
+    * anti-pattern this replaces is a full-table backfill for every new
+    * column).
+    */
+  def schemaEvolutionReadback(s: SparkSession, dir: String): DataFrame = {
+    val root = tablePath(token(s, dir, "evolve"), "orders_evolving")
+    val orders = Tables.orders(s, dir)
+    val cut = lit("1995-01-01").cast("timestamp")
+    orders.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$root/v1")
+    orders.filter(col("o_orderdate") >= cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$root/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$root/v1", s"$root/v2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("PRE_SCHEMA")).as("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
+
   def compactionReadback(s: SparkSession, dir: String): DataFrame = {
     val tok = token(s, dir, "compact")
     val (fragPath, outPath) = (tablePath(tok, "orders_frag"), tablePath(tok, "orders_compact"))
