@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Corpus, Dedup, Multimodal, Prep, Relational, Similarity, TextAnalysis, Warehouse}
+import graft.operators.{Advanced, Corpus, Dedup, Multimodal, Prep, Quality, Relational, Similarity, TextAnalysis, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -116,6 +116,12 @@ object SparkEntry {
     "q88_length_deciles" -> ((s, d) => Corpus.lengthDeciles(s, d)),
     "q89_schema_evolution" -> (Warehouse.schemaEvolutionReadback _),
     "q90_null_semantics" -> (Relational.nullSemantics _),
+    "q91_merge_upsert" -> ((s, d) => Warehouse.mergeUpsert(s, d)),
+    "q92_snapshot_diff" -> ((s, d) => Warehouse.snapshotDiff(s, d)),
+    "q93_unpivot_metrics" -> ((s, d) => Relational.unpivotMetrics(s, d)),
+    "q94_ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
+    "q95_fk_integrity" -> (Quality.fkIntegrity _),
+    "q96_column_profile" -> (Quality.columnProfile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1434,5 +1440,137 @@ object SparkEntry {
         |)
         |SELECT key, n_rows, n_nonnull, dim_id
         |FROM agg LEFT JOIN dim ON agg.key IS NOT DISTINCT FROM dim.dkey""".stripMargin,
+
+    // q91: the change batch is a pure function of the target (mod-7
+    // updates, mod-97 re-keyed inserts), so the oracle rebuilds it and
+    // applies MERGE semantics relationally.
+    "q91_merge_upsert" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |), upd AS (
+        |  SELECT o_orderkey, o_custkey AS u_custkey,
+        |    o_totalprice * CAST(1.05 AS DOUBLE) AS u_price
+        |  FROM t WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 6000000, o_custkey, CAST(100.0 AS DOUBLE)
+        |  FROM t WHERE o_orderkey % 97 = 0
+        |)
+        |SELECT o_orderkey, o_custkey, o_totalprice, 'keep' AS action
+        |FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL
+        |SELECT t.o_orderkey, t.o_custkey, u.u_price, 'update'
+        |FROM t JOIN upd u USING (o_orderkey)
+        |UNION ALL
+        |SELECT u.o_orderkey, u.u_custkey, u.u_price, 'insert'
+        |FROM upd u WHERE u.o_orderkey NOT IN (SELECT o_orderkey FROM t)""".stripMargin,
+
+    // q92: snapshot B is a pure function of A (mod-13 deletes, mod-5
+    // reprices, mod-101 re-keyed inserts); the diff is the full outer
+    // join keeping only changed keys.
+    "q92_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |), b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM a WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 7000000, o_totalprice
+        |  FROM a WHERE o_orderkey % 101 = 0
+        |), j AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    a.o_totalprice AS old_price, b.o_totalprice AS new_price
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        |)
+        |SELECT o_orderkey, old_price, new_price,
+        |  CASE WHEN old_price IS NULL THEN 'insert'
+        |       WHEN new_price IS NULL THEN 'delete'
+        |       WHEN old_price <> new_price THEN 'update' END AS change
+        |FROM j
+        |WHERE old_price IS NULL OR new_price IS NULL OR old_price <> new_price""".stripMargin,
+
+    // q93: UNPIVOT as the portable UNION ALL form; metric labels are the
+    // source column names, matching Spark's unpivot variable column.
+    "q93_unpivot_metrics" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |)
+        |SELECT metric, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM m GROUP BY metric""".stripMargin,
+
+    // q94: same shingle CTE family as q55/q74 (md5-digested word-3-grams),
+    // then first-occurrence min per shingle and a per-doc prior-fraction.
+    "q94_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), sh AS (
+        |  SELECT doc_id, md5(sh) AS sh FROM sh0
+        |), f AS (
+        |  SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+        |)
+        |SELECT s.doc_id, COUNT(*) AS n_sh,
+        |  CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_prior,
+        |  CAST(1.0 AS DOUBLE)
+        |    - CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*) AS novelty
+        |FROM sh s JOIN f USING (sh)
+        |GROUP BY s.doc_id""".stripMargin,
+
+    // q95: each FK edge is a left join against the distinct parent keys;
+    // relation labels match the Scala literals exactly.
+    "q95_fk_integrity" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relation, COUNT(*) AS n_child,
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |  ON c.l_orderkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', COUNT(*),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |  ON c.l_partkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |  ON c.l_suppkey = p.k
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer', COUNT(*),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |  ON c.o_custkey = p.k
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation', COUNT(*),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |  ON c.c_nationkey = p.k""".stripMargin,
+
+    // q96: per-column profile; min/max computed on the native type and
+    // stringified only in the output, mirroring the Spark side.
+    "q96_column_profile" ->
+      """SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows, COUNT(doc_id) AS n_nonnull,
+        |  COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_val, CAST(MAX(doc_id) AS VARCHAR) AS max_val
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang),
+        |  CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source),
+        |  CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'text', COUNT(*), COUNT(text), COUNT(DISTINCT text),
+        |  CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents""".stripMargin,
   )
 }

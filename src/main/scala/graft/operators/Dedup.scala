@@ -519,4 +519,34 @@ object Dedup {
 
   def sourceOverlap(s: SparkSession, dir: String): DataFrame =
     sourceOverlap(Tables.documents(s, dir))
+
+  /** Per-document n-gram novelty against everything "earlier" in the
+    * corpus: the fraction of a doc's word-3-gram shingles whose FIRST
+    * occurrence (min doc_id) is in a strictly earlier document. This is
+    * the incremental-crawl dedup signal — "how much of this page have we
+    * already ingested?" — scored per doc instead of per pair, so it never
+    * enumerates pairs at all.
+    *
+    * Scale shape: shingles are md5-digested (fixed 32-byte shuffle keys
+    * instead of arbitrary-length text), the first-seen table is ONE
+    * map-side-combined min() aggregate on the shingle key, and the join
+    * back to the per-doc shingle rows reuses that same key, so the agg
+    * output and the probe side are co-partitioned — one logical shuffle
+    * of the shingle stream, then a per-doc count agg. Docs under 3 words
+    * have no shingles and carry no row (same contract as q21/q55).
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = docShingles(docs).select(col("doc_id"), md5(col("sh")).as("sh"))
+    val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_prior"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_prior").cast("double") / col("n_sh"))
+  }
+
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(s, dir))
 }

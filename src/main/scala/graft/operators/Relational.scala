@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -262,6 +262,29 @@ object Relational {
         Seq(Seq(col("n_name"), col("o_orderstatus")), Seq(col("n_name")), Seq(col("o_orderstatus"))),
         col("n_name"), col("o_orderstatus"))
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+
+  /** Wide→long reshape (UNPIVOT/melt) + per-metric profile. Spark's
+    * native `unpivot` is a zero-shuffle row transpose — each input row
+    * emits one row per value column inside the same task, no exchange —
+    * and the downstream aggregate is a plain map-side-combined hash agg
+    * over exactly `n_metrics` groups. At 100 TB the only real cost is the
+    * ×4 row expansion, which stays pipelined inside whole-stage codegen
+    * and never materializes; the alternative (4 separate scans unioned)
+    * reads the file 4 times.
+    */
+  def unpivotMetrics(lineitem: DataFrame): DataFrame =
+    lineitem
+      .unpivot(
+        ids = Array.empty[Column],
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "v")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("total"))
+
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    unpivotMetrics(Tables.lineitem(s, dir))
 
   /** SQL null-semantics parity in one query — the behaviors that silently
     * diverge between hand-rolled engines and the standard, pinned here

@@ -288,6 +288,86 @@ object Warehouse {
         dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** Delta-style MERGE (upsert) of a small change batch into a big
+    * target, planned the way it must be at 100 TB: the batch broadcasts,
+    * the target NEVER shuffles. Three broadcast joins classify rows —
+    * `left_anti` keeps untouched target rows as a bare pass-through scan,
+    * `inner` rewrites the matched rows with the batch's new values, and
+    * the inserts are the batch rows anti-joined against the (small,
+    * broadcastable) matched-key set. A naive full-outer join would
+    * sort-merge-shuffle the entire target to apply a batch a millionth
+    * its size; this shape is why warehouse MERGE implementations rewrite
+    * only touched files. The target is scanned twice, but both scans are
+    * column-pruned and, under a real table layout, file-pruned to the
+    * batch's key range.
+    *
+    * The change batch is derived deterministically from the target so the
+    * oracle can rebuild it: keys ≡0 (mod 7) get a 5% price bump
+    * (matched → update), keys ≡0 (mod 97) arrive re-keyed past the key
+    * space (not matched → insert).
+    */
+  def mergeUpsert(orders: DataFrame): DataFrame = {
+    val target = orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val updates = target.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        col("o_custkey").as("u_custkey"),
+        (col("o_totalprice") * lit(1.05)).as("u_price"))
+    val inserts = target.filter(col("o_orderkey") % 97 === 0)
+      .select((col("o_orderkey") + lit(6000000L)).as("o_orderkey"),
+        col("o_custkey").as("u_custkey"),
+        lit(100.0).as("u_price"))
+    val batch = updates.unionByName(inserts)
+    val kept = target.join(broadcast(batch), Seq("o_orderkey"), "left_anti")
+      .withColumn("action", lit("keep"))
+    val changed = target.join(broadcast(batch), Seq("o_orderkey"), "inner")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("u_price").as("o_totalprice"), lit("update").as("action"))
+    val matchedKeys = changed.select(col("o_orderkey"))
+    val inserted = batch.join(broadcast(matchedKeys), Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("u_custkey").as("o_custkey"),
+        col("u_price").as("o_totalprice"), lit("insert").as("action"))
+    kept.unionByName(changed).unionByName(inserted)
+  }
+
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame =
+    mergeUpsert(Tables.orders(s, dir))
+
+  /** Change-data-capture diff of two table snapshots: which keys were
+    * inserted, deleted, or had a value change between A and B. Unlike
+    * MERGE (small batch vs big target), BOTH sides here are full
+    * snapshots, so the full-outer join on the key IS the honest plan —
+    * one co-partitioned shuffle per side. At 100 TB you pay that shuffle
+    * once, or never: snapshots written with `writeBucketed` on the key
+    * diff with ZERO exchanges (the q70 machinery), which is exactly how
+    * nightly snapshot reconciliation should be laid out. Unchanged rows
+    * are dropped before anything downstream sees them.
+    *
+    * Snapshot B is derived deterministically from A: keys ≡0 (mod 13)
+    * deleted, keys ≡0 (mod 5) repriced (+10), keys ≡0 (mod 101) re-keyed
+    * past the key space as inserts.
+    */
+  def snapshotDiff(orders: DataFrame): DataFrame = {
+    val a = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val b = a.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(10.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(a.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + lit(7000000L)).as("o_orderkey"),
+          col("o_totalprice")))
+    a.select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+      .join(b.select(col("o_orderkey"), col("o_totalprice").as("new_price")),
+        Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("old_price").isNull, lit("insert"))
+          .when(col("new_price").isNull, lit("delete"))
+          .when(col("old_price") =!= col("new_price"), lit("update")))
+      .filter(col("change").isNotNull)
+  }
+
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+    snapshotDiff(Tables.orders(s, dir))
+
   def compactionReadback(s: SparkSession, dir: String): DataFrame = {
     val tok = token(s, dir, "compact")
     val (fragPath, outPath) = (tablePath(tok, "orders_frag"), tablePath(tok, "orders_compact"))

@@ -198,4 +198,22 @@ class DedupSpec extends SparkSpec {
     assert(m(("srcA", "srcC")) === ((3L, 1L, 0L, 0.0)))
     assert(m(("srcB", "srcC")) === ((2L, 1L, 0L, 0.0)))
   }
+
+  test("ngramNovelty: earliest doc is fully novel, a later exact copy fully prior, short docs dropped") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "a b c d e"),     // first occurrence of all its shingles
+      (20L, "a b c d e"),     // exact copy -> every shingle first seen in 10
+      (30L, "a b c q r s"),   // {abc} prior (from 10), {bcq,cqr,qrs} novel
+      (40L, "tiny one"),      // <3 words -> no shingles, no row
+    ).toDF("doc_id", "text")
+    val m = Dedup.ngramNovelty(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_prior"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(m.keySet === Set(10L, 20L, 30L))
+    assert(m(10L) === ((3L, 0L, 1.0)))
+    assert(m(20L) === ((3L, 3L, 0.0)))
+    assert(m(30L) === ((4L, 1L, 0.75)))
+  }
 }

@@ -257,4 +257,27 @@ class PlanShapeSpec extends SparkSpec {
       s"(lang, pos) sums must partial-combine below the exchange:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
   }
+
+  test("q91: MERGE joins all broadcast the change batch — the target never sort-merge-shuffles") {
+    val df = graft.operators.Warehouse.mergeUpsert(
+      graft.sources.Tables.orders(spark, sf0001))
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"merge classification must broadcast the batch:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge join means the full target shuffled for a small batch:\n$plan")
+  }
+
+  test("q93: unpivot is an in-task Expand feeding one grouped exchange") {
+    val df = graft.operators.Relational.unpivotMetrics(
+      graft.sources.Tables.lineitem(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"unpivot must plan as Expand (zero-shuffle transpose):\n$plan")
+    assert(shuffles(plan) === 1,
+      s"only the 4-group aggregate may exchange:\n$plan")
+    assert(plan.split("HashAggregate").length - 1 >= 2,
+      s"the per-metric agg must partial-combine below the exchange:\n$plan")
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Quality
+
+/** Planted-defect coverage for the data-quality audits: the testdata is
+  * referentially clean (the q95 oracle proves zeros), so broken relations
+  * are synthesized here to prove orphans are actually counted.
+  */
+class QualitySpec extends SparkSpec {
+
+  test("fkAudit counts orphaned and null foreign keys") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Quality.fkAudit("child.fk->parent", child, "fk", parent, "pk")
+      .collect().head
+    assert(r.getAs[String]("relation") === "child.fk->parent")
+    assert(r.getAs[Long]("n_child") === 6L)
+    // 9L has no parent; the null fk counts under the strict reading
+    assert(r.getAs[Long]("n_orphan") === 2L)
+  }
+
+  test("fkAudit does not multiply child rows through duplicate parent keys") {
+    import spark.implicits._
+    val child = Seq(1L, 2L).toDF("fk")
+    val parent = Seq(1L, 1L, 1L, 2L).toDF("pk") // dup keys must collapse
+    val r = Quality.fkAudit("c->p", child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("n_child") === 2L)
+    assert(r.getAs[Long]("n_orphan") === 0L)
+  }
+
+  test("fkIntegrity over the star schema reports all five edges clean") {
+    val m = Quality.fkIntegrity(spark, sf0001).collect()
+      .map(r => r.getAs[String]("relation") -> r.getAs[Long]("n_orphan")).toMap
+    assert(m.size === 5)
+    assert(m.values.forall(_ === 0L), s"unexpected orphans: $m")
+  }
+
+  test("columnProfile: a numeric column's min/max stringify numerically, not lexicographically") {
+    val byCol = Quality.columnProfile(spark, sf0001).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    val n = byCol("n_chars")
+    // lexicographic min/max of the stringified values would differ
+    assert(n.getAs[String]("min_val").toLong <= n.getAs[String]("max_val").toLong)
+    assert(n.getAs[Long]("n_rows") === n.getAs[Long]("n_nonnull"))
+    assert(byCol("doc_id").getAs[Long]("n_distinct") === byCol("doc_id").getAs[Long]("n_rows"))
+  }
+}

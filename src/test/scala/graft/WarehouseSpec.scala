@@ -125,6 +125,42 @@ class WarehouseSpec extends SparkSpec {
       s"z-order touched $zTouched file-hits over 9 boxes vs date-sort $dTouched — no pruning win")
   }
 
+  test("mergeUpsert: actions partition the result, updates reprice 1.05x, inserts land past the keyspace") {
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    val out = Warehouse.mergeUpsert(orders).collect()
+    // every output key appears exactly once — MERGE may not duplicate
+    assert(out.map(_.getAs[Long]("o_orderkey")).distinct.length === out.length)
+    val byAction = out.groupBy(_.getAs[String]("action")).view.mapValues(_.length).toMap
+    val keys = orders.select(col("o_orderkey")).collect().map(_.getLong(0))
+    assert(byAction.getOrElse("update", 0) === keys.count(_ % 7 == 0))
+    assert(byAction.getOrElse("insert", 0) === keys.count(_ % 97 == 0))
+    assert(byAction.getOrElse("keep", 0) === keys.length - keys.count(_ % 7 == 0))
+    // updated rows carry exactly the batch's value
+    val origPrice = orders.select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.filter(_.getAs[String]("action") == "update").foreach { r =>
+      assert(r.getAs[Double]("o_totalprice") === origPrice(r.getAs[Long]("o_orderkey")) * 1.05)
+    }
+    out.filter(_.getAs[String]("action") == "insert").foreach { r =>
+      assert(r.getAs[Long]("o_orderkey") >= 6000000L)
+    }
+  }
+
+  test("snapshotDiff: emits exactly the changed keys with the right change kinds") {
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    val keys = orders.select(col("o_orderkey")).collect().map(_.getLong(0))
+    val out = Warehouse.snapshotDiff(orders).collect()
+    val byChange = out.groupBy(_.getAs[String]("change")).view.mapValues(_.length).toMap
+    assert(byChange.getOrElse("delete", 0) === keys.count(_ % 13 == 0))
+    assert(byChange.getOrElse("insert", 0) === keys.count(_ % 101 == 0))
+    assert(byChange.getOrElse("update", 0) === keys.count(k => k % 5 == 0 && k % 13 != 0))
+    // unchanged keys never surface
+    assert(out.length === byChange.values.sum)
+    out.filter(_.getAs[String]("change") == "update").foreach { r =>
+      assert(r.getAs[Double]("new_price") === r.getAs[Double]("old_price") + 10.0)
+    }
+  }
+
   test("compact collapses fragmented files to the target size and keeps ranges disjoint") {
     val orders = graft.sources.Tables.orders(spark, sf001) // 15000 rows
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
