@@ -122,6 +122,10 @@ object SparkEntry {
     "q94_ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "q95_fk_integrity" -> (Quality.fkIntegrity _),
     "q96_column_profile" -> (Quality.columnProfile _),
+    "q97_regression_stats" -> ((s, d) => Advanced.regressionStats(s, d)),
+    "q98_price_histogram" -> ((s, d) => Advanced.priceHistogram(s, d)),
+    "q99_fuzzy_match" -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
+    "q100_length_gini" -> ((s, d) => Corpus.lengthGini(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1572,5 +1576,82 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'text', COUNT(*), COUNT(text), COUNT(DISTINCT text),
         |  CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR) FROM documents""".stripMargin,
+
+    // q97: integer-cents moments (hugeint = exact int128, one rounding
+    // per double conversion — decimal scale-4 sums double-round their
+    // cast in DuckDB once the backing int passes 2^53), then the same
+    // fixed chain of double ops as the Spark side.
+    "q97_regression_stats" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS xc,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS yc
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(xc) AS sx, SUM(yc) AS sy,
+        |    SUM(xc * xc) AS sxx, SUM(xc * yc) AS sxy, SUM(yc * yc) AS syy
+        |  FROM c GROUP BY 1
+        |), d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m
+        |)
+        |SELECT l_returnflag, n,
+        |  cov / vx AS slope,
+        |  (syd - cov / vx * sxd) / CAST(n AS DOUBLE) / CAST(100 AS DOUBLE) AS intercept,
+        |  cov / (sqrt(vx) * sqrt(vy)) AS corr
+        |FROM d""".stripMargin,
+
+    // q98: min/max scalar then one binned aggregate; the bin expression
+    // and boundary arithmetic mirror the Spark side op-for-op.
+    "q98_price_histogram" ->
+      """WITH b AS (
+        |  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+        |), w AS (
+        |  SELECT mn, mx, (mx - mn) / CAST(20 AS DOUBLE) AS width FROM b
+        |), binned AS (
+        |  SELECT LEAST(19, CAST(FLOOR((o_totalprice - mn) / width) AS INT)) AS bin,
+        |    mn, width
+        |  FROM orders CROSS JOIN w
+        |)
+        |SELECT bin, COUNT(*) AS n,
+        |  MIN(mn + CAST(bin AS DOUBLE) * width) AS lo,
+        |  MIN(mn + CAST(bin + 1 AS DOUBLE) * width) AS hi
+        |FROM binned GROUP BY bin""".stripMargin,
+
+    // q99: distinct names -> last-token block -> in-block levenshtein;
+    // DuckDB's levenshtein matches Spark's (unit edit costs).
+    "q99_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT p_name, COUNT(*) AS n_rows FROM part GROUP BY 1
+        |), nb AS (
+        |  SELECT p_name, n_rows, string_split(p_name, ' ')[-1] AS blk FROM names
+        |)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+        |  a.n_rows AS n_a, b.n_rows AS n_b
+        |FROM nb a JOIN nb b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    // q100: rank-formula Gini from two integer sums; ranks tie-broken by
+    // doc_id (sum is tie-invariant, the break just makes ranks total).
+    "q100_length_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS s0,
+        |    SUM(i * n_chars) AS s1
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT source, n_docs,
+        |  CAST(2 * s1 AS DOUBLE) / CAST(n_docs * s0 AS DOUBLE)
+        |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gini
+        |FROM g""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
@@ -303,4 +303,82 @@ object Advanced {
         col("value"))
       .groupBy(col("event_type"), col("k_bucket"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  /** Exact closed-form OLS (y = slope·x + intercept) and Pearson
+    * correlation per group, from decimal moment sums. Spark's built-in
+    * corr/covar aggregate in floating point, so their result depends on
+    * partition merge order — not reproducible run-to-run at cluster
+    * scale, and impossible to oracle-match. This computes the five
+    * moments (Σx, Σy, Σx², Σxy, Σy²) EXACTLY in decimal (associative, so
+    * any merge order agrees), then evaluates the closed forms in a fixed
+    * handful of double ops — one deterministic rounding per output
+    * instead of 6M order-dependent ones. One map-side-combined hash agg;
+    * the moment formulas add zero shuffle over a plain sum.
+    */
+  def regressionStats(lineitem: DataFrame): DataFrame = {
+    // Integer-cents moments at decimal SCALE 0, deliberately: a scale-s
+    // decimal whose backing integer exceeds 2^53 double-rounds on the
+    // way to double in engines that convert int→double and THEN divide
+    // by 10^s (one rounding too many vs. the correctly-rounded single
+    // conversion) — the 1-ulp cross-engine mismatch that sinks a
+    // hash-compared result. Scale-0 decimals convert in ONE rounding
+    // everywhere, and all the n·Σxy − Σx·Σy arithmetic below stays in
+    // exact integer decimals, so each double output is a short fixed
+    // chain of individually-rounded IEEE ops — identical in any engine
+    // that doesn't fuse (JVM never does, vectorized kernels don't).
+    def cents(c: Column): Column =
+      (c.cast(DecimalType(18, 2)) * 100).cast(DecimalType(18, 0))
+    val nDec = col("n").cast(DecimalType(20, 0))
+    val cov = (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (nDec * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (nDec * col("syy") - col("sy") * col("sy")).cast("double")
+    lineitem
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("xc"),
+        cents(col("l_extendedprice")).as("yc"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"),
+        sum(col("yc")).as("sy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(col("yc") * col("yc")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (cov / vx).as("slope"),
+        // cents cancel in slope/corr; intercept converts back to units
+        ((col("sy").cast("double") - cov / vx * col("sx").cast("double"))
+          / col("n").cast("double") / lit(100.0)).as("intercept"),
+        (cov / (sqrt(vx) * sqrt(vy))).as("corr"))
+  }
+
+  def regressionStats(s: SparkSession, dir: String): DataFrame =
+    regressionStats(Tables.lineitem(s, dir))
+
+  /** Equi-width histogram of a measure: global min/max in one scalar
+    * aggregate (broadcast as a 1-row build side, same pattern as q84's
+    * totals scalar), then one hash agg over the binned rows. Two passes
+    * over a single column — on a columnar store that is two cheap
+    * column-pruned scans, and the histogram agg holds exactly `bins`
+    * groups however large the input. The top boundary value clamps into
+    * the last bin (`least`), matching the closed-interval convention.
+    */
+  def priceHistogram(orders: DataFrame, bins: Int = 20): DataFrame = {
+    val bounds = orders.agg(
+      min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+    orders.select(col("o_totalprice"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("width", (col("mx") - col("mn")) / lit(bins.toDouble))
+      .withColumn("bin",
+        least(lit(bins - 1),
+          floor((col("o_totalprice") - col("mn")) / col("width")).cast("int")))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("mn") + col("bin").cast("double") * col("width")).as("lo"),
+        min(col("mn") + (col("bin") + 1).cast("double") * col("width")).as("hi"))
+  }
+
+  def priceHistogram(s: SparkSession, dir: String): DataFrame =
+    priceHistogram(Tables.orders(s, dir))
 }

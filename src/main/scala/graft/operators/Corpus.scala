@@ -446,4 +446,37 @@ object Corpus {
 
   def lengthDeciles(s: SparkSession, dir: String): DataFrame =
     lengthDeciles(Tables.documents(s, dir))
+
+  /** Per-source Gini coefficient of document length — the corpus-balance
+    * diagnostic for training-data mixing: a source whose token mass is
+    * concentrated in a few huge documents (G → 1) needs different
+    * chunking/sampling than one with uniform lengths (G → 0). Uses the
+    * rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over lengths sorted
+    * ascending within each source.
+    *
+    * Exactness: both sums are INTEGER (rank × n_chars), so the per-group
+    * moments are order-independent; the formula then runs in two exact
+    * int→double conversions and three double ops. Ranks from row_number
+    * are made total with a doc_id tiebreak, but the sum is tie-invariant
+    * anyway (equal lengths swap ranks without changing Σi·xᵢ). One
+    * window sort + one hash agg, both partitioned by source.
+    */
+  def lengthGini(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("s0"),
+        sum(col("i") * col("n_chars")).as("s1"))
+      .select(col("source"), col("n_docs"),
+        ((lit(2L) * col("s1")).cast("double") /
+          (col("n_docs") * col("s0")).cast("double") -
+          (col("n_docs") + 1).cast("double") / col("n_docs").cast("double"))
+          .as("gini"))
+  }
+
+  def lengthGini(s: SparkSession, dir: String): DataFrame =
+    lengthGini(Tables.documents(s, dir))
 }

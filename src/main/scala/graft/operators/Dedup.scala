@@ -549,4 +549,33 @@ object Dedup {
 
   def ngramNovelty(s: SparkSession, dir: String): DataFrame =
     ngramNovelty(Tables.documents(s, dir))
+
+  /** Blocked fuzzy entity matching (record linkage): candidate merge
+    * pairs among distinct entity names within edit distance `maxDist`,
+    * with per-name record counts so a merge's blast radius is visible.
+    *
+    * The scale discipline is the order of operations: (1) collapse rows
+    * to DISTINCT names first — one hash agg turns N records into the
+    * (orders-of-magnitude smaller) entity vocabulary, so the quadratic
+    * step never sees row counts; (2) block by a cheap deterministic key
+    * (the name's last token) so the self-join is quadratic only within a
+    * block, never across the vocabulary; (3) `levenshtein` — a codegen'd
+    * built-in, not a UDF — runs only on pairs that survive both. Skewed
+    * blocks are the operator's known hazard; the block key is the knob
+    * (swap in a (token, length-band) composite to split a hot block).
+    */
+  def fuzzyNameMatch(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val names = part.groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("blk"), col("p_name").as("name_a"), col("n_rows").as("n_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"), col("n_rows").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+  }
+
+  def fuzzyNameMatch(s: SparkSession, dir: String): DataFrame =
+    fuzzyNameMatch(Tables.part(s, dir))
 }

@@ -230,4 +230,20 @@ class CorpusSpec extends SparkSpec {
       assert(got === expected, s"trial $trial")
     }
   }
+
+  test("lengthGini: uniform lengths score exactly 0, concentrated mass approaches 1") {
+    import spark.implicits._
+    val d = (
+      (1L to 10L).map(i => (i, "uni", 500L)) ++            // all equal -> G = 0
+        ((11L to 19L).map(i => (i, "skew", 1L)) :+ ((20L, "skew", 991L)))
+    ).toDF("doc_id", "source", "n_chars")
+    val m = Corpus.lengthGini(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("gini"))).toMap
+    assert(m("uni") === ((10L, 0.0)))
+    // rank formula by hand: s0 = 1000, s1 = 9*10/2*1 + 10*991 = 9955
+    // G = 2*9955/(10*1000) - 11/10 = 1.991 - 1.1 = 0.891
+    assert(m("skew")._1 === 10L)
+    assert(math.abs(m("skew")._2 - 0.891) < 1e-12)
+  }
 }

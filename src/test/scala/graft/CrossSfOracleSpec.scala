@@ -297,4 +297,51 @@ class CrossSfOracleSpec extends SparkSpec {
       assert(got === expected, s"q81 diverged from the fixed-point recompute at $dir")
     }
   }
+
+  // ---- q97: exact-moment OLS/correlation over lineitem ----
+
+  test("q97 regression_stats matches a BigInteger-moments recompute bit-exactly at sf0.001 and sf0.1") {
+    import java.math.BigInteger
+    for (dir <- Seq(sf0001, sf01)) {
+      val rows = graft.sources.Tables.lineitem(spark, dir)
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+      def cents(d: Double): BigInteger =
+        dec2(d).movePointRight(2).toBigIntegerExact()
+      case class M(var n: Long = 0L,
+                   var sx: BigInteger = BigInteger.ZERO,
+                   var sy: BigInteger = BigInteger.ZERO,
+                   var sxx: BigInteger = BigInteger.ZERO,
+                   var sxy: BigInteger = BigInteger.ZERO,
+                   var syy: BigInteger = BigInteger.ZERO)
+      val acc = scala.collection.mutable.HashMap.empty[String, M]
+      rows.foreach { r =>
+        val m = acc.getOrElseUpdate(r.getString(0), M())
+        val (x, y) = (cents(r.getDouble(1)), cents(r.getDouble(2)))
+        m.n += 1
+        m.sx = m.sx.add(x); m.sy = m.sy.add(y)
+        m.sxx = m.sxx.add(x.multiply(x))
+        m.sxy = m.sxy.add(x.multiply(y))
+        m.syy = m.syy.add(y.multiply(y))
+      }
+      val expected = acc.map { case (flag, m) =>
+        val nB = BigInteger.valueOf(m.n)
+        // same op order as the operator: exact integer combination,
+        // one correctly-rounded double conversion, then IEEE ops
+        val cov = nB.multiply(m.sxy).subtract(m.sx.multiply(m.sy)).doubleValue
+        val vx = nB.multiply(m.sxx).subtract(m.sx.multiply(m.sx)).doubleValue
+        val vy = nB.multiply(m.syy).subtract(m.sy.multiply(m.sy)).doubleValue
+        val slope = cov / vx
+        val intercept = (m.sy.doubleValue - cov / vx * m.sx.doubleValue) / m.n.toDouble / 100.0
+        val corr = cov / (math.sqrt(vx) * math.sqrt(vy))
+        (flag, m.n, slope, intercept, corr)
+      }.toSet
+      val got = graft.operators.Advanced.regressionStats(
+        graft.sources.Tables.lineitem(spark, dir)).collect()
+        .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("n"),
+          r.getAs[Double]("slope"), r.getAs[Double]("intercept"),
+          r.getAs[Double]("corr"))).toSet
+      assert(got === expected, s"q97 diverged from the exact-moment recompute at $dir")
+    }
+  }
 }

@@ -216,4 +216,22 @@ class DedupSpec extends SparkSpec {
     assert(m(20L) === ((3L, 3L, 0.0)))
     assert(m(30L) === ((4L, 1L, 0.75)))
   }
+
+  test("fuzzyNameMatch: distinct-first, blocked by last token, thresholded distance") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "cold widget"), (2L, "cold widget"), (3L, "cold widget"), // 3 records, 1 entity
+      (4L, "gold widget"),    // dist 1 from "cold widget", same block
+      (5L, "cold bolt"),      // different block — never compared
+      (6L, "purple widget"),  // same block, dist 5 from both — over threshold
+    ).toDF("p_partkey", "p_name")
+    val pairs = Dedup.fuzzyNameMatch(d, maxDist = 3).collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert(p.getAs[String]("name_a") === "cold widget")
+    assert(p.getAs[String]("name_b") === "gold widget")
+    assert(p.getAs[Int]("dist") === 1)
+    assert(p.getAs[Long]("n_a") === 3L) // merge blast radius: 3 records
+    assert(p.getAs[Long]("n_b") === 1L)
+  }
 }
