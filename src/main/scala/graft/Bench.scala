@@ -49,7 +49,12 @@ object Bench {
     // a time if at least one rep SUCCEEDED (best successful rep). Queries
     // with zero successful reps are excluded from the total and surfaced in
     // an "errors" object instead.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated qNN prefixes for targeted re-measurement
+    // (e.g. SPARK_GRAFT_ONLY=q45,q39); unset = full sweep (driver mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       def rep(): Either[String, Double] = {
         // scope the rep so only ITS tracked caches are dropped (graft.Caches)
         val scope = Caches.open()
