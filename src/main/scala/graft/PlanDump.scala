@@ -19,7 +19,8 @@ object PlanDump {
     "q22_dedup_minhash_lsh", "q24_ann_topk", "q35_ann_ivf",
     "q56_dup_clusters", "q61_ann_ivf_trained", "q70_bucketed_join",
     "q71_salted_skew_join", "q78_inverted_index", "q80_source_overlap",
-    "q84_sparse_topk", "q87_bpe_pairs", "q88_length_deciles")
+    "q84_sparse_topk", "q87_bpe_pairs", "q88_length_deciles",
+    "q91_merge_upsert", "q94_ngram_novelty", "q97_regression_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

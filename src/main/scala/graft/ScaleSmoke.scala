@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Heavy-query scale smoke: run the five most expensive operators (q22
+/** Heavy-query scale smoke: run the most expensive operators (q22
   * MinHash-LSH, q56 dup clusters, q61 trained IVF, q74 boilerplate,
-  * q80 source overlap) on an N×-amplified corpus, assert completion, and
+  * q80 source overlap, q94 n-gram novelty) on an N×-amplified corpus,
+  * assert completion, and
   * report wall times — the "scales to 100×" design claims get at least
   * one measured 10× data point.
   *
@@ -87,7 +88,8 @@ object ScaleSmoke {
           emb, nCells = 8, iters = 2, nProbe = 2, k = 5, nQueries = 10)
       },
       timed("q74") { graft.operators.Dedup.boilerplate(docs) },
-      timed("q80") { graft.operators.Dedup.sourceOverlap(docs) })
+      timed("q80") { graft.operators.Dedup.sourceOverlap(docs) },
+      timed("q94") { graft.operators.Dedup.ngramNovelty(docs) })
 
     val qs = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(

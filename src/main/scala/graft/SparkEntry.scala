@@ -126,6 +126,10 @@ object SparkEntry {
     "q98_price_histogram" -> ((s, d) => Advanced.priceHistogram(s, d)),
     "q99_fuzzy_match" -> ((s, d) => Dedup.fuzzyNameMatch(s, d)),
     "q100_length_gini" -> ((s, d) => Corpus.lengthGini(s, d)),
+    "q101_rolling_wau" -> ((s, d) => Advanced.rollingActiveUsers(s, d)),
+    "q102_event_throttle" -> ((s, d) => Advanced.throttleEvents(s, d)),
+    "q103_conversion_latency" -> ((s, d) => Advanced.conversionLatency(s, d)),
+    "q104_json_roundtrip" -> (Prep.jsonRoundtrip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1653,5 +1657,75 @@ object SparkEntry {
         |  CAST(2 * s1 AS DOUBLE) / CAST(n_docs * s0 AS DOUBLE)
         |    - CAST(n_docs + 1 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS gini
         |FROM g""".stripMargin,
+
+    // q101: each active (user, day) contributes to 7 report days; report
+    // days restricted to observed days; one distinct count per day.
+    "q101_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), obs AS (
+        |  SELECT DISTINCT day AS report_day FROM ud
+        |), contrib AS (
+        |  SELECT DISTINCT user_id, day + CAST(k AS INT) AS report_day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k)
+        |)
+        |SELECT report_day, COUNT(*) AS active_users
+        |FROM (SELECT DISTINCT user_id, report_day FROM contrib
+        |      WHERE report_day IN (SELECT report_day FROM obs))
+        |GROUP BY report_day""".stripMargin,
+
+    // q102: lag per (user, type) ordered by exact integer micros with an
+    // event_id tiebreak; keep firsts and events >= 30 min after the
+    // previous one.
+    "q102_event_throttle" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, event_type, us
+        |FROM e
+        |WHERE prev_us IS NULL OR us - prev_us >= 1800000000""".stripMargin,
+
+    // q103: conditional min per user (no stream self-join), exclusion of
+    // purchase-before-signup, rank-boundary percentiles in exact micros.
+    "q103_conversion_latency" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY user_id
+        |), c AS (
+        |  SELECT date_trunc('month', make_timestamp(s_us)) AS cohort,
+        |    p_us - s_us AS delta_us, user_id
+        |  FROM f
+        |  WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us
+        |), r AS (
+        |  SELECT cohort, delta_us,
+        |    ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY delta_us, user_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cohort) AS n
+        |  FROM c
+        |)
+        |SELECT cohort, MAX(n) AS n_converted,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN delta_us END) AS median_us,
+        |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN delta_us END) AS p90_us
+        |FROM r GROUP BY cohort""".stripMargin,
+
+    // q104: layout-independent fingerprint aggregate (same as q85's),
+    // recomputed straight from the parquet source.
+    "q104_json_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(
+        |      (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) AS BIGINT) AS text_fp
+        |FROM documents
+        |GROUP BY lang""".stripMargin,
   )
 }

@@ -381,4 +381,98 @@ object Advanced {
 
   def priceHistogram(s: SparkSession, dir: String): DataFrame =
     priceHistogram(Tables.orders(s, dir))
+
+  /** Rolling 7-day active users per observed day — the sliding
+    * count-distinct every engagement dashboard runs. A naive sliding
+    * window needs a range self-join (every day joined to its trailing
+    * week); instead each (user, active-day) row CONTRIBUTES to the 7
+    * report days it falls inside — a bounded ×7 in-task explode — and
+    * one distinct-aggregate per report day does the rest. At 100 TB the
+    * explode factor is the window length (constant), the distinct is one
+    * shuffle on (report_day, user), and no self-join ever forms. Report
+    * days are restricted to days that actually appear in the data
+    * (left-semi against the observed-day set).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val observed = userDays.select(col("day").as("report_day")).distinct()
+    userDays
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("report_day"))
+      .join(observed, Seq("report_day"), "left_semi")
+      .distinct()
+      .groupBy(col("report_day"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame =
+    rollingActiveUsers(Tables.events(s, dir))
+
+  /** Event throttling (suppression dedup): keep an event only if the
+    * PREVIOUS event of the same (user, type) is at least `minGapUs`
+    * micros older — the batch analog of the streaming watermarked-dedup
+    * rate limiter, and the standard way to collapse bursts (double
+    * clicks, retry storms) before sessionization. One lag() window per
+    * (user, type) partition — high-cardinality keys, so the sort is
+    * spread across reducers; time arithmetic stays in exact integer
+    * micros (`unix_micros`), never floats. Ties are totalized by
+    * event_id so "previous" is deterministic.
+    */
+  def throttleEvents(events: DataFrame, minGapUs: Long = 1800L * 1000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        // ts is TIMESTAMP_NTZ; the NTZ→LTZ cast is tz-free under the
+        // session's pinned UTC, landing on the same micros as epoch_us
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNull || col("us") - col("prev_us") >= minGapUs)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+  }
+
+  def throttleEvents(s: SparkSession, dir: String): DataFrame =
+    throttleEvents(Tables.events(s, dir))
+
+  /** Conversion-latency profile: per signup-month cohort, how long users
+    * take from (first) signup to (first) purchase — nearest-rank median
+    * and p90 in exact integer micros, plus the converting-user count.
+    * The funnel reduce is one pivot-style conditional aggregate per user
+    * (no join between the signup and purchase streams), and the
+    * percentiles use the same rank-boundary trick as q41/q88 — value at
+    * rank ceil(p·n) — so no floating interpolation ever happens. Users
+    * whose first purchase precedes their first signup (possible in raw
+    * telemetry) are excluded, mirrored in the oracle.
+    */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val firsts = events
+      .filter(col("event_type").isin("signup", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup",
+          unix_micros(col("ts").cast("timestamp")))).as("s_us"),
+        min(when(col("event_type") === "purchase",
+          unix_micros(col("ts").cast("timestamp")))).as("p_us"))
+      .filter(col("s_us").isNotNull && col("p_us").isNotNull && col("p_us") >= col("s_us"))
+      .select(
+        date_trunc("month", timestamp_micros(col("s_us"))).as("cohort"),
+        (col("p_us") - col("s_us")).as("delta_us"),
+        col("user_id"))
+    val w = Window.partitionBy(col("cohort"))
+    val byDelta = w.orderBy(col("delta_us"), col("user_id"))
+    firsts
+      .withColumn("rn", row_number().over(byDelta))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy(col("cohort"))
+      .agg(
+        max(col("n")).as("n_converted"),
+        max(when(col("rn") === ceil(col("n") * lit(0.5)), col("delta_us"))).as("median_us"),
+        max(when(col("rn") === ceil(col("n") * lit(0.9)), col("delta_us"))).as("p90_us"))
+  }
+
+  def conversionLatency(s: SparkSession, dir: String): DataFrame =
+    conversionLatency(Tables.events(s, dir))
 }

@@ -334,6 +334,25 @@ object Prep {
     langFingerprint(s.read.orc(out))
   }
 
+  /** JSON-lines write/read round trip — the interchange format every
+    * ingestion boundary speaks (crawl dumps, API exports, labeling-tool
+    * output). Documents are written as gzip JSON lines and read back
+    * through Spark's native JSON reader with an EXPLICIT schema — no
+    * inference pass (which would cost a second full scan at 100 TB) and
+    * no type drift. The readback aggregates with the same md5 text
+    * fingerprint as q68/q85, so a hash-equal oracle row computed from
+    * the parquet source proves the text payload — unicode, quotes,
+    * newlines — survived JSON escaping byte-for-byte.
+    */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft-jsonl/" +
+      s"${new java.io.File(dir).getName}_$app/documents_jsonl"
+    val src = Tables.documents(s, dir)
+    src.write.mode("overwrite").option("compression", "gzip").json(out)
+    langFingerprint(s.read.schema(src.schema).json(out))
+  }
+
   /** Token-budget sequence packing: assign each document to a training
     * sequence so consecutive docs fill a fixed token budget — the step
     * that turns a curated corpus into fixed-length LM training rows.

@@ -131,15 +131,17 @@ object Tables {
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects outright (PARQUET_TYPE_ILLEGAL). Read the ns ticks as long and
-    * truncate to a µs wall-clock timestamp; sub-µs detail only exists in
-    * this synthetic data and every consumer (windows, ordering with an id
-    * tiebreak) is insensitive to it.
+    * truncate to a µs wall-clock timestamp with INTEGER division — the
+    * ticks (~1.7e18) are beyond double's 2^53 exact range, so a float
+    * division here rounds some stamps up a microsecond and silently
+    * diverges from any engine that converts exactly (the data's ticks are
+    * whole microseconds, so exact conversion is lossless).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(p(dir, "events"))
       .withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast("long")).cast(TimestampNTZType))
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
 
   def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "region"))
