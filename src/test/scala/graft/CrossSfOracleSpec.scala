@@ -344,4 +344,70 @@ class CrossSfOracleSpec extends SparkSpec {
       assert(got === expected, s"q97 diverged from the exact-moment recompute at $dir")
     }
   }
+
+  // ---- q102/q103: exact-micros event-time arithmetic ----
+
+  /** TIMESTAMP_NTZ → epoch micros with plain java.time arithmetic — no
+    * Spark expression evaluation, so a regression in the ns→µs source
+    * conversion (the double-division bug this round fixed) reappears as
+    * a diff here. */
+  private def micros(t: java.time.LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+
+  private def eventsUs(dir: String): Seq[(Long, Long, String, Long)] =
+    graft.sources.Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "ts")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        micros(r.getAs[java.time.LocalDateTime](3))))
+
+  test("q102 event_throttle matches a java.time recompute at sf0.001 and sf0.1") {
+    for (dir <- Seq(sf0001, sf01)) {
+      val gap = 1800L * 1000000L
+      val expected = eventsUs(dir)
+        .groupBy(e => (e._2, e._3))
+        .flatMap { case (_, es) =>
+          val sorted = es.sortBy(e => (e._4, e._1))
+          sorted.zip(None +: sorted.map(e => Some(e._4)))
+            .collect { case (e, prev) if prev.forall(p => e._4 - p >= gap) => e }
+        }
+        .map(e => (e._1, e._2, e._3, e._4)).toSet
+      val got = graft.operators.Advanced.throttleEvents(
+        graft.sources.Tables.events(spark, dir)).collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type"), r.getAs[Long]("us"))).toSet
+      assert(got === expected, s"q102 diverged from the java.time recompute at $dir")
+    }
+  }
+
+  test("q103 conversion_latency matches a rank-formula recompute at sf0.001 and sf0.1") {
+    for (dir <- Seq(sf0001, sf01)) {
+      val byUser = eventsUs(dir)
+        .filter(e => e._3 == "signup" || e._3 == "purchase")
+        .groupBy(_._2)
+      val converted = byUser.flatMap { case (uid, es) =>
+        val s = es.filter(_._3 == "signup").map(_._4).minOption
+        val p = es.filter(_._3 == "purchase").map(_._4).minOption
+        for (su <- s; pu <- p if pu >= su) yield {
+          val cohortUs = java.time.LocalDateTime
+            .ofEpochSecond(su / 1000000L, 0, java.time.ZoneOffset.UTC)
+            .withDayOfMonth(1).toLocalDate.atStartOfDay
+            .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+          (cohortUs, pu - su, uid)
+        }
+      }.toSeq
+      val expected = converted.groupBy(_._1).map { case (cohortUs, xs) =>
+        val sorted = xs.sortBy(x => (x._2, x._3)).map(_._2)
+        val n = sorted.length
+        def at(p: Double) = sorted(math.ceil(n * p).toInt - 1)
+        (cohortUs, n.toLong, at(0.5), at(0.9))
+      }.toSet
+      val got = graft.operators.Advanced.conversionLatency(
+        graft.sources.Tables.events(spark, dir)).collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("cohort").toInstant.getEpochSecond * 1000000L,
+          r.getAs[Long]("n_converted"), r.getAs[Long]("median_us"),
+          r.getAs[Long]("p90_us"))).toSet
+      assert(got === expected, s"q103 diverged from the rank recompute at $dir")
+    }
+  }
 }

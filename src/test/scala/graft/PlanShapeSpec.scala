@@ -269,6 +269,17 @@ class PlanShapeSpec extends SparkSpec {
       s"a sort-merge join means the full target shuffled for a small batch:\n$plan")
   }
 
+  test("q101: sliding distinct-users never plans a range self-join") {
+    val df = graft.operators.Advanced.rollingActiveUsers(
+      graft.sources.Tables.events(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    // the x7 contribution explode replaces the day-range join entirely
+    assert(plan.contains("Generate explode"),
+      s"window membership must come from the bounded explode:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"a nested-loop/cartesian means the range self-join came back:\n$plan")
+  }
+
   test("q93: unpivot is an in-task Expand feeding one grouped exchange") {
     val df = graft.operators.Relational.unpivotMetrics(
       graft.sources.Tables.lineitem(spark, sf0001))
