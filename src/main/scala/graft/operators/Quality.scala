@@ -72,6 +72,26 @@ object Quality {
       .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
         col("n_distinct"), col("min_val"), col("max_val"))
 
+  /** Audit-while-writing: materialize a table AND collect its quality
+    * metrics in the SAME job via `observe`/CollectMetrics — the metrics
+    * accumulate on the executors as rows stream past on their way to the
+    * sink, so the audit costs ZERO extra passes. At 100 TB this is the
+    * difference between "write, then re-scan everything to validate" and
+    * getting row counts / empty-payload counts / short-doc counts for
+    * free with the write. Returns the observed metrics; the written
+    * table is at `out`.
+    */
+  def auditedWrite(df: DataFrame, out: String): Map[String, Any] = {
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("n_empty_text"),
+      sum(when(col("n_chars") < 10, 1L).otherwise(0L)).as("n_short"))
+      .write.mode("overwrite").parquet(out)
+    obs.get
+  }
+
   /** Deequ-style column profile of the documents table: one report row
     * per column with completeness, exact distinct count, and min/max.
     * Deliberately one single-column pass PER column rather than one

@@ -70,6 +70,34 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"))
 
+  /** Streaming data-quality monitor: per tumbling window, how many
+    * arriving events violate each contract clause (negative measure,
+    * event type outside the declared vocabulary) alongside the window's
+    * total — the continuous arm of the batch Quality audits, and the
+    * signal an ingestion pipeline alerts on BEFORE bad data reaches a
+    * sink. Violations are flagged in the scan projection (pure
+    * when/otherwise columns, map-side), so the stateful aggregation
+    * carries exactly one pre-combined row per (window) per partition;
+    * watermarked, so monitor state is bounded however long the stream
+    * runs.
+    */
+  def qualityMonitor(
+      events: DataFrame,
+      knownTypes: Seq[String] = Seq("view", "click", "purchase", "signup", "error"),
+      watermark: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        when(col("value") < 0, 1L).otherwise(0L).as("v_neg"),
+        when(!col("event_type").isin(knownTypes: _*), 1L).otherwise(0L).as("v_type"))
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("v_neg")).as("n_negative_value"),
+        sum(col("v_type")).as("n_unknown_type"))
+      .select(col("window.start").as("w_start"), col("n_events"),
+        col("n_negative_value"), col("n_unknown_type"))
+
   /** Session windows per user with an idle gap: the engine-native version
     * of Relational.sessionize. State = one open session per active user,
     * closed and emitted once the watermark passes the gap.

@@ -37,6 +37,26 @@ class QualitySpec extends SparkSpec {
     assert(m.values.forall(_ === 0L), s"unexpected orphans: $m")
   }
 
+  test("auditedWrite collects metrics in the same pass as the write — one scan, CollectMetrics in plan") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-spec").toString + "/t"
+    val metrics = Quality.auditedWrite(docs, out)
+    // the written table is complete AND the observed metrics match a
+    // direct recompute — same numbers, zero extra passes
+    val written = spark.read.parquet(out)
+    assert(metrics("n_rows") === written.count())
+    import org.apache.spark.sql.functions._
+    val expect = docs.agg(
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L)),
+      sum(when(col("n_chars") < 10, 1L).otherwise(0L))).collect().head
+    assert(metrics("n_empty_text") === expect.getLong(0))
+    assert(metrics("n_short") === expect.getLong(1))
+    // plan evidence: the audit rides a CollectMetrics node over ONE scan
+    val observed = docs.observe("audit_plan_probe", count(lit(1)).as("n"))
+    val plan = observed.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectMetrics"), s"expected CollectMetrics node:\n$plan")
+  }
+
   test("columnProfile: a numeric column's min/max stringify numerically, not lexicographically") {
     val byCol = Quality.columnProfile(spark, sf0001).collect()
       .map(r => r.getAs[String]("col_name") -> r).toMap

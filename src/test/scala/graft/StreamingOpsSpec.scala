@@ -317,4 +317,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 100L, 1.0)),
       s"re-delivered pair must not re-emit after restart: ${rows.toSeq}")
   }
+
+  test("quality monitor flags contract violations per window (streaming = batch result)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, 1, "view", 10.0, ts("2026-01-01 00:01:00")),
+      Ev(2, 1, "oops", 5.0, ts("2026-01-01 00:05:00")),   // unknown type
+      Ev(3, 2, "click", -2.0, ts("2026-01-01 00:10:00")), // negative value
+      Ev(4, 2, "view", 1.0, ts("2026-01-01 00:20:00")))   // clean, next window
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = StreamingOps.qualityMonitor(mem.toDF())
+      .writeStream.format("memory").queryName("qmon")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("qmon")
+      .select($"w_start".cast("string"), $"n_events", $"n_negative_value", $"n_unknown_type")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(rows === Set(
+      ("2026-01-01 00:00:00", 3L, 1L, 1L),
+      ("2026-01-01 00:15:00", 1L, 0L, 0L)))
+
+    val batch = StreamingOps.qualityMonitor(events.toDF())
+      .select($"w_start".cast("string"), $"n_events", $"n_negative_value", $"n_unknown_type")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(batch === rows)
+  }
 }
