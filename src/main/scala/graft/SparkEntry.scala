@@ -130,6 +130,10 @@ object SparkEntry {
     "q102_event_throttle" -> ((s, d) => Advanced.throttleEvents(s, d)),
     "q103_conversion_latency" -> ((s, d) => Advanced.conversionLatency(s, d)),
     "q104_json_roundtrip" -> (Prep.jsonRoundtrip _),
+    "q105_prefix_simjoin" -> ((s, d) => Dedup.prefixSimJoin(s, d)),
+    "q106_incremental_rollup" -> ((s, d) => Warehouse.incrementalRollup(s, d)),
+    "q107_revenue_anomaly" -> ((s, d) => Advanced.revenueAnomaly(s, d)),
+    "q108_mom_growth" -> ((s, d) => Advanced.momGrowth(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1714,6 +1718,73 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN delta_us END) AS median_us,
         |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN delta_us END) AS p90_us
         |FROM r GROUP BY cohort""".stripMargin,
+
+    // q105: EXACT set-similarity join — the oracle is the ground-truth
+    // quadratic (identical to q21's), because prefix filtering loses no
+    // qualifying pair; a hash match here proves exact recall.
+    "q105_prefix_simjoin" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin,
+
+    // q106: the oracle recomputes the rollup from scratch — incremental
+    // merge of exact decimal partials must equal the full recompute.
+    "q106_incremental_rollup" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q107: integer-cents daily sums, exact window moments (hugeint),
+    // one double conversion, same op order as the Spark side.
+    "q107_revenue_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS x
+        |  FROM orders GROUP BY 1
+        |), dn AS (
+        |  SELECT day, datediff('day', DATE '1970-01-01', day) AS day_num, x FROM daily
+        |), st AS (
+        |  SELECT day, x,
+        |    COUNT(x) OVER w AS n, SUM(x) OVER w AS s1, SUM(x * x) OVER w AS s2
+        |  FROM dn
+        |  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT day, n AS n_baseline,
+        |  CAST(x AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+        |  CASE WHEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) = 0
+        |       THEN NULL
+        |       ELSE (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS z
+        |FROM st WHERE n >= 14""".stripMargin,
+
+    // q108: lag over the monthly rollup; growth = (rev - prev) / prev in
+    // the same double op order; first month keeps a null ratio.
+    "q108_mom_growth" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month, revenue,
+        |  LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+        |  (revenue - LAG(revenue) OVER (ORDER BY month))
+        |    / LAG(revenue) OVER (ORDER BY month) AS growth
+        |FROM m""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

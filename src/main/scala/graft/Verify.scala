@@ -16,7 +16,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional local-iteration filter, same contract as Bench:
+    // SPARK_GRAFT_ONLY=q105,q106 runs only matching prefixes; unset = full
+    // sweep (driver mode always runs unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .foreach { case (name, fn) =>
       // the parquet dump is the terminal action: scope the query and
       // release the caches its operators persisted for it (graft.Caches)
       val scope = Caches.open()

@@ -475,4 +475,64 @@ object Advanced {
 
   def conversionLatency(s: SparkSession, dir: String): DataFrame =
     conversionLatency(Tables.events(s, dir))
+
+  /** Trailing-window anomaly scores: each day's revenue z-scored against
+    * its own preceding 28 days (current day excluded — the baseline must
+    * not contain the observation). One range-frame window over the daily
+    * rollup, so the scan is the daily table (≈ one row per day), not the
+    * fact table. Exactness: daily revenue is an integer-cents sum, the
+    * window moments (Σx, Σx²) stay in exact decimals (cents² overflows
+    * int64 — DECIMAL(38,0) carries it), and n·Σx² − (Σx)² combines
+    * exactly before the single double conversion, so the z-scores are
+    * engine-reproducible like q97's. Days with under 14 days of history
+    * are withheld (a z-score against a 3-day baseline is noise).
+    */
+  def revenueAnomaly(orders: DataFrame, minHistory: Int = 14): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(DecimalType(18, 0))).as("cents"))
+      .select(col("day"),
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long").as("day_num"),
+        col("cents").cast(DecimalType(38, 0)).as("x"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-28, -1)
+    val stats = daily
+      .withColumn("n", count(col("x")).over(w))
+      .withColumn("s1", sum(col("x")).over(w))
+      .withColumn("s2", sum(col("x") * col("x")).over(w))
+      .filter(col("n") >= minHistory)
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val varNum = (col("n").cast(DecimalType(38, 0)) * col("s2") -
+      col("s1") * col("s1")).cast("double")
+    val sd = sqrt(varNum / (nD * (nD - lit(1.0))))
+    // z is scale-invariant (numerator and denominator are both in cents);
+    // a zero-variance baseline yields null, not NaN/Infinity
+    stats.select(col("day"), col("n").as("n_baseline"),
+      (col("x").cast("double") / lit(100.0)).as("revenue"),
+      when(sd === 0.0, lit(null))
+        .otherwise((col("x").cast("double") - mean) / sd).as("z"))
+  }
+
+  def revenueAnomaly(s: SparkSession, dir: String): DataFrame =
+    revenueAnomaly(Tables.orders(s, dir))
+
+  /** Month-over-month growth: monthly revenue with its previous month
+    * and the growth ratio — one lag() over the monthly rollup (a
+    * handful of rows however big the fact table; the heavy lifting is
+    * the rollup's map-side-combined aggregate). First month emits a
+    * null ratio rather than silently disappearing.
+    */
+  def momGrowth(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("month"))
+    orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("growth",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+  }
+
+  def momGrowth(s: SparkSession, dir: String): DataFrame =
+    momGrowth(Tables.orders(s, dir))
 }

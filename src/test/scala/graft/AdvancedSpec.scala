@@ -236,4 +236,38 @@ class AdvancedSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(subtotals === leaves)
   }
+
+  test("revenueAnomaly: flat baseline scores null, a spike day scores positive, short history withheld") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 30 flat days at 100.00, then a 200.00 spike on day 31
+    val rows = (1 to 30).map(d =>
+      (d.toLong, 1L, Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), 100.0)) :+
+      ((31L, 1L, Timestamp.valueOf("2024-01-31 00:00:00"), 200.0))
+    val orders = rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Advanced.revenueAnomaly(orders, minHistory = 14).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_baseline"), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    // first 14 days have <14 days of history and are withheld
+    assert(!out.contains("2024-01-14"))
+    // a flat trailing window has zero variance -> null, not NaN
+    assert(out("2024-01-20") === ((19L, None)))
+    // the spike scores against 28 flat days: mean=100, sd=0 would null,
+    // but the window for day 31 is days 3..30 (all flat) -> still sd=0
+    assert(out("2024-01-31")._2 === None)
+
+    // now a varying baseline: alternate 100/102, spike to 200
+    val rows2 = (1 to 30).map(d =>
+      (d.toLong, 1L, Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"),
+        if (d % 2 == 0) 102.0 else 100.0)) :+
+      ((31L, 1L, Timestamp.valueOf("2024-01-31 00:00:00"), 200.0))
+    val out2 = Advanced.revenueAnomaly(
+      rows2.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+      minHistory = 14).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out2("2024-01-31").exists(_ > 50.0),
+      s"a 2x spike against a ±1 baseline must score a large positive z: ${out2("2024-01-31")}")
+  }
 }

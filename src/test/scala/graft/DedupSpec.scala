@@ -217,6 +217,23 @@ class DedupSpec extends SparkSpec {
     assert(m(30L) === ((4L, 1L, 0.75)))
   }
 
+  test("prefixSimJoin equals the ground-truth quadratic exactly (recall guarantee)") {
+    // planted corpus has exact dups, near-dups and disjoint docs; the
+    // prefix-filtered result must be IDENTICAL to the all-pairs truth,
+    // not merely similar — that is the property LSH cannot offer
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val scope = Caches.open()
+      try {
+        val truth = pairs(Dedup.ngramJaccard(corpus, threshold = t))
+        val got = pairs(Dedup.prefixSimJoin(corpus, threshold = t))
+        assert(got === truth, s"prefix filter lost or invented pairs at t=$t")
+      } finally scope.release()
+    }
+  }
+
   test("fuzzyNameMatch: distinct-first, blocked by last token, thresholded distance") {
     import spark.implicits._
     val d = Seq(
