@@ -601,31 +601,68 @@ object Dedup {
     * decides which a pipeline uses.
     */
   def prefixSimJoin(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = Caches.track(docShingles(docs))
-    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val counts = shingleCounts(sh)
+    val sets = Caches.track(docShingleSets(docs))
+    // n_sh rides along through the explode, so the prefix filter needs
+    // no per-doc counts join at all. Document frequency comes from a
+    // count-over-partition window rather than groupBy+join-back: the df
+    // of every shingle lands on its rows in ONE exchange of the shingle
+    // stream instead of two (agg, then join). Skew note: a boilerplate
+    // shingle concentrates its rows in one window partition exactly as
+    // it would concentrate in the join's probe partition — neither
+    // variant dodges hot keys; at 100 TB both want the boilerplate
+    // operator (q74) run first to strip mass-repeated shingles.
+    val sh = sets.select(col("doc_id"), col("n_sh"),
+      explode_outer(col("shs")).as("sh"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("sh"))
-    val prefix = sh.join(freq, "sh")
+    // persisted: both sides of the self-join read the SAME materialized
+    // prefix relation — without this the df window + rarity window (the
+    // whole point of the filter) is paid twice, once per join side
+    val prefix = Caches.track(sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .withColumn("rn", row_number().over(byRarity))
-      .join(counts, "doc_id")
       .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("sh"), col("rn"), col("n_sh")))
+    // the join carries two further EXACT pruning rules from the PPJoin
+    // family (false positives are fine — verification kills them — but
+    // neither rule can drop a qualifying pair, so the epsilon slack on
+    // the float boundaries errs toward keeping):
+    //  - length filter: J >= t forces min(n_a,n_b) >= t * max(n_a,n_b)
+    //  - positional filter: a qualifying pair's EARLIEST shared token
+    //    (in the global rarity order) sits inside both prefixes and has
+    //    no shared token before it, so 1 + min(tokens remaining after
+    //    it) bounds the true intersection from above; a pair none of
+    //    whose join rows meets the required t/(1+t)*(n_a+n_b) overlap
+    //    cannot qualify
+    val eps = 1e-9
+    val need =
+      lit(threshold / (1 + threshold)) * (col("a.n_sh") + col("b.n_sh")) - eps
     val candidates = prefix.as("a").hint("shuffle_hash")
       .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") >= lit(threshold) * col("b.n_sh") - eps &&
+          col("b.n_sh") >= lit(threshold) * col("a.n_sh") - eps &&
+          lit(1) + least(col("a.n_sh") - col("a.rn"),
+            col("b.n_sh") - col("b.rn")) >= need)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    withJaccard(inter, counts)
+    // verification by set intersection on the (already materialized)
+    // per-doc shingle ARRAYS: each candidate pair is checked in a single
+    // projection — no (pair × shingle) row explosion, no re-shuffle of
+    // the full shingle stream per pair (that path cost 3× the rest of
+    // the query combined)
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("shs_a"), col("shs_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   def prefixSimJoin(s: SparkSession, dir: String): DataFrame =
-    prefixSimJoin(Tables.documents(s, dir), threshold = 0.5)
+    prefixSimJoin(Tables.documents(s, dir), threshold = 0.8)
 }
