@@ -134,6 +134,9 @@ object SparkEntry {
     "q106_incremental_rollup" -> ((s, d) => Warehouse.incrementalRollup(s, d)),
     "q107_revenue_anomaly" -> ((s, d) => Advanced.revenueAnomaly(s, d)),
     "q108_mom_growth" -> ((s, d) => Advanced.momGrowth(s, d)),
+    "q109_event_transitions" -> ((s, d) => Advanced.eventTransitions(s, d)),
+    "q110_basket_pairs" -> ((s, d) => Advanced.basketPairs(s, d)),
+    "q111_concurrent_sessions" -> ((s, d) => Advanced.concurrentSessions(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1785,6 +1788,69 @@ object SparkEntry {
         |  (revenue - LAG(revenue) OVER (ORDER BY month))
         |    / LAG(revenue) OVER (ORDER BY month) AS growth
         |FROM m""".stripMargin,
+
+    // q109: lead over (micros, event_id) total order — the q102 tie
+    // rule; p = one double division of exact bigint counts.
+    "q109_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |), s AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e
+        |), t AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM t""".stripMargin,
+
+    // q110: apriori-pruned within-basket self-join, mirrored order
+    // (frequent filter before the pair join, pair filter after).
+    "q110_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |f AS (SELECT p FROM b GROUP BY p HAVING COUNT(*) >= 3),
+        |fb AS (SELECT o, p FROM b WHERE p IN (SELECT p FROM f)),
+        |pr AS (
+        |  SELECT a.p AS part_a, b2.p AS part_b, COUNT(*) AS n
+        |  FROM fb a JOIN fb b2 ON a.o = b2.o AND a.p < b2.p
+        |  GROUP BY 1, 2
+        |),
+        |nb AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM b)
+        |SELECT part_a, part_b, n, CAST(n AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support
+        |FROM pr, nb WHERE n >= 3""".stripMargin,
+
+    // q111: the oracle runs the global running sum directly (one window)
+    // — the Spark side's bucketed two-pass prefix sum must land on
+    // identical concurrency values row for row.
+    "q111_concurrent_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f
+        |), s AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |    MIN(us) AS s_us, MAX(us) AS e_us
+        |  FROM g GROUP BY 1, 2
+        |), bnd AS (
+        |  SELECT user_id, session_seq, s_us AS us, CAST(1 AS BIGINT) AS delta FROM s
+        |  UNION ALL
+        |  SELECT user_id, session_seq, e_us + 1 AS us, CAST(-1 AS BIGINT) AS delta FROM s
+        |)
+        |SELECT us, user_id, session_seq, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY us, delta, user_id, session_seq
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
+        |FROM bnd""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -535,4 +535,126 @@ object Advanced {
 
   def momGrowth(s: SparkSession, dir: String): DataFrame =
     momGrowth(Tables.orders(s, dir))
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * for each (from_type, to_type) pair of CONSECUTIVE events of one
+    * user, the transition count and the row-normalized probability.
+    * One window shuffle keyed by user_id (high cardinality — balanced),
+    * then a map-side-combined count; the normalizing window runs over
+    * the |types|² matrix, a handful of rows at any corpus size. Order
+    * within a user is totalized by (micros, event_id) — the same tie
+    * rule as q102 — so the lead() is engine-reproducible; p is one
+    * double division of two exact longs.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    trans.withColumn("p",
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+  }
+
+  def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    eventTransitions(Tables.events(s, dir))
+
+  /** Market-basket pair mining (co-purchase): part pairs appearing
+    * together in at least `minSupport` orders, with basket-relative
+    * support. The apriori prune runs FIRST: a pair can only be frequent
+    * if both parts are, so the per-basket self-join happens on the
+    * frequent-item subset — the quadratic is bounded by (frequent items
+    * per basket)², not basket size², and hot parts never meet infrequent
+    * ones. Baskets are distinct (order, part) pairs; the basket count is
+    * a broadcast scalar (same idiom as q78's stopword cap), never a
+    * driver-side collect.
+    */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
+    val baskets = Caches.track(
+      lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+    val freq = baskets.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      .filter(col("n_p") >= minSupport)
+    val fb = baskets.join(freq.select(col("p")), Seq("p"), "left_semi")
+    val nBaskets = baskets.select(countDistinct(col("o")).as("n_baskets"))
+    fb.as("a")
+      .join(fb.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support", col("n").cast("double") / col("n_baskets"))
+      .select(col("part_a"), col("part_b"), col("n"), col("support"))
+  }
+
+  def basketPairs(s: SparkSession, dir: String): DataFrame =
+    basketPairs(Tables.lineitem(s, dir))
+
+  /** Concurrent-session curve by sweep line: sessionize per user (same
+    * 30-minute gap rule as q15, exact micros), emit +1/−1 boundary
+    * events on the half-open span [first_event, last_event + 1µs), and
+    * running-sum them in GLOBAL time order — the concurrency after each
+    * boundary.
+    *
+    * The running sum is the scale point. `Window.orderBy` with no
+    * partition executes in ONE task — the classic driver-shaped
+    * bottleneck this library refuses. Instead: range-partition the
+    * boundary stream by the total order, running-sum WITHIN each range
+    * bucket in parallel, then add each bucket's exclusive prefix of the
+    * per-bucket totals — a two-pass distributed prefix sum. The only
+    * sequential work is the window over `buckets` totals (32 rows); the
+    * broadcast join hands every row its bucket offset. Bucket boundaries
+    * affect nothing but parallelism: any order-respecting split yields
+    * identical prefix sums, so the sampled range partitioner cannot
+    * perturb results. The boundary key (us, delta, user_id, session_seq)
+    * is unique per row — ends sort before starts at the same instant
+    * (delta −1 < +1), so back-to-back sessions never double-count.
+    */
+  def concurrentSessions(events: DataFrame, buckets: Int = 32): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val seqd = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessions = seqd.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val bounds = sessions
+      .select(col("user_id"), col("session_seq"),
+        col("s_us").as("us"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("user_id"), col("session_seq"),
+        (col("e_us") + 1).as("us"), lit(-1L).as("delta")))
+    // pass 1: parallel running sums within range buckets of the total
+    // order (persisted — the offsets aggregate and the final window both
+    // read it; spark_partition_id must also be computed exactly once)
+    val ranged = Caches.track(bounds
+      .repartitionByRange(buckets, col("us"), col("delta"),
+        col("user_id"), col("session_seq"))
+      .withColumn("bucket", spark_partition_id()))
+    val inBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("us"), col("delta"), col("user_id"), col("session_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pass 2: exclusive prefix of per-bucket totals, broadcast back
+    val offsets = ranged.groupBy(col("bucket")).agg(sum(col("delta")).as("tot"))
+      .withColumn("offset", coalesce(
+        sum(col("tot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    ranged
+      .withColumn("run", sum(col("delta")).over(inBucket))
+      .join(broadcast(offsets), "bucket")
+      .select(col("us"), col("user_id"), col("session_seq"), col("delta"),
+        (col("run") + col("offset")).as("concurrency"))
+  }
+
+  def concurrentSessions(s: SparkSession, dir: String): DataFrame =
+    concurrentSessions(Tables.events(s, dir))
 }

@@ -270,4 +270,60 @@ class AdvancedSpec extends SparkSpec {
     assert(out2("2024-01-31").exists(_ > 50.0),
       s"a 2x spike against a ±1 baseline must score a large positive z: ${out2("2024-01-31")}")
   }
+
+  test("eventTransitions: hand-checked counts, row-normalized probabilities") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: view->click->view->click ; user 2: view->click ; user 3: purchase (no transition)
+    val e = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"),
+      (3L, ts(2), 1L, "view"), (4L, ts(3), 1L, "click"),
+      (5L, ts(0), 2L, "view"), (6L, ts(1), 2L, "click"),
+      (7L, ts(0), 3L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Advanced.eventTransitions(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // from=view: 3 transitions, all ->click; from=click: 1 ->view
+    assert(out(("view", "click")) === ((3L, 1.0)))
+    assert(out(("click", "view")) === ((1L, 1.0)))
+    assert(out.size === 2, s"lone purchase must emit no transition row: $out")
+  }
+
+  test("basketPairs: apriori prune removes infrequent parts before pairing") {
+    import spark.implicits._
+    // parts 10 & 11 co-occur in baskets 1..5 (frequent pair); part 99
+    // appears once — it must never reach the pair join
+    val rows = (1L to 5L).flatMap(o => Seq((o, 10L), (o, 11L))) :+ ((6L, 99L)) :+ ((6L, 10L))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val out = Advanced.basketPairs(li, minSupport = 5L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((10L, 11L, 5L)))
+    assert(r.getDouble(3) === 5.0 / 6.0) // 6 distinct baskets
+  }
+
+  test("concurrentSessions: overlap counted, back-to-back not, bucketing invariant") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: one session 10:00-10:10; user 2: one session 10:05-10:15
+    // (overlaps user 1); user 3: a single event at the INSTANT of user
+    // 1's last event — a session is active through its last event
+    // (half-open [s, e+1µs)), so at 10:10 all three are concurrent
+    val e = Seq(
+      (1L, ts(10, 0), 1L), (2L, ts(10, 10), 1L),
+      (3L, ts(10, 5), 2L), (4L, ts(10, 15), 2L),
+      (5L, ts(10, 10), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    def run(buckets: Int) = Advanced.concurrentSessions(e, buckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._4, t._2, t._3))
+    val out = run(4)
+    assert(out.map(_._5).max === 3, s"peak must be 3: ${out.mkString(", ")}")
+    // the curve ends at zero — every +1 matched by a -1
+    assert(out.last._5 === 0)
+    // bucket boundaries must not change a single row
+    assert(run(1).toSeq === out.toSeq && run(7).toSeq === out.toSeq)
+  }
 }
