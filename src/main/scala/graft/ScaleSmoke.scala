@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Heavy-query scale smoke: run the most expensive operators (q22
   * MinHash-LSH, q56 dup clusters, q61 trained IVF, q74 boilerplate,
-  * q80 source overlap, q94 n-gram novelty) on an N×-amplified corpus,
+  * q80 source overlap, q94 n-gram novelty, q105 prefix sim join,
+  * q112 containment join) on an N×-amplified corpus,
   * assert completion, and
   * report wall times — the "scales to 100×" design claims get at least
   * one measured 10× data point.
@@ -89,7 +90,9 @@ object ScaleSmoke {
       },
       timed("q74") { graft.operators.Dedup.boilerplate(docs) },
       timed("q80") { graft.operators.Dedup.sourceOverlap(docs) },
-      timed("q94") { graft.operators.Dedup.ngramNovelty(docs) })
+      timed("q94") { graft.operators.Dedup.ngramNovelty(docs) },
+      timed("q105") { graft.operators.Dedup.prefixSimJoin(docs, threshold = 0.8) },
+      timed("q112") { graft.operators.Dedup.containmentJoin(docs, threshold = 0.9) })
 
     val qs = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(

@@ -137,6 +137,9 @@ object SparkEntry {
     "q109_event_transitions" -> ((s, d) => Advanced.eventTransitions(s, d)),
     "q110_basket_pairs" -> ((s, d) => Advanced.basketPairs(s, d)),
     "q111_concurrent_sessions" -> ((s, d) => Advanced.concurrentSessions(s, d)),
+    "q112_containment_join" -> ((s, d) => Dedup.containmentJoin(s, d)),
+    "q113_session_time_weighted" -> ((s, d) => Advanced.sessionTimeWeighted(s, d)),
+    "q114_copurchase_rank" -> ((s, d) => Advanced.copurchaseRank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1851,6 +1854,88 @@ object SparkEntry {
         |  CAST(SUM(delta) OVER (ORDER BY us, delta, user_id, session_seq
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrency
         |FROM bnd""".stripMargin,
+
+    // q112: directional containment — the oracle is the full quadratic
+    // with a <> instead of <; same recall argument as q105.
+    "q112_containment_join" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / ca.n_sh AS containment
+        |FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+        |WHERE CAST(inter AS DOUBLE) / ca.n_sh >= 0.9""".stripMargin,
+
+    // q113: q15's session windows, duration weights in exact integer
+    // micros x cents, one double division at the end (same op order).
+    "q113_session_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    LAG(epoch_us(ts)) OVER w AS prev_us,
+        |    LEAD(epoch_us(ts)) OVER w AS next_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), f AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, us, cents, next_us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq,
+        |    LEAD(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_new
+        |  FROM f
+        |), h AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, cents,
+        |    CASE WHEN next_new = 0 THEN next_us - us ELSE 0 END AS gap_us
+        |  FROM g
+        |)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  CAST(SUM(gap_us) AS BIGINT) AS dur_us,
+        |  CASE WHEN SUM(gap_us) = 0 THEN NULL
+        |       ELSE CAST(SUM(CAST(cents * gap_us AS HUGEINT)) AS DOUBLE)
+        |            / CAST(SUM(gap_us) AS DOUBLE) / 100.0 END AS tw_value
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // q114: q110's edge CTEs, two unrolled fixed-point iterations; //
+    // is floor division but every operand is positive, matching Spark's
+    // truncating div exactly.
+    "q114_copurchase_rank" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |f AS (SELECT p FROM b GROUP BY p HAVING COUNT(*) >= 3),
+        |fb AS (SELECT o, p FROM b WHERE p IN (SELECT p FROM f)),
+        |pr AS (
+        |  SELECT a.p AS part_a, b2.p AS part_b
+        |  FROM fb a JOIN fb b2 ON a.o = b2.o AND a.p < b2.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |),
+        |ed AS (
+        |  SELECT part_a AS src, part_b AS dst FROM pr
+        |  UNION ALL SELECT part_b AS src, part_a AS dst FROM pr
+        |),
+        |dg AS (SELECT src, COUNT(*) AS deg FROM ed GROUP BY src),
+        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rk FROM dg),
+        |c1 AS (SELECT e.dst, SUM(r.rk // d.deg) AS m
+        |       FROM ed e JOIN dg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+        |       GROUP BY 1),
+        |r1 AS (SELECT d.src AS node, 150000000000 + (COALESCE(c1.m, 0) * 85) // 100 AS rk
+        |       FROM dg d LEFT JOIN c1 ON d.src = c1.dst),
+        |c2 AS (SELECT e.dst, SUM(r.rk // d.deg) AS m
+        |       FROM ed e JOIN dg d ON e.src = d.src JOIN r1 r ON e.src = r.node
+        |       GROUP BY 1),
+        |r2 AS (SELECT d.src AS node, 150000000000 + (COALESCE(c2.m, 0) * 85) // 100 AS rk
+        |       FROM dg d LEFT JOIN c2 ON d.src = c2.dst)
+        |SELECT r2.node AS part, dg.deg, CAST(r2.rk AS BIGINT) AS rank_fp
+        |FROM r2 JOIN dg ON r2.node = dg.src""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

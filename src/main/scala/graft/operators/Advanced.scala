@@ -657,4 +657,97 @@ object Advanced {
 
   def concurrentSessions(s: SparkSession, dir: String): DataFrame =
     concurrentSessions(Tables.events(s, dir))
+
+  /** Duration-weighted session value: within each session (q15's
+    * 30-minute gap rule), each event's value is weighted by how long it
+    * was the CURRENT value — the gap to the next event; the session's
+    * last event holds no time and weighs zero. The mean is
+    * Σ(value·gap)/Σgap; single-event sessions (zero span) emit null.
+    * Exactness: value in integer cents × gap in integer micros summed
+    * as DECIMAL(38,0) (cents·µs products reach ~1e15 per term — far
+    * past safe double territory at session scale), one double division
+    * at the end. Everything rides the one user-keyed window shuffle;
+    * the session aggregate re-uses the same partitioning.
+    */
+  def sessionTimeWeighted(events: DataFrame): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val seqd = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        (col("value").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_us", lead(col("us"), 1).over(byUser))
+      .withColumn("next_new", lead(col("new_session"), 1).over(byUser))
+      // gap = time to next event of the SAME session; session-final
+      // events (next row starts a new session, or no next row) hold 0
+      .withColumn("gap_us",
+        when(col("next_new") === 0L, col("next_us") - col("us")).otherwise(0L))
+    seqd.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("gap_us")).as("dur_us"),
+        sum((col("cents") * col("gap_us")).cast(DecimalType(38, 0))).as("wsum"))
+      .withColumn("tw_value",
+        when(col("dur_us") === 0L, lit(null))
+          .otherwise(col("wsum").cast("double") /
+            col("dur_us").cast("double") / lit(100.0)))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("dur_us"), col("tw_value"))
+  }
+
+  def sessionTimeWeighted(s: SparkSession, dir: String): DataFrame =
+    sessionTimeWeighted(Tables.events(s, dir))
+
+  /** PageRank over the co-purchase graph (q110's frequent pairs,
+    * symmetrized), in 64-bit fixed point so a distributed run is
+    * bit-reproducible: ranks live at scale 1e12, each node ships
+    * rank div degree to its neighbors (integer division — the
+    * deterministic mass leak is the price of exactness), and the damped
+    * update is 0.15·base + (0.85·Σcontrib) in integer ops with a fixed
+    * order. Floating-point PageRank cannot be oracle-checked — partial
+    * sums reorder across partitions; this one lands on identical longs
+    * in any engine. A fixed iteration count (default 2) keeps the
+    * lineage shallow (no checkpoint needed); the per-iteration cost is
+    * one edge-keyed join + one destination-keyed aggregate, both
+    * shuffling the EDGE relation only — the classic Pregel cost shape.
+    * Isolated frequent parts (degree 0 after symmetrization: none, by
+    * construction of pair edges) would keep the teleport mass only.
+    */
+  def copurchaseRank(lineitem: DataFrame, iters: Int = 2): DataFrame = {
+    val base = 1000000000000L
+    // pairs is persisted BEFORE the symmetrizing union: both union
+    // branches would otherwise re-run the whole mining pipeline (the
+    // per-basket pair aggregate — the expensive part — twice)
+    val pairs = Caches.track(basketPairs(lineitem, 3L)
+      .select(col("part_a"), col("part_b")))
+    val edges = Caches.track(pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionByName(pairs.select(col("part_b").as("src"), col("part_a").as("dst"))))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = Caches.track(edges.join(deg, "src"))
+    var rank = deg.select(col("src").as("node"), lit(base).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      rank = deg.select(col("src").as("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000000000L) +
+            expr("coalesce(in_mass, 0L) * 85 div 100")).as("rank"))
+    }
+    rank.join(deg, col("node") === col("src"))
+      .select(col("node").as("part"), col("deg"), col("rank").as("rank_fp"))
+  }
+
+  def copurchaseRank(s: SparkSession, dir: String): DataFrame =
+    copurchaseRank(Tables.lineitem(s, dir))
 }

@@ -621,7 +621,13 @@ object Dedup {
     val prefix = Caches.track(sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .withColumn("rn", row_number().over(byRarity))
-      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      // ceil guard: t*n for integral products (0.8 is not binary-exact)
+      // can land a hair ABOVE the integer and ceil one too high,
+      // shortening the prefix below the safe bound — shave an epsilon
+      // so the error can only LENGTHEN the prefix (more candidates,
+      // never a lost pair)
+      .filter(col("rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1)
       .select(col("doc_id"), col("sh"), col("rn"), col("n_sh")))
     // the join carries two further EXACT pruning rules from the PPJoin
     // family (false positives are fine — verification kills them — but
@@ -665,4 +671,67 @@ object Dedup {
 
   def prefixSimJoin(s: SparkSession, dir: String): DataFrame =
     prefixSimJoin(Tables.documents(s, dir), threshold = 0.8)
+
+  /** Directional containment join: pairs where at least `threshold` of
+    * doc_a's shingles also appear in doc_b — the quote/subset detector
+    * (Jaccard misses a short doc embedded in a long one: the union term
+    * drowns it). Exact, like q105, and by the same prefix argument
+    * applied one-sidedly: containment ≥ t forces |A∩B| ≥ ceil(t·|A|),
+    * so if A shares NO token of its |A| − ceil(t·|A|) + 1 rarest with
+    * B, the remaining overlap is ≤ ceil(t·|A|) − 1 — too small. Only
+    * the CONTAINED side gets a prefix (the container legitimately has
+    * arbitrary size), so candidates come from A-prefix × full shingle
+    * stream — the rare-token concentration keeps the hot posting lists
+    * out of the join. Verification is one array_intersect per candidate
+    * against the materialized shingle sets. Both directions emit
+    * independently (a ≈ b yields two rows); self-pairs never form.
+    */
+  def containmentJoin(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = Caches.track(docShingleSets(docs))
+    val sh = sets.select(col("doc_id"), col("n_sh"),
+      explode_outer(col("shs")).as("sh"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"))
+    // every token's global rarity rank within its doc, persisted once:
+    // the contained side filters it to a prefix, the container side
+    // keeps all tokens but uses the rank in the positional bound below
+    val ranked = Caches.track(sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .withColumn("rn", row_number().over(byRarity))
+      .select(col("doc_id"), col("sh"), col("rn"), col("n_sh")))
+    val prefix = ranked
+      // ceil guard: t*n for integral products (0.8 is not binary-exact)
+      // can land a hair ABOVE the integer and ceil one too high,
+      // shortening the prefix below the safe bound — shave an epsilon
+      // so the error can only LENGTHEN the prefix (more candidates,
+      // never a lost pair)
+      .filter(col("rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-6)) + 1)
+    // positional bound, both sides (exact — same earliest-shared-token
+    // argument as q105: that token has no shared token before it in
+    // EITHER doc, so 1 + min(tokens after it here, tokens after it
+    // there) caps the true intersection; required mass is t·|A|):
+    val need = lit(threshold) * col("a.n_sh") - lit(1e-9)
+    val candidates = prefix.as("a").hint("shuffle_hash")
+      .join(ranked.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n_sh") >= need &&
+          lit(1) + least(col("a.n_sh") - col("a.rn"),
+            col("b.n_sh") - col("b.rn")) >= need)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")),
+        Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("double") /
+          col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
+  def containmentJoin(s: SparkSession, dir: String): DataFrame =
+    containmentJoin(Tables.documents(s, dir), threshold = 0.9)
 }

@@ -326,4 +326,42 @@ class AdvancedSpec extends SparkSpec {
     // bucket boundaries must not change a single row
     assert(run(1).toSeq === out.toSeq && run(7).toSeq === out.toSeq)
   }
+
+  test("sessionTimeWeighted: gap-weighted mean, zero-span session nulls") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int, s: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    // user 1, one session: 10.00 held for 60s, 20.00 held for 120s,
+    // 40.00 final (no weight) -> tw = (10*60 + 20*120) / 180 = 16.666...
+    // user 2: single event -> dur 0, null
+    val e = Seq(
+      (1L, ts(0, 0), 1L, 10.0), (2L, ts(1, 0), 1L, 20.0), (3L, ts(3, 0), 1L, 40.0),
+      (4L, ts(0, 0), 2L, 99.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val out = Advanced.sessionTimeWeighted(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(out(1L)._2 === 180L * 1000000L)
+    val expected = (10.0 * 60 + 20.0 * 120) / 180.0
+    assert(math.abs(out(1L)._3.get - expected) < 1e-9, s"${out(1L)}")
+    assert(out(2L) === ((1L, 0L, None)))
+  }
+
+  test("copurchaseRank: hand-computed fixed-point ranks on a 3-node path") {
+    import spark.implicits._
+    // parts 1-2 co-occur in orders 1..3, parts 2-3 in orders 4..6:
+    // path graph 1-2-3, degrees (1, 2, 1)
+    val rows = (1L to 3L).flatMap(o => Seq((o, 1L), (o, 2L))) ++
+      (4L to 6L).flatMap(o => Seq((o, 2L), (o, 3L)))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val out = Advanced.copurchaseRank(li, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // iter1: r(1)=r(3)=0.15e12+0.85*(1e12/2)=575e9; r(2)=0.15e12+0.85*2e12=1850e9
+    // iter2: r(1)=r(3)=0.15e12+0.85*(1850e9 div 2)=936.25e9
+    //        r(2)=0.15e12+0.85*(575e9+575e9)=1127.5e9
+    assert(out(1L) === ((1L, 936250000000L)))
+    assert(out(2L) === ((2L, 1127500000000L)))
+    assert(out(3L) === ((1L, 936250000000L)))
+  }
 }

@@ -234,6 +234,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin equals the naive quadratic containment (recall guarantee)") {
+    import org.apache.spark.sql.functions._
+    // naive directional truth: full shingle self-join, no prefix filter
+    def truth(t: Double) = {
+      val sets = Dedup.docShingleSets(corpus)
+      val sh = sets.select(col("doc_id"), explode_outer(col("shs")).as("sh"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sets.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .withColumn("containment", col("inter").cast("double") / col("n_a"))
+        .filter(col("containment") >= t)
+        .select(col("doc_a"), col("doc_b"), col("containment"))
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment"))).toSet
+    for (t <- Seq(0.5, 0.9)) {
+      val scope = Caches.open()
+      try {
+        assert(pairs(Dedup.containmentJoin(corpus, t)) === pairs(truth(t)),
+          s"prefix filter lost or invented containment pairs at t=$t")
+      } finally scope.release()
+    }
+  }
+
   test("fuzzyNameMatch: distinct-first, blocked by last token, thresholded distance") {
     import spark.implicits._
     val d = Seq(

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's t2 correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [qPrefix,qPrefix,...]
+
+The optional third arg restricts checking to queries whose name starts
+with one of the given prefixes (matches Verify's SPARK_GRAFT_ONLY
+filter, so a filtered dump can be checked without noise).
 
 For each query dumped by `graft.Verify` (parquet dir per query +
 oracle_sql.json), runs the oracle SQL in DuckDB over the sfDir tables and
@@ -30,6 +34,7 @@ def canon(con, rel_sql):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-len(".parquet")]
@@ -37,6 +42,8 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for q in sorted(oracle):
+        if only is not None and not any(q.startswith(p) for p in only):
+            continue
         pq = f"{out_dir}/{q}"
         if not os.path.isdir(pq):
             print(f"[FAIL] {q}: no spark output at {pq}")
