@@ -140,6 +140,9 @@ object SparkEntry {
     "q112_containment_join" -> ((s, d) => Dedup.containmentJoin(s, d)),
     "q113_session_time_weighted" -> ((s, d) => Advanced.sessionTimeWeighted(s, d)),
     "q114_copurchase_rank" -> ((s, d) => Advanced.copurchaseRank(s, d)),
+    "q115_pareto_frontier" -> ((s, d) => Advanced.paretoFrontier(s, d)),
+    "q116_max_drawdown" -> ((s, d) => Advanced.maxDrawdown(s, d)),
+    "q117_modal_event_type" -> ((s, d) => Advanced.modalEventType(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1936,6 +1939,50 @@ object SparkEntry {
         |       FROM dg d LEFT JOIN c2 ON d.src = c2.dst)
         |SELECT r2.node AS part, dg.deg, CAST(r2.rk AS BIGINT) AS rank_fp
         |FROM r2 JOIN dg ON r2.node = dg.src""".stripMargin,
+
+    // q115: the oracle computes the same per-price reduce + exclusive
+    // prefix max in one global window; the Spark side's bucketed
+    // two-pass prefix must select the identical frontier rows.
+    "q115_pareto_frontier" ->
+      """WITH g AS (
+        |  SELECT o_totalprice AS pr, MAX(CAST(o_orderdate AS DATE)) AS gmax
+        |  FROM orders GROUP BY 1
+        |), p AS (
+        |  SELECT pr, gmax, MAX(gmax) OVER (ORDER BY pr DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        |  FROM g
+        |), k AS (SELECT pr, gmax FROM p WHERE prev IS NULL OR gmax > prev)
+        |SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+        |FROM orders JOIN k ON o_totalprice = k.pr AND CAST(o_orderdate AS DATE) = k.gmax""".stripMargin,
+
+    // q116: exact cents moments under the same (date, key) total order;
+    // one double conversion after the max.
+    "q116_max_drawdown" ->
+      """WITH c AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |), p AS (
+        |  SELECT o_custkey, cents,
+        |    MAX(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM c
+        |)
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(MAX(peak - cents) AS DOUBLE) / 100.0 AS max_drawdown
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // q117: modal pick with the explicit (count desc, type asc) tie
+    // rule — deterministic in any engine.
+    "q117_modal_event_type" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, event_type, n,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+        |  FROM c
+        |)
+        |SELECT user_id, event_type AS modal_type, n FROM r WHERE rn = 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

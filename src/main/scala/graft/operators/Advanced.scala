@@ -632,27 +632,54 @@ object Advanced {
         col("s_us").as("us"), lit(1L).as("delta"))
       .unionByName(sessions.select(col("user_id"), col("session_seq"),
         (col("e_us") + 1).as("us"), lit(-1L).as("delta")))
-    // pass 1: parallel running sums within range buckets of the total
-    // order (persisted — the offsets aggregate and the final window both
-    // read it; spark_partition_id must also be computed exactly once)
-    val ranged = Caches.track(bounds
-      .repartitionByRange(buckets, col("us"), col("delta"),
-        col("user_id"), col("session_seq"))
+    bucketedPrefix(bounds,
+      Seq(col("us"), col("delta"), col("user_id"), col("session_seq")), buckets)(
+      w => sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("delta")),
+      w => coalesce(sum(col("tot")).over(w), lit(0L)),
+      (run, off) => run + off)
+      .select(col("us"), col("user_id"), col("session_seq"), col("delta"),
+        col("prefix").as("concurrency"))
+  }
+
+  /** Two-pass distributed prefix aggregation over a total order — the
+    * scalable replacement for an unpartitioned `Window.orderBy`, which
+    * Spark executes in ONE task. Pass 1 range-partitions the rows by
+    * `order` and computes the running aggregate WITHIN each range bucket
+    * in parallel; pass 2 aggregates one total per bucket, takes each
+    * bucket's prefix over the (tiny, `buckets`-row) totals relation, and
+    * broadcast-joins that offset back so every row combines its local
+    * run with everything before its bucket. Works for any associative
+    * aggregate — `concurrentSessions` instantiates it with sum,
+    * `paretoFrontier` with max. Bucket boundaries only affect
+    * parallelism: any order-respecting split yields identical prefixes
+    * (the spec proves it by re-running at several bucket counts).
+    *
+    * `runOf` gets the in-bucket window (choose the frame — inclusive or
+    * exclusive); `totalAgg` aggregates a bucket's rows into `tot`;
+    * `offsetOf` gets the EXCLUSIVE window over bucket totals; `combine`
+    * merges (run, offset) into the output `prefix` column.
+    */
+  private def bucketedPrefix(rows: DataFrame, order: Seq[Column], buckets: Int)(
+      runOf: org.apache.spark.sql.expressions.WindowSpec => Column,
+      totalAgg: Column,
+      offsetOf: org.apache.spark.sql.expressions.WindowSpec => Column,
+      combine: (Column, Column) => Column): DataFrame = {
+    // persisted — the offsets aggregate and the final window both read
+    // it; spark_partition_id must also be computed exactly once
+    val ranged = Caches.track(rows
+      .repartitionByRange(buckets, order: _*)
       .withColumn("bucket", spark_partition_id()))
-    val inBucket = Window.partitionBy(col("bucket"))
-      .orderBy(col("us"), col("delta"), col("user_id"), col("session_seq"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // pass 2: exclusive prefix of per-bucket totals, broadcast back
-    val offsets = ranged.groupBy(col("bucket")).agg(sum(col("delta")).as("tot"))
-      .withColumn("offset", coalesce(
-        sum(col("tot")).over(Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(order: _*)
+    val offsets = ranged.groupBy(col("bucket")).agg(totalAgg.as("tot"))
+      .withColumn("offset", offsetOf(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("bucket"), col("offset"))
     ranged
-      .withColumn("run", sum(col("delta")).over(inBucket))
+      .withColumn("run", runOf(inBucket))
       .join(broadcast(offsets), "bucket")
-      .select(col("us"), col("user_id"), col("session_seq"), col("delta"),
-        (col("run") + col("offset")).as("concurrency"))
+      .withColumn("prefix", combine(col("run"), col("offset")))
   }
 
   def concurrentSessions(s: SparkSession, dir: String): DataFrame =
@@ -750,4 +777,92 @@ object Advanced {
 
   def copurchaseRank(s: SparkSession, dir: String): DataFrame =
     copurchaseRank(Tables.lineitem(s, dir))
+
+  /** 2-D Pareto frontier (skyline) of orders maximizing (price, date):
+    * an order is kept iff no other order has price ≥ AND date ≥ with at
+    * least one strict (exact duplicates survive together). The classic
+    * sort-based skyline — sort by price descending, keep rows whose
+    * date strictly exceeds every higher-priced date — needs a GLOBAL
+    * running max, so it rides `bucketedPrefix` (max instantiation)
+    * instead of a one-task window: per-price groups are reduced first
+    * (max date per price — map-side-combined, output ≈ |distinct
+    * prices|), the exclusive prefix max runs bucket-parallel over that
+    * reduced relation, and survivors semi-join back to the fact table.
+    * The frontier filter never touches the fact table a second time
+    * with anything but an equi-join.
+    */
+  def paretoFrontier(orders: DataFrame, buckets: Int = 32): DataFrame = {
+    val groups = orders
+      .groupBy(col("o_totalprice").as("pr"))
+      .agg(max(col("o_orderdate").cast("date")).as("gmax"))
+    val kept = bucketedPrefix(groups, Seq(col("pr").desc), buckets)(
+      w => max(col("gmax")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      max(col("gmax")),
+      w => max(col("tot")).over(w),
+      // greatest() skips nulls: first bucket (null offset) and first
+      // row in a bucket (null run) fall back to the other side
+      (run, off) => greatest(run, off))
+      // null prefix = nothing priced higher exists -> frontier by default
+      .filter(col("prefix").isNull || col("gmax") > col("prefix"))
+      .select(col("pr"), col("gmax"))
+    orders
+      .join(kept, col("o_totalprice") === col("pr") &&
+        col("o_orderdate").cast("date") === col("gmax"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("date").as("d"))
+  }
+
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame =
+    paretoFrontier(Tables.orders(s, dir))
+
+  /** Maximum drawdown of each customer's cumulative spend sequence:
+    * orders in (date, key) order accumulate revenue in exact cents; the
+    * drawdown at a point is the running peak minus the running value,
+    * and the customer's figure is the worst such dip. With a
+    * monotonically nonnegative series the classic definition applies to
+    * the ORDER VALUES (peak order minus later trough order), which is
+    * what this computes: runmax(cents) − cents, maximized. One
+    * customer-keyed window shuffle, one aggregate on the same
+    * partitioning, cents→dollars at the very end.
+    */
+  def maxDrawdown(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .withColumn("peak", max(col("cents")).over(byCust))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("peak") - col("cents")).as("dd_cents"))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("dd_cents").cast("double") / 100.0).as("max_drawdown"))
+  }
+
+  def maxDrawdown(s: SparkSession, dir: String): DataFrame =
+    maxDrawdown(Tables.orders(s, dir))
+
+  /** Per-user modal event type with a deterministic tie rule (higher
+    * count wins; equal counts fall to the lexicographically smaller
+    * type) — the categorical analog of q06's LWW pick. Two map-side-
+    * combined aggregates on the same (user, type) shuffle, then one
+    * row_number over the per-user type counts (bounded by |event
+    * types|, so the second window moves a few rows per user however
+    * large the event log).
+    */
+  def modalEventType(events: DataFrame): DataFrame = {
+    val counts = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_type"), col("n"))
+  }
+
+  def modalEventType(s: SparkSession, dir: String): DataFrame =
+    modalEventType(Tables.events(s, dir))
 }

@@ -364,4 +364,65 @@ class AdvancedSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1127500000000L)))
     assert(out(3L) === ((1L, 936250000000L)))
   }
+
+  test("paretoFrontier equals the naive quadratic skyline; bucketing invariant") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // (key, cust, date, price): 1 dominates nothing special; planted:
+    //  - k1 (100, d5) frontier; k2 (90, d9) frontier; k3 (100, d5) exact
+    //    dup of k1 -> BOTH kept; k4 (90, d5) dominated by k1 (price+),
+    //    k5 (100, d4) dominated by k1 (same price, later date exists);
+    //    k6 (120, d2) frontier (highest price)
+    val o = Seq(
+      (1L, 1L, ts(5), 100.0), (2L, 1L, ts(9), 90.0), (3L, 1L, ts(5), 100.0),
+      (4L, 1L, ts(5), 90.0), (5L, 1L, ts(4), 100.0), (6L, 1L, ts(2), 120.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    def keys(buckets: Int) = Advanced.paretoFrontier(o, buckets).collect()
+      .map(_.getLong(0)).toSet
+    val got = keys(4)
+    // naive quadratic truth
+    val rows = o.collect().map(r => (r.getLong(0), r.getDouble(3),
+      r.getTimestamp(2).getTime))
+    val naive = rows.filter { case (k, p, d) =>
+      !rows.exists { case (k2, p2, d2) =>
+        k2 != k && p2 >= p && d2 >= d && (p2 > p || d2 > d) }
+    }.map(_._1).toSet
+    assert(got === naive, s"got $got, naive $naive")
+    assert(got === Set(1L, 2L, 3L, 6L))
+    assert(keys(1) === got && keys(7) === got)
+  }
+
+  test("maxDrawdown: peak-to-trough in order sequence, exact cents") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // cust 1: 100, 300, 50, 200 -> worst dip 300-50 = 250.00
+    // cust 2: ascending -> drawdown 0
+    val o = Seq(
+      (1L, 1L, ts(1), 100.0), (2L, 1L, ts(2), 300.0),
+      (3L, 1L, ts(3), 50.0), (4L, 1L, ts(4), 200.0),
+      (5L, 2L, ts(1), 10.0), (6L, 2L, ts(2), 20.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Advanced.maxDrawdown(o).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((4L, 250.0)))
+    assert(out(2L) === ((2L, 0.0)))
+  }
+
+  test("modalEventType: count wins, lexicographic tie-break") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // user 1: 2 clicks vs 1 view -> click; user 2: 1 view vs 1 click
+    // (tie) -> click (lexicographically smaller)
+    val e = Seq(
+      (1L, t0, 1L, "click"), (2L, t0, 1L, "click"), (3L, t0, 1L, "view"),
+      (4L, t0, 2L, "view"), (5L, t0, 2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Advanced.modalEventType(e).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("click", 2L)))
+    assert(out(2L) === (("click", 1L)))
+  }
 }

@@ -291,4 +291,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.split("HashAggregate").length - 1 >= 2,
       s"the per-metric agg must partial-combine below the exchange:\n$plan")
   }
+
+  test("q105/q112: exact similarity joins never plan a cartesian or nested loop") {
+    for (df <- Seq(
+        graft.operators.Dedup.prefixSimJoin(
+          graft.sources.Tables.documents(spark, sf0001), threshold = 0.8),
+        graft.operators.Dedup.containmentJoin(
+          graft.sources.Tables.documents(spark, sf0001), threshold = 0.9))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"the prefix filter must keep the join equi-keyed on shingles:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q111/q115: bucketed prefix plans a range exchange; the only global window reads bucket totals") {
+    for (df <- Seq(
+        graft.operators.Advanced.concurrentSessions(
+          graft.sources.Tables.events(spark, sf0001)),
+        graft.operators.Advanced.paretoFrontier(
+          graft.sources.Tables.orders(spark, sf0001)))) {
+      df.collect() // materialize through AQE so exchanges are final
+      // descend through AQE wrappers AND the persisted bucket relation
+      // (the range exchange lives inside the InMemoryRelation's plan)
+      def whole(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect {
+          case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            m +: whole(m.relation.cachedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q +: whole(q.plan)
+          case n => Seq(n)
+        }.flatten
+      val nodes = whole(df.queryExecution.executedPlan)
+      // AQE wraps exchanges in query stages; the cached bucket relation
+      // wraps its plan again — assert on the combined tree text
+      val planText = nodes.map(_.toString).mkString("\n").toLowerCase
+      assert(planText.contains("rangepartitioning"),
+        s"pass 1 must range-partition the boundary stream:\n$planText")
+      // every unpartitioned window (the sequential step) must consume
+      // the per-bucket totals aggregate, never a fact-sized relation
+      val globals = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.nonEmpty, "the offsets prefix window must exist")
+      globals.foreach { w =>
+        assert(whole(w).exists {
+          case h: HashAggregateExec =>
+            h.groupingExpressions.exists(_.toString.contains("bucket"))
+          case _ => false
+        }, s"a global window must sit on the bucket-totals aggregate:\n$w")
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
