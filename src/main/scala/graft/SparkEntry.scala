@@ -143,6 +143,9 @@ object SparkEntry {
     "q115_pareto_frontier" -> ((s, d) => Advanced.paretoFrontier(s, d)),
     "q116_max_drawdown" -> ((s, d) => Advanced.maxDrawdown(s, d)),
     "q117_modal_event_type" -> ((s, d) => Advanced.modalEventType(s, d)),
+    "q118_interval_merge" -> ((s, d) => Advanced.mergeIntervals(s, d)),
+    "q119_activity_streaks" -> ((s, d) => Advanced.activityStreaks(s, d)),
+    "q120_allocate_cents" -> ((s, d) => Advanced.allocateProportional(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1983,6 +1986,84 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT user_id, event_type AS modal_type, n FROM r WHERE rn = 1""".stripMargin,
+
+    // q118: same islands construction — exclusive running max of ends,
+    // new-episode flags, prefix-summed episode ids — in one window CTE
+    // chain; episode ids cast to BIGINT to match Spark's long.
+    "q118_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM iv
+        |), g AS (
+        |  SELECT user_id, s, e,
+        |    SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS ep
+        |  FROM m
+        |)
+        |SELECT user_id, CAST(ep AS BIGINT) AS episode, MIN(s) AS s_us,
+        |  MAX(e) AS e_us, COUNT(*) AS n_events
+        |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // q119: day-number minus row-number anchors; identical (len desc,
+    // start asc) winner rule.
+    "q119_activity_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), r AS (
+        |  SELECT user_id, day,
+        |    (day - DATE '1970-01-01')
+        |      - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+        |  FROM d
+        |), g AS (
+        |  SELECT user_id, anchor, COUNT(*) AS best_len, MIN(day) AS best_start
+        |  FROM r GROUP BY 1, 2
+        |), k AS (
+        |  SELECT user_id, best_len, best_start,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY best_len DESC, best_start) AS rn
+        |  FROM g
+        |)
+        |SELECT user_id, best_len, best_start FROM k WHERE rn = 1""".stripMargin,
+
+    // q120: the same integer floor-divide (// here, div in Spark) and
+    // largest-remainder handout; both engines reconcile each order to
+    // the cent.
+    "q120_allocate_cents" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_c
+        |  FROM lineitem
+        |), o AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c
+        |  FROM orders
+        |), j AS (
+        |  SELECT l_orderkey, l_linenumber, qty_c, total_c,
+        |    SUM(qty_c) OVER (PARTITION BY l_orderkey) AS q_sum
+        |  FROM li JOIN o ON l_orderkey = o_orderkey
+        |), b AS (
+        |  SELECT l_orderkey, l_linenumber, total_c,
+        |    (total_c * qty_c) // q_sum AS base,
+        |    (total_c * qty_c) % q_sum AS rem
+        |  FROM j
+        |), r AS (
+        |  SELECT l_orderkey, l_linenumber, base,
+        |    total_c - SUM(base) OVER (PARTITION BY l_orderkey) AS residual,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber) AS rk
+        |  FROM b
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS BIGINT) AS alloc_c,
+        |  CAST(base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS DOUBLE) / 100.0 AS alloc
+        |FROM r""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

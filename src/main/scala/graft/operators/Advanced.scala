@@ -865,4 +865,96 @@ object Advanced {
 
   def modalEventType(s: SparkSession, dir: String): DataFrame =
     modalEventType(Tables.events(s, dir))
+
+  /** Interval merge (gaps-and-islands): each event opens a fixed
+    * activity span; overlapping spans per user coalesce into maximal
+    * episodes. The island rule needs the running MAX of all EARLIER
+    * interval ends (exclusive frame — an interval can't extend an
+    * episode it starts), computed per user, so every window here is
+    * partition-parallel: one shuffle on user_id, three window passes and
+    * the final aggregate all on that same partitioning. Exact integer
+    * micros end-to-end; (s, event_id) totalizes the order so engines
+    * can't disagree on ties.
+    */
+  def mergeIntervals(events: DataFrame, spanUs: Long = 1800L * 1000000L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("s"))
+      .withColumn("e", col("s") + spanUs)
+      .withColumn("prev_max",
+        max(col("e")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_ep",
+        when(col("prev_max").isNull || col("s") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("episode", sum(col("new_ep")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("episode"))
+      .agg(min(col("s")).as("s_us"), max(col("e")).as("e_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  def mergeIntervals(s: SparkSession, dir: String): DataFrame =
+    mergeIntervals(Tables.events(s, dir))
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * day-number-minus-row-number islands trick: within a user, runs of
+    * consecutive distinct days share (day_number − row_number), so one
+    * grouping on that anchor yields every streak, and a per-user rank
+    * with the explicit (length desc, start asc) tie rule picks the
+    * winner. Distinct-first keeps all downstream state at |user × active
+    * day| (bounded by the calendar), not |events|; every shuffle is
+    * keyed by user_id.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = days
+      .withColumn("anchor",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          - row_number().over(byUser))
+      .groupBy(col("user_id"), col("anchor"))
+      .agg(count(lit(1)).as("best_len"), min(col("day")).as("best_start"))
+    val pick = Window.partitionBy(col("user_id"))
+      .orderBy(col("best_len").desc, col("best_start"))
+    runs
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("best_len"), col("best_start"))
+  }
+
+  def activityStreaks(s: SparkSession, dir: String): DataFrame =
+    activityStreaks(Tables.events(s, dir))
+
+  /** Proportional allocation with largest-remainder rounding: spread
+    * each order's total price across its line items in proportion to
+    * quantity, in whole cents, such that the per-order cent sum
+    * reconciles EXACTLY to the order total (the invariant bankers care
+    * about; naive per-row rounding drifts by up to n/2 cents). Entirely
+    * integer arithmetic — floor via integral `div`, the leftover cents
+    * handed out by (scaled remainder desc, line number asc) — so every
+    * engine allocates identically. One shuffle on l_orderkey; the sum,
+    * rank, and residual windows plus the broadcast-joined order total
+    * all ride that single partitioning.
+    */
+  def allocateProportional(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val byOrd = Window.partitionBy(col("l_orderkey"))
+    val li = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("qty_c"))
+    val o = orders.select(col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("total_c"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("q_sum", sum(col("qty_c")).over(byOrd))
+      .withColumn("base", expr("(total_c * qty_c) div q_sum"))
+      .withColumn("rem", expr("(total_c * qty_c) % q_sum"))
+      .withColumn("residual", col("total_c") - sum(col("base")).over(byOrd))
+      .withColumn("rk", row_number().over(
+        byOrd.orderBy(col("rem").desc, col("l_linenumber"))))
+      .withColumn("alloc_c",
+        col("base") + when(col("rk") <= col("residual"), 1L).otherwise(0L))
+      .select(col("l_orderkey"), col("l_linenumber"), col("alloc_c"),
+        (col("alloc_c").cast("double") / 100.0).as("alloc"))
+  }
+
+  def allocateProportional(s: SparkSession, dir: String): DataFrame =
+    allocateProportional(Tables.lineitem(s, dir), Tables.orders(s, dir))
 }

@@ -410,6 +410,74 @@ class AdvancedSpec extends SparkSpec {
     assert(out(2L) === ((2L, 0.0)))
   }
 
+  test("mergeIntervals: overlapping spans coalesce, gaps split episodes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // span 30 min: events at 0 and 10 overlap -> one episode [0, 40);
+    // event at 50 starts after 40 -> second episode [50, 80).
+    // user 2: single event -> its own span.
+    val e = Seq(
+      (1L, ts(0), 1L, "click"), (2L, ts(10), 1L, "view"),
+      (3L, ts(50), 1L, "click"), (4L, ts(5), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val min = 60L * 1000000L
+    val out = Advanced.mergeIntervals(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    assert(out((1L, 1L)) === ((base, base + 40 * min, 2L)))
+    assert(out((1L, 2L)) === ((base + 50 * min, base + 80 * min, 1L)))
+    assert(out((2L, 1L)) === ((base + 5 * min, base + 35 * min, 1L)))
+  }
+
+  test("activityStreaks: longest run wins, earliest start breaks ties") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // user 1: days 1,2,3 then 5,6 -> best 3 starting d1 (two events on
+    // d2 must collapse); user 2: two length-2 runs -> earliest start.
+    val e = Seq(
+      (1L, ts(1, 1), 1L), (2L, ts(2, 1), 1L), (3L, ts(2, 9), 1L),
+      (4L, ts(3, 1), 1L), (5L, ts(5, 1), 1L), (6L, ts(6, 1), 1L),
+      (7L, ts(1, 1), 2L), (8L, ts(2, 1), 2L), (9L, ts(4, 1), 2L), (10L, ts(5, 1), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = Advanced.activityStreaks(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDate(2).toString)).toMap
+    assert(out(1L) === ((3L, "2024-01-01")))
+    assert(out(2L) === ((2L, "2024-01-01")))
+  }
+
+  test("allocateProportional: per-order cents reconcile exactly; remainder order deterministic") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Timestamp.valueOf("2024-01-01 00:00:00")
+    // order 1: $1.00 over equal quantities [1,1,1] -> bases 33/33/33,
+    // one leftover cent to the lowest line number (remainders tie).
+    // order 2: $10.01 over [1,2] -> exact thirds 333.67/667.33 ->
+    // bases 333/667, leftover cent to line 1 (rem 2/3 > 1/3).
+    val li = Seq(
+      (1L, 1, 1.0), (1L, 2, 1.0), (1L, 3, 1.0),
+      (2L, 1, 1.0), (2L, 2, 2.0)
+    ).map { case (k, n, q) => (k, 10L, 10L, n, q, 1.0, 0.0, 0.0, "N", "O", d) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val o = Seq((1L, 1.00), (2L, 10.01))
+      .map { case (k, p) => (k, 1L, "O", p, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Advanced.allocateProportional(li, o).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 1)) === 34L && out((1L, 2)) === 33L && out((1L, 3)) === 33L)
+    assert(out((2L, 1)) === 334L && out((2L, 2)) === 667L)
+    // the invariant: every order's cents sum exactly to its total
+    val sums = Advanced.allocateProportional(li, o)
+      .groupBy("l_orderkey").agg(org.apache.spark.sql.functions.sum("alloc_c").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums === Map(1L -> 100L, 2L -> 1001L))
+  }
+
   test("modalEventType: count wins, lexicographic tie-break") {
     import spark.implicits._
     import java.sql.Timestamp
