@@ -146,6 +146,11 @@ object SparkEntry {
     "q118_interval_merge" -> ((s, d) => Advanced.mergeIntervals(s, d)),
     "q119_activity_streaks" -> ((s, d) => Advanced.activityStreaks(s, d)),
     "q120_allocate_cents" -> ((s, d) => Advanced.allocateProportional(s, d)),
+    "q121_triangle_counts" -> ((s, d) => Advanced.triangleCounts(s, d)),
+    "q122_systematic_sample" -> ((s, d) => Advanced.systematicSample(s, d)),
+    "q123_month_end_balance" -> ((s, d) => Warehouse.monthEndBalance(s, d)),
+    "q124_quantile_normalize" -> ((s, d) => Corpus.quantileNormalize(s, d)),
+    "q125_session_paths" -> ((s, d) => Advanced.sessionPaths(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2064,6 +2069,140 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS BIGINT) AS alloc_c,
         |  CAST(base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS DOUBLE) / 100.0 AS alloc
         |FROM r""".stripMargin,
+
+    // q121: the same degree-ordered orientation and wedge closure in
+    // CTEs; EXISTS plays the left-semi closure join.
+    "q121_triangle_counts" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |freq AS (SELECT p FROM baskets GROUP BY 1 HAVING COUNT(*) >= 2),
+        |fb AS (SELECT o, p FROM baskets WHERE p IN (SELECT p FROM freq)),
+        |ed AS (
+        |  SELECT a.p AS a, b.p AS b
+        |  FROM fb a JOIN fb b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d FROM (
+        |    SELECT a AS n FROM ed UNION ALL SELECT b AS n FROM ed) GROUP BY 1
+        |),
+        |fwd AS (
+        |  SELECT CASE WHEN (da.d < db.d OR (da.d = db.d AND ed.a < ed.b))
+        |           THEN ed.a ELSE ed.b END AS u,
+        |         CASE WHEN (da.d < db.d OR (da.d = db.d AND ed.a < ed.b))
+        |           THEN ed.b ELSE ed.a END AS v,
+        |         CASE WHEN (da.d < db.d OR (da.d = db.d AND ed.a < ed.b))
+        |           THEN db.d ELSE da.d END AS dv
+        |  FROM ed JOIN deg da ON ed.a = da.n JOIN deg db ON ed.b = db.n
+        |),
+        |wedges AS (
+        |  SELECT x.u AS w0, x.v AS w1, y.v AS w2
+        |  FROM fwd x JOIN fwd y ON x.u = y.u
+        |    AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))
+        |),
+        |tri AS (
+        |  SELECT w0, w1, w2 FROM wedges WHERE EXISTS (
+        |    SELECT 1 FROM fwd WHERE fwd.u = wedges.w1 AND fwd.v = wedges.w2)
+        |)
+        |SELECT part, COUNT(*) AS n_tri FROM (
+        |  SELECT UNNEST([w0, w1, w2]) AS part FROM tri) GROUP BY 1""".stripMargin,
+
+    // q122: one global cumulative-sum window stands in for the bucketed
+    // two-pass prefix; identical integer stride arithmetic.
+    "q122_systematic_sample" ->
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_orderkey, w,
+        |    SUM(w) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER () AS grand
+        |  FROM r
+        |)
+        |SELECT o_orderkey, w,
+        |  CAST(cum // (grand // 500) - (cum - w) // (grand // 500) AS BIGINT) AS n_picks
+        |FROM c WHERE cum // (grand // 500) > (cum - w) // (grand // 500)""".stripMargin,
+
+    // q123: same last-per-month pick, month scaffold via
+    // generate_series, and IGNORE NULLS carry-forward.
+    "q123_month_end_balance" ->
+      """WITH b AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey, date_trunc('month', o_orderdate)
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |), lb AS (SELECT o_custkey, month, cents FROM b WHERE rn = 1),
+        |mm AS (SELECT MAX(month) AS mmax FROM lb),
+        |f AS (SELECT o_custkey, MIN(month) AS m0 FROM lb GROUP BY 1),
+        |sc AS (
+        |  SELECT f.o_custkey,
+        |    CAST(UNNEST(generate_series(CAST(f.m0 AS TIMESTAMP),
+        |      CAST(mm.mmax AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS month
+        |  FROM f, mm
+        |), cf AS (
+        |  SELECT sc.o_custkey, sc.month,
+        |    LAST_VALUE(lb.cents IGNORE NULLS) OVER (PARTITION BY sc.o_custkey
+        |      ORDER BY sc.month ROWS UNBOUNDED PRECEDING) AS bal_c
+        |  FROM sc LEFT JOIN lb ON sc.o_custkey = lb.o_custkey AND sc.month = lb.month
+        |)
+        |SELECT month, COUNT(*) AS n_custs, CAST(SUM(bal_c) AS DOUBLE) / 100.0 AS balance
+        |FROM cf GROUP BY 1""".stripMargin,
+
+    // q124: within-source and global ranks as single windows; identical
+    // integral ceil arithmetic for the rank lookup.
+    "q124_quantile_normalize" ->
+      """WITH b AS (SELECT doc_id, source, n_chars FROM documents),
+        |t AS (SELECT COUNT(*) AS n_total FROM b),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn_s,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM b
+        |), g AS (
+        |  SELECT n_chars AS g_chars,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS g_rn
+        |  FROM b
+        |)
+        |SELECT r.doc_id, r.source, r.n_chars, g.g_chars AS norm_chars
+        |FROM r, t, g
+        |WHERE (r.rn_s * t.n_total + r.n_src - 1) // r.n_src = g.g_rn""".stripMargin,
+
+    // q125: q15's sessionization feeding rank-conditional MAX prefix
+    // extraction; concat_ws drops nulls identically in both engines.
+    "q125_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM f
+        |), rn AS (
+        |  SELECT user_id, session_seq, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_seq ORDER BY us, event_id) AS rn
+        |  FROM s
+        |), p AS (
+        |  SELECT user_id, session_seq,
+        |    MAX(CASE WHEN rn = 1 THEN event_type END) AS t1,
+        |    MAX(CASE WHEN rn = 2 THEN event_type END) AS t2,
+        |    MAX(CASE WHEN rn = 3 THEN event_type END) AS t3
+        |  FROM rn WHERE rn <= 3 GROUP BY 1, 2
+        |), c AS (
+        |  SELECT concat_ws('>', t1, t2, t3) AS path, COUNT(*) AS n_sessions
+        |  FROM p GROUP BY 1
+        |), k AS (
+        |  SELECT path, n_sessions,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rk
+        |  FROM c
+        |)
+        |SELECT path, n_sessions, rk FROM k WHERE rk <= 20""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

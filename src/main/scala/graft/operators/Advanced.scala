@@ -576,18 +576,26 @@ object Advanced {
   def basketPairs(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
     val baskets = Caches.track(
       lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+    val nBaskets = baskets.select(countDistinct(col("o")).as("n_baskets"))
+    pairCounts(baskets, minSupport)
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support", col("n").cast("double") / col("n_baskets"))
+      .select(col("part_a"), col("part_b"), col("n"), col("support"))
+  }
+
+  /** The apriori-pruned pair-count core of `basketPairs`, without the
+    * support-ratio scalar — `triangleCounts` consumes this directly so
+    * the graph build carries no broadcast-scalar cross join.
+    */
+  private def pairCounts(baskets: DataFrame, minSupport: Long): DataFrame = {
     val freq = baskets.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
       .filter(col("n_p") >= minSupport)
     val fb = baskets.join(freq.select(col("p")), Seq("p"), "left_semi")
-    val nBaskets = baskets.select(countDistinct(col("o")).as("n_baskets"))
     fb.as("a")
       .join(fb.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
-      .crossJoin(broadcast(nBaskets))
-      .withColumn("support", col("n").cast("double") / col("n_baskets"))
-      .select(col("part_a"), col("part_b"), col("n"), col("support"))
   }
 
   def basketPairs(s: SparkSession, dir: String): DataFrame =
@@ -661,7 +669,7 @@ object Advanced {
     * `offsetOf` gets the EXCLUSIVE window over bucket totals; `combine`
     * merges (run, offset) into the output `prefix` column.
     */
-  private def bucketedPrefix(rows: DataFrame, order: Seq[Column], buckets: Int)(
+  private[operators] def bucketedPrefix(rows: DataFrame, order: Seq[Column], buckets: Int)(
       runOf: org.apache.spark.sql.expressions.WindowSpec => Column,
       totalAgg: Column,
       offsetOf: org.apache.spark.sql.expressions.WindowSpec => Column,
@@ -957,4 +965,136 @@ object Advanced {
 
   def allocateProportional(s: SparkSession, dir: String): DataFrame =
     allocateProportional(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Triangle counting over an undirected edge list by degree-ordered
+    * orientation — the standard trick that keeps wedge enumeration off
+    * the quadratic path on skewed graphs: each edge points from its
+    * (degree, id)-smaller endpoint to the larger, so every hub node's
+    * wedge fan-out is bounded by its FORWARD degree (≤ O(√|E|) after
+    * orientation, vs raw degree² for the naive pair join). A wedge
+    * (u→v1, u→v2) closes into a triangle iff the oriented edge (v1→v2)
+    * exists — checked with one left-semi join, and since orientation is
+    * a total order each triangle is found exactly once. Output: per-node
+    * triangle participation counts (each triangle credits its three
+    * corners). Edges come from the apriori-pruned co-purchase graph
+    * (q110), so the input is already support-filtered.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = Caches.track(edges.select(col("a").as("n"))
+      .unionAll(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")))
+    val fwd = Caches.track(edges
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("db"))
+          .otherwise(col("da")).as("dv")))
+    val wedges = fwd.as("x").join(fwd.as("y"),
+      col("x.u") === col("y.u") &&
+        (col("x.dv") < col("y.dv") ||
+          (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("w0"), col("x.v").as("w1"), col("y.v").as("w2"))
+    wedges
+      .join(fwd.select(col("u").as("w1"), col("v").as("w2")),
+        Seq("w1", "w2"), "left_semi")
+      .select(explode(array(col("w0"), col("w1"), col("w2"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Support 2 (not q110's 3): the synthetic baskets thin out as the
+    * part space grows, and support 3 leaves the sf0.01+ graph
+    * triangle-free — a vacuous (if technically matching) result.
+    */
+  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Caches.track(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+    // support 2 (not q110's 3): the synthetic baskets thin out as the
+    // part space grows, and support 3 leaves the sf0.01+ graph
+    // triangle-free — a vacuous (if technically matching) result
+    triangleCounts(pairCounts(baskets, minSupport = 2L)
+      .select(col("part_a").as("a"), col("part_b").as("b")))
+  }
+
+  /** Weighted systematic sampling: walk the cumulative weight line in
+    * strides of `total div k` and pick whichever row each stride
+    * boundary lands in — every row's pick count is proportional to its
+    * weight, rows heavier than a stride are picked multiple times, and
+    * the whole draw is deterministic (no RNG to disagree across
+    * engines). The cumulative weights ride `bucketedPrefix` (sum), so
+    * the only global-order work is the 32-row bucket-totals window; the
+    * grand total joins in as a broadcast scalar.
+    */
+  def systematicSample(orders: DataFrame, k: Int = 500, buckets: Int = 32): DataFrame = {
+    val rows = orders.select(col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("w"))
+    val tot = rows.agg(sum(col("w")).as("grand"))
+    bucketedPrefix(rows, Seq(col("o_orderkey")), buckets)(
+      spec => sum(col("w")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("w")),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .crossJoin(broadcast(tot))
+      .withColumn("stride", expr(s"grand div ${k}L"))
+      .withColumn("n_picks",
+        expr("prefix div stride - (prefix - w) div stride"))
+      .filter(col("n_picks") > 0)
+      .select(col("o_orderkey"), col("w"), col("n_picks"))
+  }
+
+  def systematicSample(s: SparkSession, dir: String): DataFrame =
+    systematicSample(Tables.orders(s, dir))
+
+  /** Top session-opening paths: sessionize (q15's 30-minute gap rule),
+    * take each session's first three event types in order, and rank the
+    * resulting paths by frequency. The per-session prefix is extracted
+    * with rank-conditional MAX aggregates (exactly one row matches each
+    * rank, so max is just "pick it") — no collect_list, whose ordering
+    * is partition-dependent. `concat_ws` drops the nulls of 1- and
+    * 2-event sessions, so short sessions contribute short paths. The
+    * final ranking window is global but runs over the path-counts
+    * aggregate, whose cardinality is bounded by |event types|³ — the
+    * same tiny-relation argument as `bucketedPrefix`'s offsets window,
+    * not a fact-table sort.
+    */
+  def sessionPaths(events: DataFrame, topK: Int = 20): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val seqd = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySess = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("us"), col("event_id"))
+    val counts = seqd
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("t1"),
+        max(when(col("rn") === 2, col("event_type"))).as("t2"),
+        max(when(col("rn") === 3, col("event_type"))).as("t3"))
+      .groupBy(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_sessions").desc, col("path"))))
+      .filter(col("rk") <= topK)
+      .select(col("path"), col("n_sessions"), col("rk").cast("long").as("rk"))
+  }
+
+  def sessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPaths(Tables.events(s, dir))
 }

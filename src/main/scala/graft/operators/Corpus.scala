@@ -479,4 +479,44 @@ object Corpus {
 
   def lengthGini(s: SparkSession, dir: String): DataFrame =
     lengthGini(Tables.documents(s, dir))
+
+  /** Quantile normalization of a per-document score across sources — the
+    * calibration step that makes length/quality cutoffs comparable when
+    * sources have wildly different score distributions: each document
+    * maps to its within-source rank fraction, then to the GLOBAL score
+    * found at that same fraction. Both rank computations are integer
+    * (the target global rank is `ceil(rn_s·N / n_src)` in integral
+    * arithmetic — no float fraction for engines to round differently).
+    * The within-source ranks are partition-parallel windows; the global
+    * ranking — the scale hazard — rides `bucketedPrefix` (count
+    * instantiation) instead of a one-task global window, and the
+    * rank→value lookup is a plain equi-join on the rank integer.
+    */
+  def quantileNormalize(docs: DataFrame, buckets: Int = 32): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    val nTot = base.agg(count(lit(1)).as("n_total"))
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = base
+      .withColumn("rn_s", row_number().over(bySrc).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+    val globalRanked = Advanced.bucketedPrefix(
+      base.select(col("n_chars").as("g_chars"), col("doc_id").as("g_doc"),
+        lit(1L).as("one")),
+      Seq(col("g_chars"), col("g_doc")), buckets)(
+      spec => sum(col("one")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("one")),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .select(col("prefix").as("g_rn"), col("g_chars"))
+    ranked.crossJoin(broadcast(nTot))
+      .withColumn("g_target", expr("(rn_s * n_total + n_src - 1) div n_src"))
+      .join(globalRanked, col("g_target") === col("g_rn"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("g_chars").as("norm_chars"))
+  }
+
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame =
+    quantileNormalize(Tables.documents(s, dir))
 }

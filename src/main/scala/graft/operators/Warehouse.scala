@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -416,4 +417,45 @@ object Warehouse {
         count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("revenue"))
   }
+
+  /** Semi-additive month-end balance: a balance-like measure (here each
+    * customer's latest order total) must NOT be summed over time — the
+    * correct monthly total takes each customer's LAST observation per
+    * month and carries it forward through inactive months. Pipeline:
+    * per-(customer, month) last pick in exact cents, a month scaffold
+    * per customer from first activity to the global max month (the
+    * global bound is one broadcast scalar — the sequence explode is
+    * bounded by |customers| × |calendar months|, never by |orders|),
+    * then a per-customer carry-forward window and one tiny month-keyed
+    * aggregate. Every heavy step shuffles on o_custkey exactly once.
+    */
+  def monthEndBalance(orders: DataFrame): DataFrame = {
+    val byCustMonth = Window.partitionBy(col("o_custkey"), col("month"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val balances = orders
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderdate"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(byCustMonth))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("month"), col("cents"))
+    val mmax = balances.agg(max(col("month")).as("mmax"))
+    val scaffold = balances.groupBy(col("o_custkey")).agg(min(col("month")).as("m0"))
+      .crossJoin(broadcast(mmax))
+      .select(col("o_custkey"),
+        explode(sequence(col("m0"), col("mmax"), expr("interval 1 month"))).as("month"))
+    val carry = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(balances, Seq("o_custkey", "month"), "left")
+      .withColumn("bal_c", last(col("cents"), ignoreNulls = true).over(carry))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_c")).as("tot_c"))
+      .select(col("month"), col("n_custs"),
+        (col("tot_c").cast("double") / 100.0).as("balance"))
+  }
+
+  def monthEndBalance(s: SparkSession, dir: String): DataFrame =
+    monthEndBalance(Tables.orders(s, dir))
 }

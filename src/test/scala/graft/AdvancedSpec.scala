@@ -478,6 +478,59 @@ class AdvancedSpec extends SparkSpec {
     assert(sums === Map(1L -> 100L, 2L -> 1001L))
   }
 
+  test("triangleCounts: K4 yields 3 per corner; pendant edges contribute nothing") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus pendant edge
+    // (4,5): node 5 closes nothing and must be absent.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)
+    ).toDF("a", "b")
+    val out = Advanced.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("systematicSample: stride boundaries pick proportionally, heavy rows repeat") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Timestamp.valueOf("2024-01-01 00:00:00")
+    // weights (cents): 100, 700, 100, 100 -> grand 1000, k=5 -> stride
+    // 200. Boundaries at 200,400,600,800,1000: row 2 spans (100,800] ->
+    // picked 3 times (floor(800/200)-floor(100/200)=4-0... compute:
+    // cum 100,800,900,1000 -> picks: 0, 4-0=4, 4-4=0, 5-4=1.
+    val o = Seq(
+      (1L, 1.00), (2L, 7.00), (3L, 1.00), (4L, 1.00)
+    ).map { case (k, p) => (k, 1L, "O", p, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Advanced.systematicSample(o, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === Map(2L -> 4L, 4L -> 1L))
+    // total picks = k whenever grand divides evenly
+    assert(out.values.sum === 5L)
+  }
+
+  test("sessionPaths: ordered 3-prefix per session, short sessions shorten the path") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1 session 1: view,click,purchase,view -> path view>click>purchase
+    // user 1 session 2 (2h later): view,click -> view>click
+    // user 2: view,click,purchase (same path as u1s1 -> count 2)
+    val e = Seq(
+      (1L, ts(1, 0), 1L, "view"), (2L, ts(1, 5), 1L, "click"),
+      (3L, ts(1, 10), 1L, "purchase"), (4L, ts(1, 15), 1L, "view"),
+      (5L, ts(4, 0), 1L, "view"), (6L, ts(4, 5), 1L, "click"),
+      (7L, ts(2, 0), 2L, "view"), (8L, ts(2, 5), 2L, "click"),
+      (9L, ts(2, 10), 2L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Advanced.sessionPaths(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      "view>click>purchase" -> ((2L, 1L)),
+      "view>click" -> ((1L, 2L))))
+  }
+
   test("modalEventType: count wins, lexicographic tie-break") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -246,4 +246,24 @@ class CorpusSpec extends SparkSpec {
     assert(m("skew")._1 === 10L)
     assert(math.abs(m("skew")._2 - 0.891) < 1e-12)
   }
+
+  test("quantileNormalize: per-source fractions map onto the global score ladder") {
+    import spark.implicits._
+    // source a: 2 docs (fractions 1/2, 1), source b: 4 docs (1/4..1);
+    // global sorted scores: 10,20,30,40,50,60 (N=6).
+    // a/doc1 f=1/2 -> global rank ceil(6/2)=3 -> 30; a/doc2 f=1 -> 60.
+    // b ranks 1..4 -> targets ceil(6/4)=2, 3, ceil(18/4)=5, 6 -> 20,30,50,60.
+    val d = Seq(
+      (1L, "a", 25L), (2L, "a", 60L),
+      (3L, "b", 10L), (4L, "b", 20L), (5L, "b", 40L), (6L, "b", 50L)
+    ).toDF("doc_id", "source", "n_chars")
+    // global ladder is over ALL docs: 10,20,25,40,50,60
+    val out = Corpus.quantileNormalize(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // recompute expected by hand against the actual ladder:
+    // a: rn 1,2 of 2 -> targets 3, 6 -> 25, 60
+    // b: rn 1..4 of 4 -> targets 2, 3, 5, 6 -> 20, 25, 50, 60
+    assert(out === Map(1L -> 25L, 2L -> 60L,
+      3L -> 20L, 4L -> 25L, 5L -> 50L, 6L -> 60L))
+  }
 }

@@ -306,6 +306,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q121: wedge enumeration stays equi-keyed — no cartesian or nested loop") {
+    val plan = graft.operators.Advanced.triangleCounts(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the wedge join must key on the shared endpoint u:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("q111/q115: bucketed prefix plans a range exchange; the only global window reads bucket totals") {
     for (df <- Seq(
         graft.operators.Advanced.concurrentSessions(

@@ -186,4 +186,25 @@ class WarehouseSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("monthEndBalance: last observation per month, carried through inactive months") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int, d: Int) = Timestamp.valueOf(f"2024-$m%02d-$d%02d 00:00:00")
+    // cust 1: two Jan orders (late one wins: $20), nothing in Feb
+    // (carry $20), $30 in Mar. cust 2: first appears in Feb with $5 —
+    // absent from Jan's total, present from Feb on.
+    val o = Seq(
+      (1L, 1L, ts(1, 3), 10.00), (2L, 1L, ts(1, 20), 20.00),
+      (3L, 1L, ts(3, 5), 30.00), (4L, 2L, ts(2, 10), 5.00)
+    ).map { case (k, c, d, p) => (k, c, "O", p, d, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = graft.operators.Warehouse.monthEndBalance(o).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map(
+      "2024-01-01" -> ((1L, 20.00)),
+      "2024-02-01" -> ((2L, 25.00)),
+      "2024-03-01" -> ((2L, 35.00))))
+  }
 }
