@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Heavy-query scale smoke: run the most expensive operators (q22
   * MinHash-LSH, q56 dup clusters, q61 trained IVF, q74 boilerplate,
   * q80 source overlap, q94 n-gram novelty, q105 prefix sim join,
-  * q112 containment join) on an N×-amplified corpus,
-  * assert completion, and
+  * q112 containment join, q111 sweep-line prefix sum, q121 co-purchase
+  * triangles, q124 distributed global ranking) on an N×-amplified
+  * corpus/event-log/fact-table, assert completion, and
   * report wall times — the "scales to 100×" design claims get at least
   * one measured 10× data point.
   *
@@ -48,6 +49,31 @@ object ScaleSmoke {
         (col("vec_id") + lit(i * stride)).as("vec_id"),
         transform(col("embedding"),
           (x, pos) => x + (pos + lit(1)).cast("float") * lit(i * 1e-5f)).as("embedding"))
+    }.reduce(_ unionAll _)
+
+  /** events amplified `mult`×: user and event ids shifted per copy so
+    * per-user session structure repeats across disjoint user spaces —
+    * sessions, boundaries, and paths all grow linearly like a real
+    * user-base expansion. */
+  def amplifyEvents(events: DataFrame, mult: Int, stride: Long = 100000000L): DataFrame =
+    (0 until mult).map { i =>
+      events.select(
+        (col("event_id") + lit(i * stride)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * stride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+
+  /** lineitem amplified `mult`×: order AND part keys shifted per copy —
+    * disjoint catalog copies, so the co-purchase graph (edges, degrees,
+    * triangles) grows linearly instead of densifying quadratically. */
+  def amplifyLineitem(li: DataFrame, mult: Int, stride: Long = 100000000L): DataFrame =
+    (0 until mult).map { i =>
+      li.select(
+        (col("l_orderkey") + lit(i * stride)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * stride)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     }.reduce(_ unionAll _)
 
   def main(args: Array[String]): Unit = {
@@ -92,7 +118,17 @@ object ScaleSmoke {
       timed("q80") { graft.operators.Dedup.sourceOverlap(docs) },
       timed("q94") { graft.operators.Dedup.ngramNovelty(docs) },
       timed("q105") { graft.operators.Dedup.prefixSimJoin(docs, threshold = 0.8) },
-      timed("q112") { graft.operators.Dedup.containmentJoin(docs, threshold = 0.9) })
+      timed("q112") { graft.operators.Dedup.containmentJoin(docs, threshold = 0.9) },
+      timed("q111") {
+        graft.operators.Advanced.concurrentSessions(
+          amplifyEvents(graft.sources.Tables.events(spark, sfDir), mult))
+      },
+      timed("q121") {
+        graft.operators.Advanced.copurchaseTriangles(
+          amplifyLineitem(graft.sources.Tables.lineitem(spark, sfDir), mult),
+          minSupport = 2L)
+      },
+      timed("q124") { graft.operators.Corpus.quantileNormalize(docs) })
 
     val qs = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(

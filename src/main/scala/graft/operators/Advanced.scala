@@ -591,9 +591,19 @@ object Advanced {
     val freq = baskets.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
       .filter(col("n_p") >= minSupport)
     val fb = baskets.join(freq.select(col("p")), Seq("p"), "left_semi")
-    fb.as("a")
-      .join(fb.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+    // pair generation is NOT a self-join: group each basket once and
+    // expand its C(n,2) pairs in-task with higher-order array functions
+    // — one shuffle on o instead of two join legs plus an SMJ sort, and
+    // the expansion is bounded by (frequent items per basket)², never
+    // basket size². sort_array makes pair order (and so the
+    // (part_a < part_b) canonical form) deterministic.
+    fb.groupBy(col("o")).agg(sort_array(collect_list(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS part_a, y AS part_b))))"
+      )).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
   }
@@ -1012,15 +1022,20 @@ object Advanced {
     * part space grows, and support 3 leaves the sf0.01+ graph
     * triangle-free — a vacuous (if technically matching) result.
     */
-  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
-    val baskets = Caches.track(Tables.lineitem(s, dir)
+  /** Triangle counts over the co-purchase graph a lineitem fact table
+    * induces (apriori-pruned frequent pairs as edges). */
+  def copurchaseTriangles(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    val baskets = Caches.track(lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
-    // support 2 (not q110's 3): the synthetic baskets thin out as the
-    // part space grows, and support 3 leaves the sf0.01+ graph
-    // triangle-free — a vacuous (if technically matching) result
-    triangleCounts(pairCounts(baskets, minSupport = 2L)
+    triangleCounts(pairCounts(baskets, minSupport)
       .select(col("part_a").as("a"), col("part_b").as("b")))
   }
+
+  // support 2 (not q110's 3): the synthetic baskets thin out as the
+  // part space grows, and support 3 leaves the sf0.01+ graph
+  // triangle-free — a vacuous (if technically matching) result
+  def triangleCounts(s: SparkSession, dir: String): DataFrame =
+    copurchaseTriangles(Tables.lineitem(s, dir), minSupport = 2L)
 
   /** Weighted systematic sampling: walk the cumulative weight line in
     * strides of `total div k` and pick whichever row each stride
