@@ -151,6 +151,9 @@ object SparkEntry {
     "q123_month_end_balance" -> ((s, d) => Warehouse.monthEndBalance(s, d)),
     "q124_quantile_normalize" -> ((s, d) => Corpus.quantileNormalize(s, d)),
     "q125_session_paths" -> ((s, d) => Advanced.sessionPaths(s, d)),
+    "q126_winsorized_length" -> ((s, d) => Quality.winsorizedLength(s, d)),
+    "q127_length_mad" -> ((s, d) => Quality.lengthMad(s, d)),
+    "q128_benford_audit" -> ((s, d) => Quality.benfordAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2203,6 +2206,73 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT path, n_sessions, rk FROM k WHERE rk <= 20""".stripMargin,
+
+    // q126: identical integral percentile ranks and decimal-routed mean.
+    "q126_winsorized_length" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, source, n_chars, rn, n,
+        |    (5 * n + 99) // 100 AS lo_rank, (95 * n + 99) // 100 AS hi_rank
+        |  FROM r
+        |), v AS (
+        |  SELECT source, n_chars,
+        |    MAX(CASE WHEN rn = lo_rank THEN n_chars END) OVER (PARTITION BY source) AS lo_val,
+        |    MAX(CASE WHEN rn = hi_rank THEN n_chars END) OVER (PARTITION BY source) AS hi_val
+        |  FROM b
+        |)
+        |SELECT source, COUNT(*) AS n, MAX(lo_val) AS lo_val, MAX(hi_val) AS hi_val,
+        |  CAST(SUM(CAST(GREATEST(LEAST(n_chars, hi_val), lo_val) AS DECIMAL(18,0))) AS DOUBLE)
+        |    / COUNT(*) AS wins_mean
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // q127: the same two nearest-rank picks over one partitioning.
+    "q127_length_mad" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, lang, n_chars, rn, n,
+        |    MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) OVER (PARTITION BY lang) AS med
+        |  FROM r
+        |), d AS (
+        |  SELECT doc_id, lang, n, med, ABS(n_chars - med) AS dev FROM m
+        |), dr AS (
+        |  SELECT lang, n, med, dev,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dev, doc_id) AS BIGINT) AS drn
+        |  FROM d
+        |), md AS (
+        |  SELECT lang, med,
+        |    MAX(CASE WHEN drn = (n + 1) // 2 THEN dev END) OVER (PARTITION BY lang) AS mad
+        |  FROM dr
+        |)
+        |SELECT lang, COUNT(*) AS n, MAX(med) AS median_chars, MAX(mad) AS mad_chars
+        |FROM md GROUP BY 1""".stripMargin,
+
+    // q128: digit from the cents integer's string form; expected shares
+    // as spelled-out literals (no engine-side log).
+    "q128_benford_audit" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(SUBSTR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders
+        |), c AS (
+        |  SELECT priority, digit, COUNT(*) AS n FROM d GROUP BY 1, 2
+        |), t AS (
+        |  SELECT priority, digit, n, SUM(n) OVER (PARTITION BY priority) AS n_prio FROM c
+        |)
+        |SELECT priority, digit, n,
+        |  CASE digit WHEN 1 THEN 0.30102999566398120e0 WHEN 2 THEN 0.17609125905568124e0
+        |    WHEN 3 THEN 0.12493873660829993e0 WHEN 4 THEN 0.09691001300805642e0
+        |    WHEN 5 THEN 0.07918124604762482e0 WHEN 6 THEN 0.06694678963061322e0
+        |    WHEN 7 THEN 0.05799194697768673e0 WHEN 8 THEN 0.05115252244738129e0
+        |    WHEN 9 THEN 0.04575749056067514e0 END * CAST(n_prio AS DOUBLE) AS expected
+        |FROM t""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

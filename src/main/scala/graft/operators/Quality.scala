@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -108,4 +110,99 @@ object Quality {
       .map(profileOne(docs, _))
       .reduce(_ unionByName _)
   }
+
+  /** Per-source winsorized mean of document length: clamp each value to
+    * the nearest-rank p05/p95 of its source, then take the exact mean —
+    * the outlier-robust center a corpus-quality dashboard wants. The
+    * percentile ranks are integral (`ceil(q·n)` via `(q·n + 99) div
+    * 100`), so both engines pick the identical ladder values; the mean
+    * routes through decimal (`Exact.dsum` idiom) so partial-aggregation
+    * order can't wiggle the double. One shuffle on source; both rank
+    * windows and the final aggregate share it.
+    */
+  def winsorizedLength(docs: DataFrame): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+    val ranked = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rn",
+        row_number().over(bySrc.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc).cast("long"))
+      .withColumn("lo_rank", expr("(5 * n + 99) div 100"))
+      .withColumn("hi_rank", expr("(95 * n + 99) div 100"))
+    val bounds = ranked
+      .withColumn("lo_val",
+        max(when(col("rn") === col("lo_rank"), col("n_chars"))).over(bySrc))
+      .withColumn("hi_val",
+        max(when(col("rn") === col("hi_rank"), col("n_chars"))).over(bySrc))
+    bounds
+      .withColumn("wins", greatest(least(col("n_chars"), col("hi_val")), col("lo_val")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        max(col("lo_val")).as("lo_val"), max(col("hi_val")).as("hi_val"),
+        (sum(col("wins").cast(DecimalType(18, 0))).cast("double") /
+          count(lit(1))).as("wins_mean"))
+  }
+
+  def winsorizedLength(s: SparkSession, dir: String): DataFrame =
+    winsorizedLength(Tables.documents(s, dir))
+
+  /** Per-language median absolute deviation of document length — the
+    * robust spread statistic: nearest-rank median, then the nearest-rank
+    * median of |x − median|. Both medians are rank picks over the same
+    * language partitioning (two window phases, one shuffle), entirely in
+    * integers, so there is no interpolation for engines to disagree on.
+    */
+  def lengthMad(docs: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    val med = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn",
+        row_number().over(byLang.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang).cast("long"))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).over(byLang))
+      .withColumn("dev", abs(col("n_chars") - col("med")))
+    med
+      .withColumn("drn",
+        row_number().over(byLang.orderBy(col("dev"), col("doc_id"))).cast("long"))
+      .withColumn("mad",
+        max(when(col("drn") === expr("(n + 1) div 2"), col("dev"))).over(byLang))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("median_chars"),
+        max(col("mad")).as("mad_chars"))
+  }
+
+  def lengthMad(s: SparkSession, dir: String): DataFrame =
+    lengthMad(Tables.documents(s, dir))
+
+  /** Benford first-digit audit of order totals by priority class: the
+    * observed leading-digit distribution against the Benford expectation
+    * n·log10(1+1/d). The digit comes from the CENTS integer rendered as
+    * a string (integer→string is locale-free and identical everywhere;
+    * a double's string form is not), and the nine expected-share
+    * constants are spelled as literals so no engine evaluates a log.
+    * One map-side-combined aggregate over (priority, digit) — 45 output
+    * rows from any input size.
+    */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val expected = Seq(
+      1 -> 0.30102999566398120, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514)
+      .map { case (d, p) => (when(col("digit") === d, lit(p)), p) }
+    val share = expected.map(_._1).reduce((a, b) => coalesce(a, b))
+    orders
+      .select(col("o_orderpriority").as("priority"),
+        substring((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("priority"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_prio",
+        sum(col("n")).over(Window.partitionBy(col("priority"))))
+      .withColumn("expected", share * col("n_prio").cast("double"))
+      .select(col("priority"), col("digit"), col("n"), col("expected"))
+  }
+
+  def benfordAudit(s: SparkSession, dir: String): DataFrame =
+    benfordAudit(Tables.orders(s, dir))
 }

@@ -66,4 +66,45 @@ class QualitySpec extends SparkSpec {
     assert(n.getAs[Long]("n_rows") === n.getAs[Long]("n_nonnull"))
     assert(byCol("doc_id").getAs[Long]("n_distinct") === byCol("doc_id").getAs[Long]("n_rows"))
   }
+
+  test("winsorizedLength: outliers clamp to the p05/p95 ladder values") {
+    import spark.implicits._
+    // 100 docs, lengths 1..100: lo_rank = ceil(5) = 5 -> 5,
+    // hi_rank = ceil(95) = 95 -> 95. Mean of 5,5,5,5,5..95,95,95,95,95,95:
+    // sum = 5*5 + (6..94 sum) + 6*95 = 25 + 4450 + 570 = 5045 -> 50.45
+    val d = (1L to 100L).map(i => (i, "s", i)).toDF("doc_id", "source", "n_chars")
+    val r = Quality.winsorizedLength(d).collect().head
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Long]("lo_val") === 5L && r.getAs[Long]("hi_val") === 95L)
+    assert(r.getAs[Double]("wins_mean") === 50.45)
+  }
+
+  test("lengthMad: nearest-rank median of absolute deviations") {
+    import spark.implicits._
+    // lengths 10,10,20,100,1000 -> median (rank 3 of 5) = 20;
+    // devs 10,10,0,80,980 -> sorted 0,10,10,80,980 -> mad = 10
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 100L), (5L, 1000L))
+      .map { case (i, c) => (i, "en", c) }.toDF("doc_id", "lang", "n_chars")
+    val r = Quality.lengthMad(d).collect().head
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("median_chars") === 20L)
+    assert(r.getAs[Long]("mad_chars") === 10L)
+  }
+
+  test("benfordAudit: digits extracted from cents, expected shares sum to ~n") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 19.99 -> 1999 cents -> digit 1; 0.42 -> 42 -> digit 4; 93.10 -> 9310 -> 9
+    val o = Seq((1L, 19.99), (2L, 0.42), (3L, 93.10))
+      .map { case (k, p) => (k, 1L, "O", p, t0, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Quality.benfordAudit(o).collect()
+      .map(r => r.getAs[Int]("digit") -> (r.getAs[Long]("n"), r.getAs[Double]("expected"))).toMap
+    assert(out.keySet === Set(1, 4, 9))
+    assert(out(1)._1 === 1L)
+    assert(math.abs(out(1)._2 - 3 * 0.30102999566398120) < 1e-15)
+    assert(math.abs(out(9)._2 - 3 * 0.04575749056067514) < 1e-15)
+  }
 }
