@@ -154,6 +154,8 @@ object SparkEntry {
     "q126_winsorized_length" -> ((s, d) => Quality.winsorizedLength(s, d)),
     "q127_length_mad" -> ((s, d) => Quality.lengthMad(s, d)),
     "q128_benford_audit" -> ((s, d) => Quality.benfordAudit(s, d)),
+    "q129_growth_accounting" -> ((s, d) => Advanced.growthAccounting(s, d)),
+    "q130_state_dwell" -> ((s, d) => Advanced.stateDwell(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2273,6 +2275,47 @@ object SparkEntry {
         |    WHEN 7 THEN 0.05799194697768673e0 WHEN 8 THEN 0.05115252244738129e0
         |    WHEN 9 THEN 0.04575749056067514e0 END * CAST(n_prio AS DOUBLE) AS expected
         |FROM t""".stripMargin,
+
+    // q129: same Monday-start week truncation and churn posting rule.
+    "q129_growth_accounting" ->
+      """WITH aw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+        |), c AS (
+        |  SELECT user_id, week,
+        |    MIN(week) OVER (PARTITION BY user_id) AS first_week,
+        |    LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+        |    LEAD(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+        |  FROM aw
+        |), mx AS (SELECT MAX(week) AS max_week FROM aw),
+        |cls AS (
+        |  SELECT week,
+        |    CASE WHEN week = first_week THEN 'new'
+        |         WHEN prev_week = week - 7 THEN 'retained'
+        |         ELSE 'resurrected' END AS kind
+        |  FROM c
+        |  UNION ALL
+        |  SELECT week + 7 AS week, 'churned' AS kind
+        |  FROM c, mx
+        |  WHERE (next_week IS NULL OR next_week > week + 7) AND week + 7 <= mx.max_week
+        |)
+        |SELECT week,
+        |  COUNT(*) FILTER (kind = 'new') AS n_new,
+        |  COUNT(*) FILTER (kind = 'retained') AS n_retained,
+        |  COUNT(*) FILTER (kind = 'resurrected') AS n_resurrected,
+        |  COUNT(*) FILTER (kind = 'churned') AS n_churned
+        |FROM cls GROUP BY 1""".stripMargin,
+
+    // q130: identical lead gap in exact micros; last events excluded.
+    "q130_state_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n_intervals,
+        |  CAST(SUM(next_us - us) AS BIGINT) AS total_us,
+        |  CAST(SUM(next_us - us) AS DOUBLE) / COUNT(*) AS mean_us
+        |FROM e WHERE next_us IS NOT NULL GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

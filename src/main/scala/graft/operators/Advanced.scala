@@ -1112,4 +1112,65 @@ object Advanced {
 
   def sessionPaths(s: SparkSession, dir: String): DataFrame =
     sessionPaths(Tables.events(s, dir))
+
+  /** Weekly growth accounting — the canonical user-base ledger: every
+    * (user, active week) is exactly one of NEW (first week ever),
+    * RETAINED (active the immediately previous week), or RESURRECTED
+    * (returning after a gap); a CHURNED row posts to the week AFTER a
+    * user's activity stops (bounded by the corpus's last week, one
+    * broadcast scalar — a churn event past the observed horizon is
+    * unknowable, not zero). Identity: actives(w) = new + retained +
+    * resurrected, and retained(w) = actives(w−1) − churned(w). One
+    * distinct to |user × week|, per-user lag/lead windows, one final
+    * week-keyed aggregate — nothing scales with raw event count past
+    * the first distinct.
+    */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val aw = events.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("week")).distinct()
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("week"))
+    val c = Caches.track(aw
+      .withColumn("first_week", min(col("week")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("prev_week", lag(col("week"), 1).over(byUser))
+      .withColumn("next_week", lead(col("week"), 1).over(byUser)))
+    val mx = aw.agg(max(col("week")).as("max_week"))
+    val classified = c.select(col("week"),
+      when(col("week") === col("first_week"), "new")
+        .when(col("prev_week") === date_sub(col("week"), 7), "retained")
+        .otherwise("resurrected").as("kind"))
+      .unionByName(c.crossJoin(broadcast(mx))
+        .filter((col("next_week").isNull ||
+          col("next_week") > date_add(col("week"), 7)) &&
+          date_add(col("week"), 7) <= col("max_week"))
+        .select(date_add(col("week"), 7).as("week"), lit("churned").as("kind")))
+    classified.groupBy(col("week")).agg(
+      count(when(col("kind") === "new", 1)).as("n_new"),
+      count(when(col("kind") === "retained", 1)).as("n_retained"),
+      count(when(col("kind") === "resurrected", 1)).as("n_resurrected"),
+      count(when(col("kind") === "churned", 1)).as("n_churned"))
+  }
+
+  def growthAccounting(s: SparkSession, dir: String): DataFrame =
+    growthAccounting(Tables.events(s, dir))
+
+  /** Time-in-state by event type: each event's dwell is the exact-micros
+    * gap to the user's next event (the last event of a user has no
+    * observable dwell and is excluded, not zeroed). One per-user window
+    * shuffle, one map-side-combined aggregate; the mean is a single
+    * long/long → double division.
+    */
+  def stateDwell(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("next_us") - col("us")).as("total_us"))
+      .withColumn("mean_us", col("total_us").cast("double") / col("n_intervals"))
+  }
+
+  def stateDwell(s: SparkSession, dir: String): DataFrame =
+    stateDwell(Tables.events(s, dir))
 }

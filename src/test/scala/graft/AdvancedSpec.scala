@@ -531,6 +531,46 @@ class AdvancedSpec extends SparkSpec {
       "view>click" -> ((1L, 2L))))
   }
 
+  test("growthAccounting: new/retained/resurrected/churned ledger reconciles") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Mondays: Jan 1, 8, 15, 22 of 2024.
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // u1: w1, w2, w4 -> new@w1, retained@w2, churned@w3, resurrected@w4
+    // u2: w1 only -> new@w1, churned@w2 (horizon w4 allows posting)
+    // u3: w4 only -> new@w4, churn unknowable (past horizon)
+    val e = Seq(
+      (1L, ts(1), 1L), (2L, ts(8), 1L), (3L, ts(22), 1L),
+      (4L, ts(2), 2L), (5L, ts(23), 3L)
+    ).map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Advanced.growthAccounting(e).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === Map(
+      "2024-01-01" -> ((2L, 0L, 0L, 0L)),
+      "2024-01-08" -> ((0L, 1L, 0L, 1L)),
+      "2024-01-15" -> ((0L, 0L, 0L, 1L)),
+      "2024-01-22" -> ((1L, 0L, 1L, 0L))))
+  }
+
+  test("stateDwell: lead gaps per type, last event excluded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: view@0 -> click@10 -> view@15: dwell view=10min, click=5min;
+    // final view excluded. u2: single event -> nothing.
+    val e = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(10), 1L, "click"), (3L, ts(15), 1L, "view"),
+      (4L, ts(0), 2L, "view")
+    ).map { case (id, t, u, k) => (id, t, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Advanced.stateDwell(e).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val min = 60L * 1000000L
+    assert(out === Map("view" -> ((1L, 10 * min)), "click" -> ((1L, 5 * min))))
+  }
+
   test("modalEventType: count wins, lexicographic tie-break") {
     import spark.implicits._
     import java.sql.Timestamp
