@@ -156,6 +156,10 @@ object SparkEntry {
     "q128_benford_audit" -> ((s, d) => Quality.benfordAudit(s, d)),
     "q129_growth_accounting" -> ((s, d) => Advanced.growthAccounting(s, d)),
     "q130_state_dwell" -> ((s, d) => Advanced.stateDwell(s, d)),
+    "q131_rfm_segments" -> ((s, d) => Advanced.rfmSegments(s, d)),
+    "q132_ship_lag" -> ((s, d) => Advanced.shipLagPercentiles(s, d)),
+    "q133_abc_classification" -> ((s, d) => Advanced.abcClassification(s, d)),
+    "q134_duplicate_charges" -> ((s, d) => Advanced.duplicateCharges(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2316,6 +2320,102 @@ object SparkEntry {
         |  CAST(SUM(next_us - us) AS BIGINT) AS total_us,
         |  CAST(SUM(next_us - us) AS DOUBLE) / COUNT(*) AS mean_us
         |FROM e WHERE next_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // q131: the same three boundary ladders (cum over distinct values,
+    // ceil(n·k/5.0) picks) and inverted recency digit.
+    "q131_rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_date, COUNT(*) AS freq,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS mon_c
+        |  FROM orders GROUP BY 1
+        |), a AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+        |b AS (SELECT base.*, CAST(anchor - last_date AS BIGINT) AS rec_days FROM base, a),
+        |n AS (SELECT COUNT(*) AS n FROM b),
+        |rd AS (SELECT rec_days AS v, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |rc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM rd),
+        |rb AS (SELECT MIN(CASE WHEN cum >= CEIL(n*1/5.0) THEN v END) AS rb1,
+        |              MIN(CASE WHEN cum >= CEIL(n*2/5.0) THEN v END) AS rb2,
+        |              MIN(CASE WHEN cum >= CEIL(n*3/5.0) THEN v END) AS rb3,
+        |              MIN(CASE WHEN cum >= CEIL(n*4/5.0) THEN v END) AS rb4 FROM rc, n),
+        |fd AS (SELECT freq AS v, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |fc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM fd),
+        |fb AS (SELECT MIN(CASE WHEN cum >= CEIL(n*1/5.0) THEN v END) AS fb1,
+        |              MIN(CASE WHEN cum >= CEIL(n*2/5.0) THEN v END) AS fb2,
+        |              MIN(CASE WHEN cum >= CEIL(n*3/5.0) THEN v END) AS fb3,
+        |              MIN(CASE WHEN cum >= CEIL(n*4/5.0) THEN v END) AS fb4 FROM fc, n),
+        |md AS (SELECT mon_c AS v, COUNT(*) AS cnt FROM b GROUP BY 1),
+        |mc AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM md),
+        |mb AS (SELECT MIN(CASE WHEN cum >= CEIL(n*1/5.0) THEN v END) AS mb1,
+        |              MIN(CASE WHEN cum >= CEIL(n*2/5.0) THEN v END) AS mb2,
+        |              MIN(CASE WHEN cum >= CEIL(n*3/5.0) THEN v END) AS mb3,
+        |              MIN(CASE WHEN cum >= CEIL(n*4/5.0) THEN v END) AS mb4 FROM mc, n),
+        |s AS (
+        |  SELECT o_custkey,
+        |    6 - (1 + (rb1 < rec_days)::INT + (rb2 < rec_days)::INT
+        |           + (rb3 < rec_days)::INT + (rb4 < rec_days)::INT) AS r_score,
+        |    1 + (fb1 < freq)::INT + (fb2 < freq)::INT
+        |      + (fb3 < freq)::INT + (fb4 < freq)::INT AS f_score,
+        |    1 + (mb1 < mon_c)::INT + (mb2 < mon_c)::INT
+        |      + (mb3 < mon_c)::INT + (mb4 < mon_c)::INT AS m_score
+        |  FROM b, rb, fb, mb
+        |)
+        |SELECT o_custkey, r_score, f_score, m_score,
+        |  r_score*100 + f_score*10 + m_score AS segment FROM s""".stripMargin,
+
+    // q132: identical integral nearest-rank picks per priority.
+    "q132_ship_lag" ->
+      """WITH l AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lag_days,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), r AS (
+        |  SELECT priority, lag_days,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY lag_days, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+        |  FROM l
+        |)
+        |SELECT priority, COUNT(*) AS n_items,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_days END) AS p50_days,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN lag_days END) AS p90_days
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q133: one global cumulative window stands in for bucketedPrefix;
+    // integer tenths thresholds.
+    "q133_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS part,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT SUM(rev_c) AS grand FROM rev),
+        |c AS (
+        |  SELECT part, rev_c,
+        |    SUM(rev_c) OVER (ORDER BY rev_c DESC, part ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rev
+        |)
+        |SELECT CASE WHEN cum * 10 <= grand * 7 THEN 'A'
+        |            WHEN cum * 10 <= grand * 9 THEN 'B' ELSE 'C' END AS abc_class,
+        |  COUNT(*) AS n_parts, CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+        |  CAST(SUM(rev_c) AS DOUBLE) / CAST(MAX(grand) AS DOUBLE) AS share
+        |FROM c, t GROUP BY 1""".stripMargin,
+
+    // q134: adjacent-order lag screen with the same integer 5% rule.
+    "q134_duplicate_charges" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |), l AS (
+        |  SELECT o_custkey, cents, o_orderkey, d,
+        |    LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS prev_key,
+        |    LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS prev_d,
+        |    LAG(cents) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS prev_c
+        |  FROM o
+        |)
+        |SELECT o_custkey, prev_key, o_orderkey, prev_c, cents,
+        |  CAST(d - prev_d AS BIGINT) AS gap_days
+        |FROM l WHERE prev_key IS NOT NULL AND d - prev_d <= 30
+        |  AND ABS(cents - prev_c) * 20 <= prev_c""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -1173,4 +1173,149 @@ object Advanced {
 
   def stateDwell(s: SparkSession, dir: String): DataFrame =
     stateDwell(Tables.events(s, dir))
+
+  /** Quintile bucket of `value` by the q88 boundary-broadcast idiom: the
+    * cumulative distribution runs over the DISTINCT-value relation
+    * (bounded by value cardinality, never row count), the five boundary
+    * values broadcast as one row, and each input row buckets with four
+    * comparisons — no global sort of the fact relation at any scale.
+    * Ties share a bucket (values equal to a boundary stay low).
+    */
+  private def quintile(df: DataFrame, value: String, out: String): DataFrame = {
+    val dist = df.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col(value))
+    val cum = dist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+    val bounds = cum.agg(
+      min(when(col("cum") >= ceil(col("n") * lit(1) / lit(5.0)), col(value))).as("b1"),
+      (2 to 4).map(d =>
+        min(when(col("cum") >= ceil(col("n") * lit(d) / lit(5.0)), col(value))).as(s"b$d")): _*)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(out,
+        lit(1) + (1 to 4).map(d =>
+          when(col(s"b$d") < col(value), 1).otherwise(0)).reduce(_ + _))
+      .drop((1 to 4).map(d => s"b$d"): _*)
+  }
+
+  /** RFM segmentation — the marketing-warehouse staple: each customer
+    * scores 1–5 on Recency (days since last order, INVERTED so recent =
+    * 5), Frequency (order count), and Monetary (lifetime cents), and
+    * the three digits concatenate into one of 125 segments. Per-metric
+    * quintiles use the boundary-broadcast idiom (three tiny distinct
+    * distributions + three broadcast rows), so the pipeline is one
+    * customer-keyed aggregate plus per-row projections — no global sort
+    * however many customers exist. Recency anchors to the corpus's max
+    * order date (broadcast scalar), not wall-clock now().
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val anchor = orders.agg(max(col("o_orderdate").cast("date")).as("anchor"))
+    val base = orders
+      .select(col("o_custkey"), col("o_orderdate"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_date"),
+        count(lit(1)).as("freq"), sum(col("cents")).as("mon_c"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("rec_days", datediff(col("anchor"), col("last_date")).cast("long"))
+    val scored = quintile(quintile(quintile(base,
+      "rec_days", "rq"), "freq", "f_score"), "mon_c", "m_score")
+      .withColumn("r_score", lit(6) - col("rq"))
+    scored.select(col("o_custkey"), col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))
+  }
+
+  def rfmSegments(s: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.orders(s, dir))
+
+  /** Fulfillment cycle time: nearest-rank p50/p90 of the order-date →
+    * ship-date lag per priority class. The lag is integer days, the
+    * percentile picks are integral ranks (q103's idiom), and the only
+    * shuffles are the orderkey equi-join and the priority window.
+    */
+  def shipLagPercentiles(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val lags = lineitem.select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("lag_days"),
+        col("l_orderkey"), col("l_linenumber"))
+    val byPrio = Window.partitionBy(col("priority"))
+    val ranked = lags
+      .withColumn("rn", row_number().over(
+        byPrio.orderBy(col("lag_days"), col("l_orderkey"), col("l_linenumber"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byPrio).cast("long"))
+    ranked.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_items"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("lag_days"))).as("p50_days"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("lag_days"))).as("p90_days"))
+  }
+
+  def shipLagPercentiles(s: SparkSession, dir: String): DataFrame =
+    shipLagPercentiles(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** ABC / Pareto revenue classification: parts sorted by revenue
+    * descending, class A while the cumulative share is ≤ 70%, B to 90%,
+    * C past that — all share comparisons in integer cents (cum·10 ≤
+    * total·7), no float thresholds. The cumulative sum over the
+    * part-revenue relation is global-ordered, so it rides
+    * `bucketedPrefix` (fifth instantiation); the grand total joins as a
+    * broadcast scalar.
+    */
+  def abcClassification(lineitem: DataFrame, buckets: Int = 32): DataFrame = {
+    val rev = lineitem
+      .groupBy(col("l_partkey").as("part"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("rev_c"))
+    val tot = rev.agg(sum(col("rev_c")).as("grand"))
+    bucketedPrefix(rev, Seq(col("rev_c").desc, col("part")), buckets)(
+      spec => sum(col("rev_c")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("rev_c")),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .crossJoin(broadcast(tot))
+      // share thresholds in decimal so cum·10 can't overflow a long at
+      // extreme corpus revenue (DuckDB's HUGEINT gets this for free)
+      .withColumn("abc_class",
+        when(col("prefix").cast(DecimalType(38, 0)) * 10 <=
+          col("grand").cast(DecimalType(38, 0)) * 7, "A")
+          .when(col("prefix").cast(DecimalType(38, 0)) * 10 <=
+            col("grand").cast(DecimalType(38, 0)) * 9, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"),
+        (sum(col("rev_c")).cast("double") / max(col("grand")).cast("double"))
+          .as("share"))
+  }
+
+  def abcClassification(s: SparkSession, dir: String): DataFrame =
+    abcClassification(Tables.lineitem(s, dir))
+
+  /** Duplicate-charge screen: a customer's CONSECUTIVE orders (by date)
+    * landing within `maxGapDays` of each other at nearly the same
+    * amount — |Δcents|·20 ≤ previous cents, i.e. within 5%, entirely in
+    * integer arithmetic (a float tolerance would let engines disagree
+    * at the boundary). One customer-keyed window shuffle; the pair
+    * space is each customer's order sequence, never a join.
+    */
+  def duplicateCharges(orders: DataFrame, maxGapDays: Int = 30): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(byCust))
+      .withColumn("prev_d", lag(col("d"), 1).over(byCust))
+      .withColumn("prev_c", lag(col("cents"), 1).over(byCust))
+      .withColumn("gap_days", datediff(col("d"), col("prev_d")).cast("long"))
+      .filter(col("prev_key").isNotNull && col("gap_days") <= maxGapDays &&
+        abs(col("cents") - col("prev_c")) * 20 <= col("prev_c"))
+      .select(col("o_custkey"), col("prev_key"), col("o_orderkey"),
+        col("prev_c"), col("cents"), col("gap_days"))
+  }
+
+  def duplicateCharges(s: SparkSession, dir: String): DataFrame =
+    duplicateCharges(Tables.orders(s, dir))
 }

@@ -571,6 +571,74 @@ class AdvancedSpec extends SparkSpec {
     assert(out === Map("view" -> ((1L, 10 * min)), "click" -> ((1L, 5 * min))))
   }
 
+  test("rfmSegments: recency inverts, quintiles from boundary ladder") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // 5 customers, one order each on days 1..5, prices 10,20,30,40,50.
+    // n=5 -> each value is its own quintile. Customer 5 (latest, rec 0)
+    // -> r=5; also highest price -> m=5; freq all 1 -> f collapses to 1.
+    val o = (1 to 5).map(i => (i.toLong, i.toLong, "O", i * 10.0, ts(i), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Advanced.rfmSegments(o).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(5L) === ((5, 1, 5)))
+    assert(out(1L) === ((1, 1, 1)))
+    assert(out(3L) === ((3, 1, 3)))
+  }
+
+  test("shipLagPercentiles: nearest-rank picks over hand-built lags") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // one priority, lags 1..10 -> p50 = rank 5 -> 5, p90 = rank 9 -> 9
+    val o = (1 to 10).map(i => (i.toLong, 1L, "O", 100.0, ts(1), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = (1 to 10).map(i => (i.toLong, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(1 + i)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Advanced.shipLagPercentiles(li, o).collect().head
+    assert(r.getLong(1) === 10L && r.getLong(2) === 5L && r.getLong(3) === 9L)
+  }
+
+  test("abcClassification: integer thresholds split 70/20/10") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val d = Timestamp.valueOf("2024-01-01 00:00:00")
+    // parts with revenue 70, 20, 6, 4 (total 100): cum 70 -> A (70*10 <= 700),
+    // cum 90 -> B, cum 96/100 -> C.
+    val li = Seq((1L, 70.0), (2L, 20.0), (3L, 6.0), (4L, 4.0))
+      .map { case (p, x) => (p, p, 1L, 1, 1.0, x, 0.0, 0.0, "N", "O", d) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = Advanced.abcClassification(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("A" -> ((1L, 7000L)), "B" -> ((1L, 2000L)), "C" -> ((2L, 1000L))))
+  }
+
+  test("duplicateCharges: close-in-time similar amounts flag, others pass") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // cust 1: 100.00 then 102.00 five days later (2% -> flag);
+    // then 200.00 (different amount -> clean);
+    // cust 2: 100.00 twice but 60 days apart -> clean.
+    val o = Seq(
+      (1L, 1L, ts(1), 100.00), (2L, 1L, ts(6), 102.00), (3L, 1L, ts(10), 200.00),
+      (4L, 2L, ts(1), 100.00), (5L, 2L, ts(1), 100.00)
+    ).map { case (k, c, t, p) => (k, c, "O", p, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Advanced.duplicateCharges(o).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // cust 2's same-day exact duplicate also flags (gap 0, 0% diff)
+    assert(out === Set((1L, 2L), (4L, 5L)))
+  }
+
   test("modalEventType: count wins, lexicographic tie-break") {
     import spark.implicits._
     import java.sql.Timestamp
