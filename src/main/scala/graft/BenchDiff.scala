@@ -20,7 +20,7 @@ import java.nio.file.{Files, Paths}
   * unpruned scan.
   */
 object BenchDiff {
-  private val Entry = """"(q\d+)":([0-9.]+)""".r
+  private val Entry = """"(q\d+)":\s*([0-9.]+)""".r
 
   def parse(s: String): Map[String, Double] =
     Entry.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
