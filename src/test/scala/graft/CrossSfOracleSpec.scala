@@ -361,6 +361,78 @@ class CrossSfOracleSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
         micros(r.getAs[java.time.LocalDateTime](3))))
 
+  test("q116 max_drawdown matches a running-peak recompute at sf0.001 and sf0.01") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val os = graft.sources.Tables.orders(spark, dir)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .collect().toSeq
+        .map(r => (r.getLong(0), micros(r.getAs[java.time.LocalDateTime](1)),
+          r.getLong(2), r.getDouble(3)))
+      val expected = os.groupBy(_._1).map { case (ck, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        var peak = Long.MinValue; var dd = Long.MinValue
+        sorted.foreach { r =>
+          val c = dec2(r._4).movePointRight(2).longValueExact()
+          peak = math.max(peak, c); dd = math.max(dd, peak - c)
+        }
+        (ck, rows.length.toLong, dd.toDouble / 100.0)
+      }.toSet
+      val got = graft.operators.Advanced.maxDrawdown(
+        graft.sources.Tables.orders(spark, dir)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"q116 diverged from the running-peak recompute at $dir")
+    }
+  }
+
+  test("q120 allocate_cents matches a largest-remainder recompute at sf0.001 and sf0.01") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity").collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val os = graft.sources.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_totalprice").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected: Map[(Long, Int), Long] = li.groupBy(_._1).flatMap {
+        case (ok, items) =>
+          os.get(ok).toSeq.flatMap { tp =>
+            val totalC = dec2(tp).movePointRight(2).longValueExact()
+            val qs = items.map { case (_, ln, q) =>
+              (ln, dec2(q).movePointRight(2).longValueExact()) }
+            val qSum = qs.map(_._2).sum
+            val base = qs.map { case (ln, qc) =>
+              (ln, Math.floorDiv(totalC * qc, qSum), Math.floorMod(totalC * qc, qSum)) }
+            val residual = totalC - base.map(_._2).sum
+            base.sortBy { case (ln, _, rem) => (-rem, ln) }.zipWithIndex.map {
+              case ((ln, b, _), i) => ((ok, ln), b + (if (i < residual) 1L else 0L)) }
+          }
+      }
+      val got = graft.operators.Advanced.allocateProportional(
+        graft.sources.Tables.lineitem(spark, dir),
+        graft.sources.Tables.orders(spark, dir)).collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+      assert(got === expected, s"q120 diverged from the allocation recompute at $dir")
+    }
+  }
+
+  test("q130 state_dwell matches a lead-gap recompute at sf0.001 and sf0.1") {
+    for (dir <- Seq(sf0001, sf01)) {
+      val expected = eventsUs(dir)
+        .groupBy(_._2)
+        .toSeq.flatMap { case (_, es) =>
+          val sorted = es.sortBy(e => (e._4, e._1))
+          sorted.zip(sorted.drop(1)).map { case (a, b) => (a._3, b._4 - a._4) }
+        }
+        .groupBy(_._1).map { case (tpe, gaps) =>
+          val tot = gaps.map(_._2).sum
+          (tpe, gaps.length.toLong, tot, tot.toDouble / gaps.length)
+        }.toSet
+      val got = graft.operators.Advanced.stateDwell(
+        graft.sources.Tables.events(spark, dir)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === expected, s"q130 diverged from the lead-gap recompute at $dir")
+    }
+  }
+
   test("q102 event_throttle matches a java.time recompute at sf0.001 and sf0.1") {
     for (dir <- Seq(sf0001, sf01)) {
       val gap = 1800L * 1000000L
