@@ -160,6 +160,9 @@ object SparkEntry {
     "q132_ship_lag" -> ((s, d) => Advanced.shipLagPercentiles(s, d)),
     "q133_abc_classification" -> ((s, d) => Advanced.abcClassification(s, d)),
     "q134_duplicate_charges" -> ((s, d) => Advanced.duplicateCharges(s, d)),
+    "q135_local_supplier_revenue" -> ((s, d) => Relational.localSupplierRevenue(s, d)),
+    "q136_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    "q137_part_velocity" -> ((s, d) => Relational.partVelocity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2416,6 +2419,62 @@ object SparkEntry {
         |  CAST(d - prev_d AS BIGINT) AS gap_days
         |FROM l WHERE prev_key IS NOT NULL AND d - prev_d <= 30
         |  AND ABS(cents - prev_c) * 20 <= prev_c""".stripMargin,
+
+    // q135: the same 6-table star with exact decimal discount math.
+    "q135_local_supplier_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q136: numerator and denominator in one exact-decimal pass, one
+    // double division per year.
+    "q136_market_share" ->
+      """SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_rev,
+        |  CAST(SUM(CASE WHEN n_name = 'NATION_2'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+        |  CAST(SUM(CASE WHEN n_name = 'NATION_2'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    // q137: quarter rank + part lag with the delta computed before the
+    // top-100 cut.
+    "q137_part_velocity" ->
+      """WITH q AS (
+        |  SELECT l_partkey AS part, CAST(date_trunc('quarter', l_shipdate) AS DATE) AS quarter,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_c
+        |  FROM lineitem GROUP BY 1, 2
+        |), r AS (
+        |  SELECT part, quarter, qty_c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY quarter ORDER BY qty_c DESC, part) AS BIGINT) AS rank
+        |  FROM q
+        |), l AS (
+        |  SELECT part, quarter, qty_c, rank,
+        |    LAG(rank) OVER (PARTITION BY part ORDER BY quarter) AS prev_rank
+        |  FROM r
+        |)
+        |SELECT part, quarter, qty_c, rank, prev_rank, prev_rank - rank AS rank_delta
+        |FROM l WHERE rank <= 100""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Exact._
 import graft.ops.Status
@@ -313,5 +314,87 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"), count(col("key")).as("n_nonnull"))
       .join(broadcast(dim), col("key") <=> col("dkey"), "left")
       .select(col("key"), col("n_rows"), col("n_nonnull"), col("dim_id"))
+  }
+
+  /** TPC-H Q5-shaped local-supplier revenue: discounted revenue per
+    * (region, nation) counting only line items whose CUSTOMER and
+    * SUPPLIER share a nation — the classic 6-table star. Join strategy
+    * by cardinality class: supplier/nation/region broadcast (bounded
+    * dims), orders↔lineitem and customer shuffle on their keys (fact-
+    * sized at scale). Revenue is decimal the whole way —
+    * price·(1−disc) multiplies two exact decimals — and becomes a
+    * double once, after the sum.
+    */
+  def localSupplierRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).as("disc_price"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("disc_price")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q8-shaped market share: per order year, the fraction of
+    * ASIA-region discounted revenue supplied by NATION_2. Both the
+    * numerator (conditional sum) and denominator accumulate in exact
+    * decimal on ONE aggregation pass; the share is a single double
+    * division per year — no float accumulates across rows.
+    */
+  def marketShare(s: SparkSession, dir: String,
+      regionName: String = "ASIA", nationName: String = "NATION_2"): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).as("disc_price"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("yr"))
+      .agg(
+        sum(col("disc_price")).cast("double").as("total_rev"),
+        sum(when(col("n_name") === nationName, col("disc_price"))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("nation_rev"))
+      .withColumn("share", col("nation_rev") / col("total_rev"))
+
+  /** Part shipment velocity with quarter-over-quarter rank movement:
+    * quantity shipped per (part, quarter), ranked within each quarter,
+    * and each part's rank compared to its previous quarter (null for a
+    * first appearance). The quarter-partition rank and the part-
+    * partition lag are two windows on two different keys — unavoidable
+    * and both bounded; the final filter keeps the reportable top 100
+    * per quarter AFTER deltas are computed, so a part falling out of
+    * the top still shows as the prior rank it fell from.
+    */
+  def partVelocity(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val q = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part"),
+        date_trunc("quarter", col("l_shipdate")).cast("date").as("quarter"))
+      .agg(sum((col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("qty_c"))
+    val rank = row_number().over(Window.partitionBy(col("quarter"))
+      .orderBy(col("qty_c").desc, col("part")))
+    val prev = Window.partitionBy(col("part")).orderBy(col("quarter"))
+    q.withColumn("rank", rank.cast("long"))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(prev))
+      .withColumn("rank_delta", col("prev_rank") - col("rank"))
+      .filter(col("rank") <= topK)
+      .select(col("part"), col("quarter"), col("qty_c"),
+        col("rank"), col("prev_rank"), col("rank_delta"))
   }
 }

@@ -315,6 +315,17 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q135: star join broadcasts every bounded dim, shuffles only the facts") {
+    val plan = graft.operators.Relational.localSupplierRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // supplier, nation, region ride the broadcast path...
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3,
+      s"supplier/nation/region must broadcast:\n$plan")
+    // ...and nothing degenerates to a nested loop
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no join may lose its equi keys:\n$plan")
+  }
+
   test("q111/q115: bucketed prefix plans a range exchange; the only global window reads bucket totals") {
     for (df <- Seq(
         graft.operators.Advanced.concurrentSessions(
