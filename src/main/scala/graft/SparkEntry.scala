@@ -163,6 +163,8 @@ object SparkEntry {
     "q135_local_supplier_revenue" -> ((s, d) => Relational.localSupplierRevenue(s, d)),
     "q136_market_share" -> ((s, d) => Relational.marketShare(s, d)),
     "q137_part_velocity" -> ((s, d) => Relational.partVelocity(s, d)),
+    "q138_order_reconciliation" -> ((s, d) => Quality.orderReconciliation(s, d)),
+    "q139_weekday_profile" -> ((s, d) => Advanced.weekdayProfile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2475,6 +2477,37 @@ object SparkEntry {
         |)
         |SELECT part, quarter, qty_c, rank, prev_rank, prev_rank - rank AS rank_delta
         |FROM l WHERE rank <= 100""".stripMargin,
+
+    // q138: identical integer-cents header/detail comparison; orderless
+    // orders reconcile against zero via the left join + coalesce.
+    "q138_order_reconciliation" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS line_c
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_c,
+        |    COALESCE(line_c, 0) AS line_c
+        |  FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey
+        |)
+        |SELECT priority, COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (ABS(total_c - line_c) > 0) AS n_mismatched,
+        |  CAST(MAX(ABS(total_c - line_c)) AS BIGINT) AS max_drift_c,
+        |  CAST(SUM(ABS(total_c - line_c)) AS BIGINT) AS total_drift_c
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // q139: isodow matches Spark's weekday()+1 — the engines' default
+    // dayofweek functions number weeks differently.
+    "q139_weekday_profile" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS isodow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, isodow, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+        |FROM c""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -1318,4 +1318,25 @@ object Advanced {
 
   def duplicateCharges(s: SparkSession, dir: String): DataFrame =
     duplicateCharges(Tables.orders(s, dir))
+
+  /** Weekday activity profile: event counts and within-type share by
+    * ISO weekday (1 = Monday — Spark's `weekday()+1` equals DuckDB's
+    * `isodow`; the default `dayofweek` functions NUMBER THE WEEK
+    * DIFFERENTLY in the two engines, a classic silent-mismatch trap).
+    * One map-side-combined aggregate; the share divides two exact
+    * counts per row of a ≤ |types|·7-row result.
+    */
+  def weekdayProfile(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(col("event_type"),
+        (weekday(col("ts").cast("date")) + 1).cast("long").as("isodow"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_type", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("isodow"), col("n"),
+        (col("n").cast("double") / col("n_type").cast("double")).as("share"))
+  }
+
+  def weekdayProfile(s: SparkSession, dir: String): DataFrame =
+    weekdayProfile(Tables.events(s, dir))
 }

@@ -205,4 +205,34 @@ object Quality {
 
   def benfordAudit(s: SparkSession, dir: String): DataFrame =
     benfordAudit(Tables.orders(s, dir))
+
+  /** Header/detail reconciliation audit: does each order's stated total
+    * equal the sum of its line items? Reports, per priority class, how
+    * many orders drift and by how much — the first query any warehouse
+    * migration runs. All comparison in integer cents (header and detail
+    * both quantized through decimal(18,2)); orders with no line items
+    * reconcile against zero rather than silently dropping. One
+    * map-side-combined line aggregate, one orderkey join, one tiny
+    * grouped output.
+    */
+  def orderReconciliation(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lineSums = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("line_c"))
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("total_c"))
+      .join(lineSums, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("line_c", coalesce(col("line_c"), lit(0L)))
+      .withColumn("drift_c", abs(col("total_c") - col("line_c")))
+      .groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("drift_c") > 0, 1)).as("n_mismatched"),
+        max(col("drift_c")).as("max_drift_c"),
+        sum(col("drift_c")).as("total_drift_c"))
+  }
+
+  def orderReconciliation(s: SparkSession, dir: String): DataFrame =
+    orderReconciliation(Tables.orders(s, dir), Tables.lineitem(s, dir))
 }

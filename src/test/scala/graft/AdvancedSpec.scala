@@ -639,6 +639,21 @@ class AdvancedSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (4L, 5L)))
   }
 
+  test("weekdayProfile: ISO weekday numbering, shares sum to 1 per type") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday -> isodow 1; 2024-01-07 a Sunday -> 7.
+    val e = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "view"),
+      (3L, Timestamp.valueOf("2024-01-07 10:00:00"), 1L, "view")
+    ).map { case (id, t, u, k) => (id, t, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Advanced.weekdayProfile(e).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(1L -> ((2L, 2.0 / 3.0)), 7L -> ((1L, 1.0 / 3.0))))
+  }
+
   test("modalEventType: count wins, lexicographic tie-break") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -91,6 +91,29 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("mad_chars") === 10L)
   }
 
+  test("orderReconciliation: drift in cents, lineless orders against zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // order 1: total 30.00 vs lines 10+20 -> clean; order 2: total
+    // 50.00 vs line 49.99 -> drift 1 cent; order 3: no lines -> drift
+    // = full 5.00.
+    val o = Seq((1L, 30.00), (2L, 50.00), (3L, 5.00))
+      .map { case (k, p) => (k, 1L, "O", p, t0, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, 1, 10.00), (1L, 2, 20.00), (2L, 1, 49.99))
+      .map { case (k, n, x) => (k, 1L, 1L, n, 1.0, x, 0.0, 0.0, "N", "O", t0) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = Quality.orderReconciliation(o, li).collect().head
+    assert(r.getAs[Long]("n_orders") === 3L)
+    assert(r.getAs[Long]("n_mismatched") === 2L)
+    assert(r.getAs[Long]("max_drift_c") === 500L)
+    assert(r.getAs[Long]("total_drift_c") === 501L)
+  }
+
   test("benfordAudit: digits extracted from cents, expected shares sum to ~n") {
     import spark.implicits._
     import java.sql.Timestamp
