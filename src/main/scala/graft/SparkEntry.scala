@@ -165,6 +165,7 @@ object SparkEntry {
     "q137_part_velocity" -> ((s, d) => Relational.partVelocity(s, d)),
     "q138_order_reconciliation" -> ((s, d) => Quality.orderReconciliation(s, d)),
     "q139_weekday_profile" -> ((s, d) => Advanced.weekdayProfile(s, d)),
+    "q140_quantile_codebook" -> ((s, d) => Similarity.quantileCodebook(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2508,6 +2509,34 @@ object SparkEntry {
         |SELECT event_type, isodow, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
         |FROM c""".stripMargin,
+
+    // q140: pure rank arithmetic and float PICKS — no float math for
+    // engines to round differently.
+    "q140_quantile_codebook" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, embedding[i] AS x
+        |  FROM embeddings em, LATERAL (SELECT unnest(range(1, len(em.embedding) + 1)) AS i) t
+        |), r AS (
+        |  SELECT vec_id, dim, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x, vec_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+        |  FROM e
+        |), c AS (
+        |  SELECT dim, x, rn, ((rn - 1) * 16) // n AS code FROM r
+        |), b AS (
+        |  SELECT dim, code, x, rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY dim, code) AS BIGINT) AS size,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY dim, code ORDER BY rn) AS BIGINT) AS lrn
+        |  FROM c
+        |), m AS (
+        |  SELECT dim, code, x, size,
+        |    MAX(CASE WHEN lrn = (size + 1) // 2 THEN x END) OVER (PARTITION BY dim, code) AS med
+        |  FROM b
+        |)
+        |SELECT dim, CAST(code AS BIGINT) AS code, COUNT(*) AS n_members,
+        |  CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi,
+        |  CAST(MAX(med) AS DOUBLE) AS centroid
+        |FROM m GROUP BY 1, 2""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -385,4 +385,50 @@ object Similarity {
 
   def sparseLexicalTopK(s: SparkSession, dir: String): DataFrame =
     sparseLexicalTopK(Tables.documents(s, dir))
+
+  /** Per-dimension equal-frequency quantization codebook (the NF4-style
+    * alternative to q79's range quantization): each dimension's values
+    * sort into `codes` equal-population bins — `code = (rank−1)·codes
+    * div n`, pure integers — and the codebook entry is the bin's
+    * nearest-rank median value with its [lo, hi] span. NO float
+    * arithmetic anywhere: ranks only compare values, and lo/hi/centroid
+    * are PICKS of existing floats (cast to double once for output), so
+    * the result is bit-stable under any partitioning — the property
+    * range quantization can't give you when bins must hold equal mass.
+    *
+    * Ties split across bin boundaries by (value, vec_id) order —
+    * deterministic, and the only consistent choice when a value run
+    * straddles an equal-mass cut.
+    *
+    * Scale: the per-dim rank is a 64-way-parallel in-partition sort of
+    * the exploded relation — the honest exact-answer cost. At corpus
+    * scales where a per-dim sort is too hot, the production path is
+    * sampled boundaries per dim (q88's broadcast idiom on a reservoir),
+    * trading exact equal mass for a bounded-error split; this operator
+    * is the exact ground truth that path gets audited against.
+    */
+  def quantileCodebook(emb: DataFrame, codes: Int = 16): DataFrame = {
+    val exploded = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "x")))
+    val byDim = Window.partitionBy(col("dim"))
+    val ranked = exploded
+      .withColumn("rn",
+        row_number().over(byDim.orderBy(col("x"), col("vec_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byDim).cast("long"))
+      .withColumn("code", expr(s"((rn - 1) * $codes) div n"))
+    val byBin = Window.partitionBy(col("dim"), col("code"))
+    ranked
+      .withColumn("size", count(lit(1)).over(byBin).cast("long"))
+      .withColumn("lrn", row_number().over(byBin.orderBy(col("rn"))).cast("long"))
+      .withColumn("med",
+        max(when(col("lrn") === expr("(size + 1) div 2"), col("x"))).over(byBin))
+      .groupBy(col("dim"), col("code"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("x")).cast("double").as("lo"),
+        max(col("x")).cast("double").as("hi"),
+        max(col("med")).cast("double").as("centroid"))
+  }
+
+  def quantileCodebook(s: SparkSession, dir: String): DataFrame =
+    quantileCodebook(Tables.embeddings(s, dir))
 }

@@ -227,4 +227,21 @@ class SimilaritySpec extends SparkSpec {
     assert(m(("fr", 1)) === ((1L, 5.0)))
     assert(m(("fr", 2)) === ((1L, 6.0)))
   }
+
+  test("quantileCodebook: equal-population bins with nearest-rank centroids") {
+    import spark.implicits._
+    // 32 one-dim vectors valued 1..32 -> 16 bins of exactly 2; bin k
+    // holds {2k+1, 2k+2}; nearest-rank median of 2 picks the LOWER.
+    val df = (1 to 32).map(i => (i.toLong, Array(i.toFloat))).toDF("vec_id", "embedding")
+    val out = Similarity.quantileCodebook(df).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.size === 16)
+    (0 until 16).foreach { k =>
+      val (n, lo, hi, c) = out(k.toLong)
+      assert(n === 2L, s"bin $k population")
+      assert(lo === (2 * k + 1).toDouble && hi === (2 * k + 2).toDouble)
+      assert(c === lo, s"bin $k centroid must be the nearest-rank (lower) pick")
+    }
+  }
 }
