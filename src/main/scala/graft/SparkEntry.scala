@@ -1633,11 +1633,15 @@ object SparkEntry {
         |    SUM(xc * xc) AS sxx, SUM(xc * yc) AS sxy, SUM(yc * yc) AS syy
         |  FROM c GROUP BY 1
         |), d AS (
+        |  -- VARCHAR route: DuckDB's direct HUGEINT->DOUBLE cast is not
+        |  -- correctly rounded past 2^53; string->double parse is,
+        |  -- matching Spark's BigDecimal conversion
         |  SELECT l_returnflag, n,
-        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cov,
-        |    CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
-        |    CAST(n * syy - sy * sy AS DOUBLE) AS vy,
-        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |    CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov,
+        |    CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS vx,
+        |    CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vy,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
         |  FROM m
         |)
         |SELECT l_returnflag, n,
@@ -1796,11 +1800,14 @@ object SparkEntry {
         |)
         |SELECT day, n AS n_baseline,
         |  CAST(x AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
-        |  CASE WHEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |  -- VARCHAR route: DuckDB's direct HUGEINT->DOUBLE cast is not
+        |  -- correctly rounded past 2^53 (off by an ulp at sf0.1 moments);
+        |  -- string->double parse is, matching Spark's BigDecimal path
+        |  CASE WHEN sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
         |                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) = 0
         |       THEN NULL
         |       ELSE (CAST(x AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-        |         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |         / sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
         |                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS z
         |FROM st WHERE n >= 14""".stripMargin,
 
@@ -1928,7 +1935,8 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  CAST(SUM(gap_us) AS BIGINT) AS dur_us,
         |  CASE WHEN SUM(gap_us) = 0 THEN NULL
-        |       ELSE CAST(SUM(CAST(cents * gap_us AS HUGEINT)) AS DOUBLE)
+        |       -- VARCHAR route: correctly-rounded int128->double
+        |       ELSE CAST(CAST(SUM(CAST(cents * gap_us AS HUGEINT)) AS VARCHAR) AS DOUBLE)
         |            / CAST(SUM(gap_us) AS DOUBLE) / 100.0 END AS tw_value
         |FROM h GROUP BY 1, 2""".stripMargin,
 
