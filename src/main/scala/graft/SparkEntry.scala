@@ -166,6 +166,9 @@ object SparkEntry {
     "q138_order_reconciliation" -> ((s, d) => Quality.orderReconciliation(s, d)),
     "q139_weekday_profile" -> ((s, d) => Advanced.weekdayProfile(s, d)),
     "q140_quantile_codebook" -> ((s, d) => Similarity.quantileCodebook(s, d)),
+    "q141_five_number" -> ((s, d) => Quality.fiveNumber(s, d)),
+    "q142_iqr_outliers" -> ((s, d) => Quality.iqrOutliers(s, d)),
+    "q143_contingency" -> ((s, d) => Quality.contingency(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2545,6 +2548,68 @@ object SparkEntry {
         |  CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi,
         |  CAST(MAX(med) AS DOUBLE) AS centroid
         |FROM m GROUP BY 1, 2""".stripMargin,
+
+    // q141: identical integral nearest-rank quartiles in cents.
+    "q141_five_number" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS segment, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), r AS (
+        |  SELECT segment, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+        |  FROM j
+        |)
+        |SELECT segment, COUNT(*) AS n, MIN(cents) AS min_c,
+        |  MAX(CASE WHEN rn = (25 * n + 99) // 100 THEN cents END) AS p25_c,
+        |  MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END) AS p50_c,
+        |  MAX(CASE WHEN rn = (75 * n + 99) // 100 THEN cents END) AS p75_c,
+        |  MAX(cents) AS max_c
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q142: the same doubled-cents integer fences.
+    "q142_iqr_outliers" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS segment, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), r AS (
+        |  SELECT segment, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+        |  FROM j
+        |), q AS (
+        |  SELECT segment AS qseg,
+        |    MAX(CASE WHEN rn = (25 * n + 99) // 100 THEN cents END) AS p25_c,
+        |    MAX(CASE WHEN rn = (75 * n + 99) // 100 THEN cents END) AS p75_c
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT segment, COUNT(*) AS n,
+        |  COUNT(*) FILTER (cents * 2 < p25_c * 2 - (p75_c - p25_c) * 3) AS n_low,
+        |  COUNT(*) FILTER (cents * 2 > p75_c * 2 + (p75_c - p25_c) * 3) AS n_high
+        |FROM j JOIN q ON segment = qseg GROUP BY 1""".stripMargin,
+
+    // q143: exact marginals; expected/residual as the same per-cell
+    // three-op double chain (no order-dependent chi-square total).
+    "q143_contingency" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+        |    COUNT(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT segment, priority, o,
+        |    CAST(SUM(o) OVER (PARTITION BY segment) AS BIGINT) AS r,
+        |    CAST(SUM(o) OVER (PARTITION BY priority) AS BIGINT) AS c,
+        |    CAST(SUM(o) OVER () AS BIGINT) AS n
+        |  FROM cells
+        |)
+        |SELECT segment, priority, o, r, c,
+        |  CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) AS residual
+        |FROM m""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -235,4 +235,88 @@ object Quality {
 
   def orderReconciliation(s: SparkSession, dir: String): DataFrame =
     orderReconciliation(Tables.orders(s, dir), Tables.lineitem(s, dir))
+
+  /** Market-segment order totals joined once; shared by the five-number
+    * summary and the outlier screen. */
+  private def segmentCents(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+
+  /** Exact Tukey five-number summary of order totals per market
+    * segment: min / p25 / p50 / p75 / max by nearest rank (`ceil(q·n)`
+    * in integers), in cents. One customer join, one segment-partitioned
+    * rank window, one aggregate — the `describe()` every warehouse
+    * publishes, without approximate percentiles.
+    */
+  def fiveNumber(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val bySeg = Window.partitionBy(col("segment"))
+    segmentCents(orders, customer)
+      .withColumn("rn", row_number().over(
+        bySeg.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySeg).cast("long"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_c"),
+        max(when(col("rn") === expr("(25 * n + 99) div 100"), col("cents"))).as("p25_c"),
+        max(when(col("rn") === expr("(50 * n + 99) div 100"), col("cents"))).as("p50_c"),
+        max(when(col("rn") === expr("(75 * n + 99) div 100"), col("cents"))).as("p75_c"),
+        max(col("cents")).as("max_c"))
+  }
+
+  def fiveNumber(s: SparkSession, dir: String): DataFrame =
+    fiveNumber(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  /** Tukey-fence outlier counts per segment: how many orders fall below
+    * p25 − 1.5·IQR or above p75 + 1.5·IQR. The fences stay INTEGER by
+    * comparing doubled cents (2·x < 2·p25 − 3·(p75−p25)), so no float
+    * boundary for engines to disagree on; the quartile relation is a
+    * broadcast-joined handful of rows.
+    */
+  def iqrOutliers(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val q = fiveNumber(orders, customer)
+      .select(col("segment").as("qseg"), col("p25_c"), col("p75_c"))
+    segmentCents(orders, customer)
+      .join(broadcast(q), col("segment") === col("qseg"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("cents") * 2 <
+          col("p25_c") * 2 - (col("p75_c") - col("p25_c")) * 3, 1)).as("n_low"),
+        count(when(col("cents") * 2 >
+          col("p75_c") * 2 + (col("p75_c") - col("p25_c")) * 3, 1)).as("n_high"))
+  }
+
+  def iqrOutliers(s: SparkSession, dir: String): DataFrame =
+    iqrOutliers(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  /** Segment × priority contingency table with expected counts and
+    * per-cell Pearson residuals — the dependence screen between two
+    * categorical dimensions. Counts and marginals are exact longs
+    * (row/col marginals ride two tiny windows over the ≤ |segments| ×
+    * |priorities| cell relation); expected and residual are the same
+    * fixed three-op double chain in both engines, evaluated per cell —
+    * deliberately NO chi-square total, whose cross-engine sum order
+    * would not be reproducible.
+    */
+  def contingency(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val cells = orders.select(col("o_custkey"), col("o_orderpriority"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("segment"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("segment"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("priority"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("expected",
+        (col("r") * col("c")).cast("double") / col("n").cast("double"))
+      .withColumn("residual",
+        (col("o").cast("double") - col("expected")) / sqrt(col("expected")))
+      .select(col("segment"), col("priority"), col("o"), col("r"), col("c"),
+        col("expected"), col("residual"))
+  }
+
+  def contingency(s: SparkSession, dir: String): DataFrame =
+    contingency(Tables.orders(s, dir), Tables.customer(s, dir))
 }

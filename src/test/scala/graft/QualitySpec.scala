@@ -114,6 +114,53 @@ class QualitySpec extends SparkSpec {
     assert(r.getAs[Long]("total_drift_c") === 501L)
   }
 
+  test("fiveNumber + iqrOutliers: quartile ranks and integer fences on a planted segment") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // one segment, values 1..100 dollars + one 10000 outlier.
+    // n=101: p25 rank ceil(25.25)=26 -> 26.00; p50 rank 51 -> 51.00;
+    // p75 rank 76 -> 76.00. IQR = 5000c; fences: lo 2600-7500 < 0 (none),
+    // hi 7600+7500 = 15100c -> 152.00+ -> only the 10000 flags.
+    val o = ((1 to 100).map(i => (i.toLong, i.toLong, i.toDouble)) :+ ((101L, 101L, 10000.0)))
+      .map { case (k, c, p) => (k, c, "O", p, t0, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val cust = (1L to 101L).map(i => (i, s"c$i", 1L, 0.0, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val fn = Quality.fiveNumber(o, cust).collect().head
+    assert(fn.getAs[Long]("n") === 101L)
+    assert(fn.getAs[Long]("min_c") === 100L && fn.getAs[Long]("max_c") === 1000000L)
+    assert(fn.getAs[Long]("p25_c") === 2600L)
+    assert(fn.getAs[Long]("p50_c") === 5100L)
+    assert(fn.getAs[Long]("p75_c") === 7600L)
+    val out = Quality.iqrOutliers(o, cust).collect().head
+    assert(out.getAs[Long]("n_low") === 0L && out.getAs[Long]("n_high") === 1L)
+  }
+
+  test("contingency: marginals reconcile, residual chain matches a hand cell") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 2 segments x 2 priorities, counts: (A,1)=3 (A,2)=1 (B,1)=1 (B,2)=3
+    val rows = Seq(("A", "1"), ("A", "1"), ("A", "1"), ("A", "2"),
+      ("B", "1"), ("B", "2"), ("B", "2"), ("B", "2"))
+    val o = rows.zipWithIndex.map { case ((_, pr), i) =>
+      (i.toLong, i.toLong, "O", 1.0, t0, pr) }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val cust = rows.zipWithIndex.map { case ((seg, _), i) =>
+      (i.toLong, s"c$i", 1L, 0.0, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val m = Quality.contingency(o, cust).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // cell (A,1): o=3, r=4, c=4, n=8 -> expected 2.0
+    assert(m(("A", "1")) === ((3L, 4L, 4L, 2.0)))
+    assert(m(("B", "2")) === ((3L, 4L, 4L, 2.0)))
+    assert(m(("A", "2")) === ((1L, 4L, 4L, 2.0)))
+  }
+
   test("benfordAudit: digits extracted from cents, expected shares sum to ~n") {
     import spark.implicits._
     import java.sql.Timestamp
