@@ -169,6 +169,9 @@ object SparkEntry {
     "q141_five_number" -> ((s, d) => Quality.fiveNumber(s, d)),
     "q142_iqr_outliers" -> ((s, d) => Quality.iqrOutliers(s, d)),
     "q143_contingency" -> ((s, d) => Quality.contingency(s, d)),
+    "q144_bloom_screen" -> ((s, d) => Dedup.bloomScreen(s, d)),
+    "q145_part_family" -> ((s, d) => Relational.partFamilyRollup(s, d)),
+    "q146_supplier_standing" -> ((s, d) => Relational.supplierStanding(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2610,6 +2613,59 @@ object SparkEntry {
         |  (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
         |    / sqrt(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)) AS residual
         |FROM m""".stripMargin,
+
+    // q144: the distinct train-position relation plays the bit array;
+    // the all-k-positions rule is a join + count(=k); hex->int via the
+    // '0x' cast idiom.
+    "q144_bloom_screen" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), b AS (
+        |  SELECT doc_id, sh,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket
+        |  FROM sh0
+        |), train AS (SELECT DISTINCT sh FROM b WHERE bucket < 80),
+        |test AS (SELECT doc_id, sh FROM b WHERE bucket >= 90),
+        |tp AS (
+        |  SELECT DISTINCT CAST('0x' || SUBSTR(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 12) AS BIGINT) % 262144 AS p
+        |  FROM train, (SELECT unnest(range(0, 3)) AS j) js
+        |), pass AS (
+        |  SELECT doc_id, COUNT(*) AS n_pass FROM (
+        |    SELECT t.doc_id, t.sh FROM (
+        |      SELECT doc_id, sh,
+        |        CAST('0x' || SUBSTR(md5(CAST(j AS VARCHAR) || '|' || sh), 1, 12) AS BIGINT) % 262144 AS p
+        |      FROM test, (SELECT unnest(range(0, 3)) AS j) js
+        |    ) t JOIN tp USING (p)
+        |    GROUP BY 1, 2 HAVING COUNT(*) = 3
+        |  ) GROUP BY 1
+        |), ex AS (
+        |  SELECT doc_id, COUNT(*) AS n_exact FROM test WHERE sh IN (SELECT sh FROM train) GROUP BY 1
+        |)
+        |SELECT t.doc_id, COUNT(*) AS n_sh,
+        |  COALESCE(MAX(pass.n_pass), 0) AS n_pass,
+        |  COALESCE(MAX(ex.n_exact), 0) AS n_exact,
+        |  COALESCE(MAX(pass.n_pass), 0) - COALESCE(MAX(ex.n_exact), 0) AS n_false_pos
+        |FROM test t LEFT JOIN pass ON t.doc_id = pass.doc_id LEFT JOIN ex ON t.doc_id = ex.doc_id
+        |GROUP BY 1""".stripMargin,
+
+    // q145: leading-token family extraction, decimal-cents sums.
+    "q145_part_family" ->
+      """SELECT string_split(p_name, ' ')[1] AS family, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    // q146: percent_rank's (rank-1)/(n-1) closed form is shared.
+    "q146_supplier_standing" ->
+      """SELECT s_suppkey, n_name, s_acctbal,
+        |  PERCENT_RANK() OVER (PARTITION BY s_nationkey
+        |    ORDER BY s_acctbal, s_suppkey) AS pr
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

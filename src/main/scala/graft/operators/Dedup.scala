@@ -468,6 +468,54 @@ object Dedup {
   def boilerplate(s: SparkSession, dir: String): DataFrame =
     boilerplate(Tables.documents(s, dir))
 
+  /** Bloom-filter shingle screen with MEASURED false positives — the
+    * O(1)-per-probe fast path in front of exact decontamination (q55,
+    * same 80/90 split and word-3-gram shingles): every train shingle
+    * inserts `k` md5-derived bit positions into an `m`-bit filter; a
+    * test shingle "passes" when all `k` of its positions are occupied.
+    * Exactly representable everywhere: the filter IS the distinct
+    * train-position relation, and the bit test is a join + count(=k).
+    * Per test document the output carries the bloom verdict (n_pass)
+    * NEXT TO the exact left-semi truth (n_exact), so n_false_pos
+    * measures the empirical FP rate of the (m, k) design on real data —
+    * the number q55's exact join would pay to verify. Position and
+    * digest keys are high-cardinality md5 values; the position relation
+    * is ≤ k·|train shingles| longs, the thing a real deployment ships
+    * as a bitmap broadcast.
+    */
+  def bloomScreen(docs: DataFrame, mBits: Long = 1L << 18, k: Int = 3): DataFrame = {
+    def pos(j: Int) =
+      conv(substring(md5(concat(lit(s"$j|"), col("sh"))), 1, 12), 16, 10)
+        .cast("long") % mBits
+    val tagged = Caches.track(docShingles(docs)
+      .withColumn("bucket", Corpus.hashBucket(col("doc_id"))))
+    val trainPos = tagged.filter(col("bucket") < 80).select(col("sh")).distinct()
+      .select(explode(array((0 until k).map(pos): _*)).as("p")).distinct()
+    val testSh = Caches.track(
+      tagged.filter(col("bucket") >= 90).select(col("doc_id"), col("sh")))
+    val passed = testSh
+      .select(col("doc_id"), col("sh"), explode(array((0 until k).map(pos): _*)).as("p"))
+      .hint("shuffle_hash").join(trainPos.hint("shuffle_hash"), "p")
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pass"))
+    val exact = testSh
+      .join(tagged.filter(col("bucket") < 80).select(col("sh")).distinct(),
+        Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+    testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .join(passed, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_pass"), lit(0L)).as("n_pass"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (coalesce(col("n_pass"), lit(0L)) - coalesce(col("n_exact"), lit(0L)))
+          .as("n_false_pos"))
+  }
+
+  def bloomScreen(s: SparkSession, dir: String): DataFrame =
+    bloomScreen(Tables.documents(s, dir))
+
   /** Pairwise shingle-set Jaccard BETWEEN sources: how much of each
     * crawl/source's content overlaps each other source — the
     * corpus-composition view of dedup (is "web2" a mirror of "web"?

@@ -381,6 +381,40 @@ object Relational {
     * per quarter AFTER deltas are computed, so a part falling out of
     * the top still shows as the prior rank it fell from.
     */
+  /** Product-family rollup: the leading token of `p_name` is the family
+    * (the classic dirty-hierarchy extraction when no category dim
+    * exists); revenue and quantity aggregate per family. The part join
+    * shuffles on partkey (part is fact-scale in TPC-H); the family
+    * projection is per-row string work that stays in codegen.
+    */
+  def partFamilyRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("rev_c"),
+        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("qty_c"))
+      .join(Tables.part(s, dir).select(col("p_partkey"),
+        substring_index(col("p_name"), " ", 1).as("family")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("rev_c"),
+        sum(col("qty_c")).as("qty_c"))
+
+  /** Supplier account-balance standing vs nation peers: percent_rank
+    * over a (balance, suppkey)-totalized order within each nation —
+    * (rank−1)/(n−1), the same closed form in both engines, one double
+    * division per supplier. Windows partition by nation, so the work
+    * is peer-group-parallel at any supplier count.
+    */
+  def supplierStanding(s: SparkSession, dir: String): DataFrame = {
+    val byNation = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    Tables.supplier(s, dir)
+      .withColumn("pr", percent_rank().over(byNation))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"), col("s_acctbal"), col("pr"))
+  }
+
   def partVelocity(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
     val q = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey").as("part"),

@@ -278,4 +278,20 @@ class DedupSpec extends SparkSpec {
     assert(p.getAs[Long]("n_a") === 3L) // merge blast radius: 3 records
     assert(p.getAs[Long]("n_b") === 1L)
   }
+
+  test("bloomScreen: never misses an exact hit, counts only test-split docs") {
+    val out = graft.operators.Dedup.bloomScreen(
+      graft.sources.Tables.documents(spark, sf001)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nSh, nPass, nExact, nFp) = (r.getAs[Long]("n_sh"),
+        r.getAs[Long]("n_pass"), r.getAs[Long]("n_exact"), r.getAs[Long]("n_false_pos"))
+      // a Bloom filter has no false negatives: every exact member passes
+      assert(nPass >= nExact, s"doc ${r.getLong(0)}: pass $nPass < exact $nExact")
+      assert(nFp === nPass - nExact)
+      assert(nPass <= nSh)
+    }
+    // the planted near-dups guarantee real cross-split shingle overlap
+    assert(out.map(_.getAs[Long]("n_exact")).sum > 0L)
+  }
 }
