@@ -172,6 +172,9 @@ object SparkEntry {
     "q144_bloom_screen" -> ((s, d) => Dedup.bloomScreen(s, d)),
     "q145_part_family" -> ((s, d) => Relational.partFamilyRollup(s, d)),
     "q146_supplier_standing" -> ((s, d) => Relational.supplierStanding(s, d)),
+    "q147_stickiness" -> ((s, d) => Advanced.stickiness(s, d)),
+    "q148_order_backlog" -> ((s, d) => Advanced.orderBacklog(s, d)),
+    "q149_revenue_concentration" -> ((s, d) => Advanced.revenueConcentration(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2666,6 +2669,62 @@ object SparkEntry {
         |  PERCENT_RANK() OVER (PARTITION BY s_nationkey
         |    ORDER BY s_acctbal, s_suppkey) AS pr
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+
+    // q147: both distinct counts via the bounded contribution explode.
+    "q147_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |obs AS (SELECT DISTINCT day AS report_day FROM ud),
+        |dau AS (SELECT day AS report_day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |mau AS (
+        |  SELECT report_day, COUNT(*) AS mau FROM (
+        |    SELECT DISTINCT user_id, day + CAST(k AS INT) AS report_day
+        |    FROM ud, (SELECT unnest(range(0, 30)) AS k) ks
+        |    WHERE day + CAST(k AS INT) IN (SELECT report_day FROM obs)
+        |  ) GROUP BY 1
+        |)
+        |SELECT d.report_day, d.dau, m.mau,
+        |  CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+        |FROM dau d JOIN mau m ON d.report_day = m.report_day""".stripMargin,
+
+    // q148: one global cumulative window stands in for bucketedPrefix;
+    // same (d, delta, key) total order, ends-at-day+1 netting.
+    "q148_order_backlog" ->
+      """WITH spans AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS open_d,
+        |    close_d
+        |  FROM orders JOIN (
+        |    SELECT l_orderkey,
+        |      CAST(MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS close_d
+        |    FROM lineitem GROUP BY 1) ls ON o_orderkey = l_orderkey
+        |), bounds AS (
+        |  SELECT o_orderkey, open_d AS d, CAST(1 AS BIGINT) AS delta FROM spans
+        |  UNION ALL
+        |  SELECT o_orderkey, close_d + 1 AS d, CAST(-1 AS BIGINT) AS delta FROM spans
+        |)
+        |SELECT d, o_orderkey, delta,
+        |  CAST(SUM(delta) OVER (ORDER BY d, delta, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+        |FROM bounds""".stripMargin,
+
+    // q149: identical integral ceil cut ranks; share is one division.
+    "q149_revenue_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS n_cust, SUM(rev_c) AS grand FROM rev),
+        |rk AS (
+        |  SELECT o_custkey, rev_c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS rank
+        |  FROM rev
+        |)
+        |SELECT t.tier_pct, COUNT(*) AS n_customers,
+        |  CAST(SUM(rev_c) AS BIGINT) AS tier_rev_c,
+        |  CAST(SUM(rev_c) AS DOUBLE) / CAST(MAX(grand) AS DOUBLE) AS share
+        |FROM rk, tot, (SELECT CAST(unnest([1, 5, 20]) AS BIGINT) AS tier_pct) t
+        |WHERE rank <= (t.tier_pct * n_cust + 99) // 100
+        |GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -1339,4 +1339,103 @@ object Advanced {
 
   def weekdayProfile(s: SparkSession, dir: String): DataFrame =
     weekdayProfile(Tables.events(s, dir))
+
+  /** Stickiness (DAU/MAU): per observed day, the distinct daily actives
+    * over the distinct trailing-30-day actives — the engagement ratio
+    * every growth dashboard leads with. Both counts use q101's bounded
+    * contribution-explode (×30 constant factor, one (report_day, user)
+    * distinct — never a range self-join), and the ratio is one double
+    * division of two exact longs.
+    */
+  def stickiness(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    val userDays = Caches.track(events
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct())
+    val observed = userDays.select(col("day").as("report_day")).distinct()
+    val dau = userDays.groupBy(col("day").as("report_day"))
+      .agg(count(lit(1)).as("dau"))
+    val mau = userDays
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("report_day"))
+      .join(observed, Seq("report_day"), "left_semi")
+      .distinct()
+      .groupBy(col("report_day"))
+      .agg(count(lit(1)).as("mau"))
+    dau.join(mau, "report_day")
+      .select(col("report_day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+  }
+
+  def stickiness(s: SparkSession, dir: String): DataFrame =
+    stickiness(Tables.events(s, dir))
+
+  /** Open-order backlog curve: how many orders were placed but not yet
+    * fully shipped at each boundary instant — the sweep line over
+    * [order date, last ship date] intervals, ridden on `bucketedPrefix`
+    * exactly like q111's session concurrency (orders with no line items
+    * never open; same-day open/close still nets zero by the end-before-
+    * start tie rule at day+1). Day arithmetic in integer epoch days.
+    */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame, buckets: Int = 32): DataFrame = {
+    val spans = orders.select(col("o_orderkey"),
+      datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("open_d"))
+      .join(lineitem.groupBy(col("l_orderkey"))
+        .agg(max(datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long")).as("close_d")),
+        col("o_orderkey") === col("l_orderkey"))
+    val bounds = spans
+      .select(col("o_orderkey"), col("open_d").as("d"), lit(1L).as("delta"))
+      .unionByName(spans.select(col("o_orderkey"),
+        (col("close_d") + 1).as("d"), lit(-1L).as("delta")))
+    bucketedPrefix(bounds, Seq(col("d"), col("delta"), col("o_orderkey")), buckets)(
+      spec => sum(col("delta")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("delta")),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .select(col("d"), col("o_orderkey"), col("delta"),
+        col("prefix").as("backlog"))
+  }
+
+  def orderBacklog(s: SparkSession, dir: String): DataFrame =
+    orderBacklog(Tables.orders(s, dir), Tables.lineitem(s, dir))
+
+  /** Revenue concentration: what share of total revenue the top 1% /
+    * 5% / 20% of customers carry — the whale-dependence KPI. Customer
+    * revenue ranks ride `bucketedPrefix` (cumulative cents over the
+    * (revenue desc, custkey) order); the cut ranks are integral ceils
+    * of the broadcast customer count, and each tier's share is one
+    * double division. Output: three rows (tier, n_customers, tier_rev
+    * cents, share).
+    */
+  def revenueConcentration(orders: DataFrame, buckets: Int = 32): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("rev_c"))
+    val tot = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("grand"))
+    // tracked: three tier branches re-read the ranked relation
+    val ranked = Caches.track(
+      bucketedPrefix(rev, Seq(col("rev_c").desc, col("o_custkey")), buckets)(
+        spec => sum(lit(1L)).over(
+          spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        count(lit(1)),
+        spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+        (run, off) => run + off)
+        .select(col("o_custkey"), col("rev_c"), col("prefix").as("rank")))
+    val tiers = Seq(1, 5, 20)
+    tiers.map { pct =>
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("rank") <= expr(s"($pct * n_cust + 99) div 100"))
+        .groupBy()
+        .agg(lit(pct.toLong).as("tier_pct"),
+          count(lit(1)).as("n_customers"),
+          sum(col("rev_c")).as("tier_rev_c"),
+          (sum(col("rev_c")).cast("double") / max(col("grand")).cast("double"))
+            .as("share"))
+    }.reduce(_ unionByName _)
+  }
+
+  def revenueConcentration(s: SparkSession, dir: String): DataFrame =
+    revenueConcentration(Tables.orders(s, dir))
 }

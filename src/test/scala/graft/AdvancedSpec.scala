@@ -654,6 +654,56 @@ class AdvancedSpec extends SparkSpec {
     assert(out === Map(1L -> ((2L, 2.0 / 3.0)), 7L -> ((1L, 1.0 / 3.0))))
   }
 
+  test("stickiness: DAU/MAU ratio on a hand-built activity pattern") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // day 1: users {1,2}; day 2: user {1}. MAU(day2) = {1,2} = 2.
+    val e = Seq((1L, ts(1), 1L), (2L, ts(1), 2L), (3L, ts(2), 1L))
+      .map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Advanced.stickiness(e).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("2024-01-01") === ((2L, 2L, 1.0)))
+    assert(out("2024-01-02") === ((1L, 2L, 0.5)))
+  }
+
+  test("orderBacklog: opens and closes net to zero, peak matches hand count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // o1 [d1, d5], o2 [d2, d3], o3 [d10, d11]: peak 2 during d2-d3,
+    // zero after d12.
+    val o = Seq((1L, ts(1)), (2L, ts(2)), (3L, ts(10)))
+      .map { case (k, t) => (k, 1L, "O", 10.0, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, 1, ts(4)), (1L, 2, ts(5)), (2L, 1, ts(3)), (3L, 1, ts(11)))
+      .map { case (k, n, t) => (k, 1L, 1L, n, 1.0, 1.0, 0.0, 0.0, "N", "O", t) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val rows = Advanced.orderBacklog(o, li).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(rows.map(_._2).max === 2L)
+    assert(rows.maxBy(_._1)._2 === 0L)
+  }
+
+  test("revenueConcentration: tiers nest and shares grow") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 100 customers, revenue = custkey dollars; top 1% = cust 100 alone.
+    val o = (1 to 100).map(i => (i.toLong, i.toLong, "O", i.toDouble, t0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Advanced.revenueConcentration(o).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((1L, 10000L)))              // cust 100: $100
+    assert(out(5L) === ((5L, (96 to 100).map(_ * 100L).sum)))
+    assert(out(20L)._1 === 20L)
+  }
+
   test("modalEventType: count wins, lexicographic tie-break") {
     import spark.implicits._
     import java.sql.Timestamp
