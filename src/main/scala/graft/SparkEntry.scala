@@ -175,6 +175,7 @@ object SparkEntry {
     "q147_stickiness" -> ((s, d) => Advanced.stickiness(s, d)),
     "q148_order_backlog" -> ((s, d) => Advanced.orderBacklog(s, d)),
     "q149_revenue_concentration" -> ((s, d) => Advanced.revenueConcentration(s, d)),
+    "q150_curation_funnel" -> ((s, d) => Prep.curationFunnel(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2725,6 +2726,35 @@ object SparkEntry {
         |FROM rk, tot, (SELECT CAST(unnest([1, 5, 20]) AS BIGINT) AS tier_pct) t
         |WHERE rank <= (t.tier_pct * n_cust + 99) // 100
         |GROUP BY 1""".stripMargin,
+
+    // q150: q49/q20/q50/q40's rules composed; the split hash is salted
+    // ('split|') so the sample and split decisions stay independent.
+    "q150_curation_funnel" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE NOT (n_chars < 50 OR n_chars > 5000
+        |    OR len(string_split(text, ' ')) < 10
+        |    OR CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) / len(string_split(text, ' ')) > 12.0
+        |    OR CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / length(text) > 0.10)
+        |), k AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)
+        |), dd AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+        |samp AS (
+        |  SELECT doc_id FROM dd
+        |  WHERE CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100
+        |    < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |), spl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    CAST('0x' || SUBSTR(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b
+        |    FROM samp)
+        |)
+        |SELECT '1_all' AS stage, COUNT(*) AS n_docs FROM documents
+        |UNION ALL SELECT '2_quality', COUNT(*) FROM q
+        |UNION ALL SELECT '3_dedup', COUNT(*) FROM dd
+        |UNION ALL SELECT '4_sampled', COUNT(*) FROM samp
+        |UNION ALL SELECT '5_' || split, COUNT(*) FROM spl GROUP BY split""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Caches
 import graft.functions.Text
 import graft.sources.Tables
 
@@ -64,6 +65,45 @@ object Prep {
       (size(reasons) === 0).as("keep"),
       concat_ws(",", reasons).as("reasons"))
   }
+
+  /** End-to-end curation funnel — the library's operators composed the
+    * way a real training-data pipeline runs them, with per-stage
+    * survivor counts: all → quality filter (q49's five rules) → exact
+    * dedup keepers (q20's min-id rule) → stratified sample (q50's
+    * per-language rates) → train/valid/test split. The split hash is
+    * SALTED ('split|' prefix) where the standalone q40 is not: the
+    * sample already consumed the unsalted doc_id bucket, and reusing it
+    * would correlate the two decisions (every sampled doc lands in
+    * train — a real and silent pipeline bug; independent salted hashes
+    * per decision is the fix this operator demonstrates). Each stage is
+    * a filter/semi-join over the previous stage's cached relation; the
+    * funnel output is five tiny aggregates unioned.
+    */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    val d = Caches.track(docs)
+    val quality = Caches.track(d.join(
+      qualityFilter(d).filter(col("keep")).select(col("doc_id")), Seq("doc_id")))
+    val keepers = quality.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val deduped = Caches.track(quality.join(keepers, Seq("doc_id"), "left_semi"))
+    val sampled = Caches.track(stratifiedSample(deduped))
+    val splits = sampled.select(col("doc_id"),
+      (conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 4),
+        16, 10).cast("long") % 100).as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "valid").otherwise("test"))
+    stage("1_all", d)
+      .unionByName(stage("2_quality", quality))
+      .unionByName(stage("3_dedup", deduped))
+      .unionByName(stage("4_sampled", sampled))
+      .unionByName(splits.groupBy(concat(lit("5_"), col("split")).as("stage"))
+        .agg(count(lit(1)).as("n_docs")))
+  }
+
+  def curationFunnel(s: SparkSession, dir: String): DataFrame =
+    curationFunnel(Tables.documents(s, dir))
 
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     qualityFilter(Tables.documents(s, dir))

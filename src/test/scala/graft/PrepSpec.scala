@@ -199,4 +199,18 @@ class PrepSpec extends SparkSpec {
     // actually occurred (they must, with 50-token budgets and real docs)
     assert(sawStraddle, "no document straddled a budget boundary — test too weak")
   }
+
+  test("curationFunnel: stages shrink monotonically and splits reconcile to the sample") {
+    val m = graft.operators.Prep.curationFunnel(
+      graft.sources.Tables.documents(spark, sf001)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("1_all") >= m("2_quality"))
+    assert(m("2_quality") >= m("3_dedup"))
+    assert(m("3_dedup") >= m("4_sampled"))
+    val splits = m.collect { case (k, v) if k.startsWith("5_") => v }.sum
+    assert(splits === m("4_sampled"), s"splits must partition the sample: $m")
+    // the salted split hash must actually spread (the unsalted bucket
+    // would put every sampled doc in train)
+    assert(m.keys.count(_.startsWith("5_")) >= 2, s"degenerate split: $m")
+  }
 }
