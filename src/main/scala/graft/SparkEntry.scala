@@ -176,6 +176,9 @@ object SparkEntry {
     "q148_order_backlog" -> ((s, d) => Advanced.orderBacklog(s, d)),
     "q149_revenue_concentration" -> ((s, d) => Advanced.revenueConcentration(s, d)),
     "q150_curation_funnel" -> ((s, d) => Prep.curationFunnel(s, d)),
+    "q151_open_order_aging" -> ((s, d) => Warehouse.openOrderAging(s, d)),
+    "q152_return_rates" -> ((s, d) => Warehouse.returnRates(s, d)),
+    "q153_supply_risk" -> ((s, d) => Warehouse.supplyRisk(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2755,6 +2758,53 @@ object SparkEntry {
         |UNION ALL SELECT '3_dedup', COUNT(*) FROM dd
         |UNION ALL SELECT '4_sampled', COUNT(*) FROM samp
         |UNION ALL SELECT '5_' || split, COUNT(*) FROM spl GROUP BY split""".stripMargin,
+
+    // q151: same horizon scalar and bucket boundaries.
+    "q151_open_order_aging" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+        |  FROM lineitem GROUP BY 1
+        |), h AS (SELECT MAX(close_d) AS h FROM ls)
+        |SELECT CASE WHEN age_days <= 365 THEN '0-1y'
+        |            WHEN age_days <= 1095 THEN '1-3y' ELSE '3y+' END AS age_bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_c
+        |FROM (
+        |  SELECT o_totalprice,
+        |    CAST(h - CAST(o_orderdate AS DATE) AS BIGINT) AS age_days
+        |  FROM orders JOIN ls ON o_orderkey = l_orderkey, h
+        |  WHERE close_d >= h
+        |) GROUP BY 1""".stripMargin,
+
+    // q152: exact integer numerators/denominators, one division each.
+    "q152_return_rates" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |    COUNT(*) AS n_items,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qty_c,
+        |    SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS ret_qty_c,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c,
+        |    SUM(CASE WHEN l_returnflag = 'R'
+        |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) ELSE 0 END) AS ret_rev_c
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT month, n_items,
+        |  CAST(ret_qty_c AS DOUBLE) / CAST(qty_c AS DOUBLE) AS qty_return_rate,
+        |  CAST(ret_rev_c AS DOUBLE) / CAST(rev_c AS DOUBLE) AS rev_return_rate
+        |FROM m""".stripMargin,
+
+    // q153: same sourcing buckets over distinct-supplier counts.
+    "q153_supply_risk" ->
+      """WITH p AS (
+        |  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT CASE WHEN n_suppliers <= 20 THEN 'concentrated'
+        |            WHEN n_suppliers <= 30 THEN 'moderate' ELSE 'diversified' END AS sourcing,
+        |  COUNT(*) AS n_parts, CAST(SUM(rev_c) AS BIGINT) AS rev_c
+        |FROM p GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

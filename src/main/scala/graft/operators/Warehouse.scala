@@ -458,4 +458,90 @@ object Warehouse {
 
   def monthEndBalance(s: SparkSession, dir: String): DataFrame =
     monthEndBalance(Tables.orders(s, dir))
+
+  /** Open-order aging report — the AR-aging staple: snapshot at the
+    * corpus horizon (the max ship date, one broadcast scalar — never
+    * wall-clock `now()`), an order counts as still open iff its last
+    * line ships on the horizon day itself (nothing ships later by
+    * construction), and each open order ages into 0–30 / 31–60 / 61+
+    * buckets by days from order date to horizon (year-scaled bounds —
+    * the synthetic ship lags run to years; the bounds are parameters),
+    * with the exact-cents value tied up per bucket. One lineitem aggregate, one broadcast
+    * scalar, one tiny grouped output.
+    */
+  def openOrderAging(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lastShip = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("close_d"))
+    val horizon = lastShip.agg(max(col("close_d")).as("h"))
+    orders
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("close_d") >= col("h"))
+      .withColumn("age_days",
+        datediff(col("h"), col("o_orderdate").cast("date")).cast("long"))
+      .withColumn("age_bucket",
+        when(col("age_days") <= 365, "0-1y")
+          .when(col("age_days") <= 1095, "1-3y")
+          .otherwise("3y+"))
+      .groupBy(col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("value_c"))
+  }
+
+  def openOrderAging(s: SparkSession, dir: String): DataFrame =
+    openOrderAging(Tables.orders(s, dir), Tables.lineitem(s, dir))
+
+  /** Monthly return rate: returned (l_returnflag = 'R') quantity and
+    * revenue share per ship month — the merchandising health metric.
+    * Numerators and denominators are exact integer cents/centi-units
+    * from ONE map-side-combined aggregate; each share is one double
+    * division per month row.
+    */
+  def returnRates(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")).as("qty_c"),
+        sum(when(col("l_returnflag") === "R",
+          (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .otherwise(0L)).as("ret_qty_c"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("rev_c"),
+        sum(when(col("l_returnflag") === "R",
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .otherwise(0L)).as("ret_rev_c"))
+      .select(col("month"), col("n_items"),
+        (col("ret_qty_c").cast("double") / col("qty_c").cast("double")).as("qty_return_rate"),
+        (col("ret_rev_c").cast("double") / col("rev_c").cast("double")).as("rev_return_rate"))
+
+  def returnRates(s: SparkSession, dir: String): DataFrame =
+    returnRates(Tables.lineitem(s, dir))
+
+  /** Supply-concentration risk: for each part, how many distinct
+    * suppliers ever shipped it; parts bucketed into concentrated /
+    * moderate / diversified sourcing with their revenue exposure — the
+    * supply-chain concentration screen. Thresholds are parameters (the
+    * synthetic catalog is many-sourced, min 13 suppliers per part; a
+    * real catalog would screen at 1/2). One (part, supplier) distinct, one part
+    * aggregate, one tiny bucket rollup; revenue joins on the same
+    * partkey shuffle.
+    */
+  def supplyRisk(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(count_distinct(col("l_suppkey")).as("n_suppliers"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("rev_c"))
+    perPart
+      .withColumn("sourcing",
+        when(col("n_suppliers") <= 20, "concentrated")
+          .when(col("n_suppliers") <= 30, "moderate")
+          .otherwise("diversified"))
+      .groupBy(col("sourcing"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"))
+  }
+
+  def supplyRisk(s: SparkSession, dir: String): DataFrame =
+    supplyRisk(Tables.lineitem(s, dir))
 }

@@ -207,4 +207,59 @@ class WarehouseSpec extends SparkSpec {
       "2024-02-01" -> ((2L, 25.00)),
       "2024-03-01" -> ((2L, 35.00))))
   }
+
+  test("openOrderAging: only horizon-day closers count, ages bucket by year bounds") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(y: Int, m: Int) = Timestamp.valueOf(f"$y%04d-$m%02d-01 00:00:00")
+    // horizon = 2024-06: o1 (ordered 2024-03, closes at horizon: 0-1y),
+    // o2 (ordered 2020-01, closes at horizon: 3y+), o3 closes early ->
+    // not open.
+    val o = Seq((1L, ts(2024, 3), 100.0), (2L, ts(2020, 1), 50.0), (3L, ts(2024, 1), 70.0))
+      .map { case (k, t, p) => (k, 1L, "O", p, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, 1, ts(2024, 6)), (2L, 1, ts(2024, 6)), (3L, 1, ts(2024, 2)))
+      .map { case (k, n, t) => (k, 1L, 1L, n, 1.0, 1.0, 0.0, 0.0, "N", "O", t) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = graft.operators.Warehouse.openOrderAging(o, li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("0-1y" -> ((1L, 10000L)), "3y+" -> ((1L, 5000L))))
+  }
+
+  test("returnRates: planted R lines produce the exact share") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-15 00:00:00")
+    // one month: qty 1+3 returned of 1+3+4=8 -> 0.5; rev 10+30 of 80 -> 0.5
+    val li = Seq((1L, 1, 1.0, 10.0, "R"), (2L, 1, 3.0, 30.0, "R"), (3L, 1, 4.0, 40.0, "N"))
+      .map { case (k, n, q, x, f) => (k, 1L, 1L, n, q, x, 0.0, 0.0, f, "O", t0) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val r = graft.operators.Warehouse.returnRates(li).collect().head
+    assert(r.getAs[Long]("n_items") === 3L)
+    assert(r.getAs[Double]("qty_return_rate") === 0.5)
+    assert(r.getAs[Double]("rev_return_rate") === 0.5)
+  }
+
+  test("supplyRisk: sourcing buckets split on supplier-count thresholds") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // part 1: 1 supplier (concentrated); part 2: 25 (moderate);
+    // part 3: 35 (diversified)
+    val rows = Seq((1L, Seq(1L)), (2L, (1L to 25L)), (3L, (1L to 35L)))
+      .flatMap { case (p, ss) => ss.map(sup => (p, sup)) }
+    val li = rows.zipWithIndex.map { case ((p, sup), i) =>
+      (i.toLong, p, sup, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t0) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val out = graft.operators.Warehouse.supplyRisk(li).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("concentrated" -> 1L, "moderate" -> 1L, "diversified" -> 1L))
+  }
 }
