@@ -179,6 +179,9 @@ object SparkEntry {
     "q151_open_order_aging" -> ((s, d) => Warehouse.openOrderAging(s, d)),
     "q152_return_rates" -> ((s, d) => Warehouse.returnRates(s, d)),
     "q153_supply_risk" -> ((s, d) => Warehouse.supplyRisk(s, d)),
+    "q154_purchase_regularity" -> ((s, d) => Advanced.purchaseRegularity(s, d)),
+    "q155_price_band_mix" -> ((s, d) => Advanced.priceBandMix(s, d)),
+    "q156_ltv_curve" -> ((s, d) => Advanced.ltvCurve(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2805,6 +2808,78 @@ object SparkEntry {
         |            WHEN n_suppliers <= 30 THEN 'moderate' ELSE 'diversified' END AS sourcing,
         |  COUNT(*) AS n_parts, CAST(SUM(rev_c) AS BIGINT) AS rev_c
         |FROM p GROUP BY 1""".stripMargin,
+
+    // q154: identical integer gap moments and four-op double CV chain.
+    "q154_purchase_regularity" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    o_orderkey
+        |  FROM orders
+        |), gp AS (
+        |  SELECT o_custkey,
+        |    d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap
+        |  FROM g
+        |), m AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |    CAST(SUM(gap) AS BIGINT) AS s1, CAST(SUM(gap * gap) AS BIGINT) AS s2
+        |  FROM gp WHERE gap IS NOT NULL GROUP BY 1 HAVING COUNT(*) >= 2
+        |)
+        |SELECT o_custkey, n AS n_gaps,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_days,
+        |  CASE WHEN s1 = 0 THEN NULL ELSE
+        |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |    / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) END AS cv
+        |FROM m""".stripMargin,
+
+    // q155: the same distinct-cents boundary ladder and band rule.
+    "q155_price_band_mix" ->
+      """WITH c AS (
+        |  SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders
+        |), n AS (SELECT COUNT(*) AS n FROM c),
+        |dist AS (SELECT c.c, COUNT(*) AS cnt FROM c GROUP BY 1),
+        |cum AS (SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum FROM dist),
+        |b AS (
+        |  SELECT MIN(CASE WHEN cum >= CEIL(n * 1 / 5.0) THEN c END) AS b1,
+        |    MIN(CASE WHEN cum >= CEIL(n * 2 / 5.0) THEN c END) AS b2,
+        |    MIN(CASE WHEN cum >= CEIL(n * 3 / 5.0) THEN c END) AS b3,
+        |    MIN(CASE WHEN cum >= CEIL(n * 4 / 5.0) THEN c END) AS b4
+        |  FROM cum, n
+        |), banded AS (
+        |  SELECT month,
+        |    1 + (b1 < c.c)::INT + (b2 < c.c)::INT + (b3 < c.c)::INT + (b4 < c.c)::INT AS band
+        |  FROM c, b
+        |), mc AS (
+        |  SELECT month, CAST(band AS BIGINT) AS band, COUNT(*) AS n FROM banded GROUP BY 1, 2
+        |)
+        |SELECT month, band, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY month) AS DOUBLE) AS share
+        |FROM mc""".stripMargin,
+
+    // q156: same integer month offsets and monotone cum pick.
+    "q156_ltv_curve" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_custkey, ym,
+        |    SUM(cents) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum_c,
+        |    ym - MIN(ym) OVER (PARTITION BY o_custkey) AS offset_m
+        |  FROM o
+        |), per AS (
+        |  SELECT o_custkey, offset_m, MAX(cum_c) AS cum_at_offset
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT offset_m, COUNT(*) AS n_customers,
+        |  CAST(SUM(cum_at_offset) AS DOUBLE) / COUNT(*) / 100.0 AS avg_cum_spend
+        |FROM per GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

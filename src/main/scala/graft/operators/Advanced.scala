@@ -1438,4 +1438,108 @@ object Advanced {
 
   def revenueConcentration(s: SparkSession, dir: String): DataFrame =
     revenueConcentration(Tables.orders(s, dir))
+
+  /** Purchase regularity: the coefficient of variation of each
+    * customer's inter-order gaps — low CV means clockwork reorder
+    * behavior, high CV means bursts. Gap moments (n, Σg, Σg²) are exact
+    * integers (days), the variance numerator n·Σg² − (Σg)² combines
+    * exactly, and the CV is a fixed four-op double chain (q97's moment
+    * discipline; gap magnitudes keep every integer far below 2^53, so
+    * direct casts round identically in both engines). Customers with
+    * fewer than two gaps are withheld — their CV is undefined, not 0.
+    */
+  def purchaseRegularity(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val gaps = orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(byCust))
+      .filter(col("gap").isNotNull)
+    val nD = col("n").cast("double")
+    gaps.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("s1"),
+        sum(col("gap") * col("gap")).as("s2"))
+      .filter(col("n") >= 2)
+      .select(col("o_custkey"), col("n").as("n_gaps"),
+        (col("s1").cast("double") / nD).as("mean_gap_days"),
+        when(col("s1") === 0, lit(null)).otherwise(
+          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (nD * (nD - lit(1.0)))) / (col("s1").cast("double") / nD))
+          .as("cv"))
+  }
+
+  def purchaseRegularity(s: SparkSession, dir: String): DataFrame =
+    purchaseRegularity(Tables.orders(s, dir))
+
+  /** Monthly price-band mix: each order lands in a GLOBAL price
+    * quintile (boundaries from the distinct-cents cumulative
+    * distribution — the q88 broadcast idiom, so no global sort of the
+    * fact table), and each month reports its band counts and shares —
+    * the mix-shift view that separates "revenue moved" from "the
+    * catalog moved". Shares are one double division per (month, band)
+    * row of a tiny aggregate.
+    */
+  def priceBandMix(orders: DataFrame): DataFrame = {
+    val cents = orders.select(col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+    val dist = cents.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("c"))
+    val cum = dist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n"))))
+    val bounds = cum.agg(
+      min(when(col("cum") >= ceil(col("n") * lit(1) / lit(5.0)), col("c"))).as("b1"),
+      (2 to 4).map(d =>
+        min(when(col("cum") >= ceil(col("n") * lit(d) / lit(5.0)), col("c"))).as(s"b$d")): _*)
+    val banded = cents.crossJoin(broadcast(bounds))
+      .withColumn("band",
+        lit(1) + (1 to 4).map(d =>
+          when(col(s"b$d") < col("c"), 1).otherwise(0)).reduce(_ + _))
+    banded.groupBy(col("month"), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_month", sum(col("n")).over(Window.partitionBy(col("month"))))
+      .select(col("month"), col("band").cast("long").as("band"), col("n"),
+        (col("n").cast("double") / col("n_month").cast("double")).as("share"))
+  }
+
+  def priceBandMix(s: SparkSession, dir: String): DataFrame =
+    priceBandMix(Tables.orders(s, dir))
+
+  /** Customer-lifetime-value accumulation curve: average cumulative
+    * spend at each tenure offset (months since the customer's first
+    * order), over the customers that placed an order AT that offset —
+    * the curve marketing reads expansion from. Cumulative cents ride a
+    * per-customer window; tenure is exact integer month arithmetic
+    * (y·12+m); the per-offset average is one double division. When a
+    * customer places several orders in one offset month, the LAST
+    * cumulative value of that month represents it (max of a
+    * monotonically increasing series).
+    */
+  def ltvCurve(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val perOrder = orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("cum_c", sum(col("cents")).over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("offset_m",
+        col("ym") - min(col("ym")).over(Window.partitionBy(col("o_custkey"))))
+    perOrder
+      .groupBy(col("o_custkey"), col("offset_m"))
+      .agg(max(col("cum_c")).as("cum_at_offset"))
+      .groupBy(col("offset_m"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cum_at_offset")).cast("double") / count(lit(1)) / 100.0)
+          .as("avg_cum_spend"))
+  }
+
+  def ltvCurve(s: SparkSession, dir: String): DataFrame =
+    ltvCurve(Tables.orders(s, dir))
 }

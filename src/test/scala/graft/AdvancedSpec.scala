@@ -704,6 +704,42 @@ class AdvancedSpec extends SparkSpec {
     assert(out(20L)._1 === 20L)
   }
 
+  test("purchaseRegularity: clockwork gaps give CV 0, bursts give positive CV") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // cust 1: days 1,8,15,22 -> gaps 7,7,7 -> CV 0; cust 2: gaps 1,13 ->
+    // mean 7, sd sqrt(((2*170-196)/2))=sqrt(72)≈8.485 -> CV > 1
+    val o = Seq(
+      (1L, 1L, ts(1)), (2L, 1L, ts(8)), (3L, 1L, ts(15)), (4L, 1L, ts(22)),
+      (5L, 2L, ts(1)), (6L, 2L, ts(2)), (7L, 2L, ts(15))
+    ).map { case (k, c, t) => (k, c, "O", 10.0, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Advanced.purchaseRegularity(o).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 === 3L && out(1L)._2 === 7.0 && out(1L)._3 === 0.0)
+    assert(out(2L)._2 === 7.0 && out(2L)._3 > 1.0)
+  }
+
+  test("ltvCurve: cumulative spend at tenure offsets, last value per offset month") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int, d: Int) = Timestamp.valueOf(f"2024-$m%02d-$d%02d 00:00:00")
+    // cust 1: Jan $10 + $20 (same offset 0 -> cum 30), Mar $5 (offset 2, cum 35)
+    // cust 2: Feb $100 (offset 0)
+    val o = Seq(
+      (1L, 1L, ts(1, 1), 10.0), (2L, 1L, ts(1, 20), 20.0), (3L, 1L, ts(3, 1), 5.0),
+      (4L, 2L, ts(2, 1), 100.0)
+    ).map { case (k, c, t, p) => (k, c, "O", p, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Advanced.ltvCurve(o).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L) === ((2L, 65.0))) // (30 + 100) / 2
+    assert(out(2L) === ((1L, 35.0)))
+  }
+
   test("modalEventType: count wins, lexicographic tie-break") {
     import spark.implicits._
     import java.sql.Timestamp
