@@ -31,6 +31,17 @@ case class FunnelEmit(user_id: Long, stage: Int,
                       view_sec: Option[Long], click_sec: Option[Long],
                       purchase_sec: Option[Long], completed: Boolean)
 
+/** A charge row for the streaming fraud monitor (order-shaped: amount
+  * pre-quantized to cents; ts is the order's event time). */
+case class Charge(o_orderkey: Long, o_custkey: Long, cents: Long,
+                  ts: java.sql.Timestamp)
+
+/** An emitted duplicate-charge alert — same fields as the batch screen
+  * (operators.Advanced.duplicateCharges) so stream and batch verdicts
+  * compare row-for-row. */
+case class ChargeAlert(o_custkey: Long, prev_key: Long, o_orderkey: Long,
+                       prev_c: Long, cents: Long, gap_days: Long)
+
 /** Event-time streaming operators (SURVEY.md §7.1 module 5): the windowed/
   * sessionized/stateful shapes the reference lacks, built the way they
   * must be built at scale — every aggregation carries a WATERMARK so the
@@ -212,6 +223,56 @@ object StreamingOps {
             else {
               state.update(st)
               // timeout at (latest event this trigger) + idle, in event time
+              state.setTimeoutTimestamp(sorted.last.ts.getTime, idle)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Continuous duplicate-charge monitor — the streaming arm of the q134
+    * batch screen (operators.Advanced.duplicateCharges), with the SAME
+    * rule: a customer's consecutive charges within `maxGapDays` whose
+    * amounts differ by ≤5% (integer test |Δ|·20 ≤ prev) alert
+    * immediately. State per customer is exactly ONE (last key, day,
+    * cents) tuple, and an event-time timeout `idle` past the gap window
+    * evicts dormant customers — a charge arriving after eviction cannot
+    * have alerted anyway (its gap exceeds the window), so eviction never
+    * loses an alert and state stays bounded by customers ACTIVE within
+    * the horizon, never all customers ever seen. Within a trigger,
+    * charges apply in (ts, key) order — the micro-batch contract, same
+    * as the funnel tracker.
+    */
+  def chargeMonitor(charges: Dataset[Charge], maxGapDays: Long = 30,
+      idle: String = "31 days"): Dataset[ChargeAlert] = {
+    import charges.sparkSession.implicits._
+    // state tuple: (last orderkey, last epoch-day, last cents)
+    charges
+      .withWatermark("ts", idle)
+      .groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[(Long, Long, Long), ChargeAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (cust: Long, rows: Iterator[Charge], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption
+            val sorted = rows.toSeq.sortBy(c => (c.ts.getTime, c.o_orderkey))
+            val out = scala.collection.mutable.ListBuffer.empty[ChargeAlert]
+            sorted.foreach { c =>
+              val day = java.time.LocalDateTime
+                .ofInstant(c.ts.toInstant, java.time.ZoneOffset.UTC)
+                .toLocalDate.toEpochDay
+              st.foreach { case (pk, pd, pc) =>
+                val gap = day - pd
+                if (gap <= maxGapDays && math.abs(c.cents - pc) * 20 <= pc)
+                  out += ChargeAlert(cust, pk, c.o_orderkey, pc, c.cents, gap)
+              }
+              st = Some((c.o_orderkey, day, c.cents))
+            }
+            st.foreach { s =>
+              state.update(s)
               state.setTimeoutTimestamp(sorted.last.ts.getTime, idle)
             }
             out.iterator

@@ -345,4 +345,43 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(batch === rows)
   }
+
+  test("chargeMonitor: streaming alerts equal the batch screen across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Charge, ChargeAlert}
+    def ts(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 00:00:00")
+    // cust 1: 100.00 then 102.00 five days later (alert), then 200.00
+    // (clean); the pair is SPLIT ACROSS TRIGGERS so the alert must come
+    // from the state store, not within-batch comparison.
+    // cust 2: same-day exact duplicate (alert in one trigger).
+    val mem = MemoryStream[Charge]
+    val q = StreamingOps.chargeMonitor(mem.toDS())
+      .writeStream.format("memory").queryName("charges")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      Charge(1L, 1L, 10000L, ts(1)),
+      Charge(4L, 2L, 10000L, ts(1)), Charge(5L, 2L, 10000L, ts(1)))
+    q.processAllAvailable()
+    mem.addData(
+      Charge(2L, 1L, 10200L, ts(6)),
+      Charge(3L, 1L, 20000L, ts(10)))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("charges").as[ChargeAlert].collect()
+      .map(a => (a.o_custkey, a.prev_key, a.o_orderkey, a.prev_c, a.cents, a.gap_days)).toSet
+    assert(streamed === Set(
+      (1L, 1L, 2L, 10000L, 10200L, 5L),
+      (2L, 4L, 5L, 10000L, 10000L, 0L)))
+    // batch twin on the same rows, via the q134 operator
+    val orders = Seq(
+      (1L, 1L, ts(1), 100.00), (2L, 1L, ts(6), 102.00), (3L, 1L, ts(10), 200.00),
+      (4L, 2L, ts(1), 100.00), (5L, 2L, ts(1), 100.00)
+    ).map { case (k, c, t, p) => (k, c, "O", p, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val batch = graft.operators.Advanced.duplicateCharges(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamed === batch)
+  }
 }
