@@ -182,6 +182,9 @@ object SparkEntry {
     "q154_purchase_regularity" -> ((s, d) => Advanced.purchaseRegularity(s, d)),
     "q155_price_band_mix" -> ((s, d) => Advanced.priceBandMix(s, d)),
     "q156_ltv_curve" -> ((s, d) => Advanced.ltvCurve(s, d)),
+    "q157_shipment_stagger" -> ((s, d) => Warehouse.shipmentStagger(s, d)),
+    "q158_cross_sell" -> ((s, d) => Advanced.crossSellMatrix(s, d)),
+    "q159_split_balance" -> ((s, d) => Advanced.splitBalance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2880,6 +2883,52 @@ object SparkEntry {
         |SELECT offset_m, COUNT(*) AS n_customers,
         |  CAST(SUM(cum_at_offset) AS DOUBLE) / COUNT(*) / 100.0 AS avg_cum_spend
         |FROM per GROUP BY 1""".stripMargin,
+
+    // q157: identical span/bucket rules.
+    "q157_shipment_stagger" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |    CAST(MAX(CAST(l_shipdate AS DATE)) - MIN(CAST(l_shipdate AS DATE)) AS BIGINT) AS span_days
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT o_orderpriority AS priority,
+        |  CASE WHEN n_lines = 1 THEN 'single_line'
+        |       WHEN span_days = 0 THEN 'same_day' ELSE 'staggered' END AS profile,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(span_days) AS DOUBLE) / COUNT(*) AS mean_span_days
+        |FROM orders JOIN s ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q158: distinct (order, family) pairs; directional conditionals.
+    "q158_cross_sell" ->
+      """WITH f AS (
+        |  SELECT DISTINCT l_orderkey AS o, string_split(p_name, ' ')[1] AS family
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), n AS (SELECT family, COUNT(*) AS n_a FROM f GROUP BY 1),
+        |ab AS (
+        |  SELECT a.family AS family_a, b.family AS family_b, COUNT(*) AS n_ab
+        |  FROM f a JOIN f b ON a.o = b.o AND a.family <> b.family
+        |  GROUP BY 1, 2
+        |)
+        |SELECT family_a, family_b, n_ab, n_a,
+        |  CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_b_given_a
+        |FROM ab JOIN n ON family_a = n.family""".stripMargin,
+
+    // q159: q40's buckets, exact shares, decimal-routed means.
+    "q159_split_balance" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |), s AS (
+        |  SELECT CASE WHEN bucket < 80 THEN 'train'
+        |              WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+        |    n_chars FROM b
+        |), t AS (SELECT COUNT(*) AS n_total FROM b)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE) AS share,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS mean_chars
+        |FROM s, t GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -1542,4 +1542,59 @@ object Advanced {
 
   def ltvCurve(s: SparkSession, dir: String): DataFrame =
     ltvCurve(Tables.orders(s, dir))
+
+  /** Family-level cross-sell matrix: P(family B in basket | family A in
+    * basket) over distinct (order, family) pairs — the
+    * coarse-granularity conditional the merchandiser reads next to
+    * q110's part-level pairs. Family count is bounded (leading name
+    * tokens), so the pair space is |families|² however large the fact
+    * table; counts are exact and each probability is one division.
+    * Directional (A→B and B→A both emitted, diagonal excluded).
+    */
+  def crossSellMatrix(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val fams = Caches.track(lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(part.select(col("p_partkey"),
+        substring_index(col("p_name"), " ", 1).as("family")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o"), col("family")).distinct())
+    val famN = fams.groupBy(col("family")).agg(count(lit(1)).as("n_a"))
+    fams.as("a")
+      .join(fams.as("b"), col("a.o") === col("b.o") &&
+        col("a.family") =!= col("b.family"))
+      .groupBy(col("a.family").as("family_a"), col("b.family").as("family_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(famN.withColumnRenamed("family", "family_a"), "family_a")
+      .select(col("family_a"), col("family_b"), col("n_ab"), col("n_a"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("p_b_given_a"))
+  }
+
+  def crossSellMatrix(s: SparkSession, dir: String): DataFrame =
+    crossSellMatrix(Tables.lineitem(s, dir), Tables.part(s, dir))
+
+  /** Split-balance audit: do the train/valid/test splits (q40's buckets)
+    * look alike on the metrics that matter? Per split: doc count, exact
+    * share, and the decimal-routed mean document length — the ML-hygiene
+    * check that a hash split didn't correlate with content. One per-row
+    * bucket projection, one tiny grouped output; a skewed mean here is
+    * how leakage bugs (like the one q150's salting fixes) get caught.
+    */
+  def splitBalance(docs: DataFrame): DataFrame = {
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    docs.select(col("doc_id"), col("n_chars"),
+      Corpus.hashBucket(col("doc_id")).as("b"))
+      .withColumn("split",
+        when(col("b") < 80, "train").when(col("b") < 90, "valid").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars").cast(DecimalType(18, 0))).cast("double") /
+          count(lit(1))).as("mean_chars"))
+      .crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double")).as("share"),
+        col("mean_chars"))
+  }
+
+  def splitBalance(s: SparkSession, dir: String): DataFrame =
+    splitBalance(Tables.documents(s, dir))
 }

@@ -544,4 +544,30 @@ object Warehouse {
 
   def supplyRisk(s: SparkSession, dir: String): DataFrame =
     supplyRisk(Tables.lineitem(s, dir))
+
+  /** Partial-shipment profile: per priority class, how many orders ship
+    * complete in one day vs stagger across a span — per order the line
+    * count and first→last ship span in integer days, then a tiny
+    * bucketed rollup (single-line / same-day / staggered) with the mean
+    * span from exact integer sums. One orderkey aggregate, one
+    * broadcast-scale grouped output.
+    */
+  def shipmentStagger(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spans = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        (datediff(max(col("l_shipdate").cast("date")),
+          min(col("l_shipdate").cast("date")))).cast("long").as("span_days"))
+    orders.select(col("o_orderkey"), col("o_orderpriority").as("priority"))
+      .join(spans, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("profile",
+        when(col("n_lines") === 1, "single_line")
+          .when(col("span_days") === 0, "same_day")
+          .otherwise("staggered"))
+      .groupBy(col("priority"), col("profile"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("span_days")).cast("double") / count(lit(1))).as("mean_span_days"))
+  }
+
+  def shipmentStagger(s: SparkSession, dir: String): DataFrame =
+    shipmentStagger(Tables.orders(s, dir), Tables.lineitem(s, dir))
 }
