@@ -185,6 +185,9 @@ object SparkEntry {
     "q157_shipment_stagger" -> ((s, d) => Warehouse.shipmentStagger(s, d)),
     "q158_cross_sell" -> ((s, d) => Advanced.crossSellMatrix(s, d)),
     "q159_split_balance" -> ((s, d) => Advanced.splitBalance(s, d)),
+    "q160_lang_concentration" -> ((s, d) => Corpus.langConcentration(s, d)),
+    "q161_lorenz_curve" -> ((s, d) => Advanced.lorenzCurve(s, d)),
+    "q162_repurchase_cycle" -> ((s, d) => Advanced.repurchaseCycle(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2929,6 +2932,60 @@ object SparkEntry {
         |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_total) AS DOUBLE) AS share,
         |  CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS mean_chars
         |FROM s, t GROUP BY 1""".stripMargin,
+
+    // q160: exact integer HHI ratio, one division.
+    "q160_lang_concentration" ->
+      """WITH sl AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+        |s AS (
+        |  SELECT source, COUNT(*) AS n_langs, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n * n) AS BIGINT) AS ss
+        |  FROM sl GROUP BY 1
+        |)
+        |SELECT source, n_langs, n_docs,
+        |  CAST(ss AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE) AS hhi
+        |FROM s""".stripMargin,
+
+    // q161: one global (rank, cum) window stands in for the
+    // struct-valued bucketed prefix; identical decile cut ranks.
+    "q161_lorenz_curve" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS n_cust, SUM(rev_c) AS grand FROM rev),
+        |rk AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS BIGINT) AS rank,
+        |    CAST(SUM(rev_c) OVER (ORDER BY rev_c, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+        |  FROM rev
+        |)
+        |SELECT CAST(d.d AS BIGINT) AS decile, rank AS n_cust_cum, cum_c,
+        |  CAST(cum_c AS DOUBLE) / CAST(grand AS DOUBLE) AS cum_share
+        |FROM rk, tot, (SELECT unnest(range(1, 11)) AS d) d
+        |WHERE rank = (d.d * n_cust + 9) // 10""".stripMargin,
+
+    // q162: distinct same-day purchases, per-(customer, family) lags,
+    // integral median rank per family.
+    "q162_repurchase_cycle" ->
+      """WITH p AS (
+        |  SELECT DISTINCT o_custkey, string_split(p_name, ' ')[1] AS family,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |), g AS (
+        |  SELECT o_custkey, family, d,
+        |    d - LAG(d) OVER (PARTITION BY o_custkey, family ORDER BY d) AS gap
+        |  FROM p
+        |), r AS (
+        |  SELECT family, gap,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY family ORDER BY gap, o_custkey, d) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY family) AS BIGINT) AS n
+        |  FROM g WHERE gap IS NOT NULL
+        |)
+        |SELECT family, COUNT(*) AS n_gaps,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_gap_days
+        |FROM r GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -1597,4 +1597,83 @@ object Advanced {
 
   def splitBalance(s: SparkSession, dir: String): DataFrame =
     splitBalance(Tables.documents(s, dir))
+
+  /** Customer-revenue Lorenz curve: cumulative revenue share at each
+    * customer decile (customers ascending by revenue — the inequality
+    * curve whose area complement is the Gini q100 computes in closed
+    * form for lengths). Global customer ranks AND the cumulative cents
+    * both ride one `bucketedPrefix` pass (struct-valued run: (count,
+    * cum cents)); decile cut points are integral ceils, and each of the
+    * ten output shares is one double division. The curve is exact — no
+    * sampling, no approximate percentiles.
+    */
+  def lorenzCurve(orders: DataFrame, buckets: Int = 32): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("rev_c"))
+    val tot = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("grand"))
+    val ranked = Caches.track(
+      bucketedPrefix(rev, Seq(col("rev_c"), col("o_custkey")), buckets)(
+        spec => struct(
+          sum(lit(1L)).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("rk"),
+          sum(col("rev_c")).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum")),
+        struct(count(lit(1)).as("rk"), sum(col("rev_c")).as("cum")),
+        spec => struct(
+          coalesce(sum(col("tot.rk")).over(spec), lit(0L)).as("rk"),
+          coalesce(sum(col("tot.cum")).over(spec), lit(0L)).as("cum")),
+        (run, off) => struct(
+          (run.getField("rk") + off.getField("rk")).as("rk"),
+          (run.getField("cum") + off.getField("cum")).as("cum")))
+        .select(col("prefix.rk").as("rank"), col("prefix.cum").as("cum_c")))
+    val deciles = (1 to 10).map { d =>
+      ranked.crossJoin(broadcast(tot))
+        .filter(col("rank") === expr(s"($d * n_cust + 9) div 10"))
+        .select(lit(d.toLong).as("decile"), col("rank").as("n_cust_cum"),
+          col("cum_c"),
+          (col("cum_c").cast("double") / col("grand").cast("double"))
+            .as("cum_share"))
+    }
+    deciles.reduce(_ unionByName _)
+  }
+
+  def lorenzCurve(s: SparkSession, dir: String): DataFrame =
+    lorenzCurve(Tables.orders(s, dir))
+
+  /** Family repurchase cycle: nearest-rank median days between a
+    * customer's CONSECUTIVE purchases within the same product family —
+    * the replenishment-rate table behind reorder reminders. Baskets
+    * reduce to distinct (customer, family, day) first (same-day lines
+    * are one purchase), gaps come from one (customer, family) lag
+    * window, and the median is q103's integral rank pick per family.
+    */
+  def repurchaseCycle(lineitem: DataFrame, orders: DataFrame, part: DataFrame): DataFrame = {
+    val purchases = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(part.select(col("p_partkey"),
+        substring_index(col("p_name"), " ", 1).as("family")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey"), col("family"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val byCf = Window.partitionBy(col("o_custkey"), col("family"))
+      .orderBy(col("d"))
+    val gaps = purchases
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(byCf))
+      .filter(col("gap").isNotNull)
+    val byFam = Window.partitionBy(col("family"))
+    gaps
+      .withColumn("rn", row_number().over(
+        byFam.orderBy(col("gap"), col("o_custkey"), col("d"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byFam).cast("long"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap"))).as("median_gap_days"))
+  }
+
+  def repurchaseCycle(s: SparkSession, dir: String): DataFrame =
+    repurchaseCycle(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.part(s, dir))
 }

@@ -519,4 +519,25 @@ object Corpus {
 
   def quantileNormalize(s: SparkSession, dir: String): DataFrame =
     quantileNormalize(Tables.documents(s, dir))
+
+  /** Language-concentration HHI per source: the Herfindahl–Hirschman
+    * index Σ shareᵢ² over each source's language mix — 1.0 means
+    * monolingual, 1/|langs| means uniform. Computed as the exact
+    * integer ratio (Σ nᵢ²) / (Σ nᵢ)² with ONE double division at the
+    * end, so no per-language float shares accumulate. Two map-side-
+    * combined aggregates over (source, lang) then source — nothing
+    * scales past |sources × langs|.
+    */
+  def langConcentration(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"), sum(col("n")).as("n_docs"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("source"), col("n_langs"), col("n_docs"),
+        (col("ss").cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("hhi"))
+
+  def langConcentration(s: SparkSession, dir: String): DataFrame =
+    langConcentration(Tables.documents(s, dir))
 }

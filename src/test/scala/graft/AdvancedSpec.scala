@@ -740,6 +740,48 @@ class AdvancedSpec extends SparkSpec {
     assert(out(2L) === ((1L, 35.0)))
   }
 
+  test("lorenzCurve: shares monotone, final decile is the whole pie") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    // 10 customers, revenue = custkey dollars -> decile d holds cum
+    // share (sum 1..d)/55
+    val o = (1 to 10).map(i => (i.toLong, i.toLong, "O", i.toDouble, t0, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Advanced.lorenzCurve(o).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    (1 to 10).foreach { d =>
+      val (n, share) = out(d.toLong)
+      assert(n === d.toLong)
+      assert(math.abs(share - (1 to d).sum.toDouble / 55.0) < 1e-15, s"decile $d")
+    }
+    assert(out(10L)._2 === 1.0)
+  }
+
+  test("repurchaseCycle: same-day lines collapse, median over planted gaps") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // cust 1 buys family 'widget' on days 1 (two lines), 4, 10 ->
+    // gaps 3, 6 -> median (rank 1 of 2) = 3
+    val o = Seq((1L, ts(1)), (2L, ts(1)), (3L, ts(4)), (4L, ts(10)))
+      .zipWithIndex.map { case ((k, t), _) => (k, 1L, "O", 10.0, t, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L))
+      .zipWithIndex.map { case ((ok, pk), i) =>
+        (ok, pk, 1L, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(1)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val p = Seq((10L, "widget alpha", "B", "T", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val out = Advanced.repurchaseCycle(li, o, p).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map("widget" -> ((2L, 3L))))
+  }
+
   test("modalEventType: count wins, lexicographic tie-break") {
     import spark.implicits._
     import java.sql.Timestamp
