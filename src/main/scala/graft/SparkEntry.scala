@@ -188,6 +188,9 @@ object SparkEntry {
     "q160_lang_concentration" -> ((s, d) => Corpus.langConcentration(s, d)),
     "q161_lorenz_curve" -> ((s, d) => Advanced.lorenzCurve(s, d)),
     "q162_repurchase_cycle" -> ((s, d) => Advanced.repurchaseCycle(s, d)),
+    "q163_sla_compliance" -> ((s, d) => Warehouse.slaCompliance(s, d)),
+    "q164_dormant_parts" -> ((s, d) => Warehouse.dormantParts(s, d)),
+    "q165_basket_sizes" -> ((s, d) => Warehouse.basketSizes(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2986,6 +2989,44 @@ object SparkEntry {
         |SELECT family, COUNT(*) AS n_gaps,
         |  MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_gap_days
         |FROM r GROUP BY 1""".stripMargin,
+
+    // q163: same literal target table and integer lag compare.
+    "q163_sla_compliance" ->
+      """WITH l AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lag_days,
+        |    CASE o_orderpriority WHEN '1-URGENT' THEN 60 WHEN '2-HIGH' THEN 90
+        |      WHEN '3-MEDIUM' THEN 120 ELSE 180 END AS target_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT priority, CAST(MAX(target_days) AS BIGINT) AS target_days,
+        |  COUNT(*) AS n_items,
+        |  COUNT(*) FILTER (lag_days <= target_days) AS n_on_time,
+        |  CAST(COUNT(*) FILTER (lag_days <= target_days) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS compliance
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // q164: same horizon scalar and 365-day dormancy rule.
+    "q164_dormant_parts" ->
+      """WITH p AS (
+        |  SELECT l_partkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+        |    COUNT(*) AS n_lifetime,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1
+        |), h AS (SELECT MAX(last_ship) AS h FROM p)
+        |SELECT l_partkey, last_ship, n_lifetime, rev_c
+        |FROM p, h WHERE h - last_ship > 365""".stripMargin,
+
+    // q165: same per-order line counts and exact mean values.
+    "q165_basket_sizes" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+        |)
+        |SELECT n_lines, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 100.0 AS mean_value
+        |FROM b JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -570,4 +570,73 @@ object Warehouse {
 
   def shipmentStagger(s: SparkSession, dir: String): DataFrame =
     shipmentStagger(Tables.orders(s, dir), Tables.lineitem(s, dir))
+
+  /** SLA compliance by priority: share of line items shipped within the
+    * priority class's day target (tighter targets for higher classes —
+    * a broadcast literal table, the way contract SLAs arrive). Lag is
+    * integer days; compliance is exact counts with one division per
+    * priority row.
+    */
+  def slaCompliance(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val target = when(col("priority") === "1-URGENT", 60L)
+      .when(col("priority") === "2-HIGH", 90L)
+      .when(col("priority") === "3-MEDIUM", 120L)
+      .otherwise(180L)
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority").as("priority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long"))
+      .withColumn("target_days", target)
+      .groupBy(col("priority"))
+      .agg(max(col("target_days")).as("target_days"),
+        count(lit(1)).as("n_items"),
+        count(when(col("lag_days") <= col("target_days"), 1)).as("n_on_time"))
+      .withColumn("compliance",
+        col("n_on_time").cast("double") / col("n_items").cast("double"))
+  }
+
+  def slaCompliance(s: SparkSession, dir: String): DataFrame =
+    slaCompliance(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Dormant parts: parts with no shipment in the final year before the
+    * corpus horizon, with the revenue they historically carried — the
+    * discontinue/clearance candidate list. The horizon is a broadcast
+    * scalar; dormancy is one per-part max compare, never an anti-join
+    * against a date-filtered copy of the fact table.
+    */
+  def dormantParts(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem.groupBy(col("l_partkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("last_ship"),
+        count(lit(1)).as("n_lifetime"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("rev_c"))
+    val horizon = perPart.agg(max(col("last_ship")).as("h"))
+    perPart.crossJoin(broadcast(horizon))
+      .filter(datediff(col("h"), col("last_ship")) > 365)
+      .select(col("l_partkey"), col("last_ship"), col("n_lifetime"), col("rev_c"))
+  }
+
+  def dormantParts(s: SparkSession, dir: String): DataFrame =
+    dormantParts(Tables.lineitem(s, dir))
+
+  /** Basket-size distribution: how many orders carry 1, 2, … line
+    * items, with the exact mean basket value per size — the
+    * order-economics histogram. Two map-side-combined aggregates,
+    * output bounded by the max basket size.
+    */
+  def basketSizes(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+      .join(orders.select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("cents")).cast("double") / count(lit(1)) / 100.0)
+          .as("mean_value"))
+
+  def basketSizes(s: SparkSession, dir: String): DataFrame =
+    basketSizes(Tables.orders(s, dir), Tables.lineitem(s, dir))
 }
