@@ -191,6 +191,9 @@ object SparkEntry {
     "q163_sla_compliance" -> ((s, d) => Warehouse.slaCompliance(s, d)),
     "q164_dormant_parts" -> ((s, d) => Warehouse.dormantParts(s, d)),
     "q165_basket_sizes" -> ((s, d) => Warehouse.basketSizes(s, d)),
+    "q166_supplier_scorecard" -> ((s, d) => Warehouse.supplierScorecard(s, d)),
+    "q167_discount_effect" -> ((s, d) => Warehouse.discountEffect(s, d)),
+    "q168_volume_anomalies" -> ((s, d) => Advanced.volumeAnomalies(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3027,6 +3030,64 @@ object SparkEntry {
         |    / COUNT(*) / 100.0 AS mean_value
         |FROM b JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // q166: q163's target table per supplier; exact-integer ratios.
+    "q166_supplier_scorecard" ->
+      """WITH l AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS lag_days,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS rev_c,
+        |    CASE o_orderpriority WHEN '1-URGENT' THEN 60 WHEN '2-HIGH' THEN 90
+        |      WHEN '3-MEDIUM' THEN 120 ELSE 180 END AS target_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+        |  CAST(SUM(lag_days) AS DOUBLE) / COUNT(*) AS mean_lag_days,
+        |  CAST(COUNT(*) FILTER (lag_days <= target_days) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS on_time_share
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // q167: basis-point bands; exact counts.
+    "q167_discount_effect" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) = 0 THEN 'none'
+        |         WHEN CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT) <= 500 THEN '1-5%'
+        |         ELSE '6%+' END AS band
+        |  FROM lineitem
+        |)
+        |SELECT band, COUNT(*) AS n_items,
+        |  COUNT(*) FILTER (l_returnflag = 'R') AS n_returned,
+        |  CAST(COUNT(*) FILTER (l_returnflag = 'R') AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS return_rate
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // q168: the same two nearest-rank picks and integer fence.
+    "q168_volume_anomalies" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT day, n,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY n, day) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS cnt
+        |  FROM d
+        |), m AS (
+        |  SELECT day, n, cnt,
+        |    MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n END) OVER () AS med
+        |  FROM r
+        |), dv AS (
+        |  SELECT day, n, cnt, med, ABS(n - med) AS dev,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ABS(n - med), day) AS BIGINT) AS drn
+        |  FROM m
+        |), md AS (
+        |  SELECT day, n, med, dev,
+        |    MAX(CASE WHEN drn = (cnt + 1) // 2 THEN dev END) OVER () AS mad
+        |  FROM dv
+        |)
+        |SELECT day, CAST(n AS BIGINT) AS n, CAST(med AS BIGINT) AS med,
+        |  CAST(mad AS BIGINT) AS mad, CAST(dev AS BIGINT) AS dev
+        |FROM md WHERE dev > 3 * mad""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -1676,4 +1676,39 @@ object Advanced {
 
   def repurchaseCycle(s: SparkSession, dir: String): DataFrame =
     repurchaseCycle(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.part(s, dir))
+
+  /** Robust daily-volume anomaly screen: days whose event count
+    * deviates from the median by more than `k`× the median absolute
+    * deviation — the outlier rule that a single crazy day can't skew
+    * (unlike z-scores, whose mean and sd the outlier itself drags).
+    * Both medians are nearest-rank integer picks over the daily-count
+    * relation (bounded by the calendar, so its global windows are the
+    * tiny-relation case, same argument as q88); the flag compare
+    * |x − med| > k·mad stays entirely in integers.
+    */
+  def volumeAnomalies(events: DataFrame, k: Int = 3): DataFrame = {
+    val daily = events
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    // global windows over the daily relation: |observed days| rows
+    val w = Window.orderBy(col("n"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()).cast("long"))
+      .withColumn("med",
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n")))
+          .over(Window.partitionBy()))
+      .withColumn("dev", abs(col("n") - col("med")))
+    val wd = Window.orderBy(col("dev"), col("day"))
+    med
+      .withColumn("drn", row_number().over(wd).cast("long"))
+      .withColumn("mad",
+        max(when(col("drn") === expr("(cnt + 1) div 2"), col("dev")))
+          .over(Window.partitionBy()))
+      .filter(col("dev") > lit(k.toLong) * col("mad"))
+      .select(col("day"), col("n"), col("med"), col("mad"), col("dev"))
+  }
+
+  def volumeAnomalies(s: SparkSession, dir: String): DataFrame =
+    volumeAnomalies(Tables.events(s, dir))
 }

@@ -639,4 +639,55 @@ object Warehouse {
 
   def basketSizes(s: SparkSession, dir: String): DataFrame =
     basketSizes(Tables.orders(s, dir), Tables.lineitem(s, dir))
+
+  /** Supplier scorecard: per supplier, shipment volume, exact revenue,
+    * mean ship lag, and on-time share against the q163 priority targets
+    * — the procurement review table. One orderkey join, one supplier
+    * aggregate; every ratio is a single division of exact integers.
+    */
+  def supplierScorecard(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val target = when(col("priority") === "1-URGENT", 60L)
+      .when(col("priority") === "2-HIGH", 90L)
+      .when(col("priority") === "3-MEDIUM", 120L)
+      .otherwise(180L)
+    lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("rev_c"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority").as("priority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long"))
+      .withColumn("on_time", when(col("lag_days") <= target, 1L).otherwise(0L))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("rev_c"),
+        (sum(col("lag_days")).cast("double") / count(lit(1))).as("mean_lag_days"),
+        (sum(col("on_time")).cast("double") / count(lit(1))).as("on_time_share"))
+  }
+
+  def supplierScorecard(s: SparkSession, dir: String): DataFrame =
+    supplierScorecard(Tables.lineitem(s, dir), Tables.orders(s, dir))
+
+  /** Discount-depth effectiveness: return-rate profile per discount
+    * band — does discounting deepen returns? Bands cut on exact cents
+    * of discount percentage (l_discount is a 0–0.10 fraction; band
+    * boundaries in integer basis points), counts exact, one division
+    * per band.
+    */
+  def discountEffect(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"),
+        (col("l_discount").cast(DecimalType(18, 4)) * 10000).cast("long").as("bp"))
+      .withColumn("band",
+        when(col("bp") === 0, "none")
+          .when(col("bp") <= 500, "1-5%")
+          .otherwise("6%+"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+      .withColumn("return_rate",
+        col("n_returned").cast("double") / col("n_items").cast("double"))
+
+  def discountEffect(s: SparkSession, dir: String): DataFrame =
+    discountEffect(Tables.lineitem(s, dir))
 }
