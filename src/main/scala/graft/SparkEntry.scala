@@ -194,6 +194,9 @@ object SparkEntry {
     "q166_supplier_scorecard" -> ((s, d) => Warehouse.supplierScorecard(s, d)),
     "q167_discount_effect" -> ((s, d) => Warehouse.discountEffect(s, d)),
     "q168_volume_anomalies" -> ((s, d) => Advanced.volumeAnomalies(s, d)),
+    "q169_trade_flows" -> ((s, d) => Relational.tradeFlows(s, d)),
+    "q170_seasonality_index" -> ((s, d) => Warehouse.seasonalityIndex(s, d)),
+    "q171_type_token_ratio" -> ((s, d) => Corpus.typeTokenRatio(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3088,6 +3091,46 @@ object SparkEntry {
         |SELECT day, CAST(n AS BIGINT) AS n, CAST(med AS BIGINT) AS med,
         |  CAST(mad AS BIGINT) AS mad, CAST(dev AS BIGINT) AS dev
         |FROM md WHERE dev > 3 * mad""".stripMargin,
+
+    // q169: Q7-shaped cross-border flows with exact decimal discounts.
+    "q169_trade_flows" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE ns.n_name <> nc.n_name
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q170: exact cents share scaled by 12.
+    "q170_seasonality_index" ->
+      """WITH m AS (
+        |  SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS month_of_year,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month_of_year, n_orders, rev_c,
+        |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER () AS DOUBLE) * 12.0
+        |    AS seasonality_index
+        |FROM m""".stripMargin,
+
+    // q171: same single-space tokenization as Text.words.
+    "q171_type_token_ratio" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tok AS (SELECT lang, COUNT(*) AS n_tokens FROM w GROUP BY 1),
+        |typ AS (
+        |  SELECT lang, COUNT(*) AS n_types FROM (SELECT DISTINCT lang, w FROM w) GROUP BY 1
+        |)
+        |SELECT tok.lang, n_tokens, n_types,
+        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+        |FROM tok JOIN typ ON tok.lang = typ.lang""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

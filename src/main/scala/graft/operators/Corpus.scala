@@ -540,4 +540,24 @@ object Corpus {
 
   def langConcentration(s: SparkSession, dir: String): DataFrame =
     langConcentration(Tables.documents(s, dir))
+
+  /** Type-token ratio per language — the lexical-density diagnostic
+    * (low TTR = repetitive/templated text, high = diverse vocabulary).
+    * Token totals are a plain count; the distinct-type count aggregates
+    * over the exploded (lang, word) relation — both map-side-combined,
+    * the division exact-over-exact once per language.
+    */
+  def typeTokenRatio(docs: DataFrame): DataFrame = {
+    val words = Caches.track(docs
+      .select(col("lang"), explode(Text.words(col("text"))).as("w")))
+    val tokens = words.groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+    val types = words.select(col("lang"), col("w")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_types"))
+    tokens.join(types, "lang")
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"))
+  }
+
+  def typeTokenRatio(s: SparkSession, dir: String): DataFrame =
+    typeTokenRatio(Tables.documents(s, dir))
 }

@@ -415,6 +415,36 @@ object Relational {
       .select(col("s_suppkey"), col("n_name"), col("s_acctbal"), col("pr"))
   }
 
+  /** Nation trade-flow matrix, Q7-shaped: discounted revenue flowing
+    * from each supplier nation to each customer nation — the bounded
+    * |nations|² view of cross-border volume. Same join strategy as
+    * q135: nations broadcast, supplier broadcast, customer and the
+    * fact tables shuffle; exact decimal discount math with one double
+    * conversion after the sum.
+    */
+  def tradeFlows(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2)))).as("disc_price"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sk"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("disc_price")).cast("double").as("revenue"))
+
   def partVelocity(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
     val q = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey").as("part"),

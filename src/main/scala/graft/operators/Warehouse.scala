@@ -690,4 +690,25 @@ object Warehouse {
 
   def discountEffect(s: SparkSession, dir: String): DataFrame =
     discountEffect(Tables.lineitem(s, dir))
+
+  /** Month-of-year seasonality index: each calendar month's share of
+    * total revenue scaled by 12 — 1.0 means no seasonality, 1.3 a 30%
+    * hot month. Exact cents share, two divisions per row of a 12-row
+    * output.
+    */
+  def seasonalityIndex(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(month(col("o_orderdate")).cast("long").as("month_of_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("rev_c"))
+    monthly
+      .withColumn("grand", sum(col("rev_c")).over(Window.partitionBy()))
+      .select(col("month_of_year"), col("n_orders"), col("rev_c"),
+        (col("rev_c").cast("double") / col("grand").cast("double") * 12.0)
+          .as("seasonality_index"))
+  }
+
+  def seasonalityIndex(s: SparkSession, dir: String): DataFrame =
+    seasonalityIndex(Tables.orders(s, dir))
 }
