@@ -197,6 +197,9 @@ object SparkEntry {
     "q169_trade_flows" -> ((s, d) => Relational.tradeFlows(s, d)),
     "q170_seasonality_index" -> ((s, d) => Warehouse.seasonalityIndex(s, d)),
     "q171_type_token_ratio" -> ((s, d) => Corpus.typeTokenRatio(s, d)),
+    "q172_category_breadth" -> ((s, d) => Advanced.categoryBreadth(s, d)),
+    "q173_median_order_trend" -> ((s, d) => Advanced.medianOrderTrend(s, d)),
+    "q174_vocab_growth" -> ((s, d) => Corpus.vocabGrowth(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3131,6 +3134,60 @@ object SparkEntry {
         |SELECT tok.lang, n_tokens, n_types,
         |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
         |FROM tok JOIN typ ON tok.lang = typ.lang""".stripMargin,
+
+    // q172: distinct family breadth per customer; same bucket rules.
+    "q172_category_breadth" ->
+      """WITH cf AS (
+        |  SELECT DISTINCT o_custkey, string_split(p_name, ' ')[1] AS family
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |), nb AS (
+        |  SELECT o_custkey, COUNT(*) AS n_families FROM cf GROUP BY 1
+        |), cr AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS rev_c
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT CASE WHEN n_families <= 2 THEN 'specialist'
+        |            WHEN n_families <= 5 THEN 'regular' ELSE 'explorer' END AS breadth,
+        |  COUNT(*) AS n_customers, CAST(SUM(rev_c) AS BIGINT) AS rev_c
+        |FROM nb JOIN cr USING (o_custkey) GROUP BY 1""".stripMargin,
+
+    // q173: same integral p50 pick per quarter.
+    "q173_median_order_trend" ->
+      """WITH q AS (
+        |  SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+        |    o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |), r AS (
+        |  SELECT quarter, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY quarter ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY quarter) AS BIGINT) AS n
+        |  FROM q
+        |)
+        |SELECT quarter, COUNT(*) AS n_orders,
+        |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS DOUBLE) / 100.0
+        |    AS median_value
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q174: first-occurrence checkpoint histogram + ten-row prefixes.
+    "q174_vocab_growth" ->
+      """WITH w AS (
+        |  SELECT CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 // 10 AS ck,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), tok AS (SELECT ck, COUNT(*) AS n_tokens FROM w GROUP BY 1),
+        |fst AS (
+        |  SELECT ck, COUNT(*) AS n_new_types FROM (
+        |    SELECT w, MIN(ck) AS ck FROM w GROUP BY 1) GROUP BY 1
+        |)
+        |SELECT tok.ck AS checkpoint, n_tokens,
+        |  COALESCE(n_new_types, 0) AS n_new_types,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY tok.ck) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(n_new_types, 0)) OVER (ORDER BY tok.ck) AS BIGINT) AS cum_vocab
+        |FROM tok LEFT JOIN fst ON tok.ck = fst.ck""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

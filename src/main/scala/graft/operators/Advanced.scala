@@ -1711,4 +1711,58 @@ object Advanced {
 
   def volumeAnomalies(s: SparkSession, dir: String): DataFrame =
     volumeAnomalies(Tables.events(s, dir))
+
+  /** Category breadth: how many distinct product families each customer
+    * has ever bought, bucketed into specialists (≤2), regulars (≤5),
+    * and explorers, with the revenue each cohort carries. Distinct
+    * (customer, family) first, then two tiny aggregates; revenue joins
+    * on the customer aggregate, never re-scanning line items per
+    * bucket.
+    */
+  def categoryBreadth(lineitem: DataFrame, orders: DataFrame, part: DataFrame): DataFrame = {
+    val custFam = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(part.select(col("p_partkey"),
+        substring_index(col("p_name"), " ", 1).as("family")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey"), col("family")).distinct()
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_families"))
+    val custRev = orders.groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("rev_c"))
+    custFam.join(custRev, "o_custkey")
+      .withColumn("breadth",
+        when(col("n_families") <= 2, "specialist")
+          .when(col("n_families") <= 5, "regular")
+          .otherwise("explorer"))
+      .groupBy(col("breadth"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("rev_c"))
+  }
+
+  def categoryBreadth(s: SparkSession, dir: String): DataFrame =
+    categoryBreadth(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.part(s, dir))
+
+  /** Quarterly median order value: nearest-rank p50 of order cents per
+    * quarter — the trend line resistant to whale orders that drag a
+    * mean. Quarter-partitioned rank windows, integral pick, one
+    * cents→dollars conversion per quarter row.
+    */
+  def medianOrderTrend(orders: DataFrame): DataFrame = {
+    val byQ = Window.partitionBy(col("quarter"))
+    val ranked = orders
+      .select(date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter"),
+        col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(
+        byQ.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byQ).cast("long"))
+    ranked.groupBy(col("quarter"))
+      .agg(count(lit(1)).as("n_orders"),
+        (max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+          .cast("double") / 100.0).as("median_value"))
+  }
+
+  def medianOrderTrend(s: SparkSession, dir: String): DataFrame =
+    medianOrderTrend(Tables.orders(s, dir))
 }

@@ -560,4 +560,34 @@ object Corpus {
 
   def typeTokenRatio(s: SparkSession, dir: String): DataFrame =
     typeTokenRatio(Tables.documents(s, dir))
+
+  /** Vocabulary growth curve (Heaps'-law data points): cumulative
+    * distinct vocabulary vs cumulative tokens at ten corpus
+    * checkpoints, WITHOUT any distributed cumulative-distinct state —
+    * each word contributes once at the checkpoint of its FIRST
+    * occurrence (min doc-id decile), so the curve is two ten-row prefix
+    * sums over first-occurrence and token histograms. Checkpoints are
+    * md5-bucket deciles of doc_id, making "corpus prefix" deterministic
+    * and engine-portable rather than ingestion-order-dependent.
+    */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val words = Caches.track(docs
+      .select((hashBucket(col("doc_id")) / lit(10)).cast("long").as("ck"),
+        explode(Text.words(col("text"))).as("w")))
+    val tokens = words.groupBy(col("ck")).agg(count(lit(1)).as("n_tokens"))
+    val firsts = words.groupBy(col("w")).agg(min(col("ck")).as("ck"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("n_new_types"))
+    val w10 = Window.orderBy(col("ck"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(firsts, Seq("ck"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      // ten-row relation: the global windows here are the tiny case
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w10))
+      .withColumn("cum_vocab", sum(col("n_new_types")).over(w10))
+      .select(col("ck").as("checkpoint"), col("n_tokens"), col("n_new_types"),
+        col("cum_tokens"), col("cum_vocab"))
+  }
+
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(s, dir))
 }
