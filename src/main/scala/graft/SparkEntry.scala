@@ -200,6 +200,9 @@ object SparkEntry {
     "q172_category_breadth" -> ((s, d) => Advanced.categoryBreadth(s, d)),
     "q173_median_order_trend" -> ((s, d) => Advanced.medianOrderTrend(s, d)),
     "q174_vocab_growth" -> ((s, d) => Corpus.vocabGrowth(s, d)),
+    "q175_lag_by_basket" -> ((s, d) => Warehouse.lagByBasketSize(s, d)),
+    "q176_weekend_mix" -> ((s, d) => Warehouse.weekendMix(s, d)),
+    "q177_negative_balances" -> ((s, d) => Warehouse.negativeBalances(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3188,6 +3191,48 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) OVER (ORDER BY tok.ck) AS BIGINT) AS cum_tokens,
         |  CAST(SUM(COALESCE(n_new_types, 0)) OVER (ORDER BY tok.ck) AS BIGINT) AS cum_vocab
         |FROM tok LEFT JOIN fst ON tok.ck = fst.ck""".stripMargin,
+
+    // q175: same buckets and exact lag moments.
+    "q175_lag_by_basket" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |    MAX(CAST(l_shipdate AS DATE)) AS last_ship
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT CASE WHEN n_lines <= 2 THEN '1-2'
+        |              WHEN n_lines <= 4 THEN '3-4' ELSE '5+' END AS size_bucket,
+        |    CAST(last_ship - CAST(o_orderdate AS DATE) AS BIGINT) AS lag_days
+        |  FROM orders JOIN p ON o_orderkey = l_orderkey
+        |)
+        |SELECT size_bucket, COUNT(*) AS n_orders,
+        |  CAST(SUM(lag_days) AS DOUBLE) / COUNT(*) AS mean_lag_days,
+        |  MAX(lag_days) AS max_lag_days
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // q176: isodow weekend rule (engines' default dayofweek disagree).
+    "q176_weekend_mix" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS isodow
+        |  FROM orders
+        |)
+        |SELECT month, COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (isodow >= 6) AS n_weekend,
+        |  CAST(COUNT(*) FILTER (isodow >= 6) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS weekend_share
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // q177: negative-balance exposure per role and nation, exact cents.
+    "q177_negative_balances" ->
+      """SELECT role, n_name, n_accounts, exposure_c FROM (
+        |  SELECT 'customer' AS role, c_nationkey AS nk, COUNT(*) AS n_accounts,
+        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS exposure_c
+        |  FROM customer WHERE c_acctbal < 0 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'supplier', s_nationkey, COUNT(*),
+        |    CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY 2
+        |) JOIN nation ON nk = n_nationkey""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -711,4 +711,70 @@ object Warehouse {
 
   def seasonalityIndex(s: SparkSession, dir: String): DataFrame =
     seasonalityIndex(Tables.orders(s, dir))
+
+  /** Fulfillment speed vs basket size: does a bigger order ship slower?
+    * Mean and max ship lag per basket-size bucket — exact integer
+    * moments, one division per bucket row.
+    */
+  def lagByBasketSize(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val per = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        max(col("l_shipdate").cast("date")).as("last_ship"))
+    orders.select(col("o_orderkey"), col("o_orderdate"))
+      .join(per, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("lag_days",
+        datediff(col("last_ship"), col("o_orderdate").cast("date")).cast("long"))
+      .withColumn("size_bucket",
+        when(col("n_lines") <= 2, "1-2")
+          .when(col("n_lines") <= 4, "3-4")
+          .otherwise("5+"))
+      .groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("lag_days")).cast("double") / count(lit(1))).as("mean_lag_days"),
+        max(col("lag_days")).as("max_lag_days"))
+  }
+
+  def lagByBasketSize(s: SparkSession, dir: String): DataFrame =
+    lagByBasketSize(Tables.orders(s, dir), Tables.lineitem(s, dir))
+
+  /** Weekend order mix per month: the share of orders placed on ISO
+    * weekend days — the demand-rhythm check (same ISO numbering pin as
+    * q139; the engines' default dayofweek disagree). Exact counts, one
+    * division per month.
+    */
+  def weekendMix(orders: DataFrame): DataFrame =
+    orders
+      .select(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        (weekday(col("o_orderdate").cast("date")) + 1).cast("long").as("isodow"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("isodow") >= 6, 1)).as("n_weekend"))
+      .withColumn("weekend_share",
+        col("n_weekend").cast("double") / col("n_orders").cast("double"))
+
+  def weekendMix(s: SparkSession, dir: String): DataFrame =
+    weekendMix(Tables.orders(s, dir))
+
+  /** Credit-risk exposure: customers and suppliers holding NEGATIVE
+    * account balances per nation — count and total exposure in exact
+    * cents, both roles in one unioned output. Two tiny aggregates over
+    * balance-filtered dimension scans; the filter pushes to parquet.
+    */
+  def negativeBalances(customer: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    def side(df: DataFrame, key: String, bal: String, role: String) =
+      df.filter(col(bal) < 0)
+        .groupBy(col(key).as("nationkey"))
+        .agg(count(lit(1)).as("n_accounts"),
+          sum((col(bal).cast(DecimalType(18, 2)) * 100).cast("long")).as("exposure_c"))
+        .withColumn("role", lit(role))
+    side(customer, "c_nationkey", "c_acctbal", "customer")
+      .unionByName(side(supplier, "s_nationkey", "s_acctbal", "supplier"))
+      .join(broadcast(nation), col("nationkey") === col("n_nationkey"))
+      .select(col("role"), col("n_name"), col("n_accounts"), col("exposure_c"))
+  }
+
+  def negativeBalances(s: SparkSession, dir: String): DataFrame =
+    negativeBalances(Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))
 }
