@@ -203,6 +203,9 @@ object SparkEntry {
     "q175_lag_by_basket" -> ((s, d) => Warehouse.lagByBasketSize(s, d)),
     "q176_weekend_mix" -> ((s, d) => Warehouse.weekendMix(s, d)),
     "q177_negative_balances" -> ((s, d) => Warehouse.negativeBalances(s, d)),
+    "q178_engagement_diversity" -> ((s, d) => Advanced.engagementDiversity(s, d)),
+    "q179_gap_histogram" -> ((s, d) => Advanced.gapHistogram(s, d)),
+    "q180_size_revenue_corr" -> ((s, d) => Advanced.sizeRevenueCorr(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3233,6 +3236,59 @@ object SparkEntry {
         |    CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         |  FROM supplier WHERE s_acctbal < 0 GROUP BY 2
         |) JOIN nation ON nk = n_nationkey""".stripMargin,
+
+    // q178: weekly distinct-type cohorts with exact volume ratios.
+    "q178_engagement_diversity" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT CAST(n_types AS BIGINT) AS n_types, COUNT(*) AS n_user_weeks,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mean_events
+        |FROM u GROUP BY 1""".stripMargin,
+
+    // q179: same week-wide capped buckets.
+    "q179_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    o_orderkey
+        |  FROM orders
+        |), gp AS (
+        |  SELECT d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap
+        |  FROM g
+        |)
+        |SELECT LEAST(gap // 7, 26) AS week_bucket, COUNT(*) AS n_gaps
+        |FROM gp WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // q180: q97's moment discipline; VARCHAR route for the
+    // correctly-rounded int128->double conversions.
+    "q180_size_revenue_corr" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS y
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT p_brand, CAST(p_size AS HUGEINT) AS x, y
+        |  FROM rev JOIN part ON l_partkey = p_partkey
+        |), m AS (
+        |  SELECT p_brand, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(x * y) AS sxy, SUM(y * y) AS syy
+        |  FROM j GROUP BY 1
+        |), d AS (
+        |  SELECT p_brand, n,
+        |    CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS cov,
+        |    CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS vx,
+        |    CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vy
+        |  FROM m
+        |)
+        |SELECT p_brand, n,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |       ELSE cov / (sqrt(vx) * sqrt(vy)) END AS corr
+        |FROM d""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

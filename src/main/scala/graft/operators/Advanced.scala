@@ -1765,4 +1765,79 @@ object Advanced {
 
   def medianOrderTrend(s: SparkSession, dir: String): DataFrame =
     medianOrderTrend(Tables.orders(s, dir))
+
+  /** Engagement diversity: how many distinct event types each (user,
+    * week) exercises, cohorted with event volume — weekly single-
+    * feature visits vs full-surface power weeks (lifetime diversity
+    * saturates; the weekly grain is where the distribution lives).
+    * One (user, week, type)-keyed aggregate chain; output bounded by
+    * |types| cohorts.
+    */
+  def engagementDiversity(events: DataFrame): DataFrame = {
+    val perUserWeek = events
+      .groupBy(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(count_distinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"))
+    perUserWeek.groupBy(col("n_types"))
+      .agg(count(lit(1)).as("n_user_weeks"), sum(col("n_events")).as("n_events"),
+        (sum(col("n_events")).cast("double") / count(lit(1))).as("mean_events"))
+  }
+
+  def engagementDiversity(s: SparkSession, dir: String): DataFrame =
+    engagementDiversity(Tables.events(s, dir))
+
+  /** Inter-order gap histogram: the corpus-wide distribution of days
+    * between a customer's consecutive orders, in week-wide buckets
+    * capped at 26+ — the reorder-rhythm curve q154 summarizes per
+    * customer. One lag window, one bounded histogram aggregate.
+    */
+  def gapHistogram(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(byCust))
+      .filter(col("gap").isNotNull)
+      .withColumn("week_bucket", least(expr("gap div 7"), lit(26L)))
+      .groupBy(col("week_bucket"))
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  def gapHistogram(s: SparkSession, dir: String): DataFrame =
+    gapHistogram(Tables.orders(s, dir))
+
+  /** Does part size predict revenue? Pearson correlation of (p_size,
+    * lifetime revenue cents) per brand, in q97's exact-moment
+    * discipline: integer sums, n·Σxy − ΣxΣy combined exactly in
+    * decimal, one fixed double chain per brand. Null when a brand has
+    * no size variance.
+    */
+  def sizeRevenueCorr(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .as("y"))
+    val joined = rev.join(part.select(col("p_partkey"), col("p_brand"),
+      col("p_size").cast("long").as("x")),
+      col("l_partkey") === col("p_partkey"))
+    val m = joined.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum((col("x").cast(DecimalType(38, 0)) * col("y"))).as("sxy"),
+        sum((col("y").cast(DecimalType(38, 0)) * col("y"))).as("syy"))
+    val cov = (col("n").cast(DecimalType(38, 0)) * col("sxy") -
+      col("sx").cast(DecimalType(38, 0)) * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n").cast(DecimalType(38, 0)) * col("syy") -
+      col("sy").cast(DecimalType(38, 0)) * col("sy")).cast("double")
+    m.select(col("p_brand"), col("n"),
+      when(vx === 0.0 || vy === 0.0, lit(null))
+        .otherwise(cov / (sqrt(vx) * sqrt(vy))).as("corr"))
+  }
+
+  def sizeRevenueCorr(s: SparkSession, dir: String): DataFrame =
+    sizeRevenueCorr(Tables.lineitem(s, dir), Tables.part(s, dir))
 }
