@@ -209,6 +209,9 @@ object SparkEntry {
     "q181_brand_share" -> ((s, d) => Relational.brandShare(s, d)),
     "q182_line_dominance" -> ((s, d) => Relational.lineDominance(s, d)),
     "q183_export_diversity" -> ((s, d) => Relational.supplierExportDiversity(s, d)),
+    "q184_acquisition_curve" -> ((s, d) => Advanced.acquisitionCurve(s, d)),
+    "q185_arpu_trend" -> ((s, d) => Advanced.arpuTrend(s, d)),
+    "q186_pre_transition_dwell" -> ((s, d) => Advanced.preTransitionDwell(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3332,6 +3335,39 @@ object SparkEntry {
         |SELECT l_suppkey, COUNT(*) AS n_nations, CAST(SUM(n) AS BIGINT) AS n_items,
         |  CAST(SUM(n * n) AS DOUBLE) / CAST(SUM(n) * SUM(n) AS DOUBLE) AS hhi
         |FROM f GROUP BY 1""".stripMargin,
+
+    // q184: first-quarter reduce + tiny cumulative.
+    "q184_acquisition_curve" ->
+      """WITH f AS (
+        |  SELECT o_custkey, MIN(CAST(date_trunc('quarter', o_orderdate) AS DATE)) AS quarter
+        |  FROM orders GROUP BY 1
+        |), q AS (SELECT quarter, COUNT(*) AS n_new FROM f GROUP BY 1)
+        |SELECT quarter, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY quarter ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_customers
+        |FROM q""".stripMargin,
+
+    // q185: exact cents over exact distinct actives.
+    "q185_arpu_trend" ->
+      """SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+        |  COUNT(DISTINCT o_custkey) AS n_active,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS DOUBLE)
+        |    / COUNT(DISTINCT o_custkey) / 100.0 AS arpu
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q186: q130's lead gap keyed to the destination type.
+    "q186_pre_transition_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events
+        |)
+        |SELECT next_type, COUNT(*) AS n_intervals,
+        |  CAST(SUM(next_us - us) AS BIGINT) AS total_us,
+        |  CAST(SUM(next_us - us) AS DOUBLE) / COUNT(*) AS mean_us
+        |FROM e WHERE next_us IS NOT NULL GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

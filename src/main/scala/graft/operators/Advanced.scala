@@ -1840,4 +1840,61 @@ object Advanced {
 
   def sizeRevenueCorr(s: SparkSession, dir: String): DataFrame =
     sizeRevenueCorr(Tables.lineitem(s, dir), Tables.part(s, dir))
+
+  /** Customer acquisition curve: new customers per quarter (first-ever
+    * order) with the cumulative base — per-customer min reduces the
+    * fact table once; the cumulative runs over the tiny quarter
+    * relation (the bounded-relation global-window case).
+    */
+  def acquisitionCurve(orders: DataFrame): DataFrame = {
+    val firsts = orders
+      .groupBy(col("o_custkey"))
+      .agg(min(date_trunc("quarter", col("o_orderdate")).cast("date")).as("quarter"))
+      .groupBy(col("quarter"))
+      .agg(count(lit(1)).as("n_new"))
+    firsts
+      .withColumn("cum_customers",
+        sum(col("n_new")).over(Window.orderBy(col("quarter"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def acquisitionCurve(s: SparkSession, dir: String): DataFrame =
+    acquisitionCurve(Tables.orders(s, dir))
+
+  /** Quarterly ARPU: revenue per distinct active customer — the unit
+    * economics trend. Exact cents and exact distinct counts in one
+    * aggregate; one division per quarter row.
+    */
+  def arpuTrend(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter"))
+      .agg(count_distinct(col("o_custkey")).as("n_active"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("rev_c"))
+      .withColumn("arpu",
+        col("rev_c").cast("double") / col("n_active").cast("double") / 100.0)
+
+  def arpuTrend(s: SparkSession, dir: String): DataFrame =
+    arpuTrend(Tables.orders(s, dir))
+
+  /** Pre-transition dwell: how long users linger BEFORE each event type
+    * — q130's lead gaps re-keyed to the DESTINATION type, separating
+    * "pause before purchasing" from "pause before leaving". Same single
+    * per-user window; exact micros.
+    */
+  def preTransitionDwell(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(byUser))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .groupBy(col("next_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("next_us") - col("us")).as("total_us"))
+      .withColumn("mean_us", col("total_us").cast("double") / col("n_intervals"))
+  }
+
+  def preTransitionDwell(s: SparkSession, dir: String): DataFrame =
+    preTransitionDwell(Tables.events(s, dir))
 }
