@@ -212,6 +212,9 @@ object SparkEntry {
     "q184_acquisition_curve" -> ((s, d) => Advanced.acquisitionCurve(s, d)),
     "q185_arpu_trend" -> ((s, d) => Advanced.arpuTrend(s, d)),
     "q186_pre_transition_dwell" -> ((s, d) => Advanced.preTransitionDwell(s, d)),
+    "q187_char_class_profile" -> ((s, d) => Corpus.charClassProfile(s, d)),
+    "q188_qty_by_price_band" -> ((s, d) => Advanced.quantityByPriceBand(s, d)),
+    "q189_expansion_cohorts" -> ((s, d) => Advanced.expansionCohorts(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3368,6 +3371,64 @@ object SparkEntry {
         |  CAST(SUM(next_us - us) AS BIGINT) AS total_us,
         |  CAST(SUM(next_us - us) AS DOUBLE) / COUNT(*) AS mean_us
         |FROM e WHERE next_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // q187: identical regex classes and exact ratios.
+    "q187_char_class_profile" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars_t,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars_t) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_digit) AS DOUBLE) / CAST(SUM(n_chars_t) AS DOUBLE) AS digit_ratio,
+        |  CAST(SUM(n_punct) AS DOUBLE) / CAST(SUM(n_chars_t) AS DOUBLE) AS punct_ratio,
+        |  CAST(SUM(n_space) AS DOUBLE) / CAST(SUM(n_chars_t) AS DOUBLE) AS space_ratio
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // q188: the same distinct-cents boundary ladder over unit prices.
+    "q188_qty_by_price_band" ->
+      """WITH r AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q
+        |  FROM lineitem
+        |), n AS (SELECT COUNT(*) AS n FROM r),
+        |dist AS (SELECT c, COUNT(*) AS cnt FROM r GROUP BY 1),
+        |cum AS (SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum FROM dist),
+        |b AS (
+        |  SELECT MIN(CASE WHEN cum >= CEIL(n * 1 / 5.0) THEN c END) AS b1,
+        |    MIN(CASE WHEN cum >= CEIL(n * 2 / 5.0) THEN c END) AS b2,
+        |    MIN(CASE WHEN cum >= CEIL(n * 3 / 5.0) THEN c END) AS b3,
+        |    MIN(CASE WHEN cum >= CEIL(n * 4 / 5.0) THEN c END) AS b4
+        |  FROM cum, n
+        |)
+        |SELECT CAST(1 + (b1 < c)::INT + (b2 < c)::INT + (b3 < c)::INT + (b4 < c)::INT AS BIGINT) AS band,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 100.0 AS mean_qty
+        |FROM r, b GROUP BY 1""".stripMargin,
+
+    // q189: same first/last picks and integer ratio tests.
+    "q189_expansion_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders
+        |), r AS (
+        |  SELECT o_custkey, c,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+        |    FIRST_VALUE(c) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS first_c
+        |  FROM o
+        |)
+        |SELECT CASE WHEN n = 1 THEN 'single_order'
+        |            WHEN c >= first_c * 2 THEN 'expanding'
+        |            WHEN c * 2 <= first_c THEN 'contracting'
+        |            ELSE 'stable' END AS cohort,
+        |  COUNT(*) AS n_customers
+        |FROM r WHERE rn = n GROUP BY 1""".stripMargin,
 
     // q104: layout-independent fingerprint aggregate (same as q85's),
     // recomputed straight from the parquet source.

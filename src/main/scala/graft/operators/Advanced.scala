@@ -1897,4 +1897,64 @@ object Advanced {
 
   def preTransitionDwell(s: SparkSession, dir: String): DataFrame =
     preTransitionDwell(Tables.events(s, dir))
+
+  /** Quantity demand by price band: mean line quantity per global
+    * unit-price quintile — the discrete elasticity proxy. Bands come
+    * from the q88/q155 boundary-broadcast idiom over distinct
+    * extendedprice cents; quantities accumulate as exact centi-units
+    * with one division per band.
+    */
+  def quantityByPriceBand(lineitem: DataFrame): DataFrame = {
+    val rows = lineitem.select(
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"),
+      (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("q"))
+    val dist = rows.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val cum = dist.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("c"))))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n"))))
+    val bounds = cum.agg(
+      min(when(col("cum") >= ceil(col("n") * lit(1) / lit(5.0)), col("c"))).as("b1"),
+      (2 to 4).map(d =>
+        min(when(col("cum") >= ceil(col("n") * lit(d) / lit(5.0)), col("c"))).as(s"b$d")): _*)
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("band",
+        (lit(1) + (1 to 4).map(d =>
+          when(col(s"b$d") < col("c"), 1).otherwise(0)).reduce(_ + _)).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("q")).cast("double") / count(lit(1)) / 100.0).as("mean_qty"))
+  }
+
+  def quantityByPriceBand(s: SparkSession, dir: String): DataFrame =
+    quantityByPriceBand(Tables.lineitem(s, dir))
+
+  /** Customer expansion cohorts: each customer's LAST order value vs
+    * FIRST, cohorted into expanding (last ≥ 2× first), stable, and
+    * contracting (last ≤ half) — both picks deterministic under the
+    * (date, key) total order, the ratio test in pure integers.
+    * Single-order customers are their own cohort, not silently stable.
+    */
+  def expansionCohorts(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val fl = orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      .withColumn("rn", row_number().over(byCust))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+      .withColumn("first_c", first(col("c")).over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("rn") === col("n"))
+    fl.withColumn("cohort",
+      when(col("n") === 1, "single_order")
+        .when(col("c") >= col("first_c") * 2, "expanding")
+        .when(col("c") * 2 <= col("first_c"), "contracting")
+        .otherwise("stable"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  def expansionCohorts(s: SparkSession, dir: String): DataFrame =
+    expansionCohorts(Tables.orders(s, dir))
 }

@@ -590,4 +590,27 @@ object Corpus {
 
   def vocabGrowth(s: SparkSession, dir: String): DataFrame =
     vocabGrowth(Tables.documents(s, dir))
+
+  /** Character-class profile per language: digit / punctuation / space
+    * mass as exact integer counts with one division each — the
+    * script-level fingerprint language-ID sanity checks read. One
+    * per-row regexp projection, one map-side-combined aggregate.
+    */
+  def charClassProfile(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+      length(col("text")).cast("long").as("n_chars_t"),
+      regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("n_punct"),
+      regexp_count(col("text"), lit(" ")).cast("long").as("n_space"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars_t")).as("n_chars"),
+        sum(col("n_digit")).as("n_digit"), sum(col("n_punct")).as("n_punct"),
+        sum(col("n_space")).as("n_space"))
+      .select(col("lang"), col("n_docs"), col("n_chars"),
+        (col("n_digit").cast("double") / col("n_chars").cast("double")).as("digit_ratio"),
+        (col("n_punct").cast("double") / col("n_chars").cast("double")).as("punct_ratio"),
+        (col("n_space").cast("double") / col("n_chars").cast("double")).as("space_ratio"))
+
+  def charClassProfile(s: SparkSession, dir: String): DataFrame =
+    charClassProfile(Tables.documents(s, dir))
 }
