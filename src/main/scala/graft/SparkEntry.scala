@@ -215,6 +215,9 @@ object SparkEntry {
     "q187_char_class_profile" -> ((s, d) => Corpus.charClassProfile(s, d)),
     "q188_qty_by_price_band" -> ((s, d) => Advanced.quantityByPriceBand(s, d)),
     "q189_expansion_cohorts" -> ((s, d) => Advanced.expansionCohorts(s, d)),
+    "q190_oov_rate" -> ((s, d) => Corpus.oovRate(s, d)),
+    "q191_semantic_decontam" -> ((s, d) => Similarity.semanticDecontam(s, d)),
+    "q192_incremental_mv" -> ((s, d) => Warehouse.incrementalMv(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3442,5 +3445,50 @@ object SparkEntry {
         |    + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1)) AS BIGINT) AS text_fp
         |FROM documents
         |GROUP BY lang""".stripMargin,
+
+    // q190: the same deterministic top-200 vocabulary (count desc, word
+    // asc) and the same per-source OOV rollup.
+    "q190_oov_rate" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+        |), v AS (
+        |  SELECT word FROM (
+        |    SELECT word, COUNT(*) AS n FROM w GROUP BY 1
+        |    ORDER BY n DESC, word LIMIT 200)
+        |)
+        |SELECT w.source, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS oov_rate
+        |FROM w LEFT JOIN v ON w.word = v.word
+        |GROUP BY 1""".stripMargin,
+
+    // q191: the q24 fixed-point cosine kernel against the vec_id%50
+    // eval slice, max per training vector, same 0.35 flag line.
+    "q191_semantic_decontam" ->
+      """WITH t AS (
+        |  SELECT vec_id AS test_id, embedding AS te FROM embeddings WHERE vec_id % 50 = 0
+        |), pairs AS (
+        |  SELECT e.vec_id, t.test_id,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(t.te[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS dot,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS na,
+        |    SUM(CAST(floor(CAST(t.te[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(t.te[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS nt
+        |  FROM embeddings e, t, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) l
+        |  WHERE e.vec_id % 50 != 0
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT vec_id,
+        |    MAX(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nt AS DOUBLE)))) AS max_cos
+        |  FROM pairs GROUP BY 1
+        |)
+        |SELECT vec_id, max_cos FROM c WHERE max_cos >= 0.35""".stripMargin,
+
+    // q192: the oracle recomputes the view from scratch — the merge of
+    // base + delta aggregates must be exactly lossless.
+    "q192_incremental_mv" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders GROUP BY 1""".stripMargin,
   )
 }

@@ -613,4 +613,36 @@ object Corpus {
 
   def charClassProfile(s: SparkSession, dir: String): DataFrame =
     charClassProfile(Tables.documents(s, dir))
+
+  /** Tokenizer-coverage audit: the out-of-vocabulary token rate per
+    * source against the corpus's own top-`vocabSize` word list (ties
+    * broken by word, so the vocabulary is deterministic). The vocabulary
+    * is a bounded global top-k (`TakeOrderedAndProject` — k rows reach
+    * the driver, never the full type inventory) and rejoins as a
+    * broadcast, so the token stream is scanned twice but never shuffled
+    * by word a second time: the OOV flag is a map-side broadcast-hash
+    * lookup and the per-source rollup partial-aggregates to one row per
+    * source per task. The shape a tokenizer-coverage report keeps at a
+    * 100 TB corpus — cost is two passes, zero wide exchanges.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val words = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+    val vocab = words
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(vocabSize)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  def oovRate(s: SparkSession, dir: String): DataFrame =
+    oovRate(Tables.documents(s, dir), 200)
 }

@@ -431,4 +431,36 @@ object Similarity {
 
   def quantileCodebook(s: SparkSession, dir: String): DataFrame =
     quantileCodebook(Tables.embeddings(s, dir))
+
+  /** Semantic decontamination: flag training vectors whose best cosine
+    * against a held-out evaluation set reaches `threshold` — the
+    * embedding-space complement of the shingle-overlap check (q55), for
+    * paraphrased leakage that shares no exact n-grams. The eval set is a
+    * deterministic id-residue slice (`vec_id % modulo == 0`, the same
+    * engine-portable convention as the md5 split family) and BROADCASTS:
+    * the training corpus is scored in one pass without ever shuffling,
+    * and the per-vector max partial-aggregates to one row per vector per
+    * task before the exchange. Cost at 100 TB = |corpus| · |eval| dot
+    * products, map-side — the eval set is the small, fixed side by
+    * construction, so this stays a single broadcast-scan at any corpus
+    * size. Exact fixed-point arithmetic end-to-end (FixedPointDot), so
+    * the flagged set is bit-identical to the DuckDB oracle.
+    */
+  def semanticDecontam(emb: DataFrame, modulo: Int, threshold: Double): DataFrame = {
+    val e = prepared(emb)
+    val eval = e.filter(col("vec_id") % modulo === 0)
+      .select(col("vec_id").as("test_id"), col("embedding").as("te"), col("n2").as("tn2"))
+    e.filter(col("vec_id") % modulo =!= 0)
+      .crossJoin(broadcast(eval))
+      .select(
+        col("vec_id"),
+        Vectors.cosineFromParts(
+          FixedPoint.dotF(col("embedding"), col("te")), col("n2"), col("tn2")).as("cosine"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cosine")).as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+  }
+
+  def semanticDecontam(s: SparkSession, dir: String): DataFrame =
+    semanticDecontam(Tables.embeddings(s, dir), modulo = 50, threshold = 0.35)
 }

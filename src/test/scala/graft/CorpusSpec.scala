@@ -28,6 +28,18 @@ class CorpusSpec extends SparkSpec {
     assert(top.toSeq === Seq(("alpha", 4L, 3L), ("beta", 4L, 2L)))
   }
 
+  test("oovRate flags exactly the tokens outside the deterministic top-k vocabulary") {
+    // vocab size 2 -> {alpha, beta} (tie on n=4 broken by word asc puts
+    // alpha first; both survive the cut). web tokens: alpha beta alpha |
+    // alpha gamma | delta | alpha delta epsilon = 9, oov {gamma, delta,
+    // delta, epsilon} = 4; books: beta x3 = 3 tokens, 0 oov.
+    val r = Corpus.oovRate(corpus, 2).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate"))).toMap
+    assert(r("web") === ((9L, 4L, 4.0 / 9.0)))
+    assert(r("books") === ((3L, 0L, 0.0)))
+  }
+
   test("splitAssign is deterministic, complete, and within bucket bounds") {
     val a = Corpus.splitAssign(corpus).collect()
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("bucket"), r.getAs[String]("split"))).toMap

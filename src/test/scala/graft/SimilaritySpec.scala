@@ -53,6 +53,23 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("semanticDecontam flags exactly the training vectors near the eval slice") {
+    // vec 0 (vec_id % 2 == 0) is the eval vector; vec 1 is a planted
+    // near-copy (flagged), vec 3 is its negation (max_cos < 0), vec 5 is
+    // alternating-sign noise (below threshold).
+    val v = Seq.fill(dims)(0.5f)
+    val df = emb(
+      0L -> v,
+      1L -> v.updated(0, 0.51f),
+      3L -> v.map(_ * -1f),
+      5L -> Seq.tabulate(dims)(i => if (i % 2 == 0) 0.9f else -0.9f))
+    val out = Similarity.semanticDecontam(df, modulo = 2, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("max_cos")))
+    assert(out.map(_._1).toSeq === Seq(1L))
+    // engine max-cos matches the Scala fixed-point reference bit-for-bit
+    assert(out.head._2 === refCosine(v, v.updated(0, 0.51f)))
+  }
+
   test("bounded top-k aggregator: reduce/merge keep best-first total order, cap at k") {
     val agg = new BoundedTopK(3)
     val xs = Seq(Scored(5, 0.1), Scored(2, 0.9), Scored(1, 0.9), Scored(3, 0.5), Scored(4, 0.7))

@@ -42,6 +42,23 @@ class WarehouseSpec extends SparkSpec {
       s"expected per-tag bucketed tables, got $names")
   }
 
+  test("incrementalMv: base+delta merge is lossless vs a from-scratch rollup") {
+    import org.apache.spark.sql.types.DecimalType
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    val cutoff = "1997-06-01"
+    // the cutoff must split the fact table for the merge path to be exercised
+    assert(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")).limit(1).count() === 1)
+    assert(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp")).limit(1).count() === 1)
+    val merged = Warehouse.incrementalMv(orders, cutoff).collect()
+      .map(r => r.get(0) -> (r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_c"))).toMap
+    val full = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("c"))
+      .collect().map(r => r.get(0) -> (r.getAs[Long]("n"), r.getAs[Long]("c"))).toMap
+    assert(merged === full)
+  }
+
   test("scd2History: one current row per customer; intervals half-open, chained, non-overlapping") {
     val orders = graft.sources.Tables.orders(spark, sf0001)
     val hist = Warehouse.scd2History(orders).collect()
