@@ -100,11 +100,23 @@ object Bench {
     val qs = timed.map { case (k, v) =>
       JsonEscape.quote(k.takeWhile(_ != '_')) + ":" + ms3(v)
     }.mkString("{", ",", "}")
+    // The stdout line must parse no matter how many queries fail: the
+    // harness captures only the final ~2000 chars, and an unbounded errors
+    // map (39 failures × ~70 chars in round 8) pushes the line past that
+    // and loses EVERY timing. Full messages are already on stderr above;
+    // here we list only the first few failing qNN keys with a stub message
+    // plus a count of the rest, keeping the errors part under ~150 chars
+    // at any failure count.
     val errsPart =
       if (failed.isEmpty) ""
-      else failed.map { case (k, m) =>
-        JsonEscape.quote(k.takeWhile(_ != '_')) + ":" + JsonEscape.quote(m.take(60))
-      }.mkString(""","errors":{""", ",", "}")
+      else {
+        val shown = failed.take(5).map { case (k, m) =>
+          JsonEscape.quote(k.takeWhile(_ != '_')) + ":" + JsonEscape.quote(m.take(12))
+        }
+        val more =
+          if (failed.size > 5) Seq(s""""more":${failed.size - 5}""") else Nil
+        (shown ++ more).mkString(""","errors":{""", ",", "}")
+      }
     val total = timed.map(_._2).sum
     println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs$errsPart,"sf":"$sfDir"}""")
     spark.stop()

@@ -20,6 +20,12 @@ object Verify {
     // SPARK_GRAFT_ONLY=q105,q106 runs only matching prefixes; unset = full
     // sweep (driver mode always runs unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def q(s: String): String = JsonEscape.quote(s)
+    // A query that throws must be a LOUD red row, never a silent omission:
+    // round 8's driver report simply lacked entries for 39 erroring queries
+    // because the catch below only printed to stderr. Collect every failure
+    // into errors.json beside the dumps so breakage is an explicit artifact.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -29,11 +35,17 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.take(300)
       }
       finally scope.release()
     }
-    def q(s: String): String = JsonEscape.quote(s)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} FAILED queries -> $outDir/errors.json")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

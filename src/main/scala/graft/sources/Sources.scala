@@ -125,23 +125,36 @@ object Sources {
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.TimestampNTZType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read the ns ticks as long and
-    * truncate to a µs wall-clock timestamp with INTEGER division — the
-    * ticks (~1.7e18) are beyond double's 2^53 exact range, so a float
-    * division here rounds some stamps up a microsecond and silently
-    * diverges from any engine that converts exactly (the data's ticks are
-    * whole microseconds, so exact conversion is lossless).
+  /** events.parquet's `ts` column has shipped in two physical layouts across
+    * testdata generations, so the loader adapts to the footer schema instead
+    * of assuming either:
+    *
+    *  - TIMESTAMP(NANOS): Spark's parquet reader rejects it outright
+    *    (PARQUET_TYPE_ILLEGAL) unless `nanosAsLong` is set, which surfaces
+    *    the ns ticks as LongType. We truncate to µs with INTEGER division —
+    *    the ticks (~1.7e18) are beyond double's 2^53 exact range, so a float
+    *    division would round some stamps up a microsecond and silently
+    *    diverge from any engine that converts exactly (the data's ticks are
+    *    whole microseconds, so integer conversion is lossless).
+    *  - TIMESTAMP(MICROS/MILLIS): arrives as TimestampType (or NTZ); a plain
+    *    cast normalizes to TimestampNTZType.
+    *
+    * Both paths land on the same `ts: TimestampNTZType`, so every downstream
+    * query is layout-agnostic. The legacy flag stays set so the nanos layout
+    * keeps reading if a future regeneration reverts.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(p(dir, "events"))
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = s.read.parquet(p(dir, "events"))
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts")
+    }
+    raw.withColumn("ts", ts.cast(TimestampNTZType))
   }
 
   def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "region"))

@@ -44,6 +44,45 @@ class SourcesSpec extends SparkSpec {
     assert(got.size === 16)
   }
 
+  test("Tables.events adapts to both ts parquet layouts (ns-long and timestamp)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import spark.implicits._
+
+    // the same three instants in both physical layouts the testdata has
+    // shipped with across regenerations
+    val micros = Seq(1700000000000000L, 1700000000500000L, 1700086400000000L)
+    val base = Files.createTempDirectory("events-layouts").toString
+
+    // legacy layout: int64 ns ticks (what nanosAsLong surfaces for
+    // TIMESTAMP(NANOS) files)
+    val nsDir = s"$base/ns"
+    micros.map(_ * 1000L).toDF("ts").withColumn("id", monotonically_increasing_id())
+      .write.parquet(s"$nsDir/events.parquet")
+
+    // current layout: TIMESTAMP(MICROS) — written from TimestampNTZ
+    val usDir = s"$base/us"
+    micros.toDF("us")
+      .select(timestamp_micros($"us").cast(TimestampNTZType).as("ts"))
+      .withColumn("id", monotonically_increasing_id())
+      .write.parquet(s"$usDir/events.parquet")
+
+    val fromNs = graft.sources.Tables.events(spark, nsDir)
+    val fromUs = graft.sources.Tables.events(spark, usDir)
+    assert(fromNs.schema("ts").dataType === TimestampNTZType)
+    assert(fromUs.schema("ts").dataType === TimestampNTZType)
+    val a = fromNs.select($"ts".cast("string")).as[String].collect().sorted.toSeq
+    val b = fromUs.select($"ts".cast("string")).as[String].collect().sorted.toSeq
+    assert(a === b)
+    assert(a.size === 3)
+
+    // and the driver's actual testdata (whatever layout it carries today)
+    // must load to the same normalized type with live rows
+    val real = graft.sources.Tables.events(spark, sf0001)
+    assert(real.schema("ts").dataType === TimestampNTZType)
+    assert(real.limit(1).count() === 1)
+  }
+
   test("decode tolerates malformed messages as null-field rows, not crashes") {
     import spark.implicits._
     val junk = Seq("{not json", """{"streamingeventid":"x1","heartrate":"nope"}""")
