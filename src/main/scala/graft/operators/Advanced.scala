@@ -996,6 +996,10 @@ object Advanced {
     val fwd = Caches.track(edges
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      // an edge with a degree-1 endpoint cannot sit in any triangle:
+      // dropping it here shrinks both legs of the wedge self-join and the
+      // closure probe for free (the degree join is already in the plan)
+      .filter(col("da") >= 2 && col("db") >= 2)
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("a"))
@@ -1006,13 +1010,18 @@ object Advanced {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("db"))
           .otherwise(col("da")).as("dv")))
-    val wedges = fwd.as("x").join(fwd.as("y"),
+    // both joins hint shuffle_hash: the equi-key (u, then (w1,w2)) is
+    // high-cardinality and neither side is meaningfully sorted, so a sort
+    // -merge pick here pays two wide sorts for nothing — and an unpinned
+    // choice was observed flapping between strategies run-to-run (5 s vs
+    // 11 s on identical data)
+    val wedges = fwd.as("x").hint("shuffle_hash").join(fwd.as("y").hint("shuffle_hash"),
       col("x.u") === col("y.u") &&
         (col("x.dv") < col("y.dv") ||
           (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
       .select(col("x.u").as("w0"), col("x.v").as("w1"), col("y.v").as("w2"))
-    wedges
-      .join(fwd.select(col("u").as("w1"), col("v").as("w2")),
+    wedges.hint("shuffle_hash")
+      .join(fwd.select(col("u").as("w1"), col("v").as("w2")).hint("shuffle_hash"),
         Seq("w1", "w2"), "left_semi")
       .select(explode(array(col("w0"), col("w1"), col("w2"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))

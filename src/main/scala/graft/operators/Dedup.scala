@@ -302,6 +302,17 @@ object Dedup {
     * map-side combined); the test side left-semi-joins it keyed by
     * shingle — high-cardinality key, balanced partitions, and the
     * left-semi means train shingles are never duplicated per match.
+    *
+    * Round-9 A/B note: two alternatives were measured at sf0.1 and both
+    * lost to this shape — dropping the train-side distinct (1.37 s best
+    * vs 1.16 s; the map-side combine pays for itself), and an asymmetric
+    * broadcast screen (distinct TEST shingles broadcast into a map-side
+    * semi over the train scan, intersection broadcast back — 1.47 s
+    * best: two extra stage barriers dominate at this scale). The
+    * broadcast shape remains the right rewrite if an eval set is ever
+    * tiny relative to a corpus too large to shuffle, but at any scale
+    * where the train shingle exchange fits the cluster, this pinned
+    * plan's single symmetric semi-join is both simpler and faster.
     */
   def contamination(docs: DataFrame): DataFrame = {
     val tagged = Caches.track(docShingles(docs)
