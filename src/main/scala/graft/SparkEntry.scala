@@ -218,6 +218,10 @@ object SparkEntry {
     "q190_oov_rate" -> ((s, d) => Corpus.oovRate(s, d)),
     "q191_semantic_decontam" -> ((s, d) => Similarity.semanticDecontam(s, d)),
     "q192_incremental_mv" -> ((s, d) => Warehouse.incrementalMv(s, d)),
+    "q193_domain_cap" -> ((s, d) => Prep.domainCap(s, d)),
+    "q194_mixture_weights" -> ((s, d) => Prep.mixtureWeights(s, d)),
+    "q195_canonical_docs" -> ((s, d) => Dedup.canonicalDocs(s, d)),
+    "q196_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3490,5 +3494,146 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_c
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q193: the md5 lottery makes the per-source winners a pure function
+    // of doc_id, so a window formulation reproduces the bounded
+    // aggregate's picks exactly (fixed-length lowercase hex sorts
+    // identically to its numeric value).
+    "q193_domain_cap" ->
+      """SELECT source, doc_id, rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 12), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50""".stripMargin,
+
+    // q194: sqrt(sqrt(x)) and the final division are the only float ops
+    // (both IEEE-correctly-rounded in every engine); the allocation
+    // itself is pure int64 arithmetic — see Prep.mixtureWeights.
+    "q194_mixture_weights" ->
+      """WITH t AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT *, CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1e6) AS BIGINT) AS w_int FROM t
+        |), a AS (
+        |  SELECT *, (1000000 * w_int) // CAST((SELECT SUM(w_int) FROM w) AS BIGINT) AS base,
+        |            (1000000 * w_int) % CAST((SELECT SUM(w_int) FROM w) AS BIGINT) AS rem
+        |  FROM w
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000000 - CAST((SELECT SUM(base) FROM a) AS BIGINT) AS residual
+        |  FROM a
+        |)
+        |SELECT source, n_docs, n_tokens, w_int,
+        |  base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS alloc_tokens,
+        |  CAST(base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS DOUBLE) / n_tokens AS epochs
+        |FROM r""".stripMargin,
+
+    // q195: q56's recursive-CTE connected components, finished with the
+    // canonical election (n_chars desc, doc_id asc per cluster).
+    "q195_canonical_docs" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), labeled AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster FROM reach GROUP BY src
+        |), m AS (
+        |  SELECT l.cluster, l.doc_id, dd.n_chars,
+        |    COUNT(*) OVER (PARTITION BY l.cluster) AS n_members,
+        |    row_number() OVER (PARTITION BY l.cluster ORDER BY dd.n_chars DESC, l.doc_id) AS rk
+        |  FROM labeled l JOIN documents dd USING (doc_id)
+        |)
+        |SELECT cluster, doc_id AS rep_doc, n_chars AS rep_chars, n_members
+        |FROM m WHERE rk = 1""".stripMargin,
+
+    // q196: q22's verified-pair CTEs, then positional grams, diagonal
+    // alignment, and a gaps-and-islands longest-run per pair.
+    "q196_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+        |), pos AS (
+        |  SELECT doc_id, u.p AS p, u.sh AS sh
+        |  FROM (
+        |    SELECT doc_id, unnest([{'p': i, 'sh': w[i] || ' ' || w[i+1] || ' ' || w[i+2]} FOR i IN range(1, len(w)-1)]) AS u
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 3)
+        |), matches AS (
+        |  SELECT p.doc_a, p.doc_b, a.p AS pa, a.p - b.p AS d
+        |  FROM pairs p
+        |  JOIN pos a ON a.doc_id = p.doc_a
+        |  JOIN pos b ON b.doc_id = p.doc_b AND b.sh = a.sh
+        |), runs AS (
+        |  SELECT doc_a, doc_b, d,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa) AS island,
+        |    pa
+        |  FROM matches
+        |), agg AS (
+        |  SELECT doc_a, doc_b, d, island, COUNT(*) AS run_len, MIN(pa) AS a_start
+        |  FROM runs GROUP BY 1, 2, 3, 4
+        |), best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY run_len DESC, d, a_start) AS rk
+        |  FROM agg
+        |)
+        |SELECT doc_a, doc_b, run_len, run_len + 2 AS span_words, a_start, a_start - d AS b_start
+        |FROM best WHERE rk = 1""".stripMargin,
   )
 }

@@ -793,4 +793,101 @@ object Dedup {
 
   def containmentJoin(s: SparkSession, dir: String): DataFrame =
     containmentJoin(Tables.documents(s, dir), threshold = 0.9)
+
+  /** Canonical-document selection: the "keep one per cluster" decision
+    * that finishes a dedup pass. For every near-dup cluster (q56's
+    * connected components over the MinHash-LSH graph), elect the member
+    * with the most content — max n_chars, ties to the smallest doc_id —
+    * as the cluster's representative, alongside the member count.
+    *
+    * Scale: the cluster relation is the dup GRAPH's vertex set (corpus ×
+    * dup-rate — orders of magnitude smaller than the corpus), so the
+    * n_chars lookup broadcasts the cluster labels into the documents
+    * scan: the corpus never shuffles. The election itself is one hash
+    * aggregate over cluster members using max-of-struct — (n_chars,
+    * -doc_id) under struct ordering IS (n_chars desc, doc_id asc) —
+    * so no window, no per-cluster sort, map-side combined.
+    */
+  def canonicalDocs(
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val members = dupClusters(docs, bands, rowsPerBand, threshold)
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(members), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), (-col("best.neg_id")).as("rep_doc"),
+        col("best.n_chars").as("rep_chars"), col("n_members"))
+  }
+
+  def canonicalDocs(s: SparkSession, dir: String): DataFrame =
+    canonicalDocs(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
+
+  /** Near-duplicate SPAN detection: for each verified near-dup pair
+    * (q22's MinHash-LSH output), find the longest run of consecutive
+    * shared word-3-grams and where it sits in both documents — the
+    * n-gram approximation of suffix-array substring dedup, which tells a
+    * curation pipeline WHAT to cut (the shared boilerplate span) rather
+    * than only which documents overlap.
+    *
+    * Mechanics: positional (non-distinct) 3-grams per document; matches
+    * between a pair align on the diagonal d = pos_a − pos_b (a shared
+    * span advances both positions in lockstep, so its matches share one
+    * diagonal); within each (pair, d) the classic gaps-and-islands
+    * row_number difference groups consecutive positions into runs, and
+    * the longest run wins (ties: smallest d, then smallest start).
+    *
+    * Scale: positional grams are computed ONLY for documents that appear
+    * in some verified pair — a broadcast semi-join restricts the corpus
+    * scan first, so the position relation is bounded by the dup set,
+    * never the corpus. The pair list itself broadcasts. Within-doc
+    * repeated grams fan the position join out quadratically PER REPEATED
+    * GRAM, but only inside a single pair's rows — bounded by document
+    * length, not corpus size.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val k = 3
+    val pairs = Caches.track(
+      minhashLsh(docs, bands, rowsPerBand, threshold)
+        .select(col("doc_a"), col("doc_b")))
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val posGrams = Caches.track(docs
+      .join(broadcast(dupIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as(Seq("p0", "sh")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("sh")))
+    val matches = posGrams
+      .join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("p").as("pa"), col("sh"))
+      .join(posGrams.select(col("doc_id").as("doc_b"),
+        col("p").as("pb"), col("sh")), Seq("doc_b", "sh"))
+      .withColumn("d", col("pa") - col("pb"))
+    val byDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("d"))
+      .orderBy(col("pa"))
+    val runs = matches
+      .withColumn("island", col("pa") - row_number().over(byDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("island"))
+      .agg(count(lit(1)).as("run_len"), min(col("pa")).as("a_start"))
+    val byPair = Window.partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("run_len").desc, col("d"), col("a_start"))
+    runs
+      .withColumn("rk", row_number().over(byPair))
+      .filter(col("rk") === 1)
+      .select(col("doc_a"), col("doc_b"), col("run_len"),
+        (col("run_len") + (k - 1)).as("span_words"),
+        col("a_start"), (col("a_start") - col("d")).as("b_start"))
+  }
+
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
 }

@@ -430,4 +430,88 @@ object Prep {
 
   def packSequences(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(s, dir))
+
+  /** Per-domain document cap: keep at most `k` documents per source, the
+    * guard every crawl-derived corpus applies so no single domain
+    * dominates the mixture. Selection is an md5 lottery over doc_id —
+    * deterministic (same winners every run/engine/partitioning) and
+    * unbiased by position in the file.
+    *
+    * Scale: per-group top-k via the map-side-bounded `BoundedTopK`
+    * aggregate, NOT a `row_number` window — a window would shuffle the
+    * ENTIRE corpus into |sources| partitions before discarding anything
+    * (and a mega-domain becomes one straggling reducer); the aggregate
+    * ships at most k rows per (map task × source), so exchange volume is
+    * O(partitions·k·|sources|) no matter how large the corpus or how
+    * skewed the domain.
+    */
+  def domainCap(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    // 48-bit md5 prefix: exactly representable in the aggregate's double
+    // score, so negation gives "smallest md5 first" under its DESC order
+    val lottery = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long").cast("double")
+    val topk = udaf(new graft.functions.BoundedTopK(k),
+      ExpressionEncoder[graft.functions.Scored]())
+    docs
+      .select(col("source"), col("doc_id"), lottery.as("lot"))
+      .groupBy(col("source"))
+      .agg(topk(col("doc_id"), -col("lot")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("source"), col("t.neighborId").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    domainCap(Tables.documents(s, dir))
+
+  /** Temperature-scaled source mixture: the sampling weights a training
+    * run uses to rebalance a source-skewed corpus (upweight small
+    * sources, damp the mega-crawl), here with temperature alpha = 1/4 —
+    * w_s ∝ n_tokens(s)^0.25 — and an EXACT largest-remainder allocation
+    * of a fixed token budget so the per-source allocations sum to the
+    * budget to the token (the same cent-reconciliation discipline as
+    * q120, applied to tokens).
+    *
+    * Cross-engine exactness is why alpha is 1/4 and the weights are
+    * integerized: x^0.25 = sqrt(sqrt(x)) uses only IEEE-correctly-rounded
+    * operations (pow(x, 0.25) is NOT correctly rounded and may differ in
+    * the last ulp between libm implementations), and
+    * floor(·×10⁶) pins the weight to an integer, after which the entire
+    * allocation — products, integral div/mod, the residual handout — is
+    * int64 arithmetic every engine computes identically. The final
+    * `epochs` ratio is a single double division (correctly rounded, so
+    * also bit-identical).
+    *
+    * Scale: the only corpus-sized work is one map-side-combined
+    * aggregate; everything after runs on the per-source table (tens of
+    * rows — the unpartitioned rank window reads THAT, not the corpus),
+    * with the two scalar totals broadcast, never collected.
+    */
+  def mixtureWeights(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    val perSource = Caches.track(docs
+      .select(col("source"), size(Text.words(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_int",
+        floor(sqrt(sqrt(col("n_tokens").cast("double"))) * 1e6).cast("long")))
+    val withBase = Caches.track(perSource
+      .crossJoin(broadcast(perSource.agg(sum(col("w_int")).as("w_tot"))))
+      .withColumn("base", expr(s"($budgetTokens * w_int) div w_tot"))
+      .withColumn("rem", expr(s"($budgetTokens * w_int) % w_tot")))
+    withBase
+      .crossJoin(broadcast(withBase.agg(sum(col("base")).as("base_tot"))))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rk") <= lit(budgetTokens) - col("base_tot"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_int"),
+        col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") / col("n_tokens")).as("epochs"))
+  }
+
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame =
+    mixtureWeights(Tables.documents(s, dir))
 }

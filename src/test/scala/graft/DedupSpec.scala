@@ -116,6 +116,43 @@ class DedupSpec extends SparkSpec {
     assert(!clusters.contains(30L)) // singletons aren't in the dup graph
   }
 
+  test("canonicalDocs elects the longest member per cluster, ties to least id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val longer = base.replace("w40", "x40 and some extra trailing words")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = Seq(
+      (10L, base), (11L, longer),  // near-dup pair; 11 has more chars
+      (20L, other), (21L, other),  // exact pair; equal chars → least id
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val got = Dedup.canonicalDocs(d, bands = 8, rowsPerBand = 1, threshold = 0.8)
+      .collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("rep_doc"), r.getAs[Long]("n_members")))
+      .toMap
+    assert(got === Map(10L -> ((11L, 2L)), 20L -> ((20L, 2L))))
+  }
+
+  test("dupSpans finds the longest shared run and its offsets in both docs") {
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$shared a1"),  // shared run at word positions 1..30
+      (2L, s"b1 $shared"),  // shared run at word positions 2..31
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dupSpans(d, bands = 8, rowsPerBand = 1, threshold = 0.8).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_a") === 1L)
+    assert(r.getAs[Long]("doc_b") === 2L)
+    // 28 consecutive shared 3-grams = a 30-word shared span
+    assert(r.getAs[Long]("run_len") === 28L)
+    assert(r.getAs[Long]("span_words") === 30L)
+    assert(r.getAs[Long]("a_start") === 1L)
+    assert(r.getAs[Long]("b_start") === 2L)
+  }
+
   test("dupClusters on a corpus with zero dup pairs returns empty without iterating") {
     import spark.implicits._
     // every doc disjoint → empty dup graph; the empty graph is its own

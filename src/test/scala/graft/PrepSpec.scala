@@ -19,6 +19,54 @@ class PrepSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Scala twin of the operator's md5 lottery (first 12 hex of
+    * md5(doc_id)) so expected winners are computable in the test.
+    */
+  private def lotteryOf(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+
+  test("domainCap keeps at most k per source, in md5-lottery order") {
+    import spark.implicits._
+    val d = (0L to 9L).map(i => (i, s"text $i", "en", "big", 6L))
+      .++(Seq((100L, "t", "en", "small", 1L), (101L, "t", "en", "small", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Prep.domainCap(d, k = 3).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("rk")))
+    val bigWinners = (0L to 9L).sortBy(lotteryOf).take(3)
+    assert(got.filter(_._1 == "big").sortBy(_._3).map(_._2).toSeq === bigWinners)
+    // a source under the cap keeps everything, still lottery-ranked
+    val smallWinners = Seq(100L, 101L).sortBy(lotteryOf)
+    assert(got.filter(_._1 == "small").sortBy(_._3).map(_._2).toSeq === smallWinners)
+    assert(got.length === 5)
+  }
+
+  test("mixtureWeights: exact budget reconciliation and alpha=1/4 weights") {
+    import spark.implicits._
+    // token counts by construction: 4, 2, 1 (split on single space)
+    val d = Seq(
+      (0L, "a b c d", "en", "s1", 7L),
+      (1L, "e f", "en", "s2", 3L),
+      (2L, "g", "en", "s3", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Prep.mixtureWeights(d, budgetTokens = 101L).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("w_int"),
+          r.getAs[Long]("alloc_tokens"), r.getAs[Double]("epochs")))
+      .toMap
+    def wInt(n: Long): Long = math.floor(math.sqrt(math.sqrt(n.toDouble)) * 1e6).toLong
+    assert(rows("s1")._1 === 4L && rows("s1")._2 === wInt(4))
+    assert(rows("s2")._1 === 2L && rows("s2")._2 === wInt(2))
+    assert(rows("s3")._1 === 1L && rows("s3")._2 === wInt(1))
+    // allocations reconcile EXACTLY to the budget (largest remainder)
+    assert(rows.values.map(_._3).sum === 101L)
+    // epochs is the single-division ratio
+    rows.values.foreach { case (n, _, alloc, ep) =>
+      assert(ep === alloc.toDouble / n)
+    }
+  }
+
   test("repetitionRatios: duplicate word and bigram mass with hand-computed truth") {
     import spark.implicits._
     val d = Seq(
