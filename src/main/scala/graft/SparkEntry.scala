@@ -222,6 +222,10 @@ object SparkEntry {
     "q194_mixture_weights" -> ((s, d) => Prep.mixtureWeights(s, d)),
     "q195_canonical_docs" -> ((s, d) => Dedup.canonicalDocs(s, d)),
     "q196_dup_spans" -> ((s, d) => Dedup.dupSpans(s, d)),
+    "q197_heavy_hitters" -> ((s, d) => Corpus.heavyHitters(s, d)),
+    "q198_delta_dedup" -> ((s, d) => Dedup.deltaDedup(s, d)),
+    "q199_vocab_coverage" -> ((s, d) => Corpus.vocabCoverage(s, d)),
+    "q200_lsh_recall_audit" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3635,5 +3639,131 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, run_len, run_len + 2 AS span_words, a_start, a_start - d AS b_start
         |FROM best WHERE rk = 1""".stripMargin,
+
+    // q197: the oracle is the single-pass exact count — the two-pass
+    // sketch+recount must output the identical heavy-hitter set.
+    "q197_heavy_hitters" ->
+      """WITH bg AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |), c AS (SELECT gram, COUNT(*) AS cnt FROM bg GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_total FROM bg)
+        |SELECT gram, cnt, CAST(cnt AS DOUBLE) / n_total AS freq
+        |FROM c, t WHERE cnt * 1000 >= n_total""".stripMargin,
+
+    // q198: exact tier by text md5; near tier reuses the q22 band CTEs
+    // restricted to delta×corpus by the q55 bucket formula.
+    "q198_delta_dedup" ->
+      """WITH bkt AS (
+        |  SELECT doc_id, text,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS corpus_id
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey
+        |  JOIN bkt ba ON ba.doc_id = a.doc_id AND ba.bucket >= 95
+        |  JOIN bkt bc ON bc.doc_id = b.doc_id AND bc.bucket < 95
+        |), near AS (
+        |  SELECT DISTINCT c.delta_id AS doc_id
+        |  FROM cand c JOIN d da ON c.delta_id = da.doc_id JOIN d db ON c.corpus_id = db.doc_id
+        |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        |    / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.8
+        |), ex AS (
+        |  SELECT DISTINCT dd.doc_id FROM bkt dd
+        |  WHERE dd.bucket >= 95 AND md5(dd.text) IN (SELECT md5(text) FROM bkt WHERE bucket < 95)
+        |)
+        |SELECT dl.doc_id,
+        |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+        |       WHEN near.doc_id IS NOT NULL THEN 'near'
+        |       ELSE 'unique' END AS verdict
+        |FROM (SELECT doc_id FROM bkt WHERE bucket >= 95) dl
+        |LEFT JOIN ex ON dl.doc_id = ex.doc_id
+        |LEFT JOIN near ON dl.doc_id = near.doc_id""".stripMargin,
+
+    // q199: the oracle's single global window is the semantics; the
+    // Spark plan computes the identical prefix with the two-pass
+    // range-bucketed sum.
+    "q199_vocab_coverage" ->
+      """WITH bg AS (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |), c AS (SELECT gram, COUNT(*) AS cnt FROM bg GROUP BY 1),
+        |r AS (
+        |  SELECT gram, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, gram) AS rnk,
+        |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, gram ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c
+        |), t AS (SELECT COUNT(*) AS n FROM bg)
+        |SELECT rnk AS vocab_size, gram AS boundary_gram, CAST(cum AS DOUBLE) / n AS coverage
+        |FROM r, t WHERE rnk IN (50, 100, 200, 400, 800)""".stripMargin,
+
+    // q200: truth = q21's quadratic at the LSH threshold; candidates and
+    // verified reuse the q22 CTEs; three scalar counts and two ratios.
+    "q200_lsh_recall_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        |    / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.8
+        |)
+        |SELECT
+        |  (SELECT COUNT(*) FROM truth) AS n_truth,
+        |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+        |  (SELECT COUNT(*) FROM verified) AS n_verified,
+        |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / (SELECT COUNT(*) FROM truth) AS recall,
+        |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / (SELECT COUNT(*) FROM cand) AS precision
+        |FROM (SELECT 1) one""".stripMargin,
   )
 }

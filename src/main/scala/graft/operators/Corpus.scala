@@ -645,4 +645,115 @@ object Corpus {
 
   def oovRate(s: SparkSession, dir: String): DataFrame =
     oovRate(Tables.documents(s, dir), 200)
+
+  /** Exact heavy hitters (adjacent-word bigrams with ≥ 1/k of all bigram
+    * mass — the collocation inventory a tokenizer merges first) by the
+    * classic two-pass sketch-then-recount: pass 1 runs a Misra–Gries
+    * summary with 2k counters INSIDE each partition (mapPartitions —
+    * genuinely imperative per-partition state, the one place the charter
+    * reaches for it) and emits only each partition's surviving counter
+    * keys; pass 2 recounts the candidate union exactly and keeps words
+    * with cnt·k ≥ N.
+    *
+    * Why this is exact: a global heavy hitter has cnt·k ≥ N, so by
+    * pigeonhole some partition holds it with local cnt_p·k ≥ n_p — and a
+    * Misra–Gries summary with 2k counters retains every key of local
+    * frequency > n_p/(2k+1), which n_p/k exceeds. Candidates are thus a
+    * superset of the true heavy hitters; the exact recount pass discards
+    * the rest, making the OUTPUT independent of partitioning even though
+    * the candidate set is not.
+    *
+    * Why not one hash aggregate: map-side combine still ships every
+    * partition's full local VOCABULARY through the exchange. Here the
+    * exchange carries ≤ 2k keys per partition (pass 1) plus the exact
+    * partials of ≤ 2k·P candidates (pass 2) — at a 100 TB corpus with
+    * billions of distinct n-grams, that is the difference between
+    * shuffling the vocabulary and shuffling kilobytes. Cost: the token
+    * stream is scanned twice (cached here at test scale; at 100 TB the
+    * second scan is the point — re-reading beats exchanging).
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(Text.words(col("text")).as("w"))
+      .select(explode(Text.bigrams(col("w"))).as("gram")))
+    val candidates = grams.as[String].mapPartitions { it =>
+      val cap = 2 * k
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        m.get(w) match {
+          case Some(c) => m.update(w, c + 1)
+          case None if m.size < cap => m.update(w, 1L)
+          case None => // decrement-all: amortized O(1) per token
+            val dead = m.iterator.collect { case (key, 1L) => key }.toList
+            dead.foreach(m.remove)
+            m.keysIterator.toList.foreach(key => m.update(key, m(key) - 1))
+        }
+      }
+      m.keysIterator
+    }.distinct().toDF("gram")
+    val total = grams.agg(count(lit(1)).as("n_total"))
+    grams
+      .join(broadcast(candidates), Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k >= col("n_total"))
+      .select(col("gram"), col("cnt"),
+        (col("cnt").cast("double") / col("n_total").cast("double")).as("freq"))
+  }
+
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.documents(s, dir))
+
+  /** Vocabulary coverage curve: for candidate vocabulary sizes, the
+    * fraction of all bigram mass covered by the top-`size` bigrams — the
+    * curve a tokenizer design reads to pick its vocab size (where does
+    * coverage saturate?).
+    *
+    * The corpus-sized work is one map-side-combined word count; the
+    * ranking and cumulative mass then run on the VOCABULARY relation with
+    * the same two-pass distributed prefix sum as the bucketedPrefix
+    * family — range-partition by the (cnt desc, word) total order,
+    * rank/cumsum within each range bucket in parallel, add each bucket's
+    * broadcast exclusive offsets. No single-reducer global window at any
+    * scale; any order-respecting range split yields identical prefixes.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      sizes: Seq[Long] = Seq(50L, 100L, 200L, 400L, 800L)): DataFrame = {
+    val vocab = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(Text.words(col("text")).as("w"))
+      .select(explode(Text.bigrams(col("w"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt")))
+    val total = vocab.agg(sum(col("cnt")).as("n_total"))
+    val order = Seq(col("cnt").desc, col("gram").asc)
+    val ranged = Caches.track(vocab
+      .repartitionByRange(32, order: _*)
+      .withColumn("bucket", spark_partition_id()))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(order: _*)
+    val exclusive = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows"), sum(col("cnt")).as("mass"))
+      .select(col("bucket"),
+        coalesce(sum(col("rows")).over(exclusive), lit(0L)).as("row_off"),
+        coalesce(sum(col("mass")).over(exclusive), lit(0L)).as("mass_off"))
+    ranged
+      .withColumn("rk_in", row_number().over(inBucket))
+      .withColumn("cum_in", sum(col("cnt")).over(inBucket))
+      .join(broadcast(offsets), "bucket")
+      .select(col("gram"), col("cnt"),
+        (col("rk_in") + col("row_off")).as("vocab_size"),
+        (col("cum_in") + col("mass_off")).as("cum"))
+      .filter(col("vocab_size").isInCollection(sizes))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("gram").as("boundary_gram"),
+        (col("cum").cast("double") / col("n_total").cast("double")).as("coverage"))
+  }
+
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(s, dir))
 }

@@ -890,4 +890,114 @@ object Dedup {
 
   def dupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpans(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
+
+  /** Incremental (delta) dedup: classify each document of a NEW ingestion
+    * batch against the standing corpus as an exact duplicate (byte-equal
+    * text), a near-duplicate (shares an LSH band bucket with a corpus doc
+    * AND true Jaccard ≥ threshold), or unique — the decision a continuous
+    * 100 TB pipeline makes per crawl drop, where re-deduplicating the
+    * whole corpus per batch is off the table. The batch is the top 5% of
+    * the deterministic hash-bucket split (the same splitAssign primitive
+    * as q40/q55), the corpus the other 95%.
+    *
+    * Scale: every join is keyed and delta-bounded. Exact: the delta's
+    * text fingerprints semi-probe the corpus fingerprint relation (key =
+    * md5, high-cardinality, map-side distinct). Near: band keys are
+    * computed for both sides, joined on (band, bkey) — the LSH index join
+    * — and only candidate pairs carry shingle sets into verification
+    * (the minhashLsh discipline). The corpus-side index computations are
+    * one pass each; in a production incremental pipeline both (fp and
+    * band-key relations) would be standing tables maintained per batch,
+    * which this operator's join shapes are exactly the maintenance
+    * queries for.
+    */
+  def deltaDedup(
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val bucketed = Caches.track(
+      docs.withColumn("bucket", Corpus.hashBucket(col("doc_id"))))
+    val delta = bucketed.filter(col("bucket") >= 95)
+    val corpus = bucketed.filter(col("bucket") < 95)
+    // exact tier: delta fingerprints semi-probe corpus fingerprints
+    val exactIds = delta
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(corpus.select(md5(col("text")).as("fp")).hint("shuffle_hash"),
+        Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    // near tier: banded index join, then exact-Jaccard verification on
+    // candidates only
+    val shSets = Caches.track(docShingleSets(bucketed, carry = Seq("bucket")))
+    val deltaKeys = bandKeys(shSets.filter(col("bucket") >= 95), bands, rowsPerBand)
+    val corpusKeys = bandKeys(shSets.filter(col("bucket") < 95), bands, rowsPerBand)
+    val cands = Caches.track(deltaKeys.as("a").hint("shuffle_hash")
+      .join(corpusKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("delta_id"), col("b.doc_id").as("corpus_id"))
+      .distinct())
+    val setsD = shSets
+      .join(cands.select(col("delta_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("delta_id"), col("shs").as("sh_d"), col("n_sh").as("n_d"))
+    val setsC = shSets
+      .join(cands.select(col("corpus_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_id"), col("shs").as("sh_c"), col("n_sh").as("n_c"))
+    val nearIds = cands.hint("shuffle_hash")
+      .join(setsD.hint("shuffle_hash"), "delta_id")
+      .join(setsC.hint("shuffle_hash"), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_d"), col("sh_c"))))
+      .filter(col("inter").cast("double") /
+        (col("n_d") + col("n_c") - col("inter")) >= threshold)
+      .select(col("delta_id").as("doc_id")).distinct()
+    delta.select(col("doc_id"))
+      .join(exactIds.withColumn("is_exact", lit(1)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact") === 1, "exact")
+          .when(col("is_near") === 1, "near")
+          .otherwise("unique").as("verdict"))
+  }
+
+  def deltaDedup(s: SparkSession, dir: String): DataFrame =
+    deltaDedup(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
+
+  /** LSH candidate-stage audit: how much of the TRUE near-dup pair set
+    * (ground-truth n-gram Jaccard ≥ threshold, q21's honest quadratic)
+    * does the banded MinHash index actually surface, and how dirty is the
+    * candidate stream it surfaces — the recall/precision meta-measurement
+    * that justifies (bands, rowsPerBand) before trusting LSH dedup at a
+    * scale where the ground truth is uncomputable. Because minhashLsh
+    * verifies candidates with the same true-Jaccard test, its output IS
+    * truth ∩ candidates: recall = |verified|/|truth| and precision =
+    * |verified|/|candidates| need no pair-set join at all — three counts.
+    *
+    * One row out; the three inputs are each already-audited plans (the
+    * quadratic truth baseline is the one intentionally non-scale-path
+    * input, exactly why this audit runs on a sample tier, not the corpus).
+    */
+  def lshRecallAudit(
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val truth = ngramJaccard(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val shSets = Caches.track(docShingleSets(docs))
+    val cands = bandKeys(shSets, bands, rowsPerBand).as("a").hint("shuffle_hash")
+      .join(bandKeys(shSets, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = minhashLsh(docs, bands, rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+      .select(col("n_truth"), col("n_candidates"), col("n_verified"),
+        (col("n_verified").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        (col("n_verified").cast("double") / col("n_candidates").cast("double"))
+          .as("precision"))
+  }
+
+  def lshRecallAudit(s: SparkSession, dir: String): DataFrame =
+    lshRecallAudit(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
 }

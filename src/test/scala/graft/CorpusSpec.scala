@@ -20,6 +20,46 @@ class CorpusSpec extends SparkSpec {
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  test("heavyHitters is exact even when Misra-Gries eviction fires") {
+    import spark.implicits._
+    // one hot bigram dominating a long tail of distinct fillers: with
+    // k=3 the sketch keeps only 6 counters per partition, far fewer than
+    // the distinct-bigram count, so the decrement-all path runs — and the
+    // recount must still output exactly the single-pass answer
+    val hot = Seq.fill(80)("x y").mkString(" ")
+    val tail = (1 to 50).map(i => s"f$i").mkString(" ")
+    val d = Seq((0L, s"$hot $tail")).toDF("doc_id", "text")
+    val words = (s"$hot $tail").split(" ").toSeq
+    val exact = words.sliding(2).map(_.mkString(" ")).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = exact.values.sum
+    val expect = exact.filter { case (_, c) => c * 3 >= n }
+    val got = Corpus.heavyHitters(d, k = 3).collect()
+      .map(r => r.getAs[String]("gram") -> r.getAs[Long]("cnt")).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty) // the fixture actually has heavy hitters
+    assert(exact.size > 6)  // and more distinct grams than sketch slots
+  }
+
+  test("vocabCoverage: two-pass prefix equals the hand-computed cumulative mass") {
+    import spark.implicits._
+    val d = Seq((0L, "a b a b a c"), (1L, "a b d e")).toDF("doc_id", "text")
+    val grams = Seq("a b", "b a", "a b", "b a", "a c", "a b", "b d", "d e")
+    val cnt = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = cnt.toSeq.sortBy { case (g, c) => (-c, g) }
+    val total = grams.size.toDouble
+    val cum = ranked.scanLeft(0L) { case (acc, (_, c)) => acc + c }.drop(1)
+    val got = Corpus.vocabCoverage(d, sizes = Seq(1L, 2L, 4L)).collect()
+      .map(r => r.getAs[Long]("vocab_size") ->
+        (r.getAs[String]("boundary_gram"), r.getAs[Double]("coverage")))
+      .toMap
+    assert(got.keySet === Set(1L, 2L, 4L))
+    Seq(1, 2, 4).foreach { size =>
+      assert(got(size.toLong)._1 === ranked(size - 1)._1)
+      assert(got(size.toLong)._2 === cum(size - 1) / total)
+    }
+  }
+
   test("vocabTopK counts term and document frequency with a deterministic cut") {
     val top = Corpus.vocabTopK(corpus, 2).collect()
       .map(r => (r.getAs[String]("word"), r.getAs[Long]("n"), r.getAs[Long]("n_docs")))

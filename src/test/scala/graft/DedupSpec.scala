@@ -153,6 +153,41 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("b_start") === 2L)
   }
 
+  test("deltaDedup classifies exact, near, and unique delta docs") {
+    import spark.implicits._
+    val corpusId = (0L to 500L).find(bucketOf(_) < 95).get
+    val deltaIds = (0L to 3000L).filter(bucketOf(_) >= 95).take(3)
+    val Seq(dExact, dNear, dUniq) = deltaIds
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w40", "x40")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = Seq(
+      (corpusId, base),
+      (dExact, base),   // byte-equal to a corpus doc
+      (dNear, near),    // jaccard ~0.95 vs corpus doc
+      (dUniq, other),   // nothing shared
+    ).toDF("doc_id", "text")
+    val got = Dedup.deltaDedup(d, bands = 8, rowsPerBand = 1, threshold = 0.8)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got === Map(dExact -> "exact", dNear -> "near", dUniq -> "unique"))
+  }
+
+  test("lshRecallAudit: full recall on a corpus whose one true pair is caught") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, base), (2L, base), // exact dup pair: jaccard 1.0, every band collides
+      (3L, (1 to 40).map(i => s"z$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val r = Dedup.lshRecallAudit(d, bands = 8, rowsPerBand = 1, threshold = 0.8)
+      .collect().head
+    assert(r.getAs[Long]("n_truth") === 1L)
+    assert(r.getAs[Long]("n_verified") === 1L)
+    assert(r.getAs[Double]("recall") === 1.0)
+    assert(r.getAs[Double]("precision") > 0.0)
+  }
+
   test("dupClusters on a corpus with zero dup pairs returns empty without iterating") {
     import spark.implicits._
     // every doc disjoint → empty dup graph; the empty graph is its own
