@@ -326,6 +326,55 @@ class PlanShapeSpec extends SparkSpec {
       s"no join may lose its equi keys:\n$plan")
   }
 
+  test("q193: domain cap ranks via the bounded aggregate, never a corpus window") {
+    val df = graft.operators.Prep.domainCap(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"per-source top-k must be the map-side-bounded aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"capping must not shuffle the corpus into a per-source window:\n$plan")
+  }
+
+  test("q195: canonical election broadcasts cluster labels; no window over members") {
+    val df = graft.operators.Dedup.canonicalDocs(
+      graft.sources.Tables.documents(spark, sf0001),
+      bands = 4, rowsPerBand = 2, threshold = 0.8)
+    df.collect() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the documents scan must meet the cluster labels by broadcast:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("q199: vocab coverage plans a range exchange, no vocabulary-sized global window") {
+    val df = graft.operators.Corpus.vocabCoverage(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    def whole(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val nodes = whole(df.queryExecution.executedPlan)
+    val planText = nodes.map(_.toString).mkString("\n").toLowerCase
+    assert(planText.contains("rangepartitioning"),
+      s"the vocabulary must range-partition by the (cnt, gram) total order:\n$planText")
+    val globals = nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    globals.foreach { w =>
+      assert(whole(w).exists {
+        case h: HashAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("bucket"))
+        case _ => false
+      }, s"a global window may only read the bucket-totals aggregate:\n$w")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q111/q115: bucketed prefix plans a range exchange; the only global window reads bucket totals") {
     for (df <- Seq(
         graft.operators.Advanced.concurrentSessions(
