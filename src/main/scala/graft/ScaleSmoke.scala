@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * MinHash-LSH, q56 dup clusters, q61 trained IVF, q74 boilerplate,
   * q80 source overlap, q94 n-gram novelty, q105 prefix sim join,
   * q112 containment join, q111 sweep-line prefix sum, q121 co-purchase
-  * triangles, q124 distributed global ranking) on an N×-amplified
+  * triangles, q124 distributed global ranking, q195 canonical docs,
+  * q196 dup spans, q198 delta dedup) on an N×-amplified
   * corpus/event-log/fact-table, assert completion, and
   * report wall times — the "scales to 100×" design claims get at least
   * one measured 10× data point.
@@ -128,7 +129,16 @@ object ScaleSmoke {
           amplifyLineitem(graft.sources.Tables.lineitem(spark, sfDir), mult),
           minSupport = 2L)
       },
-      timed("q124") { graft.operators.Corpus.quantileNormalize(docs) })
+      timed("q124") { graft.operators.Corpus.quantileNormalize(docs) },
+      timed("q195") {
+        graft.operators.Dedup.canonicalDocs(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      },
+      timed("q196") {
+        graft.operators.Dedup.dupSpans(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      },
+      timed("q198") {
+        graft.operators.Dedup.deltaDedup(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      })
 
     val qs = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(
