@@ -482,4 +482,84 @@ class CrossSfOracleSpec extends SparkSpec {
       assert(got === expected, s"q103 diverged from the rank recompute at $dir")
     }
   }
+
+  // ---- q194: integerized alpha=1/4 weights + largest-remainder budget ----
+
+  test("q194 mixture_weights matches a plain-JVM allocation recompute at sf0.001 and sf0.1") {
+    val budget = 1000000L
+    for (dir <- Seq(sf0001, sf01)) {
+      val perSource = docs(dir).groupBy(_._4).map { case (src, rs) =>
+        val nTokens = rs.map(_._2.split(" ", -1).length.toLong).sum
+        (src, rs.size.toLong, nTokens,
+          math.floor(math.sqrt(math.sqrt(nTokens.toDouble)) * 1e6).toLong)
+      }.toSeq
+      val wTot = perSource.map(_._4).sum
+      val based = perSource.map { case (src, nd, nt, w) =>
+        (src, nd, nt, w, budget * w / wTot, budget * w % wTot)
+      }
+      val residual = budget - based.map(_._5).sum
+      val expected = based
+        .sortBy { case (src, _, _, _, _, rem) => (-rem, src) }.zipWithIndex
+        .map { case ((src, nd, nt, w, b, _), i) =>
+          val alloc = b + (if (i < residual) 1L else 0L)
+          (src, nd, nt, w, alloc, alloc.toDouble / nt)
+        }.toSet
+      val got = Prep.mixtureWeights(graft.sources.Tables.documents(spark, dir), budget)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("w_int"),
+          r.getAs[Long]("alloc_tokens"), r.getAs[Double]("epochs"))).toSet
+      assert(got === expected, s"q194 diverged from the allocation recompute at $dir")
+      assert(got.toSeq.map(_._5).sum === budget, s"q194 budget must reconcile at $dir")
+    }
+  }
+
+  // ---- q197/q199: bigram heavy hitters and coverage curve ----
+
+  private def bigramCounts(dir: String): (collection.Map[String, Long], Long) = {
+    val cnt = scala.collection.mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+    var n = 0L
+    docs(dir).foreach { case (_, text, _, _, _) =>
+      val w = text.split(" ", -1)
+      var i = 0
+      while (i < w.length - 1) {
+        cnt(w(i) + " " + w(i + 1)) += 1; n += 1; i += 1
+      }
+    }
+    (cnt, n)
+  }
+
+  test("q197 heavy_hitters matches a single-pass count recompute at sf0.001 and sf0.1") {
+    val k = 1000
+    for (dir <- Seq(sf0001, sf01)) {
+      val (cnt, n) = bigramCounts(dir)
+      val expected = cnt.collect {
+        case (g, c) if c * k >= n => (g, c, c.toDouble / n)
+      }.toSet
+      val got = Corpus.heavyHitters(graft.sources.Tables.documents(spark, dir), k)
+        .collect()
+        .map(r => (r.getAs[String]("gram"), r.getAs[Long]("cnt"),
+          r.getAs[Double]("freq"))).toSet
+      assert(got === expected, s"q197 diverged from the count recompute at $dir")
+      assert(got.nonEmpty, s"q197 fixture must have heavy hitters at $dir")
+    }
+  }
+
+  test("q199 vocab_coverage matches a cumulative-mass recompute at sf0.001 and sf0.1") {
+    val sizes = Seq(50L, 100L, 200L, 400L, 800L)
+    for (dir <- Seq(sf0001, sf01)) {
+      val (cnt, n) = bigramCounts(dir)
+      val ranked = cnt.toSeq.sortBy { case (g, c) => (-c, g) }
+      val cums = ranked.scanLeft(0L) { case (acc, (_, c)) => acc + c }.drop(1)
+      val expected = sizes.filter(_ <= ranked.size).map { s =>
+        (s, ranked(s.toInt - 1)._1, cums(s.toInt - 1).toDouble / n)
+      }.toSet
+      val got = Corpus.vocabCoverage(graft.sources.Tables.documents(spark, dir), sizes)
+        .collect()
+        .map(r => (r.getAs[Long]("vocab_size"), r.getAs[String]("boundary_gram"),
+          r.getAs[Double]("coverage"))).toSet
+      assert(got === expected, s"q199 diverged from the cumulative recompute at $dir")
+      assert(got.size === sizes.size, s"q199 must emit every size at $dir")
+    }
+  }
 }
