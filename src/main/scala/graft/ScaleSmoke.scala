@@ -94,7 +94,11 @@ object ScaleSmoke {
     val nDocs = docs.count()
     val nEmb = emb.count()
 
+    // same targeted-re-measure contract as Bench/Verify:
+    // SPARK_GRAFT_ONLY=q121,q56 runs only matching prefixes
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     def timed(name: String)(df: => DataFrame): (String, Double) = {
+      if (!only.forall(_.exists(name.startsWith))) return name -> -1.0
       val scope = Caches.open()
       val t0 = System.nanoTime()
       try df.write.format("noop").mode("overwrite").save()
@@ -140,7 +144,8 @@ object ScaleSmoke {
         graft.operators.Dedup.deltaDedup(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
       })
 
-    val qs = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val qs = times.filter(_._2 >= 0)
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(
       s"""{"multiplier":$mult,"rows":{"documents":$nDocs,"embeddings":$nEmb},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -1010,18 +1010,22 @@ object Advanced {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")), col("db"))
           .otherwise(col("da")).as("dv")))
-    // both joins hint shuffle_hash: the equi-key (u, then (w1,w2)) is
-    // high-cardinality and neither side is meaningfully sorted, so a sort
-    // -merge pick here pays two wide sorts for nothing — and an unpinned
-    // choice was observed flapping between strategies run-to-run (5 s vs
-    // 11 s on identical data)
-    val wedges = fwd.as("x").hint("shuffle_hash").join(fwd.as("y").hint("shuffle_hash"),
+    // Wedge enumeration stays a PLAIN, UNHINTED self-join — the round-9
+    // 10×-scale A/B measured both "obvious improvements" and both lost:
+    // a shuffle_hash pin ran 81–131 s at 10× vs 37–54 s unhinted (32
+    // concurrent hash builds over the edge relation thrash memory; the
+    // planner's sort-merge degrades gracefully), and the pairCounts-style
+    // in-task expansion (groupBy(u) + collect_list + C(d,2) explode) ran
+    // 74–79 s (per-row adjacency arrays allocate more than the merge
+    // join sorts). Measurement beats theory here; leave the planner its
+    // choice.
+    val wedges = fwd.as("x").join(fwd.as("y"),
       col("x.u") === col("y.u") &&
         (col("x.dv") < col("y.dv") ||
           (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
       .select(col("x.u").as("w0"), col("x.v").as("w1"), col("y.v").as("w2"))
-    wedges.hint("shuffle_hash")
-      .join(fwd.select(col("u").as("w1"), col("v").as("w2")).hint("shuffle_hash"),
+    wedges
+      .join(fwd.select(col("u").as("w1"), col("v").as("w2")),
         Seq("w1", "w2"), "left_semi")
       .select(explode(array(col("w0"), col("w1"), col("w2"))).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
