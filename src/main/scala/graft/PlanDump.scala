@@ -20,7 +20,11 @@ object PlanDump {
     "q56_dup_clusters", "q61_ann_ivf_trained", "q70_bucketed_join",
     "q71_salted_skew_join", "q78_inverted_index", "q80_source_overlap",
     "q84_sparse_topk", "q87_bpe_pairs", "q88_length_deciles",
-    "q91_merge_upsert", "q94_ngram_novelty", "q97_regression_stats")
+    "q91_merge_upsert", "q94_ngram_novelty", "q97_regression_stats",
+    "q105_prefix_simjoin", "q111_concurrent_sessions",
+    "q121_triangle_counts", "q193_domain_cap", "q195_canonical_docs",
+    "q196_dup_spans", "q197_heavy_hitters", "q198_delta_dedup",
+    "q199_vocab_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
