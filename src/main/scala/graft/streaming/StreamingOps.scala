@@ -42,6 +42,16 @@ case class Charge(o_orderkey: Long, o_custkey: Long, cents: Long,
 case class ChargeAlert(o_custkey: Long, prev_key: Long, o_orderkey: Long,
                        prev_c: Long, cents: Long, gap_days: Long)
 
+/** One retained counter in a shard's Misra–Gries summary: `lb` is a
+  * LOWER bound on the gram's true shard-local count (MG counters only
+  * ever under-count). */
+case class GramCount(gram: String, lb: Long)
+
+/** A shard's heavy-hitter summary, re-emitted each trigger the shard
+  * sees data: tokens processed so far and the retained candidates,
+  * best-first. */
+case class HHShard(shard: Int, n_tokens: Long, candidates: Seq[GramCount])
+
 /** Event-time streaming operators (SURVEY.md §7.1 module 5): the windowed/
   * sessionized/stateful shapes the reference lacks, built the way they
   * must be built at scale — every aggregation carries a WATERMARK so the
@@ -361,6 +371,61 @@ object StreamingOps {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("ts"), col("corpus_id"), col("jaccard"))
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+
+  /** Streaming heavy-hitter monitor — the continuous-ingestion twin of
+    * the batch two-pass heavy hitters (operators/Corpus.heavyHitters):
+    * per-shard Misra–Gries summaries in the state store, so a pipeline
+    * watching an unbounded token stream sees its dominant grams at every
+    * trigger with STATE BOUNDED BY `cap` COUNTERS PER SHARD — never the
+    * stream's vocabulary, which is what a naive streaming
+    * `groupBy(gram).count()` would hold forever.
+    *
+    * Guarantees (the MG invariants, per shard): every retained `lb` is a
+    * lower bound on the true count, any gram with true shard frequency
+    * > n/(cap+1) is retained, and with `cap` at least the shard's
+    * vocabulary the counts are EXACT (the spec golden-tests that path
+    * against plain counts). Candidates are a superset to be confirmed by
+    * the batch recount pass, exactly q197's second phase.
+    *
+    * Scale: `shards` is the parallelism knob — grams route to shards by
+    * the same md5-prefix bucketing as every other deterministic hash in
+    * the library (portable, repartition-proof), each shard's state is
+    * O(cap), and no watermark is needed because state is size-bounded by
+    * construction, not time-bounded.
+    */
+  def heavyHitterMonitor(
+      grams: Dataset[String], shards: Int = 32, cap: Int = 128): Dataset[HHShard] = {
+    import grams.sparkSession.implicits._
+    def shardOf(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString
+      Integer.parseInt(hex, 16) % shards
+    }
+    grams
+      .groupByKey(shardOf)
+      .mapGroupsWithState[(Long, Map[String, Long]), HHShard](
+        GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String], state: GroupState[(Long, Map[String, Long])]) =>
+          val (n0, m0) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          val m = scala.collection.mutable.HashMap.empty[String, Long] ++= m0
+          var n = n0
+          rows.foreach { g =>
+            n += 1
+            m.get(g) match {
+              case Some(c) => m.update(g, c + 1)
+              case None if m.size < cap => m.update(g, 1L)
+              case None => // decrement-all; amortized O(1) per token
+                val dead = m.iterator.collect { case (k, 1L) => k }.toList
+                dead.foreach(m.remove)
+                m.keysIterator.toList.foreach(k => m.update(k, m(k) - 1))
+            }
+          }
+          state.update((n, m.toMap))
+          HHShard(shard, n,
+            m.toSeq.sortBy { case (g, c) => (-c, g) }
+              .map { case (g, c) => GramCount(g, c) })
+      }
   }
 
   def latestStatePerUser(events: Dataset[Ev]): Dataset[UserLatest] = {

@@ -204,6 +204,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(emissions(2).event_id === 4L)
   }
 
+  test("heavyHitterMonitor: exact counts when cap covers the vocab, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.heavyHitterMonitor(mem.toDS(), shards = 1, cap = 100)
+      .writeStream.format("memory").queryName("hh_exact")
+      .outputMode(OutputMode.Update()).start()
+
+    val b1 = Seq("a", "b", "a", "c", "a")
+    val b2 = Seq("b", "a", "d")
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("hh_exact").as[graft.streaming.HHShard]
+      .collect().last
+    val expect = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(last.n_tokens === 8L)
+    assert(last.candidates.map(c => c.gram -> c.lb).toMap === expect)
+    // best-first, ties lexicographic: a(4), b(2), c(1), d(1)
+    assert(last.candidates.map(_.gram) === Seq("a", "b", "c", "d"))
+  }
+
+  test("heavyHitterMonitor: state stays capped and the hot gram survives churn") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.heavyHitterMonitor(mem.toDS(), shards = 1, cap = 4)
+      .writeStream.format("memory").queryName("hh_churn")
+      .outputMode(OutputMode.Update()).start()
+
+    // hot gram = half the stream; 60 distinct fillers churn the counters
+    mem.addData((1 to 30).flatMap(i => Seq("hot", s"f$i")): _*)
+    q.processAllAvailable()
+    mem.addData((31 to 60).flatMap(i => Seq("hot", s"f$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val emissions = spark.table("hh_churn").as[graft.streaming.HHShard].collect()
+    emissions.foreach(e => assert(e.candidates.size <= 4, "state must stay capped"))
+    val last = emissions.last
+    assert(last.n_tokens === 120L)
+    // true freq 60/120 = 1/2 > n/(cap+1): MG must retain it, counts are lower bounds
+    val hot = last.candidates.find(_.gram === "hot")
+    assert(hot.isDefined, s"hot gram evicted: ${last.candidates}")
+    assert(hot.get.lb <= 60L)
+    assert(hot.get.lb === last.candidates.map(_.lb).max)
+  }
+
   test("curated streaming sink partitions by split, agrees with the batch assignment, and restarts exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
