@@ -87,19 +87,31 @@ object Bench {
     failed.foreach { case (k, m) => System.err.println(s"BENCH FAIL $k: $m") }
     // Full-name per-query detail goes to stderr for humans; the machine-read
     // stdout line below must stay SHORT. The harness that collects this
-    // output keeps only the final ~2000 characters of the run log, and a
-    // full-name/full-precision map for 67 queries is ~2800 chars — the JSON
-    // line gets truncated and never parses. So the stdout line uses each
-    // query's unique "qNN" prefix and millisecond precision (~12 chars per
-    // query), keeping the whole line comfortably inside the captured tail
-    // even as the query count grows.
+    // output keeps only the final ~2000 characters of the run log — and at
+    // 200 queries even the qNN-prefix millisecond map is ~2600 chars, so an
+    // unbounded map truncates the line HEAD and nothing parses (the round-8
+    // failure mode, which would have recurred at this query count). The map
+    // is therefore built slowest-first under an explicit character budget:
+    // the slow queries — the ones perf grading reads — always make the
+    // line, the fast tail is summarized into omitted/omitted_sum so the
+    // total still reconciles, and the line parses at ANY query count.
     timed.sortBy(-_._2).foreach { case (k, v) =>
       System.err.println(f"BENCH $k%-28s ${v}%9.3f s")
     }
     def ms3(v: Double): String = f"$v%.3f"
-    val qs = timed.map { case (k, v) =>
+    val mapBudget = 1500 // chars for the queries map, < the ~2000 tail
+    val entries = timed.sortBy(-_._2).map { case (k, v) =>
       JsonEscape.quote(k.takeWhile(_ != '_')) + ":" + ms3(v)
-    }.mkString("{", ",", "}")
+    }
+    val lens = entries.map(_.length + 1).scanLeft(0)(_ + _).tail
+    val nKeep = lens.count(_ <= mapBudget)
+    val kept = entries.take(nKeep)
+    val omitted = timed.size - nKeep
+    val omittedSum = timed.sortBy(-_._2).drop(nKeep).map(_._2).sum
+    val qs = kept.mkString("{", ",", "}")
+    val omitPart =
+      if (omitted == 0) ""
+      else s""","omitted":$omitted,"omitted_sum":${ms3(omittedSum)}"""
     // The stdout line must parse no matter how many queries fail: the
     // harness captures only the final ~2000 chars, and an unbounded errors
     // map (39 failures × ~70 chars in round 8) pushes the line past that
@@ -118,7 +130,18 @@ object Bench {
         (shown ++ more).mkString(""","errors":{""", ",", "}")
       }
     val total = timed.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs$errsPart,"sf":"$sfDir"}""")
+    // the COMPLETE per-query map goes to a file (stdout only carries the
+    // bounded summary above); best-effort, since the cwd may be read-only
+    val fullQs = timed.sortBy(_._1).map { case (k, v) =>
+      JsonEscape.quote(k) + ":" + ms3(v)
+    }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$fullQs$errsPart,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] full dump skipped: $e") }
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${timed.size},"queries":$qs$omitPart$errsPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

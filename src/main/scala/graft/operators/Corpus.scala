@@ -680,18 +680,8 @@ object Corpus {
       .select(Text.words(col("text")).as("w"))
       .select(explode(Text.bigrams(col("w"))).as("gram")))
     val candidates = grams.as[String].mapPartitions { it =>
-      val cap = 2 * k
       val m = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { w =>
-        m.get(w) match {
-          case Some(c) => m.update(w, c + 1)
-          case None if m.size < cap => m.update(w, 1L)
-          case None => // decrement-all: amortized O(1) per token
-            val dead = m.iterator.collect { case (key, 1L) => key }.toList
-            dead.foreach(m.remove)
-            m.keysIterator.toList.foreach(key => m.update(key, m(key) - 1))
-        }
-      }
+      it.foreach(graft.functions.MisraGries.offer(m, _, 2 * k))
       m.keysIterator
     }.distinct().toDF("gram")
     val total = grams.agg(count(lit(1)).as("n_total"))

@@ -204,16 +204,27 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct())
-    // left-semi-restrict the WIDE shingle-set relation to candidate ids
-    // BEFORE the pair joins (the embeddingNearDup pattern): only candidate
-    // rows — typically a tiny fraction of the corpus — carry their shingle
-    // arrays into the verification exchanges, instead of shuffling every
-    // doc's array twice. These two joins intentionally carry NO
-    // shuffle_hash hint (unlike everything else here): their build side
-    // is a cheap id projection of the PERSISTED cands — materialized by
-    // the pair join below, not recomputed — so a planner-chosen broadcast
-    // is the scale-correct plan: it leaves the wide shingle side entirely
-    // unshuffled.
+    verifyCandidates(shSets, cands, threshold)
+  }
+
+  /** True-Jaccard verification of an LSH candidate pair set — the tail of
+    * `minhashLsh`, factored out so `lshRecallAudit` can verify a
+    * candidate frame it already computed instead of paying the band
+    * self-join twice.
+    *
+    * Left-semi-restrict the WIDE shingle-set relation to candidate ids
+    * BEFORE the pair joins (the embeddingNearDup pattern): only candidate
+    * rows — typically a tiny fraction of the corpus — carry their shingle
+    * arrays into the verification exchanges, instead of shuffling every
+    * doc's array twice. These two joins intentionally carry NO
+    * shuffle_hash hint (unlike everything else here): their build side
+    * is a cheap id projection of the PERSISTED cands — materialized by
+    * the pair join below, not recomputed — so a planner-chosen broadcast
+    * is the scale-correct plan: it leaves the wide shingle side entirely
+    * unshuffled.
+    */
+  private def verifyCandidates(
+      shSets: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     val setsA = shSets
       .join(cands.select(col("doc_a").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("doc_a"), col("shs").as("sh_a"), col("n_sh").as("n_a"))
@@ -980,13 +991,18 @@ object Dedup {
       threshold: Double): DataFrame = {
     val truth = ngramJaccard(docs, threshold).select(col("doc_a"), col("doc_b"))
     val shSets = Caches.track(docShingleSets(docs))
-    val cands = bandKeys(shSets, bands, rowsPerBand).as("a").hint("shuffle_hash")
-      .join(bandKeys(shSets, bands, rowsPerBand).as("b"),
+    // band keys computed ONCE, candidates persisted ONCE: the candidate
+    // count and the verification below read the same frame, so the
+    // dominant band self-join + distinct runs a single time (a prior
+    // draft called minhashLsh for `verified`, which recomputed it)
+    val keys = bandKeys(shSets, bands, rowsPerBand)
+    val cands = Caches.track(keys.as("a").hint("shuffle_hash")
+      .join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val verified = minhashLsh(docs, bands, rowsPerBand, threshold)
+      .distinct())
+    val verified = verifyCandidates(shSets, cands, threshold)
       .select(col("doc_a"), col("doc_b"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))

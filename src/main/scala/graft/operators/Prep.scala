@@ -489,14 +489,23 @@ object Prep {
     * with the two scalar totals broadcast, never collected.
     */
   def mixtureWeights(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("source"))
+    // budget × w_int must stay inside int64: non-ANSI Spark would WRAP a
+    // hot multiply silently (garbage allocations, broken reconciliation)
+    // where the DuckDB oracle errors — fail loudly at the same boundary
+    val wCap = Long.MaxValue / budgetTokens
     val perSource = Caches.track(docs
       .select(col("source"), size(Text.words(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .withColumn("w_int",
-        floor(sqrt(sqrt(col("n_tokens").cast("double"))) * 1e6).cast("long")))
+        floor(sqrt(sqrt(col("n_tokens").cast("double"))) * 1e6).cast("long"))
+      .withColumn("w_int",
+        when(col("w_int") <= wCap, col("w_int")).otherwise(raise_error(concat(
+          lit(s"mixtureWeights: budget=$budgetTokens times w_int overflows int64 for source "),
+          col("source"))))))
     val withBase = Caches.track(perSource
       .crossJoin(broadcast(perSource.agg(sum(col("w_int")).as("w_tot"))))
       .withColumn("base", expr(s"($budgetTokens * w_int) div w_tot"))

@@ -397,8 +397,10 @@ object StreamingOps {
   def heavyHitterMonitor(
       grams: Dataset[String], shards: Int = 32, cap: Int = 128): Dataset[HHShard] = {
     import grams.sparkSession.implicits._
+    // per-record path: reuse one digest per thread instead of a JCA
+    // provider lookup + allocation per stream element
     def shardOf(g: String): Int = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
+      val hex = StreamingOps.md5Local.get()
         .digest(g.getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString
       Integer.parseInt(hex, 16) % shards
     }
@@ -412,14 +414,7 @@ object StreamingOps {
           var n = n0
           rows.foreach { g =>
             n += 1
-            m.get(g) match {
-              case Some(c) => m.update(g, c + 1)
-              case None if m.size < cap => m.update(g, 1L)
-              case None => // decrement-all; amortized O(1) per token
-                val dead = m.iterator.collect { case (k, 1L) => k }.toList
-                dead.foreach(m.remove)
-                m.keysIterator.toList.foreach(k => m.update(k, m(k) - 1))
-            }
+            graft.functions.MisraGries.offer(m, g, cap)
           }
           state.update((n, m.toMap))
           HHShard(shard, n,
@@ -427,6 +422,10 @@ object StreamingOps {
               .map { case (g, c) => GramCount(g, c) })
       }
   }
+
+  /** One resettable MD5 instance per executor thread (digest() resets). */
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
   def latestStatePerUser(events: Dataset[Ev]): Dataset[UserLatest] = {
     import events.sparkSession.implicits._
