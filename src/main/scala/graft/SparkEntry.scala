@@ -226,6 +226,8 @@ object SparkEntry {
     "q198_delta_dedup" -> ((s, d) => Dedup.deltaDedup(s, d)),
     "q199_vocab_coverage" -> ((s, d) => Corpus.vocabCoverage(s, d)),
     "q200_lsh_recall_audit" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
+    "q201_corpus_neardup_probe" -> ((s, d) => Dedup.corpusNearDupProbe(s, d)),
+    "q202_contract_monitor" -> ((s, d) => Quality.contractMonitor(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3762,8 +3764,60 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM truth) AS n_truth,
         |  (SELECT COUNT(*) FROM cand) AS n_candidates,
         |  (SELECT COUNT(*) FROM verified) AS n_verified,
-        |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / (SELECT COUNT(*) FROM truth) AS recall,
-        |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / (SELECT COUNT(*) FROM cand) AS precision
+        |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / nullif(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 0) AS recall,
+        |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / nullif(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 0) AS precision
         |FROM (SELECT 1) one""".stripMargin,
+
+    // q201: the streaming corpus-probe's batch twin — q198's bucket/band
+    // CTEs, emitting verified (stream-doc, corpus-doc) pairs with exact
+    // Jaccard instead of per-doc verdicts.
+    "q201_corpus_neardup_probe" ->
+      """WITH bkt AS (
+        |  SELECT doc_id,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS corpus_id
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey
+        |  JOIN bkt ba ON ba.doc_id = a.doc_id AND ba.bucket >= 95
+        |  JOIN bkt bc ON bc.doc_id = b.doc_id AND bc.bucket < 95
+        |)
+        |SELECT p.doc_id, p.corpus_id,
+        |  CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        |    / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) AS jaccard
+        |FROM pairs p JOIN d da ON p.doc_id = da.doc_id JOIN d db ON p.corpus_id = db.doc_id
+        |WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        |    / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.8""".stripMargin,
+
+    // q202: the streaming quality monitor's batch twin — 15-minute
+    // tumbling buckets (time_bucket aligns with Spark's window() for
+    // sub-day intervals) with per-clause violation counts.
+    "q202_contract_monitor" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_value,
+        |  CAST(SUM(CASE WHEN event_type NOT IN ('view', 'click', 'purchase', 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_type
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

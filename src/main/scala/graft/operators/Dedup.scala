@@ -811,13 +811,18 @@ object Dedup {
     * with the most content — max n_chars, ties to the smallest doc_id —
     * as the cluster's representative, alongside the member count.
     *
-    * Scale: the cluster relation is the dup GRAPH's vertex set (corpus ×
-    * dup-rate — orders of magnitude smaller than the corpus), so the
-    * n_chars lookup broadcasts the cluster labels into the documents
-    * scan: the corpus never shuffles. The election itself is one hash
-    * aggregate over cluster members using max-of-struct — (n_chars,
-    * -doc_id) under struct ordering IS (n_chars desc, doc_id asc) —
-    * so no window, no per-cluster sort, map-side combined.
+    * Scale: the cluster relation is the dup GRAPH's vertex set — smaller
+    * than the corpus, but it scales WITH the dup population (20–50% of a
+    * 100 TB crawl), so it must never be forced to broadcast: billions of
+    * member rows would blow past the broadcast ceiling and OOM the
+    * driver in exactly the regime this operator targets. The n_chars
+    * lookup is therefore a shuffle_hash-pinned equi-join on doc_id
+    * (per-partition build maps in parallel; AQE may still locally
+    * downgrade to broadcast when the membership happens to be tiny,
+    * which is fine). The election itself is one hash aggregate over
+    * cluster members using max-of-struct — (n_chars, -doc_id) under
+    * struct ordering IS (n_chars desc, doc_id asc) — so no window, no
+    * per-cluster sort, map-side combined.
     */
   def canonicalDocs(
       docs: DataFrame,
@@ -825,7 +830,7 @@ object Dedup {
       threshold: Double): DataFrame = {
     val members = dupClusters(docs, bands, rowsPerBand, threshold)
     docs.select(col("doc_id"), col("n_chars"))
-      .join(broadcast(members), Seq("doc_id"))
+      .join(members.hint("shuffle_hash"), Seq("doc_id"))
       .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -852,12 +857,16 @@ object Dedup {
     * the longest run wins (ties: smallest d, then smallest start).
     *
     * Scale: positional grams are computed ONLY for documents that appear
-    * in some verified pair — a broadcast semi-join restricts the corpus
-    * scan first, so the position relation is bounded by the dup set,
-    * never the corpus. The pair list itself broadcasts. Within-doc
-    * repeated grams fan the position join out quadratically PER REPEATED
-    * GRAM, but only inside a single pair's rows — bounded by document
-    * length, not corpus size.
+    * in some verified pair — a semi-join restricts the corpus scan
+    * first, so the position relation is bounded by the dup set, never
+    * the corpus. Both the dup-id set and the pair list scale with the
+    * dup POPULATION (20–50% of a 100 TB crawl — billions of rows), so
+    * neither is broadcast-hinted: the semi-join and the pair join are
+    * shuffle_hash-pinned equi-joins (parallel per-partition builds; AQE
+    * still downgrades to broadcast locally when a run's dup set is
+    * actually tiny). Within-doc repeated grams fan the position join
+    * out quadratically PER REPEATED GRAM, but only inside a single
+    * pair's rows — bounded by document length, not corpus size.
     */
   def dupSpans(
       docs: DataFrame,
@@ -870,7 +879,7 @@ object Dedup {
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val posGrams = Caches.track(docs
-      .join(broadcast(dupIds), Seq("doc_id"), "left_semi")
+      .join(dupIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
@@ -878,7 +887,7 @@ object Dedup {
           "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as(Seq("p0", "sh")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("sh")))
     val matches = posGrams
-      .join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      .join(pairs.hint("shuffle_hash"), col("doc_id") === col("doc_a"))
       .select(col("doc_a"), col("doc_b"), col("p").as("pa"), col("sh"))
       .join(posGrams.select(col("doc_id").as("doc_b"),
         col("p").as("pb"), col("sh")), Seq("doc_b", "sh"))
@@ -971,6 +980,54 @@ object Dedup {
   def deltaDedup(s: SparkSession, dir: String): DataFrame =
     deltaDedup(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
 
+  /** Batch twin of streaming/StreamingOps.nearDupAgainstCorpus — the
+    * same stream-vs-static-corpus MinHash-LSH probe, expressed over the
+    * deterministic 95/5 bucket split (the same splitAssign primitive as
+    * deltaDedup): the top-5% bucket plays the arriving stream, the rest
+    * the standing corpus, and each "stream" document is matched to
+    * every corpus document it is a verified near-dup of, with the exact
+    * Jaccard. This gives the streaming operator's semantics a
+    * driver-gated DuckDB oracle; StreamingOpsSpec asserts the streaming
+    * form emits exactly these (doc_id, corpus_id, jaccard) rows on the
+    * same data.
+    *
+    * Shape mirrors the streaming plan deliberately: the corpus index
+    * (band keys joined back to shingle sets) is built once; the stream
+    * side CARRIES its shingle sets through the band explode (a stream
+    * cannot self-join to fetch its arrays back, so neither does the
+    * twin); one equi-join on (band, bkey); exact per-pair verification
+    * in the join projection; multi-band duplicate pairs collapsed by
+    * distinct — the batch analog of dropDuplicatesWithinWatermark.
+    * shuffle_hash on the index side: the corpus index scales with the
+    * corpus and must never be presumed broadcastable (AQE may still
+    * downgrade when it is actually small).
+    */
+  def corpusNearDupProbe(
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val shSets = Caches.track(docShingleSets(
+      docs.withColumn("bucket", Corpus.hashBucket(col("doc_id"))),
+      carry = Seq("bucket")))
+    val corpusSets = shSets.filter(col("bucket") < 95)
+    val corpusIdx = bandKeys(corpusSets, bands, rowsPerBand)
+      .join(corpusSets.select(col("doc_id"), col("shs"), col("n_sh")), Seq("doc_id"))
+      .select(col("band"), col("bkey"), col("doc_id").as("corpus_id"),
+        col("shs").as("corpus_shs"), col("n_sh").as("corpus_n"))
+    bandKeys(shSets.filter(col("bucket") >= 95), bands, rowsPerBand,
+        carry = Seq("shs", "n_sh"))
+      .join(corpusIdx.hint("shuffle_hash"), Seq("band", "bkey"))
+      .withColumn("inter", size(array_intersect(col("shs"), col("corpus_shs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_sh") + col("corpus_n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("corpus_id"), col("jaccard"))
+      .distinct()
+  }
+
+  def corpusNearDupProbe(s: SparkSession, dir: String): DataFrame =
+    corpusNearDupProbe(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
+
   /** LSH candidate-stage audit: how much of the TRUE near-dup pair set
     * (ground-truth n-gram Jaccard ≥ threshold, q21's honest quadratic)
     * does the banded MinHash index actually surface, and how dirty is the
@@ -1004,14 +1061,18 @@ object Dedup {
       .distinct())
     val verified = verifyCandidates(shSets, cands, threshold)
       .select(col("doc_a"), col("doc_b"))
+    // nullif guards: on a dup-free corpus n_truth/n_candidates are 0 and
+    // a bare division yields NaN in Spark but may differ in other
+    // engines — NULL recall/precision is the well-defined cross-engine
+    // answer for "no denominator"
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
       .select(col("n_truth"), col("n_candidates"), col("n_verified"),
-        (col("n_verified").cast("double") / col("n_truth").cast("double"))
-          .as("recall"),
-        (col("n_verified").cast("double") / col("n_candidates").cast("double"))
-          .as("precision"))
+        (col("n_verified").cast("double") /
+          nullif(col("n_truth").cast("double"), lit(0.0))).as("recall"),
+        (col("n_verified").cast("double") /
+          nullif(col("n_candidates").cast("double"), lit(0.0))).as("precision"))
   }
 
   def lshRecallAudit(s: SparkSession, dir: String): DataFrame =

@@ -319,4 +319,35 @@ object Quality {
 
   def contingency(s: SparkSession, dir: String): DataFrame =
     contingency(Tables.orders(s, dir), Tables.customer(s, dir))
+
+  /** Batch twin of streaming/StreamingOps.qualityMonitor — per tumbling
+    * 15-minute window, the count of arriving events violating each
+    * contract clause (negative measure; event type outside the declared
+    * vocabulary) alongside the window total. Identical flag projection
+    * and aggregate as the streaming form (StreamingOpsSpec pins the
+    * equivalence); this registered twin is what gives the monitor's
+    * windowing a driver-gated DuckDB oracle. Violations are flagged in
+    * the scan projection (pure when/otherwise, map-side), so the shuffle
+    * carries one pre-combined row per (window, partition) — the audit
+    * costs one pass over the pruned (ts, value, event_type) columns at
+    * any scale.
+    */
+  def contractMonitor(events: DataFrame, knownTypes: Seq[String]): DataFrame =
+    events
+      .select(window(col("ts"), "15 minutes").as("w"),
+        when(col("value") < 0, 1L).otherwise(0L).as("v_neg"),
+        when(!col("event_type").isin(knownTypes: _*), 1L).otherwise(0L).as("v_type"))
+      .groupBy(col("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("v_neg")).as("n_negative_value"),
+        sum(col("v_type")).as("n_unknown_type"))
+      .select(col("w.start").as("w_start"), col("n_events"),
+        col("n_negative_value"), col("n_unknown_type"))
+
+  /** Registered with 'error' outside the declared vocabulary so the
+    * unknown-type column is non-trivially exercised by the oracle. */
+  def contractMonitor(s: SparkSession, dir: String): DataFrame =
+    contractMonitor(Tables.events(s, dir),
+      knownTypes = Seq("view", "click", "purchase", "signup"))
 }

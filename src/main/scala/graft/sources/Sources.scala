@@ -125,7 +125,7 @@ object Sources {
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
@@ -151,8 +151,16 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(p(dir, "events"))
     val ts = raw.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case _        => col("ts")
+      case LongType                         => timestamp_micros(expr("ts div 1000"))
+      case TimestampType | TimestampNTZType => col("ts")
+      // fail loudly on any third layout generation: a silent cast (e.g.
+      // from string or int32) would produce null timestamps and quietly
+      // dark every events query, which is exactly the drift this
+      // adaptive loader exists to surface
+      case other => throw new IllegalStateException(
+        s"events.parquet ts column has unsupported physical type $other; " +
+          "expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ — update " +
+          "Sources.events for the new testdata generation")
     }
     raw.withColumn("ts", ts.cast(TimestampNTZType))
   }

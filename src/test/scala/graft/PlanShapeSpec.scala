@@ -336,14 +336,77 @@ class PlanShapeSpec extends SparkSpec {
       s"capping must not shuffle the corpus into a per-source window:\n$plan")
   }
 
-  test("q195: canonical election broadcasts cluster labels; no window over members") {
-    val df = graft.operators.Dedup.canonicalDocs(
-      graft.sources.Tables.documents(spark, sf0001),
-      bands = 4, rowsPerBand = 2, threshold = 0.8)
-    df.collect() // materialize through AQE
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the documents scan must meet the cluster labels by broadcast:\n$plan")
+  /** The dup-population joins must never be FORCED to broadcast: cluster
+    * membership, dup ids, and verified pairs all scale with the dup
+    * population (a large fraction of a crawl-scale corpus), so an
+    * unconditional broadcast hint is a hard failure at target scale.
+    * The pin reads the INITIAL (pre-AQE) plan — that is where a
+    * broadcast() hint would force a BroadcastHashJoin regardless of
+    * size; the shuffle_hash pin must plan a ShuffledHashJoin there.
+    * AQE is still free to downgrade to broadcast at runtime when the
+    * relation is actually tiny — that is a size-aware decision, which
+    * is exactly the behavior we want; the static plan must not presume
+    * smallness. The pin plans under autoBroadcastJoinThreshold=-1:
+    * size-based broadcasts disappear, FORCED (hinted) broadcasts
+    * survive — so any BroadcastHashJoin left in the initial plan is a
+    * smuggled-in broadcast() hint, the exact scale-killer this guards.
+    */
+  private def initialJoins(df: DataFrame): (Int, Int) = {
+    // descend through AQE wrappers AND cached relations: the hinted
+    // joins live inside Caches.track'd InMemoryRelations
+    def walk(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m +: walk(m.relation.cachedPlan)
+      case n => Seq(n)
+    }.flatten
+    val ns = walk(df.queryExecution.executedPlan)
+    val bhj = ns.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    val shj = ns.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    (bhj, shj)
+  }
+
+  private def withNoAutoBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("q195: canonical election never force-broadcasts cluster membership") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Dedup.canonicalDocs(
+        graft.sources.Tables.documents(spark, sf0001),
+        bands = 4, rowsPerBand = 2, threshold = 0.8)
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 0,
+        s"no forced broadcast anywhere in canonicalDocs — membership scales " +
+          s"with the dup population:\n${df.queryExecution.executedPlan}")
+      assert(shj >= 1,
+        s"the membership lookup must plan as a shuffled hash join:\n${df.queryExecution.executedPlan}")
+      // no window over members: the election is a max-of-struct aggregate
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"election must be an aggregate, not a per-cluster window:\n$plan")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q196: dup-span restriction and pair joins never force-broadcast the dup set") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Dedup.dupSpans(
+        graft.sources.Tables.documents(spark, sf0001),
+        bands = 4, rowsPerBand = 2, threshold = 0.8)
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 0,
+        s"no forced broadcast in dupSpans — dup ids and verified pairs scale " +
+          s"with the dup population:\n${df.queryExecution.executedPlan}")
+      assert(shj >= 3,
+        s"the dup-id semi-restriction, the pair join, and the LSH internals " +
+          s"must plan as shuffled hash joins:\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
     spark.catalog.clearCache()
   }
 

@@ -393,6 +393,63 @@ class StreamingOpsSpec extends SparkSpec {
       .select($"w_start".cast("string"), $"n_events", $"n_negative_value", $"n_unknown_type")
       .as[(String, Long, Long, Long)].collect().toSet
     assert(batch === rows)
+
+    // and the REGISTERED batch twin (q202, driver-oracle-gated) computes
+    // the same windows under the same violation vocabulary
+    val twin = graft.operators.Quality.contractMonitor(events.toDF(),
+        knownTypes = Seq("view", "click", "purchase", "signup", "error"))
+      .select($"w_start".cast("string"), $"n_events", $"n_negative_value", $"n_unknown_type")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(twin === rows,
+      s"registered q202 twin must equal the streaming monitor: $twin vs $rows")
+  }
+
+  test("streaming near-dup equals the registered q201 batch twin on the bucket split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pick real ids on each side of the 95/5 md5-bucket split the twin
+    // uses, so the streaming side (bucket >= 95 plays the arriving
+    // stream) and the corpus side line up with the twin's partition of
+    // ONE documents table
+    val buckets = spark.range(1, 4000)
+      .select(col("id"), graft.operators.Corpus.hashBucket(col("id")).as("b"))
+      .as[(Long, Long)].collect()
+    val streamIds = buckets.collect { case (id, b) if b >= 95 => id }.take(3)
+    val corpusIds = buckets.collect { case (id, b) if b < 95 => id }.take(2)
+    assert(streamIds.length === 3 && corpusIds.length === 2)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (corpusIds(0), base),
+      (corpusIds(1), "totally different reference text about catalyst and tungsten internals"),
+      (streamIds(0), base),                               // exact dup of corpus doc
+      (streamIds(1), base.replace("today", "tonight")),   // near dup
+      (streamIds(2), "unrelated fresh content words entirely new and never seen before"))
+      .toDF("doc_id", "text")
+
+    val twin = graft.operators.Dedup.corpusNearDupProbe(
+        docs, bands = 4, rowsPerBand = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    Caches.releaseAll()
+
+    val corpus = docs.filter(col("doc_id").isin(corpusIds: _*))
+    val mem = MemoryStream[StreamTextDoc]
+    val q = StreamingOps.nearDupAgainstCorpus(mem.toDF(), corpus, threshold = 0.5)
+      .writeStream.format("memory").queryName("neardup_twin")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(streamIds.zipWithIndex.map { case (id, i) =>
+      StreamTextDoc(id,
+        docs.filter(col("doc_id") === id).select("text").as[String].head(),
+        ts(s"2026-01-01 00:0$i:00"))
+    }.toIndexedSeq: _*)
+    q.processAllAvailable(); q.stop()
+    Caches.releaseAll()
+
+    val streamed = spark.table("neardup_twin")
+      .select($"doc_id", $"corpus_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "the dup pairs must actually be flagged")
+    assert(streamed === twin,
+      s"streaming probe and registered q201 twin must agree: $streamed vs $twin")
   }
 
   test("chargeMonitor: streaming alerts equal the batch screen across triggers") {
