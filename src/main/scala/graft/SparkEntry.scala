@@ -703,15 +703,53 @@ object SparkEntry {
         |  AND vec_a IN (SELECT doc_id FROM documents)
         |  AND vec_b IN (SELECT doc_id FROM documents)""".stripMargin,
 
+    // q36: the Spark side decodes the q69 synthetic PNG, box-downscales
+    // 2×2 with integer floor, re-encodes + re-decodes the thumbnail, and
+    // sums its pixels; the oracle recomputes the identical integer math
+    // from the closed-form source pixels (PNG is lossless), so a hash
+    // match proves real resize work on really decoded pixels.
     "q36_mm_resize" ->
-      """SELECT doc_id, 64 AS width, 64 AS height,
-        |  octet_length(encode(substring(text, 1, 256))) AS thumb_len,
-        |  sha256(substring(text, 1, 256)) AS thumb_sha
-        |FROM documents""".stripMargin,
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CAST((16 + doc_id % 48) // 2 AS INT) AS width,
+        |    CAST((16 + (doc_id * 7) % 48) // 2 AS INT) AS height
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, d.width, d.height,
+        |  CAST(SUM(
+        |    ( ((2*x) * 31 + (2*y) * 17 + d.doc_id) % 256
+        |    + ((2*x+1) * 31 + (2*y) * 17 + d.doc_id) % 256
+        |    + ((2*x) * 31 + (2*y+1) * 17 + d.doc_id) % 256
+        |    + ((2*x+1) * 31 + (2*y+1) * 17 + d.doc_id) % 256 ) // 4
+        |  + ( ((2*x) * 13 + (2*y) * 29 + d.doc_id * 3) % 256
+        |    + ((2*x+1) * 13 + (2*y) * 29 + d.doc_id * 3) % 256
+        |    + ((2*x) * 13 + (2*y+1) * 29 + d.doc_id * 3) % 256
+        |    + ((2*x+1) * 13 + (2*y+1) * 29 + d.doc_id * 3) % 256 ) // 4
+        |  + ( ((2*x) * 7 + (2*y) * 11 + d.doc_id * 5) % 256
+        |    + ((2*x+1) * 7 + (2*y) * 11 + d.doc_id * 5) % 256
+        |    + ((2*x) * 7 + (2*y+1) * 11 + d.doc_id * 5) % 256
+        |    + ((2*x+1) * 7 + (2*y+1) * 11 + d.doc_id * 5) % 256 ) // 4
+        |  ) AS BIGINT) AS px_sum
+        |FROM dims d,
+        |LATERAL (SELECT unnest(range(0, d.width)) AS x) tx,
+        |LATERAL (SELECT unnest(range(0, d.height)) AS y) ty
+        |GROUP BY 1, 2, 3""".stripMargin,
 
+    // q37: the Spark side writes a real multi-frame GIF (256-gray
+    // indexed, lossless), decodes it back, and emits every 2nd frame
+    // with its decoded pixel sum; the oracle recomputes from the
+    // closed-form frame-pixel function.
     "q37_mm_frame_sample" ->
-      """SELECT doc_id, unnest(range(0, 1 + octet_length(encode(text)) % 30, 4)) AS frame_idx
-        |FROM documents""".stripMargin,
+      """WITH f AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS n_frames FROM documents
+        |)
+        |SELECT f.doc_id, CAST(fi AS INT) AS frame_idx, f.n_frames,
+        |  CAST(SUM((x * 31 + y * 17 + f.doc_id + fi * 7) % 256) AS BIGINT) AS px_sum
+        |FROM f,
+        |LATERAL (SELECT unnest(range(0, f.n_frames, 2)) AS fi) tf,
+        |LATERAL (SELECT unnest(range(0, 8)) AS x) tx,
+        |LATERAL (SELECT unnest(range(0, 8)) AS y) ty
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q28_rollup_revenue" ->
       """SELECT n_name, o_orderstatus,

@@ -7,15 +7,17 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
-  * `binary` columns travelling beside typed metadata. The Spark-side
-  * machinery (schema, batching, partition-local decode, feature columns)
-  * is real; for video/audio the codec is STUBBED with a deterministic
-  * fake (`decodeStub`) because those media libraries aren't in this
-  * container — a real deployment swaps the stub for an actual decoder
-  * inside the same `mapPartitions` (partition-local, batched, no driver
-  * involvement). For IMAGES the codec is REAL: `pngRoundtrip` encodes and
-  * decodes actual PNG bytes through `javax.imageio` (pure JVM, in every
-  * JRE), proving the seam carries genuine binary media work.
+  * `binary` columns travelling beside typed metadata, decoded inside
+  * `mapPartitions` (partition-local, batched, no driver involvement).
+  * The codecs are REAL wherever a pure-JVM library exists: PNG
+  * encode/decode (`pngRoundtrip`), 2×2 box-mean resize through a double
+  * PNG round trip (`resizeThumbnail`), multi-frame GIF encode/decode
+  * with frame sampling (`frameSample`) via `javax.imageio`, and
+  * RIFF/WAVE PCM via `javax.sound.sampled` (`wavRoundtrip`). Only the
+  * GENERIC media-metadata seam (`decodeFeatures`/`meta`) keeps a
+  * deterministic stand-in (`decodeStub`) for the one thing no JRE
+  * ships — arbitrary video container parsing; a real deployment swaps
+  * that stub for its decoder inside the same seam.
   */
 object Multimodal {
 
@@ -70,58 +72,175 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic fake "resize" to a 64×64 thumbnail: truncate the
-    * payload to its first 256 CHARACTERS when decoded as UTF-8 (stands in
-    * for ??? real image downsampling). Character (not byte) truncation so a
-    * multi-byte code point is never split and the result matches a
-    * `substring(text, 1, 256)` formulation exactly on non-ASCII corpora.
+  /** REAL image downscale: per-channel 2×2 box mean with integer floor —
+    * dst(x,y).c = (src(2x,2y).c + src(2x+1,2y).c + src(2x,2y+1).c +
+    * src(2x+1,2y+1).c) / 4 — odd trailing row/column dropped. Exact
+    * integer arithmetic on genuinely decoded pixels, which is what lets
+    * the q36 oracle recompute the thumbnail closed-form (a filtered
+    * AffineTransformOp would do the same work with unspecified rounding,
+    * unverifiable across engines).
     */
-  private[operators] def resizeStub(payload: Array[Byte]): Array[Byte] = {
-    val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-    val nCp = s.codePointCount(0, s.length)
-    val end = s.offsetByCodePoints(0, math.min(256, nCp))
-    s.substring(0, end).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private[graft] def boxHalf(src: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val (w, h) = (src.getWidth / 2, src.getHeight / 2)
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val dst = out.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    val row0 = new Array[Int](src.getWidth)
+    val row1 = new Array[Int](src.getWidth)
+    var y = 0
+    while (y < h) {
+      src.getRGB(0, 2 * y, src.getWidth, 1, row0, 0, src.getWidth)
+      src.getRGB(0, 2 * y + 1, src.getWidth, 1, row1, 0, src.getWidth)
+      var x = 0
+      while (x < w) {
+        val (a, b, c, d) = (row0(2 * x), row0(2 * x + 1), row1(2 * x), row1(2 * x + 1))
+        val r = (((a >> 16) & 0xff) + ((b >> 16) & 0xff) + ((c >> 16) & 0xff) + ((d >> 16) & 0xff)) / 4
+        val g = (((a >> 8) & 0xff) + ((b >> 8) & 0xff) + ((c >> 8) & 0xff) + ((d >> 8) & 0xff)) / 4
+        val bl = ((a & 0xff) + (b & 0xff) + (c & 0xff) + (d & 0xff)) / 4
+        dst(y * w + x) = (r << 16) | (g << 8) | bl
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   private val resizedSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("thumb", BinaryType),
+    StructField("px_sum", LongType),
   ))
 
-  /** Resize: binary→binary transformation, partition-local via
-    * mapPartitions (the shape a real image library plugs into). The
-    * emitted columns are derived metadata + checksum of the new payload,
-    * so the result is oracle-checkable without shipping binaries around.
+  /** REAL resize round trip, partition-local: synthesize the q69 PNG,
+    * DECODE it with javax.imageio, downscale with the 2×2 box mean,
+    * RE-ENCODE the thumbnail as PNG, decode THAT, and emit the
+    * thumbnail's dims + pixel sum read from the re-decoded image. Every
+    * emitted number has passed through two genuine PNG codecs and real
+    * pixel arithmetic; the oracle recomputes it all closed-form (PNG is
+    * lossless, the box mean is exact integer math). Replaces the prior
+    * byte-truncation stand-in — no stubbed step remains on this path.
     */
   def resizeThumbnail(s: SparkSession, dir: String): DataFrame = {
-    val payloads = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(resizedSchema)
-    payloads.mapPartitions { rows: Iterator[Row] =>
+    ids.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val thumb = resizeStub(r.getAs[Array[Byte]]("payload"))
-        Row(r.getLong(0), 64, 64, thumb)
+        val id = r.getLong(0)
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(syntheticPng(id)))
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(boxHalf(src), "png", bos)
+        val (w, h, sum) = decodePng(bos.toByteArray)
+        Row(id, w, h, sum)
       }
     }(enc)
-      .select(col("doc_id"), col("width"), col("height"),
-        length(col("thumb")).as("thumb_len"),
-        sha2(col("thumb"), 256).as("thumb_sha"))
   }
 
-  /** Frame sampling: every `step`-th frame index of the stub-decoded
-    * frame count, exploded to one row per sampled frame — the fan-out
-    * shape of a video pipeline (decode happens per emitted frame
-    * downstream, never materializing whole videos).
+  /** Deterministic synthetic animated GIF for `docId`: `1 + docId % 8`
+    * frames of 8×8 indexed-color pixels over a 256-gray palette, each
+    * pixel a pure function of (docId, frame, x, y), written as a REAL
+    * multi-frame GIF by javax.imageio's sequence writer. Indexed gray
+    * makes the round trip lossless (GIF's 256-color palette holds the
+    * whole value space exactly), so decoded frames are SQL-predictable —
+    * the syntheticPng trick extended to the time axis.
     */
-  def frameSample(s: SparkSession, dir: String, step: Int = 4): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        (lit(1) + length(col("text").cast("binary")) % 30).as("frames"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_idx"))
+  private[graft] def syntheticGif(docId: Long): Array[Byte] = {
+    val frames = (1 + docId % 8).toInt
+    val grays = Array.tabulate(256)(v => ((v << 16) | (v << 8) | v))
+    val palette = new java.awt.image.IndexColorModel(
+      8, 256, grays, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+      val px = img.getRaster
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          px.setSample(x, y, 0, ((x * 31 + y * 17 + docId + f * 7) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode: parse GIF bytes with javax.imageio, count
+    * the frames from the container, and return per-frame pixel sums read
+    * from the DECODED indexed rasters (gray level = any RGB channel).
+    */
+  private[graft] def decodeGifFrames(payload: Array[Byte]): Seq[(Int, Long)] = {
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    val out = (0 until n).map { f =>
+      val img = reader.read(f)
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) >> 16) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (f, sum)
+    }
+    reader.dispose(); iis.close()
+    out
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("px_sum", LongType),
+  ))
+
+  /** REAL frame sampling, partition-local: synthesize the multi-frame
+    * GIF, DECODE it, and emit every `step`-th frame with a pixel sum
+    * computed from that decoded frame — the fan-out shape of a video
+    * pipeline (one row per sampled frame; whole videos never shuffle),
+    * with the frame count read from the real container, not metadata.
+    * Replaces the prior stub-derived frame count — both multimodal
+    * fan-out paths now run genuine codecs end to end.
+    */
+  def frameSample(s: SparkSession, dir: String, step: Int = 2): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameSchema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val frames = decodeGifFrames(syntheticGif(id))
+        frames.collect { case (f, sum) if f % step == 0 =>
+          Row(id, f, frames.length, sum)
+        }
+      }
+    }(enc)
+  }
 
   /** Deterministic synthetic PNG for `docId`: a w×h RGB image whose every
     * pixel channel is a pure function of (docId, x, y), encoded to REAL

@@ -68,4 +68,69 @@ class MultimodalSpec extends SparkSpec {
     val (n, sum, absSum) = Multimodal.decodeWav(Multimodal.syntheticWav(3L))
     assert(rows(3L) === ((n, sum, absSum)))
   }
+
+  test("boxHalf downscale is the exact 2x2 integer box mean of the decoded source") {
+    for (id <- Seq(0L, 5L, 41L, 997L)) {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(id)))
+      val thumb = Multimodal.boxHalf(src)
+      val (w, h) = (src.getWidth / 2, src.getHeight / 2)
+      assert(thumb.getWidth === w && thumb.getHeight === h, s"doc $id dims")
+      // spot-check every pixel against the closed-form source formula
+      def ch(x: Int, y: Int): (Long, Long, Long) = (
+        (x * 31 + y * 17 + id) % 256,
+        (x * 13 + y * 29 + id * 3) % 256,
+        (x * 7 + y * 11 + id * 5) % 256)
+      for (y <- 0 until h; x <- 0 until w) {
+        val parts = Seq(ch(2 * x, 2 * y), ch(2 * x + 1, 2 * y),
+          ch(2 * x, 2 * y + 1), ch(2 * x + 1, 2 * y + 1))
+        val er = parts.map(_._1).sum / 4
+        val eg = parts.map(_._2).sum / 4
+        val eb = parts.map(_._3).sum / 4
+        val rgb = thumb.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) === er && ((rgb >> 8) & 0xff) === eg &&
+          (rgb & 0xff) === eb, s"doc $id pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("resizeThumbnail re-decodes the re-encoded thumbnail losslessly (distributed)") {
+    val rows = Multimodal.resizeThumbnail(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(rows.size === 500)
+    // recompute doc 3 locally through the same double round trip
+    val src = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticPng(3L)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(Multimodal.boxHalf(src), "png", bos)
+    val (w, h, sum) = Multimodal.decodePng(bos.toByteArray)
+    assert(rows(3L) === ((w, h, sum)))
+  }
+
+  test("syntheticGif is a real multi-frame GIF and decode recovers the closed-form frames") {
+    for (id <- Seq(0L, 3L, 7L, 123L)) {
+      val bytes = Multimodal.syntheticGif(id)
+      assert(new String(bytes.take(6), "US-ASCII").startsWith("GIF8"), "GIF magic")
+      val frames = Multimodal.decodeGifFrames(bytes)
+      assert(frames.length === (1 + id % 8).toInt, s"doc $id frame count")
+      for ((f, got) <- frames) {
+        var expect = 0L
+        for (y <- 0 until 8; x <- 0 until 8)
+          expect += (x * 31 + y * 17 + id + f * 7) % 256
+        assert(got === expect, s"doc $id frame $f")
+      }
+    }
+  }
+
+  test("frameSample emits every 2nd decoded frame with its pixel sum (distributed)") {
+    val rows = Multimodal.frameSample(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getLong(3))))
+      .toMap
+    // doc 3 has 1 + 3 % 8 = 4 frames, so sampled frames are 0 and 2
+    val frames = Multimodal.decodeGifFrames(Multimodal.syntheticGif(3L)).toMap
+    assert(rows((3L, 0)) === ((4, frames(0))))
+    assert(rows((3L, 2)) === ((4, frames(2))))
+    assert(!rows.contains((3L, 1)) && !rows.contains((3L, 3)))
+  }
 }
