@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * q80 source overlap, q94 n-gram novelty, q105 prefix sim join,
   * q112 containment join, q111 sweep-line prefix sum, q121 co-purchase
   * triangles, q124 distributed global ranking, q195 canonical docs,
-  * q196 dup spans, q198 delta dedup) on an N×-amplified
+  * q196 dup spans, q198 delta dedup, q200 LSH recall audit) on an N×-amplified
   * corpus/event-log/fact-table, assert completion, and
   * report wall times — the "scales to 100×" design claims get at least
   * one measured 10× data point.
@@ -142,6 +142,9 @@ object ScaleSmoke {
       },
       timed("q198") {
         graft.operators.Dedup.deltaDedup(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      },
+      timed("q200") {
+        graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
       })
 
     val qs = times.filter(_._2 >= 0)
