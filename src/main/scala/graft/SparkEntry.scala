@@ -228,6 +228,8 @@ object SparkEntry {
     "q200_lsh_recall_audit" -> ((s, d) => Dedup.lshRecallAudit(s, d)),
     "q201_corpus_neardup_probe" -> ((s, d) => Dedup.corpusNearDupProbe(s, d)),
     "q202_contract_monitor" -> ((s, d) => Quality.contractMonitor(s, d)),
+    "q203_dsir_weights" -> ((s, d) => Prep.dsirWeights(s, d)),
+    "q204_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3857,5 +3859,123 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_value,
         |  CAST(SUM(CASE WHEN event_type NOT IN ('view', 'click', 'purchase', 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_type
         |FROM events GROUP BY 1""".stripMargin,
+
+    // q203: DSIR importance weights. Bucket = the same 16-bit md5 prefix
+    // as Spark's conv(substring(md5(bigram),1,4),16,10), spelled in
+    // instr-nibble arithmetic (the q40 idiom); the likelihood ratio is
+    // pure integer arithmetic (((t+1)·10⁶) // (r+1), target ⊆ raw so
+    // r ≥ t keeps everything ≤ 10⁶), so the only doubles are the two
+    // final correctly-rounded expressions — bit-identical cross-engine.
+    "q203_dsir_weights" ->
+      """WITH bg AS (
+        |  SELECT doc_id, lang, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+        |), db AS (
+        |  SELECT doc_id, lang,
+        |    ( (instr('0123456789abcdef', substr(md5(bigram), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(bigram), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(bigram), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(bigram), 4, 1)) - 1) ) % 256 AS bucket,
+        |    COUNT(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3
+        |), raw AS (
+        |  SELECT bucket, SUM(c) AS r FROM db GROUP BY 1
+        |), tgt AS (
+        |  SELECT bucket, SUM(c) AS t FROM db WHERE lang = 'en' GROUP BY 1
+        |), dom AS (
+        |  SELECT unnest(range(0, 256)) AS bucket
+        |), lr AS (
+        |  SELECT dom.bucket,
+        |    ((COALESCE(t, 0) + 1) * 1000000) // (COALESCE(r, 0) + 1) AS lr
+        |  FROM dom LEFT JOIN raw ON raw.bucket = dom.bucket
+        |  LEFT JOIN tgt ON tgt.bucket = dom.bucket
+        |), tot AS (
+        |  SELECT SUM(c) AS big_r,
+        |    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS big_t FROM db
+        |), ds AS (
+        |  SELECT doc_id, SUM(c * lr) AS s, CAST(SUM(c) AS BIGINT) AS n_bigrams
+        |  FROM db JOIN lr USING (bucket) GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(s AS DOUBLE) / (n_bigrams * 1e6) AS mean_lr,
+        |  (CAST(s AS DOUBLE) / (n_bigrams * 1e6)) *
+        |    (CAST(big_r + 256 AS DOUBLE) / CAST(big_t + 256 AS DOUBLE)) AS dsir_weight
+        |FROM ds, tot""".stripMargin,
+
+    // q204: SemDedup. The training/assignment chain (qe … assign) is the
+    // q61 unrolled fixed-point Lloyd loop verbatim — same k=8, iters=2 —
+    // then within-cluster pairwise fixed-point cosine and the
+    // lowest-id-wins drop at tau=0.4.
+    "q204_semdedup" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), vn AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qe GROUP BY 1
+        |), qc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qe WHERE vec_id < 8
+        |), cn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc0 GROUP BY 1
+        |), d1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d1 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a1 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m1
+        |), cn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc1 GROUP BY 1
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d2 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a2 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m2
+        |), cn2t AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc2 GROUP BY 1
+        |), d3 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc2 c ON c.pos = q.pos GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+        |  FROM d3 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn2t c ON c.cid = d.cid
+        |), assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc
+        |  ) WHERE rn = 1
+        |), mp AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |), pd AS (
+        |  SELECT mp.va, mp.vb, SUM(qa.qx * qb.qx) AS dot
+        |  FROM mp JOIN qe qa ON qa.vec_id = mp.va
+        |  JOIN qe qb ON qb.vec_id = mp.vb AND qb.pos = qa.pos
+        |  GROUP BY 1, 2
+        |), drp AS (
+        |  SELECT DISTINCT pd.vb AS vec_id
+        |  FROM pd JOIN vn na ON na.vec_id = pd.va JOIN vn nb ON nb.vec_id = pd.vb
+        |  WHERE CAST(pd.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
+        |)
+        |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+        |FROM assign a LEFT JOIN drp d ON d.vec_id = a.vec_id""".stripMargin,
   )
 }

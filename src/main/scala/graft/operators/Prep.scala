@@ -523,4 +523,82 @@ object Prep {
 
   def mixtureWeights(s: SparkSession, dir: String): DataFrame =
     mixtureWeights(Tables.documents(s, dir))
+
+  /** DSIR-style importance weights: score every document by how much its
+    * hashed-bigram profile looks like a target slice (here `lang = 'en'`)
+    * relative to the raw corpus — the data-selection signal behind
+    * importance resampling (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling"). Bigrams hash into `nBuckets`
+    * md5-derived buckets; each bucket carries an add-1-smoothed
+    * count ratio, and a document's weight is the count-weighted MEAN of
+    * its buckets' ratios, times the global (R+B)/(T+B) normaliser that
+    * turns count ratios into probability ratios.
+    *
+    * The canonical DSIR score is the SUM OF LOGS of those ratios; logs are
+    * traded for the arithmetic mean of exact rationals here for the same
+    * reason `lmScore` does it — ln() is not correctly rounded, so a
+    * cross-engine sum of ln() values is not bit-reproducible, while
+    * `lr = ((t+1)·10⁶) div (r+1)` is pure int64 arithmetic both engines
+    * compute identically (target ⊆ raw ⇒ r ≥ t ⇒ lr ≤ 10⁶, so the per-doc
+    * Σ c·lr stays far inside both int64 and the double-exact 2⁵³ range).
+    * The ranking is monotone in the same direction: target-like documents
+    * score high, out-of-slice documents low.
+    *
+    * Scale: one corpus pass builds the per-(doc, bucket) counts (grouped
+    * on a doc_id-prefixed key, so the explode's repartition already
+    * satisfies that aggregate — the corpus-sized bigram relation shuffles
+    * exactly once; the later per-doc agg re-shuffles only the compact
+    * cached (doc, bucket) table, ≤ nBuckets rows per doc); the bucket
+    * ratio table
+    * is `nBuckets` rows — a genuinely CONSTANT-size broadcast, independent
+    * of corpus size (unlike a dup-population relation, this can never
+    * outgrow the 8 GB ceiling) — and the two scalar totals ride the same
+    * broadcast-scalar crossJoin as mixtureWeights. Per-doc scoring is then
+    * a map-side-combined hash agg on doc_id. Nothing quadratic, nothing
+    * corpus-sized ever broadcasts.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+                  nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val bucket = conv(substring(md5(col("bigram")), 1, 4), 16, 10)
+      .cast("long") % nBuckets
+    // per-(doc, bucket) bigram counts — the one corpus-sized aggregate,
+    // persisted because raw counts, target counts, and doc scoring all
+    // read it (it is ≤ min(nBuckets, doc length) rows per document)
+    val db = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(Text.bigrams(Text.words(col("text")))).as("bigram"))
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c")))
+    val raw = db.groupBy(col("bucket")).agg(sum(col("c")).as("r"))
+    val tgt = db.filter(col("lang") === targetLang)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("t"))
+    // full bucket domain so empty buckets still carry their smoothed ratio
+    val dom = docs.sparkSession.range(nBuckets.toLong)
+      .select(col("id").as("bucket"))
+    val lr = dom
+      .join(raw, Seq("bucket"), "left")
+      .join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("((coalesce(t, 0L) + 1L) * 1000000L) div (coalesce(r, 0L) + 1L)")
+          .as("lr"))
+    val totals = db.agg(
+      sum(col("c")).as("big_r"),
+      sum(when(col("lang") === targetLang, col("c")).otherwise(0L)).as("big_t"))
+    db
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lr")).as("s"), sum(col("c")).as("n_bigrams"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / (col("n_bigrams") * 1e6)).as("mean_lr"),
+        ((col("s").cast("double") / (col("n_bigrams") * 1e6)) *
+          ((col("big_r") + nBuckets).cast("double") /
+            (col("big_t") + nBuckets).cast("double"))).as("dsir_weight"))
+  }
+
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(s, dir))
 }

@@ -463,4 +463,65 @@ object Similarity {
 
   def semanticDecontam(s: SparkSession, dir: String): DataFrame =
     semanticDecontam(Tables.embeddings(s, dir), modulo = 50, threshold = 0.35)
+
+  /** SemDedup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then prune near-duplicates WITHIN each cluster —
+    * pairwise cosine is only ever computed between co-clustered vectors,
+    * so the quadratic term is bounded by cluster size, not corpus size.
+    * Keep policy is the repo's deterministic "lowest id wins" (q52's
+    * `keeper` convention): a vector is dropped iff some smaller-id
+    * co-clustered vector sits at cosine ≥ `tau` to it.
+    *
+    * Training reuses `kmeansCentroids` (fixed-point Lloyd, iters
+    * unrolled in the q61 oracle), and the full-corpus assignment is the
+    * trainer's own argmax-cosine/cid-tiebreak step, so the DuckDB oracle
+    * reproduces clustering bit-for-bit. Pair cosines are exact
+    * fixed-point (FixedPointDot), so the τ cut lands identically in both
+    * engines.
+    *
+    * Scale: nCells grows with the corpus (SemDedup's own contract —
+    * cluster population stays roughly constant), so the within-cluster
+    * self-join is linear-in-corpus work with a bounded quadratic factor.
+    * The membership self-join and the dropped-id join are pinned
+    * `shuffle_hash`: both sides scale with the corpus/dup population, so
+    * a broadcast build is a hard failure at the 100 TB regime (the
+    * round-9 canonicalDocs lesson), while shuffle-hash on `cid` /
+    * `vec_id` stays balanced because cluster sizes are bounded. Only the
+    * nCells-row centroid table broadcasts — a constant.
+    */
+  def semDedup(emb: DataFrame, nCells: Int, iters: Int, tau: Double): DataFrame = {
+    val e = Caches.track(prepared(emb))
+    val cents = kmeansCentroids(emb, nCells, iters)
+      .withColumn("cn2", FixedPoint.normSqF(col("ce")))
+    val vc = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Vectors.cosineFromParts(
+          FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = Caches.track(vc
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid")))
+    val members = assign.join(e, Seq("vec_id"))
+    val a = members.select(col("cid"), col("vec_id").as("va"),
+      col("embedding").as("ea"), col("n2").as("na"))
+    val b = members.select(col("cid"), col("vec_id").as("vb"),
+      col("embedding").as("eb"), col("n2").as("nb"))
+    val dropped = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .filter(Vectors.cosineFromParts(
+        FixedPoint.dotF(col("ea"), col("eb")), col("na"), col("nb")) >= tau)
+      .select(col("vb").as("vec_id"))
+      .distinct()
+      .withColumn("drop", lit(true))
+    assign.hint("shuffle_hash")
+      .join(dropped.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(!col("drop"), lit(true)).as("keep"))
+  }
+
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(s, dir), nCells = 8, iters = 2, tau = 0.4)
 }

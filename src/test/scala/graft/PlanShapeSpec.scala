@@ -410,6 +410,42 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q203: the only broadcast is the constant nBuckets-row ratio table") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Prep.dsirWeights(
+        graft.sources.Tables.documents(spark, sf0001))
+      val (bhj, _) = initialJoins(df)
+      // exactly one BroadcastHashJoin: the explicit broadcast(lr) — 256
+      // rows by construction, independent of corpus size. Nothing
+      // corpus-scaled may broadcast even with the auto threshold off.
+      assert(bhj === 1,
+        s"dsirWeights must broadcast exactly the nBuckets-row lr table:\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q204: semDedup pair and drop joins never force-broadcast corpus-scale relations") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Similarity.semDedup(
+        graft.sources.Tables.embeddings(spark, sf0001),
+        nCells = 8, iters = 2, tau = 0.4)
+      val (bhj, shj) = initialJoins(df)
+      // the explicit broadcast(cents) rides a BroadcastNestedLoopJoin
+      // (constant nCells rows); no corpus-scale relation may plan as a
+      // BroadcastHashJoin, and the within-cluster pair join plus the
+      // dropped-id join must stay shuffled hash (the round-9
+      // canonicalDocs lesson: membership/dup relations scale with the
+      // corpus/dup population)
+      assert(bhj === 0,
+        s"no forced broadcast of membership/pair/drop relations:\n${df.queryExecution.executedPlan}")
+      assert(shj >= 2,
+        s"pair join and drop join must plan as shuffled hash joins:\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q199: vocab coverage plans a range exchange, no vocabulary-sized global window") {
     val df = graft.operators.Corpus.vocabCoverage(
       graft.sources.Tables.documents(spark, sf0001))

@@ -261,4 +261,35 @@ class PrepSpec extends SparkSpec {
     // would put every sampled doc in train)
     assert(m.keys.count(_.startsWith("5_")) >= 2, s"degenerate split: $m")
   }
+
+  test("dsirWeights: target-language docs score higher and the score is partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val w = graft.operators.Prep.dsirWeights(docs)
+    val byDoc = w.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_lr"), r.getAs[Double]("dsir_weight")))
+      .toMap
+    // every doc with >= 2 words scores; mean_lr is bounded by 1 because
+    // target ⊆ raw forces every bucket ratio <= 10^6 on the integer grid
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { case (n, ml, dw) =>
+      assert(n > 0L); assert(ml > 0.0 && ml <= 1.0); assert(dw > 0.0)
+    }
+    // the signal: the target slice ('en') must out-score every other
+    // language on average — that is the entire point of the operator
+    val langOf = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = byDoc.toSeq.groupBy { case (id, _) => langOf(id) }
+      .map { case (l, xs) => l -> xs.map(_._2._3).sum / xs.size }
+    val (en, rest) = (byLang("en"), byLang.filter(_._1 != "en").values)
+    rest.foreach(r => assert(en > r, s"en=$en must beat $byLang"))
+    // bit-identical under a different input partitioning (the exactness
+    // contract: integer lr sums are aggregation-order-independent)
+    val re = graft.operators.Prep.dsirWeights(docs.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_lr"), r.getAs[Double]("dsir_weight")))
+      .toMap
+    assert(re === byDoc)
+  }
 }

@@ -261,4 +261,39 @@ class SimilaritySpec extends SparkSpec {
       assert(c === lo, s"bin $k centroid must be the nearest-rank (lower) pick")
     }
   }
+
+  test("semDedup: planted duplicate pairs drop the higher id, orthogonal vectors survive") {
+    // two seed clusters (axis 0 / axis 1) with an exact duplicate in
+    // each, plus one orthogonal singleton; nCells=2, iters=1
+    val e = emb(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f),
+      2L -> Seq(1f, 0f, 0f),        // dup of 0 -> dropped
+      3L -> Seq(0f, 0.9f, 0.1f),    // near-dup of 1 -> dropped
+      4L -> Seq(0f, 0f, 1f))        // orthogonal to everything -> kept
+    val out = Similarity.semDedup(e, nCells = 2, iters = 1, tau = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out.size === 5)
+    assert(out(0L) && out(1L), "lowest ids of each dup group must survive")
+    assert(!out(2L), "exact duplicate of 0 must drop")
+    assert(!out(3L), s"cosine(1,3)=${refCosine(Seq(0f, 1f, 0f), Seq(0f, 0.9f, 0.1f))} >= 0.9 must drop")
+    assert(out(4L), "orthogonal vector must survive")
+  }
+
+  test("semDedup: keep set is partition-invariant and every drop has a smaller-id co-clustered witness") {
+    val embTbl = graft.sources.Tables.embeddings(spark, sf0001)
+    val out = Similarity.semDedup(embTbl, nCells = 8, iters = 2, tau = 0.4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Boolean]("keep")))
+    assert(out.length === 500)
+    val dropped = out.filter(!_._3)
+    assert(dropped.nonEmpty, "fixture must contain within-cluster near-dups at tau=0.4")
+    assert(out.count(_._3) > dropped.length, "most vectors must survive")
+    // witness property: a dropped vec has a smaller-id member in its cluster
+    val byCid = out.groupBy(_._2)
+    dropped.foreach { case (v, c, _) =>
+      assert(byCid(c).exists(_._1 < v), s"dropped $v has no smaller-id member in cluster $c")
+    }
+    val re = Similarity.semDedup(embTbl.repartition(7), nCells = 8, iters = 2, tau = 0.4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Boolean]("keep")))
+    assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }
