@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * q80 source overlap, q94 n-gram novelty, q105 prefix sim join,
   * q112 containment join, q111 sweep-line prefix sum, q121 co-purchase
   * triangles, q124 distributed global ranking, q195 canonical docs,
-  * q196 dup spans, q198 delta dedup, q200 LSH recall audit) on an N×-amplified
+  * q196 dup spans, q198 delta dedup, q200 LSH recall audit, q203 DSIR
+  * weights, q204 SemDedup with corpus-scaled nCells) on an N×-amplified
   * corpus/event-log/fact-table, assert completion, and
   * report wall times — the "scales to 100×" design claims get at least
   * one measured 10× data point.
@@ -145,6 +146,13 @@ object ScaleSmoke {
       },
       timed("q200") {
         graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      },
+      timed("q203") { graft.operators.Prep.dsirWeights(docs) },
+      timed("q204") {
+        // nCells scales with the corpus (SemDedup's contract): cluster
+        // population stays ~constant, so the within-cluster quadratic
+        // term is a bounded factor, not a growing one
+        graft.operators.Similarity.semDedup(emb, nCells = 8 * mult, iters = 2, tau = 0.4)
       })
 
     val qs = times.filter(_._2 >= 0)

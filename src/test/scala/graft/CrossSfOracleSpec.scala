@@ -562,4 +562,47 @@ class CrossSfOracleSpec extends SparkSpec {
       assert(got.size === sizes.size, s"q199 must emit every size at $dir")
     }
   }
+
+  // ---- q203: DSIR importance weights on the integer lr grid ----
+
+  test("q203 dsir_weights matches an integer-grid recompute at sf0.001 and sf0.1") {
+    val nBuckets = 256
+    for (dir <- Seq(sf0001, sf01)) {
+      // per-(doc, bucket) bigram counts with the 16-bit md5 prefix bucket
+      val db = scala.collection.mutable.HashMap.empty[(Long, Long), Long].withDefaultValue(0L)
+      val langOf = scala.collection.mutable.HashMap.empty[Long, String]
+      docs(dir).foreach { case (id, text, lang, _, _) =>
+        langOf(id) = lang
+        val w = text.split(" ", -1)
+        var i = 0
+        while (i < w.length - 1) {
+          val b = java.lang.Long.parseLong(
+            md5Hex(w(i) + " " + w(i + 1)).substring(0, 4), 16) % nBuckets
+          db((id, b)) += 1; i += 1
+        }
+      }
+      val r = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      val t = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+      var bigR = 0L; var bigT = 0L
+      db.foreach { case ((id, b), c) =>
+        r(b) += c; bigR += c
+        if (langOf(id) == "en") { t(b) += c; bigT += c }
+      }
+      val lr = (0L until nBuckets.toLong).map(b => b -> ((t(b) + 1L) * 1000000L) / (r(b) + 1L)).toMap
+      val expected = db.groupBy(_._1._1).map { case (id, m) =>
+        val s = m.map { case ((_, b), c) => c * lr(b) }.sum
+        val n = m.values.sum
+        val meanLr = s.toDouble / (n.toDouble * 1e6)
+        (id, (n, meanLr,
+          meanLr * ((bigR + nBuckets).toDouble / (bigT + nBuckets).toDouble)))
+      }
+      val got = Prep.dsirWeights(graft.sources.Tables.documents(spark, dir))
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_lr"),
+            r.getAs[Double]("dsir_weight")))).toMap
+      assert(got === expected, s"q203 diverged from the integer-grid recompute at $dir")
+      assert(got.nonEmpty, s"q203 fixture must produce weights at $dir")
+    }
+  }
 }
