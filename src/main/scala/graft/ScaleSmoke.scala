@@ -148,6 +148,11 @@ object ScaleSmoke {
         graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
       },
       timed("q203") { graft.operators.Prep.dsirWeights(docs) },
+      timed("q205") { graft.operators.Corpus.sourceDivergence(docs) },
+      timed("q206") {
+        graft.operators.Similarity.clusterKeywords(
+          docs, emb, nCells = 8 * mult, iters = 2, k = 5, minCount = 3L)
+      },
       timed("q204") {
         // nCells scales with the corpus (SemDedup's contract): cluster
         // population stays ~constant, so the within-cluster quadratic

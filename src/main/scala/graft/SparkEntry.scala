@@ -230,6 +230,8 @@ object SparkEntry {
     "q202_contract_monitor" -> ((s, d) => Quality.contractMonitor(s, d)),
     "q203_dsir_weights" -> ((s, d) => Prep.dsirWeights(s, d)),
     "q204_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    "q205_source_divergence" -> ((s, d) => Corpus.sourceDivergence(s, d)),
+    "q206_cluster_keywords" -> ((s, d) => Similarity.clusterKeywords(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3977,5 +3979,122 @@ object SparkEntry {
         |)
         |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
         |FROM assign a LEFT JOIN drp d ON d.vec_id = a.vec_id""".stripMargin,
+
+    // q205: per-source total-variation drift. Bucket = the same 16-bit
+    // md5 prefix as Spark's conv(substring(md5(word),1,4),16,10) % 256;
+    // cross products run in HUGEINT (Spark side: DECIMAL(38,0)) so the
+    // arithmetic is exact at any scale; one correctly-rounded final
+    // division.
+    "q205_source_divergence" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+        |), sb AS (
+        |  SELECT source,
+        |    ( (instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(word), 4, 1)) - 1) ) % 256 AS bucket,
+        |    COUNT(*) AS c_sb
+        |  FROM w GROUP BY 1, 2
+        |), bt AS (
+        |  SELECT bucket, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY 1
+        |), st AS (
+        |  SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_src FROM sb GROUP BY 1
+        |), nt AS (
+        |  SELECT CAST(SUM(c_sb) AS BIGINT) AS n_total FROM sb
+        |), grid AS (
+        |  SELECT st.source, st.n_src, bt.bucket, bt.c_b, nt.n_total,
+        |    COALESCE(sb.c_sb, 0) AS c_sb
+        |  FROM st CROSS JOIN bt CROSS JOIN nt
+        |  LEFT JOIN sb ON sb.source = st.source AND sb.bucket = bt.bucket
+        |)
+        |SELECT source, n_src AS n_words,
+        |  CAST(SUM(abs(CAST(c_sb AS HUGEINT) * n_total - CAST(c_b AS HUGEINT) * n_src)) AS DOUBLE)
+        |    / (2.0 * CAST(n_src AS DOUBLE) * CAST(n_total AS DOUBLE)) AS tv
+        |FROM grid GROUP BY 1, 2, n_total""".stripMargin,
+
+    // q206: cluster keywords by lift. Training/assignment chain
+    // (qe … assign) = the q61/q204 unrolled fixed-point Lloyd loop
+    // verbatim (k=8, iters=2); lift = (c_cw/n_c)/(c_w/N) over exact
+    // counts — three correctly-rounded double ops, identical in both
+    // engines — ranked per cluster with the word tiebreak, support
+    // floor c_cw >= 3, top 5.
+    "q206_cluster_keywords" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), vn AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qe GROUP BY 1
+        |), qc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qe WHERE vec_id < 8
+        |), cn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc0 GROUP BY 1
+        |), d1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d1 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a1 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m1
+        |), cn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc1 GROUP BY 1
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d2 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a2 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m2
+        |), cn2t AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc2 GROUP BY 1
+        |), d3 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc2 c ON c.pos = q.pos GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+        |  FROM d3 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn2t c ON c.cid = d.cid
+        |), assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc
+        |  ) WHERE rn = 1
+        |), wds AS (
+        |  SELECT doc_id AS vec_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), cw AS (
+        |  SELECT a.cid, w.word, COUNT(*) AS c_cw
+        |  FROM wds w JOIN assign a ON a.vec_id = w.vec_id GROUP BY 1, 2
+        |), ct AS (
+        |  SELECT cid, CAST(SUM(c_cw) AS BIGINT) AS n_c FROM cw GROUP BY 1
+        |), wt AS (
+        |  SELECT word, CAST(SUM(c_cw) AS BIGINT) AS c_w FROM cw GROUP BY 1
+        |), nt AS (
+        |  SELECT CAST(SUM(c_cw) AS BIGINT) AS n_total FROM cw
+        |), scored AS (
+        |  SELECT cw.cid, cw.word, cw.c_cw,
+        |    (CAST(cw.c_cw AS DOUBLE) / CAST(ct.n_c AS DOUBLE)) /
+        |      (CAST(wt.c_w AS DOUBLE) / CAST(nt.n_total AS DOUBLE)) AS lift
+        |  FROM cw JOIN ct USING (cid) JOIN wt USING (word) CROSS JOIN nt
+        |  WHERE cw.c_cw >= 3
+        |)
+        |SELECT cid, rk, word, c_cw, lift FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY lift DESC, word) AS rk FROM scored
+        |) WHERE rk <= 5""".stripMargin,
   )
 }

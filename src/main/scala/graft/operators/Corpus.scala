@@ -746,4 +746,55 @@ object Corpus {
 
   def vocabCoverage(s: SparkSession, dir: String): DataFrame =
     vocabCoverage(Tables.documents(s, dir))
+
+  /** Per-source distribution drift: total-variation distance between each
+    * source's hashed-word-bucket distribution and the whole-corpus
+    * distribution — the screen a mixture pipeline runs to spot a domain
+    * whose content shifted (a crawler gone wrong, a source turned spammy)
+    * before it pollutes the next training mix. TV is used instead of KL
+    * for the usual repo reason: TV over exact integer counts needs no
+    * logs — |c_sb·N − c_b·N_s| is integer arithmetic both engines compute
+    * identically (evaluated in DECIMAL(38,0)/HUGEINT so the cross
+    * products survive genuinely corpus-scale counts where int64's 9.2e18
+    * would overflow), and the single final division is correctly rounded.
+    *
+    * Scale: one corpus pass builds the (source, bucket) counts
+    * (map-side combined); everything after runs on the |sources|×nBuckets
+    * grid — sources-scale, never corpus-scale. The bucket-total relation
+    * is ≤ nBuckets rows (constant broadcast); missing (source, bucket)
+    * combinations re-enter via the grid left join so absent buckets still
+    * contribute their full corpus mass to the distance.
+    */
+  def sourceDivergence(docs: DataFrame, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val bucket = conv(substring(md5(col("word")), 1, 4), 16, 10)
+      .cast("long") % nBuckets
+    val sb = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      .select(col("source"), bucket.as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("c_sb")))
+    val bTot = sb.groupBy(col("bucket")).agg(sum(col("c_sb")).as("c_b"))
+    val sTot = sb.groupBy(col("source")).agg(sum(col("c_sb")).as("n_src"))
+    val nTot = sb.agg(sum(col("c_sb")).as("n_total"))
+    val dec = "decimal(38,0)"
+    sTot
+      .crossJoin(broadcast(bTot))
+      .crossJoin(broadcast(nTot))
+      .join(sb, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("c_sb"))
+      .select(col("source"), col("n_src"), col("n_total"),
+        abs(col("c_sb").cast(dec) * col("n_total").cast(dec) -
+          col("c_b").cast(dec) * col("n_src").cast(dec)).as("diff"))
+      .groupBy(col("source"), col("n_src"), col("n_total"))
+      .agg(sum(col("diff")).as("num"))
+      .select(col("source"), col("n_src").as("n_words"),
+        (col("num").cast("double") /
+          (lit(2.0) * col("n_src").cast("double") * col("n_total").cast("double")))
+          .as("tv"))
+  }
+
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame =
+    sourceDivergence(Tables.documents(s, dir))
 }

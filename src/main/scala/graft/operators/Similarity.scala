@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Caches
-import graft.functions.{BoundedTopK, FixedPoint, Scored, Vectors}
+import graft.functions.{BoundedTopK, FixedPoint, Scored, Text, Vectors}
 import graft.sources.Tables
 
 /** Similarity search over the embedding column (`array<float>` 64-dim).
@@ -524,4 +524,69 @@ object Similarity {
 
   def semDedup(s: SparkSession, dir: String): DataFrame =
     semDedup(Tables.embeddings(s, dir), nCells = 8, iters = 2, tau = 0.4)
+
+  /** Cluster keyword extraction (the c-TF-IDF idea behind topic-labelled
+    * data curation, on the repo's exact grid): k-means-cluster the
+    * embedding space, join members back to their documents, and surface
+    * each cluster's top-`k` most OVER-REPRESENTED words by lift —
+    * (c_cw/n_c) / (c_w/N), in-cluster frequency over corpus frequency —
+    * with a `minCount` support floor so hapax noise can't top the list.
+    * Lift is three correctly-rounded double operations over exact integer
+    * counts (the q24-cosine discipline — no logs, no accumulated
+    * doubles), so ranking and the k-cut land identically in DuckDB.
+    *
+    * Scale: the corpus-sized work is the word explode + the (cid, word)
+    * hash agg (map-side combined) and the vocabulary-keyed totals join —
+    * pinned `shuffle_hash` because a vocabulary scales with the corpus
+    * and must never broadcast. The per-cluster totals (nCells rows) and
+    * the grand total are constant-size broadcasts. The top-k window
+    * partitions by cid over the support-filtered cluster vocabulary
+    * (≤ n_c/minCount rows per cluster, bounded because cluster
+    * population is bounded under corpus-scaled nCells) and the rk<=k
+    * filter lets WindowGroupLimit prune to per-partition heaps before
+    * any full sort.
+    */
+  def clusterKeywords(docs: DataFrame, emb: DataFrame, nCells: Int,
+                      iters: Int, k: Int, minCount: Long): DataFrame = {
+    val e = Caches.track(prepared(emb))
+    val cents = kmeansCentroids(emb, nCells, iters)
+      .withColumn("cn2", FixedPoint.normSqF(col("ce")))
+    val vc = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Vectors.cosineFromParts(
+          FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = vc.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val words = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id").as("vec_id"), explode(Text.words(col("text"))).as("word"))
+    val cw = Caches.track(words
+      .join(assign, Seq("vec_id"))
+      .groupBy(col("cid"), col("word"))
+      .agg(count(lit(1)).as("c_cw")))
+    val cTot = cw.groupBy(col("cid")).agg(sum(col("c_cw")).as("n_c"))
+    val wTot = cw.groupBy(col("word")).agg(sum(col("c_cw")).as("c_w"))
+    val nTot = cTot.agg(sum(col("n_c")).as("n_total"))
+    val scored = cw.filter(col("c_cw") >= minCount)
+      .hint("shuffle_hash")
+      .join(wTot.hint("shuffle_hash"), Seq("word"))
+      .join(broadcast(cTot), Seq("cid"))
+      .crossJoin(broadcast(nTot))
+      .select(col("cid"), col("word"), col("c_cw"),
+        ((col("c_cw").cast("double") / col("n_c").cast("double")) /
+          (col("c_w").cast("double") / col("n_total").cast("double"))).as("lift"))
+    val wTop = Window.partitionBy(col("cid"))
+      .orderBy(col("lift").desc, col("word"))
+    scored.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("cid"), col("rk").cast("long").as("rk"),
+        col("word"), col("c_cw"), col("lift"))
+  }
+
+  def clusterKeywords(s: SparkSession, dir: String): DataFrame =
+    clusterKeywords(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      nCells = 8, iters = 2, k = 5, minCount = 3L)
 }

@@ -318,4 +318,32 @@ class CorpusSpec extends SparkSpec {
     assert(out === Map(1L -> 25L, 2L -> 60L,
       3L -> 20L, 4L -> 25L, 5L -> 50L, 6L -> 60L))
   }
+
+  test("sourceDivergence: TV distance by hand, zero drift for corpus-typical sources") {
+    import spark.implicits._
+    // a and b are identical ('alpha alpha'), c is disjoint ('zulu zulu'):
+    // corpus = 4 alpha + 2 zulu (N=6). For a (n=2):
+    //   bucket(alpha): |2*6 - 4*2| = 4; bucket(zulu): |0 - 2*2| = 4
+    //   tv = 8 / (2*2*6) = 1/3. For c: |0-4*2| + |2*6-2*2| = 16 -> 2/3.
+    val d = Seq(
+      (0L, "alpha alpha", "en", "a", 11L),
+      (1L, "alpha alpha", "en", "b", 11L),
+      (2L, "zulu zulu", "en", "c", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.sourceDivergence(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("tv"))).toMap
+    assert(out("a") === ((2L, 8.0 / (2.0 * 2.0 * 6.0))))
+    assert(out("b") === out("a"))
+    assert(out("c") === ((2L, 16.0 / (2.0 * 2.0 * 6.0))))
+    // on the real corpus: bounded in [0,1], bit-stable under repartition
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val full = Corpus.sourceDivergence(docs).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("tv")).toMap
+    assert(full.nonEmpty)
+    full.values.foreach(tv => assert(tv >= 0.0 && tv <= 1.0))
+    val re = Corpus.sourceDivergence(docs.repartition(7)).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("tv")).toMap
+    assert(re === full)
+  }
 }

@@ -446,6 +446,40 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q205: no corpus-scale relation force-broadcasts in sourceDivergence") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Corpus.sourceDivergence(
+        graft.sources.Tables.documents(spark, sf0001))
+      val (bhj, _) = initialJoins(df)
+      // the two explicit broadcasts (bucket totals <= nBuckets rows, the
+      // scalar grand total) ride cross joins, not BroadcastHashJoins; the
+      // grid's (source, bucket) left join must not force a broadcast
+      assert(bhj === 0,
+        s"sourceDivergence must not force-broadcast any equi-join side:\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q206: vocabulary totals join stays shuffled hash; only constant relations broadcast") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Similarity.clusterKeywords(
+        graft.sources.Tables.documents(spark, sf0001),
+        graft.sources.Tables.embeddings(spark, sf0001),
+        nCells = 8, iters = 2, k = 5, minCount = 3L)
+      val (bhj, shj) = initialJoins(df)
+      // exactly one BroadcastHashJoin: the explicit broadcast(cTot) —
+      // nCells rows by construction. The vocabulary-keyed wTot join is
+      // pinned shuffle_hash (a vocabulary scales with the corpus)
+      assert(bhj === 1,
+        s"clusterKeywords must broadcast exactly the nCells-row totals:\n${df.queryExecution.executedPlan}")
+      assert(shj >= 1,
+        s"the vocabulary totals join must plan as a shuffled hash join:\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q199: vocab coverage plans a range exchange, no vocabulary-sized global window") {
     val df = graft.operators.Corpus.vocabCoverage(
       graft.sources.Tables.documents(spark, sf0001))

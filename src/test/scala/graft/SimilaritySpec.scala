@@ -296,4 +296,36 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Boolean]("keep")))
     assert(re.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("clusterKeywords: each cluster's distinctive word tops its list with the hand lift") {
+    import spark.implicits._
+    // cluster 0 = x-axis vecs {0,1}, cluster 1 = y-axis vecs {2,3};
+    // each doc: 3 distinctive words + 2 shared -> per cluster:
+    //   distinctive c_cw=6 of n_c=10, corpus c_w=6 of N=20 -> lift 2.0
+    //   'common'   c_cw=4 of n_c=10, corpus c_w=8 of N=20 -> lift 1.0
+    val docs = Seq(
+      (0L, "apple apple apple common common"),
+      (1L, "apple apple apple common common"),
+      (2L, "banana banana banana common common"),
+      (3L, "banana banana banana common common")
+    ).toDF("doc_id", "text")
+    val e = emb(
+      0L -> Seq(1f, 0.1f), 1L -> Seq(1f, 0f),
+      2L -> Seq(0.1f, 1f), 3L -> Seq(0f, 1f))
+    val out = Similarity.clusterKeywords(docs, e,
+      nCells = 2, iters = 1, k = 5, minCount = 3L).collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("rk")) ->
+        (r.getAs[String]("word"), r.getAs[Long]("c_cw"), r.getAs[Double]("lift")))
+      .toMap
+    assert(out.size === 4) // 2 clusters x {distinctive, common}
+    val c0 = out.keys.map(_._1).min
+    val c1 = out.keys.map(_._1).max
+    assert(c0 != c1)
+    val first = Map(out((c0, 1L))._1 -> out((c0, 1L)), out((c1, 1L))._1 -> out((c1, 1L)))
+    assert(first.keySet === Set("apple", "banana"))
+    first.values.foreach { case (_, c, lift) => assert(c === 6L && lift === 2.0) }
+    Seq(c0, c1).foreach { c =>
+      assert(out((c, 2L)) === (("common", 4L, 1.0)))
+    }
+  }
 }
