@@ -232,6 +232,7 @@ object SparkEntry {
     "q204_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     "q205_source_divergence" -> ((s, d) => Corpus.sourceDivergence(s, d)),
     "q206_cluster_keywords" -> ((s, d) => Similarity.clusterKeywords(s, d)),
+    "q207_drift_monitor" -> ((s, d) => Quality.driftMonitor(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4096,5 +4097,42 @@ object SparkEntry {
         |SELECT cid, rk, word, c_cw, lift FROM (
         |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY lift DESC, word) AS rk FROM scored
         |) WHERE rk <= 5""".stripMargin,
+
+    // q207: windowed distribution-drift monitor (batch twin of
+    // StreamingOps.driftMonitor). Fixed type vocabulary + other bucket;
+    // TV numerator in HUGEINT (Spark side: DECIMAL(38,0)), one
+    // correctly-rounded final division.
+    "q207_drift_monitor" ->
+      """WITH base AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS b_view,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS b_click,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b_purchase,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS b_signup,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS b_error,
+        |    CAST(SUM(CASE WHEN event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS b_other,
+        |    COUNT(*) AS n_base
+        |  FROM events
+        |), win AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts) AS w_start,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c_view,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c_click,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_purchase,
+        |    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c_signup,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c_error,
+        |    CAST(SUM(CASE WHEN event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS c_other,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT w_start, n_events,
+        |  CAST(
+        |      abs(CAST(c_view AS HUGEINT) * n_base - CAST(b_view AS HUGEINT) * n_events)
+        |    + abs(CAST(c_click AS HUGEINT) * n_base - CAST(b_click AS HUGEINT) * n_events)
+        |    + abs(CAST(c_purchase AS HUGEINT) * n_base - CAST(b_purchase AS HUGEINT) * n_events)
+        |    + abs(CAST(c_signup AS HUGEINT) * n_base - CAST(b_signup AS HUGEINT) * n_events)
+        |    + abs(CAST(c_error AS HUGEINT) * n_base - CAST(b_error AS HUGEINT) * n_events)
+        |    + abs(CAST(c_other AS HUGEINT) * n_base - CAST(b_other AS HUGEINT) * n_events)
+        |  AS DOUBLE) / (2.0 * CAST(n_events AS DOUBLE) * CAST(n_base AS DOUBLE)) AS tv
+        |FROM win CROSS JOIN base""".stripMargin,
   )
 }

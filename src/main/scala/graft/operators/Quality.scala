@@ -350,4 +350,72 @@ object Quality {
   def contractMonitor(s: SparkSession, dir: String): DataFrame =
     contractMonitor(Tables.events(s, dir),
       knownTypes = Seq("view", "click", "purchase", "signup"))
+
+  /** The fixed event-type vocabulary the drift monitor tracks; anything
+    * outside it lands in the 'other' bucket, so the distribution domain
+    * is CONSTANT — which is what lets the streaming twin compute the
+    * distance inside a single windowed aggregate. */
+  val DriftTypes: Seq[String] = Seq("view", "click", "purchase", "signup", "error")
+
+  /** One typed count column per vocabulary entry + the other-bucket +
+    * the total, shared by the batch twin and the streaming monitor. */
+  private[graft] def driftCounts(types: Seq[String]): Seq[Column] =
+    types.map(t =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t")) ++
+      Seq(
+        sum(when(!col("event_type").isin(types: _*), 1L).otherwise(0L)).as("c_other"),
+        count(lit(1)).as("n_events"))
+
+  /** The |window·B − baseline·n| numerator summed over the fixed type
+    * domain, evaluated in DECIMAL(38,0) so the cross products are exact
+    * at genuinely corpus-scale counts (the q205 discipline). */
+  private[graft] def driftTv(types: Seq[String]): Column = {
+    val dec = "decimal(38,0)"
+    val num = (types :+ "other")
+      .map(t => abs(col(s"c_$t").cast(dec) * col("n_base").cast(dec) -
+        col(s"b_$t").cast(dec) * col("n_events").cast(dec)))
+      .reduce(_ + _)
+    num.cast("double") /
+      (lit(2.0) * col("n_events").cast("double") * col("n_base").cast("double"))
+  }
+
+  /** The 1-row drift baseline: the reference event-type distribution the
+    * monitor compares every window against (batch: the whole table;
+    * production: last week's healthy traffic). Constant-size broadcast. */
+  def driftBaseline(events: DataFrame, types: Seq[String] = DriftTypes): DataFrame = {
+    val cs = driftCounts(types)
+    events.agg(cs.head, cs.tail: _*)
+      .select((types :+ "other").map(t => col(s"c_$t").as(s"b_$t")) :+
+        col("n_events").as("n_base"): _*)
+  }
+
+  /** Windowed distribution-drift monitor, batch twin (q207): per
+    * 15-minute window, the total-variation distance between the window's
+    * event-type distribution and a baseline distribution — the alarm an
+    * ingestion pipeline raises when traffic composition shifts (a client
+    * rollout gone wrong, a bot flood) even when per-event contracts
+    * (q202) all still pass. TV over the FIXED type vocabulary is exact
+    * integer arithmetic plus one correctly-rounded division, so the
+    * oracle hash-matches; the identical projection/aggregate runs as the
+    * streaming monitor (StreamingOps.driftMonitor — StreamingOpsSpec
+    * pins the equivalence).
+    *
+    * Scale: one pruned (ts, event_type) pass, map-side pre-combined to
+    * one row per (window, partition); the baseline is one broadcast row.
+    */
+  def driftMonitor(events: DataFrame, baseline: DataFrame,
+                   types: Seq[String] = DriftTypes): DataFrame = {
+    val cs = driftCounts(types)
+    events
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(cs.head, cs.tail: _*)
+      .crossJoin(broadcast(baseline))
+      .select(col("w.start").as("w_start"), col("n_events"),
+        driftTv(types).as("tv"))
+  }
+
+  def driftMonitor(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    driftMonitor(ev, driftBaseline(ev))
+  }
 }

@@ -119,6 +119,33 @@ object StreamingOps {
       .select(col("window.start").as("w_start"), col("n_events"),
         col("n_negative_value"), col("n_unknown_type"))
 
+  /** Streaming distribution-drift monitor: per tumbling window, the
+    * total-variation distance between the window's event-type
+    * distribution and a STATIC baseline distribution (one broadcast row,
+    * e.g. last week's healthy traffic via Quality.driftBaseline) — the
+    * alarm that fires when traffic composition shifts even while every
+    * per-event contract (qualityMonitor) still passes. The type domain is
+    * the FIXED vocabulary + an 'other' bucket, which is what makes the
+    * distance computable inside a single watermarked windowed aggregate
+    * (one typed count column per vocabulary entry); the TV projection and
+    * the stream-static cross join after the aggregate are stateless.
+    * Exact integer arithmetic + one correctly-rounded division — the
+    * registered batch twin (q207, Quality.driftMonitor) is the identical
+    * projection/aggregate and carries the DuckDB oracle.
+    */
+  def driftMonitor(events: DataFrame, baseline: DataFrame,
+                   types: Seq[String] = graft.operators.Quality.DriftTypes,
+                   watermark: String = "1 hour"): DataFrame = {
+    val cs = graft.operators.Quality.driftCounts(types)
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(cs.head, cs.tail: _*)
+      .crossJoin(broadcast(baseline))
+      .select(col("w.start").as("w_start"), col("n_events"),
+        graft.operators.Quality.driftTv(types).as("tv"))
+  }
+
   /** Session windows per user with an idle gap: the engine-native version
     * of Relational.sessionize. State = one open session per active user,
     * closed and emitted once the watermark passes the gap.

@@ -404,6 +404,45 @@ class StreamingOpsSpec extends SparkSpec {
       s"registered q202 twin must equal the streaming monitor: $twin vs $rows")
   }
 
+  test("drift monitor computes windowed TV vs a static baseline (streaming = q207 batch twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // window 1: 3 views + 1 click; window 2: pure 'error' flood (the
+    // drift case the monitor exists for)
+    val events = Seq(
+      Ev(1, 1, "view", 1.0, ts("2026-01-01 00:01:00")),
+      Ev(2, 1, "view", 1.0, ts("2026-01-01 00:05:00")),
+      Ev(3, 2, "view", 1.0, ts("2026-01-01 00:09:00")),
+      Ev(4, 2, "click", 1.0, ts("2026-01-01 00:12:00")),
+      Ev(5, 3, "error", 1.0, ts("2026-01-01 00:20:00")),
+      Ev(6, 3, "error", 1.0, ts("2026-01-01 00:25:00")))
+    val baseline = graft.operators.Quality.driftBaseline(events.toDF())
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = StreamingOps.driftMonitor(mem.toDF(), baseline)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("drift")
+      .select($"w_start".cast("string"), $"n_events", $"tv")
+      .as[(String, Long, Double)].collect().toSet
+    // hand TV, baseline = (3 view, 1 click, 2 error, N=6):
+    // w1 (n=4): |3*6-3*4| + |1*6-1*4| + |0-2*4| = 6+2+8 = 16 -> 16/(2*4*6) = 1/3
+    // w2 (n=2): |0-3*2| + |0-1*2| + |2*6-2*2| = 6+2+8 = 16 -> 16/(2*2*6) = 2/3
+    assert(rows === Set(
+      ("2026-01-01 00:00:00", 4L, 16.0 / (2.0 * 4.0 * 6.0)),
+      ("2026-01-01 00:15:00", 2L, 16.0 / (2.0 * 2.0 * 6.0))))
+
+    // the REGISTERED batch twin (q207, driver-oracle-gated) computes the
+    // same windows against the same baseline
+    val twin = graft.operators.Quality.driftMonitor(events.toDF(), baseline)
+      .select($"w_start".cast("string"), $"n_events", $"tv")
+      .as[(String, Long, Double)].collect().toSet
+    assert(twin === rows,
+      s"registered q207 twin must equal the streaming monitor: $twin vs $rows")
+  }
+
   test("streaming near-dup equals the registered q201 batch twin on the bucket split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
