@@ -233,6 +233,7 @@ object SparkEntry {
     "q205_source_divergence" -> ((s, d) => Corpus.sourceDivergence(s, d)),
     "q206_cluster_keywords" -> ((s, d) => Similarity.clusterKeywords(s, d)),
     "q207_drift_monitor" -> ((s, d) => Quality.driftMonitor(s, d)),
+    "q208_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4134,5 +4135,79 @@ object SparkEntry {
         |    + abs(CAST(c_other AS HUGEINT) * n_base - CAST(b_other AS HUGEINT) * n_events)
         |  AS DOUBLE) / (2.0 * CAST(n_events AS DOUBLE) * CAST(n_base AS DOUBLE)) AS tv
         |FROM win CROSS JOIN base""".stripMargin,
+
+    // q208: cluster purity audit. Training/assignment chain (qe … assign)
+    // = the q61/q204/q206 unrolled fixed-point Lloyd loop verbatim (k=8,
+    // iters=2); majority = rank-1 by (cnt DESC, label ASC), purity = one
+    // correctly-rounded division.
+    "q208_cluster_purity" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), vn AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qe GROUP BY 1
+        |), qc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qe WHERE vec_id < 8
+        |), cn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc0 GROUP BY 1
+        |), d1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d1 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a1 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m1
+        |), cn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc1 GROUP BY 1
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d2 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a2 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m2
+        |), cn2t AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc2 GROUP BY 1
+        |), d3 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc2 c ON c.pos = q.pos GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+        |  FROM d3 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn2t c ON c.cid = d.cid
+        |), assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc
+        |  ) WHERE rn = 1
+        |), cl AS (
+        |  SELECT a.cid, e.label, COUNT(*) AS cnt
+        |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT cid, CAST(SUM(cnt) AS BIGINT) AS n_members FROM cl GROUP BY 1
+        |), mj AS (
+        |  SELECT cid, label AS majority_label, cnt AS n_majority FROM (
+        |    SELECT cid, label, cnt, row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label) AS rn FROM cl
+        |  ) WHERE rn = 1
+        |)
+        |SELECT t.cid, t.n_members, m.majority_label, m.n_majority,
+        |  CAST(m.n_majority AS DOUBLE) / CAST(t.n_members AS DOUBLE) AS purity
+        |FROM tot t JOIN mj m ON m.cid = t.cid""".stripMargin,
   )
 }

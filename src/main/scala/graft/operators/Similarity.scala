@@ -490,7 +490,13 @@ object Similarity {
     * `vec_id` stays balanced because cluster sizes are bounded. Only the
     * nCells-row centroid table broadcasts — a constant.
     */
-  def semDedup(emb: DataFrame, nCells: Int, iters: Int, tau: Double): DataFrame = {
+  /** Full-corpus nearest-centroid assignment (vec_id, cid): the trainer's
+    * own argmax-cosine/cid-tiebreak step over the final centroids, shared
+    * by semDedup / clusterKeywords / clusterPurity. One pass over the
+    * corpus against the broadcast nCells-row centroid table; the per-vec
+    * argmax is a WindowGroupLimit-pruned rank-1 window.
+    */
+  private def kmeansAssign(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
     val e = Caches.track(prepared(emb))
     val cents = kmeansCentroids(emb, nCells, iters)
       .withColumn("cn2", FixedPoint.normSqF(col("ce")))
@@ -500,10 +506,14 @@ object Similarity {
           FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    val assign = Caches.track(vc
-      .withColumn("rn", row_number().over(wAssign))
+    vc.withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid")))
+      .select(col("vec_id"), col("cid"))
+  }
+
+  def semDedup(emb: DataFrame, nCells: Int, iters: Int, tau: Double): DataFrame = {
+    val e = Caches.track(prepared(emb))
+    val assign = Caches.track(kmeansAssign(emb, nCells, iters))
     val members = assign.join(e, Seq("vec_id"))
     val a = members.select(col("cid"), col("vec_id").as("va"),
       col("embedding").as("ea"), col("n2").as("na"))
@@ -548,18 +558,7 @@ object Similarity {
     */
   def clusterKeywords(docs: DataFrame, emb: DataFrame, nCells: Int,
                       iters: Int, k: Int, minCount: Long): DataFrame = {
-    val e = Caches.track(prepared(emb))
-    val cents = kmeansCentroids(emb, nCells, iters)
-      .withColumn("cn2", FixedPoint.normSqF(col("ce")))
-    val vc = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        Vectors.cosineFromParts(
-          FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assign = vc.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
+    val assign = kmeansAssign(emb, nCells, iters)
     val words = docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id").as("vec_id"), explode(Text.words(col("text"))).as("word"))
@@ -589,4 +588,34 @@ object Similarity {
   def clusterKeywords(s: SparkSession, dir: String): DataFrame =
     clusterKeywords(Tables.documents(s, dir), Tables.embeddings(s, dir),
       nCells = 8, iters = 2, k = 5, minCount = 3L)
+
+  /** Clustering-quality audit: per k-means cell, the member count, the
+    * majority ground-truth label (the embeddings' `label` column), and
+    * purity = majority share — the evaluation every curation pipeline
+    * runs before trusting cluster-level decisions (SemDedup pruning,
+    * cluster keywords, topic caps). Majority election is the repo's
+    * max-of-struct idiom — (cnt, -label, label), so ties break toward the
+    * SMALLEST label with no per-cluster window at all. Purity is one
+    * correctly-rounded division of exact counts.
+    *
+    * Scale: assignment is the shared one-pass kmeansAssign; the audit
+    * itself is two map-side-combined hash aggregates over (cid, label) —
+    * at most nCells × |labels| rows ever shuffle.
+    */
+  def clusterPurity(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val cl = kmeansAssign(emb, nCells, iters)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    cl.groupBy(col("cid"))
+      .agg(
+        sum(col("cnt")).as("n_members"),
+        max(struct(col("cnt"), (-col("label")).as("negl"), col("label").as("l"))).as("m"))
+      .select(col("cid"), col("n_members"),
+        col("m.l").as("majority_label"), col("m.cnt").as("n_majority"),
+        (col("m.cnt").cast("double") / col("n_members").cast("double")).as("purity"))
+  }
+
+  def clusterPurity(s: SparkSession, dir: String): DataFrame =
+    clusterPurity(Tables.embeddings(s, dir), nCells = 8, iters = 2)
 }

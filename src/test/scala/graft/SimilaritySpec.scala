@@ -328,4 +328,36 @@ class SimilaritySpec extends SparkSpec {
       assert(out((c, 2L)) === (("common", 4L, 1.0)))
     }
   }
+
+  test("clusterPurity: majority labels with smallest-label tie-break, exact purity") {
+    import spark.implicits._
+    // cluster A (x-axis): labels 7,7 -> pure; cluster B (y-axis): labels
+    // 5,3 -> 1-1 tie, majority must break to the SMALLER label (3)
+    val e = Seq(
+      (0L, Seq(1f, 0f), 7),
+      (1L, Seq(1f, 0.1f), 7),
+      (2L, Seq(0f, 1f), 5),
+      (3L, Seq(0.1f, 1f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterPurity(e, nCells = 2, iters = 1).collect()
+      .map(r => r.getAs[Long]("cid") ->
+        (r.getAs[Long]("n_members"), r.getAs[Int]("majority_label"),
+          r.getAs[Long]("n_majority"), r.getAs[Double]("purity"))).toMap
+    assert(out.size === 2)
+    val pure = out.values.find(_._2 == 7).get
+    val tied = out.values.find(_._2 != 7).get
+    assert(pure === ((2L, 7, 2L, 1.0)))
+    assert(tied === ((2L, 3, 1L, 0.5)),
+      s"1-1 tie must elect the smaller label: $out")
+    // real corpus: members reconcile to the vector count, purity in (0,1]
+    val full = Similarity.clusterPurity(
+      graft.sources.Tables.embeddings(spark, sf0001), nCells = 8, iters = 2)
+      .collect()
+    assert(full.map(_.getAs[Long]("n_members")).sum === 500L)
+    full.foreach { r =>
+      val p = r.getAs[Double]("purity")
+      assert(p > 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("n_majority") <= r.getAs[Long]("n_members"))
+    }
+  }
 }
