@@ -234,6 +234,7 @@ object SparkEntry {
     "q206_cluster_keywords" -> ((s, d) => Similarity.clusterKeywords(s, d)),
     "q207_drift_monitor" -> ((s, d) => Quality.driftMonitor(s, d)),
     "q208_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
+    "q209_daily_uniques" -> ((s, d) => Quality.dailyUniques(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4209,5 +4210,33 @@ object SparkEntry {
         |SELECT t.cid, t.n_members, m.majority_label, m.n_majority,
         |  CAST(m.n_majority AS DOUBLE) / CAST(t.n_members AS DOUBLE) AS purity
         |FROM tot t JOIN mj m ON m.cid = t.cid""".stripMargin,
+
+    // q209: daily distinct-actives via the q42 KMV idiom — k=64 smallest
+    // distinct 48-bit md5 hashes per day; exact below k, the
+    // (k-1)<<48 / h_k inversion (17732923532771328 = 63<<48) above.
+    "q209_daily_uniques" ->
+      """WITH hx AS (
+        |  SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS w_start,
+        |    md5(CAST(user_id AS VARCHAR)) AS m
+        |  FROM events
+        |), hh AS (
+        |  SELECT DISTINCT w_start,
+        |    SUM(((instr('0123456789abcdef', substr(m, CAST(j + 1 AS INT), 1)) - 1)::BIGINT) << CAST((11 - j) * 4 AS INT)) AS h
+        |  FROM hx, range(0, 12) r(j) GROUP BY w_start, m
+        |), kt AS (
+        |  SELECT w_start, h, row_number() OVER (PARTITION BY w_start ORDER BY h) AS rn,
+        |         COUNT(*) OVER (PARTITION BY w_start) AS nd
+        |  FROM hh
+        |), ndv AS (
+        |  SELECT w_start,
+        |    CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |         ELSE 17732923532771328 // MAX(CASE WHEN rn = 64 THEN h END) END AS BIGINT) AS ndv_users
+        |  FROM kt GROUP BY w_start
+        |), cnt AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS w_start, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT c.w_start, c.n_events, n.ndv_users
+        |FROM cnt c JOIN ndv n ON n.w_start = c.w_start""".stripMargin,
   )
 }

@@ -139,7 +139,7 @@ object Corpus {
     * downstream arithmetic step exact even in engines that route integer
     * math through doubles (48 < 53 mantissa bits).
     */
-  private def h48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def h48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   /** Deterministic sketch-based corpus profile per source — the same shape

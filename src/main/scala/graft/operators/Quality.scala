@@ -418,4 +418,32 @@ object Quality {
     val ev = Tables.events(s, dir)
     driftMonitor(ev, driftBaseline(ev))
   }
+
+  /** Daily distinct-actives monitor, batch twin (q209): per tumbling day,
+    * the event count and the KMV-sketched distinct-user count — the DAU
+    * board a pipeline watches continuously. The point of the sketch here
+    * is the STREAMING twin (StreamingOps.uniquesMonitor): streaming
+    * aggregation cannot evaluate `count_distinct` at all (unbounded
+    * per-group state), while the KMV aggregator is a legal streaming
+    * UDAF whose state is k longs per window — bounded by construction —
+    * and, being md5-derived and order-independent, returns the SAME
+    * estimate in batch and streaming, so this registered twin carries
+    * the DuckDB oracle for both (exact below k distinct, the
+    * `(k-1)·2^48 / h_k` inversion above — all int64, engine-identical).
+    *
+    * Scale: one pruned (ts, user_id) pass; map-side partial aggregation
+    * ships at most k hashes per (map task × day).
+    */
+  def dailyUniques(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val kmv = udaf(new graft.functions.KMinValues(k), Encoders.scalaLong)
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        kmv(Corpus.h48(col("user_id").cast("string"))).as("ndv_users"))
+      .select(col("w.start").as("w_start"), col("n_events"), col("ndv_users"))
+  }
+
+  def dailyUniques(s: SparkSession, dir: String): DataFrame =
+    dailyUniques(Tables.events(s, dir))
 }

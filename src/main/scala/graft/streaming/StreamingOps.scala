@@ -146,6 +146,28 @@ object StreamingOps {
         graft.operators.Quality.driftTv(types).as("tv"))
   }
 
+  /** Streaming distinct-actives monitor: per tumbling day, the event
+    * count and the KMV-sketched distinct-user count. Streaming
+    * aggregation cannot run `count_distinct` (unbounded per-group
+    * state); the KMV `Aggregator` is a legal streaming UDAF whose state
+    * is k longs per open window — bounded however many users exist — and
+    * md5-derived + order-independent, so batch and streaming return the
+    * IDENTICAL estimate (the registered q209 batch twin,
+    * Quality.dailyUniques, carries the DuckDB oracle; StreamingOpsSpec
+    * pins the equality).
+    */
+  def uniquesMonitor(events: DataFrame, k: Int = 64,
+                     watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val kmv = udaf(new graft.functions.KMinValues(k), Encoders.scalaLong)
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        kmv(graft.operators.Corpus.h48(col("user_id").cast("string"))).as("ndv_users"))
+      .select(col("w.start").as("w_start"), col("n_events"), col("ndv_users"))
+  }
+
   /** Session windows per user with an idle gap: the engine-native version
     * of Relational.sessionize. State = one open session per active user,
     * closed and emitted once the watermark passes the gap.

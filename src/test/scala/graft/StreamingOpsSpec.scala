@@ -443,6 +443,49 @@ class StreamingOpsSpec extends SparkSpec {
       s"registered q207 twin must equal the streaming monitor: $twin vs $rows")
   }
 
+  test("uniques monitor sketches distinct actives per day (streaming = q209 batch twin, both paths)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // day 1: 6 distinct users with k=4 -> the KMV ESTIMATE path;
+    // day 2: 2 distinct users -> the exact path. 8 events total.
+    val events = Seq(
+      Ev(1, 11, "view", 1.0, ts("2026-01-01 01:00:00")),
+      Ev(2, 12, "view", 1.0, ts("2026-01-01 02:00:00")),
+      Ev(3, 13, "view", 1.0, ts("2026-01-01 03:00:00")),
+      Ev(4, 14, "view", 1.0, ts("2026-01-01 04:00:00")),
+      Ev(5, 15, "view", 1.0, ts("2026-01-01 05:00:00")),
+      Ev(6, 16, "view", 1.0, ts("2026-01-01 06:00:00")),
+      Ev(7, 11, "view", 1.0, ts("2026-01-02 01:00:00")),
+      Ev(8, 12, "view", 1.0, ts("2026-01-02 02:00:00")))
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = StreamingOps.uniquesMonitor(mem.toDF(), k = 4)
+      .writeStream.format("memory").queryName("uniq")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("uniq")
+      .select($"w_start".cast("string"), $"n_events", $"ndv_users")
+      .as[(String, Long, Long)].collect().toSet
+    val byDay = rows.map { case (d, n, u) => d -> (n, u) }.toMap
+    assert(byDay.keySet === Set("2026-01-01 00:00:00", "2026-01-02 00:00:00"))
+    assert(byDay("2026-01-01 00:00:00")._1 === 6L)
+    // estimate path: right order of magnitude (KMV at k=4 has ~1/sqrt(3)
+    // relative error, so anything in [2, 24] is a legitimate draw for a
+    // true count of 6 — the bit-exact value is pinned by the twin
+    // equality below and by the q209 oracle)
+    val est = byDay("2026-01-01 00:00:00")._2
+    assert(est >= 2L && est <= 24L, s"estimate $est implausible for 6 distinct")
+    assert(byDay("2026-01-02 00:00:00") === ((2L, 2L)), "below-k day must be exact")
+
+    // the registered q209 batch twin computes the identical sketch
+    val twin = graft.operators.Quality.dailyUniques(events.toDF(), k = 4)
+      .select($"w_start".cast("string"), $"n_events", $"ndv_users")
+      .as[(String, Long, Long)].collect().toSet
+    assert(twin === rows,
+      s"registered q209 twin must equal the streaming monitor: $twin vs $rows")
+  }
+
   test("streaming near-dup equals the registered q201 batch twin on the bucket split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
