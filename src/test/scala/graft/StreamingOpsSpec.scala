@@ -486,6 +486,47 @@ class StreamingOpsSpec extends SparkSpec {
       s"registered q209 twin must equal the streaming monitor: $twin vs $rows")
   }
 
+  test("uniques monitor restart: the KMV buffer survives the checkpoint and merges post-restart arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-uniq-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[Ev]
+    def start() = StreamingOps.uniquesMonitor(mem.toDF(), k = 2)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: two day-1 users land in the open window's sketch state
+    mem.addData(
+      Ev(1, 11, "view", 1.0, ts("2026-01-01 01:00:00")),
+      Ev(2, 12, "view", 1.0, ts("2026-01-01 02:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // run 2 (recovered from the checkpoint): a third day-1 user must
+    // merge into the RESTORED sketch, and the day-3 event pushes the
+    // watermark past day-1's end so the finalized window emits
+    mem.addData(
+      Ev(3, 13, "view", 1.0, ts("2026-01-01 03:00:00")),
+      Ev(4, 21, "view", 1.0, ts("2026-01-03 00:30:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .select($"w_start".cast("string"), $"n_events", $"ndv_users")
+      .as[(String, Long, Long)].collect().toSeq
+    // only day 1 is finalized; its sketch must cover users from BOTH runs
+    val all = Seq(
+      Ev(1, 11, "view", 1.0, ts("2026-01-01 01:00:00")),
+      Ev(2, 12, "view", 1.0, ts("2026-01-01 02:00:00")),
+      Ev(3, 13, "view", 1.0, ts("2026-01-01 03:00:00")))
+    val expected = graft.operators.Quality.dailyUniques(all.toDF(), k = 2)
+      .select($"w_start".cast("string"), $"n_events", $"ndv_users")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows === expected,
+      s"restored sketch must equal the batch twin over all three day-1 events: $rows vs $expected")
+    assert(rows.head._2 === 3L, "all three events, across the restart, must be counted")
+  }
+
   test("streaming near-dup equals the registered q201 batch twin on the bucket split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
