@@ -235,6 +235,7 @@ object SparkEntry {
     "q207_drift_monitor" -> ((s, d) => Quality.driftMonitor(s, d)),
     "q208_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
     "q209_daily_uniques" -> ((s, d) => Quality.dailyUniques(s, d)),
+    "q210_bpe_learn" -> ((s, d) => Corpus.bpeLearn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4238,5 +4239,81 @@ object SparkEntry {
         |)
         |SELECT c.w_start, c.n_events, n.ndv_users
         |FROM cnt c JOIN ndv n ON n.w_start = c.w_start""".stripMargin,
+
+    // q210: BPE merge learning, the fixed nMerges=3 loop unrolled (the
+    // q61 discipline). Each step: word-frequency-weighted adjacent-pair
+    // counts -> argmax with (t1, t2) tiebreak -> greedy DISJOINT merge
+    // via island windows (odd ranks of each consecutive-match run merge,
+    // the following position is consumed, positions renumber densely) —
+    // the same window algebra as Corpus.bpeLearn, so the merge table is
+    // bit-identical.
+    "q210_bpe_learn" ->
+      """WITH v AS (
+        |  SELECT word, COUNT(*) AS n_word FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |  ) GROUP BY 1
+        |), t0 AS (
+        |  SELECT word, n_word, i AS pos, substr(word, CAST(i AS INT), 1) AS tok
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) r
+        |), c1 AS (
+        |  SELECT tok AS t1, nxt AS t2, CAST(SUM(n_word) AS BIGINT) AS cnt FROM (
+        |    SELECT n_word, tok, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM t0
+        |  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), b1 AS (
+        |  SELECT t1, t2, cnt FROM c1 ORDER BY cnt DESC, t1, t2 LIMIT 1
+        |), g1 AS (
+        |  SELECT f.word, f.n_word, f.pos, f.tok, f.nxt,
+        |    COALESCE(f.tok = b.t1 AND f.nxt = b.t2, FALSE) AS mtch
+        |  FROM (SELECT *, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM t0) f
+        |  CROSS JOIN b1 b
+        |), h1 AS (
+        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS mrk FROM g1
+        |), s1 AS (
+        |  SELECT *, mtch AND (row_number()
+        |    OVER (PARTITION BY word, mrk ORDER BY pos) % 2 = 1) AS sel FROM h1
+        |), w1 AS (
+        |  SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos), FALSE) AS prev_sel FROM s1
+        |), r1 AS (
+        |  SELECT word, n_word,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN sel THEN tok || nxt ELSE tok END AS tok
+        |  FROM w1 WHERE NOT prev_sel
+        |), c2 AS (
+        |  SELECT tok AS t1, nxt AS t2, CAST(SUM(n_word) AS BIGINT) AS cnt FROM (
+        |    SELECT n_word, tok, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r1
+        |  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), b2 AS (
+        |  SELECT t1, t2, cnt FROM c2 ORDER BY cnt DESC, t1, t2 LIMIT 1
+        |), g2 AS (
+        |  SELECT f.word, f.n_word, f.pos, f.tok, f.nxt,
+        |    COALESCE(f.tok = b.t1 AND f.nxt = b.t2, FALSE) AS mtch
+        |  FROM (SELECT *, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r1) f
+        |  CROSS JOIN b2 b
+        |), h2 AS (
+        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS mrk FROM g2
+        |), s2 AS (
+        |  SELECT *, mtch AND (row_number()
+        |    OVER (PARTITION BY word, mrk ORDER BY pos) % 2 = 1) AS sel FROM h2
+        |), w2 AS (
+        |  SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos), FALSE) AS prev_sel FROM s2
+        |), r2 AS (
+        |  SELECT word, n_word,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN sel THEN tok || nxt ELSE tok END AS tok
+        |  FROM w2 WHERE NOT prev_sel
+        |), c3 AS (
+        |  SELECT tok AS t1, nxt AS t2, CAST(SUM(n_word) AS BIGINT) AS cnt FROM (
+        |    SELECT n_word, tok, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r2
+        |  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), b3 AS (
+        |  SELECT t1, t2, cnt FROM c3 ORDER BY cnt DESC, t1, t2 LIMIT 1
+        |)
+        |SELECT CAST(1 AS BIGINT) AS merge_step, t1, t2, cnt AS pair_count, t1 || t2 AS new_token FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), t1, t2, cnt, t1 || t2 FROM b2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), t1, t2, cnt, t1 || t2 FROM b3""".stripMargin,
   )
 }

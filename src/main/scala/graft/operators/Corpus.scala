@@ -797,4 +797,87 @@ object Corpus {
 
   def sourceDivergence(s: SparkSession, dir: String): DataFrame =
     sourceDivergence(Tables.documents(s, dir))
+
+  /** BPE merge LEARNING (Sennrich et al.): `nMerges` iterations of
+    * count-adjacent-pairs → pick the most frequent → apply a greedy
+    * left-to-right DISJOINT merge — the training loop of a byte-pair
+    * tokenizer, of which q87 (bpePairCounts) is one step's counting
+    * kernel. Returns the learned merge table (step, t1, t2, pair_count,
+    * new_token): exactly what a tokenizer trainer persists.
+    *
+    * Semantics pinned for cross-engine exactness: pair counts are
+    * word-frequency-weighted int64 sums; the argmax tie-breaks on
+    * (t1 ASC, t2 ASC); the apply step is the textbook greedy disjoint
+    * matching, expressed with windows instead of string replace because
+    * `replace()` mis-merges odd-length runs ("p p p p p" must become
+    * "pp pp p", not "pp p pp"): match positions form islands of
+    * consecutive pos, the odd ranks within each island merge, the
+    * following position is consumed, and positions renumber densely. The
+    * DuckDB oracle unrolls the loop (the q61 discipline) with the
+    * identical island windows.
+    *
+    * Scale: the corpus collapses to its VOCABULARY (word, n_word) in one
+    * map-side-combined agg — like q87, the supersteps never touch corpus
+    * rows. Each iteration's windows partition by `word` (high-cardinality,
+    * balanced) over the vocabulary token relation (~vocab × word length
+    * rows), lineage-truncated per superstep (the dupClusters
+    * localCheckpoint discipline); the per-step argmax collects ONE row to
+    * the driver — the superstep scalar, same as dupClusters' convergence
+    * check. Fails loudly if the corpus exhausts before `nMerges`.
+    */
+  def bpeLearn(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var toks = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+      .select(col("word"), col("n_word"),
+        posexplode(split(col("word"), "")).as(Seq("pos0", "tok")))
+      .select(col("word"), col("n_word"), (col("pos0") + 1).as("pos"), col("tok"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    (1 to nMerges).foreach { step =>
+      val best = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(wWin))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+        .agg(sum(col("n_word")).as("cnt"))
+        .orderBy(col("cnt").desc, col("t1"), col("t2"))
+        .limit(1).collect()
+      if (best.isEmpty) throw new IllegalStateException(
+        s"bpeLearn: no adjacent pairs left at step $step of $nMerges — " +
+          "corpus too small for the requested merge count")
+      val (t1, t2, cnt) =
+        (best(0).getAs[String]("t1"), best(0).getAs[String]("t2"),
+          best(0).getAs[Long]("cnt"))
+      merges += ((step.toLong, t1, t2, cnt))
+      toks = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(wWin))
+        .withColumn("mtch",
+          coalesce(col("tok") === lit(t1) && col("nxt") === lit(t2), lit(false)))
+        // island key: consecutive matching positions collapse to one run
+        .withColumn("mrk", when(col("mtch"), col("pos") - row_number().over(
+          Window.partitionBy(col("word"), col("mtch")).orderBy(col("pos")))))
+        // greedy disjoint: the 1st, 3rd, 5th... match of each run merges
+        .withColumn("sel", col("mtch") && (row_number().over(
+          Window.partitionBy(col("word"), col("mrk")).orderBy(col("pos"))) % 2 === 1))
+        .withColumn("prev_sel",
+          coalesce(lag(col("sel"), 1).over(wWin), lit(false)))
+        .filter(!col("prev_sel"))
+        .select(col("word"), col("n_word"),
+          row_number().over(wWin).as("pos"),
+          when(col("sel"), concat(col("tok"), col("nxt")))
+            .otherwise(col("tok")).as("tok"))
+        .localCheckpoint(false)
+    }
+    merges.toSeq.toDF("merge_step", "t1", "t2", "pair_count")
+      .select(col("merge_step"), col("t1"), col("t2"), col("pair_count"),
+        concat(col("t1"), col("t2")).as("new_token"))
+  }
+
+  def bpeLearn(s: SparkSession, dir: String): DataFrame =
+    bpeLearn(Tables.documents(s, dir))
 }

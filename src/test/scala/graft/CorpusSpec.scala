@@ -346,4 +346,32 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getAs[String]("source") -> r.getAs[Double]("tv")).toMap
     assert(re === full)
   }
+
+  test("bpeLearn: hand-traced merges incl. the odd-run greedy-disjoint case") {
+    import spark.implicits._
+    // corpus: 'aaaa' x3, 'aaa' x1, 'ab' x2.
+    // step 1: (a,a) = 3*3 + 2*1 = 11 beats (a,b) = 2 -> merge 'aa'.
+    //   greedy-disjoint on 'aaaa' (match run 1,2,3 -> select 1,3): [aa, aa]
+    //   on 'aaa' (run 1,2 -> select 1): [aa, a]  <- odd run: NOT [a, aa]
+    // step 2: (aa,aa) = 3 beats (aa,a) = 1 and (a,b) = 2 -> 'aaaa'.
+    // step 3: (a,b) = 2 beats (aa,a) = 1 -> 'ab'.
+    val docs = Seq(
+      (0L, "aaaa aaaa aaaa aaa"),
+      (1L, "ab ab")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bpeLearn(docs, nMerges = 3).collect()
+      .map(r => (r.getAs[Long]("merge_step"), r.getAs[String]("t1"),
+        r.getAs[String]("t2"), r.getAs[Long]("pair_count"),
+        r.getAs[String]("new_token"))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, "a", "a", 11L, "aa"),
+      (2L, "aa", "aa", 3L, "aaaa"),
+      (3L, "a", "b", 2L, "ab")))
+    // partition-invariance: integer weights + deterministic tiebreaks
+    val re = Corpus.bpeLearn(docs.repartition(5), nMerges = 3).collect()
+      .map(r => (r.getAs[Long]("merge_step"), r.getAs[String]("t1"),
+        r.getAs[String]("t2"), r.getAs[Long]("pair_count"),
+        r.getAs[String]("new_token"))).sortBy(_._1)
+    assert(re.toSeq === out.toSeq)
+  }
 }
