@@ -25,7 +25,8 @@ object PlanDump {
     "q121_triangle_counts", "q193_domain_cap", "q195_canonical_docs",
     "q196_dup_spans", "q197_heavy_hitters", "q198_delta_dedup",
     "q199_vocab_coverage", "q203_dsir_weights", "q204_semdedup",
-    "q205_source_divergence", "q206_cluster_keywords")
+    "q205_source_divergence", "q206_cluster_keywords", "q208_cluster_purity",
+    "q210_bpe_learn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -149,6 +149,7 @@ object ScaleSmoke {
       },
       timed("q203") { graft.operators.Prep.dsirWeights(docs) },
       timed("q205") { graft.operators.Corpus.sourceDivergence(docs) },
+      timed("q210") { graft.operators.Corpus.bpeLearn(docs) },
       timed("q206") {
         graft.operators.Similarity.clusterKeywords(
           docs, emb, nCells = 8 * mult, iters = 2, k = 5, minCount = 3L)

@@ -854,24 +854,7 @@ object Corpus {
         (best(0).getAs[String]("t1"), best(0).getAs[String]("t2"),
           best(0).getAs[Long]("cnt"))
       merges += ((step.toLong, t1, t2, cnt))
-      toks = toks
-        .withColumn("nxt", lead(col("tok"), 1).over(wWin))
-        .withColumn("mtch",
-          coalesce(col("tok") === lit(t1) && col("nxt") === lit(t2), lit(false)))
-        // island key: consecutive matching positions collapse to one run
-        .withColumn("mrk", when(col("mtch"), col("pos") - row_number().over(
-          Window.partitionBy(col("word"), col("mtch")).orderBy(col("pos")))))
-        // greedy disjoint: the 1st, 3rd, 5th... match of each run merges
-        .withColumn("sel", col("mtch") && (row_number().over(
-          Window.partitionBy(col("word"), col("mrk")).orderBy(col("pos"))) % 2 === 1))
-        .withColumn("prev_sel",
-          coalesce(lag(col("sel"), 1).over(wWin), lit(false)))
-        .filter(!col("prev_sel"))
-        .select(col("word"), col("n_word"),
-          row_number().over(wWin).as("pos"),
-          when(col("sel"), concat(col("tok"), col("nxt")))
-            .otherwise(col("tok")).as("tok"))
-        .localCheckpoint(false)
+      toks = applyMerge(toks, t1, t2).localCheckpoint(false)
     }
     merges.toSeq.toDF("merge_step", "t1", "t2", "pair_count")
       .select(col("merge_step"), col("t1"), col("t2"), col("pair_count"),
@@ -880,4 +863,32 @@ object Corpus {
 
   def bpeLearn(s: SparkSession, dir: String): DataFrame =
     bpeLearn(Tables.documents(s, dir))
+
+  /** One greedy left-to-right DISJOINT merge of the token pair (t1, t2)
+    * over a (word, n_word, pos, tok) relation — the apply step of a BPE
+    * iteration, exposed for the randomized equivalence test against a
+    * sequential-fold reference (CorpusSpec). Match positions form
+    * islands of consecutive pos; the odd ranks of each island merge,
+    * the following position is consumed, positions renumber densely.
+    */
+  private[graft] def applyMerge(toks: DataFrame, t1: String, t2: String): DataFrame = {
+    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
+    toks
+      .withColumn("nxt", lead(col("tok"), 1).over(wWin))
+      .withColumn("mtch",
+        coalesce(col("tok") === lit(t1) && col("nxt") === lit(t2), lit(false)))
+      // island key: consecutive matching positions collapse to one run
+      .withColumn("mrk", when(col("mtch"), col("pos") - row_number().over(
+        Window.partitionBy(col("word"), col("mtch")).orderBy(col("pos")))))
+      // greedy disjoint: the 1st, 3rd, 5th... match of each run merges
+      .withColumn("sel", col("mtch") && (row_number().over(
+        Window.partitionBy(col("word"), col("mrk")).orderBy(col("pos"))) % 2 === 1))
+      .withColumn("prev_sel",
+        coalesce(lag(col("sel"), 1).over(wWin), lit(false)))
+      .filter(!col("prev_sel"))
+      .select(col("word"), col("n_word"),
+        row_number().over(wWin).as("pos"),
+        when(col("sel"), concat(col("tok"), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+  }
 }

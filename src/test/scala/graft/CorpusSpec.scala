@@ -374,4 +374,34 @@ class CorpusSpec extends SparkSpec {
         r.getAs[String]("new_token"))).sortBy(_._1)
     assert(re.toSeq === out.toSeq)
   }
+
+  test("applyMerge: island windows equal a sequential greedy fold on 200 random words") {
+    import spark.implicits._
+    // reference: the textbook sequential greedy-disjoint merge
+    def refMerge(toks: List[String], t1: String, t2: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == t1 && toks(i + 1) == t2) {
+          out += (t1 + t2); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toList
+    }
+    val rnd = new scala.util.Random(42L)
+    // tiny alphabet -> dense repeats -> long match runs (the hard case)
+    val words = (1 to 200).map { i =>
+      s"w$i" -> List.fill(1 + rnd.nextInt(12))(if (rnd.nextBoolean()) "a" else "b")
+    }
+    val toks = words.flatMap { case (w, ts) =>
+      ts.zipWithIndex.map { case (t, p) => (w, 1L, (p + 1).toLong, t) }
+    }.toDF("word", "n_word", "pos", "tok")
+    for ((t1, t2) <- Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))) {
+      val got = Corpus.applyMerge(toks, t1, t2).collect()
+        .map(r => (r.getAs[String]("word"), r.getAs[Number]("pos").longValue(), r.getAs[String]("tok")))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+      val expected = words.map { case (w, ts) => w -> refMerge(ts, t1, t2) }.toMap
+      assert(got === expected, s"divergence from the sequential fold for pair ($t1,$t2)")
+    }
+  }
 }
