@@ -236,6 +236,10 @@ object SparkEntry {
     "q208_cluster_purity" -> ((s, d) => Similarity.clusterPurity(s, d)),
     "q209_daily_uniques" -> ((s, d) => Quality.dailyUniques(s, d)),
     "q210_bpe_learn" -> ((s, d) => Corpus.bpeLearn(s, d)),
+    "q211_bpe_tokenize" -> ((s, d) => Corpus.bpeTokenize(s, d)),
+    "q212_pq_encode" -> ((s, d) => Similarity.pqEncode(s, d)),
+    "q213_pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    "q214_coreset_coverage" -> ((s, d) => Similarity.coresetCoverage(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4315,5 +4319,184 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), t1, t2, cnt, t1 || t2 FROM b2
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), t1, t2, cnt, t1 || t2 FROM b3""".stripMargin,
+
+    "q211_bpe_tokenize" ->
+      """WITH sw AS (
+        |  SELECT source, word, COUNT(*) AS n_sw FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+        |  ) GROUP BY 1, 2
+        |), v AS (
+        |  SELECT word, CAST(SUM(n_sw) AS BIGINT) AS n_word FROM sw GROUP BY 1
+        |), t0 AS (
+        |  SELECT word, n_word, i AS pos, substr(word, CAST(i AS INT), 1) AS tok
+        |  FROM v, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) r
+        |), c1 AS (
+        |  SELECT tok AS t1, nxt AS t2, CAST(SUM(n_word) AS BIGINT) AS cnt FROM (
+        |    SELECT n_word, tok, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM t0
+        |  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), b1 AS (
+        |  SELECT t1, t2, cnt FROM c1 ORDER BY cnt DESC, t1, t2 LIMIT 1
+        |), g1 AS (
+        |  SELECT f.word, f.n_word, f.pos, f.tok, f.nxt,
+        |    COALESCE(f.tok = b.t1 AND f.nxt = b.t2, FALSE) AS mtch
+        |  FROM (SELECT *, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM t0) f
+        |  CROSS JOIN b1 b
+        |), h1 AS (
+        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS mrk FROM g1
+        |), s1 AS (
+        |  SELECT *, mtch AND (row_number()
+        |    OVER (PARTITION BY word, mrk ORDER BY pos) % 2 = 1) AS sel FROM h1
+        |), w1 AS (
+        |  SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos), FALSE) AS prev_sel FROM s1
+        |), r1 AS (
+        |  SELECT word, n_word,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN sel THEN tok || nxt ELSE tok END AS tok
+        |  FROM w1 WHERE NOT prev_sel
+        |), c2 AS (
+        |  SELECT tok AS t1, nxt AS t2, CAST(SUM(n_word) AS BIGINT) AS cnt FROM (
+        |    SELECT n_word, tok, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r1
+        |  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), b2 AS (
+        |  SELECT t1, t2, cnt FROM c2 ORDER BY cnt DESC, t1, t2 LIMIT 1
+        |), g2 AS (
+        |  SELECT f.word, f.n_word, f.pos, f.tok, f.nxt,
+        |    COALESCE(f.tok = b.t1 AND f.nxt = b.t2, FALSE) AS mtch
+        |  FROM (SELECT *, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r1) f
+        |  CROSS JOIN b2 b
+        |), h2 AS (
+        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS mrk FROM g2
+        |), s2 AS (
+        |  SELECT *, mtch AND (row_number()
+        |    OVER (PARTITION BY word, mrk ORDER BY pos) % 2 = 1) AS sel FROM h2
+        |), w2 AS (
+        |  SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos), FALSE) AS prev_sel FROM s2
+        |), r2 AS (
+        |  SELECT word, n_word,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN sel THEN tok || nxt ELSE tok END AS tok
+        |  FROM w2 WHERE NOT prev_sel
+        |), c3 AS (
+        |  SELECT tok AS t1, nxt AS t2, CAST(SUM(n_word) AS BIGINT) AS cnt FROM (
+        |    SELECT n_word, tok, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r2
+        |  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), b3 AS (
+        |  SELECT t1, t2, cnt FROM c3 ORDER BY cnt DESC, t1, t2 LIMIT 1
+        |), g3 AS (
+        |  SELECT f.word, f.n_word, f.pos, f.tok, f.nxt,
+        |    COALESCE(f.tok = b.t1 AND f.nxt = b.t2, FALSE) AS mtch
+        |  FROM (SELECT *, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM r2) f
+        |  CROSS JOIN b3 b
+        |), h3 AS (
+        |  SELECT *, CASE WHEN mtch THEN pos - row_number()
+        |    OVER (PARTITION BY word, mtch ORDER BY pos) END AS mrk FROM g3
+        |), s3 AS (
+        |  SELECT *, mtch AND (row_number()
+        |    OVER (PARTITION BY word, mrk ORDER BY pos) % 2 = 1) AS sel FROM h3
+        |), w3 AS (
+        |  SELECT *, COALESCE(lag(sel) OVER (PARTITION BY word ORDER BY pos), FALSE) AS prev_sel FROM s3
+        |), r3 AS (
+        |  SELECT word, n_word,
+        |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+        |    CASE WHEN sel THEN tok || nxt ELSE tok END AS tok
+        |  FROM w3 WHERE NOT prev_sel
+        |), nt AS (
+        |  SELECT word, COUNT(*) AS n_toks FROM r3 GROUP BY 1
+        |)
+        |SELECT source,
+        |  CAST(SUM(n_sw) AS BIGINT) AS n_words,
+        |  CAST(SUM(n_sw * n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_sw * len(word)) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_sw * n_toks) AS DOUBLE) / CAST(SUM(n_sw) AS DOUBLE) AS tokens_per_word,
+        |  CAST(SUM(n_sw * len(word)) AS DOUBLE) / CAST(SUM(n_sw * n_toks) AS DOUBLE) AS chars_per_token
+        |FROM sw JOIN nt USING (word) GROUP BY source""".stripMargin,
+
+    "q212_pq_encode" ->
+      """WITH dists AS (
+        |  SELECT e.vec_id, s.sub, c.vec_id AS code, SUM(l.df * l.df) AS qdist
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  JOIN embeddings c ON c.vec_id < 16
+        |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) d,
+        |  LATERAL (SELECT
+        |    CAST(floor(CAST(e.embedding[s.sub * 16 + d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(c.embedding[s.sub * 16 + d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS df) l
+        |  GROUP BY 1, 2, 3
+        |), enc AS (
+        |  SELECT vec_id, sub, code, qdist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY qdist, code) AS rn
+        |    FROM dists
+        |  ) WHERE rn = 1
+        |)
+        |SELECT CAST(sub AS INT) AS subspace, code, COUNT(*) AS n_assigned,
+        |  CAST(SUM(qdist) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e8 AS avg_sqerr
+        |FROM enc GROUP BY 1, 2""".stripMargin,
+
+    "q213_pq_adc_topk" ->
+      """WITH dists AS (
+        |  SELECT e.vec_id, s.sub, c.vec_id AS code, SUM(l.df * l.df) AS qdist
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  JOIN embeddings c ON c.vec_id < 16
+        |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) d,
+        |  LATERAL (SELECT
+        |    CAST(floor(CAST(e.embedding[s.sub * 16 + d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(c.embedding[s.sub * 16 + d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS df) l
+        |  GROUP BY 1, 2, 3
+        |), enc AS (
+        |  SELECT vec_id, sub, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY qdist, code) AS rn
+        |    FROM dists
+        |  ) WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS query_id, sub, code, qdist AS qd FROM dists WHERE vec_id < 10
+        |), adc AS (
+        |  SELECT l.query_id, e.vec_id AS neighbor_id,
+        |    CAST(SUM(l.qd) AS DOUBLE) / 1e8 AS adc_sqdist
+        |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+        |  WHERE e.vec_id != l.query_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, adc_sqdist, "rank" FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_sqdist, neighbor_id) AS "rank"
+        |  FROM adc
+        |) WHERE "rank" <= 10""".stripMargin,
+
+    "q214_coreset_coverage" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 6) tp(p), range(1, 65) ti(i)
+        |), proj AS (
+        |  SELECT e.vec_id, hp.p,
+        |    CASE WHEN SUM(CAST(floor(CAST(e.embedding[hp.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * hp.s) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM embeddings e, hp GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+        |), reps AS (
+        |  SELECT MIN(vec_id) AS rep_id FROM sig GROUP BY bucket
+        |), rcos AS (
+        |  SELECT e.vec_id, r.rep_id,
+        |    CAST(SUM(q.qa * q.qb) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(q.qa * q.qa) AS DOUBLE)) * sqrt(CAST(SUM(q.qb * q.qb) AS DOUBLE))) AS cosine
+        |  FROM embeddings e
+        |  JOIN reps r ON TRUE
+        |  JOIN embeddings er ON er.vec_id = r.rep_id,
+        |  LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t,
+        |  LATERAL (SELECT
+        |    CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qa,
+        |    CAST(floor(CAST(er.embedding[t.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qb) q
+        |  GROUP BY 1, 2
+        |), nearest AS (
+        |  SELECT vec_id, rep_id, cosine FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, rep_id) AS rn
+        |    FROM rcos
+        |  ) WHERE rn = 1
+        |)
+        |SELECT rep_id, COUNT(*) AS n_covered, MIN(cosine) AS min_cos,
+        |  CAST(SUM(CASE WHEN cosine >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+        |FROM nearest GROUP BY rep_id""".stripMargin,
   )
 }

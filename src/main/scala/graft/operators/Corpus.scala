@@ -829,15 +829,38 @@ object Corpus {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
-    var toks = docs
+    val vocab = docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(explode(Text.words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
-      .select(col("word"), col("n_word"),
-        posexplode(split(col("word"), "")).as(Seq("pos0", "tok")))
-      .select(col("word"), col("n_word"), (col("pos0") + 1).as("pos"), col("tok"))
-      .localCheckpoint(false)
+    val (merges, _) = bpeLoop(charToks(vocab), nMerges)
+    merges.toDF("merge_step", "t1", "t2", "pair_count")
+      .select(col("merge_step"), col("t1"), col("t2"), col("pair_count"),
+        concat(col("t1"), col("t2")).as("new_token"))
+  }
+
+  def bpeLearn(s: SparkSession, dir: String): DataFrame =
+    bpeLearn(Tables.documents(s, dir))
+
+  /** Explodes a (word, n_word) vocabulary into the per-character token
+    * relation (word, n_word, pos, tok) that the BPE supersteps run on. */
+  private def charToks(vocab: DataFrame): DataFrame = vocab
+    .select(col("word"), col("n_word"),
+      posexplode(split(col("word"), "")).as(Seq("pos0", "tok")))
+    .select(col("word"), col("n_word"), (col("pos0") + 1).as("pos"), col("tok"))
+    .localCheckpoint(false)
+
+  /** The BPE training loop shared by `bpeLearn` (returns the merge table)
+    * and `bpeTokenize` (returns the merged token relation): `nMerges`
+    * supersteps of count-pairs → frequency argmax (tie-break t1, t2 ASC)
+    * → greedy disjoint `applyMerge`, lineage-truncated per step. The
+    * per-step `.limit(1).collect()` is the superstep scalar (the
+    * dupClusters convergence-check discipline), not a data collect. */
+  private def bpeLoop(
+      toks0: DataFrame,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
+    var toks = toks0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     (1 to nMerges).foreach { step =>
       val best = toks
@@ -856,13 +879,52 @@ object Corpus {
       merges += ((step.toLong, t1, t2, cnt))
       toks = applyMerge(toks, t1, t2).localCheckpoint(false)
     }
-    merges.toSeq.toDF("merge_step", "t1", "t2", "pair_count")
-      .select(col("merge_step"), col("t1"), col("t2"), col("pair_count"),
-        concat(col("t1"), col("t2")).as("new_token"))
+    (merges.toSeq, toks)
   }
 
-  def bpeLearn(s: SparkSession, dir: String): DataFrame =
-    bpeLearn(Tables.documents(s, dir))
+  /** BPE tokenizer APPLICATION (q211): learn `nMerges` merges (the q210
+    * loop) and apply the resulting segmentation to the whole corpus,
+    * reporting per-source tokenizer-fertility stats — word count, token
+    * count, character count, tokens/word and chars/token — the numbers a
+    * training-data pipeline reads to size a token budget per source and
+    * to spot a source whose content fragments badly under the tokenizer.
+    *
+    * Scale: the corpus is touched exactly ONCE, for the (source, word)
+    * count — map-side combined, one shuffle. The vocabulary derives from
+    * that same relation (no second corpus pass), the supersteps run on
+    * the vocabulary token relation as in q210, and the final fertility
+    * join (per-word token counts back onto per-source word counts) is
+    * vocabulary-scale on both sides — pinned shuffle_hash because neither
+    * side is boundedly small at real corpus scale (the ngramJaccard
+    * rationale, Dedup.scala), while the planner would otherwise see a
+    * small local relation and broadcast it.
+    */
+  def bpeTokenize(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val sw = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n_sw")))
+    val vocab = sw.groupBy(col("word")).agg(sum(col("n_sw")).as("n_word"))
+    val (_, toks) = bpeLoop(charToks(vocab), nMerges)
+    val nToks = toks.groupBy(col("word")).agg(count(lit(1)).as("n_toks"))
+    sw.hint("shuffle_hash")
+      .join(nToks, Seq("word"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_sw")).as("n_words"),
+        sum(col("n_sw") * col("n_toks")).as("n_tokens"),
+        sum(col("n_sw") * length(col("word"))).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
+
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame =
+    bpeTokenize(Tables.documents(s, dir))
 
   /** One greedy left-to-right DISJOINT merge of the token pair (t1, t2)
     * over a (word, n_word, pos, tok) relation — the apply step of a BPE

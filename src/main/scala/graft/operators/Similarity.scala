@@ -618,4 +618,182 @@ object Similarity {
 
   def clusterPurity(s: SparkSession, dir: String): DataFrame =
     clusterPurity(Tables.embeddings(s, dir), nCells = 8, iters = 2)
+
+  /** Product quantization's fixed-point grid — deliberately COARSER than
+    * the 1e8 exact-cosine grid so every ADC distance sum stays an exact
+    * integer inside a double (see FixedPointSqDist's scaladoc). */
+  private val PqScale = 1e4
+
+  /** Per-subspace views of an embedding relation: one row per (id, sub)
+    * carrying the `dsub`-dim sub-vector slice. */
+  private def pqSubvecs(e: DataFrame, m: Int, dsub: Int, idCol: String): DataFrame =
+    e.select(col(idCol), col("embedding"),
+        explode(array((0 until m).map(lit(_)): _*)).as("sub"))
+      .select(col(idCol), col("sub"),
+        slice(col("embedding"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
+
+  /** The PQ codebook: the first `codes` vectors' sub-vectors per subspace
+    * (the q35 first-k quantizer discipline — deterministic, no training
+    * pass), m × codes rows: a true constant, broadcast everywhere. */
+  private def pqCodebook(e: DataFrame, m: Int, dsub: Int, codes: Int): DataFrame =
+    pqSubvecs(
+      e.filter(col("vec_id") < codes)
+        .select(col("vec_id").as("code"), col("embedding")),
+      m, dsub, "code")
+      .select(col("sub"), col("code"), col("svec").as("cvec"))
+
+  /** Nearest-code assignment per (vector, subspace): exact fixed-point
+    * squared L2 on the PQ grid, argmin tie-broken code ASC via a
+    * map-side-combined min-of-struct (NOT a window: the pre-argmin
+    * relation is |corpus|·m·codes rows, and a window would shuffle all of
+    * them; the partial min leaves ≤ 1 row per (vec, sub) per map task). */
+  private def pqAssign(e: DataFrame, m: Int, codes: Int, dims: Int): DataFrame = {
+    val dsub = dims / m
+    pqSubvecs(e, m, dsub, "vec_id")
+      .join(broadcast(pqCodebook(e, m, dsub, codes)), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        FixedPoint.sqDistF(col("svec"), col("cvec"), PqScale).as("qdist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("qdist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.code").as("code"), col("best.qdist").as("qdist"))
+  }
+
+  /** Product-quantization encode audit (q212): assign every vector's m
+    * sub-vectors to their nearest codebook entries and report, per
+    * (subspace, code), the population and mean squared reconstruction
+    * error — the table an ANN pipeline reads to spot dead codes and
+    * unbalanced cells before committing to a codebook.
+    *
+    * Scale: the corpus is touched once; the codebook is m·codes rows
+    * (constant, broadcast); the only exchanges are the map-side-combined
+    * argmin (≤ m rows per vector after partial agg) and the final
+    * m·codes-row audit agg. The mean divides exact int64 sums — the
+    * double division is the last step, identical in both engines.
+    */
+  def pqEncode(emb: DataFrame, m: Int = 4, codes: Int = 16, dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val e = emb.repartition(shuffleWidth(emb), col("vec_id"))
+    pqAssign(e, m, codes, dims)
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("qdist")).as("sdist"))
+      .select(col("sub").as("subspace"), col("code"), col("n_assigned"),
+        (col("sdist").cast("double") / col("n_assigned").cast("double") / lit(1e8))
+          .as("avg_sqerr"))
+  }
+
+  def pqEncode(s: SparkSession, dir: String): DataFrame =
+    pqEncode(Tables.embeddings(s, dir))
+
+  /** PQ asymmetric-distance ANN (q213) — the IVF-PQ scale path's ranking
+    * half: the corpus lives as m small code ids per vector (the
+    * compressed resident form — 4 bytes/vector here vs 256 for the raw
+    * floats), each query precomputes an exact (sub, code) → distance
+    * lookup table against the codebook, and scoring a corpus vector is m
+    * table lookups + adds — no float math per pair.
+    *
+    * Exactness: LUT entries are int64 on the PQ grid; an ADC sum of m of
+    * them stays ≤ ~6e10, an exact integer in a double, so ranking through
+    * BoundedTopK's double score is bit-identical to the oracle's BIGINT
+    * sum (ties broken neighbor ASC in both). Scale: the encoded corpus
+    * never reshuffles after the one argmin pass; the LUT relation is
+    * nQueries·m·codes rows (constant, broadcast); the ranking exchange is
+    * BoundedTopK-bounded to k rows per (map task × query).
+    */
+  def pqAdcTopK(
+      emb: DataFrame,
+      m: Int = 4, codes: Int = 16, dims: Int = 64,
+      k: Int = 10, nQueries: Int = 10): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val dsub = dims / m
+    val e = Caches.track(emb.repartition(shuffleWidth(emb), col("vec_id")))
+    // per-vector code word: codes ordered by subspace (array_sort on the
+    // (sub, code) struct = sub ASC), the PQ-compressed corpus
+    val enc = pqAssign(e, m, codes, dims)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val qsv = pqSubvecs(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      m, dsub, "query_id")
+    // LUT rows → per-query nested array lut[sub][code] (both levels
+    // ordered by array_sort on the leading struct field)
+    val lut = qsv
+      .join(broadcast(pqCodebook(e, m, dsub, codes)), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        FixedPoint.sqDistF(col("svec"), col("cvec"), PqScale).as("qd"))
+      .groupBy(col("query_id"), col("sub"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("code"), col("qd")))),
+        x => x.getField("qd")).as("row"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("row")))),
+        x => x.getField("row")).as("lut"))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("lut"), s + 1),
+        element_at(col("codes"), s + 1).cast("int") + 1).cast("double")
+    }.reduce(_ + _)
+    val topk = udaf(new BoundedTopK(k), ExpressionEncoder[Scored]())
+    enc.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adc.as("adcq"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), -col("adcq")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.neighborId").as("neighbor_id"),
+        (-col("t.cosine") / lit(1e8)).as("adc_sqdist"),
+        (col("pos") + 1).as("rank"))
+  }
+
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(Tables.embeddings(s, dir))
+
+  /** Coreset / k-center coverage audit (q214): deterministic LSH-cell
+    * representatives (min vec_id per occupied cell — the cheap, fully
+    * distributed stand-in for greedy k-center seeding) and, for every
+    * corpus vector, its cosine to the NEAREST representative. Reported
+    * per representative: population it covers, its coverage radius
+    * (k-center's objective — the worst cosine among vectors it covers),
+    * and how many of those sit above a 0.5 "well-covered" bar. This is
+    * the audit a curation pipeline runs on a diversity-sampled coreset:
+    * dead centers, oversubscribed centers, and under-covered regions all
+    * read straight off the table.
+    *
+    * Exactness: per-vector nearest-rep is an argmax over the exact
+    * fixed-point cosine (tie rep ASC) via a map-side-combined
+    * min-of-struct; the per-rep outputs are counts and a MIN — no double
+    * summation, so no float-accumulation-order hazard. Scale: reps are
+    * ≤ 2^nPlanes rows (constant, broadcast twice); the corpus is touched
+    * twice (bucket pass, coverage pass) and never self-joins.
+    */
+  def coresetCoverage(emb: DataFrame, nPlanes: Int = 6, dims: Int = 64): DataFrame = {
+    val e = Caches.track(prepared(emb)
+      .withColumn("bucket", Vectors.lshBucketF(col("embedding"), nPlanes, dims)))
+    val repIds = e.groupBy(col("bucket")).agg(min(col("vec_id")).as("rep_id"))
+      .select(col("rep_id"))
+    val reps = e.join(broadcast(repIds), col("vec_id") === col("rep_id"))
+      .select(col("rep_id"), col("embedding").as("re"), col("n2").as("rn2"))
+    e.crossJoin(broadcast(reps))
+      .select(col("vec_id"),
+        struct(
+          (-Vectors.cosineFromParts(
+            FixedPoint.dotF(col("embedding"), col("re")), col("n2"), col("rn2")))
+            .as("neg"),
+          col("rep_id")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.rep_id").as("rep_id"),
+        (-col("best.neg")).as("cos"))
+      .groupBy(col("rep_id"))
+      .agg(
+        count(lit(1)).as("n_covered"),
+        min(col("cos")).as("min_cos"),
+        sum(when(col("cos") >= 0.5, 1L).otherwise(0L)).as("n_close"))
+  }
+
+  def coresetCoverage(s: SparkSession, dir: String): DataFrame =
+    coresetCoverage(Tables.embeddings(s, dir))
 }

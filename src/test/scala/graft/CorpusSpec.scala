@@ -375,6 +375,34 @@ class CorpusSpec extends SparkSpec {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("bpeTokenize: hand-traced fertility on the bpeLearn corpus, split by source") {
+    import spark.implicits._
+    // same corpus as the bpeLearn hand-trace, now with sources. Learned
+    // merges: aa, aaaa, ab. Final segmentations:
+    //   'aaaa' -> [aaaa] (1 tok), 'aaa' -> [aa, a] (2), 'ab' -> [ab] (1).
+    // srcA: aaaa x3 + aaa x1 -> 4 words, 5 tokens, 15 chars.
+    // srcB: ab x2          -> 2 words, 2 tokens,  4 chars.
+    val docs = Seq(
+      (0L, "aaaa aaaa aaaa aaa", "srcA"),
+      (1L, "ab ab", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.bpeTokenize(docs, nMerges = 3).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Double]("tokens_per_word"), r.getAs[Double]("chars_per_token")))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("srcA", 4L, 5L, 15L, 1.25, 3.0),
+      ("srcB", 2L, 2L, 4L, 1.0, 2.0)))
+    // partition-invariance (integer counts + deterministic merge argmax)
+    val re = Corpus.bpeTokenize(docs.repartition(5), nMerges = 3).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Double]("tokens_per_word"), r.getAs[Double]("chars_per_token")))
+      .sortBy(_._1)
+    assert(re.toSeq === out.toSeq)
+  }
+
   test("applyMerge: island windows equal a sequential greedy fold on 200 random words") {
     import spark.implicits._
     // reference: the textbook sequential greedy-disjoint merge

@@ -360,4 +360,118 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("n_majority") <= r.getAs[Long]("n_members"))
     }
   }
+
+  // ---- product quantization (q212/q213) ----
+
+  /** Plain-JVM PQ reference on the 1e4 grid: per-(vector, subspace)
+    * nearest-code assignment with (dist, code) tie-break. */
+  private def refPqAssign(
+      vecs: Map[Long, Seq[Float]], m: Int, codes: Int,
+      dims: Int): Seq[(Long, Int, Long, Long)] = {
+    def q(x: Float): Long = math.floor(x.toDouble * 1e4 + 0.5).toLong
+    def sqd(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => val d = q(x) - q(y); d * d }.sum
+    val dsub = dims / m
+    def sub(v: Seq[Float], s: Int): Seq[Float] = v.slice(s * dsub, (s + 1) * dsub)
+    for ((id, v) <- vecs.toSeq; s <- 0 until m) yield {
+      val (code, dist) = (0 until codes)
+        .map(c => (c.toLong, sqd(sub(v, s), sub(vecs(c.toLong), s))))
+        .minBy { case (c, d) => (d, c) }
+      (id, s, code, dist)
+    }
+  }
+
+  private def randVecs(n: Int, dims: Int, seed: Long): Map[Long, Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => i.toLong -> Seq.fill(dims)(rnd.nextFloat() * 2f - 1f)).toMap
+  }
+
+  test("pqEncode equals the plain-JVM PQ reference on random vectors") {
+    import spark.implicits._
+    val vecs = randVecs(30, dims = 8, seed = 7L)
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(df, m = 2, codes = 4, dims = 8).collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Long]("code")) ->
+        ((r.getAs[Long]("n_assigned"), r.getAs[Double]("avg_sqerr")))).toMap
+    val expected = refPqAssign(vecs, m = 2, codes = 4, dims = 8)
+      .groupBy { case (_, s, c, _) => (s, c) }
+      .map { case (k, rows) =>
+        k -> ((rows.size.toLong,
+          rows.map(_._4).sum.toDouble / rows.size.toDouble / 1e8))
+      }
+    assert(got === expected)
+    // invariants: populations reconcile; codebook vectors self-assign
+    // with zero error (their own sub-vector is in the codebook)
+    assert(got.values.map(_._1).sum === 30L * 2)
+    refPqAssign(vecs, 2, 4, 8).filter(_._1 < 4L).foreach {
+      case (id, _, code, dist) =>
+        assert(code == id && dist == 0L, s"codebook vector $id must self-assign")
+    }
+  }
+
+  test("pqAdcTopK equals a plain-JVM asymmetric-distance recompute, any partitioning") {
+    import spark.implicits._
+    val m = 2; val codes = 4; val dims = 8; val k = 5; val nQ = 3
+    val vecs = randVecs(40, dims, seed = 11L)
+    def q(x: Float): Long = math.floor(x.toDouble * 1e4 + 0.5).toLong
+    def sqd(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => val d = q(x) - q(y); d * d }.sum
+    val dsub = dims / m
+    def sub(v: Seq[Float], s: Int): Seq[Float] = v.slice(s * dsub, (s + 1) * dsub)
+    val enc = refPqAssign(vecs, m, codes, dims)
+      .map { case (id, s, code, _) => (id, s) -> code }.toMap
+    val expected = (0L until nQ.toLong).flatMap { qid =>
+      val scored = vecs.keys.filter(_ != qid).toSeq.map { vid =>
+        val adc = (0 until m).map { s =>
+          sqd(sub(vecs(qid), s), sub(vecs(enc((vid, s))), s))
+        }.sum
+        (vid, adc)
+      }.sortBy { case (vid, adc) => (adc, vid) }.take(k)
+      scored.zipWithIndex.map { case ((vid, adc), i) =>
+        (qid, vid, adc.toDouble / 1e8, i + 1)
+      }
+    }.toSet
+    for (parts <- Seq(1, 7)) {
+      val df = vecs.toSeq.toDF("vec_id", "embedding").repartition(parts)
+      val got = Similarity.pqAdcTopK(df, m, codes, dims, k, nQ).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("adc_sqdist"), r.getAs[Int]("rank"))).toSet
+      assert(got === expected, s"ADC divergence at $parts partitions")
+    }
+  }
+
+  // ---- coreset coverage (q214) ----
+
+  test("coresetCoverage equals a plain-JVM k-center recompute with md5 hyperplanes") {
+    import spark.implicits._
+    val nPlanes = 4; val dims = 8
+    val vecs = randVecs(50, dims, seed = 23L)
+    def q8(x: Float): Long = math.floor(x.toDouble * 1e8 + 0.5).toLong
+    def bucket(v: Seq[Float]): String =
+      (0 until nPlanes).map { p =>
+        val proj = v.zipWithIndex
+          .map { case (x, i) => q8(x) * graft.functions.Vectors.hyperplaneSign(p, i + 1) }.sum
+        if (proj >= 0) '1' else '0'
+      }.mkString
+    val reps = vecs.groupBy { case (_, v) => bucket(v) }
+      .map { case (_, members) => members.keys.min }.toSet
+    val nearest = vecs.map { case (id, v) =>
+      val (rep, cos) = reps.toSeq
+        .map(r => (r, refCosine(v, vecs(r))))
+        .minBy { case (r, c) => (-c, r) }
+      id -> ((rep, cos))
+    }
+    val expected = nearest.values.groupBy(_._1).map { case (rep, hits) =>
+      rep -> ((hits.size.toLong, hits.map(_._2).min,
+        hits.count(_._2 >= 0.5).toLong))
+    }
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.coresetCoverage(df, nPlanes, dims).collect()
+      .map(r => r.getAs[Long]("rep_id") ->
+        ((r.getAs[Long]("n_covered"), r.getAs[Double]("min_cos"),
+          r.getAs[Long]("n_close")))).toMap
+    assert(got === expected)
+    // invariant: every vector is covered exactly once
+    assert(got.values.map(_._1).sum === 50L)
+  }
 }
