@@ -240,6 +240,8 @@ object SparkEntry {
     "q212_pq_encode" -> ((s, d) => Similarity.pqEncode(s, d)),
     "q213_pq_adc_topk" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     "q214_coreset_coverage" -> ((s, d) => Similarity.coresetCoverage(s, d)),
+    "q215_jl_distortion" -> ((s, d) => Similarity.jlDistortion(s, d)),
+    "q216_filter_sweep" -> ((s, d) => Prep.filterSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4498,5 +4500,61 @@ object SparkEntry {
         |SELECT rep_id, COUNT(*) AS n_covered, MIN(cosine) AS min_cos,
         |  CAST(SUM(CASE WHEN cosine >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
         |FROM nearest GROUP BY rep_id""".stripMargin,
+
+    "q215_jl_distortion" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 16) tp(p), range(1, 65) ti(i)
+        |), e40 AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40
+        |), proj AS (
+        |  SELECT e.vec_id, hp.p,
+        |    SUM(hp.s * CAST(floor(CAST(e.embedding[hp.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT)) AS y
+        |  FROM e40 e, hp GROUP BY 1, 2
+        |), pcos AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(SUM(pa.y * pb.y) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(pa.y * pa.y) AS DOUBLE)) * sqrt(CAST(SUM(pb.y * pb.y) AS DOUBLE))) AS cos_proj
+        |  FROM e40 a
+        |  JOIN e40 b ON a.vec_id < b.vec_id
+        |  JOIN proj pa ON pa.vec_id = a.vec_id
+        |  JOIN proj pb ON pb.vec_id = b.vec_id AND pb.p = pa.p
+        |  GROUP BY 1, 2
+        |), ocos AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    CAST(SUM(q.qa * q.qb) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(q.qa * q.qa) AS DOUBLE)) * sqrt(CAST(SUM(q.qb * q.qb) AS DOUBLE))) AS cos_orig
+        |  FROM e40 a
+        |  JOIN e40 b ON a.vec_id < b.vec_id,
+        |  LATERAL (SELECT unnest(range(1, len(a.embedding) + 1)) AS i) t,
+        |  LATERAL (SELECT
+        |    CAST(floor(CAST(a.embedding[t.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qa,
+        |    CAST(floor(CAST(b.embedding[t.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qb) q
+        |  GROUP BY 1, 2
+        |)
+        |SELECT o.vec_a, o.vec_b, o.cos_orig, p.cos_proj,
+        |  p.cos_proj - o.cos_orig AS distortion
+        |FROM ocos o JOIN pcos p ON o.vec_a = p.vec_a AND o.vec_b = p.vec_b""".stripMargin,
+
+    "q216_filter_sweep" ->
+      """WITH d AS (
+        |  SELECT len(string_split(text, ' ')) AS n_words,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','and','of','to','is','in','a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents
+        |), b AS (
+        |  SELECT LEAST(CAST(floor(score * 20) AS BIGINT), 19) AS bin, n_words FROM d
+        |), g AS (
+        |  SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT bin, CAST(bin AS DOUBLE) / 20 AS score_lo, n_docs, n_tokens,
+        |  CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM g""".stripMargin,
   )
 }

@@ -29,6 +29,12 @@ object Vectors {
     */
   def quantVec(v: Column): Column = transform(v, x => quant(x))
 
+  /** Whole-vector quantization on a caller-chosen grid — the coarser
+    * (1e4) grid the PQ/JL family uses so downstream integer sums stay
+    * exactly representable in doubles (see FixedPointSqDist). */
+  def quantVecAt(v: Column, scale: Double): Column =
+    transform(v, x => floor(x.cast("double") * lit(scale) + lit(0.5)))
+
   /** Exact int64 dot product of two already-quantized long-array columns. */
   def dotQ(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)

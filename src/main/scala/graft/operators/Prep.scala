@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Caches
@@ -104,6 +105,43 @@ object Prep {
 
   def curationFunnel(s: SparkSession, dir: String): DataFrame =
     curationFunnel(Tables.documents(s, dir))
+
+  /** Quality-threshold sweep (q216): bin every document by a quality
+    * proxy (stopword ratio — the C4/Gopher-family naturalness signal,
+    * an exact integer ratio) and report, per bin from best down, how
+    * many documents and tokens survive if the filter cut there. This is
+    * the curve a curation pipeline reads to place its quality cutoff
+    * against a token budget — the ablation-sweep table, computed in one
+    * pass instead of one pipeline run per candidate threshold.
+    *
+    * Scale: one corpus pass into a map-side-combined ≤ nBins+1-row
+    * aggregate; the cumulative window runs over those bins only (the
+    * bucketedPrefix bucket-total discipline — bounded, not corpus-wide).
+    * Determinism: score = n_stopwords / n_words (exact int ratio), bin =
+    * floor(score·nBins) clamped — the same correctly-rounded double ops
+    * in both engines.
+    */
+  def filterSweep(docs: DataFrame, nBins: Int = 20): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val ws = Text.words(col("text"))
+    val score = size(filter(ws, w => w.isin(TextAnalysis.stopwords: _*)))
+      .cast("double") / size(ws)
+    val binned = docs.select(size(ws).as("n_words"), score.as("score"))
+      .select(col("n_words"),
+        least(floor(col("score") * nBins).cast("long"), lit(nBins - 1L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    val cum = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned.select(col("bin"),
+      (col("bin").cast("double") / nBins).as("score_lo"),
+      col("n_docs"), col("n_tokens"),
+      sum(col("n_docs")).over(cum).as("cum_docs"),
+      sum(col("n_tokens")).over(cum).as("cum_tokens"))
+  }
+
+  def filterSweep(s: SparkSession, dir: String): DataFrame =
+    filterSweep(Tables.documents(s, dir))
 
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     qualityFilter(Tables.documents(s, dir))

@@ -796,4 +796,50 @@ object Similarity {
 
   def coresetCoverage(s: SparkSession, dir: String): DataFrame =
     coresetCoverage(Tables.embeddings(s, dir))
+
+  /** Johnson–Lindenstrauss random-projection distortion audit (q215):
+    * project every vector onto `dProj` deterministic ±1 hyperplanes (the
+    * md5 family the LSH buckets already use) on the 1e4 grid, then, for a
+    * DECLARED bounded audit tier (`vec_id < nAudit`, the lshRecallAudit
+    * discipline), compare each pair's projected cosine against its exact
+    * full-dimension cosine. This is the measurement a pipeline runs
+    * before swapping 64-dim embeddings for a 4× cheaper 16-dim sketch in
+    * its near-dup and clustering stages: the distortion column IS the
+    * decision input.
+    *
+    * Exactness: projections are exact int64 sign-sums on the 1e4 grid
+    * (|y_j| ≤ ~1e6, so a 16-dim projected dot ≤ ~2e13 — inside int64 AND
+    * double's exact-integer range); both cosines are exact-integer ratios
+    * evaluated identically in the oracle. Scale: the projection is a
+    * stateless per-row map (a production materialization is one
+    * shuffle-free pass over the corpus); the quadratic pair comparison
+    * exists only inside the bounded audit tier, which Catalyst prunes to
+    * before projecting anything.
+    */
+  def jlDistortion(
+      emb: DataFrame,
+      dProj: Int = 16, dims: Int = 64, nAudit: Int = 40): DataFrame = {
+    val qv = Vectors.quantVecAt(col("embedding"), 1e4)
+    val proj = array((0 until dProj).map(j =>
+      Vectors.dotQ(qv, Vectors.hyperplaneSigns(j, dims))): _*)
+    val e = Caches.track(emb
+      .filter(col("vec_id") < nAudit)
+      .select(col("vec_id"), col("embedding"), proj.as("proj"),
+        FixedPoint.normSqF(col("embedding")).as("n2"))
+      .withColumn("pn2", Vectors.normSqQ(col("proj"))))
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("proj").as("pa"), col("n2").as("na"), col("pn2").as("pna"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("proj").as("pb"), col("n2").as("nb"), col("pn2").as("pnb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Vectors.cosineFromParts(
+          FixedPoint.dotF(col("ea"), col("eb")), col("na"), col("nb")).as("cos_orig"),
+        Vectors.cosineFromParts(
+          Vectors.dotQ(col("pa"), col("pb")), col("pna"), col("pnb")).as("cos_proj"))
+      .withColumn("distortion", col("cos_proj") - col("cos_orig"))
+  }
+
+  def jlDistortion(s: SparkSession, dir: String): DataFrame =
+    jlDistortion(Tables.embeddings(s, dir))
 }

@@ -20,11 +20,16 @@ object TextAnalysis {
         size(Text.words(col("text"))).as("n_ws_tokens"),
         Text.regexTokenCount(col("text")).as("n_re_tokens"))
 
+  /** The stopword list shared by the quality features (here) and the
+    * quality-threshold sweep (Prep.filterSweep) — one list so both read
+    * the same signal. */
+  private[operators] val stopwords = Seq("the", "and", "of", "to", "is", "in", "a")
+
   /** Quality features: lengths, mean word length, stopword + punctuation
     * ratios. Per-row double divisions only — deterministic everywhere.
     */
   def quality(s: SparkSession, dir: String): DataFrame = {
-    val stop = Seq("the", "and", "of", "to", "is", "in", "a")
+    val stop = stopwords
     val ws = Text.words(col("text"))
     Tables.documents(s, dir)
       .select(

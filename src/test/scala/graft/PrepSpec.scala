@@ -292,4 +292,31 @@ class PrepSpec extends SparkSpec {
       .toMap
     assert(re === byDoc)
   }
+
+  test("filterSweep: hand-computed bins, clamped top bin, cumulative retention from best down") {
+    import spark.implicits._
+    // scores: 'the cat' = 1/2 -> bin 10; 'the the' = 1 -> clamps to 19
+    // (floor(1.0*20)=20 is out of range); 'cat dog bird' = 0 -> bin 0.
+    val docs = Seq(
+      (0L, "the cat"),
+      (1L, "the the"),
+      (2L, "cat dog bird")
+    ).toDF("doc_id", "text")
+    val got = Prep.filterSweep(docs, nBins = 20).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Double]("score_lo"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_docs"), r.getAs[Long]("cum_tokens")))
+      .sortBy(-_._1)
+    assert(got.toSeq === Seq(
+      (19L, 0.95, 1L, 2L, 1L, 2L),
+      (10L, 0.5, 1L, 2L, 2L, 4L),
+      (0L, 0.0, 1L, 3L, 3L, 7L)))
+    // real corpus: retention reconciles — the worst bin's cumulative row
+    // carries the whole corpus
+    val full = Prep.filterSweep(
+      graft.sources.Tables.documents(spark, sf0001)).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"), r.getAs[Long]("cum_docs")))
+    assert(full.map(_._2).sum === 500L)
+    assert(full.minBy(_._1)._3 === 500L)
+  }
 }

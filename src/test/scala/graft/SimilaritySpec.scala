@@ -474,4 +474,39 @@ class SimilaritySpec extends SparkSpec {
     // invariant: every vector is covered exactly once
     assert(got.values.map(_._1).sum === 50L)
   }
+
+  // ---- JL projection distortion (q215) ----
+
+  test("jlDistortion equals a plain-JVM sign-projection recompute on the audit tier") {
+    import spark.implicits._
+    val dims = 8; val dProj = 4; val nAudit = 6
+    val vecs = randVecs(10, dims, seed = 31L)
+    def q4(x: Float): Long = math.floor(x.toDouble * 1e4 + 0.5).toLong
+    def proj(v: Seq[Float]): Seq[Long] =
+      (0 until dProj).map { p =>
+        v.zipWithIndex.map { case (x, i) =>
+          q4(x) * graft.functions.Vectors.hyperplaneSign(p, i + 1)
+        }.sum
+      }
+    def cosL(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val audit = vecs.filter(_._1 < nAudit)
+    val expected = (for {
+      (ia, va) <- audit; (ib, vb) <- audit if ia < ib
+    } yield {
+      val co = refCosine(va, vb)
+      val cp = cosL(proj(va), proj(vb))
+      (ia, ib, co, cp, cp - co)
+    }).toSet
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.jlDistortion(df, dProj, dims, nAudit).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos_orig"), r.getAs[Double]("cos_proj"),
+        r.getAs[Double]("distortion"))).toSet
+    assert(got === expected)
+    assert(got.size === nAudit * (nAudit - 1) / 2)
+  }
 }
