@@ -548,4 +548,76 @@ class PlanShapeSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("q211: the fertility join stays shuffled hash — vocabulary-scale sides never broadcast") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Corpus.bpeTokenize(
+        graft.sources.Tables.documents(spark, sf0001))
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 0,
+        s"no forced broadcast in bpeTokenize — both fertility-join sides are " +
+          s"vocabulary-scale:\n${df.queryExecution.executedPlan}")
+      assert(shj >= 1,
+        s"the per-word token counts must join shuffled hash:\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q212: PQ assignment is an argmin aggregate (no window); only the constant codebook broadcasts") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Similarity.pqEncode(
+        graft.sources.Tables.embeddings(spark, sf0001))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"nearest-code assignment must be a map-side-combined min-of-struct, " +
+          s"not a per-(vec,sub) window:\n$plan")
+      val (bhj, _) = initialJoins(df)
+      assert(bhj === 1,
+        s"exactly the m×codes-row codebook may broadcast:\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q213: ADC ranking goes through the bounded aggregate; the encoded corpus never re-sorts") {
+    val df = graft.operators.Similarity.pqAdcTopK(
+      graft.sources.Tables.embeddings(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"BoundedTopK must rank via ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("WindowExec") && !nodes(df).exists(_.isInstanceOf[WindowExec]),
+      s"no per-query ranking window over |corpus|×|queries| scored rows:\n$plan")
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q214: nearest-representative is an aggregate argmax; only constant rep relations broadcast") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Similarity.coresetCoverage(
+        graft.sources.Tables.embeddings(spark, sf0001))
+      assert(!nodes(df).exists(_.isInstanceOf[WindowExec]),
+        s"nearest-rep must be a min-of-struct aggregate, not a per-vector " +
+          s"window:\n${df.queryExecution.executedPlan}")
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 1 && shj === 0,
+        s"exactly the ≤2^nPlanes rep-id relation hash-broadcasts (the rep " +
+          s"probe is a nested-loop over a constant side):\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q216: the retention window reads the bins aggregate, never raw documents") {
+    val df = graft.operators.Prep.filterSweep(
+      graft.sources.Tables.documents(spark, sf0001))
+    val wins = nodes(df).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty,
+      s"expected the cumulative-retention window:\n${df.queryExecution.executedPlan}")
+    wins.foreach { w =>
+      assert(w.child.collect { case a: HashAggregateExec =>
+        a.groupingExpressions.exists(_.toString.contains("bin")) }.exists(identity),
+        s"the window input must be the per-bin aggregate:\n$w")
+    }
+  }
 }
