@@ -242,6 +242,7 @@ object SparkEntry {
     "q214_coreset_coverage" -> ((s, d) => Similarity.coresetCoverage(s, d)),
     "q215_jl_distortion" -> ((s, d) => Similarity.jlDistortion(s, d)),
     "q216_filter_sweep" -> ((s, d) => Prep.filterSweep(s, d)),
+    "q217_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4556,5 +4557,40 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |FROM g""".stripMargin,
+
+    "q217_dedup_sweep" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pj AS (
+        |  SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) AS jaccard
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |), t AS (
+        |  SELECT unnest([0.3, 0.5, 0.7, 0.8, 0.9]) AS threshold
+        |), sw AS (
+        |  SELECT t.threshold, pj.doc_a, pj.doc_b FROM t JOIN pj ON pj.jaccard >= t.threshold
+        |), ps AS (
+        |  SELECT threshold, COUNT(*) AS n_pairs, COUNT(DISTINCT doc_b) AS n_dropped
+        |  FROM sw GROUP BY 1
+        |), ms AS (
+        |  SELECT threshold, COUNT(DISTINCT doc_id) AS n_docs_affected FROM (
+        |    SELECT threshold, doc_a AS doc_id FROM sw
+        |    UNION ALL
+        |    SELECT threshold, doc_b AS doc_id FROM sw
+        |  ) GROUP BY 1
+        |)
+        |SELECT t.threshold,
+        |  CAST(COALESCE(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(ps.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(COALESCE(ms.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
+        |FROM t LEFT JOIN ps USING (threshold) LEFT JOIN ms USING (threshold)""".stripMargin,
   )
 }

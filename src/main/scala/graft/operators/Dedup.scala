@@ -126,6 +126,57 @@ object Dedup {
   def ngramJaccard(s: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     ngramJaccard(Tables.documents(s, dir), threshold)
 
+  /** Dedup threshold-sensitivity sweep (q217): the pair Jaccards are
+    * computed ONCE (the q21 shingle-join chain), then every candidate
+    * threshold reads its consequences off that one relation — dup pairs
+    * at or above the cut, documents touched by any such pair, and
+    * documents the min-id keep rule would drop (those with a smaller-id
+    * counterpart). This is the ablation table a curation pipeline
+    * consults to pick its dedup aggressiveness: one pass instead of one
+    * dedup run per candidate threshold.
+    *
+    * Scale: everything after the (once-computed, cached) pair relation
+    * is pair-population-scale × a constant threshold count; the distinct
+    * counts are two-phase hash aggregates. Thresholds that catch nothing
+    * still appear, zero-filled, via the left join from the constant
+    * threshold relation — a sweep table with silently missing rows would
+    * misread as "no data" rather than "no dups".
+    */
+  def dedupSweep(
+      docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty, "dedupSweep needs at least one threshold")
+    import docs.sparkSession.implicits._
+    val sh = Caches.track(docShingles(docs))
+    // shuffle_hash for the ngramJaccard reason (see above): the shingle
+    // relation can never broadcast at real corpus scale
+    val inter = sh.as("a").hint("shuffle_hash")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val swept = Caches.track(
+      withJaccard(inter, shingleCounts(sh))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
+        .filter(col("jaccard") >= col("threshold")))
+    val pairStats = swept.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dropped"))
+    val members = swept
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_affected"))
+    thresholds.toDF("threshold")
+      .join(pairStats, Seq("threshold"), "left")
+      .join(members, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dropped", "n_docs_affected"))
+  }
+
+  def dedupSweep(s: SparkSession, dir: String): DataFrame =
+    dedupSweep(Tables.documents(s, dir))
+
   /** LSH candidate pairs + true-Jaccard verification (the scale path).
     * Docs land in the same bucket when one full band of `rowsPerBand`
     * consecutive minhashes matches; candidates are verified with exact

@@ -366,4 +366,32 @@ class DedupSpec extends SparkSpec {
     // the planted near-dups guarantee real cross-split shingle overlap
     assert(out.map(_.getAs[Long]("n_exact")).sum > 0L)
   }
+
+  test("dedupSweep: hand-computed retention at each threshold, zero-filled empty cuts") {
+    import spark.implicits._
+    // pairs: (0,1) jaccard 1.0 (identical), (0,2) and (1,2) jaccard 1/3
+    // (share shingle 'a b c'), doc 3 dup-free
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c d"),
+      (2L, "a b c x"),
+      (3L, "z y w v")
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupSweep(d).collect()
+        .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_dropped"), r.getAs[Long]("n_docs_affected")))
+        .sortBy(_._1)
+    val got = run(docs)
+    assert(got.toSeq === Seq(
+      (0.3, 3L, 2L, 3L),   // all three pairs; docs 1,2 lose to a smaller id
+      (0.5, 1L, 1L, 2L),   // only the identical pair survives the cut
+      (0.7, 1L, 1L, 2L),
+      (0.8, 1L, 1L, 2L),
+      (0.9, 1L, 1L, 2L)))
+    graft.Caches.releaseAll()
+    assert(run(docs.repartition(5)).toSeq === got.toSeq,
+      "sweep must be partition-invariant")
+    graft.Caches.releaseAll()
+  }
 }
