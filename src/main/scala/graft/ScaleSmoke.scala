@@ -90,8 +90,28 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = amplifyDocs(graft.sources.Tables.documents(spark, sfDir), mult)
-    val emb = amplifyEmb(graft.sources.Tables.embeddings(spark, sfDir), mult)
+    // Materialize the amplified tables to parquet ONCE and time queries
+    // against the on-disk relation — what an N× crawl actually is. The
+    // earlier in-plan union amplification made every timed query re-plan
+    // an N-branch union of large expression trees, so measurements mixed
+    // O(N) Catalyst/janino PLAN time into what should be pure data-scale
+    // time (q215's constant-size audit tier read super-linear purely from
+    // that artifact). Amplification cost itself is untimed setup.
+    val base = s"/tmp/graft_scale_${mult}x"
+    def materialize(name: String, df: DataFrame): DataFrame = {
+      val path = s"$base/$name.parquet"
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val docs = materialize("documents",
+      amplifyDocs(graft.sources.Tables.documents(spark, sfDir), mult))
+    val emb = materialize("embeddings",
+      amplifyEmb(graft.sources.Tables.embeddings(spark, sfDir), mult))
+    lazy val events = materialize("events",
+      amplifyEvents(graft.sources.Tables.events(spark, sfDir), mult))
+    lazy val lineitem = materialize("lineitem",
+      amplifyLineitem(graft.sources.Tables.lineitem(spark, sfDir), mult))
     val nDocs = docs.count()
     val nEmb = emb.count()
 
@@ -125,14 +145,9 @@ object ScaleSmoke {
       timed("q94") { graft.operators.Dedup.ngramNovelty(docs) },
       timed("q105") { graft.operators.Dedup.prefixSimJoin(docs, threshold = 0.8) },
       timed("q112") { graft.operators.Dedup.containmentJoin(docs, threshold = 0.9) },
-      timed("q111") {
-        graft.operators.Advanced.concurrentSessions(
-          amplifyEvents(graft.sources.Tables.events(spark, sfDir), mult))
-      },
+      timed("q111") { graft.operators.Advanced.concurrentSessions(events) },
       timed("q121") {
-        graft.operators.Advanced.copurchaseTriangles(
-          amplifyLineitem(graft.sources.Tables.lineitem(spark, sfDir), mult),
-          minSupport = 2L)
+        graft.operators.Advanced.copurchaseTriangles(lineitem, minSupport = 2L)
       },
       timed("q124") { graft.operators.Corpus.quantileNormalize(docs) },
       timed("q195") {
@@ -159,7 +174,15 @@ object ScaleSmoke {
         // population stays ~constant, so the within-cluster quadratic
         // term is a bounded factor, not a growing one
         graft.operators.Similarity.semDedup(emb, nCells = 8 * mult, iters = 2, tau = 0.4)
-      })
+      },
+      timed("q211") { graft.operators.Corpus.bpeTokenize(docs) },
+      timed("q212") { graft.operators.Similarity.pqEncode(emb) },
+      timed("q213") { graft.operators.Similarity.pqAdcTopK(emb) },
+      timed("q214") { graft.operators.Similarity.coresetCoverage(emb) },
+      timed("q215") { graft.operators.Similarity.jlDistortion(emb) },
+      timed("q216") { graft.operators.Prep.filterSweep(docs) },
+      timed("q217") { graft.operators.Dedup.dedupSweep(docs) },
+      timed("q218") { graft.operators.Similarity.pqStaleness(emb) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

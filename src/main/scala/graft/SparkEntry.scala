@@ -243,6 +243,7 @@ object SparkEntry {
     "q215_jl_distortion" -> ((s, d) => Similarity.jlDistortion(s, d)),
     "q216_filter_sweep" -> ((s, d) => Prep.filterSweep(s, d)),
     "q217_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(s, d)),
+    "q218_pq_staleness" -> ((s, d) => Similarity.pqStaleness(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4592,5 +4593,35 @@ object SparkEntry {
         |  CAST(COALESCE(ps.n_dropped, 0) AS BIGINT) AS n_dropped,
         |  CAST(COALESCE(ms.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
         |FROM t LEFT JOIN ps USING (threshold) LEFT JOIN ms USING (threshold)""".stripMargin,
+
+    "q218_pq_staleness" ->
+      """WITH dists AS (
+        |  SELECT e.vec_id, s.sub, c.vec_id AS code, SUM(l.df * l.df) AS qdist
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS sub) s
+        |  JOIN embeddings c ON c.vec_id % 2 = 0 AND c.vec_id < 64
+        |  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) d,
+        |  LATERAL (SELECT
+        |    CAST(floor(CAST(e.embedding[s.sub * 16 + d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT)
+        |    - CAST(floor(CAST(c.embedding[s.sub * 16 + d.i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS df) l
+        |  GROUP BY 1, 2, 3
+        |), enc AS (
+        |  SELECT vec_id, sub, qdist, vec_id % 2 = 1 AS is_delta FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY qdist, code) AS rn
+        |    FROM dists
+        |  ) WHERE rn = 1
+        |), agg AS (
+        |  SELECT CAST(sub AS INT) AS subspace,
+        |    CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_index,
+        |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+        |    CAST(SUM(CASE WHEN NOT is_delta THEN qdist ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS DOUBLE) / 1e8 AS err_index,
+        |    CAST(SUM(CASE WHEN is_delta THEN qdist ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS DOUBLE) / 1e8 AS err_delta
+        |  FROM enc GROUP BY sub
+        |)
+        |SELECT subspace, n_index, n_delta, err_index, err_delta,
+        |  err_delta / nullif(err_index, 0) AS staleness_ratio
+        |FROM agg""".stripMargin,
   )
 }

@@ -842,4 +842,62 @@ object Similarity {
 
   def jlDistortion(s: SparkSession, dir: String): DataFrame =
     jlDistortion(Tables.embeddings(s, dir))
+
+  /** PQ index staleness monitor (q218): the corpus splits into the
+    * INDEXED population (even vec_ids — the vectors the codebook was
+    * built for) and the DELTA (odd vec_ids — arrivals since), both
+    * encoded against the SAME index-side codebook. Per subspace:
+    * population and mean squared reconstruction error on each side, and
+    * the delta/index error ratio — the number an ANN serving pipeline
+    * watches to decide when distribution shift has outgrown the codebook
+    * and a re-train is due (a fresh codebook reconstructs fresh data
+    * well; a stale one shows the delta error pulling away from the
+    * index error).
+    *
+    * Scale: identical shape to pqEncode — one corpus pass, constant
+    * codebook broadcast, map-side argmin; the split is a stateless
+    * parity projection, so the monitor costs exactly one encode run.
+    * The ratio divides two exact-int-derived doubles — the same division
+    * both engines round identically.
+    */
+  def pqStaleness(
+      emb: DataFrame, m: Int = 4, codes: Int = 32, dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val e = Caches.track(emb.repartition(shuffleWidth(emb), col("vec_id")))
+    val dsub = dims / m
+    // codebook from the INDEXED side only: first `codes` even vec_ids
+    val cb = pqSubvecs(
+      e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2L * codes)
+        .select(col("vec_id").as("code"), col("embedding")),
+      m, dsub, "code")
+      .select(col("sub"), col("code"), col("svec").as("cvec"))
+    val assigned = pqSubvecs(e, m, dsub, "vec_id")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        FixedPoint.sqDistF(col("svec"), col("cvec"), PqScale).as("qdist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("qdist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.qdist").as("qdist"),
+        (col("vec_id") % 2 === 1).as("is_delta"))
+    assigned
+      .groupBy(col("sub"))
+      .agg(
+        sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_index"),
+        sum(when(!col("is_delta"), col("qdist")).otherwise(0L)).as("s_index"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        sum(when(col("is_delta"), col("qdist")).otherwise(0L)).as("s_delta"))
+      .select(col("sub").as("subspace"), col("n_index"), col("n_delta"),
+        (col("s_index").cast("double") / col("n_index").cast("double") / lit(1e8))
+          .as("err_index"),
+        (col("s_delta").cast("double") / col("n_delta").cast("double") / lit(1e8))
+          .as("err_delta"))
+      .withColumn("staleness_ratio",
+        // nullif-guarded (the q200 discipline): a degenerate corpus where
+        // the codebook IS the index population has err_index = 0; NULL is
+        // the well-defined "no baseline" answer in both engines
+        when(col("err_index") =!= 0.0, col("err_delta") / col("err_index")))
+  }
+
+  def pqStaleness(s: SparkSession, dir: String): DataFrame =
+    pqStaleness(Tables.embeddings(s, dir))
 }

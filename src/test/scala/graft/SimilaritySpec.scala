@@ -509,4 +509,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
     assert(got.size === nAudit * (nAudit - 1) / 2)
   }
+
+  // ---- PQ staleness monitor (q218) ----
+
+  test("pqStaleness: plain-JVM recompute with an even-id codebook; a planted delta shift raises the ratio") {
+    import spark.implicits._
+    val m = 2; val codes = 4; val dims = 8
+    val rnd = new scala.util.Random(41L)
+    // even ids: the indexed population; odd ids: a SHIFTED delta stream
+    val vecs = (0 until 24).map { i =>
+      val shift = if (i % 2 == 1) 0.6f else 0f
+      i.toLong -> Seq.fill(dims)(rnd.nextFloat() * 2f - 1f + shift)
+    }.toMap
+    def q(x: Float): Long = math.floor(x.toDouble * 1e4 + 0.5).toLong
+    def sqd(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) => val d = q(x) - q(y); d * d }.sum
+    val dsub = dims / m
+    def sub(v: Seq[Float], s: Int): Seq[Float] = v.slice(s * dsub, (s + 1) * dsub)
+    val cbIds = (0L until (2L * codes)).filter(_ % 2 == 0)
+    val best = for ((id, v) <- vecs.toSeq; s <- 0 until m) yield {
+      val d = cbIds.map(c => (sqd(sub(v, s), sub(vecs(c), s)), c)).min._1
+      (id, s, d)
+    }
+    val expected = (0 until m).map { s =>
+      val idx = best.filter(b => b._2 == s && b._1 % 2 == 0).map(_._3)
+      val del = best.filter(b => b._2 == s && b._1 % 2 == 1).map(_._3)
+      val ei = idx.sum.toDouble / idx.size.toDouble / 1e8
+      val ed = del.sum.toDouble / del.size.toDouble / 1e8
+      s -> ((idx.size.toLong, del.size.toLong, ei, ed, ed / ei))
+    }.toMap
+    val got = Similarity.pqStaleness(
+      vecs.toSeq.toDF("vec_id", "embedding"), m, codes, dims).collect()
+      .map(r => r.getAs[Int]("subspace") ->
+        ((r.getAs[Long]("n_index"), r.getAs[Long]("n_delta"),
+          r.getAs[Double]("err_index"), r.getAs[Double]("err_delta"),
+          r.getAs[Double]("staleness_ratio")))).toMap
+    assert(got === expected)
+    // the planted shift must read as staleness in every subspace
+    got.values.foreach { case (_, _, _, _, ratio) =>
+      assert(ratio > 1.0, s"shifted delta must reconstruct worse: $got")
+    }
+  }
 }
