@@ -101,7 +101,11 @@ object ScaleSmoke {
     def materialize(name: String, df: DataFrame): DataFrame = {
       val path = s"$base/$name.parquet"
       if (!new java.io.File(path, "_SUCCESS").exists())
-        df.write.mode("overwrite").parquet(path)
+        // one file per core: a single output file is one parquet row
+        // group — a ONE-task scan that serializes ingest on a core and
+        // understates every downstream stage's parallelism. A real N×
+        // crawl arrives as many files; mirror that.
+        df.repartition(cpus.toInt).write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
     val docs = materialize("documents",
@@ -118,15 +122,29 @@ object ScaleSmoke {
     // same targeted-re-measure contract as Bench/Verify:
     // SPARK_GRAFT_ONLY=q121,q56 runs only matching prefixes
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Best-of-N reps per query (default 2), the Bench discipline scaled
+    // down for a long suite: single-shot readings on a fresh JVM mix
+    // janino compilation and GC debt into the number and swing ±2-3× on
+    // the heavies; the second rep runs JIT-warm and is the cost that
+    // actually scales with data volume.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     def timed(name: String)(df: => DataFrame): (String, Double) = {
       if (!only.forall(_.exists(name.startsWith))) return name -> -1.0
-      val scope = Caches.open()
-      val t0 = System.nanoTime()
-      try df.write.format("noop").mode("overwrite").save()
-      finally { scope.release(); spark.catalog.clearCache() }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"SCALE $name%-8s $dt%9.3f s")
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val scope = Caches.open()
+        val t0 = System.nanoTime()
+        try df.write.format("noop").mode("overwrite").save()
+        finally { scope.release(); spark.catalog.clearCache() }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // reclaim the dropped cache/shuffle buffers NOW (the Bench
+        // discipline): without this, a heavy query's garbage taxes every
+        // later query's measurement with GC pauses — the full-suite q56
+        // read 3× its solo time before this line existed
+        System.gc()
+        dt
+      }
+      System.err.println(f"SCALE $name%-8s ${times.min}%9.3f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      name -> times.min
     }
 
     val times = Seq(

@@ -244,6 +244,7 @@ object SparkEntry {
     "q216_filter_sweep" -> ((s, d) => Prep.filterSweep(s, d)),
     "q217_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(s, d)),
     "q218_pq_staleness" -> ((s, d) => Similarity.pqStaleness(s, d)),
+    "q219_skew_profile" -> ((s, d) => Quality.skewProfile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4623,5 +4624,17 @@ object SparkEntry {
         |SELECT subspace, n_index, n_delta, err_index, err_delta,
         |  err_delta / nullif(err_index, 0) AS staleness_ratio
         |FROM agg""".stripMargin,
+
+    "q219_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+        |), totals AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys FROM counts
+        |)
+        |SELECT c.user_id, c.cnt AS n_rows_key, t.n_rows, t.n_keys,
+        |  CAST(c.cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS row_share,
+        |  CAST(c.cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE) * CAST(t.n_keys AS DOUBLE) AS skew_factor
+        |FROM (SELECT * FROM counts ORDER BY cnt DESC, user_id LIMIT 10) c
+        |CROSS JOIN totals t""".stripMargin,
   )
 }

@@ -446,4 +446,38 @@ object Quality {
 
   def dailyUniques(s: SparkSession, dir: String): DataFrame =
     dailyUniques(Tables.events(s, dir))
+
+  /** Hot-key skew profiler (q219): the top-k hottest grouping keys with
+    * their row share and skew factor (count ÷ mean rows-per-key) — the
+    * audit that decides whether a join/aggregation on this key needs
+    * salting (q34/q71) before it hits a 1000-executor cluster, where one
+    * hot reducer is the difference between a 5-minute and a 5-hour job.
+    *
+    * Scale: one map-side-combined count per key, a bounded
+    * TakeOrdered(k) for the hot set (never a global sort), and the
+    * two scalar totals ride in on a broadcast. skew = row_share · n_keys
+    * — two correctly-rounded double ops in a pinned order (an int64
+    * cnt·n_keys product would overflow at exactly the hot-key × key-count
+    * magnitudes this profiler exists for), so both engines round
+    * identically.
+    */
+  def skewProfile(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
+    counts
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(k)
+      .crossJoin(broadcast(totals))
+      .select(col("user_id"), col("cnt").as("n_rows_key"),
+        col("n_rows"), col("n_keys"),
+        (col("cnt").cast("double") / col("n_rows").cast("double"))
+          .as("row_share"),
+        (col("cnt").cast("double") / col("n_rows").cast("double") *
+          col("n_keys").cast("double")).as("skew_factor"))
+  }
+
+  def skewProfile(s: SparkSession, dir: String): DataFrame =
+    skewProfile(Tables.events(s, dir))
 }

@@ -608,6 +608,30 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q218: staleness encode is an argmin aggregate; only the constant codebook broadcasts") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Similarity.pqStaleness(
+        graft.sources.Tables.embeddings(spark, sf0001))
+      assert(!nodes(df).exists(_.isInstanceOf[WindowExec]),
+        s"nearest-code must be a struct-min aggregate:\n${df.queryExecution.executedPlan}")
+      val (bhj, _) = initialJoins(df)
+      assert(bhj === 1,
+        s"exactly the m×codes-row codebook may broadcast:\n${df.queryExecution.executedPlan}")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
+    val df = graft.operators.Quality.skewProfile(
+      graft.sources.Tables.events(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k keys must plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort of the per-key counts:\n$plan")
+  }
+
   test("q216: the retention window reads the bins aggregate, never raw documents") {
     val df = graft.operators.Prep.filterSweep(
       graft.sources.Tables.documents(spark, sf0001))

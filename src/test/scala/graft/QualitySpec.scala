@@ -177,4 +177,22 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(out(1)._2 - 3 * 0.30102999566398120) < 1e-15)
     assert(math.abs(out(9)._2 - 3 * 0.04575749056067514) < 1e-15)
   }
+
+  test("skewProfile: hand-computed hot keys, shares, and skew factor with id tie-break") {
+    import spark.implicits._
+    // user 1: 6 rows, user 2: 2 rows, users 3/4: 1 row each -> 10 rows, 4 keys
+    val events = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "user_id")
+    val got = Quality.skewProfile(events, k = 3).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_rows_key"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Double]("row_share"), r.getAs[Double]("skew_factor")))
+      .sortBy(-_._2)
+    // k=3 cut; the 1-row tie between users 3 and 4 breaks to the smaller id
+    assert(got.toSeq === Seq(
+      (1L, 6L, 10L, 4L, 0.6, 0.6 * 4),
+      (2L, 2L, 10L, 4L, 0.2, 0.2 * 4),
+      (3L, 1L, 10L, 4L, 0.1, 0.1 * 4)))
+  }
 }
