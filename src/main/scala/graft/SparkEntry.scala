@@ -245,6 +245,9 @@ object SparkEntry {
     "q217_dedup_sweep" -> ((s, d) => Dedup.dedupSweep(s, d)),
     "q218_pq_staleness" -> ((s, d) => Similarity.pqStaleness(s, d)),
     "q219_skew_profile" -> ((s, d) => Quality.skewProfile(s, d)),
+    "q220_join_cardinality" -> ((s, d) => Quality.joinCardinality(s, d)),
+    "q221_embedding_hygiene" -> ((s, d) => Similarity.embeddingHygiene(s, d)),
+    "q222_lsh_cost_planner" -> ((s, d) => Dedup.lshCostPlanner(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4636,5 +4639,103 @@ object SparkEntry {
         |  CAST(c.cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE) * CAST(t.n_keys AS DOUBLE) AS skew_factor
         |FROM (SELECT * FROM counts ORDER BY cnt DESC, user_id LIMIT 10) c
         |CROSS JOIN totals t""".stripMargin,
+
+    "q220_join_cardinality" ->
+      """WITH lc AS (
+        |  SELECT user_id AS key, COUNT(*) AS cnt_left FROM events GROUP BY 1
+        |), rc AS (
+        |  SELECT o_custkey AS key, COUNT(*) AS cnt_right FROM orders GROUP BY 1
+        |), contrib AS (
+        |  SELECT lc.key, cnt_left, cnt_right, cnt_left * cnt_right AS contribution
+        |  FROM lc JOIN rc USING (key)
+        |), totals AS (
+        |  SELECT CAST(SUM(contribution) AS BIGINT) AS est_rows,
+        |         COUNT(*) AS n_join_keys FROM contrib
+        |)
+        |SELECT c.key, c.cnt_left, c.cnt_right, c.contribution,
+        |  t.est_rows, t.n_join_keys,
+        |  CAST(c.contribution AS DOUBLE) / CAST(t.est_rows AS DOUBLE) AS share
+        |FROM (SELECT * FROM contrib ORDER BY contribution DESC, key LIMIT 10) c
+        |CROSS JOIN totals t""".stripMargin,
+
+    // q221: norms are exact int64 on the 1e8 grid (per-element quantized
+    // squares, integer-summed), one correctly-rounded sqrt per row —
+    // empty arrays coalesce to 0 (DuckDB list_sum of [] is NULL, the JVM
+    // fold is 0), non-finite vectors get NULL norms in both engines.
+    "q221_embedding_hygiene" ->
+      """WITH v AS (
+        |  SELECT label, len(embedding) AS dim,
+        |    len(list_filter(embedding, e -> NOT isfinite(e))) > 0 AS bad,
+        |    embedding
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT label, dim, bad,
+        |    CASE WHEN NOT bad THEN CAST(floor(sqrt(CAST(coalesce(
+        |      list_sum(list_transform(embedding,
+        |        e -> CAST(floor(CAST(e AS DOUBLE) * 1e8 + 0.5) AS BIGINT)
+        |           * CAST(floor(CAST(e AS DOUBLE) * 1e8 + 0.5) AS BIGINT))),
+        |      0) AS DOUBLE)) + 0.5) AS BIGINT) END AS norm_fp
+        |  FROM v
+        |)
+        |SELECT label, COUNT(*) AS n_vecs, MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+        |  CAST(SUM(CASE WHEN norm_fp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+        |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_vecs,
+        |  COUNT(norm_fp) AS n_finite,
+        |  MIN(norm_fp) AS norm_min_fp, MAX(norm_fp) AS norm_max_fp,
+        |  CAST(SUM(norm_fp) AS BIGINT) AS norm_sum_fp,
+        |  CAST(SUM(norm_fp) AS DOUBLE) / CAST(COUNT(norm_fp) AS DOUBLE) / 1e8 AS norm_mean
+        |FROM n GROUP BY label""".stripMargin,
+
+    // q222: q195's minhash CTE, then per banding config one band explode
+    // + per-bucket counts — candidate volume is Σ n(n−1)/2 over buckets,
+    // no pair ever materialized (the planner prices the join it avoids).
+    "q222_lsh_cost_planner" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), k81 AS (
+        |  SELECT t.band, CASE t.band
+        |    WHEN 0 THEN md5(mh0) WHEN 1 THEN md5(mh1) WHEN 2 THEN md5(mh2)
+        |    WHEN 3 THEN md5(mh3) WHEN 4 THEN md5(mh4) WHEN 5 THEN md5(mh5)
+        |    WHEN 6 THEN md5(mh6) ELSE md5(mh7) END AS bkey
+        |  FROM mh, range(0, 8) t(band)
+        |), k42 AS (
+        |  SELECT t.band, CASE t.band
+        |    WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |    WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), k24 AS (
+        |  SELECT t.band, CASE t.band
+        |    WHEN 0 THEN md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3)
+        |    ELSE md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 2) t(band)
+        |), b81 AS (SELECT band, bkey, COUNT(*) AS n FROM k81 GROUP BY 1, 2),
+        |   b42 AS (SELECT band, bkey, COUNT(*) AS n FROM k42 GROUP BY 1, 2),
+        |   b24 AS (SELECT band, bkey, COUNT(*) AS n FROM k24 GROUP BY 1, 2)
+        |SELECT CAST(8 AS BIGINT) AS bands, CAST(1 AS BIGINT) AS rows_per_band,
+        |  COUNT(*) AS n_buckets,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        |  MAX(n) AS max_bucket, CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS n_candidates
+        |FROM b81
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  MAX(n), CAST(SUM(n * (n - 1)) // 2 AS BIGINT)
+        |FROM b42
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(4 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  MAX(n), CAST(SUM(n * (n - 1)) // 2 AS BIGINT)
+        |FROM b24""".stripMargin,
   )
 }

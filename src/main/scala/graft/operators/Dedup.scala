@@ -1128,4 +1128,39 @@ object Dedup {
 
   def lshRecallAudit(s: SparkSession, dir: String): DataFrame =
     lshRecallAudit(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
+
+  /** LSH banding cost planner (q222): for each candidate (bands,
+    * rows-per-band) split of the 8-slice minhash signature, the candidate
+    * volume the band self-join WOULD generate — `Σ_buckets n·(n−1)/2` —
+    * plus bucket-shape stats, all from per-bucket COUNTS. No pair is ever
+    * materialized: choosing banding parameters by running the join is the
+    * quadratic blowup the planner exists to avoid, so its own cost must
+    * be bucket-count-bounded — one shingle pass, then per config one
+    * band explode + one count aggregate. That is what makes it runnable
+    * on the full 100 TB corpus rather than a sample: wider bands (fewer
+    * rows per band) collide more → more candidates → higher recall, and
+    * this query prices that trade exactly.
+    */
+  def lshCostPlanner(
+      docs: DataFrame,
+      configs: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4))): DataFrame = {
+    require(configs.nonEmpty, "at least one (bands, rowsPerBand) config")
+    val shSets = Caches.track(docShingleSets(docs))
+    configs.map { case (b, r) =>
+      bandKeys(shSets, b, r)
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+          max(col("n")).as("max_bucket"),
+          // Σ n(n−1) summed as exact int64, halved once (always even)
+          sum(col("n") * (col("n") - lit(1L))).as("pair2"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_buckets"), col("n_singletons"), col("max_bucket"),
+          expr("pair2 div 2").as("n_candidates"))
+    }.reduce(_.unionAll(_))
+  }
+
+  def lshCostPlanner(s: SparkSession, dir: String): DataFrame =
+    lshCostPlanner(Tables.documents(s, dir))
 }

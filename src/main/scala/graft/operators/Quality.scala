@@ -463,7 +463,10 @@ object Quality {
     */
   def skewProfile(events: DataFrame, k: Int = 10): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val counts = events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    // cached: both the totals aggregate and the top-k cut read it, and a
+    // recompute would scan the audited table twice (see joinCardinality)
+    val counts = graft.Caches.track(
+      events.groupBy(col("user_id")).agg(count(lit(1)).as("cnt")))
     val totals = counts.agg(
       sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"))
     counts
@@ -480,4 +483,49 @@ object Quality {
 
   def skewProfile(s: SparkSession, dir: String): DataFrame =
     skewProfile(Tables.events(s, dir))
+
+  /** Join-cardinality pre-flight estimator (q220): the predicted output
+    * size of `left ⋈ right` on an equi-key, computed from the two per-key
+    * count tables — never by running the join. Per-key contribution is
+    * `cnt_left · cnt_right`; the result is the top-k hottest join keys
+    * with their contribution and share, plus the exact totals
+    * (`est_rows` = Σ contributions = the join's true inner-output row
+    * count, `n_join_keys` = matching keys). This is the audit that
+    * catches a 10¹²-row join *before* it is submitted: on a
+    * 1000-executor cluster the estimate costs two map-side-combined
+    * aggregates over key columns only (column-pruned scans) and a join of
+    * two count tables bounded by the distinct-key counts — orders of
+    * magnitude below the join it predicts.
+    *
+    * The count-table join is left unhinted: both sides scale with
+    * distinct keys, not rows, and AQE broadcasts whichever side turns out
+    * small. The one-row totals ride in on a constant broadcast.
+    */
+  def joinCardinality(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val lc = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("cnt_left"))
+    val rc = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("cnt_right"))
+    // cached: totals and the top-k cut both read it, and a recompute
+    // would re-scan both input relations
+    val contrib = graft.Caches.track(
+      lc.join(rc, "key").select(col("key"), col("cnt_left"), col("cnt_right"),
+        (col("cnt_left") * col("cnt_right")).as("contribution")))
+    val totals = contrib.agg(
+      sum(col("contribution")).as("est_rows"), count(lit(1)).as("n_join_keys"))
+    contrib
+      .orderBy(col("contribution").desc, col("key"))
+      .limit(k)
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt_left"), col("cnt_right"), col("contribution"),
+        col("est_rows"), col("n_join_keys"),
+        (col("contribution").cast("double") / col("est_rows").cast("double"))
+          .as("share"))
+  }
+
+  def joinCardinality(s: SparkSession, dir: String): DataFrame =
+    joinCardinality(
+      Tables.events(s, dir), "user_id", Tables.orders(s, dir), "o_custkey")
 }

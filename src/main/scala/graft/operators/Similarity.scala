@@ -900,4 +900,53 @@ object Similarity {
 
   def pqStaleness(s: SparkSession, dir: String): DataFrame =
     pqStaleness(Tables.embeddings(s, dir))
+
+  /** Embedding hygiene audit (q221): the per-label vector-health rollup a
+    * pipeline runs before any index build or ANN query trusts the
+    * embedding column — dimension consistency (a ragged dim breaks every
+    * dot product downstream), zero vectors (cosine against them is
+    * undefined), non-finite elements (one NaN poisons a whole centroid),
+    * and the norm distribution (a norm drift is the first symptom of a
+    * mis-scaled encoder push).
+    *
+    * Scale: one column-pruned pass, one map-side-combined aggregate —
+    * zero joins, zero windows; cost is the cheapest possible query over
+    * the table, per the audit doctrine above. Norms are exact int64 on
+    * the 1e8 grid (`FixedPointDot` n², integer-summed per row, then one
+    * correctly-rounded sqrt per ROW — not per aggregate — so every
+    * aggregated value is an exact integer and the means divide
+    * identically in both engines).
+    */
+  def embeddingHygiene(emb: DataFrame): DataFrame = {
+    val perVec = emb
+      .select(col("label"), size(col("embedding")).as("dim"),
+        exists(col("embedding"),
+          e => isnan(e) || abs(e) === lit(Float.PositiveInfinity)).as("bad"),
+        col("embedding"))
+      // norm on the 1e8 grid: sqrt of the exact int64 Σq² (grid 1e16).
+      // NULL for non-finite vectors — their "norm" is meaningless and the
+      // quantized sum of a NaN is engine-dependent (JVM casts NaN→0,
+      // DuckDB errors); norm stats cover healthy vectors only.
+      .select(col("label"), col("dim"), col("bad"),
+        when(!col("bad"),
+          floor(sqrt(FixedPoint.normSqF(col("embedding")).cast("double")) + 0.5)
+            .cast("long")).as("norm_fp"))
+    perVec
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        sum(when(col("norm_fp") === 0L, 1L).otherwise(0L)).as("n_zero_vecs"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite_vecs"),
+        count(col("norm_fp")).as("n_finite"),
+        min(col("norm_fp")).as("norm_min_fp"),
+        max(col("norm_fp")).as("norm_max_fp"),
+        sum(col("norm_fp")).as("norm_sum_fp"))
+      .withColumn("norm_mean",
+        col("norm_sum_fp").cast("double") / col("n_finite").cast("double") / lit(1e8))
+  }
+
+  def embeddingHygiene(s: SparkSession, dir: String): DataFrame =
+    embeddingHygiene(Tables.embeddings(s, dir))
 }

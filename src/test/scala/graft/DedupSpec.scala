@@ -394,4 +394,27 @@ class DedupSpec extends SparkSpec {
       "sweep must be partition-invariant")
     graft.Caches.releaseAll()
   }
+
+  test("lshCostPlanner: count-derived candidate volume equals the materialized band join") {
+    val docs = corpus
+    val got = Dedup.lshCostPlanner(docs).collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("rows_per_band")) ->
+        ((r.getAs[Long]("n_buckets"), r.getAs[Long]("n_singletons"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("n_candidates")))).toMap
+    graft.Caches.releaseAll()
+    assert(got.keySet === Set((8L, 1L), (4L, 2L), (2L, 4L)))
+    // the planner promises: n_candidates = the pair count the band
+    // self-join WOULD produce (pre-distinct) — check by running that join
+    for (((b, r), (nBuckets, nSingle, maxBucket, nCand)) <- got) {
+      val keys = Dedup.bandKeys(
+        Dedup.docShingleSets(docs), b.toInt, r.toInt)
+      import org.apache.spark.sql.functions.col
+      val actual = keys.as("a").join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id")).count()
+      assert(nCand === actual, s"config ($b,$r)")
+      assert(maxBucket >= 2L, s"planted dups must collide somewhere ($b,$r)")
+      assert(nBuckets >= nSingle)
+    }
+  }
 }

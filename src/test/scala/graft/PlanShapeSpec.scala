@@ -622,6 +622,46 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q220: only the one-row totals broadcast; the hot-key cut is bounded") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Quality.joinCardinality(
+        graft.sources.Tables.events(spark, sf0001), "user_id",
+        graft.sources.Tables.orders(spark, sf0001), "o_custkey")
+      val (bhj, _) = initialJoins(df)
+      assert(bhj === 0,
+        s"no forced hash broadcast — the count-table join scales with " +
+          s"distinct keys and stays unhinted:\n${df.queryExecution.executedPlan}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.split("BroadcastNestedLoopJoin BuildRight, Cross").length - 1 === 1,
+        s"exactly the one-row totals ride a constant broadcast:\n$plan")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-k keys must plan as TakeOrderedAndProject:\n$plan")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q221: hygiene audit is one aggregate pass — no joins, no windows") {
+    val df = graft.operators.Similarity.embeddingHygiene(
+      graft.sources.Tables.embeddings(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"audit must not join:\n$plan")
+    assert(!nodes(df).exists(_.isInstanceOf[WindowExec]),
+      s"audit must not window:\n$plan")
+    assert(shuffles(plan) <= 1,
+      s"one aggregation exchange at most (map-side combined):\n$plan")
+  }
+
+  test("q222: the banding planner materializes no pair join — counts only") {
+    val df = graft.operators.Dedup.lshCostPlanner(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"candidate volume must come from bucket counts, never a join:\n$plan")
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
     val df = graft.operators.Quality.skewProfile(
       graft.sources.Tables.events(spark, sf0001))

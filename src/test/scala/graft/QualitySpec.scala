@@ -194,5 +194,23 @@ class QualitySpec extends SparkSpec {
       (1L, 6L, 10L, 4L, 0.6, 0.6 * 4),
       (2L, 2L, 10L, 4L, 0.2, 0.2 * 4),
       (3L, 1L, 10L, 4L, 0.1, 0.1 * 4)))
+    graft.Caches.releaseAll()
+  }
+
+  test("joinCardinality: estimate equals the true inner-join row count; hot keys ranked") {
+    import spark.implicits._
+    // left: a×3, b×2, c×1; right: a×2, b×1, d×5 → matches: a=6, b=2
+    val left = Seq("a", "a", "a", "b", "b", "c").toDF("lk")
+    val right = Seq("a", "a", "b", "d", "d", "d", "d", "d").toDF("rk")
+    val got = Quality.joinCardinality(left, "lk", right, "rk", k = 1).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("cnt_left"),
+        r.getAs[Long]("cnt_right"), r.getAs[Long]("contribution"),
+        r.getAs[Long]("est_rows"), r.getAs[Long]("n_join_keys"),
+        r.getAs[Double]("share")))
+    assert(got.toSeq === Seq(("a", 3L, 2L, 6L, 8L, 2L, 0.75)))
+    // the estimate is exact: it must equal the executed join's row count
+    val actual = left.join(right, left("lk") === right("rk")).count()
+    assert(actual === 8L)
+    graft.Caches.releaseAll()
   }
 }

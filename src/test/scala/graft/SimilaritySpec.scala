@@ -550,4 +550,30 @@ class SimilaritySpec extends SparkSpec {
       assert(ratio > 1.0, s"shifted delta must reconstruct worse: $got")
     }
   }
+
+  test("embeddingHygiene: planted zero / NaN / Inf / ragged-dim vectors are all flagged") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0, Seq(3f, 4f)),                     // healthy, norm 5
+      (0, Seq(0f, 0f)),                     // zero vector
+      (1, Seq(Float.NaN, 1f)),              // NaN element
+      (1, Seq(Float.PositiveInfinity, 0f)), // Inf element
+      (1, Seq(1f, 2f, 2f)),                 // ragged: dim 3, norm 3
+    ).toDF("label", "embedding")
+    val got = Similarity.embeddingHygiene(vecs).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Int]("dim_min"), r.getAs[Int]("dim_max"),
+          r.getAs[Long]("n_zero_vecs"), r.getAs[Long]("n_nonfinite_vecs"),
+          r.getAs[Long]("n_finite"),
+          Option(r.get(r.fieldIndex("norm_min_fp"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("norm_max_fp"))).map(_.asInstanceOf[Long]),
+          r.getAs[Double]("norm_mean")))).toMap
+    // label 0: two healthy vectors, norms {5e8, 0} on the 1e8 grid
+    assert(got(0) === ((2L, 2, 2, 1L, 0L, 2L,
+      Some(0L), Some(500000000L), 2.5)))
+    // label 1: NaN and Inf flagged non-finite (norms NULL), ragged dims
+    // 2..3 surface in min/max, only the dim-3 vector contributes a norm
+    assert(got(1) === ((3L, 2, 3, 0L, 2L, 1L,
+      Some(300000000L), Some(300000000L), 3.0)))
+  }
 }
