@@ -50,7 +50,8 @@ object ScaleSmoke {
       emb.select(
         (col("vec_id") + lit(i * stride)).as("vec_id"),
         transform(col("embedding"),
-          (x, pos) => x + (pos + lit(1)).cast("float") * lit(i * 1e-5f)).as("embedding"))
+          (x, pos) => x + (pos + lit(1)).cast("float") * lit(i * 1e-5f)).as("embedding"),
+        col("label"))
     }.reduce(_ unionAll _)
 
   /** events amplified `mult`×: user and event ids shifted per copy so
@@ -200,7 +201,10 @@ object ScaleSmoke {
       timed("q215") { graft.operators.Similarity.jlDistortion(emb) },
       timed("q216") { graft.operators.Prep.filterSweep(docs) },
       timed("q217") { graft.operators.Dedup.dedupSweep(docs) },
-      timed("q218") { graft.operators.Similarity.pqStaleness(emb) })
+      timed("q218") { graft.operators.Similarity.pqStaleness(emb) },
+      timed("q219") { graft.operators.Quality.skewProfile(events) },
+      timed("q221") { graft.operators.Similarity.embeddingHygiene(emb) },
+      timed("q222") { graft.operators.Dedup.lshCostPlanner(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -248,6 +248,9 @@ object SparkEntry {
     "q220_join_cardinality" -> ((s, d) => Quality.joinCardinality(s, d)),
     "q221_embedding_hygiene" -> ((s, d) => Similarity.embeddingHygiene(s, d)),
     "q222_lsh_cost_planner" -> ((s, d) => Dedup.lshCostPlanner(s, d)),
+    "q223_source_manifest" -> ((s, d) => Corpus.sourceManifest(s, d)),
+    "q224_curriculum_order" -> ((s, d) => Prep.curriculumOrder(s, d)),
+    "q225_shard_plan" -> ((s, d) => Similarity.shardPlan(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4737,5 +4740,128 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT),
         |  MAX(n), CAST(SUM(n * (n - 1)) // 2 AS BIGINT)
         |FROM b24""".stripMargin,
+
+    // q223: dominant-language tie-break is max-of-struct (count, then
+    // lexicographically greatest lang) — mirrored by ORDER BY n DESC,
+    // lang DESC here.
+    "q223_source_manifest" ->
+      """WITH base AS (
+        |  SELECT source, lang, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks, n_chars
+        |  FROM documents
+        |), pl AS (
+        |  SELECT source, lang, COUNT(*) AS n, CAST(SUM(toks) AS BIGINT) AS toks,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM base GROUP BY 1, 2
+        |), ps AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(chars) AS BIGINT) AS n_chars, COUNT(*) AS n_langs
+        |  FROM pl GROUP BY 1
+        |), top AS (
+        |  SELECT source, lang AS top_lang, n AS top_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, lang DESC) AS rk FROM pl
+        |  ) WHERE rk = 1
+        |), dt AS (
+        |  SELECT source, COUNT(*) AS n_distinct_texts
+        |  FROM (SELECT DISTINCT source, h FROM base) GROUP BY 1
+        |)
+        |SELECT ps.source, n_docs, n_tokens, ps.n_chars, n_langs, top_lang,
+        |  CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share,
+        |  n_distinct_texts,
+        |  1.0 - CAST(n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+        |FROM ps JOIN top USING (source) JOIN dt USING (source)""".stripMargin,
+
+    // q224: q216's stopword-ratio bins, best band first, md5-shuffled
+    // within band — the global rank is total-ordered by
+    // (bin DESC, md5('cur|'||doc_id), doc_id).
+    "q224_curriculum_order" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    LEAST(CAST(floor(CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','and','of','to','is','in','a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) * 10) AS BIGINT), 9) AS bin,
+        |    md5('cur|' || CAST(doc_id AS VARCHAR)) AS tb
+        |  FROM documents
+        |)
+        |SELECT doc_id, bin,
+        |  row_number() OVER (ORDER BY bin DESC, tb, doc_id) AS curriculum_rank
+        |FROM d""".stripMargin,
+
+    // q225: q208's unrolled fixed-point Lloyd assignment chain verbatim
+    // (k=8, iters=2), then rank-striped cell→shard placement over the
+    // 8-row count table.
+    "q225_shard_plan" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), vn AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qe GROUP BY 1
+        |), qc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qe WHERE vec_id < 8
+        |), cn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc0 GROUP BY 1
+        |), d1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d1 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a1 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m1
+        |), cn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc1 GROUP BY 1
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d2 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a2 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m2
+        |), cn2t AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc2 GROUP BY 1
+        |), d3 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc2 c ON c.pos = q.pos GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+        |  FROM d3 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn2t c ON c.cid = d.cid
+        |), assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc
+        |  ) WHERE rn = 1
+        |), counts AS (
+        |  SELECT cid, COUNT(*) AS n_vecs FROM assign GROUP BY 1
+        |), striped AS (
+        |  SELECT cid, n_vecs,
+        |    (row_number() OVER (ORDER BY n_vecs DESC, cid) - 1) % 4 AS shard
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM counts
+        |)
+        |SELECT s.shard, COUNT(*) AS n_cells,
+        |  CAST(SUM(s.n_vecs) AS BIGINT) AS n_vecs, t.n_total,
+        |  CAST(SUM(s.n_vecs) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+        |  CAST(SUM(s.n_vecs) AS DOUBLE) / CAST(t.n_total AS DOUBLE) * 4 AS imbalance
+        |FROM striped s CROSS JOIN tot t
+        |GROUP BY s.shard, t.n_total""".stripMargin,
   )
 }

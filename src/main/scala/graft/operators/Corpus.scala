@@ -953,4 +953,46 @@ object Corpus {
         when(col("sel"), concat(col("tok"), col("nxt")))
           .otherwise(col("tok")).as("tok"))
   }
+
+  /** Per-source dataset card (q223): the one-table manifest a corpus
+    * release ships — per source: document/token/char volume, language
+    * breadth with the dominant language and its share, and the exact
+    * within-source duplicate rate (1 − distinct texts ⁄ docs). This is
+    * the summary every mixture/curation decision upstream (q193 domain
+    * caps, q194 mixture weights) reads first.
+    *
+    * Scale: one corpus pass into a (source, lang) aggregate (map-side
+    * combined; top language is a max-of-struct over those few rows — no
+    * window), plus one (source, md5) distinct pass for the dup rate; the
+    * final join touches |sources| rows. Nothing scales past
+    * |sources × langs|.
+    */
+  def sourceManifest(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("source"), col("lang"), md5(col("text")).as("h"),
+      size(Text.words(col("text"))).cast("long").as("toks"), col("n_chars"))
+    val perLang = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("toks")).as("toks"),
+        sum(col("n_chars")).as("chars"))
+    val perSrc = perLang.groupBy(col("source")).agg(
+      sum(col("n")).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      sum(col("chars")).as("n_chars"),
+      count(lit(1)).as("n_langs"),
+      // dominant language: highest count, ties to the LAST lang in
+      // lexicographic order (struct max compares n first, then lang)
+      max(struct(col("n"), col("lang"))).as("top"))
+    val distinctTexts = base.select(col("source"), col("h")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct_texts"))
+    perSrc.join(distinctTexts, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("top.lang").as("top_lang"),
+        (col("top.n").cast("double") / col("n_docs").cast("double"))
+          .as("top_lang_share"),
+        col("n_distinct_texts"),
+        (lit(1.0) - col("n_distinct_texts").cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+  }
+
+  def sourceManifest(s: SparkSession, dir: String): DataFrame =
+    sourceManifest(Tables.documents(s, dir))
 }

@@ -639,4 +639,40 @@ object Prep {
 
   def dsirWeights(s: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.documents(s, dir))
+
+  /** Curriculum ordering (q224): a deterministic global training order —
+    * quality band first (q216's stopword-ratio bins, best band 1st),
+    * md5-shuffled WITHIN each band so no band replays in corpus order.
+    * Emits (doc_id, bin, curriculum_rank) with a dense global rank; the
+    * data loader reads rows in rank order and gets an easy-to-hard
+    * curriculum whose within-band order is reproducible across runs,
+    * engines, and partitionings.
+    *
+    * Scale: the score/bin/tiebreak are per-row projections; the global
+    * ranking is the one hazard and rides `Advanced.bucketedPrefix`
+    * (range-partitioned per-bucket ranks + broadcast bucket offsets) —
+    * never a single-task global window. Output is corpus-sized by
+    * design (it IS the training order).
+    */
+  def curriculumOrder(docs: DataFrame, nBins: Int = 10, buckets: Int = 32): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val ws = Text.words(col("text"))
+    val score = size(filter(ws, w => w.isin(TextAnalysis.stopwords: _*)))
+      .cast("double") / size(ws)
+    val binned = docs.select(col("doc_id"),
+        least(floor(score * nBins).cast("long"), lit(nBins - 1L)).as("bin"))
+      .withColumn("tb", md5(concat(lit("cur|"), col("doc_id").cast("string"))))
+      .withColumn("one", lit(1L))
+    Advanced.bucketedPrefix(
+      binned, Seq(col("bin").desc, col("tb"), col("doc_id")), buckets)(
+      spec => sum(col("one")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("one")),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .select(col("doc_id"), col("bin"), col("prefix").as("curriculum_rank"))
+  }
+
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame =
+    curriculumOrder(Tables.documents(s, dir))
 }

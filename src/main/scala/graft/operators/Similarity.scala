@@ -949,4 +949,44 @@ object Similarity {
 
   def embeddingHygiene(s: SparkSession, dir: String): DataFrame =
     embeddingHygiene(Tables.embeddings(s, dir))
+
+  /** IVF shard planner (q225): assign the index's coarse cells to
+    * `nShards` serving shards by rank-striping — cells ranked by
+    * population descending, shard = (rank−1) mod nShards — and report
+    * each shard's cell count, vector population, share, and imbalance
+    * (share · nShards; 1.0 = perfectly balanced). Striping puts the 1st,
+    * (n+1)th, (2n+1)th… largest cells on different shards, which bounds
+    * the worst shard far tighter than hash placement when cell sizes are
+    * skewed — and cell skew is the norm (real embedding spaces cluster).
+    *
+    * Scale: the corpus cost is exactly one assignment pass (the shared
+    * q61/q204/q208 k-means chain); everything after operates on the
+    * nCells-row count table — the ranking window is bounded by the CELL
+    * count (the bucketedPrefix bucket-totals discipline), never the
+    * corpus.
+    */
+  def shardPlan(
+      emb: DataFrame, nCells: Int = 8, iters: Int = 2, nShards: Int = 4): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    // cached: the totals and the per-shard rollup both read the
+    // nCells-row table; a recompute would re-run the k-means chain
+    val counts = Caches.track(
+      kmeansAssign(emb, nCells, iters)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_vecs")))
+    val striped = counts
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_vecs").desc, col("cid"))))
+      .withColumn("shard", ((col("rk") - 1) % nShards).cast("long"))
+    val tot = counts.agg(sum(col("n_vecs")).as("n_total"))
+    striped.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n_vecs")).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_cells"), col("n_vecs"), col("n_total"),
+        (col("n_vecs").cast("double") / col("n_total").cast("double")).as("share"),
+        (col("n_vecs").cast("double") / col("n_total").cast("double") * nShards)
+          .as("imbalance"))
+  }
+
+  def shardPlan(s: SparkSession, dir: String): DataFrame =
+    shardPlan(Tables.embeddings(s, dir))
 }

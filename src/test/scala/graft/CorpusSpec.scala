@@ -432,4 +432,25 @@ class CorpusSpec extends SparkSpec {
       assert(got === expected, s"divergence from the sequential fold for pair ($t1,$t2)")
     }
   }
+
+  test("sourceManifest: hand-computed card with a planted dup and a language tie") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b", "en", "A"),
+      (1L, "a b", "en", "A"), // exact dup of 0
+      (2L, "c d e", "en", "A"),
+      (3L, "f g", "fr", "A"),
+      (4L, "h i", "de", "B"), // tie with en below: struct max picks "en"
+      (5L, "j k l m", "en", "B"),
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Corpus.sourceManifest(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_langs"), r.getAs[String]("top_lang"),
+          r.getAs[Double]("top_lang_share"), r.getAs[Long]("n_distinct_texts"),
+          r.getAs[Double]("dup_rate")))).toMap
+    assert(got("A") === ((4L, 9L, 14L, 2L, "en", 0.75, 3L, 0.25)))
+    assert(got("B") === ((2L, 6L, 10L, 2L, "en", 0.5, 2L, 0.0)))
+  }
 }

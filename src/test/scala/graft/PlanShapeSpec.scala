@@ -662,6 +662,69 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q223: the dataset card is aggregate-only — no windows, no cartesian") {
+    val df = graft.operators.Corpus.sourceManifest(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!nodes(df).exists(_.isInstanceOf[WindowExec]),
+      s"top-language must be a max-of-struct aggregate, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
+  test("q224: curriculum rank rides the bucketed prefix — range exchange, globals read bucket totals") {
+    val df = graft.operators.Prep.curriculumOrder(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    def whole(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val ns = whole(df.queryExecution.executedPlan)
+    val planText = ns.map(_.toString).mkString("\n").toLowerCase
+    assert(planText.contains("rangepartitioning"),
+      s"the global rank must range-partition by (bin desc, tiebreak):\n$planText")
+    val globals = ns.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    globals.foreach { w =>
+      assert(whole(w).exists {
+        case h: HashAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("bucket"))
+        case _ => false
+      }, s"a global window may only read the bucket-totals aggregate:\n$w")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q225: the only global window ranks the nCells-row count table") {
+    val df = graft.operators.Similarity.shardPlan(
+      graft.sources.Tables.embeddings(spark, sf0001))
+    def whole(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case n => Seq(n)
+      }.flatten
+    val globals = whole(df.queryExecution.executedPlan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "the cell-ranking window must exist")
+    globals.foreach { w =>
+      assert(whole(w).exists {
+        case a: HashAggregateExec =>
+          a.groupingExpressions.exists(_.toString.contains("cid"))
+        case _ => false
+      }, s"a global window may only read the per-cell count aggregate:\n$w")
+    }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
     val df = graft.operators.Quality.skewProfile(
       graft.sources.Tables.events(spark, sf0001))

@@ -319,4 +319,28 @@ class PrepSpec extends SparkSpec {
     assert(full.map(_._2).sum === 500L)
     assert(full.minBy(_._1)._3 === 500L)
   }
+
+  test("curriculumOrder: dense band-major global rank, partition-invariant") {
+    import spark.implicits._
+    // even ids stopword-rich (bin 6), odd ids stopword-free (bin 0)
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 2 == 0) "the a x" else "x y z"))
+      .toDF("doc_id", "text")
+    def run(d: DataFrame) = {
+      val out = Prep.curriculumOrder(d, nBins = 10, buckets = 4).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"),
+          r.getAs[Long]("curriculum_rank")))
+        .sortBy(_._3)
+      graft.Caches.releaseAll()
+      out
+    }
+    val got = run(docs)
+    assert(got.map(_._3).toSeq === (1L to 40L), "rank must be dense 1..n")
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      "bands must be non-increasing in rank order (best band first)")
+    assert(got.take(20).forall(_._1 % 2 == 0),
+      "all stopword-rich docs must precede the stopword-free band")
+    assert(run(docs.repartition(7)).toSeq === got.toSeq,
+      "curriculum must be partition-invariant")
+  }
 }

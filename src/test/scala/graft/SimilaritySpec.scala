@@ -576,4 +576,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1) === ((3L, 2, 3, 0L, 2L, 1L,
       Some(300000000L), Some(300000000L), 3.0)))
   }
+
+  test("shardPlan: striped placement covers all cells, shards partition the corpus") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    def run() = {
+      val out = Similarity.shardPlan(emb).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_cells"),
+          r.getAs[Long]("n_vecs"), r.getAs[Long]("n_total"),
+          r.getAs[Double]("share"), r.getAs[Double]("imbalance")))
+        .sortBy(_._1)
+      graft.Caches.releaseAll()
+      out
+    }
+    val got = run()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).sum === 8L, "all 8 cells placed")
+    assert(got.map(_._3).sum === n, "shards partition the corpus exactly")
+    assert(got.forall(_._4 === n))
+    got.foreach { case (_, _, _, _, share, imb) =>
+      assert(math.abs(imb - share * 4) < 1e-12)
+      assert(imb < 4.0, "no shard may hold everything under striping")
+    }
+    // deterministic: same placement on a different partitioning
+    assert(run().toSeq === got.toSeq)
+  }
 }
