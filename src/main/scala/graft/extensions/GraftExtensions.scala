@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FixedPointDot, MinGramMd5}
+import graft.functions.{FixedPointDot, FixedPointSqDist, MinGramMd5}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as native SQL functions, so `spark.sql` users get
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.fixedPointDot)
+    ext.injectFunction(GraftExtensions.fixedPointSqDist)
     ext.injectFunction(GraftExtensions.minGramMd5)
   }
 }
@@ -43,6 +44,44 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.length == 2, "fixed_point_dot takes exactly 2 arguments")
       FixedPointDot(children.head, children(1))
+    })
+
+  /** `fixed_point_sqdist(array<float>, array<float>, scale) -> bigint`:
+    * Σ (⌊a[i]·s+½⌋ − ⌊b[i]·s+½⌋)² on a caller-chosen constant grid — the
+    * product-quantization distance kernel (Similarity.pqEncode).
+    */
+  val fixedPointSqDist: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("fixed_point_sqdist"),
+    new ExpressionInfo(
+      classOf[FixedPointSqDist].getCanonicalName, null, "fixed_point_sqdist",
+      "_FUNC_(a, b, scale) - exact int64 squared L2 distance of two float " +
+        "arrays on the constant fixed-point grid `scale`.",
+      "", "", "", "", "4.0.0", "", "built-in"),
+    (children: Seq[Expression]) => {
+      def bad(msg: String) = new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
+      if (children.length != 3) throw bad("fixed_point_sqdist takes exactly 3 arguments")
+      // the grid must be CONSTANT at analysis time (it is baked into
+      // the generated code); accept any foldable numeric expression
+      import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+        IntegerType, LongType, ShortType}
+      val scale = children(2) match {
+        case e if e.foldable && (e.dataType match {
+              case ByteType | ShortType | IntegerType | LongType |
+                   FloatType | DoubleType => true
+              case _ => false
+            }) =>
+          e.eval() match {
+            case null => throw bad("fixed_point_sqdist: scale must not be NULL")
+            case n: Number if n.doubleValue() > 0 &&
+                !n.doubleValue().isInfinite && !n.doubleValue().isNaN =>
+              n.doubleValue()
+            case n => throw bad(s"fixed_point_sqdist: scale must be positive and finite: $n")
+          }
+        case other => throw bad(
+          s"fixed_point_sqdist: scale must be a constant numeric expression, got ${other.sql}")
+      }
+      FixedPointSqDist(children.head, children(1), scale)
     })
 
   /** `min_gram_md5(string, k) -> string`: minimum md5 hex digest over all

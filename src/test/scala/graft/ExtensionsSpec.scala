@@ -19,7 +19,8 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // when another suite already started a session, getOrCreate returns it
     // and builder extensions are ignored — register the same triple into
     // the live registry so the assertion holds either way
-    Seq(GraftExtensions.fixedPointDot, GraftExtensions.minGramMd5).foreach {
+    Seq(GraftExtensions.fixedPointDot, GraftExtensions.fixedPointSqDist,
+        GraftExtensions.minGramMd5).foreach {
       case (ident, info, builder) =>
         if (!spark.catalog.functionExists(ident.funcName)) {
           spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
@@ -40,6 +41,21 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(sql === api)
       // 1*0.5 + 2*(-1) + 3*2 = 4.5 on the 1e8 grid
       assert(sql === (4.5e16).toLong)
+
+      // sqdist on the 1e4 PQ grid: (1-0.5)=0.5→5000², (2-(-1))=3→30000²,
+      // (3-2)=1→10000² — all exact on the integer grid
+      val sqSql = spark.sql(
+        "SELECT fixed_point_sqdist(a, b, 1e4) AS d FROM vecs").collect().head.getLong(0)
+      val sqApi = df.select(
+        graft.functions.FixedPoint.sqDistF($"a", $"b", 1e4).as("d"))
+        .collect().head.getLong(0)
+      assert(sqSql === sqApi)
+      assert(sqSql === 5000L * 5000 + 30000L * 30000 + 10000L * 10000)
+      // a non-constant scale is the caller's analysis error
+      val badScale = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT fixed_point_sqdist(a, b, size(a)) FROM vecs").collect()
+      }
+      assert(badScale.getMessage.contains("constant numeric"))
 
       val texts = Seq("the quick brown fox", "héllo wörld").toDF("text")
       texts.createOrReplaceTempView("texts")
