@@ -251,6 +251,8 @@ object SparkEntry {
     "q223_source_manifest" -> ((s, d) => Corpus.sourceManifest(s, d)),
     "q224_curriculum_order" -> ((s, d) => Prep.curriculumOrder(s, d)),
     "q225_shard_plan" -> ((s, d) => Similarity.shardPlan(s, d)),
+    "q226_langid_confusion" -> ((s, d) => TextAnalysis.langidConfusion(s, d)),
+    "q227_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4863,5 +4865,82 @@ object SparkEntry {
         |  CAST(SUM(s.n_vecs) AS DOUBLE) / CAST(t.n_total AS DOUBLE) * 4 AS imbalance
         |FROM striped s CROSS JOIN tot t
         |GROUP BY s.shard, t.n_total""".stripMargin,
+
+    // q226: q18's classifier CTE grouped into the (labelled, predicted)
+    // confusion matrix with per-label recall.
+    "q226_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labelled, string_split(text, ' ') AS w FROM documents
+        |), sc AS (
+        |  SELECT doc_id, labelled,
+        |    len(list_filter(w, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |    len(list_filter(w, x -> x IN ('el','la','de','que','los'))) AS s_es,
+        |    len(list_filter(w, x -> x IN ('le','les','des','et','une'))) AS s_fr,
+        |    len(list_filter(w, x -> x IN ('der','die','und','das','ist'))) AS s_de
+        |  FROM t
+        |), pred AS (
+        |  SELECT labelled,
+        |    CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+        |         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+        |         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+        |         ELSE 'de' END AS predicted
+        |  FROM sc
+        |), cm AS (
+        |  SELECT labelled, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT labelled, CAST(SUM(n) AS BIGINT) AS n_labelled FROM cm GROUP BY 1
+        |)
+        |SELECT cm.labelled, cm.predicted, cm.n, t.n_labelled,
+        |  CAST(cm.n AS DOUBLE) / CAST(t.n_labelled AS DOUBLE) AS recall
+        |FROM cm JOIN tot t USING (labelled)""".stripMargin,
+
+    // q227: q56's recursive-CTE connected components, rolled up into the
+    // cluster-size distribution.
+    "q227_cluster_sizes" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), cl AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src
+        |), sz AS (
+        |  SELECT cluster, COUNT(*) AS cluster_size FROM cl GROUP BY 1
+        |)
+        |SELECT cluster_size, COUNT(*) AS n_clusters,
+        |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY 1""".stripMargin,
   )
 }

@@ -1163,4 +1163,28 @@ object Dedup {
 
   def lshCostPlanner(s: SparkSession, dir: String): DataFrame =
     lshCostPlanner(Tables.documents(s, dir))
+
+  /** Dup-cluster size distribution (q227): how many near-dup clusters of
+    * each size the corpus carries, and how many documents they absorb —
+    * the one-table summary a dedup report leads with (a corpus dominated
+    * by pairs dedups very differently from one with thousand-document
+    * template clusters, and the cluster-size tail decides whether
+    * canonical election output is review-able at all).
+    *
+    * Scale: everything after `dupClusters` aggregates the (doc, cluster)
+    * labelling — two map-side-combined aggregates over the dup
+    * population, output bounded by the distinct cluster sizes.
+    */
+  def clusterSizeHistogram(
+      docs: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    dupClusters(docs, bands, rowsPerBand, threshold)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
+  def clusterSizeHistogram(s: SparkSession, dir: String): DataFrame =
+    clusterSizeHistogram(
+      Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
 }

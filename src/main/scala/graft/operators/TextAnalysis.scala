@@ -65,6 +65,29 @@ object TextAnalysis {
         .as("predicted"))
   }
 
+  /** Language-ID confusion matrix (q226): q18's heuristic classifier
+    * evaluated against the labelled `lang` column — (labelled, predicted)
+    * counts with per-label recall. The report a pipeline reads before
+    * trusting lang-conditioned routing (mixture weights, per-lang
+    * sampling) to a heuristic classifier: which labels leak where, and
+    * at what rate.
+    *
+    * Scale: one classifier pass (pure projection) into a map-side
+    * combined (labelled, predicted) aggregate — ≤ |langs|·(|langs|+1)
+    * rows; the per-label totals join touches only those rows. The
+    * confusion relation is cached because the totals aggregate and the
+    * final join both read it, and a recompute would re-scan the corpus.
+    */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cm = graft.Caches.track(
+      langid(s, dir)
+        .groupBy(col("labelled"), col("predicted")).agg(count(lit(1)).as("n")))
+    val tot = cm.groupBy(col("labelled")).agg(sum(col("n")).as("n_labelled"))
+    cm.join(tot, "labelled")
+      .select(col("labelled"), col("predicted"), col("n"), col("n_labelled"),
+        (col("n").cast("double") / col("n_labelled").cast("double")).as("recall"))
+  }
+
   /** Content fingerprint of normalised text. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

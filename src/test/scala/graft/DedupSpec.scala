@@ -395,6 +395,21 @@ class DedupSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("clusterSizeHistogram: planted clusters roll up by threshold") {
+    // the near-dup pair (0,2) sits at jaccard 11/13 ≈ 0.846: at 0.9 only
+    // the exact pair {0,1} clusters; at 0.8 doc 2 joins into a 3-cluster
+    def run(t: Double) = {
+      val out = Dedup.clusterSizeHistogram(corpus, bands = 4, rowsPerBand = 2, threshold = t)
+        .collect()
+        .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+          r.getAs[Long]("n_docs"))).sortBy(_._1)
+      graft.Caches.releaseAll()
+      out
+    }
+    assert(run(0.9).toSeq === Seq((2L, 1L, 2L)))
+    assert(run(0.8).toSeq === Seq((3L, 1L, 3L)))
+  }
+
   test("lshCostPlanner: count-derived candidate volume equals the materialized band join") {
     val docs = corpus
     val got = Dedup.lshCostPlanner(docs).collect()
