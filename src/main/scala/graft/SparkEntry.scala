@@ -253,6 +253,9 @@ object SparkEntry {
     "q225_shard_plan" -> ((s, d) => Similarity.shardPlan(s, d)),
     "q226_langid_confusion" -> ((s, d) => TextAnalysis.langidConfusion(s, d)),
     "q227_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
+    // oracle: q223's full-corpus card — the incremental merge must be
+    // bit-identical to the recompute
+    "q228_manifest_merge" -> ((s, d) => Corpus.manifestMerge(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4942,5 +4945,36 @@ object SparkEntry {
         |SELECT cluster_size, COUNT(*) AS n_clusters,
         |  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
         |FROM sz GROUP BY 1""".stripMargin,
+
+    "q228_manifest_merge" ->
+      // identical to q223: the incremental merge must reproduce the
+      // full-corpus card bit-for-bit
+      """WITH base AS (
+        |  SELECT source, lang, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks, n_chars
+        |  FROM documents
+        |), pl AS (
+        |  SELECT source, lang, COUNT(*) AS n, CAST(SUM(toks) AS BIGINT) AS toks,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars
+        |  FROM base GROUP BY 1, 2
+        |), ps AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(chars) AS BIGINT) AS n_chars, COUNT(*) AS n_langs
+        |  FROM pl GROUP BY 1
+        |), top AS (
+        |  SELECT source, lang AS top_lang, n AS top_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, lang DESC) AS rk FROM pl
+        |  ) WHERE rk = 1
+        |), dt AS (
+        |  SELECT source, COUNT(*) AS n_distinct_texts
+        |  FROM (SELECT DISTINCT source, h FROM base) GROUP BY 1
+        |)
+        |SELECT ps.source, n_docs, n_tokens, ps.n_chars, n_langs, top_lang,
+        |  CAST(top_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_lang_share,
+        |  n_distinct_texts,
+        |  1.0 - CAST(n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+        |FROM ps JOIN top USING (source) JOIN dt USING (source)""".stripMargin,
   )
 }

@@ -967,12 +967,17 @@ object Corpus {
     * final join touches |sources| rows. Nothing scales past
     * |sources × langs|.
     */
-  def sourceManifest(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("source"), col("lang"), md5(col("text")).as("h"),
-      size(Text.words(col("text"))).cast("long").as("toks"), col("n_chars"))
-    val perLang = base.groupBy(col("source"), col("lang"))
+  /** The manifest's per-(source, lang) state grain: n, toks, chars. */
+  private def manifestPerLang(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"),
+        size(Text.words(col("text"))).cast("long").as("toks"), col("n_chars"))
+      .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("toks")).as("toks"),
         sum(col("n_chars")).as("chars"))
+
+  /** Card assembly from the two state relations — shared by the full
+    * recompute (q223) and the incremental merge (q228). */
+  private def cardFrom(perLang: DataFrame, distinctTexts: DataFrame): DataFrame = {
     val perSrc = perLang.groupBy(col("source")).agg(
       sum(col("n")).as("n_docs"),
       sum(col("toks")).as("n_tokens"),
@@ -981,8 +986,6 @@ object Corpus {
       // dominant language: highest count, ties to the LAST lang in
       // lexicographic order (struct max compares n first, then lang)
       max(struct(col("n"), col("lang"))).as("top"))
-    val distinctTexts = base.select(col("source"), col("h")).distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("n_distinct_texts"))
     perSrc.join(distinctTexts, "source")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
         col("n_langs"), col("top.lang").as("top_lang"),
@@ -993,6 +996,52 @@ object Corpus {
           col("n_docs").cast("double")).as("dup_rate"))
   }
 
+  def sourceManifest(docs: DataFrame): DataFrame =
+    cardFrom(
+      manifestPerLang(docs),
+      docs.select(col("source"), md5(col("text")).as("h")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_distinct_texts")))
+
   def sourceManifest(s: SparkSession, dir: String): DataFrame =
     sourceManifest(Tables.documents(s, dir))
+
+  /** Incremental dataset-card maintenance (q228): merge a delta batch
+    * into the manifest's standing state instead of recomputing the card
+    * from the full corpus. State grain (what a production pipeline
+    * persists between batches): per-(source, lang) counts and the
+    * per-(source, text-md5) distinct-key set. The merge is
+    * delta-bounded — the (source, lang) increments aggregate the DELTA
+    * only and fold into the ≤|sources×langs|-row state, and new distinct
+    * texts enter via a LEFT ANTI probe of the delta's hashes against the
+    * key state (the state is never re-distincted, never re-scanned per
+    * text) — the q192/q198 incremental discipline applied to the q223
+    * card. Output is bit-identical to `sourceManifest(base ∪ delta)`,
+    * and the registered form proves it: the driver checks it against the
+    * full-corpus q223 oracle.
+    */
+  def manifestMerge(base: DataFrame, delta: DataFrame): DataFrame = {
+    // the standing distinct-key state feeds both the anti-join probe and
+    // the final per-source count — cached so it builds once (on disk in
+    // a real pipeline; the counts state is a handful of rows)
+    val stateH = Caches.track(
+      base.select(col("source"), md5(col("text")).as("h")).distinct())
+    val mergedPL = manifestPerLang(base).unionByName(manifestPerLang(delta))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n")).as("n"), sum(col("toks")).as("toks"),
+        sum(col("chars")).as("chars"))
+    val inserted = delta.select(col("source"), md5(col("text")).as("h"))
+      .distinct()
+      .join(stateH, Seq("source", "h"), "left_anti")
+    cardFrom(mergedPL,
+      stateH.unionByName(inserted)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_distinct_texts")))
+  }
+
+  def manifestMerge(s: SparkSession, dir: String): DataFrame = {
+    // registered split: every 10th doc arrives as the delta batch
+    val docs = Tables.documents(s, dir)
+    manifestMerge(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
 }

@@ -453,4 +453,26 @@ class CorpusSpec extends SparkSpec {
     assert(got("A") === ((4L, 9L, 14L, 2L, "en", 0.75, 3L, 0.25)))
     assert(got("B") === ((2L, 6L, 10L, 2L, "en", 0.5, 2L, 0.0)))
   }
+
+  test("manifestMerge: incremental card equals the full recompute, incl. cross-batch dups") {
+    import spark.implicits._
+    val full = Seq(
+      (0L, "a b", "en", "A"),
+      (1L, "a b", "en", "A"),    // dup of 0 — same batch
+      (2L, "c d e", "en", "A"),
+      (3L, "f g", "fr", "A"),
+      (10L, "a b", "en", "A"),   // delta: dup of a BASE doc
+      (20L, "new delta text", "de", "B"),
+      (30L, "new delta text", "de", "B"), // delta-internal dup
+      (4L, "h i", "de", "B"),
+    ).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = full.filter($"doc_id" % 10 =!= 0)
+    val delta = full.filter($"doc_id" % 10 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted.toSeq
+    val merged = canon(Corpus.manifestMerge(base, delta))
+    graft.Caches.releaseAll()
+    assert(merged === canon(Corpus.sourceManifest(full)))
+  }
 }

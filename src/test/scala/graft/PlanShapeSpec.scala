@@ -725,6 +725,20 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q228: new distinct texts enter via a left-anti probe of the key state") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Corpus.manifestMerge(
+      graft.sources.Tables.documents(spark, sf0001)
+        .filter(col("doc_id") % 10 =!= 0),
+      graft.sources.Tables.documents(spark, sf0001)
+        .filter(col("doc_id") % 10 === 0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"the key state must be probed, never re-distincted with the delta:\n$plan")
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
     val df = graft.operators.Quality.skewProfile(
       graft.sources.Tables.events(spark, sf0001))
