@@ -26,7 +26,9 @@ object PlanDump {
     "q196_dup_spans", "q197_heavy_hitters", "q198_delta_dedup",
     "q199_vocab_coverage", "q203_dsir_weights", "q204_semdedup",
     "q205_source_divergence", "q206_cluster_keywords", "q208_cluster_purity",
-    "q210_bpe_learn")
+    "q210_bpe_learn", "q219_skew_profile", "q220_join_cardinality",
+    "q222_lsh_cost_planner", "q224_curriculum_order", "q225_shard_plan",
+    "q228_manifest_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -204,7 +204,13 @@ object ScaleSmoke {
       timed("q218") { graft.operators.Similarity.pqStaleness(emb) },
       timed("q219") { graft.operators.Quality.skewProfile(events) },
       timed("q221") { graft.operators.Similarity.embeddingHygiene(emb) },
-      timed("q222") { graft.operators.Dedup.lshCostPlanner(docs) })
+      timed("q222") { graft.operators.Dedup.lshCostPlanner(docs) },
+      timed("q224") { graft.operators.Prep.curriculumOrder(docs) },
+      timed("q225") { graft.operators.Similarity.shardPlan(emb) },
+      timed("q227") {
+        graft.operators.Dedup.clusterSizeHistogram(
+          docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
