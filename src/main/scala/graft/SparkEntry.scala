@@ -256,6 +256,7 @@ object SparkEntry {
     // oracle: q223's full-corpus card — the incremental merge must be
     // bit-identical to the recompute
     "q228_manifest_merge" -> ((s, d) => Corpus.manifestMerge(s, d)),
+    "q229_embedding_covariance" -> ((s, d) => Similarity.embeddingCovariance(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4976,5 +4977,22 @@ object SparkEntry {
         |  n_distinct_texts,
         |  1.0 - CAST(n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
         |FROM ps JOIN top USING (source) JOIN dt USING (source)""".stripMargin,
+
+    // q229: exact integer moments on the 1e4 grid; cov is the one double
+    // division (n*sxy - sx*sy)/n^2/1e8 in the same op order both engines.
+    "q229_embedding_covariance" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), pr AS (
+        |  SELECT a.pos - 1 AS i, b.pos - 1 AS j, a.qx * b.qx AS xy, a.qx AS x, b.qx AS y
+        |  FROM qe a JOIN qe b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |)
+        |SELECT i, j, COUNT(*) AS n, CAST(SUM(xy) AS BIGINT) AS sxy,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(COUNT(*) * CAST(SUM(xy) AS BIGINT) - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) * COUNT(*) AS DOUBLE) / 1e8 AS cov
+        |FROM pr GROUP BY 1, 2""".stripMargin,
   )
 }

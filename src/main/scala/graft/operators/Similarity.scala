@@ -989,4 +989,43 @@ object Similarity {
 
   def shardPlan(s: SparkSession, dir: String): DataFrame =
     shardPlan(Tables.embeddings(s, dir))
+
+  /** Exact embedding covariance matrix (q229): the upper triangle of
+    * cov(X) over the corpus — the input every whitening / PCA /
+    * Mahalanobis-distance step needs. Entries are exact integer moments
+    * on the 1e4 grid (cov = (n·Σxy − Σx·Σy) / n², one double division at
+    * the end), so the matrix is bit-identical across engines,
+    * partitionings, and reruns — no float-summation drift.
+    *
+    * Scale: one corpus pass; each row expands to its dims·(dims+1)/2
+    * upper-triangle products which immediately enter a map-side-combined
+    * aggregate — the shuffle carries ≤ 2080 rows per map task (64 dims),
+    * independent of corpus size. int64 headroom: |q| ≤ 2·10⁴ keeps
+    * n·Σxy < 2⁶³ to n ≈ 2·10⁹ vectors; past that, shard by vec-range
+    * and merge the (n, sxy, sx, sy) partials — they are exactly
+    * mergeable by design.
+    */
+  def embeddingCovariance(emb: DataFrame, dims: Int = 64): DataFrame = {
+    val q = emb.select(
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e4 + 0.5).cast("long")).as("q"))
+    val pairs = q
+      .select(explode(flatten(transform(sequence(lit(0), lit(dims - 1)), i =>
+        transform(sequence(i, lit(dims - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("xy"),
+            element_at(col("q"), i + 1).as("x"),
+            element_at(col("q"), j + 1).as("y")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.xy").as("xy"), col("p.x").as("x"), col("p.y").as("y"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("n")).cast("double") / lit(1e8)).as("cov"))
+  }
+
+  def embeddingCovariance(s: SparkSession, dir: String): DataFrame =
+    embeddingCovariance(Tables.embeddings(s, dir))
 }

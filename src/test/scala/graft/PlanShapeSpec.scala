@@ -739,6 +739,17 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q229: covariance is one aggregate pass — no joins, one bounded shuffle") {
+    val df = graft.operators.Similarity.embeddingCovariance(
+      graft.sources.Tables.embeddings(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"moments must not join:\n$plan")
+    assert(!nodes(df).exists(_.isInstanceOf[WindowExec]),
+      s"moments must not window:\n$plan")
+    assert(shuffles(plan) <= 1,
+      s"one map-side-combined aggregation exchange at most:\n$plan")
+  }
+
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
     val df = graft.operators.Quality.skewProfile(
       graft.sources.Tables.events(spark, sf0001))

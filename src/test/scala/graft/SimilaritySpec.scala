@@ -601,4 +601,30 @@ class SimilaritySpec extends SparkSpec {
     // deterministic: same placement on a different partitioning
     assert(run().toSeq === got.toSeq)
   }
+
+  test("embeddingCovariance: hand-computed moments, diagonal = variance") {
+    import spark.implicits._
+    // vectors [1,2],[3,4],[5,0] on the 1e4 grid
+    val vecs = Seq(Seq(1f, 2f), Seq(3f, 4f), Seq(5f, 0f)).toDF("embedding")
+    val got = Similarity.embeddingCovariance(vecs, dims = 2).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sxy"), r.getAs[Long]("sx"),
+          r.getAs[Long]("sy"), r.getAs[Double]("cov")))).toMap
+    assert(got.keySet === Set((0, 0), (0, 1), (1, 1)), "upper triangle only")
+    def cov(n: Long, sxy: Long, sx: Long, sy: Long): Double =
+      (n * sxy - sx * sy).toDouble / (n * n).toDouble / 1e8
+    // var([1,3,5]) = 8/3, cov = -4/3, var([2,4,0]) = 8/3
+    assert(got((0, 0)) === ((3L, 3500000000L, 90000L, 90000L,
+      cov(3, 3500000000L, 90000L, 90000L))))
+    assert(math.abs(got((0, 0))._5 - 8.0 / 3) < 1e-9)
+    assert(got((0, 1)) === ((3L, 1400000000L, 90000L, 60000L,
+      cov(3, 1400000000L, 90000L, 60000L))))
+    assert(math.abs(got((0, 1))._5 + 4.0 / 3) < 1e-9)
+    assert(math.abs(got((1, 1))._5 - 8.0 / 3) < 1e-9)
+    // partition-invariant (exact integer moments)
+    val again = Similarity.embeddingCovariance(vecs.repartition(3), dims = 2)
+      .collect().map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        r.getAs[Double]("cov")).toMap
+    assert(got.map { case (k, v) => k -> v._5 } === again)
+  }
 }
