@@ -257,6 +257,7 @@ object SparkEntry {
     // bit-identical to the recompute
     "q228_manifest_merge" -> ((s, d) => Corpus.manifestMerge(s, d)),
     "q229_embedding_covariance" -> ((s, d) => Similarity.embeddingCovariance(s, d)),
+    "q230_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4994,5 +4995,84 @@ object SparkEntry {
         |  CAST(COUNT(*) * CAST(SUM(xy) AS BIGINT) - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE)
         |    / CAST(COUNT(*) * COUNT(*) AS DOUBLE) / 1e8 AS cov
         |FROM pr GROUP BY 1, 2""".stripMargin,
+
+    // q230: q229's moment chain, downscaled (floor(c/2^30+0.5) in double
+    // -- exact power-of-two scaling), mirrored to the full matrix, then
+    // 4 unrolled power-iteration steps; norms via exact HUGEINT sums
+    // with the VARCHAR->DOUBLE parse (DuckDB's direct HUGEINT cast is
+    // not correctly rounded past 2^53).
+    "q230_pca_power" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), pr AS (
+        |  SELECT a.pos - 1 AS i, b.pos - 1 AS j, a.qx * b.qx AS xy, a.qx AS x, b.qx AS y
+        |  FROM qe a JOIN qe b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |), cu AS (
+        |  SELECT i, j, CAST(floor(CAST(COUNT(*) * CAST(SUM(xy) AS BIGINT)
+        |      - CAST(SUM(x) AS BIGINT) * CAST(SUM(y) AS BIGINT) AS DOUBLE)
+        |      / 1073741824.0 + 0.5) AS BIGINT) AS c
+        |  FROM pr GROUP BY 1, 2
+        |), cm AS (
+        |  SELECT i, j, c FROM cu
+        |  UNION ALL
+        |  SELECT j AS i, i AS j, c FROM cu WHERE i <> j
+        |), v0 AS (
+        |  SELECT CAST(i AS INT) AS vi, CAST(1000000 AS BIGINT) AS val FROM range(0, 64) t(i)
+|), w1 AS (
+        |  SELECT m.i, CAST(SUM(m.c * v.val) AS BIGINT) AS w
+        |  FROM cm m JOIN v0 v ON m.j = v.vi GROUP BY m.i
+        |), n1 AS (
+        |  SELECT SUM(CAST(w AS HUGEINT) * w) AS n2 FROM w1
+        |), v1 AS (
+        |  SELECT CAST(w1.i AS INT) AS vi,
+        |    CAST(floor(CAST(w AS DOUBLE)
+        |      / sqrt(nullif(CAST(CAST(n2 AS VARCHAR) AS DOUBLE), 0.0)) * 1e6 + 0.5) AS BIGINT) AS val
+        |  FROM w1, n1
+|), w2 AS (
+        |  SELECT m.i, CAST(SUM(m.c * v.val) AS BIGINT) AS w
+        |  FROM cm m JOIN v1 v ON m.j = v.vi GROUP BY m.i
+        |), n2 AS (
+        |  SELECT SUM(CAST(w AS HUGEINT) * w) AS n2 FROM w2
+        |), v2 AS (
+        |  SELECT CAST(w2.i AS INT) AS vi,
+        |    CAST(floor(CAST(w AS DOUBLE)
+        |      / sqrt(nullif(CAST(CAST(n2 AS VARCHAR) AS DOUBLE), 0.0)) * 1e6 + 0.5) AS BIGINT) AS val
+        |  FROM w2, n2
+|), w3 AS (
+        |  SELECT m.i, CAST(SUM(m.c * v.val) AS BIGINT) AS w
+        |  FROM cm m JOIN v2 v ON m.j = v.vi GROUP BY m.i
+        |), n3 AS (
+        |  SELECT SUM(CAST(w AS HUGEINT) * w) AS n2 FROM w3
+        |), v3 AS (
+        |  SELECT CAST(w3.i AS INT) AS vi,
+        |    CAST(floor(CAST(w AS DOUBLE)
+        |      / sqrt(nullif(CAST(CAST(n2 AS VARCHAR) AS DOUBLE), 0.0)) * 1e6 + 0.5) AS BIGINT) AS val
+        |  FROM w3, n3
+|), w4 AS (
+        |  SELECT m.i, CAST(SUM(m.c * v.val) AS BIGINT) AS w
+        |  FROM cm m JOIN v3 v ON m.j = v.vi GROUP BY m.i
+        |), n4 AS (
+        |  SELECT SUM(CAST(w AS HUGEINT) * w) AS n2 FROM w4
+        |), v4 AS (
+        |  SELECT CAST(w4.i AS INT) AS vi,
+        |    CAST(floor(CAST(w AS DOUBLE)
+        |      / sqrt(nullif(CAST(CAST(n2 AS VARCHAR) AS DOUBLE), 0.0)) * 1e6 + 0.5) AS BIGINT) AS val
+        |  FROM w4, n4
+|), cv AS (
+        |  SELECT m.i, CAST(SUM(m.c * v.val) AS BIGINT) AS cv
+        |  FROM cm m JOIN v4 v ON m.j = v.vi GROUP BY m.i
+        |), num AS (
+        |  SELECT SUM(CAST(cv.cv AS HUGEINT) * v.val) AS num FROM cv JOIN v4 v ON cv.i = v.vi
+        |), den AS (
+        |  SELECT CAST(SUM(val * val) AS BIGINT) AS den FROM v4
+        |), tr AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS tr FROM cm WHERE i = j
+        |)
+        |SELECT v.vi AS dim, CAST(v.val AS DOUBLE) / 1e6 AS loading,
+        |  CAST(CAST(num.num AS VARCHAR) AS DOUBLE) / nullif(CAST(den.den AS DOUBLE), 0.0)
+        |    / nullif(CAST(tr.tr AS DOUBLE), 0.0) AS var_share
+        |FROM v4 v CROSS JOIN num CROSS JOIN den CROSS JOIN tr""".stripMargin,
   )
 }

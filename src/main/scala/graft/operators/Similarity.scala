@@ -1028,4 +1028,68 @@ object Similarity {
 
   def embeddingCovariance(s: SparkSession, dir: String): DataFrame =
     embeddingCovariance(Tables.embeddings(s, dir))
+
+  /** Top principal component by fixed-point power iteration (q230):
+    * `iters` deterministic matrix-vector steps over the exact integer
+    * covariance moments (q229), from a fixed uniform start vector —
+    * output is the unit loading per dimension plus the component's
+    * variance share (Rayleigh quotient ÷ trace). Every step re-rounds
+    * onto the 1e6 grid through the same correctly-rounded double ops in
+    * both engines (norms are exact Σw² in DECIMAL(38,0) before the one
+    * sqrt), so the iterate — including its sign, which is whatever the
+    * fixed start converges to — is bit-identical across engines,
+    * partitionings, and reruns.
+    *
+    * Scale: the corpus is touched exactly once (the covariance pass);
+    * every iteration joins the dims²-row matrix with the dims-row
+    * vector — constant-bounded work, broadcast scalars for the norms.
+    * The moment downscale (÷2³⁰, floor(x/2³⁰+0.5) in double — exact
+    * power-of-two scaling, identical rounding both engines) buys int64
+    * headroom for the matrix-vector products; eigendirections are
+    * scale-free so the result is unchanged.
+    */
+  def pcaPower(emb: DataFrame, dims: Int = 64, iters: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters > 0, s"iters must be positive, got $iters")
+    val session = emb.sparkSession
+    // localCheckpoint (the kmeansCentroids discipline): the broadcast
+    // norm subqueries and the matrix-vector jobs would otherwise RACE to
+    // materialize the covariance before any of them caches it — an
+    // eager dims²-row checkpoint runs the corpus pass exactly once
+    val cov = embeddingCovariance(emb, dims)
+      .select(col("i"), col("j"),
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          lit(1073741824.0) + 0.5).cast("long").as("c"))
+      .localCheckpoint()
+    val full = cov.unionAll(cov.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c")))
+    var v: DataFrame = session.range(dims.toLong)
+      .select(col("id").cast("int").as("vi"), lit(1000000L).as("val"))
+    for (_ <- 1 to iters) {
+      val w = full.join(v, col("j") === col("vi"))
+        .groupBy(col("i")).agg(sum(col("c") * col("val")).as("w"))
+      val n2 = w.agg(sum(col("w").cast(DecimalType(38, 0)) * col("w")).as("n2"))
+      v = w.crossJoin(broadcast(n2))
+        .select(col("i").cast("int").as("vi"),
+          floor(col("w").cast("double") /
+            sqrt(nullif(col("n2").cast("double"), lit(0.0))) * 1e6 + 0.5)
+            .cast("long").as("val"))
+        .localCheckpoint()
+    }
+    val vc = v
+    val cv = full.join(vc, col("j") === col("vi"))
+      .groupBy(col("i")).agg(sum(col("c") * col("val")).as("cv"))
+    val num = cv.join(vc, col("i") === col("vi"))
+      .agg(sum(col("cv").cast(DecimalType(38, 0)) * col("val")).as("num"))
+    val den = vc.agg(sum(col("val") * col("val")).as("den"))
+    val tr = full.filter(col("i") === col("j")).agg(sum(col("c")).as("tr"))
+    vc.crossJoin(broadcast(num)).crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+      .select(col("vi").as("dim"),
+        (col("val").cast("double") / 1e6).as("loading"),
+        (col("num").cast("double") / nullif(col("den").cast("double"), lit(0.0)) /
+          nullif(col("tr").cast("double"), lit(0.0))).as("var_share"))
+  }
+
+  def pcaPower(s: SparkSession, dir: String): DataFrame =
+    pcaPower(Tables.embeddings(s, dir))
 }

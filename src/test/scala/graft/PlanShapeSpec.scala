@@ -750,6 +750,18 @@ class PlanShapeSpec extends SparkSpec {
       s"one map-side-combined aggregation exchange at most:\n$plan")
   }
 
+  test("q230: the iteration never windows and never goes cartesian on the corpus") {
+    val df = graft.operators.Similarity.pcaPower(
+      graft.sources.Tables.embeddings(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!nodes(df).exists(_.isInstanceOf[WindowExec]),
+      s"no window anywhere in the power iteration:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast-scalar cross joins allowed:\n$plan")
+    Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
     val df = graft.operators.Quality.skewProfile(
       graft.sources.Tables.events(spark, sf0001))

@@ -627,4 +627,30 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Double]("cov")).toMap
     assert(got.map { case (k, v) => k -> v._5 } === again)
   }
+
+  test("pcaPower: recovers a planted rank-1 direction with full variance share") {
+    import spark.implicits._
+    // all points on the (0.6, 0.8) line -> cov is rank-1, PC1 = ±(0.6, 0.8);
+    // the uniform start has positive overlap with +u, so the sign is +.
+    // Magnitudes ~1e2 so the ÷2^30 moment downscale (tuned for corpus-
+    // scale sums) keeps ≥1e5 of integer resolution on this 4-row matrix.
+    val vecs = Seq(Seq(300f, 400f), Seq(600f, 800f), Seq(-300f, -400f), Seq(0f, 0f))
+      .toDF("embedding")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val out = Similarity.pcaPower(d, dims = 2, iters = 4).collect()
+        .map(r => (r.getAs[Int]("dim"), r.getAs[Double]("loading"),
+          r.getAs[Double]("var_share"))).sortBy(_._1)
+      graft.Caches.releaseAll()
+      out
+    }
+    val got = run(vecs)
+    assert(got.length === 2)
+    assert(math.abs(got(0)._2 - 0.6) < 1e-3, s"dim0 loading: ${got(0)}")
+    assert(math.abs(got(1)._2 - 0.8) < 1e-3, s"dim1 loading: ${got(1)}")
+    got.foreach { case (_, _, share) =>
+      assert(math.abs(share - 1.0) < 1e-2, s"rank-1 input: full variance share, got $share")
+    }
+    // bit-identical on a different partitioning
+    assert(run(vecs.repartition(3)).toSeq === got.toSeq)
+  }
 }
