@@ -210,7 +210,9 @@ object ScaleSmoke {
       timed("q227") {
         graft.operators.Dedup.clusterSizeHistogram(
           docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
-      })
+      },
+      timed("q229") { graft.operators.Similarity.embeddingCovariance(emb) },
+      timed("q230") { graft.operators.Similarity.pcaPower(emb) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

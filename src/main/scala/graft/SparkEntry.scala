@@ -258,6 +258,7 @@ object SparkEntry {
     "q228_manifest_merge" -> ((s, d) => Corpus.manifestMerge(s, d)),
     "q229_embedding_covariance" -> ((s, d) => Similarity.embeddingCovariance(s, d)),
     "q230_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
+    "q231_modality_alignment" -> ((s, d) => Similarity.modalityAlignment(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5074,5 +5075,36 @@ object SparkEntry {
         |  CAST(CAST(num.num AS VARCHAR) AS DOUBLE) / nullif(CAST(den.den AS DOUBLE), 0.0)
         |    / nullif(CAST(tr.tr AS DOUBLE), 0.0) AS var_share
         |FROM v4 v CROSS JOIN num CROSS JOIN den CROSS JOIN tr""".stripMargin,
+
+    // q231: exact HUGEINT moments, VARCHAR->DOUBLE parses (DuckDB's
+    // direct HUGEINT cast is not correctly rounded past 2^53, Spark's
+    // BigDecimal path is).
+    "q231_modality_alignment" ->
+      """WITH nf AS (
+        |  SELECT vec_id AS doc_id,
+        |    CAST(floor(sqrt(CAST(coalesce(list_sum(list_transform(embedding,
+        |      e -> CAST(floor(CAST(e AS DOUBLE) * 1e8 + 0.5) AS BIGINT)
+        |         * CAST(floor(CAST(e AS DOUBLE) * 1e8 + 0.5) AS BIGINT))), 0) AS DOUBLE))
+        |      + 0.5) AS BIGINT) AS norm_fp
+        |  FROM embeddings
+        |), j AS (
+        |  SELECT d.lang, d.n_chars, nf.norm_fp
+        |  FROM documents d JOIN nf USING (doc_id)
+        |), m AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        |    SUM(CAST(norm_fp AS HUGEINT)) AS sy,
+        |    SUM(CAST(n_chars AS HUGEINT) * norm_fp) AS sxy,
+        |    SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx,
+        |    SUM(CAST(norm_fp AS HUGEINT) * norm_fp) AS syy
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT lang, n,
+        |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |    / sqrt(nullif(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+        |                  * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE), 0.0)) AS corr,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
+        |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS mean_norm
+        |FROM m""".stripMargin,
   )
 }

@@ -1092,4 +1092,46 @@ object Similarity {
 
   def pcaPower(s: SparkSession, dir: String): DataFrame =
     pcaPower(Tables.embeddings(s, dir))
+
+  /** Cross-modal alignment audit (q231): per-language exact-moment
+    * Pearson correlation between document length and embedding norm over
+    * the doc⋈embedding join — the encoder-saturation check (a healthy
+    * encoder's norm drifts with input length; a collapsed or
+    * length-clipped one doesn't). Norms are exact int64 on the 1e8 grid
+    * (one correctly-rounded sqrt per row); all moments accumulate as
+    * DECIMAL(38,0) (Σ norm² passes 2⁶³) with the one double conversion
+    * per term at the end — the q97 exact-moment discipline, so the
+    * correlation is bit-identical across engines and partitionings.
+    *
+    * Scale: column-pruned scans on both sides, one equi-join on the id,
+    * one map-side-combined aggregate to |langs| rows. Nothing else.
+    */
+  def modalityAlignment(docs: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val joined = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(emb.select(col("vec_id").as("doc_id"),
+        floor(sqrt(FixedPoint.normSqF(col("embedding")).cast("double")) + 0.5)
+          .cast("long").as("norm_fp")), "doc_id")
+    joined.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars").cast(d)).as("sx"),
+      sum(col("norm_fp").cast(d)).as("sy"),
+      // per-row products stay inside int64 (chars ≤ ~1e5 × norm ≤ ~1e10)
+      sum((col("n_chars") * col("norm_fp")).cast(d)).as("sxy"),
+      sum((col("n_chars") * col("n_chars")).cast(d)).as("sxx"),
+      // norm² passes 2⁶³ — cast BEFORE the multiply
+      sum(col("norm_fp").cast(d) * col("norm_fp")).as("syy"))
+      .select(col("lang"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(nullif(
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"),
+            lit(0.0)))).as("corr"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_chars"),
+        (col("sy").cast("double") / col("n").cast("double") / 1e8).as("mean_norm"))
+  }
+
+  def modalityAlignment(s: SparkSession, dir: String): DataFrame =
+    modalityAlignment(Tables.documents(s, dir), Tables.embeddings(s, dir))
 }

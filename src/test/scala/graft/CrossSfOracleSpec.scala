@@ -605,4 +605,32 @@ class CrossSfOracleSpec extends SparkSpec {
       assert(got.nonEmpty, s"q203 fixture must produce weights at $dir")
     }
   }
+
+  // ---- q229: exact fixed-point covariance moments ----
+
+  test("q229 embedding_covariance matches a plain-JVM moments recompute at sf0.001 and sf0.1") {
+    val dims = 64
+    for (dir <- Seq(sf0001, sf01)) {
+      val q = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray
+          .map(x => math.floor(x.toDouble * 1e4 + 0.5).toLong))
+      val n = q.length.toLong
+      val sx = Array.ofDim[Long](dims)
+      q.foreach { r => var i = 0; while (i < dims) { sx(i) += r(i); i += 1 } }
+      val expected = (for (i <- 0 until dims; j <- i until dims) yield {
+        var sxy = 0L
+        q.foreach(r => sxy += r(i) * r(j))
+        val cov = (n * sxy - sx(i) * sx(j)).toDouble / (n * n).toDouble / 1e8
+        (i, j) -> ((n, sxy, sx(i), sx(j), cov))
+      }).toMap
+      val got = Similarity.embeddingCovariance(
+        graft.sources.Tables.embeddings(spark, dir), dims).collect()
+        .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("sxy"), r.getAs[Long]("sx"),
+            r.getAs[Long]("sy"), r.getAs[Double]("cov")))).toMap
+      assert(got === expected, s"q229 diverged from the JVM moments recompute at $dir")
+      assert(got.size === dims * (dims + 1) / 2)
+    }
+  }
 }

@@ -653,4 +653,26 @@ class SimilaritySpec extends SparkSpec {
     // bit-identical on a different partitioning
     assert(run(vecs.repartition(3)).toSeq === got.toSeq)
   }
+
+  test("modalityAlignment: hand-built perfect and inverted correlations") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", 100L), (1L, "en", 200L), (2L, "en", 300L),
+      (3L, "fr", 100L), (4L, "fr", 200L), (5L, "fr", 300L),
+      (9L, "de", 42L), // no embedding -> dropped by the inner join
+    ).toDF("doc_id", "lang", "n_chars")
+    val embs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(2f, 0f)), (2L, Seq(3f, 0f)),
+      (3L, Seq(3f, 0f)), (4L, Seq(2f, 0f)), (5L, Seq(1f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.modalityAlignment(docs, embs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("corr"),
+          r.getAs[Double]("mean_chars"), r.getAs[Double]("mean_norm")))).toMap
+    assert(got.keySet === Set("en", "fr"))
+    // norms proportional to length -> exactly ±1 (all moments land on
+    // exactly-representable doubles, so equality is exact)
+    assert(got("en") === ((3L, 1.0, 200.0, 2.0)))
+    assert(got("fr") === ((3L, -1.0, 200.0, 2.0)))
+  }
 }
