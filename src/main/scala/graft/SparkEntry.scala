@@ -259,6 +259,8 @@ object SparkEntry {
     "q229_embedding_covariance" -> ((s, d) => Similarity.embeddingCovariance(s, d)),
     "q230_pca_power" -> ((s, d) => Similarity.pcaPower(s, d)),
     "q231_modality_alignment" -> ((s, d) => Similarity.modalityAlignment(s, d)),
+    "q232_group_kfold" -> ((s, d) => Prep.groupKFold(s, d)),
+    "q233_rebalance_plan" -> ((s, d) => Prep.rebalancePlan(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5106,5 +5108,24 @@ object SparkEntry {
         |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_chars,
         |  CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS mean_norm
         |FROM m""".stripMargin,
+
+    "q232_group_kfold" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        |)
+        |SELECT source, n_docs,
+        |  CAST((row_number() OVER (ORDER BY n_docs DESC, source) - 1) % 5 AS BIGINT) AS fold
+        |FROM c""".stripMargin,
+
+    "q233_rebalance_plan" ->
+      """WITH c AS (
+        |  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(MAX(n) AS BIGINT) AS target FROM c
+        |)
+        |SELECT c.label, c.n, t.target,
+        |  (t.target * 1000000) // c.n AS factor_fp,
+        |  CAST(t.target - c.n AS DOUBLE) / CAST(c.n AS DOUBLE) AS oversample_extra
+        |FROM c CROSS JOIN t""".stripMargin,
   )
 }

@@ -675,4 +675,53 @@ object Prep {
 
   def curriculumOrder(s: SparkSession, dir: String): DataFrame =
     curriculumOrder(Tables.documents(s, dir))
+
+  /** Group-integral K-fold assignment (q232): every document of a source
+    * lands in the same fold (GroupKFold — the split that stops
+    * near-duplicate leakage between train and validation, since dups
+    * concentrate within sources), and folds are size-balanced by
+    * rank-striping: sources ordered by document count descending, fold =
+    * (rank−1) mod k — the 1st, (k+1)th, (2k+1)th… largest sources land
+    * on different folds (the q225 placement rule applied to groups).
+    *
+    * Scale: one map-side-combined per-source count; the ranking window
+    * runs over |sources| rows (bounded, never the corpus). The
+    * assignment is returned per SOURCE — joining it back to documents is
+    * the caller's (broadcastable) concern.
+    */
+  def groupKFold(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n_docs").desc, col("source"))))
+      .select(col("source"), col("n_docs"),
+        ((col("rk") - 1) % k).cast("long").as("fold"))
+  }
+
+  def groupKFold(s: SparkSession, dir: String): DataFrame =
+    groupKFold(Tables.documents(s, dir))
+
+  /** Class-rebalance plan (q233): per-label resampling factors that
+    * bring every label up to the majority count — the plan a training
+    * loader applies as per-row repeat counts (factor_fp div 1e6 whole
+    * repeats + md5-lottery on the remainder). Factors are exact integer
+    * arithmetic (`target·1e6 div n`), so the plan is engine- and
+    * partitioning-invariant.
+    *
+    * Scale: one map-side-combined count to |labels| rows; the majority
+    * target rides in as a one-row broadcast.
+    */
+  def rebalancePlan(emb: DataFrame): DataFrame = {
+    val counts = graft.Caches.track(
+      emb.groupBy(col("label")).agg(count(lit(1)).as("n")))
+    val target = counts.agg(max(col("n")).as("target"))
+    counts.crossJoin(broadcast(target))
+      .select(col("label"), col("n"), col("target"),
+        expr("(target * 1000000L) div n").as("factor_fp"),
+        ((col("target") - col("n")).cast("double") / col("n").cast("double"))
+          .as("oversample_extra"))
+  }
+
+  def rebalancePlan(s: SparkSession, dir: String): DataFrame =
+    rebalancePlan(Tables.embeddings(s, dir))
 }

@@ -343,4 +343,38 @@ class PrepSpec extends SparkSpec {
     assert(run(docs.repartition(7)).toSeq === got.toSeq,
       "curriculum must be partition-invariant")
   }
+
+  test("groupKFold: groups stay whole, folds stripe by size rank") {
+    import spark.implicits._
+    // sources sized 5,4,3,2,1; k=2 -> ranks 1..5 stripe to folds 0,1,0,1,0
+    val docs = Seq("a" -> 5, "b" -> 4, "c" -> 3, "d" -> 2, "e" -> 1)
+      .flatMap { case (s, n) => Seq.fill(n)(s) }
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "source")
+    val got = Prep.groupKFold(docs, k = 2).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("fold")))).toMap
+    assert(got === Map(
+      "a" -> ((5L, 0L)), "b" -> ((4L, 1L)), "c" -> ((3L, 0L)),
+      "d" -> ((2L, 1L)), "e" -> ((1L, 0L))))
+    // striping balances better than worst-case: fold doc totals 9 vs 6
+    val totals = got.values.groupBy(_._2).view.mapValues(_.map(_._1).sum).toMap
+    assert(totals === Map(0L -> 9L, 1L -> 6L))
+  }
+
+  test("rebalancePlan: exact factors to the majority label") {
+    import spark.implicits._
+    val embs = (Seq.fill(6)(0) ++ Seq.fill(3)(1) ++ Seq.fill(2)(2))
+      .zipWithIndex.map { case (l, i) => (i.toLong, Seq(1f), l) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Prep.rebalancePlan(embs).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("target"),
+          r.getAs[Long]("factor_fp"), r.getAs[Double]("oversample_extra")))).toMap
+    graft.Caches.releaseAll()
+    assert(got === Map(
+      0 -> ((6L, 6L, 1000000L, 0.0)),
+      1 -> ((3L, 6L, 2000000L, 1.0)),
+      2 -> ((2L, 6L, 3000000L, 2.0))))
+  }
 }
