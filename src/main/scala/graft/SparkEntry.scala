@@ -261,6 +261,7 @@ object SparkEntry {
     "q231_modality_alignment" -> ((s, d) => Similarity.modalityAlignment(s, d)),
     "q232_group_kfold" -> ((s, d) => Prep.groupKFold(s, d)),
     "q233_rebalance_plan" -> ((s, d) => Prep.rebalancePlan(s, d)),
+    "q234_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5127,5 +5128,40 @@ object SparkEntry {
         |  (t.target * 1000000) // c.n AS factor_fp,
         |  CAST(t.target - c.n AS DOUBLE) / CAST(c.n AS DOUBLE) AS oversample_extra
         |FROM c CROSS JOIN t""".stripMargin,
+
+    // q234: q21's verified-pair CTE at threshold 0.8 + q40's md5-nibble
+    // split, rolled up by (split_a, split_b).
+    "q234_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8
+        |), sp AS (
+        |  SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+        |                      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |      ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |    FROM documents
+        |  )
+        |)
+        |SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs,
+        |  sa.split <> sb.split AS is_leak
+        |FROM p JOIN sp sa ON p.doc_a = sa.doc_id JOIN sp sb ON p.doc_b = sb.doc_id
+        |GROUP BY 1, 2, 4""".stripMargin,
   )
 }

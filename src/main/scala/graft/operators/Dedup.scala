@@ -1187,4 +1187,31 @@ object Dedup {
   def clusterSizeHistogram(s: SparkSession, dir: String): DataFrame =
     clusterSizeHistogram(
       Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
+
+  /** Split-leakage audit (q234): how many verified near-dup pairs CROSS
+    * the train/valid/test boundary (q40's hash split) — the eval-
+    * integrity number: every cross-split pair is a validation answer the
+    * model can memorize from train. Reported per (split_a, split_b)
+    * combination with the leak flag, so the report shows both the safe
+    * within-split mass and the leaking cross-split mass. (q232's
+    * group-integral folds exist precisely to drive this to zero when
+    * dups concentrate within sources.)
+    *
+    * Scale: the pair relation comes from the shingle equi-join
+    * (`ngramJaccard`, never all-pairs); the split columns are per-row
+    * md5 projections joined onto the pair endpoints by id.
+    */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccard(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val splits = Corpus.splitAssign(docs).select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+  }
+
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(s, dir))
 }

@@ -410,6 +410,24 @@ class DedupSpec extends SparkSpec {
     assert(run(0.8).toSeq === Seq((3L, 1L, 3L)))
   }
 
+  test("splitLeakage: pairs classified by their endpoints' hash splits") {
+    import org.apache.spark.sql.functions.col
+    // the near-dup group {0,1,2} (jaccard >= 0.8 pairwise) classifies by
+    // each doc's md5-bucket split; cross-check against splitAssign itself
+    val splits = graft.operators.Corpus.splitAssign(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val expected = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+      .groupBy { case (a, b) => (splits(a), splits(b)) }
+      .map { case ((sa, sb), ps) => (sa, sb, ps.size.toLong, sa != sb) }
+      .toSet
+    val got = Dedup.splitLeakage(corpus, threshold = 0.8).collect()
+      .map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b"),
+        r.getAs[Long]("n_pairs"), r.getAs[Boolean]("is_leak"))).toSet
+    graft.Caches.releaseAll()
+    assert(got === expected)
+    assert(got.map(_._3).sum === 3L, "all verified pairs classified")
+  }
+
   test("lshCostPlanner: count-derived candidate volume equals the materialized band join") {
     val docs = corpus
     val got = Dedup.lshCostPlanner(docs).collect()
