@@ -262,6 +262,7 @@ object SparkEntry {
     "q232_group_kfold" -> ((s, d) => Prep.groupKFold(s, d)),
     "q233_rebalance_plan" -> ((s, d) => Prep.rebalancePlan(s, d)),
     "q234_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
+    "q235_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5163,5 +5164,111 @@ object SparkEntry {
         |  sa.split <> sb.split AS is_leak
         |FROM p JOIN sp sa ON p.doc_a = sa.doc_id JOIN sp sb ON p.doc_b = sb.doc_id
         |GROUP BY 1, 2, 4""".stripMargin,
+
+    // q235: q61's trained-IVF chain (verbatim, through `scored`) + the
+    // exact brute-force top-5 from the shared qe/vn moments, rolled into
+    // per-query recall@5.
+    "q235_ivf_recall" ->
+      """WITH qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), vn AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qe GROUP BY 1
+        |), qc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qe WHERE vec_id < 8
+        |), cn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc0 GROUP BY 1
+        |), d1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d1 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a1 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m1
+        |), cn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc1 GROUP BY 1
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d2 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a2 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m2
+        |), cn2t AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc2 GROUP BY 1
+        |), d3 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN qc2 c ON c.pos = q.pos GROUP BY 1, 2
+        |), vc AS (
+        |  SELECT d.vec_id, d.cid,
+        |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS ccos
+        |  FROM d3 d JOIN vn v ON v.vec_id = d.vec_id JOIN cn2t c ON c.cid = d.cid
+        |), assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM vc
+        |  ) WHERE rn = 1
+        |), probe AS (
+        |  SELECT vec_id AS query_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+        |    FROM vc WHERE vec_id < 10
+        |  ) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a ON a.cid = p.cid WHERE a.vec_id != p.query_id
+        |), nd AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(qa.qx * qb.qx) AS dot
+        |  FROM cand c JOIN qe qa ON qa.vec_id = c.query_id
+        |  JOIN qe qb ON qb.vec_id = c.neighbor_id AND qb.pos = qa.pos
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT n.query_id, n.neighbor_id,
+        |    CAST(n.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
+        |  FROM nd n JOIN vn nq ON nq.vec_id = n.query_id JOIN vn nn ON nn.vec_id = n.neighbor_id
+        |)
+        , ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT s.query_id, s.neighbor_id,
+        |      row_number() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.neighbor_id) AS rn
+        |    FROM scored s
+        |  ) WHERE rn <= 5
+        |), bfd AS (
+        |  SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id, SUM(qa.qx * qb.qx) AS dot
+        |  FROM qe qa JOIN qe qb ON qb.pos = qa.pos AND qb.vec_id != qa.vec_id
+        |  WHERE qa.vec_id < 10 GROUP BY 1, 2
+        |), bf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT d.query_id, d.neighbor_id,
+        |      row_number() OVER (PARTITION BY d.query_id
+        |        ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(vq.n2 AS DOUBLE)) * sqrt(CAST(vb.n2 AS DOUBLE))) DESC, d.neighbor_id) AS rn
+        |    FROM bfd d JOIN vn vq ON vq.vec_id = d.query_id JOIN vn vb ON vb.vec_id = d.neighbor_id
+        |  ) WHERE rn <= 5
+        |), hits AS (
+        |  SELECT bf.query_id, COUNT(*) AS n_hit
+        |  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+        |  GROUP BY 1
+        |), tru AS (
+        |  SELECT query_id, COUNT(*) AS n_truth FROM bf GROUP BY 1
+        |)
+        |SELECT t.query_id, t.n_truth,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / nullif(CAST(t.n_truth AS DOUBLE), 0.0) AS recall
+        |FROM tru t LEFT JOIN hits h USING (query_id)""".stripMargin,
   )
 }

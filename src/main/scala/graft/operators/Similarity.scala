@@ -1134,4 +1134,34 @@ object Similarity {
 
   def modalityAlignment(s: SparkSession, dir: String): DataFrame =
     modalityAlignment(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
+  /** IVF recall audit (q235): per-query recall@k of the trained-IVF
+    * probe (q61) against the exact brute-force top-k (q24) — the q200
+    * discipline applied to the ANN index: an approximate index ships
+    * with its measured recall, not a hoped-for one. Unlike q200's
+    * quadratic ground truth, the exact side here is the BOUNDED query
+    * tier (nQueries × corpus, one broadcast pass), so this audit runs at
+    * full corpus scale.
+    */
+  def ivfRecallAudit(
+      emb: DataFrame,
+      nCells: Int = 8, iters: Int = 2, nProbe: Int = 2,
+      k: Int = 5, nQueries: Int = 10): DataFrame = {
+    // cached: the per-query truth counts and the hit semi-join both read it
+    val truth = Caches.track(
+      annBruteForceTopK(emb, k, nQueries).select(col("query_id"), col("neighbor_id")))
+    val approx = annIvfTrained(emb, nCells, iters, nProbe, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          nullif(col("n_truth").cast("double"), lit(0.0))).as("recall"))
+  }
+
+  def ivfRecallAudit(s: SparkSession, dir: String): DataFrame =
+    ivfRecallAudit(Tables.embeddings(s, dir))
 }

@@ -675,4 +675,19 @@ class SimilaritySpec extends SparkSpec {
     assert(got("en") === ((3L, 1.0, 200.0, 2.0)))
     assert(got("fr") === ((3L, -1.0, 200.0, 2.0)))
   }
+
+  test("ivfRecallAudit: probing every cell recovers exact recall 1.0") {
+    val e = graft.sources.Tables.embeddings(spark, sf0001)
+    val got = Similarity.ivfRecallAudit(
+      e, nCells = 4, iters = 2, nProbe = 4, k = 5, nQueries = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))
+    graft.Caches.releaseAll()
+    assert(got.length === 10)
+    got.foreach { case (q, nTruth, nHit, recall) =>
+      assert(nTruth === 5L, s"query $q")
+      assert(nHit === 5L && recall === 1.0,
+        s"full probe must equal brute force for query $q: hit=$nHit")
+    }
+  }
 }
