@@ -28,7 +28,8 @@ object PlanDump {
     "q205_source_divergence", "q206_cluster_keywords", "q208_cluster_purity",
     "q210_bpe_learn", "q219_skew_profile", "q220_join_cardinality",
     "q222_lsh_cost_planner", "q224_curriculum_order", "q225_shard_plan",
-    "q228_manifest_merge")
+    "q228_manifest_merge", "q229_embedding_covariance", "q230_pca_power",
+    "q234_split_leakage", "q235_ivf_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
