@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{KMinValues, MisraGries, BoundedTopK, Scored}
+import graft.functions.{GramMoments, KMinValues, MisraGries, BoundedTopK, Scored}
 
 /** Randomized property tests (fixed seeds — fully reproducible) for the
   * three bounded aggregation kernels the oracle-exactness story leans on.
@@ -96,6 +96,42 @@ class KernelPropertiesSpec extends AnyFunSuite {
           assert(m.contains(g), s"heavy element $g (count $c > $bound) evicted")
       }
       assert(m.size <= cap, "counter map exceeded cap")
+    }
+  }
+
+  test("GramMoments: partition- and merge-order-invariant, equals the sequential reference") {
+    val rnd = new scala.util.Random(20260814L)
+    val dims = 6
+    val gram = new GramMoments(dims, 1e4)
+    def fold(xs: List[Array[Float]]) = xs.foldLeft(gram.zero)(gram.reduce)
+    def canon(s: graft.functions.GramState) =
+      (s.n, s.sx.toSeq, s.sxy.toSeq)
+    (1 to Trials).foreach { _ =>
+      val n = rnd.nextInt(40)
+      val xs = List.fill(n)(Array.fill(dims)((rnd.nextFloat() - 0.5f) * 4f))
+      // sequential reference on exact integers
+      val q = xs.map(_.map(x => math.floor(x.toDouble * 1e4 + 0.5).toLong))
+      val refSx = (0 until dims).map(i => q.map(_(i)).sum)
+      val refSxy = for (i <- 0 until dims; j <- i until dims)
+        yield q.map(r => r(i) * r(j)).sum
+      val whole = canon(fold(xs))
+      assert(whole === ((n.toLong, refSx, refSxy.toSeq)))
+      // any partitioning + any merge order reproduces the same state
+      val parts = chunks(rnd, xs).map(fold)
+      val merged = rnd.shuffle(parts).foldLeft(gram.zero)(gram.merge)
+      assert(canon(merged) === whole)
+      // finish emits the full upper triangle consistently with the state
+      val entries = gram.finish(fold(xs))
+      assert(entries.length === dims * (dims + 1) / 2)
+      entries.foreach { e =>
+        assert(e.n === n.toLong)
+        assert(e.sx === refSx(e.i) && e.sy === refSx(e.j))
+      }
+      assert(entries.map(_.sxy) === refSxy)
+    }
+    // ragged input is a loud failure, never a silent truncation
+    intercept[IllegalArgumentException] {
+      gram.reduce(gram.zero, Array.fill(dims - 1)(0f))
     }
   }
 }
