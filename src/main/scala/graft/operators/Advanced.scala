@@ -25,7 +25,7 @@ object Advanced {
     */
   def rollupRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name"), col("o_orderstatus"))
       .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))

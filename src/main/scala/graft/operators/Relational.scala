@@ -47,23 +47,31 @@ object Relational {
         count(lit(1)).as("n"))
 
   /** Stream-static-style equi-join (SURVEY §2 #8): fact side stays
-    * partition-local; the 150-row dim broadcasts.
+    * partition-local; the user dim broadcasts — by AQE's size decision,
+    * not a forced hint: unlike the flagship's genuinely bounded 16-row
+    * tribute dim (ops/Status.scala, which keeps its hint), a user
+    * dimension scales with the user base, and presuming smallness in the
+    * static plan is the q195-class scale hazard. At every tested scale
+    * AQE still picks the broadcast (the pin asserts it).
     */
   def joinEnrichBroadcast(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("user_id") === col("c_custkey"))
       .select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         col("c_name"), col("c_mktsegment"))
 
   /** Multi-hop dimensional join + aggregate (SURVEY §2 #9 widened):
-    * orders ⋈ customer ⋈ nation ⋈ region → revenue per region. All dims
-    * broadcast; one shuffle for the final group-by.
+    * orders ⋈ customer ⋈ nation ⋈ region → revenue per region. The
+    * constant dims (nation 25, region 5) are hinted broadcasts; customer
+    * SCALES with the dataset, so its join is left to AQE's size decision
+    * (still a broadcast at every tested scale). One shuffle for the
+    * final group-by.
     */
   def joinMultiRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
@@ -257,7 +265,7 @@ object Relational {
     */
   def groupingSetsRevenue(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupingSets(
         Seq(Seq(col("n_name"), col("o_orderstatus")), Seq(col("n_name")), Seq(col("o_orderstatus"))),
@@ -335,7 +343,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -360,7 +368,7 @@ object Relational {
       .join(Tables.orders(s, dir).select(col("o_orderkey"),
         year(col("o_orderdate")).cast("long").as("yr")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === regionName)),
@@ -432,7 +440,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)
         .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),

@@ -762,6 +762,25 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("star joins: only CONSTANT dims are forced broadcasts; customer/supplier stay size-decided") {
+    withNoAutoBroadcast {
+      // expected = the constant-dim (nation/region) hints; customer and
+      // supplier SCALE with the dataset, so their joins must not carry a
+      // broadcast() hint in the initial plan (the q195-class guard)
+      for ((df, expected, label) <- Seq(
+          (Relational.joinEnrichBroadcast(spark, sf0001), 0, "q03"),
+          (Relational.joinMultiRevenue(spark, sf0001), 2, "q04"),
+          (graft.operators.Advanced.rollupRevenue(spark, sf0001), 1, "q28"),
+          (Relational.groupingSetsRevenue(spark, sf0001), 1, "q47"),
+          (Relational.localSupplierRevenue(spark, sf0001), 2, "q135"))) {
+        val (bhj, _) = initialJoins(df)
+        assert(bhj === expected,
+          s"$label: forced broadcasts must be exactly the constant dims " +
+            s"(got $bhj):\n${df.queryExecution.executedPlan}")
+      }
+    }
+  }
+
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
     val df = graft.operators.Quality.skewProfile(
       graft.sources.Tables.events(spark, sf0001))
