@@ -98,7 +98,14 @@ object ScaleSmoke {
     // O(N) Catalyst/janino PLAN time into what should be pure data-scale
     // time (q215's constant-size audit tier read super-linear purely from
     // that artifact). Amplification cost itself is untimed setup.
-    val base = s"/tmp/graft_scale_${mult}x"
+    // cache key carries the base SF dir and an amplification schema
+    // version: a bare /tmp/graft_scale_${mult}x would silently reuse an
+    // artifact amplified from a DIFFERENT base dataset or written by an
+    // older amplify* schema (e.g. embeddings before `label` was carried
+    // through) — bump ampVersion whenever an amplify* column set changes
+    val ampVersion = 2
+    val sfTag = new java.io.File(sfDir).getName
+    val base = s"/tmp/graft_scale_${sfTag}_v${ampVersion}_${mult}x"
     def materialize(name: String, df: DataFrame): DataFrame = {
       val path = s"$base/$name.parquet"
       if (!new java.io.File(path, "_SUCCESS").exists())

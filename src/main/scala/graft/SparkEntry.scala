@@ -1621,18 +1621,19 @@ object SparkEntry {
         |FROM agg LEFT JOIN dim ON agg.key IS NOT DISTINCT FROM dim.dkey""".stripMargin,
 
     // q91: the change batch is a pure function of the target (mod-7
-    // updates, mod-97 re-keyed inserts), so the oracle rebuilds it and
-    // applies MERGE semantics relationally.
+    // updates, mod-97 re-keyed inserts, both inside the fixed key window
+    // <= 10000 that keeps the batch constant-size at any SF), so the
+    // oracle rebuilds it and applies MERGE semantics relationally.
     "q91_merge_upsert" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |), upd AS (
         |  SELECT o_orderkey, o_custkey AS u_custkey,
         |    o_totalprice * CAST(1.05 AS DOUBLE) AS u_price
-        |  FROM t WHERE o_orderkey % 7 = 0
+        |  FROM t WHERE o_orderkey % 7 = 0 AND o_orderkey <= 10000
         |  UNION ALL
         |  SELECT o_orderkey + 6000000, o_custkey, CAST(100.0 AS DOUBLE)
-        |  FROM t WHERE o_orderkey % 97 = 0
+        |  FROM t WHERE o_orderkey % 97 = 0 AND o_orderkey <= 10000
         |)
         |SELECT o_orderkey, o_custkey, o_totalprice, 'keep' AS action
         |FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
@@ -5242,7 +5243,7 @@ object SparkEntry {
         |    CAST(n.dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nn.n2 AS DOUBLE))) AS cosine
         |  FROM nd n JOIN vn nq ON nq.vec_id = n.query_id JOIN vn nn ON nn.vec_id = n.neighbor_id
         |)
-        , ivf AS (
+        |, ivf AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT s.query_id, s.neighbor_id,
         |      row_number() OVER (PARTITION BY s.query_id ORDER BY s.cosine DESC, s.neighbor_id) AS rn

@@ -88,7 +88,9 @@ object Relational {
     val e = Tables.events(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
-    e.join(broadcast(c), col("user_id") === col("c_custkey"))
+    // customer scales with SF — no forced broadcast (AQE size-decides);
+    // nation is a constant 25-row dim, so its hint is safe at any scale.
+    e.join(c, col("user_id") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),

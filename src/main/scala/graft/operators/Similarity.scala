@@ -1000,10 +1000,13 @@ object Similarity {
     * Scale: one corpus pass; each row expands to its dims·(dims+1)/2
     * upper-triangle products which immediately enter a map-side-combined
     * aggregate — the shuffle carries ≤ 2080 rows per map task (64 dims),
-    * independent of corpus size. int64 headroom: |q| ≤ 2·10⁴ keeps
-    * n·Σxy < 2⁶³ to n ≈ 2·10⁹ vectors; past that, shard by vec-range
-    * and merge the (n, sxy, sx, sy) partials — they are exactly
-    * mergeable by design.
+    * independent of corpus size. Headroom: the MOMENTS are int64-safe to
+    * n ≈ 2·10⁹ vectors (|q| ≤ 2·10⁴ ⇒ Σxy ≤ 4·10⁸·n), but the final
+    * n·Σxy and Σx·Σy products carry an extra factor of n — int64 would
+    * overflow them at n ~ 1.5·10⁵ worst-case — so the combine is done in
+    * DECIMAL(38,0) (exact to 10³⁸, n ≈ 10¹⁰ worst-case) with one double
+    * conversion at the end; past that, shard by vec-range and merge the
+    * (n, sxy, sx, sy) partials — they are exactly mergeable by design.
     */
   def embeddingCovariance(emb: DataFrame, dims: Int = 64): DataFrame = {
     // one-pass typed aggregate (graft.functions.GramMoments): each map
@@ -1018,9 +1021,15 @@ object Similarity {
       .select(explode(col("g")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.n").as("n"),
         col("e.sxy").as("sxy"), col("e.sx").as("sx"), col("e.sy").as("sy"))
-      .withColumn("cov",
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("n")).cast("double") / lit(1e8))
+      .withColumn("cov", {
+        // exact DECIMAL(38,0) combine: n·Σxy and Σx·Σy overflow int64 at
+        // n ~ 1.5e5 vectors worst-case; decimal is exact to 1e38 and the
+        // single double conversion at the end is identical to DuckDB's
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val n = col("n").cast(dec)
+        ((n * col("sxy").cast(dec) - col("sx").cast(dec) * col("sy").cast(dec))
+          .cast("double") / (n * n).cast("double")) / lit(1e8)
+      })
   }
 
   def embeddingCovariance(s: SparkSession, dir: String): DataFrame =
@@ -1054,9 +1063,14 @@ object Similarity {
     // materialize the covariance before any of them caches it — an
     // eager dims²-row checkpoint runs the corpus pass exactly once
     val cov = embeddingCovariance(emb, dims)
-      .select(col("i"), col("j"),
-        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          lit(1073741824.0) + 0.5).cast("long").as("c"))
+      .select(col("i"), col("j"), {
+        // same DECIMAL(38,0) combine as the covariance output: the
+        // n·Σxy − Σx·Σy numerator overflows int64 at n ~ 1.5e5 vectors
+        val dec = DecimalType(38, 0)
+        floor((col("n").cast(dec) * col("sxy").cast(dec) -
+            col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+          lit(1073741824.0) + 0.5).cast("long").as("c")
+      })
       .localCheckpoint()
     val full = cov.unionAll(cov.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("c")))

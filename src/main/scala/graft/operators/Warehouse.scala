@@ -304,17 +304,27 @@ object Warehouse {
     * batch's key range.
     *
     * The change batch is derived deterministically from the target so the
-    * oracle can rebuild it: keys ≡0 (mod 7) get a 5% price bump
-    * (matched → update), keys ≡0 (mod 97) arrive re-keyed past the key
-    * space (not matched → insert).
+    * oracle can rebuild it: keys ≡0 (mod 7) INSIDE a fixed key window
+    * (≤ `BatchKeyCap`) get a 5% price bump (matched → update), keys ≡0
+    * (mod 97) in the window arrive re-keyed past the key space (not
+    * matched → insert). The cap is what makes the forced broadcast
+    * honest: without it the batch is a constant FRACTION of the target
+    * (1/7th — an SF-scaled relation that would blow the 8 GB broadcast
+    * ceiling long before 100 TB); with it the batch is a constant ≤1,532
+    * rows at every scale, the true small-batch CDC shape.
     */
+  /** Fixed key window bounding the synthetic change batch: ≤ ~1,429
+    * mod-7 updates + ~104 mod-97 inserts regardless of SF. */
+  val BatchKeyCap = 10000L
+
   def mergeUpsert(orders: DataFrame): DataFrame = {
     val target = orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-    val updates = target.filter(col("o_orderkey") % 7 === 0)
+    val window = target.filter(col("o_orderkey") <= lit(BatchKeyCap))
+    val updates = window.filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey"),
         col("o_custkey").as("u_custkey"),
         (col("o_totalprice") * lit(1.05)).as("u_price"))
-    val inserts = target.filter(col("o_orderkey") % 97 === 0)
+    val inserts = window.filter(col("o_orderkey") % 97 === 0)
       .select((col("o_orderkey") + lit(6000000L)).as("o_orderkey"),
         col("o_custkey").as("u_custkey"),
         lit(100.0).as("u_price"))

@@ -769,6 +769,7 @@ class PlanShapeSpec extends SparkSpec {
       // broadcast() hint in the initial plan (the q195-class guard)
       for ((df, expected, label) <- Seq(
           (Relational.joinEnrichBroadcast(spark, sf0001), 0, "q03"),
+          (Relational.statusBands(spark, sf0001), 1, "q05"),
           (Relational.joinMultiRevenue(spark, sf0001), 2, "q04"),
           (graft.operators.Advanced.rollupRevenue(spark, sf0001), 1, "q28"),
           (Relational.groupingSetsRevenue(spark, sf0001), 1, "q47"),
