@@ -848,7 +848,7 @@ object Corpus {
     .select(col("word"), col("n_word"),
       posexplode(split(col("word"), "")).as(Seq("pos0", "tok")))
     .select(col("word"), col("n_word"), (col("pos0") + 1).as("pos"), col("tok"))
-    .localCheckpoint(false)
+    .transform(graft.Checkpoints.truncate(_, eager = false))
 
   /** The BPE training loop shared by `bpeLearn` (returns the merge table)
     * and `bpeTokenize` (returns the merged token relation): `nMerges`
@@ -877,7 +877,7 @@ object Corpus {
         (best(0).getAs[String]("t1"), best(0).getAs[String]("t2"),
           best(0).getAs[Long]("cnt"))
       merges += ((step.toLong, t1, t2, cnt))
-      toks = applyMerge(toks, t1, t2).localCheckpoint(false)
+      toks = applyMerge(toks, t1, t2).transform(graft.Checkpoints.truncate(_, eager = false))
     }
     (merges.toSeq, toks)
   }

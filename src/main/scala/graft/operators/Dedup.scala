@@ -433,7 +433,10 @@ object Dedup {
     // partition by dst ONCE before caching so the cached partitioning
     // satisfies each iteration's join and only the label side moves
     val edges = rawEdges.repartition(width, col("dst")).persist()
-    // Labels are LINEAGE-TRUNCATED each superstep (localCheckpoint), not
+    // Labels are LINEAGE-TRUNCATED each superstep (Checkpoints.truncate:
+    // localCheckpoint, or reliable checkpoint() on a durable dir when
+    // spark.graft.checkpointDir is set — executor loss mid-superstep
+    // cannot kill the job on a real cluster), not
     // persist/unpersist-chained: unpersisting an iteration's cache entry
     // cascades through the CacheManager and silently rebuilds every
     // dependent cached plan from raw lineage — i.e. re-runs the whole LSH
@@ -447,7 +450,7 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .withColumnRenamed("src", "doc_id")
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate(_))
     // Convergence: labels are min-monotone (each superstep can only lower
     // them), so the fixpoint is reached exactly when the label SUM stops
     // decreasing — one scalar per superstep, no compare-join. One
@@ -466,7 +469,7 @@ object Dedup {
       // action that materializes it — one job per superstep, not two
       val next = labels.unionAll(propagated)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(false)
+        .transform(graft.Checkpoints.truncate(_, eager = false))
       val s = next.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
       labels = next

@@ -216,7 +216,7 @@ object Similarity {
     val e = Caches.track(prepared(emb))
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate(_))
     (1 to iters).foreach { _ =>
       val vc = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cid"), col("embedding"),
@@ -242,7 +242,7 @@ object Similarity {
           (col("s").cast("double") / (col("n") * 1e8)).cast("float").as("m")))).as("pm"))
         .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("ce"))
         .withColumn("cn2", FixedPoint.normSqF(col("ce")))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate(_))
     }
     cents.select(col("cid"), col("ce"))
   }
@@ -1071,7 +1071,7 @@ object Similarity {
             col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
           lit(1073741824.0) + 0.5).cast("long").as("c")
       })
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate(_))
     val full = cov.unionAll(cov.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("c")))
     var v: DataFrame = session.range(dims.toLong)
@@ -1085,7 +1085,7 @@ object Similarity {
           floor(col("w").cast("double") /
             sqrt(nullif(col("n2").cast("double"), lit(0.0))) * 1e6 + 0.5)
             .cast("long").as("val"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate(_))
     }
     val vc = v
     val cv = full.join(vc, col("j") === col("vi"))

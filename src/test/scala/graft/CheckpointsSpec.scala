@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.Dedup
+
+/** The reliable-checkpoint seam: with `spark.graft.checkpointDir` set,
+  * every iterative operator's lineage truncation routes through durable
+  * `checkpoint()` (survives executor loss on a real cluster) instead of
+  * `localCheckpoint()` — same results, one config knob.
+  */
+class CheckpointsSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("dupClusters with spark.graft.checkpointDir set: same clusters, durable checkpoint files written") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val baseline = canon(Dedup.dupClusters(docs, bands = 4, rowsPerBand = 2, threshold = 0.8))
+
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val routed = canon(Dedup.dupClusters(docs, bands = 4, rowsPerBand = 2, threshold = 0.8))
+      assert(routed === baseline,
+        "reliable-checkpoint run must be bit-identical to the localCheckpoint run")
+      // setCheckpointDir mints a UUID subdir under the knob's dir; the
+      // superstep RDDs must have landed there
+      val files = Files.walk(Paths.get(dir)).filter(Files.isRegularFile(_)).count()
+      assert(files > 0, s"expected checkpoint part files under $dir")
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+    }
+  }
+
+  test("truncate without the knob stays local: no checkpoint dir demanded") {
+    // guards the default path — localCheckpoint must not require
+    // SparkContext.setCheckpointDir
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(Checkpoints.truncate(df).collect().map(_.getInt(0)).sorted === Array(1, 2, 3))
+  }
+}
