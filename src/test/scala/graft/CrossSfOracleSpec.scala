@@ -633,4 +633,104 @@ class CrossSfOracleSpec extends SparkSpec {
       assert(got.size === dims * (dims + 1) / 2)
     }
   }
+
+  // ---- q230: fixed-point power iteration over the exact moments ----
+
+  test("q230 pca_power matches a plain-JVM power-iteration recompute at sf0.001 and sf0.1") {
+    val dims = 64
+    val iters = 4
+    for (dir <- Seq(sf0001, sf01)) {
+      val q = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray
+          .map(x => math.floor(x.toDouble * 1e4 + 0.5).toLong))
+      val n = q.length.toLong
+      val sx = Array.ofDim[Long](dims)
+      q.foreach { r => var i = 0; while (i < dims) { sx(i) += r(i); i += 1 } }
+      // downscaled symmetric covariance numerator, the DECIMAL(38,0)
+      // combine mirrored with BigInt then the same double floor
+      val c = Array.ofDim[Long](dims, dims)
+      for (i <- 0 until dims; j <- i until dims) {
+        var sxy = 0L
+        q.foreach(r => sxy += r(i) * r(j))
+        val num = BigInt(n) * sxy - BigInt(sx(i)) * sx(j)
+        val cc = math.floor(num.toDouble / 1073741824.0 + 0.5).toLong
+        c(i)(j) = cc; c(j)(i) = cc
+      }
+      // v0 = 1e6 everywhere; each step: w = C·v (int64), n2 = Σw² exact,
+      // v = floor(w / sqrt(n2) * 1e6 + 0.5) — same op order as the plan
+      var v = Array.fill(dims)(1000000L)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dims) { i =>
+          var acc = 0L; var j = 0
+          while (j < dims) { acc += c(i)(j) * v(j); j += 1 }; acc
+        }
+        val n2 = w.map(x => BigInt(x) * x).sum
+        v = w.map(x =>
+          math.floor(x.toDouble / math.sqrt(n2.toDouble) * 1e6 + 0.5).toLong)
+      }
+      val cv = Array.tabulate(dims) { i =>
+        var acc = 0L; var j = 0
+        while (j < dims) { acc += c(i)(j) * v(j); j += 1 }; acc
+      }
+      val num = (0 until dims).map(i => BigInt(cv(i)) * v(i)).sum
+      val den = (0 until dims).map(i => v(i) * v(i)).sum
+      val tr = (0 until dims).map(i => c(i)(i)).sum
+      val expected = (0 until dims).map { i =>
+        i -> ((v(i).toDouble / 1e6,
+          num.toDouble / den.toDouble / tr.toDouble))
+      }.toMap
+      val got = Similarity.pcaPower(
+        graft.sources.Tables.embeddings(spark, dir), dims, iters).collect()
+        .map(r => r.getAs[Int]("dim") ->
+          ((r.getAs[Double]("loading"), r.getAs[Double]("var_share")))).toMap
+      assert(got === expected, s"q230 diverged from the JVM power-iteration recompute at $dir")
+      assert(got.size === dims)
+    }
+  }
+
+  // ---- q231: per-language exact-moment Pearson over the doc⋈emb join ----
+
+  test("q231 modality_alignment matches a BigInt moments recompute at sf0.001 and sf0.1") {
+    for (dir <- Seq(sf0001, sf01)) {
+      val chars = docs(dir).map { case (id, _, lang, _, nChars) => id -> ((lang, nChars)) }.toMap
+      val norms = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map { r =>
+          val e = r.getSeq[Float](1).toArray
+          r.getLong(0) -> math.floor(math.sqrt(qdot(e, e).toDouble) + 0.5).toLong
+        }.toMap
+      case class M(var n: Long = 0L, var sx: BigInt = 0, var sy: BigInt = 0,
+                   var sxy: BigInt = 0, var sxx: BigInt = 0, var syy: BigInt = 0)
+      val acc = scala.collection.mutable.HashMap.empty[String, M]
+      norms.foreach { case (id, norm) =>
+        chars.get(id).foreach { case (lang, nc) =>
+          val m = acc.getOrElseUpdate(lang, M())
+          m.n += 1; m.sx += nc; m.sy += norm
+          // per-row products are int64 in the plan; the SUM is decimal
+          m.sxy += nc * norm; m.sxx += nc * nc
+          m.syy += BigInt(norm) * norm
+        }
+      }
+      val expected = acc.map { case (lang, m) =>
+        val den = (BigInt(m.n) * m.sxx - m.sx * m.sx).toDouble *
+          (BigInt(m.n) * m.syy - m.sy * m.sy).toDouble
+        val corr =
+          if (den == 0.0) None
+          else Some((BigInt(m.n) * m.sxy - m.sx * m.sy).toDouble / math.sqrt(den))
+        lang -> ((m.n, corr,
+          m.sx.toDouble / m.n.toDouble,
+          m.sy.toDouble / m.n.toDouble / 1e8))
+      }.toMap
+      val got = Similarity.modalityAlignment(
+        graft.sources.Tables.documents(spark, dir),
+        graft.sources.Tables.embeddings(spark, dir)).collect()
+        .map(r => r.getAs[String]("lang") ->
+          ((r.getAs[Long]("n"),
+            Option(r.getAs[java.lang.Double]("corr")).map(_.doubleValue),
+            r.getAs[Double]("mean_chars"), r.getAs[Double]("mean_norm")))).toMap
+      assert(got === expected, s"q231 diverged from the BigInt moments recompute at $dir")
+      assert(got.nonEmpty, s"q231 must cover the language set at $dir")
+    }
+  }
 }
