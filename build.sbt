@@ -35,3 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=2g",
   "-XX:+UseCodeCacheFlushing",
 )
+// Extra forked-JVM flags for GC experiments without editing the build,
+// e.g. SPARK_JAVA_OPTS="-XX:+UseParallelGC" sbt "runMain graft.ScaleSmoke ..."
+javaOptions ++= sys.env.get("SPARK_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

@@ -88,6 +88,15 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.ui.enabled", "false")
+      // Off-heap execution memory: the q121 wedge join's sort/shuffle
+      // buffers were the round-10 GC-bimodality source (best-of-3 solo
+      // reps spanned 2× run-to-run under G1). An interleaved A/B at 30×
+      // (round 11) measured default-G1 rep spreads of 1.97×/2.03×
+      // against 1.28× off-heap at the same best time; ParallelGC, a 64g
+      // heap, a 30–60% young gen, and 32m G1 regions all lost. Tungsten
+      // buffers simply don't belong on the GC'd heap at this scale.
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
