@@ -263,6 +263,8 @@ object SparkEntry {
     "q233_rebalance_plan" -> ((s, d) => Prep.rebalancePlan(s, d)),
     "q234_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
     "q235_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(s, d)),
+    "q236_lm_fluency" -> ((s, d) => Corpus.lmFluency(s, d)),
+    "q237_repetition_profile" -> ((s, d) => Corpus.repetitionProfile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5271,5 +5273,52 @@ object SparkEntry {
         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
         |  CAST(coalesce(h.n_hit, 0) AS DOUBLE) / nullif(CAST(t.n_truth AS DOUBLE), 0.0) AS recall
         |FROM tru t LEFT JOIN hits h USING (query_id)""".stripMargin,
+
+    // q236: add-one bigram LM fluency — every term is one integer floor
+    // division on the 1e6 grid (no transcendental ln, see scaladoc); the
+    // per-doc sum goes through the VARCHAR→DOUBLE parse (DuckDB's direct
+    // HUGEINT→DOUBLE cast is not correctly rounded past 2^53).
+    "q236_lm_fluency" ->
+      """WITH bg AS (
+        |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+        |  FROM (
+        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  )
+        |), b2 AS (
+        |  SELECT bigram, COUNT(*) AS n12 FROM bg GROUP BY 1
+        |), h1 AS (
+        |  SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1
+        |), voc AS (
+        |  SELECT COUNT(*) AS v FROM h1
+        |), sc AS (
+        |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM((1000000 * (h1.n1 + voc.v)) // (b2.n12 + 1)) AS s
+        |  FROM bg JOIN b2 USING (bigram) JOIN h1 USING (w1) CROSS JOIN voc
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6
+        |    AS mean_inv_p
+        |FROM sc""".stripMargin,
+
+    // q237: Gopher/MassiveText intra-doc repetition rules — exact integer
+    // counts, two double-division ratios, 0.20 top-share flag.
+    "q237_repetition_profile" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), pg AS (
+        |  SELECT doc_id, g, COUNT(*) AS n FROM g GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, SUM(n) AS n_grams, MAX(n) AS top_gram_n,
+        |    SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_mass
+        |  FROM pg GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_share,
+        |  CAST(dup_mass AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_share,
+        |  CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.20 AS flagged
+        |FROM agg""".stripMargin,
   )
 }

@@ -1044,4 +1044,100 @@ object Corpus {
       docs.filter(col("doc_id") % 10 =!= 0),
       docs.filter(col("doc_id") % 10 === 0))
   }
+
+  /** Corpus-LM fluency scoring (q236) — the CCNet/RedPajama "perplexity
+    * filter" shape: train an add-one-smoothed bigram LM on the corpus
+    * itself, then score every document by how surprising the LM finds
+    * it; downstream curation keeps the fluent band and drops gibberish
+    * and boilerplate extremes. The statistic here is the mean INVERSE
+    * conditional probability per bigram, `mean((n(w1)+V) / (n(w1,w2)+1))`
+    * — perplexity's arithmetic-mean sibling (perplexity is the geometric
+    * mean of the same inverse probabilities). The swap is deliberate:
+    * log-probabilities need a transcendental `ln` whose last ulp differs
+    * across libms, while each inverse probability here is one integer
+    * floor-division on the 1e6 grid — exact in any engine, so the score
+    * is bit-identical across Spark, DuckDB, partitionings, and reruns.
+    * Ranking behavior matches the log form where filtering happens (the
+    * arithmetic mean upweights a document's worst bigrams — which is
+    * what a junk filter wants).
+    *
+    * Scale: three corpus passes over exploded bigrams (count by bigram,
+    * count by head word, score join), every shuffle keyed by a
+    * high-cardinality key with map-side partials; the vocabulary size
+    * rides a one-row broadcast. No driver loops, nothing quadratic.
+    * int64 headroom: the per-bigram term is ≤ 1e6·(n(w1)+V), so heads
+    * stay exact to n(w1) ≈ 9·10¹²; the per-document SUM of terms is
+    * combined in DECIMAL(38,0) (the modalityAlignment discipline) with
+    * one correctly-rounded double conversion at the end.
+    */
+  def lmFluency(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val db = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(Text.bigrams(col("w"))).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1)))
+    val bg = db.groupBy(col("bigram")).agg(count(lit(1)).as("n12"))
+    val heads = Caches.track(db.groupBy(col("w1")).agg(count(lit(1)).as("n1")))
+    val vocab = heads.agg(count(lit(1)).as("v"))
+    db.hint("shuffle_hash").join(bg.hint("shuffle_hash"), "bigram")
+      .join(heads.hint("shuffle_hash"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("inv_p_micro",
+        expr("(1000000 * (n1 + v)) div (n12 + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("inv_p_micro").cast(dec)).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / col("n_bigrams").cast("double") / 1e6)
+          .as("mean_inv_p"))
+  }
+
+  def lmFluency(s: SparkSession, dir: String): DataFrame =
+    lmFluency(Tables.documents(s, dir))
+
+  /** Intra-document repetition profile (q237) — the Gopher/MassiveText
+    * repetition rules: a document whose 2-gram mass concentrates in a
+    * few phrases is boilerplate or degenerate generation, filtered
+    * before training regardless of its other quality signals. Per
+    * document: total 2-grams, the share held by the single most frequent
+    * 2-gram (`top_share` — MassiveText cuts top-2-gram share > 0.20),
+    * and the share of 2-gram occurrences whose 2-gram repeats at all
+    * (`dup_share` — the duplicate-n-gram-fraction family). `flagged`
+    * applies the published 0.20 top-share threshold. Counts are exact
+    * integers; the two ratios are single double divisions, identical in
+    * any engine. Distinct from [[graft.operators.Dedup.boilerplate]],
+    * which measures CROSS-document repeated passages per source — this
+    * is the within-document rule.
+    *
+    * Scale: one repartition by doc_id moves the raw text once; both
+    * aggregations (per-(doc, gram), then per-doc) are satisfied by that
+    * partitioning, so the explode's ~word-count× row multiplication
+    * never crosses the wire — zero aggregate exchanges after the one
+    * text shuffle, the boilerplate-operator discipline.
+    */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(Text.bigrams(col("w"))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_grams"),
+        max(col("n")).as("top_gram_n"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_mass"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("top_gram_n").cast("double") / col("n_grams").cast("double"))
+          .as("top_share"),
+        (col("dup_mass").cast("double") / col("n_grams").cast("double"))
+          .as("dup_share"),
+        (col("top_gram_n").cast("double") / col("n_grams").cast("double")
+          > 0.20).as("flagged"))
+  }
+
+  def repetitionProfile(s: SparkSession, dir: String): DataFrame =
+    repetitionProfile(Tables.documents(s, dir))
 }

@@ -475,4 +475,50 @@ class CorpusSpec extends SparkSpec {
     graft.Caches.releaseAll()
     assert(merged === canon(Corpus.sourceManifest(full)))
   }
+
+  test("lmFluency: hand-checked add-one bigram scores; repeated phrasing scores more fluent") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x3 (docs 10,11,12), "a z" x1 (doc 13)
+    // heads: a x4 -> n1(a)=4; V (distinct heads) = 1
+    val docs = Seq(
+      (10L, "a b"), (11L, "a b"), (12L, "a b"), (13L, "a z"),
+      (14L, "solo"), // single word: no bigrams, absent from output
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val out = Corpus.lmFluency(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_p")))).toMap
+    graft.Caches.releaseAll()
+    assert(out.keySet === Set(10L, 11L, 12L, 13L))
+    // "a b": inv_p = floor(1e6*(4+1)/(3+1))/1e6 = 1.25
+    assert(out(10L) === ((1L, 1.25)))
+    // "a z": floor(1e6*5/2)/1e6 = 2.5 — rarer continuation, less fluent
+    assert(out(13L) === ((1L, 2.5)))
+    assert(out(13L)._2 > out(10L)._2)
+  }
+
+  test("repetitionProfile: exact shares and the 0.20 top-share flag") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 bigrams: "x y","y x","x y","y x" -> top 2/4, dup 4/4, flagged
+      (0L, "x y x y x"),
+      // 4 distinct bigrams -> top 1/4 = 0.25, dup 0, still flagged (>0.2)
+      (1L, "a b c d e"),
+      // 9 bigrams, all distinct -> top 1/9 < 0.2, not flagged
+      (2L, "p q r s t u v w x y"),
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val out = Corpus.repetitionProfile(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("top_share"),
+          r.getAs[Double]("dup_share"), r.getAs[Boolean]("flagged")))).toMap
+    assert(out(0L) === ((4L, 0.5, 1.0, true)))
+    assert(out(1L) === ((4L, 0.25, 0.0, true)))
+    assert(out(2L)._1 === 9L)
+    assert(!out(2L)._4)
+  }
 }

@@ -782,6 +782,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q237: both repetition aggregates ride the one text repartition — no aggregate exchanges") {
+    val df = graft.operators.Corpus.repetitionProfile(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(shuffles(plan) === 1,
+      s"one doc_id repartition, zero exchanges after the explode:\n$plan")
+  }
+
+  test("q236: LM count joins are shuffle_hash, never broadcast (the tables scale with the corpus)") {
+    val df = graft.operators.Corpus.lmFluency(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"plan readable:\n$plan")
+    val (bhj, _) = initialJoins(df)
+    // the only broadcast is the one-row vocabulary scalar
+    assert(bhj <= 1,
+      s"bigram/head count joins must not broadcast (corpus-scaled):\n$plan")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
     val df = graft.operators.Quality.skewProfile(
       graft.sources.Tables.events(spark, sf0001))
