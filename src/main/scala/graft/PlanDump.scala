@@ -16,6 +16,7 @@ object PlanDump {
 
   private val defaults = Seq(
     "q01_scan_filter_project", "q03_join_enrich_broadcast",
+    "q05_status_bands",
     "q22_dedup_minhash_lsh", "q24_ann_topk", "q35_ann_ivf",
     "q56_dup_clusters", "q61_ann_ivf_trained", "q70_bucketed_join",
     "q71_salted_skew_join", "q78_inverted_index", "q80_source_overlap",
@@ -29,7 +30,8 @@ object PlanDump {
     "q210_bpe_learn", "q219_skew_profile", "q220_join_cardinality",
     "q222_lsh_cost_planner", "q224_curriculum_order", "q225_shard_plan",
     "q228_manifest_merge", "q229_embedding_covariance", "q230_pca_power",
-    "q234_split_leakage", "q235_ivf_recall")
+    "q234_split_leakage", "q235_ivf_recall", "q236_lm_fluency",
+    "q237_repetition_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
