@@ -228,7 +228,9 @@ object ScaleSmoke {
           docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
       },
       timed("q229") { graft.operators.Similarity.embeddingCovariance(emb) },
-      timed("q230") { graft.operators.Similarity.pcaPower(emb) })
+      timed("q230") { graft.operators.Similarity.pcaPower(emb) },
+      timed("q236") { graft.operators.Corpus.lmFluency(docs) },
+      timed("q237") { graft.operators.Corpus.repetitionProfile(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -422,6 +422,62 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
   }
 
+  /** Streaming LM-fluency monitor — the continuous-ingestion twin of the
+    * batch corpus-LM scorer (operators/Corpus.lmFluency, q236): arriving
+    * documents are scored against a bigram LM TRAINED ON THE STATIC
+    * CORPUS, the gate a live ingestion pipeline actually runs (train the
+    * LM on yesterday's curated corpus, score today's crawl as it
+    * lands). Same integer-exact statistic as the batch op: mean inverse
+    * add-one conditional probability on the 1e6 grid — so when the
+    * stream replays the corpus itself, per-document scores are
+    * BIT-IDENTICAL to the batch q236 run (spec-asserted).
+    *
+    * Mechanics: the bigram/head count tables are one-time batch
+    * aggregates over the static corpus (tracked caches); the stream side
+    * is a stateless explode + two stream-static left joins (unseen
+    * bigrams/heads coalesce to 0 — add-one smoothing already prices the
+    * unseen case), then one watermarked per-(window, doc) aggregation.
+    * The only stream state is that windowed aggregate, evicted by the
+    * watermark; the vocabulary size is a one-row bounded action on the
+    * static side at plan-build time.
+    */
+  def fluencyMonitor(
+      stream: DataFrame,
+      corpus: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val db = corpus
+      .select(Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(Text.bigrams(col("w"))).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+    val bg = graft.Caches.track(
+      db.groupBy(col("bigram")).agg(count(lit(1)).as("n12")))
+    val heads = graft.Caches.track(
+      db.groupBy(col("w1")).agg(count(lit(1)).as("n1")))
+    val v = heads.count() // bounded static-side scalar (|vocabulary| rows)
+    stream.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("ts"),
+        explode(Text.bigrams(col("w"))).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .join(bg, Seq("bigram"), "left")
+      .join(heads, Seq("w1"), "left")
+      .withColumn("inv_p_micro",
+        expr(s"(1000000 * (coalesce(n1, 0) + $v)) div (coalesce(n12, 0) + 1)"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("inv_p_micro").cast(dec)).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / col("n_bigrams").cast("double") / 1e6)
+          .as("mean_inv_p"))
+  }
+
   /** Streaming heavy-hitter monitor — the continuous-ingestion twin of
     * the batch two-pass heavy hitters (operators/Corpus.heavyHitters):
     * per-shard Misra–Gries summaries in the state store, so a pipeline

@@ -443,6 +443,42 @@ class StreamingOpsSpec extends SparkSpec {
       s"registered q207 twin must equal the streaming monitor: $twin vs $rows")
   }
 
+  test("fluency monitor scores a corpus replay bit-identically to the batch q236 LM") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "a b"), (11L, "a b"), (12L, "a b"), (13L, "a z"),
+      (14L, "b a c"),
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[StreamTextDoc]
+    mem.addData(
+      StreamTextDoc(10L, "a b", ts("2026-01-01 00:01:00")),
+      StreamTextDoc(13L, "a z", ts("2026-01-01 00:05:00")),
+      StreamTextDoc(14L, "b a c", ts("2026-01-01 00:10:00")),
+      // entirely unseen text: every head/bigram coalesces to 0, score
+      // collapses to exactly V (the add-one unseen price)
+      StreamTextDoc(99L, "q q q", ts("2026-01-01 00:15:00")))
+    val q = StreamingOps.fluencyMonitor(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("fluency")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.Caches.releaseAll()
+
+    val got = spark.table("fluency")
+      .select($"doc_id", $"mean_inv_p").as[(Long, Double)].collect().toMap
+    // V = distinct heads in corpus = {a, b} = 2
+    assert(got(99L) === 2.0, s"unseen text must score exactly V: $got")
+    // replayed corpus docs score exactly as the batch LM trained on the
+    // same corpus
+    val batch = graft.operators.Corpus.lmFluency(
+        corpus.withColumn("lang", org.apache.spark.sql.functions.lit("en")))
+      .select($"doc_id", $"mean_inv_p").as[(Long, Double)].collect().toMap
+    graft.Caches.releaseAll()
+    for (id <- Seq(10L, 13L, 14L))
+      assert(got(id) === batch(id),
+        s"streaming score for doc $id must equal batch q236: ${got(id)} vs ${batch(id)}")
+  }
+
   test("uniques monitor sketches distinct actives per day (streaming = q209 batch twin, both paths)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
