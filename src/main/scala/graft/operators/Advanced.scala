@@ -1478,7 +1478,11 @@ object Advanced {
       .select(col("o_custkey"), col("n").as("n_gaps"),
         (col("s1").cast("double") / nD).as("mean_gap_days"),
         when(col("s1") === 0, lit(null)).otherwise(
-          sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+          // n·Σg² and (Σg)² combined in DECIMAL(38,0): per-customer
+          // int64 would cap out near n ≈ 1e6 gaps of 1e4 days (the
+          // covariance-kernel overflow class); exact to 1e38 this way
+          sqrt((col("n").cast(DecimalType(38, 0)) * col("s2") -
+              col("s1").cast(DecimalType(38, 0)) * col("s1")).cast("double") /
             (nD * (nD - lit(1.0)))) / (col("s1").cast("double") / nD))
           .as("cv"))
   }
@@ -1843,7 +1847,10 @@ object Advanced {
         sum((col("y").cast(DecimalType(38, 0)) * col("y"))).as("syy"))
     val cov = (col("n").cast(DecimalType(38, 0)) * col("sxy") -
       col("sx").cast(DecimalType(38, 0)) * col("sy")).cast("double")
-    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    // n·Σx² - (Σx)² in decimal too: p_size ≤ 50 keeps the MOMENTS tiny,
+    // but the n× products grow with the brand's row count squared
+    val vx = (col("n").cast(DecimalType(38, 0)) * col("sxx") -
+      col("sx").cast(DecimalType(38, 0)) * col("sx")).cast("double")
     val vy = (col("n").cast(DecimalType(38, 0)) * col("syy") -
       col("sy").cast(DecimalType(38, 0)) * col("sy")).cast("double")
     m.select(col("p_brand"), col("n"),
