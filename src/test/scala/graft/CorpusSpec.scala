@@ -499,6 +499,56 @@ class CorpusSpec extends SparkSpec {
     assert(out(13L)._2 > out(10L)._2)
   }
 
+  test("lmFluency and repetitionProfile: partition-invariant and equal to a plain-JVM recompute on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val vocabPool = Vector("a", "b", "c", "dd", "ee", "fff", "gg", "hh", "ii", "jj")
+    val texts = (0L until 40L).map { id =>
+      val n = 2 + rnd.nextInt(30)
+      id -> Seq.fill(n)(vocabPool(rnd.nextInt(vocabPool.length))).mkString(" ")
+    }
+    val base = texts.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+
+    // plain-JVM twin of the add-one bigram LM score
+    val bigrams = texts.flatMap { case (id, t) =>
+      val w = t.split(" ", -1); w.sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0) + " " + p(1), p(0))).toSeq
+    }
+    val n12 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n1 = bigrams.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val v = n1.size.toLong
+    val expFluency = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, bg, w1) =>
+        (1000000L * (n1(w1) + v)) / (n12(bg) + 1L)
+      }.sum
+      id -> ((bs.size.toLong, s.toDouble / bs.size.toDouble / 1e6))
+    }
+    val expRep = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val cnt = bs.groupBy(_._2).map(_._2.size.toLong)
+      val tot = cnt.sum; val top = cnt.max
+      val dup = cnt.filter(_ >= 2).sum
+      id -> ((tot, top.toDouble / tot.toDouble, dup.toDouble / tot.toDouble,
+        top.toDouble / tot.toDouble > 0.20))
+    }
+
+    for (parts <- Seq(1, 7)) {
+      val docs = base.repartition(parts)
+      val gotF = Corpus.lmFluency(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_p")))).toMap
+      graft.Caches.releaseAll()
+      assert(gotF === expFluency, s"lmFluency diverged at $parts partitions")
+      val gotR = Corpus.repetitionProfile(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Double]("top_share"),
+            r.getAs[Double]("dup_share"), r.getAs[Boolean]("flagged")))).toMap
+      assert(gotR === expRep, s"repetitionProfile diverged at $parts partitions")
+    }
+  }
+
   test("repetitionProfile: exact shares and the 0.20 top-share flag") {
     import spark.implicits._
     val docs = Seq(
