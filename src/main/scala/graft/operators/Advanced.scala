@@ -1018,7 +1018,13 @@ object Advanced {
     // in-task expansion (groupBy(u) + collect_list + C(d,2) explode) ran
     // 74–79 s (per-row adjacency arrays allocate more than the merge
     // join sorts). Measurement beats theory here; leave the planner its
-    // choice.
+    // choice. Re-A/B'd in round 11 under off-heap Tungsten memory (the
+    // GC objection to SHJ no longer applies — build maps go through the
+    // task memory manager): shuffle_hash reached parity at 30× (30.0 s
+    // vs 25.9 unhinted) but lost ~2× again at 100× (196.2 s vs 104.2) —
+    // 32 concurrent build maps over a 60M-row edge relation exceed even
+    // off-heap headroom while sort-merge degrades gracefully. Unhinted
+    // stays correct at every measured decade.
     val wedges = fwd.as("x").join(fwd.as("y"),
       col("x.u") === col("y.u") &&
         (col("x.dv") < col("y.dv") ||

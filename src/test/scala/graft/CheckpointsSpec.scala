@@ -33,6 +33,25 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCentroids and bpeLearn route through the knob with identical results") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val kmBase = canon(graft.operators.Similarity.kmeansCentroids(emb, k = 4, iters = 2))
+    val bpeBase = canon(graft.operators.Corpus.bpeLearn(docs))
+    graft.Caches.releaseAll()
+
+    val dir = Files.createTempDirectory("graft_ckpt2").toString
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      assert(canon(graft.operators.Similarity.kmeansCentroids(emb, k = 4, iters = 2)) === kmBase)
+      graft.Caches.releaseAll()
+      assert(canon(graft.operators.Corpus.bpeLearn(docs)) === bpeBase)
+      graft.Caches.releaseAll()
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+    }
+  }
+
   test("truncate without the knob stays local: no checkpoint dir demanded") {
     // guards the default path — localCheckpoint must not require
     // SparkContext.setCheckpointDir
