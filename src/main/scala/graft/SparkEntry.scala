@@ -265,6 +265,7 @@ object SparkEntry {
     "q235_ivf_recall" -> ((s, d) => Similarity.ivfRecallAudit(s, d)),
     "q236_lm_fluency" -> ((s, d) => Corpus.lmFluency(s, d)),
     "q237_repetition_profile" -> ((s, d) => Corpus.repetitionProfile(s, d)),
+    "q238_key_overlap" -> ((s, d) => Quality.keyOverlapSketch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5320,5 +5321,45 @@ object SparkEntry {
         |  CAST(dup_mass AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_share,
         |  CAST(top_gram_n AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.20 AS flagged
         |FROM agg""".stripMargin,
+
+    // q238: KMV key-overlap sketches — the q209 min-k idiom on both key
+    // populations plus their union, inclusion-exclusion overlap, exact
+    // below k=64, the 63<<48 inversion above.
+    "q238_key_overlap" ->
+      """WITH hx AS (
+        |  SELECT DISTINCT 'a' AS side, md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders
+        |  UNION
+        |  SELECT DISTINCT 'b', md5(CAST(user_id AS VARCHAR)) FROM events
+        |), hh AS (
+        |  SELECT side, m,
+        |    SUM(((instr('0123456789abcdef', substr(m, CAST(j + 1 AS INT), 1)) - 1)::BIGINT) << CAST((11 - j) * 4 AS INT)) AS h
+        |  FROM hx, range(0, 12) r(j) GROUP BY side, m
+        |), ka AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS nd
+        |  FROM hh WHERE side = 'a'
+        |), kb AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS nd
+        |  FROM hh WHERE side = 'b'
+        |), ku AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS nd
+        |  FROM (SELECT DISTINCT h FROM hh)
+        |), est AS (
+        |  SELECT
+        |    (SELECT CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |       ELSE 17732923532771328 // MAX(CASE WHEN rn = 64 THEN h END) END AS BIGINT) FROM ka) AS ndv_a,
+        |    (SELECT CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |       ELSE 17732923532771328 // MAX(CASE WHEN rn = 64 THEN h END) END AS BIGINT) FROM kb) AS ndv_b,
+        |    (SELECT CAST(CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+        |       ELSE 17732923532771328 // MAX(CASE WHEN rn = 64 THEN h END) END AS BIGINT) FROM ku) AS ndv_union
+        |), ov AS (
+        |  SELECT ndv_a, ndv_b, ndv_union,
+        |    GREATEST(CAST(0 AS BIGINT), ndv_a + ndv_b - ndv_union) AS ndv_overlap
+        |  FROM est
+        |)
+        |SELECT ndv_a, ndv_b, ndv_union, ndv_overlap,
+        |  CAST(ndv_overlap AS DOUBLE) / nullif(CAST(ndv_a AS DOUBLE), 0.0) AS containment_a,
+        |  CAST(ndv_overlap AS DOUBLE) / nullif(CAST(ndv_b AS DOUBLE), 0.0) AS containment_b,
+        |  CAST(ndv_overlap AS DOUBLE) / nullif(CAST(ndv_union AS DOUBLE), 0.0) AS jaccard
+        |FROM ov""".stripMargin,
   )
 }

@@ -447,6 +447,60 @@ object Quality {
   def dailyUniques(s: SparkSession, dir: String): DataFrame =
     dailyUniques(Tables.events(s, dir))
 
+  /** Sketch-based key-overlap discovery (q238): how much do two tables'
+    * key populations overlap — answered from two column-pruned scans and
+    * O(k) state, WITHOUT running the join. This is the data-discovery
+    * audit a 100 TB catalog runs across table pairs before anyone pays
+    * for an actual join (q220's exact estimator still needs both count
+    * tables shuffled; this needs k longs per side): per-side KMV
+    * distinct-count sketches plus the union sketch from the same pass
+    * (grouping sets — the union group is just the merged sketch), then
+    * inclusion–exclusion for the overlap and the containment/Jaccard
+    * ratios that decide whether A's keys live inside B or vice versa.
+    * Exact below k on every sketch; ~1/√k relative error above.
+    *
+    * Scale: one hash projection per table, one aggregation whose
+    * map-side partials are capped at k values per (task × group) no
+    * matter the table sizes, one 3-row final fold. Deterministic
+    * (md5-derived hashes, integer inversion) so the estimates hash-match
+    * the SQL oracle bit for bit.
+    */
+  def keyOverlapSketch(
+      a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val kmv = udaf(new graft.functions.KMinValues(k), Encoders.scalaLong)
+    val hashes = a.select(Corpus.h48(col(aKey).cast("string")).as("h"),
+        lit("a").as("side"))
+      .unionAll(b.select(Corpus.h48(col(bKey).cast("string")).as("h"),
+        lit("b").as("side")))
+    hashes
+      .groupingSets(Seq(Seq(col("side")), Seq()), col("side"))
+      .agg(kmv(col("h")).as("ndv"), grouping(col("side")).as("g"))
+      .agg(
+        max(when(col("g") === 0 && col("side") === "a", col("ndv"))).as("ndv_a"),
+        max(when(col("g") === 0 && col("side") === "b", col("ndv"))).as("ndv_b"),
+        max(when(col("g") === 1, col("ndv"))).as("ndv_union"))
+      .select(col("ndv_a"), col("ndv_b"), col("ndv_union"),
+        greatest(lit(0L),
+          col("ndv_a") + col("ndv_b") - col("ndv_union")).as("ndv_overlap"))
+      .select(col("ndv_a"), col("ndv_b"), col("ndv_union"), col("ndv_overlap"),
+        (col("ndv_overlap").cast("double") /
+          nullif(col("ndv_a").cast("double"), lit(0.0))).as("containment_a"),
+        (col("ndv_overlap").cast("double") /
+          nullif(col("ndv_b").cast("double"), lit(0.0))).as("containment_b"),
+        (col("ndv_overlap").cast("double") /
+          nullif(col("ndv_union").cast("double"), lit(0.0))).as("jaccard"))
+  }
+
+  /** Registered pair: order-placing customers vs event-generating users —
+    * the "which identity spaces can I join" question on the testdata. */
+  def keyOverlapSketch(s: SparkSession, dir: String): DataFrame =
+    keyOverlapSketch(
+      Tables.orders(s, dir), "o_custkey",
+      Tables.events(s, dir), "user_id")
+
   /** Hot-key skew profiler (q219): the top-k hottest grouping keys with
     * their row share and skew factor (count ÷ mean rows-per-key) — the
     * audit that decides whether a join/aggregation on this key needs

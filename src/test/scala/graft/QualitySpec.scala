@@ -213,4 +213,31 @@ class QualitySpec extends SparkSpec {
     assert(actual === 8L)
     graft.Caches.releaseAll()
   }
+
+  test("keyOverlapSketch: exact below k (planted overlap), duplication-proof, estimate path sane") {
+    import spark.implicits._
+    // A = 1..10, B = 6..15 → overlap 5, union 15; duplicates must not
+    // move any sketch (KMV set semantics)
+    val a = ((1L to 10L) ++ (1L to 10L)).toDF("ka")
+    val b = (6L to 15L).toDF("kb")
+    val got = Quality.keyOverlapSketch(a, "ka", b, "kb").collect().head
+    assert(got.getAs[Long]("ndv_a") === 10L)
+    assert(got.getAs[Long]("ndv_b") === 10L)
+    assert(got.getAs[Long]("ndv_union") === 15L)
+    assert(got.getAs[Long]("ndv_overlap") === 5L)
+    assert(got.getAs[Double]("containment_a") === 0.5)
+    assert(got.getAs[Double]("jaccard") === 5.0 / 15.0)
+    // estimate path (n >> k): identical populations must read ~equal
+    // ndv on both sides and a union equal to each (same hash stream),
+    // so overlap = ndv and jaccard = 1 exactly — even though each ndv
+    // is itself an estimate
+    val big = (1L to 5000L).toDF("k1")
+    val est = Quality.keyOverlapSketch(big, "k1", big.withColumnRenamed("k1", "k2"), "k2")
+      .collect().head
+    assert(est.getAs[Long]("ndv_a") === est.getAs[Long]("ndv_union"))
+    assert(est.getAs[Double]("jaccard") === 1.0)
+    // and the shared estimate is within the ~1/sqrt(64) error class
+    val ndv = est.getAs[Long]("ndv_a").toDouble
+    assert(math.abs(ndv - 5000.0) / 5000.0 < 0.4, s"ndv estimate off: $ndv")
+  }
 }
