@@ -422,6 +422,52 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
   }
 
+  /** Streaming repetition monitor — the continuous-ingestion twin of the
+    * batch intra-doc repetition profile (operators/Corpus
+    * .repetitionProfile, q237). Because every document arrives as ONE
+    * row, the whole Gopher rule is a closed-form per-row expression:
+    * sort the row's bigram array and count runs with one `aggregate`
+    * HOF — top-2-gram share, duplicate-2-gram mass, the 0.20 flag. ZERO
+    * stream state: no aggregation, no watermark, nothing to evict — the
+    * ideal shape for a junk filter sitting on the ingest path (the
+    * batch op needs its per-(doc, gram) shuffle only because a batch
+    * RELATION isn't row-per-doc after the explode). Per-row cost is
+    * O(m log m) in the document's word count. Scores are bit-identical
+    * to the batch op on the same documents (spec-asserted).
+    */
+  def repetitionMonitor(stream: DataFrame): DataFrame = {
+    import graft.functions.Text
+    stream
+      .select(col("doc_id"), col("ts"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bs", sort_array(Text.bigrams(col("w"))))
+      // run-length walk over the sorted bigrams: (prev, run, top, dup, tot)
+      .withColumn("acc", expr(
+        """aggregate(
+          |  bs,
+          |  named_struct('prev', cast(null as string), 'run', 0L,
+          |               'top', 0L, 'dup', 0L, 'tot', 0L),
+          |  (a, x) -> if(a.prev <=> x,
+          |    named_struct('prev', x, 'run', a.run + 1L,
+          |                 'top', a.top, 'dup', a.dup, 'tot', a.tot + 1L),
+          |    named_struct('prev', x, 'run', 1L,
+          |                 'top', greatest(a.top, a.run),
+          |                 'dup', a.dup + if(a.run >= 2L, a.run, 0L),
+          |                 'tot', a.tot + 1L)),
+          |  a -> named_struct(
+          |    'top', greatest(a.top, a.run),
+          |    'dup', a.dup + if(a.run >= 2L, a.run, 0L),
+          |    'tot', a.tot))""".stripMargin))
+      .select(col("doc_id"), col("ts"),
+        col("acc.tot").as("n_grams"),
+        (col("acc.top").cast("double") / col("acc.tot").cast("double"))
+          .as("top_share"),
+        (col("acc.dup").cast("double") / col("acc.tot").cast("double"))
+          .as("dup_share"),
+        (col("acc.top").cast("double") / col("acc.tot").cast("double")
+          > 0.20).as("flagged"))
+  }
+
   /** Streaming LM-fluency monitor — the continuous-ingestion twin of the
     * batch corpus-LM scorer (operators/Corpus.lmFluency, q236): arriving
     * documents are scored against a bigram LM TRAINED ON THE STATIC

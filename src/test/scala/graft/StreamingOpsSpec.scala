@@ -479,6 +479,37 @@ class StreamingOpsSpec extends SparkSpec {
         s"streaming score for doc $id must equal batch q236: ${got(id)} vs ${batch(id)}")
   }
 
+  test("repetition monitor is stateless and bit-identical to the batch q237 profile") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "x y x y x"),            // top 2/4, dup 4/4, flagged
+      (1L, "a b c d e"),            // all distinct, top 1/4, flagged (>0.2)
+      (2L, "p q r s t u v w x y"),  // 9 distinct grams, not flagged
+      (3L, "z z z z"))              // one gram x3: top 3/3, dup 3/3
+    val mem = MemoryStream[StreamTextDoc]
+    mem.addData(texts.zipWithIndex.map { case ((id, t), i) =>
+      StreamTextDoc(id, t, ts(f"2026-01-01 00:0$i:00")) }: _*)
+    val q = StreamingOps.repetitionMonitor(mem.toDF())
+      .writeStream.format("memory").queryName("repmon")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    // stateless contract: the plan carries no stateful operator
+    val got = spark.table("repmon")
+      .select($"doc_id", $"n_grams", $"top_share", $"dup_share", $"flagged")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val batch = graft.operators.Corpus.repetitionProfile(
+        texts.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("top_share"),
+          r.getAs[Double]("dup_share"), r.getAs[Boolean]("flagged")))).toMap
+    assert(got === batch,
+      s"streaming profile must equal batch q237: $got vs $batch")
+    assert(got(3L) === ((3L, 1.0, 1.0, true)))
+  }
+
   test("uniques monitor sketches distinct actives per day (streaming = q209 batch twin, both paths)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
