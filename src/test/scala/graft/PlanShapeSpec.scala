@@ -805,6 +805,15 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q238: overlap sketches never join — two scans into k-bounded aggregates") {
+    val df = graft.operators.Quality.keyOverlapSketch(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the whole point is answering overlap WITHOUT a join:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere:\n$plan")
+  }
+
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
     val df = graft.operators.Quality.skewProfile(
       graft.sources.Tables.events(spark, sf0001))
