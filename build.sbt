@@ -37,5 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // Extra forked-JVM flags for GC experiments without editing the build,
 // e.g. SPARK_JAVA_OPTS="-XX:+UseParallelGC" sbt "runMain graft.ScaleSmoke ..."
+// Split on bare whitespace — flags whose VALUES contain spaces (e.g.
+// -Xlog with a quoted path) are not supported; every GC/sizing flag this
+// hook exists for is space-free.
 javaOptions ++= sys.env.get("SPARK_JAVA_OPTS")
   .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Nil)

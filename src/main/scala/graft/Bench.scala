@@ -30,8 +30,12 @@ object Bench {
       // 174.3 s on-heap, zero regressions past 1.5x, GC-band heavies
       // q111/q199/q39 0.5-0.7x): sort/shuffle buffers stop taxing the
       // collector, which is what a production executor config does too.
+      // Off-heap is OUTSIDE the JVM heap cap — on hosts with less free
+      // RAM than heap+16g the OS OOM-killer would hit where the on-heap
+      // config ran, so the size is overridable (SPARK_GRAFT_OFFHEAP=4g).
       .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", "16g")
+      .config("spark.memory.offHeap.size",
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "16g"))
       .getOrCreate()
     // ERROR, not WARN: sbt renders every stderr line as `[error] …`, so
     // routine Spark WARNs (large task binaries, block re-adds) read as

@@ -13,6 +13,28 @@ import org.apache.spark.sql.DataFrame
   * and every truncation routes through reliable `checkpoint()` instead:
   * blocks are written to the shared filesystem and survive executor
   * loss. One knob, no per-operator plumbing.
+  *
+  * Two costs of the reliable path, and how they're handled:
+  *
+  *  - '''Double compute''': Spark writes reliable checkpoint files by
+  *    re-running the RDD's job AFTER the action that first computed it
+  *    (`ReliableRDDCheckpointData.doCheckpoint`), so an unpersisted plan
+  *    pays ~2× per superstep — bpeLearn runs one truncation per merge
+  *    step. `truncate` therefore persists before checkpointing (the
+  *    file-write pass reads the cached blocks) and unpersists once the
+  *    eager materialization is done; the deferred (`eager=false`) path
+  *    routes the persist through [[Caches.track]] so the caller's scope
+  *    releases it after the superstep's action.
+  *
+  *  - '''Disk growth''': per-superstep checkpoint dirs accumulate on the
+  *    durable store forever by default
+  *    (`spark.cleaner.referenceTracking.cleanCheckpoints` is false).
+  *    Set it to `true` on the session builder alongside this knob — the
+  *    context cleaner then deletes a superstep's files when its RDD is
+  *    garbage-collected (it is read once at context creation, so it
+  *    cannot be flipped here at runtime). Otherwise budget
+  *    supersteps × working-set bytes of durable storage per iterative
+  *    job, or clean `checkpointDir` between jobs.
   */
 object Checkpoints {
 
@@ -32,7 +54,18 @@ object Checkpoints {
         // setCheckpointDir mints a fresh UUID subdir per call — set it
         // once per context, not per superstep
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        if (eager) {
+          // persist first: the checkpoint-file write re-runs the job and
+          // would otherwise recompute the whole superstep plan
+          df.persist()
+          try df.checkpoint(eager = true)
+          finally df.unpersist(blocking = false)
+        } else {
+          // deferred: materialization (and the file-write re-read) waits
+          // for the caller's first action, so release must too — the
+          // caller's cache scope owns it
+          Caches.track(df).checkpoint(eager = false)
+        }
       case None =>
         df.localCheckpoint(eager)
     }

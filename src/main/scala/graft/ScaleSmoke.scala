@@ -95,8 +95,11 @@ object ScaleSmoke {
       // against 1.28× off-heap at the same best time; ParallelGC, a 64g
       // heap, a 30–60% young gen, and 32m G1 regions all lost. Tungsten
       // buffers simply don't belong on the GC'd heap at this scale.
+      // Overridable: off-heap sits outside the JVM cap, so a smaller
+      // host sets SPARK_GRAFT_OFFHEAP=4g instead of getting OOM-killed.
       .config("spark.memory.offHeap.enabled", "true")
-      .config("spark.memory.offHeap.size", "16g")
+      .config("spark.memory.offHeap.size",
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "16g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -5328,8 +5328,10 @@ object SparkEntry {
     "q238_key_overlap" ->
       """WITH hx AS (
         |  SELECT DISTINCT 'a' AS side, md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders
+        |  WHERE o_custkey IS NOT NULL
         |  UNION
         |  SELECT DISTINCT 'b', md5(CAST(user_id AS VARCHAR)) FROM events
+        |  WHERE user_id IS NOT NULL
         |), hh AS (
         |  SELECT side, m,
         |    SUM(((instr('0123456789abcdef', substr(m, CAST(j + 1 AS INT), 1)) - 1)::BIGINT) << CAST((11 - j) * 4 AS INT)) AS h

@@ -1193,37 +1193,57 @@ object Advanced {
   def stateDwell(s: SparkSession, dir: String): DataFrame =
     stateDwell(Tables.events(s, dir))
 
+  /** Global quintile boundaries b1..b4 of `value`, as ONE broadcastable
+    * row. The cumulative distribution runs over the DISTINCT-value
+    * relation, and — because distinct cents / prices scale with the key
+    * space (≈ |customers| or |orders| at 100 TB, NOT a bounded ladder) —
+    * it rides `bucketedPrefix` (sum instantiation) instead of a
+    * single-task `Window.orderBy`: pass 1 range-partitions the distinct
+    * values and prefix-sums within each range bucket in parallel; the
+    * only sequential step is the 32-row bucket-totals window. Shared by
+    * `quintile` (q131 RFM ladders), `priceBandMix` (q155) and
+    * `quantityByPriceBand` (q188).
+    */
+  private def quintileBounds(df: DataFrame, value: String,
+      buckets: Int = 32): DataFrame = {
+    val dist = df.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
+    val cum = bucketedPrefix(dist, Seq(col(value)), buckets)(
+      spec => sum(col("cnt")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("cnt")),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+    cum.agg(
+      min(when(col("prefix") >= ceil(col("n") * lit(1) / lit(5.0)), col(value))).as("b1"),
+      (2 to 4).map(d =>
+        min(when(col("prefix") >= ceil(col("n") * lit(d) / lit(5.0)), col(value))).as(s"b$d")): _*)
+  }
+
   /** Quintile bucket of `value` by the q88 boundary-broadcast idiom: the
-    * cumulative distribution runs over the DISTINCT-value relation
-    * (bounded by value cardinality, never row count), the five boundary
-    * values broadcast as one row, and each input row buckets with four
+    * five boundary values broadcast as one row (computed distributed —
+    * see `quintileBounds`), and each input row buckets with four
     * comparisons — no global sort of the fact relation at any scale.
     * Ties share a bucket (values equal to a boundary stay low).
     */
-  private def quintile(df: DataFrame, value: String, out: String): DataFrame = {
-    val dist = df.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col(value))
-    val cum = dist.withColumn("cum", sum(col("cnt")).over(w))
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
-    val bounds = cum.agg(
-      min(when(col("cum") >= ceil(col("n") * lit(1) / lit(5.0)), col(value))).as("b1"),
-      (2 to 4).map(d =>
-        min(when(col("cum") >= ceil(col("n") * lit(d) / lit(5.0)), col(value))).as(s"b$d")): _*)
-    df.crossJoin(broadcast(bounds))
+  private def quintile(df: DataFrame, value: String, out: String): DataFrame =
+    df.crossJoin(broadcast(quintileBounds(df, value)))
       .withColumn(out,
         lit(1) + (1 to 4).map(d =>
           when(col(s"b$d") < col(value), 1).otherwise(0)).reduce(_ + _))
       .drop((1 to 4).map(d => s"b$d"): _*)
-  }
 
   /** RFM segmentation — the marketing-warehouse staple: each customer
     * scores 1–5 on Recency (days since last order, INVERTED so recent =
     * 5), Frequency (order count), and Monetary (lifetime cents), and
     * the three digits concatenate into one of 125 segments. Per-metric
-    * quintiles use the boundary-broadcast idiom (three tiny distinct
-    * distributions + three broadcast rows), so the pipeline is one
-    * customer-keyed aggregate plus per-row projections — no global sort
-    * however many customers exist. Recency anchors to the corpus's max
+    * quintiles use the boundary-broadcast idiom (three distinct-value
+    * distributions ridden on `quintileBounds`/bucketedPrefix — the
+    * monetary ladder's distinct cents scale with |customers|, so the
+    * cumulative sum must be distributed — + three broadcast rows), so
+    * the pipeline is one customer-keyed aggregate plus per-row
+    * projections — no single-task sort however many customers exist.
+    * Recency anchors to the corpus's max
     * order date (broadcast scalar), not wall-clock now().
     */
   def rfmSegments(orders: DataFrame): DataFrame = {
@@ -1497,9 +1517,9 @@ object Advanced {
     purchaseRegularity(Tables.orders(s, dir))
 
   /** Monthly price-band mix: each order lands in a GLOBAL price
-    * quintile (boundaries from the distinct-cents cumulative
-    * distribution — the q88 broadcast idiom, so no global sort of the
-    * fact table), and each month reports its band counts and shares —
+    * quintile (boundaries from `quintileBounds` — a bucketedPrefix
+    * cumulative distribution over distinct cents, so no single-task
+    * sort anywhere), and each month reports its band counts and shares —
     * the mix-shift view that separates "revenue moved" from "the
     * catalog moved". Shares are one double division per (month, band)
     * row of a tiny aggregate.
@@ -1508,15 +1528,7 @@ object Advanced {
     val cents = orders.select(col("o_orderkey"),
       date_trunc("month", col("o_orderdate")).cast("date").as("month"),
       (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
-    val dist = cents.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("c"))
-    val cum = dist.withColumn("cum", sum(col("cnt")).over(w))
-      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n"))))
-    val bounds = cum.agg(
-      min(when(col("cum") >= ceil(col("n") * lit(1) / lit(5.0)), col("c"))).as("b1"),
-      (2 to 4).map(d =>
-        min(when(col("cum") >= ceil(col("n") * lit(d) / lit(5.0)), col("c"))).as(s"b$d")): _*)
-    val banded = cents.crossJoin(broadcast(bounds))
+    val banded = cents.crossJoin(broadcast(quintileBounds(cents, "c")))
       .withColumn("band",
         lit(1) + (1 to 4).map(d =>
           when(col(s"b$d") < col("c"), 1).otherwise(0)).reduce(_ + _))
@@ -1926,22 +1938,15 @@ object Advanced {
 
   /** Quantity demand by price band: mean line quantity per global
     * unit-price quintile — the discrete elasticity proxy. Bands come
-    * from the q88/q155 boundary-broadcast idiom over distinct
-    * extendedprice cents; quantities accumulate as exact centi-units
-    * with one division per band.
+    * from `quintileBounds` (distributed cumulative distribution over
+    * distinct extendedprice cents); quantities accumulate as exact
+    * centi-units with one division per band.
     */
   def quantityByPriceBand(lineitem: DataFrame): DataFrame = {
     val rows = lineitem.select(
       (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"),
       (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("q"))
-    val dist = rows.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
-    val cum = dist.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("c"))))
-      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n"))))
-    val bounds = cum.agg(
-      min(when(col("cum") >= ceil(col("n") * lit(1) / lit(5.0)), col("c"))).as("b1"),
-      (2 to 4).map(d =>
-        min(when(col("cum") >= ceil(col("n") * lit(d) / lit(5.0)), col("c"))).as(s"b$d")): _*)
-    rows.crossJoin(broadcast(bounds))
+    rows.crossJoin(broadcast(quintileBounds(rows, "c")))
       .withColumn("band",
         (lit(1) + (1 to 4).map(d =>
           when(col(s"b$d") < col("c"), 1).otherwise(0)).reduce(_ + _)).cast("long"))

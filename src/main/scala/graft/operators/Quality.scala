@@ -471,10 +471,17 @@ object Quality {
       k: Int = 64): DataFrame = {
     import org.apache.spark.sql.Encoders
     val kmv = udaf(new graft.functions.KMinValues(k), Encoders.scalaLong)
-    val hashes = a.select(Corpus.h48(col(aKey).cast("string")).as("h"),
+    // NULL keys are excluded up front: a NULL is not a joinable key, and
+    // without the filter md5(NULL) = NULL would coerce to a phantom
+    // 0-valued minimum in the primitive-Long KMV state while a SQL
+    // engine's NDV keeps counting the NULL row — silent divergence on
+    // any nullable key column.
+    val hashes = a.filter(col(aKey).isNotNull)
+      .select(Corpus.h48(col(aKey).cast("string")).as("h"),
         lit("a").as("side"))
-      .unionAll(b.select(Corpus.h48(col(bKey).cast("string")).as("h"),
-        lit("b").as("side")))
+      .unionAll(b.filter(col(bKey).isNotNull)
+        .select(Corpus.h48(col(bKey).cast("string")).as("h"),
+          lit("b").as("side")))
     hashes
       .groupingSets(Seq(Seq(col("side")), Seq()), col("side"))
       .agg(kmv(col("h")).as("ndv"), grouping(col("side")).as("g"))

@@ -794,10 +794,11 @@ class PlanShapeSpec extends SparkSpec {
     val df = graft.operators.Corpus.lmFluency(
       graft.sources.Tables.documents(spark, sf0001))
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastExchange"),
-      s"plan readable:\n$plan")
-    val (bhj, _) = initialJoins(df)
+    val (bhj, shj) = initialJoins(df)
+    // the bigram/head count joins (corpus-scaled both sides) must plan
+    // as shuffled hash joins
+    assert(shj >= 2,
+      s"expected the two count joins to be ShuffledHashJoin (got $shj):\n$plan")
     // the only broadcast is the one-row vocabulary scalar
     assert(bhj <= 1,
       s"bigram/head count joins must not broadcast (corpus-scaled):\n$plan")
@@ -812,6 +813,46 @@ class PlanShapeSpec extends SparkSpec {
       s"the whole point is answering overlap WITHOUT a join:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"no global sort anywhere:\n$plan")
+  }
+
+  test("q131/q155/q188: quintile boundaries ride bucketedPrefix — no single-partition window over the distinct-value relation") {
+    // the distinct cents/prices scale with the key space at 100 TB, so
+    // the ONLY unpartitioned window allowed anywhere in these plans is
+    // bucketedPrefix's 32-row bucket-totals offsets window
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    for (df <- Seq(
+        graft.operators.Advanced.rfmSegments(
+          graft.sources.Tables.orders(spark, sf0001)),
+        graft.operators.Advanced.priceBandMix(
+          graft.sources.Tables.orders(spark, sf0001)),
+        graft.operators.Advanced.quantityByPriceBand(
+          graft.sources.Tables.lineitem(spark, sf0001)))) {
+      df.collect() // finalize AQE so cached/bucketed subplans are real
+      val nodes = whole(df.queryExecution.executedPlan)
+      val planText = nodes.map(_.toString).mkString("\n").toLowerCase
+      assert(planText.contains("rangepartitioning"),
+        s"boundary pass 1 must range-partition the distinct values:\n$planText")
+      val globals = nodes.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      globals.foreach { w =>
+        assert(whole(w).exists {
+          case h: HashAggregateExec =>
+            h.groupingExpressions.exists(_.toString.contains("bucket"))
+          case _ => false
+        }, s"a global window may only read the bucket-totals aggregate:\n$w")
+      }
+      graft.Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
   }
 
   test("q219: the hot-key cut is a bounded TakeOrdered, never a global sort") {
