@@ -266,6 +266,8 @@ object SparkEntry {
     "q236_lm_fluency" -> ((s, d) => Corpus.lmFluency(s, d)),
     "q237_repetition_profile" -> ((s, d) => Corpus.repetitionProfile(s, d)),
     "q238_key_overlap" -> ((s, d) => Quality.keyOverlapSketch(s, d)),
+    "q239_price_quantile_sketch" -> ((s, d) => Quality.priceQuantileSketch(s, d)),
+    "q240_daily_value_quantiles" -> ((s, d) => Quality.dailyValueQuantiles(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5363,5 +5365,73 @@ object SparkEntry {
         |  CAST(ndv_overlap AS DOUBLE) / nullif(CAST(ndv_b AS DOUBLE), 0.0) AS containment_b,
         |  CAST(ndv_overlap AS DOUBLE) / nullif(CAST(ndv_union AS DOUBLE), 0.0) AS jaccard
         |FROM ov""".stripMargin,
+
+    // q239: mergeable quantile sketch — bottom-k row sample keyed by the
+    // md5-derived 48-bit hash of the (orderkey, linenumber) identity,
+    // k=256 smallest DISTINCT (h, v) pairs per flag, nearest-rank picks
+    // over the sample's value order in pure integer arithmetic.
+    "q239_price_quantile_sketch" ->
+      """WITH rws AS (
+        |  SELECT l_returnflag AS flag,
+        |    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS mm,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem
+        |), hh AS (
+        |  SELECT flag, v,
+        |    SUM(((instr('0123456789abcdef', substr(mm, CAST(j + 1 AS INT), 1)) - 1)::BIGINT) << CAST((11 - j) * 4 AS INT)) AS h
+        |  FROM rws, range(0, 12) r(j) GROUP BY flag, mm, v
+        |), dist AS (
+        |  SELECT DISTINCT flag, h, v FROM hh
+        |), samp AS (
+        |  SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY h, v) AS rn
+        |  FROM dist
+        |), kept AS (
+        |  SELECT flag, v,
+        |    row_number() OVER (PARTITION BY flag ORDER BY v) AS vr,
+        |    COUNT(*) OVER (PARTITION BY flag) AS m
+        |  FROM samp WHERE rn <= 256
+        |), tot AS (
+        |  SELECT l_returnflag AS flag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+        |)
+        |SELECT t.flag, t.n_rows, CAST(MAX(k.m) AS BIGINT) AS sample_n,
+        |  MAX(CASE WHEN vr = (m + 1) // 2 THEN v END) AS p50_c,
+        |  MAX(CASE WHEN vr = (9 * m + 9) // 10 THEN v END) AS p90_c,
+        |  MAX(CASE WHEN vr = (99 * m + 99) // 100 THEN v END) AS p99_c
+        |FROM kept k JOIN tot t ON k.flag = t.flag
+        |GROUP BY t.flag, t.n_rows""".stripMargin,
+
+    // q240: the same sketch per tumbling day over event values — the
+    // registered batch twin of StreamingOps.quantileMonitor (the q209
+    // twin discipline), identity = event_id.
+    "q240_daily_value_quantiles" ->
+      """WITH rws AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS w_start,
+        |    md5(CAST(event_id AS VARCHAR)) AS mm,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events
+        |), hh AS (
+        |  SELECT w_start, v,
+        |    SUM(((instr('0123456789abcdef', substr(mm, CAST(j + 1 AS INT), 1)) - 1)::BIGINT) << CAST((11 - j) * 4 AS INT)) AS h
+        |  FROM rws, range(0, 12) r(j) GROUP BY w_start, mm, v
+        |), dist AS (
+        |  SELECT DISTINCT w_start, h, v FROM hh
+        |), samp AS (
+        |  SELECT w_start, v, row_number() OVER (PARTITION BY w_start ORDER BY h, v) AS rn
+        |  FROM dist
+        |), kept AS (
+        |  SELECT w_start, v,
+        |    row_number() OVER (PARTITION BY w_start ORDER BY v) AS vr,
+        |    COUNT(*) OVER (PARTITION BY w_start) AS m
+        |  FROM samp WHERE rn <= 256
+        |), tot AS (
+        |  SELECT time_bucket(INTERVAL '1 day', ts) AS w_start, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT t.w_start, t.n_events, CAST(MAX(k.m) AS BIGINT) AS sample_n,
+        |  MAX(CASE WHEN vr = (m + 1) // 2 THEN v END) AS p50_c,
+        |  MAX(CASE WHEN vr = (9 * m + 9) // 10 THEN v END) AS p90_c,
+        |  MAX(CASE WHEN vr = (99 * m + 99) // 100 THEN v END) AS p99_c
+        |FROM kept k JOIN tot t ON k.w_start = t.w_start
+        |GROUP BY t.w_start, t.n_events""".stripMargin,
   )
 }

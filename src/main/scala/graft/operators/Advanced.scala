@@ -1204,47 +1204,84 @@ object Advanced {
     * `quintile` (q131 RFM ladders), `priceBandMix` (q155) and
     * `quantityByPriceBand` (q188).
     */
-  private def quintileBounds(df: DataFrame, value: String,
+  /** Quintile boundaries for SEVERAL long-typed metrics of `df` in ONE
+    * pass, as one broadcastable row with columns `${metric}_b1..4`. The
+    * metrics unpivot (stack) into (metric, value) pairs, ONE aggregate
+    * builds the joint distinct distribution, and ONE bucketedPrefix
+    * range-partitioned by the (metric, value) total order computes a
+    * GLOBAL running count; each metric's own cumulative count is then
+    * `prefix - start(metric)` (start = the |metrics|-row exclusive
+    * prefix of per-metric totals, broadcast). One pass instead of
+    * |metrics| nested ones matters twice: the distinct relations scale
+    * with the key space at 100 TB (never sort one in a single task), and
+    * nesting per-metric passes compounds the upstream chain recompute
+    * (rfmSegments' three ladders would re-aggregate orders per level).
+    */
+  private def quintileBounds(df: DataFrame, values: Seq[String],
       buckets: Int = 32): DataFrame = {
-    val dist = df.groupBy(col(value)).agg(count(lit(1)).as("cnt"))
+    // persisted: the range-partitioner's SAMPLING job, the prefix pass,
+    // and the per-metric totals all read dist — unpersisted, each would
+    // recompute the full upstream chain
+    val stacked = df.selectExpr(
+      s"stack(${values.length}, ${values.map(v => s"'$v', $v").mkString(", ")}) " +
+        "as (metric, value)")
+    val dist = Caches.track(
+      stacked.groupBy(col("metric"), col("value")).agg(count(lit(1)).as("cnt")))
+    // per-metric total n and exclusive start offset in the joint order —
+    // |metrics| rows, broadcast (the window is over that constant-size
+    // relation, not data)
+    val starts = dist.groupBy(col("metric")).agg(sum(col("cnt")).as("n"))
+      .withColumn("start", coalesce(sum(col("n")).over(
+        Window.orderBy(col("metric"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cum = bucketedPrefix(dist, Seq(col("metric"), col("value")), buckets)(
+      spec => sum(col("cnt")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("cnt")),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .join(broadcast(starts), "metric")
+      .withColumn("mcum", col("prefix") - col("start"))
+    val bcols = values.flatMap(v => (1 to 4).map(d =>
+      min(when(col("metric") === v &&
+          col("mcum") >= ceil(col("n") * lit(d) / lit(5.0)), col("value")))
+        .as(s"${v}_b$d")))
+    cum.agg(bcols.head, bcols.tail: _*)
+  }
+
+  /** Single-metric form (plain b1..b4 names): same distributed prefix,
+    * minus the unpivot and the metric-starts join the one-metric case
+    * doesn't need. */
+  private def quintileBounds(df: DataFrame, value: String): DataFrame = {
+    val buckets = 32
+    // persisted: the range-partitioner's sampling job, the prefix pass,
+    // and the total all read dist
+    val dist = Caches.track(df.groupBy(col(value)).agg(count(lit(1)).as("cnt")))
+    val n = dist.agg(sum(col("cnt")).as("n"))
     val cum = bucketedPrefix(dist, Seq(col(value)), buckets)(
       spec => sum(col("cnt")).over(
         spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
       sum(col("cnt")),
       spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
       (run, off) => run + off)
-      .crossJoin(broadcast(df.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(n))
     cum.agg(
       min(when(col("prefix") >= ceil(col("n") * lit(1) / lit(5.0)), col(value))).as("b1"),
       (2 to 4).map(d =>
         min(when(col("prefix") >= ceil(col("n") * lit(d) / lit(5.0)), col(value))).as(s"b$d")): _*)
   }
 
-  /** Quintile bucket of `value` by the q88 boundary-broadcast idiom: the
-    * five boundary values broadcast as one row (computed distributed —
-    * see `quintileBounds`), and each input row buckets with four
-    * comparisons — no global sort of the fact relation at any scale.
-    * Ties share a bucket (values equal to a boundary stay low).
-    */
-  private def quintile(df: DataFrame, value: String, out: String): DataFrame =
-    df.crossJoin(broadcast(quintileBounds(df, value)))
-      .withColumn(out,
-        lit(1) + (1 to 4).map(d =>
-          when(col(s"b$d") < col(value), 1).otherwise(0)).reduce(_ + _))
-      .drop((1 to 4).map(d => s"b$d"): _*)
-
   /** RFM segmentation — the marketing-warehouse staple: each customer
     * scores 1–5 on Recency (days since last order, INVERTED so recent =
     * 5), Frequency (order count), and Monetary (lifetime cents), and
     * the three digits concatenate into one of 125 segments. Per-metric
-    * quintiles use the boundary-broadcast idiom (three distinct-value
-    * distributions ridden on `quintileBounds`/bucketedPrefix — the
-    * monetary ladder's distinct cents scale with |customers|, so the
-    * cumulative sum must be distributed — + three broadcast rows), so
-    * the pipeline is one customer-keyed aggregate plus per-row
-    * projections — no single-task sort however many customers exist.
-    * Recency anchors to the corpus's max
-    * order date (broadcast scalar), not wall-clock now().
+    * quintiles use the boundary-broadcast idiom — all THREE ladders from
+    * ONE unpivoted `quintileBounds` pass (the monetary ladder's distinct
+    * cents scale with |customers|, so the cumulative sum rides
+    * bucketedPrefix, never a single-task sort) — so the pipeline is one
+    * customer-keyed aggregate, one joint boundary pass, and per-row
+    * projections however many customers exist. Recency anchors to the
+    * corpus's max order date (broadcast scalar), not wall-clock now().
     */
   def rfmSegments(orders: DataFrame): DataFrame = {
     val anchor = orders.agg(max(col("o_orderdate").cast("date")).as("anchor"))
@@ -1256,8 +1293,14 @@ object Advanced {
         count(lit(1)).as("freq"), sum(col("cents")).as("mon_c"))
       .crossJoin(broadcast(anchor))
       .withColumn("rec_days", datediff(col("anchor"), col("last_date")).cast("long"))
-    val scored = quintile(quintile(quintile(base,
-      "rec_days", "rq"), "freq", "f_score"), "mon_c", "m_score")
+    def bucket(v: String) =
+      lit(1) + (1 to 4).map(d =>
+        when(col(s"${v}_b$d") < col(v), 1).otherwise(0)).reduce(_ + _)
+    val scored = base
+      .crossJoin(broadcast(quintileBounds(base, Seq("rec_days", "freq", "mon_c"))))
+      .withColumn("rq", bucket("rec_days"))
+      .withColumn("f_score", bucket("freq"))
+      .withColumn("m_score", bucket("mon_c"))
       .withColumn("r_score", lit(6) - col("rq"))
     scored.select(col("o_custkey"), col("r_score"), col("f_score"), col("m_score"),
       (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("segment"))

@@ -447,6 +447,75 @@ object Quality {
   def dailyUniques(s: SparkSession, dir: String): DataFrame =
     dailyUniques(Tables.events(s, dir))
 
+  /** Shared rank-pick projection: given a `samp` column (the
+    * BottomKQuantile output — sampled values sorted ascending), emit the
+    * sample size and the nearest-rank p50/p90/p99 picks in pure integer
+    * arithmetic (`ceil(p·m)` as `(a·m + a) div b` — floor division is
+    * identical in Spark, DuckDB, and the JVM). */
+  private[graft] def rankPicks(): Seq[Column] = Seq(
+    size(col("samp")).cast("long").as("sample_n"),
+    element_at(col("samp"),
+      expr("cast((size(samp) + 1) div 2 as int)")).as("p50_c"),
+    element_at(col("samp"),
+      expr("cast((9 * size(samp) + 9) div 10 as int)")).as("p90_c"),
+    element_at(col("samp"),
+      expr("cast((99 * size(samp) + 99) div 100 as int)")).as("p99_c"))
+
+  /** Mergeable price-quantile sketch per return flag (q239): p50/p90/p99
+    * of extended price from BOUNDED state — k (hash, value) pairs per
+    * group (graft.functions.BottomKQuantile), where exact nearest-rank
+    * (q103/q127/q132) needs the whole column shuffled and sorted. This is
+    * the rollup shape: at 100 TB the per-partition partials ship k pairs
+    * each, sketches of daily partitions merge into the monthly answer
+    * without re-reading a row, and the identical aggregate runs inside a
+    * watermarked stream (quantileMonitor). Row identity for the sampling
+    * hash is the (orderkey, linenumber) primary key; values are exact
+    * cents. Exact below k rows per group; ~1/sqrt(k) rank error above.
+    *
+    * The registered oracle replays the md5 bottom-k sample and the rank
+    * picks in plain SQL — full hash-match, no rows-only waiver.
+    */
+  def priceQuantileSketch(lineitem: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val bkq = udaf(new graft.functions.BottomKQuantile(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    lineitem
+      .select(col("l_returnflag").as("flag"),
+        Corpus.h48(concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))).as("h"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("v"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n_rows"), bkq(col("h"), col("v")).as("samp"))
+      .select(col("flag") +: col("n_rows") +: rankPicks(): _*)
+  }
+
+  def priceQuantileSketch(s: SparkSession, dir: String): DataFrame =
+    priceQuantileSketch(Tables.lineitem(s, dir))
+
+  /** Daily event-value quantiles from the same bounded sketch (q240) —
+    * the batch twin of StreamingOps.quantileMonitor, exactly as
+    * dailyUniques (q209) twins uniquesMonitor: identical hash, identical
+    * aggregate, identical rank picks, so streaming and batch land on the
+    * SAME longs and the DuckDB oracle gates both. Row identity =
+    * event_id; values = exact cents.
+    */
+  def dailyValueQuantiles(events: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val bkq = udaf(new graft.functions.BottomKQuantile(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        bkq(Corpus.h48(col("event_id").cast("string")),
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .as("samp"))
+      .select(col("w.start").as("w_start") +: col("n_events") +: rankPicks(): _*)
+  }
+
+  def dailyValueQuantiles(s: SparkSession, dir: String): DataFrame =
+    dailyValueQuantiles(Tables.events(s, dir))
+
   /** Sketch-based key-overlap discovery (q238): how much do two tables'
     * key populations overlap — answered from two column-pruned scans and
     * O(k) state, WITHOUT running the join. This is the data-discovery

@@ -168,6 +168,34 @@ object StreamingOps {
       .select(col("w.start").as("w_start"), col("n_events"), col("ndv_users"))
   }
 
+  /** Streaming percentile monitor: per tumbling day, p50/p90/p99 of the
+    * event value from the BottomKQuantile sketch. Streaming aggregation
+    * cannot do exact nearest-rank (it would buffer every row of every
+    * open window); the bottom-k sample is a legal streaming UDAF whose
+    * state is k (hash, value) pairs per open window — bounded however
+    * many events arrive — and md5-derived + order-independent, so batch
+    * and streaming land on IDENTICAL longs (the registered q240 batch
+    * twin, Quality.dailyValueQuantiles, carries the DuckDB oracle;
+    * StreamingOpsSpec pins the equality and the checkpoint restart).
+    * Set semantics on (hash, value) make re-delivered events (an
+    * at-least-once source replaying after failure) no-ops in the sketch.
+    */
+  def quantileMonitor(events: DataFrame, k: Int = 256,
+                      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val bkq = udaf(new graft.functions.BottomKQuantile(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    withEventTime(events)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        bkq(graft.operators.Corpus.h48(col("event_id").cast("string")),
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("samp"))
+      .select(col("w.start").as("w_start") +: col("n_events") +:
+        graft.operators.Quality.rankPicks(): _*)
+  }
+
   /** Session windows per user with an idle gap: the engine-native version
     * of Relational.sessionize. State = one open session per active user,
     * closed and emitted once the watermark passes the gap.

@@ -817,8 +817,9 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q131/q155/q188: quintile boundaries ride bucketedPrefix — no single-partition window over the distinct-value relation") {
     // the distinct cents/prices scale with the key space at 100 TB, so
-    // the ONLY unpartitioned window allowed anywhere in these plans is
-    // bucketedPrefix's 32-row bucket-totals offsets window
+    // the ONLY unpartitioned windows allowed anywhere in these plans are
+    // bucketedPrefix's 32-row bucket-totals offsets window and the
+    // metric-starts window over the |metrics|-row (<= 3) totals aggregate
     def whole(p: SparkPlan): Seq[SparkPlan] =
       p.collect {
         case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
@@ -846,9 +847,11 @@ class PlanShapeSpec extends SparkSpec {
       globals.foreach { w =>
         assert(whole(w).exists {
           case h: HashAggregateExec =>
-            h.groupingExpressions.exists(_.toString.contains("bucket"))
+            h.groupingExpressions.exists(e =>
+              e.toString.contains("bucket") || e.toString.contains("metric"))
           case _ => false
-        }, s"a global window may only read the bucket-totals aggregate:\n$w")
+        }, s"a global window may only read the bucket-totals or the " +
+          s"metric-starts aggregate:\n$w")
       }
       graft.Caches.releaseAll()
       spark.catalog.clearCache()

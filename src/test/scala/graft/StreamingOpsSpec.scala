@@ -680,4 +680,166 @@ class StreamingOpsSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSet
     assert(streamed === batch)
   }
+
+  test("quantile monitor sketches daily percentiles (streaming = q240 batch twin, both paths)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // day 1: 6 events with k=4 -> the capped-sample path;
+    // day 2: 2 events -> the exact path.
+    val events = Seq(
+      Ev(1, 11, "view", 1.00, ts("2026-01-01 01:00:00")),
+      Ev(2, 12, "view", 2.00, ts("2026-01-01 02:00:00")),
+      Ev(3, 13, "view", 3.00, ts("2026-01-01 03:00:00")),
+      Ev(4, 14, "view", 4.00, ts("2026-01-01 04:00:00")),
+      Ev(5, 15, "view", 5.00, ts("2026-01-01 05:00:00")),
+      Ev(6, 16, "view", 6.00, ts("2026-01-01 06:00:00")),
+      Ev(7, 11, "view", 7.00, ts("2026-01-02 01:00:00")),
+      Ev(8, 12, "view", 9.00, ts("2026-01-02 02:00:00")))
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = StreamingOps.quantileMonitor(mem.toDF(), k = 4)
+      .writeStream.format("memory").queryName("quant")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.table("quant")
+      .select($"w_start".cast("string"), $"n_events", $"sample_n",
+        $"p50_c", $"p90_c", $"p99_c")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val byDay = rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(byDay.keySet === Set("2026-01-01 00:00:00", "2026-01-02 00:00:00"))
+    // capped day: 6 events, sample holds exactly k=4
+    assert(byDay("2026-01-01 00:00:00")._1 === 6L)
+    assert(byDay("2026-01-01 00:00:00")._2 === 4L)
+    // exact day: 2 events (700c, 900c); p50 = rank ceil(1/2*2)=1 -> 700,
+    // p90/p99 = rank 2 -> 900
+    assert(byDay("2026-01-02 00:00:00") === ((2L, 2L, 700L, 900L, 900L)))
+
+    // the registered q240 batch twin computes the identical sketch
+    val twin = graft.operators.Quality.dailyValueQuantiles(events.toDF(), k = 4)
+      .select($"w_start".cast("string"), $"n_events", $"sample_n",
+        $"p50_c", $"p90_c", $"p99_c")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(twin === rows,
+      s"registered q240 twin must equal the streaming monitor: $twin vs $rows")
+  }
+
+  test("quantile monitor restart: the sketch buffer survives the checkpoint and merges post-restart arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-quant-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[Ev]
+    def start() = StreamingOps.quantileMonitor(mem.toDF(), k = 2)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: two day-1 values land in the open window's sketch state
+    mem.addData(
+      Ev(1, 11, "view", 5.00, ts("2026-01-01 01:00:00")),
+      Ev(2, 12, "view", 1.00, ts("2026-01-01 02:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // run 2 (recovered from the checkpoint): a third day-1 value must
+    // merge into the RESTORED k=2 sketch; the day-3 event closes day 1
+    mem.addData(
+      Ev(3, 13, "view", 3.00, ts("2026-01-01 03:00:00")),
+      Ev(4, 21, "view", 9.00, ts("2026-01-03 00:30:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .select($"w_start".cast("string"), $"n_events", $"sample_n",
+        $"p50_c", $"p90_c", $"p99_c")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val all = Seq(
+      Ev(1, 11, "view", 5.00, ts("2026-01-01 01:00:00")),
+      Ev(2, 12, "view", 1.00, ts("2026-01-01 02:00:00")),
+      Ev(3, 13, "view", 3.00, ts("2026-01-01 03:00:00")))
+    val expected = graft.operators.Quality.dailyValueQuantiles(all.toDF(), k = 2)
+      .select($"w_start".cast("string"), $"n_events", $"sample_n",
+        $"p50_c", $"p90_c", $"p99_c")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows === expected,
+      s"restored sketch must equal the batch twin over all three day-1 events: $rows vs $expected")
+    assert(rows.head._2 === 3L, "all three events, across the restart, must be counted")
+    assert(rows.head._3 === 2L, "the restored sample must still cap at k=2")
+  }
+
+  test("fluency monitor restart: window state and the static-side LM survive the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "a b"), (11L, "a b"), (12L, "a b"), (13L, "a z"),
+      (14L, "b a c"),
+    ).toDF("doc_id", "text")
+    val dirs = java.nio.file.Files.createTempDirectory("graft-flu-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.fluencyMonitor(mem.toDF(), corpus)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: doc 10's first fragment lands in the open window's sums
+    mem.addData(StreamTextDoc(10L, "a b", ts("2026-01-01 00:01:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    graft.Caches.releaseAll()
+
+    // run 2 (recovered): a second fragment of the SAME doc in the same
+    // window must merge into the restored sums, scored by a RE-PLANNED
+    // static-side LM; the late doc advances the watermark past the
+    // window end so the group finalizes
+    mem.addData(
+      StreamTextDoc(10L, "a z", ts("2026-01-01 00:05:00")),
+      StreamTextDoc(50L, "a b", ts("2026-01-01 01:30:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    graft.Caches.releaseAll()
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"n_bigrams", $"mean_inv_p")
+      .as[(Long, Long, Double)].collect().toSet
+    // LM from the 5-doc corpus: bg(a b)=3, bg(a z)=1, heads a=5, b=1,
+    // V=2. inv_p(a b) = 1e6*(5+2) div 4 = 1750000;
+    // inv_p(a z) = 1e6*7 div 2 = 3500000. Doc 10 across BOTH runs holds
+    // both bigrams: mean = 2.625.
+    assert(got === Set((10L, 2L, 2.625)),
+      s"doc 10 must merge fragments across the restart under the re-planned LM: $got")
+  }
+
+  test("repetition monitor restart: zero-state exactly-once — no re-emits, new docs processed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-rep-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.repetitionMonitor(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData(
+      StreamTextDoc(0L, "x y x y x", ts("2026-01-01 00:00:00")),
+      StreamTextDoc(1L, "a b c d e", ts("2026-01-01 00:01:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    mem.addData(
+      StreamTextDoc(2L, "p q r s t u v w x y", ts("2026-01-01 00:02:00")),
+      StreamTextDoc(3L, "z z z z", ts("2026-01-01 00:03:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"n_grams", $"top_share", $"dup_share", $"flagged")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+    assert(got.length === 4,
+      s"each doc must emit exactly once across the restart: ${got.toSeq}")
+    val batch = graft.operators.Corpus.repetitionProfile(
+        Seq((0L, "x y x y x"), (1L, "a b c d e"),
+          (2L, "p q r s t u v w x y"), (3L, "z z z z"))
+          .toDF("doc_id", "text"))
+      .select($"doc_id", $"n_grams", $"top_share", $"dup_share", $"flagged")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSet
+    assert(got.toSet === batch,
+      "post-restart output must still equal the batch q237 profile")
+  }
 }
