@@ -32,16 +32,32 @@ object ScaleSmoke {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
+  /** The 12 multipliers coprime to 26 — with the 26 offsets they span
+    * 312 distinct affine bijections x → a·x + b (mod 26). */
+  private val coprime26 = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
   /** documents amplified `mult`×: ids shifted by a fixed stride, text
-    * re-lettered per copy so cross-copy pairs are never near-dups. */
-  def amplifyDocs(docs: DataFrame, mult: Int, stride: Long = 100000000L): DataFrame =
+    * re-lettered per copy so cross-copy pairs are never near-dups. The
+    * per-copy bijection is an AFFINE map over the alphabet (312 distinct
+    * members), not a plain rotation (26): with rotations, copies i and
+    * i+26 reused the same bijection, so at 100× every document had ~4
+    * EXACT cross-copy duplicates and the dup structure grew
+    * quadratically — inflating 100× readings of every docs-based
+    * similarity operator (the round-11 q105/q112 over-linear artifact).
+    * Copies 0–25 keep the old rotations (a=1) so ≤26× readings are
+    * directly comparable across amplifier versions. */
+  def amplifyDocs(docs: DataFrame, mult: Int, stride: Long = 100000000L): DataFrame = {
+    require(mult <= 312, s"amplifyDocs supports <= 312 distinct bijections, got $mult")
     (0 until mult).map { i =>
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      val a = coprime26(i / 26 % 12)
+      val b = i % 26
+      val mapped = (0 until 26).map(x => alpha((a * x + b) % 26)).mkString
       docs.select(
         (col("doc_id") + lit(i * stride)).as("doc_id"),
-        translate(col("text"), alpha, rot).as("text"),
+        translate(col("text"), alpha, mapped).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
+  }
 
   /** embeddings amplified `mult`×: ids shifted, vectors nudged per
     * (copy, dimension) so rankings keep strict orderings. */
@@ -115,7 +131,10 @@ object ScaleSmoke {
     // artifact amplified from a DIFFERENT base dataset or written by an
     // older amplify* schema (e.g. embeddings before `label` was carried
     // through) — bump ampVersion whenever an amplify* column set changes
-    val ampVersion = 2
+    // v3: amplifyDocs moved from 26 rotations to 312 affine bijections
+    // (cross-copy EXACT dups above 26x were inflating similarity-operator
+    // readings); v2 artifacts must not be reused above 26x
+    val ampVersion = 3
     val sfTag = new java.io.File(sfDir).getName
     val base = s"/tmp/graft_scale_${sfTag}_v${ampVersion}_${mult}x"
     def materialize(name: String, df: DataFrame): DataFrame = {
@@ -148,9 +167,16 @@ object ScaleSmoke {
     // the heavies; the second rep runs JIT-warm and is the cost that
     // actually scales with data volume.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // Untimed warmup reps before the timed ones (default 1): the first
+    // execution of a heavy pays page-cache fill for the amplified
+    // parquet plus janino/JIT compilation — at 100x that artifact
+    // dominated rep 1 (q121 read 281 s warm-up vs 104 s settled in
+    // round 11) and needed a prose note to explain. Warm first, then
+    // time: queries_sec IS the settled cost that scales with data.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
     def timed(name: String)(df: => DataFrame): (String, Double) = {
       if (!only.forall(_.exists(name.startsWith))) return name -> -1.0
-      val times = (1 to reps).map { _ =>
+      def rep(): Double = {
         val scope = Caches.open()
         val t0 = System.nanoTime()
         try df.write.format("noop").mode("overwrite").save()
@@ -163,7 +189,9 @@ object ScaleSmoke {
         System.gc()
         dt
       }
-      System.err.println(f"SCALE $name%-8s ${times.min}%9.3f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      val warm = (1 to warmups).map(_ => rep())
+      val times = (1 to reps).map(_ => rep())
+      System.err.println(f"SCALE $name%-8s ${times.min}%9.3f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")}; warmup: ${warm.map(t => f"$t%.2f").mkString(", ")})")
       name -> times.min
     }
 
