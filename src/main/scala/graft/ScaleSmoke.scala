@@ -261,7 +261,12 @@ object ScaleSmoke {
       timed("q229") { graft.operators.Similarity.embeddingCovariance(emb) },
       timed("q230") { graft.operators.Similarity.pcaPower(emb) },
       timed("q236") { graft.operators.Corpus.lmFluency(docs) },
-      timed("q237") { graft.operators.Corpus.repetitionProfile(docs) })
+      timed("q237") { graft.operators.Corpus.repetitionProfile(docs) },
+      // the bounded quantile sketches: state is k pairs per group at ANY
+      // multiplier, so these should read near-scan-time — the scale rows
+      // are the "pre-aggregable percentile" claim, measured
+      timed("q239") { graft.operators.Quality.priceQuantileSketch(lineitem) },
+      timed("q240") { graft.operators.Quality.dailyValueQuantiles(events) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
