@@ -268,6 +268,7 @@ object SparkEntry {
     "q238_key_overlap" -> ((s, d) => Quality.keyOverlapSketch(s, d)),
     "q239_price_quantile_sketch" -> ((s, d) => Quality.priceQuantileSketch(s, d)),
     "q240_daily_value_quantiles" -> ((s, d) => Quality.dailyValueQuantiles(s, d)),
+    "q241_mass_estimate" -> ((s, d) => Quality.massEstimate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5433,5 +5434,52 @@ object SparkEntry {
         |  MAX(CASE WHEN vr = (99 * m + 99) // 100 THEN v END) AS p99_c
         |FROM kept k JOIN tot t ON k.w_start = t.w_start
         |GROUP BY t.w_start, t.n_events""".stripMargin,
+
+    // q241: priority sampling — k+1 highest (w*2^64 // (h+1)) priorities
+    // per source (ties by h, w), exact integer cross-product estimator
+    // with one final double division; the exact total rides alongside so
+    // the error ratio is itself oracle-checked.
+    "q241_mass_estimate" ->
+      """WITH rws AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS w,
+        |    md5(CAST(doc_id AS VARCHAR)) AS mm
+        |  FROM documents
+        |), hh AS (
+        |  SELECT source, w,
+        |    SUM(((instr('0123456789abcdef', substr(mm, CAST(j + 1 AS INT), 1)) - 1)::BIGINT) << CAST((11 - j) * 4 AS INT)) AS h
+        |  FROM rws, range(0, 12) r(j) GROUP BY source, mm, w
+        |), dist AS (
+        |  SELECT DISTINCT source, w, h FROM hh
+        |), sel AS (
+        |  SELECT source, w, h,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (w::HUGEINT * 18446744073709551616) // (h + 1) DESC, h ASC, w ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS m
+        |  FROM dist
+        |), tau AS (
+        |  SELECT source, w AS wt, h AS ht FROM sel WHERE rn = 17
+        |), agg AS (
+        |  SELECT s.source, MAX(s.m) AS m, MAX(t.ht) AS ht,
+        |    SUM(s.w) AS sum_all,
+        |    SUM(CASE WHEN s.rn <= 16 THEN
+        |      GREATEST(s.w::HUGEINT * 65536 * (t.ht + 1),
+        |               t.wt::HUGEINT * 18446744073709551616) END) AS sum_terms
+        |  FROM sel s LEFT JOIN tau t ON t.source = s.source
+        |  GROUP BY s.source
+        |), tot AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source
+        |), fin AS (
+        |  SELECT t.source, t.n_docs, t.total_chars,
+        |    CAST(LEAST(a.m, 16) AS BIGINT) AS sample_n,
+        |    CASE WHEN a.m <= 16 THEN CAST(a.sum_all AS DOUBLE)
+        |         ELSE CAST(a.sum_terms AS DOUBLE) / 65536.0 / CAST(a.ht + 1 AS DOUBLE)
+        |    END AS est_chars
+        |  FROM tot t JOIN agg a ON a.source = t.source
+        |)
+        |SELECT source, n_docs, total_chars, sample_n, est_chars,
+        |  est_chars / CAST(total_chars AS DOUBLE) AS err_ratio
+        |FROM fin""".stripMargin,
   )
 }
