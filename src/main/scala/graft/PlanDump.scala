@@ -31,7 +31,10 @@ object PlanDump {
     "q222_lsh_cost_planner", "q224_curriculum_order", "q225_shard_plan",
     "q228_manifest_merge", "q229_embedding_covariance", "q230_pca_power",
     "q234_split_leakage", "q235_ivf_recall", "q236_lm_fluency",
-    "q237_repetition_profile")
+    "q237_repetition_profile", "q238_key_overlap",
+    "q131_rfm_segments", "q155_price_band_mix",
+    "q239_price_quantile_sketch", "q241_mass_estimate",
+    "q242_bm25_topdocs", "q243_hybrid_rrf", "q244_source_ols")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

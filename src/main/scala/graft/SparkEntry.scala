@@ -269,6 +269,9 @@ object SparkEntry {
     "q239_price_quantile_sketch" -> ((s, d) => Quality.priceQuantileSketch(s, d)),
     "q240_daily_value_quantiles" -> ((s, d) => Quality.dailyValueQuantiles(s, d)),
     "q241_mass_estimate" -> ((s, d) => Quality.massEstimate(s, d)),
+    "q242_bm25_topdocs" -> ((s, d) => Corpus.bm25TopDocs(s, d)),
+    "q243_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    "q244_source_ols" -> ((s, d) => Quality.sourceOlsFit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5481,5 +5484,147 @@ object SparkEntry {
         |SELECT source, n_docs, total_chars, sample_n, est_chars,
         |  est_chars / CAST(total_chars AS DOUBLE) AS err_ratio
         |FROM fin""".stripMargin,
+
+    "q242_bm25_topdocs" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), pd AS (
+        |  SELECT doc_id, COUNT(*) AS dl,
+        |    CAST(SUM(CASE WHEN word = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+        |    CAST(SUM(CASE WHEN word = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf_merge,
+        |    CAST(SUM(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+        |  FROM w GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s,
+        |    CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+        |    CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+        |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+        |  FROM pd
+        |), sc AS (
+        |  SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
+        |    ((CASE WHEN tf_spark > 0 THEN
+        |        CAST(CAST(2*n - 2*df_spark + 1 AS HUGEINT) * (CAST(tf_spark AS HUGEINT) * s * 22) AS DOUBLE)
+        |        / CAST(CAST(2*df_spark + 1 AS HUGEINT) * (CAST(s AS HUGEINT)*tf_spark*10 + CAST(s AS HUGEINT)*3 + CAST(dl AS HUGEINT)*n*9) AS DOUBLE)
+        |      ELSE 0.0 END
+        |    + CASE WHEN tf_merge > 0 THEN
+        |        CAST(CAST(2*n - 2*df_merge + 1 AS HUGEINT) * (CAST(tf_merge AS HUGEINT) * s * 22) AS DOUBLE)
+        |        / CAST(CAST(2*df_merge + 1 AS HUGEINT) * (CAST(s AS HUGEINT)*tf_merge*10 + CAST(s AS HUGEINT)*3 + CAST(dl AS HUGEINT)*n*9) AS DOUBLE)
+        |      ELSE 0.0 END)
+        |    + CASE WHEN tf_window > 0 THEN
+        |        CAST(CAST(2*n - 2*df_window + 1 AS HUGEINT) * (CAST(tf_window AS HUGEINT) * s * 22) AS DOUBLE)
+        |        / CAST(CAST(2*df_window + 1 AS HUGEINT) * (CAST(s AS HUGEINT)*tf_window*10 + CAST(s AS HUGEINT)*3 + CAST(dl AS HUGEINT)*n*9) AS DOUBLE)
+        |      ELSE 0.0 END) AS score
+        |  FROM pd, st
+        |)
+        |SELECT doc_id, dl, tf_spark, tf_merge, tf_window, score, CAST(rnk AS INT) AS rnk
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |  FROM sc WHERE score > 0
+        |) WHERE rnk <= 15""".stripMargin,
+
+    "q243_hybrid_rrf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), pd AS (
+        |  SELECT doc_id, COUNT(*) AS dl,
+        |    CAST(SUM(CASE WHEN word = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf_spark,
+        |    CAST(SUM(CASE WHEN word = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf_merge,
+        |    CAST(SUM(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS BIGINT) AS tf_window
+        |  FROM w GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS s,
+        |    CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+        |    CAST(SUM(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+        |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+        |  FROM pd
+        |), sc AS (
+        |  SELECT doc_id,
+        |    ((CASE WHEN tf_spark > 0 THEN
+        |        CAST(CAST(2*n - 2*df_spark + 1 AS HUGEINT) * (CAST(tf_spark AS HUGEINT) * s * 22) AS DOUBLE)
+        |        / CAST(CAST(2*df_spark + 1 AS HUGEINT) * (CAST(s AS HUGEINT)*tf_spark*10 + CAST(s AS HUGEINT)*3 + CAST(dl AS HUGEINT)*n*9) AS DOUBLE)
+        |      ELSE 0.0 END
+        |    + CASE WHEN tf_merge > 0 THEN
+        |        CAST(CAST(2*n - 2*df_merge + 1 AS HUGEINT) * (CAST(tf_merge AS HUGEINT) * s * 22) AS DOUBLE)
+        |        / CAST(CAST(2*df_merge + 1 AS HUGEINT) * (CAST(s AS HUGEINT)*tf_merge*10 + CAST(s AS HUGEINT)*3 + CAST(dl AS HUGEINT)*n*9) AS DOUBLE)
+        |      ELSE 0.0 END)
+        |    + CASE WHEN tf_window > 0 THEN
+        |        CAST(CAST(2*n - 2*df_window + 1 AS HUGEINT) * (CAST(tf_window AS HUGEINT) * s * 22) AS DOUBLE)
+        |        / CAST(CAST(2*df_window + 1 AS HUGEINT) * (CAST(s AS HUGEINT)*tf_window*10 + CAST(s AS HUGEINT)*3 + CAST(dl AS HUGEINT)*n*9) AS DOUBLE)
+        |      ELSE 0.0 END) AS score
+        |  FROM pd, st
+        |), lex AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+        |  FROM sc WHERE score > 0 QUALIFY lex_rank <= 64
+        |), q AS (
+        |  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+        |), pairs AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS dot,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS na,
+        |    SUM(CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS nq
+        |  FROM embeddings e, q, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |  WHERE e.vec_id != 0
+        |  GROUP BY 1
+        |), dense AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) DESC, doc_id) AS INT) AS dense_rank
+        |  FROM pairs QUALIFY dense_rank <= 64
+        |)
+        |SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+        |  (COALESCE(1.0 / (60 + l.lex_rank), 0.0) + COALESCE(1.0 / (60 + d.dense_rank), 0.0)) AS rrf
+        |FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q244_source_ols" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2
+        |), pd AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS y, COUNT(*) AS ndw FROM tf GROUP BY 1
+        |), feat AS (
+        |  SELECT d.source, d.n_chars AS x1, p.ndw AS x2, p.y
+        |  FROM documents d JOIN pd p USING (doc_id)
+        |), m AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x1 AS HUGEINT)) AS sx1, SUM(CAST(x2 AS HUGEINT)) AS sx2,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x1 * x1 AS HUGEINT)) AS sx11,
+        |    SUM(CAST(x1 * x2 AS HUGEINT)) AS sx12,
+        |    SUM(CAST(x2 * x2 AS HUGEINT)) AS sx22,
+        |    SUM(CAST(x1 * y AS HUGEINT)) AS sx1y,
+        |    SUM(CAST(x2 * y AS HUGEINT)) AS sx2y,
+        |    SUM(CAST(y * y AS HUGEINT)) AS syy
+        |  FROM feat GROUP BY 1
+        |), dd AS (
+        |  SELECT source, n,
+        |    CAST(n AS DOUBLE) AS dn, CAST(sx1 AS DOUBLE) AS dx1,
+        |    CAST(sx2 AS DOUBLE) AS dx2, CAST(sy AS DOUBLE) AS dy,
+        |    CAST(sx11 AS DOUBLE) AS dx11, CAST(sx12 AS DOUBLE) AS dx12,
+        |    CAST(sx22 AS DOUBLE) AS dx22, CAST(sx1y AS DOUBLE) AS dx1y,
+        |    CAST(sx2y AS DOUBLE) AS dx2y, CAST(syy AS DOUBLE) AS dyy
+        |  FROM m
+        |), solved AS (
+        |  SELECT source, n, dy, dx1y, dx2y, dyy, dn,
+        |    ((dn * (dx11 * dx22 - dx12 * dx12)
+        |      - dx1 * (dx1 * dx22 - dx12 * dx2)) + dx2 * (dx1 * dx12 - dx11 * dx2)) AS det,
+        |    ((dy * (dx11 * dx22 - dx12 * dx12)
+        |      - dx1 * (dx1y * dx22 - dx12 * dx2y)) + dx2 * (dx1y * dx12 - dx11 * dx2y)) AS det0,
+        |    ((dn * (dx1y * dx22 - dx12 * dx2y)
+        |      - dy * (dx1 * dx22 - dx12 * dx2)) + dx2 * (dx1 * dx2y - dx1y * dx2)) AS det1,
+        |    ((dn * (dx11 * dx2y - dx1y * dx12)
+        |      - dx1 * (dx1 * dx2y - dx1y * dx2)) + dy * (dx1 * dx12 - dx11 * dx2)) AS det2
+        |  FROM dd
+        |), beta AS (
+        |  SELECT source, n, dy, dx1y, dx2y, dyy, dn,
+        |    det0 / nullif(det, 0.0) AS beta0,
+        |    det1 / nullif(det, 0.0) AS beta1,
+        |    det2 / nullif(det, 0.0) AS beta2
+        |  FROM solved
+        |)
+        |SELECT source, n, beta0, beta1, beta2,
+        |  (1.0 - (dyy - ((beta0 * dy + beta1 * dx1y) + beta2 * dx2y))
+        |       / nullif(dyy - (dy * dy) / dn, 0.0)) AS r2
+        |FROM beta""".stripMargin,
   )
 }

@@ -1140,4 +1140,93 @@ object Corpus {
 
   def repetitionProfile(s: SparkSession, dir: String): DataFrame =
     repetitionProfile(Tables.documents(s, dir))
+
+  /** Per-document BM25 scoring table for a fixed keyword probe query —
+    * the lexical-retrieval half of curation drill-down ("pull the
+    * documents most relevant to this probe"). One row per document that
+    * matches at least one query term, carrying its length, per-term
+    * frequencies, and the exact-arithmetic Okapi BM25 score.
+    *
+    * Exactness: k1 = 1.2 and b = 0.75 are folded into an all-integer
+    * form. With S = total corpus tokens, N = docs, dl = doc tokens, the
+    * saturation term tf·(k1+1)/(tf + k1·(1−b+b·dl·N/S)) multiplied
+    * through by 10·S is 22·tf·S / (10·S·tf + 3·S + 9·dl·N), and the idf
+    * is the log-free Robertson/Sparck-Jones rational surrogate
+    * (N−df+½)/(df+½) = (2N−2df+1)/(2df+1) — the engine's
+    * bit-reproducible discipline (cf. [[lmFluency]]'s log-free grid):
+    * each term's score is ONE double division of two exact DECIMAL(38,0)
+    * integers, and the cross-term sum is parenthesised left-to-right, so
+    * any engine that evaluates the same expression tree agrees to the
+    * last bit. Numerators stay far inside DECIMAL(38,0): at 1e9 docs /
+    * 1e13 tokens, 22·tf·S·(2N+1) ≈ 1e28.
+    *
+    * Scale: one word-explosion → one map-side-combined hash aggregate to
+    * a per-doc row (dl + one counter per query term) → a one-row corpus
+    * stats aggregate broadcast back → pure projection scoring. Two
+    * shuffles at any corpus size, both keyed by high-cardinality doc_id
+    * or collapsing to one row.
+    */
+  def bm25Scores(
+      docs: DataFrame,
+      terms: Seq[String] = Seq("spark", "merge", "window")): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d = DecimalType(38, 0)
+    val words = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+    // persisted: the one-row stats aggregate AND the scoring projection
+    // both read it — without the cache the corpus explode+aggregate (the
+    // only pass that touches raw text) would run twice
+    val perDoc = Caches.track(words.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
+        sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("s") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val termScore = terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val num = (lit(2) * col("n") - lit(2) * df + lit(1)).cast(d) *
+        (tf.cast(d) * col("s").cast(d) * lit(22))
+      val den = (lit(2) * df + lit(1)).cast(d) *
+        (col("s").cast(d) * tf.cast(d) * lit(10) +
+          col("s").cast(d) * lit(3) +
+          col("dl").cast(d) * col("n").cast(d) * lit(9))
+      when(tf > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", termScore.reduceLeft(_ + _))
+      .filter(col("score") > 0)
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ col("score"): _*)
+  }
+
+  /** Top-`k` BM25 retrieval (q242): [[bm25Scores]] ranked through the
+    * map-side-bounded [[graft.functions.BoundedTopK]] aggregate — k rows
+    * per map task cross the exchange, never a global sort (the
+    * annBruteForceTopK ranking discipline). The tiny ranked list is then
+    * broadcast back against the persisted per-doc score table to carry
+    * the tf audit columns.
+    */
+  def bm25TopDocs(
+      docs: DataFrame,
+      terms: Seq[String] = Seq("spark", "merge", "window"),
+      k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import graft.functions.{BoundedTopK, Scored}
+    val scored = Caches.track(bm25Scores(docs, terms))
+    val topk = udaf(new BoundedTopK(k), ExpressionEncoder[Scored]())
+    val ranked = scored
+      .agg(topk(col("doc_id"), col("score")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.neighborId").as("doc_id"), (col("pos") + 1).as("rnk"))
+    scored.join(broadcast(ranked), "doc_id")
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ col("score") :+ col("rnk"): _*)
+  }
+
+  def bm25TopDocs(s: SparkSession, dir: String): DataFrame =
+    bm25TopDocs(Tables.documents(s, dir))
 }

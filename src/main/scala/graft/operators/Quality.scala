@@ -715,4 +715,76 @@ object Quality {
   def joinCardinality(s: SparkSession, dir: String): DataFrame =
     joinCardinality(
       Tables.events(s, dir), "user_id", Tables.orders(s, dir), "o_custkey")
+
+  /** Per-source closed-form OLS fit (q244): regress each document's token
+    * count on [1, n_chars, distinct-word count] — the cheap linear probe a
+    * curation pipeline fits per source to catch tokenisation drift (a
+    * source whose tokens-per-char slope or vocabulary-breadth coefficient
+    * jumps between snapshots changed its segmentation, encoding, or
+    * boilerplate profile, before any model sees it).
+    *
+    * The fit is the normal-equations solution done Spark-shaped: ONE
+    * map-side-combined aggregate accumulates the nine Gram/moment sums
+    * per source as exact DECIMAL(38,0) (per-row products stay inside
+    * int64: chars ≤ ~1e5 squared is 1e10), then a per-group projection
+    * solves the 3×3 system by Cramer's rule in doubles. Every moment is
+    * an exact integer, every determinant is the same fixed-parenthesis
+    * expression tree in any engine, so coefficients are bit-identical —
+    * never an iterative solver, never a driver-side matrix. A singular
+    * Gram matrix (constant features) yields NULL coefficients via the
+    * nullif guard rather than ±Inf.
+    *
+    * Scale: the token/vocab features ride the tfidf explode→aggregate
+    * discipline (high-cardinality doc_id keys); the final aggregate is
+    * |sources| rows. No step holds more than a row of state per group.
+    */
+  def sourceOlsFit(docs: DataFrame): DataFrame = {
+    import graft.functions.Text
+    val d = DecimalType(38, 0)
+    val words = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("word"))
+    val perDoc = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("y"), count(lit(1)).as("ndw"))
+    val feat = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .hint("shuffle_hash").join(perDoc.hint("shuffle_hash"), "doc_id")
+    val m = feat.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars").cast(d)).as("sx1"),
+      sum(col("ndw").cast(d)).as("sx2"),
+      sum(col("y").cast(d)).as("sy"),
+      sum((col("n_chars") * col("n_chars")).cast(d)).as("sx11"),
+      sum((col("n_chars") * col("ndw")).cast(d)).as("sx12"),
+      sum((col("ndw") * col("ndw")).cast(d)).as("sx22"),
+      sum((col("n_chars") * col("y")).cast(d)).as("sx1y"),
+      sum((col("ndw") * col("y")).cast(d)).as("sx2y"),
+      sum((col("y") * col("y")).cast(d)).as("syy"))
+    // symmetric 3×3 normal equations solved by Cramer in doubles; the
+    // parenthesisation below is replicated verbatim in the SQL oracle
+    def dbl(c: String) = col(c).cast("double")
+    val (n, sx1, sx2, sy) = (dbl("n"), dbl("sx1"), dbl("sx2"), dbl("sy"))
+    val (sx11, sx12, sx22) = (dbl("sx11"), dbl("sx12"), dbl("sx22"))
+    val (sx1y, sx2y, syy) = (dbl("sx1y"), dbl("sx2y"), dbl("syy"))
+    val det = (n * (sx11 * sx22 - sx12 * sx12)
+      - sx1 * (sx1 * sx22 - sx12 * sx2)) + sx2 * (sx1 * sx12 - sx11 * sx2)
+    val det0 = (sy * (sx11 * sx22 - sx12 * sx12)
+      - sx1 * (sx1y * sx22 - sx12 * sx2y)) + sx2 * (sx1y * sx12 - sx11 * sx2y)
+    val det1 = (n * (sx1y * sx22 - sx12 * sx2y)
+      - sy * (sx1 * sx22 - sx12 * sx2)) + sx2 * (sx1 * sx2y - sx1y * sx2)
+    val det2 = (n * (sx11 * sx2y - sx1y * sx12)
+      - sx1 * (sx1 * sx2y - sx1y * sx2)) + sy * (sx1 * sx12 - sx11 * sx2)
+    val b0 = det0 / nullif(det, lit(0.0))
+    val b1 = det1 / nullif(det, lit(0.0))
+    val b2 = det2 / nullif(det, lit(0.0))
+    val sst = syy - (sy * sy) / n
+    val sse = syy - ((b0 * sy + b1 * sx1y) + b2 * sx2y)
+    m.select(col("source"), col("n"),
+      b0.as("beta0"), b1.as("beta1"), b2.as("beta2"),
+      (lit(1.0) - sse / nullif(sst, lit(0.0))).as("r2"))
+  }
+
+  def sourceOlsFit(s: SparkSession, dir: String): DataFrame =
+    sourceOlsFit(Tables.documents(s, dir))
 }

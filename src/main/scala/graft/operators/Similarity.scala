@@ -1146,6 +1146,59 @@ object Similarity {
   def modalityAlignment(s: SparkSession, dir: String): DataFrame =
     modalityAlignment(Tables.documents(s, dir), Tables.embeddings(s, dir))
 
+  /** Hybrid lexical+dense retrieval fusion (q243): reciprocal-rank fusion
+    * of the BM25 keyword list ([[Corpus.bm25Scores]]) and the dense
+    * cosine list against a probe embedding, the standard two-tower
+    * retrieval combiner (RRF, Cormack et al. SIGIR'09):
+    * `rrf(d) = Σ_lists 1/(60 + rank_list(d))`, summed over the lists
+    * that retrieved `d` in their top-`kList`.
+    *
+    * Determinism: both ranks are integers from total orders
+    * (score DESC, id ASC), each reciprocal is one double division of
+    * exact integers, and the two-term sum is evaluated left-to-right —
+    * bit-identical in any engine.
+    *
+    * Scale: each side ranks through the map-side-bounded
+    * [[graft.functions.BoundedTopK]] aggregate (k rows per map task
+    * cross the exchange — never a global sort of the scored corpus); the
+    * fusion join touches ≤ 2·kList rows, and the final top-`kOut` is a
+    * bounded TakeOrderedAndProject. The corpus is scanned once per
+    * modality, everything downstream is constant-size.
+    */
+  def hybridRrf(
+      docs: DataFrame, emb: DataFrame,
+      terms: Seq[String] = Seq("spark", "merge", "window"),
+      queryVec: Long = 0L, kList: Int = 64, kOut: Int = 20): DataFrame = {
+    val topk = udaf(new BoundedTopK(kList), ExpressionEncoder[Scored]())
+    def ranked(scored: DataFrame, id: String, score: String, rank: String) =
+      scored
+        .agg(topk(col(id), col(score)).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("t.neighborId").as("doc_id"), (col("pos") + 1).as(rank))
+    val lex = ranked(
+      Corpus.bm25Scores(docs, terms), "doc_id", "score", "lex_rank")
+    val e = prepared(emb)
+    val q = e.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"))
+    val dense = ranked(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= queryVec)
+        .select(col("vec_id"), Vectors.cosineFromParts(
+          FixedPoint.dotF(col("embedding"), col("qe")),
+          col("n2"), col("qn2")).as("cosine")),
+      "vec_id", "cosine", "dense_rank")
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(kOut)
+  }
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))
+
   /** IVF recall audit (q235): per-query recall@k of the trained-IVF
     * probe (q61) against the exact brute-force top-k (q24) — the q200
     * discipline applied to the ANN index: an approximate index ships

@@ -571,4 +571,65 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L)._1 === 9L)
     assert(!out(2L)._4)
   }
+
+  /** Plain-JVM reference of the exact-integer BM25 (same expression tree
+    * as the operator: per-term one double division of exact integers,
+    * cross-term sum folded left-to-right).
+    */
+  private def refBm25(
+      texts: Map[Long, String], terms: Seq[String]): Map[Long, Double] = {
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val n = BigInt(texts.size)
+    val s = BigInt(toks.values.map(_.size).sum)
+    val df = terms.map(t => t -> BigInt(toks.values.count(_.contains(t)))).toMap
+    toks.map { case (id, ws) =>
+      val dl = BigInt(ws.size)
+      val score = terms.map { t =>
+        val tf = BigInt(ws.count(_ == t))
+        if (tf == 0) 0.0
+        else {
+          val num = (2 * n - 2 * df(t) + 1) * (tf * s * 22)
+          val den = (2 * df(t) + 1) * (s * tf * 10 + s * 3 + dl * n * 9)
+          num.doubleValue / den.doubleValue
+        }
+      }.reduceLeft(_ + _)
+      id -> score
+    }.filter(_._2 > 0)
+  }
+
+  test("bm25TopDocs: hand-checked exact-integer scores, ranking, and tf audit columns") {
+    val docs = corpus // N=5, S=12; df(alpha)=3, df(beta)=2
+    val out = Corpus.bm25TopDocs(docs, Seq("alpha", "beta"), k = 3).collect()
+      .map(r => r.getAs[Int]("rnk") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+          r.getAs[Long]("tf_alpha"), r.getAs[Long]("tf_beta"),
+          r.getAs[Double]("score")))).toMap
+    // alpha idf = 5/7, beta idf = 7/5 (rational RSJ surrogate, 2N-2df+1 / 2df+1)
+    val d0 = 2640.0 / 2877.0 + 1848.0 / 1455.0 // "alpha beta alpha"
+    val d2 = 0.0 + 5544.0 / 2655.0             // "beta beta beta"
+    val d1 = 1320.0 / 1722.0                   // "alpha gamma"
+    assert(out(1) === ((0L, 3L, 2L, 1L, d0)))
+    assert(out(2) === ((2L, 3L, 0L, 3L, d2)))
+    assert(out(3) === ((1L, 2L, 1L, 0L, d1)))
+    assert(out.size === 3) // doc3 has no query term, doc4 is cut at k=3
+    graft.Caches.releaseAll()
+  }
+
+  test("bm25Scores: partition-invariant and equal to the plain-JVM exact-integer recompute") {
+    import spark.implicits._
+    val vocab = Vector("spark", "merge", "window", "scan", "join", "sort", "agg")
+    val rnd = new scala.util.Random(4242)
+    val texts = (0L until 60L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toMap
+    val expected = refBm25(texts, Seq("spark", "merge", "window"))
+    for (parts <- Seq(1, 3, 7)) {
+      val docs = texts.toSeq.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(parts)
+      val got = Corpus.bm25Scores(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      assert(got === expected, s"bm25Scores diverged at $parts partitions")
+      graft.Caches.releaseAll()
+    }
+  }
 }

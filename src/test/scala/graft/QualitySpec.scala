@@ -240,4 +240,72 @@ class QualitySpec extends SparkSpec {
     val ndv = est.getAs[Long]("ndv_a").toDouble
     assert(math.abs(ndv - 5000.0) / 5000.0 < 0.4, s"ndv estimate off: $ndv")
   }
+
+  test("sourceOlsFit: an exactly-linear source recovers its coefficients and r2 = 1 bit-exactly") {
+    import spark.implicits._
+    // y (tokens) = 3 + 0*n_chars + 2*ndw for every document, with n_chars
+    // varied independently so the Gram matrix is non-singular: Cramer on
+    // exact integer moments must return 3/0/2 and r2 = 1.0 EXACTLY
+    val docs = Seq(
+      (0L, "a b a a b a a", "en", "lin", 10L),             // y=7,  ndw=2
+      (1L, "a b c a a b a a c", "en", "lin", 20L),         // y=9,  ndw=3
+      (2L, "a b c d a a a a b c d", "en", "lin", 30L),     // y=11, ndw=4
+      (3L, "x y x x y x x", "en", "lin", 40L),             // y=7,  ndw=2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = Quality.sourceOlsFit(docs).collect().head
+    assert(row.getAs[String]("source") === "lin")
+    assert(row.getAs[Long]("n") === 4L)
+    assert(row.getAs[Double]("beta0") === 3.0)
+    assert(row.getAs[Double]("beta1") === 0.0)
+    assert(row.getAs[Double]("beta2") === 2.0)
+    assert(row.getAs[Double]("r2") === 1.0)
+  }
+
+  test("sourceOlsFit: per-source grouping equals the plain-JVM Cramer recompute on a random corpus") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rnd = new scala.util.Random(777)
+    val rows = (0L until 80L).map { id =>
+      val toks = Seq.fill(2 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      (id, toks.mkString(" "), "en", if (id % 2 == 0) "even" else "odd",
+        (20 + rnd.nextInt(400)).toLong)
+    }
+    // plain-JVM moments + the SAME fixed-parenthesis Cramer expressions
+    def fit(sub: Seq[(Long, String, String, String, Long)]) = {
+      val f = sub.map { case (_, text, _, _, nc) =>
+        val toks = text.split(" ").toSeq
+        (nc, toks.distinct.size.toLong, toks.size.toLong)
+      }
+      val dn = f.size.toDouble
+      val dx1 = f.map(_._1).sum.toDouble; val dx2 = f.map(_._2).sum.toDouble
+      val dy = f.map(_._3).sum.toDouble
+      val dx11 = f.map(t => t._1 * t._1).sum.toDouble
+      val dx12 = f.map(t => t._1 * t._2).sum.toDouble
+      val dx22 = f.map(t => t._2 * t._2).sum.toDouble
+      val dx1y = f.map(t => t._1 * t._3).sum.toDouble
+      val dx2y = f.map(t => t._2 * t._3).sum.toDouble
+      val dyy = f.map(t => t._3 * t._3).sum.toDouble
+      val det = (dn * (dx11 * dx22 - dx12 * dx12)
+        - dx1 * (dx1 * dx22 - dx12 * dx2)) + dx2 * (dx1 * dx12 - dx11 * dx2)
+      val det0 = (dy * (dx11 * dx22 - dx12 * dx12)
+        - dx1 * (dx1y * dx22 - dx12 * dx2y)) + dx2 * (dx1y * dx12 - dx11 * dx2y)
+      val det1 = (dn * (dx1y * dx22 - dx12 * dx2y)
+        - dy * (dx1 * dx22 - dx12 * dx2)) + dx2 * (dx1 * dx2y - dx1y * dx2)
+      val det2 = (dn * (dx11 * dx2y - dx1y * dx12)
+        - dx1 * (dx1 * dx2y - dx1y * dx2)) + dy * (dx1 * dx12 - dx11 * dx2)
+      val (b0, b1, b2) = (det0 / det, det1 / det, det2 / det)
+      val r2 = 1.0 - (dyy - ((b0 * dy + b1 * dx1y) + b2 * dx2y)) / (dyy - (dy * dy) / dn)
+      (f.size.toLong, b0, b1, b2, r2)
+    }
+    val expected = rows.groupBy(_._4).view.mapValues(g => fit(g.toSeq)).toMap
+    for (parts <- Seq(1, 5)) {
+      val got = Quality.sourceOlsFit(
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(parts))
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("beta0"), r.getAs[Double]("beta1"),
+            r.getAs[Double]("beta2"), r.getAs[Double]("r2")))).toMap
+      assert(got === expected, s"sourceOlsFit diverged at $parts partitions")
+    }
+  }
 }

@@ -690,4 +690,60 @@ class SimilaritySpec extends SparkSpec {
         s"full probe must equal brute force for query $q: hit=$nHit")
     }
   }
+
+  test("hybridRrf: hand-checked rank fusion, incl. one-sided docs through the full-outer union") {
+    import spark.implicits._
+    // lexical side: doc 1 and doc 2 match "alpha" (doc 2 twice as often in
+    // the same length -> lex rank 1), doc 5 matches but has NO embedding;
+    // doc 3 has no query term (dense-only)
+    val docs = Seq(
+      (1L, "alpha x y z", "en", "web", 10L),
+      (2L, "alpha alpha y z", "en", "web", 10L),
+      (3L, "q r s t", "en", "web", 10L),
+      (5L, "alpha q", "en", "web", 10L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // dense side vs query vec 0 = (1,0,0): vec 1 cos 1.0 > vec 4 cos ~0.8
+    // > vec 2 cos ~0.6 > vec 3 cos 0.0; vec 4 has no document text side
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0.6f, 0.8f, 0f)),
+      (3L, Seq(0f, 1f, 0f)),
+      (4L, Seq(0.8f, 0.6f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hybridRrf(docs, emb, Seq("alpha"), queryVec = 0L,
+      kList = 3, kOut = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.get(r.fieldIndex("lex_rank"))).map(_.asInstanceOf[Int]),
+          Option(r.get(r.fieldIndex("dense_rank"))).map(_.asInstanceOf[Int]),
+          r.getAs[Double]("rrf")))).toMap
+    graft.Caches.releaseAll()
+    // lex ranks: doc2=1 (higher tf), then doc5 beats doc1 at equal tf via
+    // BM25 length normalisation (dl 2 vs 4); dense ranks (kList=3 cuts
+    // vec 3): vec1=1, vec4=2, vec2=3
+    assert(out(2L) === ((Some(1), Some(3), 1.0 / 61 + 1.0 / 63)))
+    assert(out(1L) === ((Some(3), Some(1), 1.0 / 63 + 1.0 / 61)))
+    assert(out(5L) === ((Some(2), None, 1.0 / 62 + 0.0)))
+    assert(out(4L) === ((None, Some(2), 0.0 + 1.0 / 62)))
+    assert(out.size === 4) // vec 3 is cut from the dense list by kList=3
+  }
+
+  test("hybridRrf on the test tables: fused set equals the rank-fused bruteforce+bm25 recompute") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val out = Similarity.hybridRrf(docs, emb).collect()
+    graft.Caches.releaseAll()
+    assert(out.length === 20)
+    // every fused score must be exactly the two-term reciprocal sum of
+    // the reported ranks, and the list must be rrf-descending
+    val scores = out.map { r =>
+      val lex = Option(r.get(r.fieldIndex("lex_rank"))).map(_.asInstanceOf[Int])
+      val den = Option(r.get(r.fieldIndex("dense_rank"))).map(_.asInstanceOf[Int])
+      val expect = lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        den.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") === expect, s"row $r")
+      r.getAs[Double]("rrf")
+    }
+    assert(scores.toSeq === scores.sortBy(-_).toSeq, "not rrf-descending")
+  }
 }
