@@ -272,6 +272,9 @@ object SparkEntry {
     "q242_bm25_topdocs" -> ((s, d) => Corpus.bm25TopDocs(s, d)),
     "q243_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "q244_source_ols" -> ((s, d) => Quality.sourceOlsFit(s, d)),
+    "q245_nb_confusion" -> ((s, d) => Corpus.nbConfusion(s, d)),
+    "q246_score_auc" -> ((s, d) => Quality.scoreAuc(s, d)),
+    "q247_calibration_bins" -> ((s, d) => Quality.calibrationBins(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5626,5 +5629,119 @@ object SparkEntry {
         |  (1.0 - (dyy - ((beta0 * dy + beta1 * dx1y) + beta2 * dx2y))
         |       / nullif(dyy - (dy * dy) / dn, 0.0)) AS r2
         |FROM beta""".stripMargin,
+
+    // q245: log-free NB source classifier — integer inverse-probability
+    // micro-units (the q236 grid), salted-md5 half trains, other half
+    // scores, argmin with class-name tie-break, confusion counts out.
+    "q245_nb_confusion" ->
+      """WITH fold AS (
+        |  SELECT doc_id, source, text,
+        |    ( (instr('0123456789abcdef', substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 2 AS b
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, source, b, unnest(string_split(text, ' ')) AS word
+        |  FROM fold
+        |), cw AS (
+        |  SELECT source, word, COUNT(*) AS cnt FROM w
+        |  WHERE b = 0 GROUP BY 1, 2
+        |), voc AS (
+        |  SELECT COUNT(DISTINCT word) AS v FROM cw
+        |), classes AS (
+        |  SELECT source AS cand, 1000000 * (SUM(cnt) + voc.v) AS unseen
+        |  FROM cw CROSS JOIN voc GROUP BY 1, voc.v
+        |), delta AS (
+        |  SELECT cw.word, c.cand,
+        |    c.unseen // (cw.cnt + 1) - c.unseen AS delta
+        |  FROM cw JOIN classes c ON cw.source = c.cand
+        |), tf AS (
+        |  SELECT doc_id, source, word, COUNT(*) AS tf FROM w
+        |  WHERE b = 1 GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, source, SUM(tf) AS t FROM tf GROUP BY 1, 2
+        |), adj AS (
+        |  SELECT tf.doc_id, d.cand, SUM(tf.tf * d.delta) AS adj
+        |  FROM tf JOIN delta d USING (word) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT tot.doc_id, tot.source, c.cand,
+        |    tot.t * c.unseen + COALESCE(adj.adj, 0) AS score
+        |  FROM tot CROSS JOIN classes c
+        |  LEFT JOIN adj ON adj.doc_id = tot.doc_id AND adj.cand = c.cand
+        |), pred AS (
+        |  SELECT doc_id, source, cand AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score, cand) AS rn
+        |  FROM sc
+        |)
+        |SELECT source, predicted, COUNT(*) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    // q246: Mann-Whitney AUC of the dup-bigram-share micro score
+    // predicting lang='en', per source — exact tie-corrected midranks
+    // over per-(source, score) counts, one trailing double division.
+    "q246_score_auc" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, source, lang = 'en' AS pos,
+        |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2
+        |), pg AS (
+        |  SELECT doc_id, source, pos, g, COUNT(*) AS n FROM g0
+        |  GROUP BY 1, 2, 3, 4
+        |), ds AS (
+        |  SELECT doc_id, source, pos, SUM(n) AS n_grams,
+        |    SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_mass
+        |  FROM pg GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT source, pos, (1000000 * dup_mass) // n_grams AS s FROM ds
+        |), cnts AS (
+        |  SELECT source, s, COUNT(*) AS n,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS npos
+        |  FROM sc GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, s, n, npos,
+        |    COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM cnts
+        |), agg AS (
+        |  SELECT source, SUM(npos) AS npos, SUM(n - npos) AS nneg,
+        |    SUM(npos * (2 * below + n + 1)) AS r2
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT source, CAST(npos AS BIGINT) AS npos,
+        |  CAST(nneg AS BIGINT) AS nneg,
+        |  CAST(CAST(r2 - npos * (npos + 1) AS VARCHAR) AS DOUBLE)
+        |    / nullif(CAST(2 * npos * nneg AS DOUBLE), 0.0) AS auc
+        |FROM agg""".stripMargin,
+
+    // q247: reliability bins of the same micro score — fixed 11-bin
+    // grid, exact integer sums, fixed (double/1e6)/n division chain.
+    "q247_calibration_bins" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2
+        |), pg AS (
+        |  SELECT doc_id, pos, g, COUNT(*) AS n FROM g0 GROUP BY 1, 2, 3
+        |), ds AS (
+        |  SELECT doc_id, pos, SUM(n) AS n_grams,
+        |    SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_mass
+        |  FROM pg GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT pos, (1000000 * dup_mass) // n_grams AS s FROM ds
+        |), b AS (
+        |  SELECT s // 100000 AS bin, COUNT(*) AS n, SUM(s) AS s_sum,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS npos
+        |  FROM sc GROUP BY 1
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, n,
+        |  CAST(CAST(s_sum AS VARCHAR) AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+        |    AS mean_score,
+        |  CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+        |FROM b""".stripMargin,
   )
 }

@@ -1229,4 +1229,111 @@ object Corpus {
 
   def bm25TopDocs(s: SparkSession, dir: String): DataFrame =
     bm25TopDocs(Tables.documents(s, dir))
+
+  /** Classifier model for [[nbPredict]]: per-(class, word) score deltas
+    * plus the per-class smoothing constants, trained on `train`'s
+    * `source` labels — the multinomial Naive-Bayes family every curation
+    * stack keeps around as its cheap source/domain classifier
+    * (fastText-tier: bag-of-words, additive smoothing), here under the
+    * [[lmFluency]] log-free discipline so predictions are bit-identical
+    * in any engine: instead of summing log-probabilities (whose
+    * floating-point `ln` is not reproducible across engines), each word
+    * contributes its add-one-smoothed INVERSE probability in integer
+    * micro-units, `inv_p = (1e6 * (N_c + V)) div (cnt + 1)`, and the
+    * predicted class is the argmin of the per-doc sum — the same
+    * monotone decision rule as NB on the arithmetic (rather than
+    * geometric) mean, with every intermediate an exact integer.
+    *
+    * Returned shape is factored for the scoring join: `unseen_c = 1e6 *
+    * (N_c + V)` is the score of a word the class never saw, so a doc's
+    * class score is `n_words * unseen_c + Σ_observed tf_w * delta(w,c)`
+    * with `delta = inv_p - unseen` (≤ 0) — the scoring join touches ONLY
+    * the (word, class) pairs observed in training, never the dense
+    * vocab × classes grid.
+    *
+    * Int64 bounds: `unseen_c` stays inside int64 while `N_c + V <
+    * 9.2e12` (a ~9-trillion-token class corpus); sums and products are
+    * carried in DECIMAL(38,0) downstream.
+    */
+  private[graft] def nbModel(train: DataFrame): (DataFrame, DataFrame) = {
+    val words = train
+      .repartition(shuffleWidth(train), col("doc_id"))
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+    val cw = Caches.track(words.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt")))
+    val voc = cw.select(col("word")).distinct().agg(count(lit(1)).as("v"))
+    val classes = cw.groupBy(col("source")).agg(sum(col("cnt")).as("nc"))
+      .crossJoin(broadcast(voc))
+      .withColumn("unseen", expr("1000000 * (nc + v)"))
+      .select(col("source").as("cand"), col("unseen"))
+    val delta = cw
+      .join(broadcast(classes.withColumnRenamed("cand", "source")), "source")
+      .select(col("word"), col("source").as("cand"),
+        expr("unseen div (cnt + 1) - unseen").as("delta"))
+    (delta, classes)
+  }
+
+  /** Score `test` docs against the [[nbModel]] trained on `train` and
+    * emit one row per test doc: `(doc_id, source, predicted)` with the
+    * deterministic argmin (ties broken by class name ascending, via
+    * lexicographic `min(struct(score, cand))`).
+    *
+    * Scale: one word-explode + hash aggregate per side (the tfidf
+    * discipline); the observed-pair scoring join is word-keyed
+    * shuffle-hash (high-cardinality, balanced); the dense part of the
+    * score is a |docs| × |classes| broadcast cross of two tiny columns.
+    * No window, no sort, no driver loop.
+    */
+  def nbPredict(train: DataFrame, test: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val (delta, classes) = nbModel(train)
+    val tf = Caches.track(test
+      .repartition(shuffleWidth(test), col("doc_id"))
+      .select(col("doc_id"), col("source"),
+        explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("source"), col("word"))
+      .agg(count(lit(1)).as("tf")))
+    val totals = tf.groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("t"))
+    val adj = tf.hint("shuffle_hash")
+      .join(delta.hint("shuffle_hash"), "word")
+      .groupBy(col("doc_id"), col("cand"))
+      .agg(sum(col("tf").cast(dec) * col("delta").cast(dec)).as("adj"))
+    totals.crossJoin(broadcast(classes))
+      .join(adj, Seq("doc_id", "cand"), "left")
+      .withColumn("score",
+        col("t").cast(dec) * col("unseen").cast(dec) +
+          coalesce(col("adj"), lit(0L).cast(dec)))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(min(struct(col("score"), col("cand"))).as("m"))
+      .select(col("doc_id"), col("source"), col("m.cand").as("predicted"))
+  }
+
+  /** Holdout source-classifier confusion matrix (q245): train the
+    * [[nbModel]] on a deterministic md5 half of the corpus, score the
+    * other half, count (actual, predicted) pairs — the self-audit a
+    * curation pipeline runs to measure how separable its sources are (a
+    * source whose docs scatter across other sources' predictions is
+    * either mislabeled or has no distinctive register; a diagonal-heavy
+    * confusion confirms the label column carries signal worth
+    * stratifying on). The holdout is the salted-md5 bucket rule every
+    * split in the library uses (Prep/Corpus splitAssign discipline) —
+    * NOT `doc_id` parity, which any id scheme that interleaves sources
+    * (round-robin writers, modulo sharding) confounds with the label:
+    * the test fold would then contain only sources the model never saw.
+    */
+  def nbConfusion(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(
+      md5(concat(lit("nb|"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("long") % 2
+    nbPredict(
+      docs.filter(bucket === 0),
+      docs.filter(bucket === 1))
+      .groupBy(col("source"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def nbConfusion(s: SparkSession, dir: String): DataFrame =
+    nbConfusion(Tables.documents(s, dir))
 }

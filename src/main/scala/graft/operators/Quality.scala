@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.Caches
 import graft.sources.Tables
 
 /** Data-quality audits — the checks a 100 TB warehouse runs nightly
@@ -787,4 +788,112 @@ object Quality {
 
   def sourceOlsFit(s: SparkSession, dir: String): DataFrame =
     sourceOlsFit(Tables.documents(s, dir))
+
+  /** Per-doc duplicate-bigram share in integer micro-units on the fixed
+    * [0, 1e6] grid — the q237 `dup_share` signal made exact-integer so
+    * the rank statistics below ([[scoreAuc]], [[calibrationBins]]) never
+    * touch a float: `s = (1e6 * dup_mass) div n_grams`. Carries the
+    * `source` stratum and the `lang = 'en'` label the evaluations score
+    * against. Docs under two words have no bigrams and are excluded
+    * (same rule as q237).
+    */
+  private def dupShareMicro(docs: DataFrame): DataFrame = {
+    import graft.functions.Text
+    docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), col("source"), (col("lang") === "en").as("pos"),
+        Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), col("pos"),
+        explode(Text.bigrams(col("w"))).as("g"))
+      .groupBy(col("doc_id"), col("source"), col("pos"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("source"), col("pos"))
+      .agg(sum(col("n")).as("n_grams"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_mass"))
+      .select(col("source"), col("pos"),
+        expr("(1000000 * dup_mass) div n_grams").as("s"))
+  }
+
+  /** Per-source ranking quality of a screening signal (q246): the
+    * Mann-Whitney AUC of the duplicate-bigram share predicting the
+    * `lang = 'en'` label — the standard "is this cheap quality score
+    * actually separating the populations" audit a filter sweep runs
+    * before committing to a threshold. AUC is computed from the exact
+    * tie-corrected rank-sum: with per-(source, score) counts `(n_v,
+    * npos_v)` and `below_v` rows strictly under `v`, twice the positive
+    * rank-sum is `Σ npos_v · (2·below_v + n_v + 1)` (midranks), and
+    * `auc = (2R - npos(npos+1)) / (2·npos·nneg)` — one double division
+    * at the very end, everything before it an exact integer.
+    *
+    * Scale: the score lives on the BOUNDED integer grid [0, 1e6], so the
+    * cumulative `below` needs no data-dependent sort: rows reduce to
+    * per-(source, score) counts (≤ |sources|·1e6 groups regardless of
+    * corpus size), the prefix runs two-level over the fixed
+    * `s div 1e5` decade — an 11-bucket offset table (bounded, broadcast)
+    * plus a within-bucket window whose partitions hold ≤ 1e5 distinct
+    * values by construction. No single-partition window at any data
+    * size; the 100 TB shape is three hash aggregates and a broadcast.
+    */
+  def scoreAuc(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = Caches.track(dupShareMicro(docs)
+      .groupBy(col("source"), col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      .withColumn("b", expr("s div 100000")))
+    val off = g.groupBy(col("source"), col("b")).agg(sum(col("n")).as("bn"))
+      .withColumn("offset",
+        coalesce(sum(col("bn")).over(Window.partitionBy(col("source"))
+          .orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("b"), col("offset"))
+    g.withColumn("run",
+        coalesce(sum(col("n")).over(Window
+          .partitionBy(col("source"), col("b")).orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(off), Seq("source", "b"))
+      .withColumn("below", col("run") + col("offset"))
+      .groupBy(col("source"))
+      .agg(sum(col("npos")).as("npos"),
+        sum(col("n") - col("npos")).as("nneg"),
+        sum(col("npos").cast(dec) *
+          (lit(2L) * col("below") + col("n") + lit(1L)).cast(dec)).as("r2"))
+      .select(col("source"), col("npos"), col("nneg"),
+        ((col("r2") - (col("npos").cast(dec) *
+            (col("npos") + 1).cast(dec))).cast("double") /
+          nullif((lit(2L) * col("npos") * col("nneg")).cast("double"),
+            lit(0.0))).as("auc"))
+  }
+
+  def scoreAuc(s: SparkSession, dir: String): DataFrame =
+    scoreAuc(Tables.documents(s, dir))
+
+  /** Calibration / reliability bins (q247): the duplicate-bigram share
+    * bucketed into eleven fixed micro-grid bins (`s div 1e5`; bin 10 is
+    * the exactly-1.0 scores), each with its doc count, mean score, and
+    * empirical `lang = 'en'` rate — the reliability-diagram table that
+    * says whether a screening score's magnitude means anything or only
+    * its ordering does (q246 grades ordering; this grades level).
+    * The mean is an exact integer micro-unit sum with one fixed
+    * `(double / 1e6) / n` division chain at the end; the positive rate
+    * is one exact-count division. One map-side-combined aggregate over
+    * an 11-key space — nothing about this shape changes at 100 TB.
+    */
+  def calibrationBins(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    dupShareMicro(docs)
+      .groupBy(expr("s div 100000").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s").cast(dec)).as("s_sum"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      .select(col("bin"), col("n"),
+        (col("s_sum").cast("double") / 1e6 / col("n").cast("double"))
+          .as("mean_score"),
+        (col("npos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+  }
+
+  def calibrationBins(s: SparkSession, dir: String): DataFrame =
+    calibrationBins(Tables.documents(s, dir))
 }

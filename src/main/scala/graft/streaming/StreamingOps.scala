@@ -552,6 +552,68 @@ object StreamingOps {
           .as("mean_inv_p"))
   }
 
+  /** Streaming source-classifier monitor — the continuous-ingestion twin
+    * of the batch holdout classifier (q245, `Corpus.nbPredict`): the
+    * log-free NB model is trained once on the static corpus, and every
+    * arriving document is scored and labeled per event-time window — the
+    * live "which register does this feed sound like" probe a curation
+    * pipeline points at a new crawl before admitting it.
+    *
+    * Streaming cannot stack a per-(doc, class) aggregation under a
+    * per-doc argmin (two chained aggregations), so the argmin is folded
+    * INTO the single windowed aggregation: the class list is collected
+    * once from the bounded static model (|sources| rows — the
+    * fluencyMonitor static-scalar discipline), each stream word row
+    * carries one delta column per class (extracted from the word's
+    * observed-pairs bundle, 0 when unseen), the aggregate sums each
+    * class column plus the word count, and a projection takes
+    * `array_min` over the per-class `struct(score, class)` — exact
+    * DECIMAL(38,0) sums, deterministic tie-break by class name, the same
+    * scores as the batch path bit-for-bit (the spec asserts equality).
+    *
+    * State: one row per open (window, doc) with |classes|+1 decimal
+    * columns — bounded by the watermark horizon, never by the vocabulary
+    * (the model join is stream-static, stateless).
+    */
+  def classifierMonitor(
+      stream: DataFrame,
+      corpus: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val (delta, classesDf) = graft.operators.Corpus.nbModel(corpus)
+    // bounded static-side scalar collect: one row per source label
+    val classes = classesDf.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val bundles = graft.Caches.track(delta.groupBy(col("word"))
+      .agg(collect_list(struct(col("cand"), col("delta"))).as("pairs")))
+    val deltaCols = classes.zipWithIndex.map { case ((c, _), i) =>
+      // get() (0-based) stays NULL on a no-match empty array even under
+      // ANSI mode, where element_at would throw INVALID_ARRAY_INDEX
+      coalesce(get(
+        filter(col("pairs"), p => p("cand") === lit(c)), lit(0))("delta"),
+        lit(0L)).as(s"d_$i")
+    }
+    val scoreCols = classes.zipWithIndex.map { case ((c, u), i) =>
+      struct((col("n_words").cast(dec) * lit(u).cast(dec) +
+        col(s"sd_$i")).as("score"), lit(c).as("cand"))
+    }
+    stream.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(Text.words(col("text"))).as("word"))
+      .join(bundles, Seq("word"), "left")
+      .select((col("doc_id") +: col("ts") +: deltaCols).toSeq: _*)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        classes.indices.map(i =>
+          sum(col(s"d_$i").cast(dec)).as(s"sd_$i")): _*)
+      .select(col("window"), col("doc_id"),
+        array_min(array(scoreCols.toSeq: _*))("cand").as("predicted"))
+  }
+
   /** Streaming heavy-hitter monitor — the continuous-ingestion twin of
     * the batch two-pass heavy hitters (operators/Corpus.heavyHitters):
     * per-shard Misra–Gries summaries in the state store, so a pipeline

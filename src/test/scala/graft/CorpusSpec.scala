@@ -632,4 +632,48 @@ class CorpusSpec extends SparkSpec {
       graft.Caches.releaseAll()
     }
   }
+
+  test("nbPredict: hand-computed micro scores, argmin, and the class-name tie-break") {
+    import spark.implicits._
+    // train: newsy = {alpha:3, beta:2, gamma:1} (N=6),
+    //        webby = {zig:2, zag:3, boom:1}     (N=6), V = 6
+    // unseen = 1e6 * (6 + 6) = 12e6 for both classes
+    val train = Seq(
+      (0L, "alpha beta alpha", "newsy"), (1L, "alpha beta gamma", "newsy"),
+      (2L, "zig zag zig", "webby"), (3L, "zag zag boom", "webby"),
+    ).toDF("doc_id", "text", "source")
+    // doc 10 "alpha beta": newsy = 2*12e6 + (12e6 div 4 - 12e6) + (12e6 div 3 - 12e6)
+    //                            = 24e6 - 9e6 - 8e6 = 7e6 < webby 24e6
+    // doc 11 "zig zag zag": webby = 36e6 - 8e6 - 2*9e6 = 10e6 < newsy 36e6
+    // doc 12 "qqq www": both 24e6 -> tie -> lexicographically first class
+    val test = Seq(
+      (10L, "alpha beta", "x"), (11L, "zig zag zag", "x"), (12L, "qqq www", "x"),
+    ).toDF("doc_id", "text", "source")
+    for (parts <- Seq(1, 3)) {
+      val got = Corpus.nbPredict(train.repartition(parts), test.repartition(parts))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted")).toMap
+      graft.Caches.releaseAll()
+      assert(got === Map(10L -> "newsy", 11L -> "webby", 12L -> "newsy"),
+        s"nbPredict diverged at $parts partitions: $got")
+    }
+  }
+
+  test("nbConfusion on the test tables: folds cover the corpus, predictions come from the trained fold") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val n = docs.count()
+    val conf = Corpus.nbConfusion(docs).collect()
+    graft.Caches.releaseAll()
+    val scored = conf.map(_.getAs[Long]("n")).sum
+    // every test-fold doc gets exactly one prediction; the md5 split is
+    // roughly balanced, never the degenerate all-train/all-test fold
+    assert(scored > n / 4 && scored < 3 * n / 4,
+      s"test fold $scored of $n is not a plausible half")
+    val sources = docs.select("source").distinct().collect()
+      .map(_.getString(0)).toSet
+    for (r <- conf) {
+      assert(sources(r.getAs[String]("source")))
+      assert(sources(r.getAs[String]("predicted")))
+    }
+  }
 }

@@ -880,4 +880,58 @@ class PlanShapeSpec extends SparkSpec {
         s"the window input must be the per-bin aggregate:\n$w")
     }
   }
+
+  test("q245: the observed-pair scoring join is shuffle_hash, the argmin never windows or sorts") {
+    val df = graft.operators.Corpus.nbConfusion(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    val (bhj, shj) = initialJoins(df)
+    // tf x delta both scale with the corpus: must be ShuffledHashJoin;
+    // the broadcasts are the |classes|-row model constants and the
+    // one-row vocab scalar
+    assert(shj >= 1,
+      s"expected the word-keyed scoring join as ShuffledHashJoin (got $shj):\n$plan")
+    // argmin is min(struct(...)) inside the hash aggregate — a window or
+    // a global sort here would serialize the per-doc decision at scale
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"per-doc argmin must not window:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere in the classifier:\n$plan")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q246: every AUC window is partitioned — the rank prefix rides the bounded micro-grid") {
+    val df = graft.operators.Quality.scoreAuc(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect() // finalize AQE so the cached count relation is real
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val ns = whole(df.queryExecution.executedPlan)
+    val globals = ns.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty,
+      s"AUC must never run an unpartitioned window — its prefixes are " +
+        s"(source)- and (source, bucket)-partitioned by construction:\n$globals")
+    assert(ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "the 11-bucket offset table must broadcast back onto the counts")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q247: calibration is pure aggregation — no join, no window, no sort") {
+    val df = graft.operators.Quality.calibrationBins(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"no join in a two-level aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort:\n$plan")
+  }
 }

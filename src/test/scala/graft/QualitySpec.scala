@@ -308,4 +308,69 @@ class QualitySpec extends SparkSpec {
       assert(got === expected, s"sourceOlsFit diverged at $parts partitions")
     }
   }
+
+  test("scoreAuc: hand-computed tie-corrected midranks, perfect and one-class edges") {
+    import spark.implicits._
+    // dup-share micro scores by construction:
+    //   "a a a"     -> grams {a a}x2        -> s = 1000000   (pos)
+    //   "x y x y"   -> {x y}x2 {y x}x1, n=3 -> s = 666666    (pos)
+    //   "p q r"     -> all distinct, n=2    -> s = 0         (neg)
+    //   "m n m n"   -> s = 666666                            (neg)
+    // ascending ranks: 0 -> 1, 666666 x2 -> midrank 2.5, 1e6 -> 4
+    // ranksum_pos = 2.5 + 4 = 6.5; AUC = (6.5 - 3) / (2*2) = 0.875
+    val docs = Seq(
+      (1L, "a a a", "en", "s", 5L),
+      (2L, "x y x y", "en", "s", 7L),
+      (3L, "p q r", "de", "s", 5L),
+      (4L, "m n m n", "de", "s", 7L),
+      // perfect separation: the lone positive outranks both negatives
+      (5L, "u u u", "en", "t", 5L),
+      (6L, "c d e", "fr", "t", 5L),
+      (7L, "f g h", "fr", "t", 5L),
+      // one-class source: no positives -> undefined AUC (null)
+      (8L, "i j k", "zh", "u", 5L),
+      (9L, "l o l o", "zh", "u", 7L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (parts <- Seq(1, 3)) {
+      val got = Quality.scoreAuc(docs.repartition(parts)).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("npos"), r.getAs[Long]("nneg"),
+            Option(r.getAs[java.lang.Double]("auc"))))).toMap
+      graft.Caches.releaseAll()
+      assert(got("s") === ((2L, 2L, Some(0.875))),
+        s"tie-corrected AUC wrong at $parts parts: $got")
+      assert(got("t") === ((1L, 2L, Some(1.0))))
+      assert(got("u") === ((0L, 2L, None)), "no-positive source must be null")
+    }
+  }
+
+  test("calibrationBins: fixed micro-grid bins with exact means and rates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a", "en", "s", 5L),     // s = 1000000 -> bin 10
+      (2L, "x y x y", "en", "s", 7L),   // s = 666666  -> bin 6
+      (3L, "p q r", "de", "s", 5L),     // s = 0       -> bin 0
+      (4L, "m n m n", "de", "s", 7L),   // s = 666666  -> bin 6
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Quality.calibrationBins(docs).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean_score"),
+          r.getAs[Double]("pos_rate")))).toMap
+    assert(got.keySet === Set(0L, 6L, 10L))
+    assert(got(0L) === ((1L, 0.0, 0.0)))
+    assert(got(6L) === ((2L, 666666.0 * 2 / 1e6 / 2, 0.5)))
+    assert(got(10L) === ((1L, 1.0, 1.0)))
+  }
+
+  test("scoreAuc on the test tables: every AUC in [0,1], counts cover the bigram-bearing corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val rows = Quality.scoreAuc(docs).collect()
+    graft.Caches.releaseAll()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val auc = Option(r.getAs[java.lang.Double]("auc"))
+      auc.foreach(a => assert(a >= 0.0 && a <= 1.0, s"AUC out of range: $r"))
+      assert(r.getAs[Long]("npos") + r.getAs[Long]("nneg") > 0)
+    }
+  }
 }

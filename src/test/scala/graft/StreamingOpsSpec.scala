@@ -479,6 +479,38 @@ class StreamingOpsSpec extends SparkSpec {
         s"streaming score for doc $id must equal batch q236: ${got(id)} vs ${batch(id)}")
   }
 
+  test("classifier monitor labels a doc stream bit-identically to the batch q245 scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "alpha beta alpha", "newsy"), (1L, "alpha beta gamma", "newsy"),
+      (2L, "zig zag zig", "webby"), (3L, "zag zag boom", "webby"),
+    ).toDF("doc_id", "text", "source")
+    val mem = MemoryStream[StreamTextDoc]
+    mem.addData(
+      StreamTextDoc(10L, "alpha beta", ts("2026-01-01 00:01:00")),
+      StreamTextDoc(11L, "zig zag zag", ts("2026-01-01 00:05:00")),
+      // entirely unseen vocabulary: every class scores n_words * unseen,
+      // equal corpora -> exact tie -> lexicographically first class
+      StreamTextDoc(12L, "qqq www", ts("2026-01-01 00:10:00")))
+    val q = StreamingOps.classifierMonitor(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("clsmon")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.Caches.releaseAll()
+    val got = spark.table("clsmon")
+      .select($"doc_id", $"predicted").as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "newsy", 11L -> "webby", 12L -> "newsy"))
+    // bit-identity with the batch scorer on the same (model, docs)
+    val batch = graft.operators.Corpus.nbPredict(corpus,
+        Seq((10L, "alpha beta", "x"), (11L, "zig zag zag", "x"),
+          (12L, "qqq www", "x")).toDF("doc_id", "text", "source"))
+      .select($"doc_id", $"predicted").as[(Long, String)].collect().toMap
+    graft.Caches.releaseAll()
+    assert(got === batch,
+      s"streaming predictions must equal batch q245: $got vs $batch")
+  }
+
   test("repetition monitor is stateless and bit-identical to the batch q237 profile") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
