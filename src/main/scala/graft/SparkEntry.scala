@@ -275,6 +275,9 @@ object SparkEntry {
     "q245_nb_confusion" -> ((s, d) => Corpus.nbConfusion(s, d)),
     "q246_score_auc" -> ((s, d) => Quality.scoreAuc(s, d)),
     "q247_calibration_bins" -> ((s, d) => Quality.calibrationBins(s, d)),
+    "q248_cm_freq_audit" -> ((s, d) => Corpus.cmFrequencyAudit(s, d)),
+    "q249_zipf_slope" -> ((s, d) => Corpus.zipfSlope(s, d)),
+    "q250_reciprocal_nn" -> ((s, d) => Similarity.reciprocalNn(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5743,5 +5746,114 @@ object SparkEntry {
         |    AS mean_score,
         |  CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
         |FROM b""".stripMargin,
+
+    // q248: 4x1024 count-min sketch over the vocabulary — salted 16-bit
+    // md5 row hashes mod w, exact integer cells, min-of-rows estimates
+    // for the exact top-20 probes.
+    "q248_cm_freq_audit" ->
+      """WITH v AS (
+        |  SELECT word, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1
+        |), hashed AS (
+        |  SELECT word, n, r,
+        |    ( (instr('0123456789abcdef', substr(md5('cm' || r || '|' || word), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5('cm' || r || '|' || word), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5('cm' || r || '|' || word), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5('cm' || r || '|' || word), 4, 1)) - 1) ) % 1024 AS b
+        |  FROM v, range(0, 4) t(r)
+        |), cells AS (
+        |  SELECT r, b, SUM(n) AS cell FROM hashed GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT word, n FROM v ORDER BY n DESC, word LIMIT 20
+        |)
+        |SELECT p.word, p.n, CAST(MIN(c.cell) AS BIGINT) AS cm_est,
+        |  CAST(MIN(c.cell) AS BIGINT) - p.n AS overcount
+        |FROM probes p
+        |JOIN hashed h ON p.word = h.word
+        |JOIN cells c ON h.r = c.r AND h.b = c.b
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q249: Zipf tail fit — floor-log2 via binary string length (exact
+    // in any engine), bounded-decade ccdf suffix sum, integer-moment OLS
+    // with the q244 fixed parenthesisation.
+    "q249_zipf_slope" ->
+      """WITH freq AS (
+        |  SELECT source, word, COUNT(*) AS f
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), spec AS (
+        |  SELECT source, len(bin(f)) - 1 AS x, COUNT(*) AS nw
+        |  FROM freq GROUP BY 1, 2
+        |), pts AS (
+        |  SELECT source, x,
+        |    len(bin(SUM(nw) OVER (PARTITION BY source ORDER BY x DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) - 1 AS y
+        |  FROM spec
+        |), m AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(x * y) AS sxy, SUM(y * y) AS syy
+        |  FROM pts GROUP BY 1
+        |), nrm AS (
+        |  SELECT source, n,
+        |    n * sxx - sx * sx AS sxxn,
+        |    n * sxy - sx * sy AS sxyn,
+        |    n * syy - sy * sy AS syyn
+        |  FROM m
+        |), fit AS (
+        |  SELECT source, CAST(n AS BIGINT) AS n_decades,
+        |    CAST(sxyn AS DOUBLE) / nullif(CAST(sxxn AS DOUBLE), 0.0) AS slope,
+        |    CAST(sxyn * sxyn AS DOUBLE)
+        |      / nullif(CAST(sxxn * syyn AS DOUBLE), 0.0) AS r2
+        |  FROM nrm
+        |)
+        |SELECT source, n_decades, slope,
+        |  -1.0 / nullif(slope, 0.0) AS zipf_s, r2
+        |FROM fit""".stripMargin,
+
+    // q250: reciprocal (best-buddy) nearest neighbours inside the q25
+    // LSH buckets — per-vector argmax with smaller-id tie-break, then
+    // the mutuality self-join.
+    "q250_reciprocal_nn" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 8) tp(p), range(1, 65) ti(i)
+        |), proj AS (
+        |  SELECT e.vec_id, hp.p,
+        |    CASE WHEN SUM(CAST(floor(CAST(e.embedding[hp.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * hp.s) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM embeddings e, hp GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+        |), cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), cos AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE)) *
+        |       sqrt(CAST(SUM(CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.vec_a = ea.vec_id
+        |  JOIN embeddings eb ON c.vec_b = eb.vec_id,
+        |  LATERAL (SELECT unnest(range(1, len(ea.embedding) + 1)) AS i) t
+        |  GROUP BY 1, 2
+        |), directed AS (
+        |  SELECT vec_a AS src, vec_b AS nbr, cosine FROM cos
+        |  UNION ALL
+        |  SELECT vec_b, vec_a, cosine FROM cos
+        |), best AS (
+        |  SELECT src, nbr, cosine FROM (
+        |    SELECT src, nbr, cosine,
+        |      row_number() OVER (PARTITION BY src
+        |        ORDER BY cosine DESC, nbr ASC) AS rn
+        |    FROM directed)
+        |  WHERE rn = 1
+        |)
+        |SELECT x.src AS vec_a, x.nbr AS vec_b, x.cosine AS cosine
+        |FROM best x JOIN best y
+        |  ON x.src = y.nbr AND x.nbr = y.src AND x.src < x.nbr""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1336,4 +1336,121 @@ object Corpus {
 
   def nbConfusion(s: SparkSession, dir: String): DataFrame =
     nbConfusion(Tables.documents(s, dir))
+
+  /** Count-min frequency audit (q248): build a `d × w` count-min sketch
+    * (Cormode & Muthukrishnan) over the corpus vocabulary and report,
+    * for the `probeK` most frequent words, the exact count next to the
+    * sketch's point estimate and its overcount — the calibration table
+    * that says what cell budget a CM-backed frequency service needs
+    * before anyone trusts its answers. Complements the library's other
+    * sketches: Misra–Gries (q197) bounds which keys CAN be heavy, KMV
+    * (q42/q209) counts distincts; CM answers point frequency for ANY
+    * key, always over-estimating by at most the collision mass in its
+    * least-loaded row (est ≥ exact by construction — the spec asserts
+    * it).
+    *
+    * Determinism: row hashes are salted md5 prefixes (the splitAssign
+    * idiom), cells are exact integer sums, the estimate is an integer
+    * `min` — bit-identical in any engine, and mergeable by construction
+    * (cells add; shards/windows union by summing cells).
+    *
+    * Scale: counts collapse to the vocabulary FIRST (one word-explode +
+    * map-side-combined aggregate — never d copies of the corpus); the
+    * sketch is a bounded `d·w`-cell aggregate of the vocab relation; the
+    * probe side is a bounded TakeOrdered top-k joined against the
+    * broadcast cells. Nothing downstream of the vocab aggregate scales
+    * with data volume.
+    */
+  /** Salted 16-bit md5 row hash of the count-min sketch, mod `w` — one
+    * definition shared by the batch audit and the streaming monitor so
+    * their cells are the same cells.
+    */
+  private[graft] def cmHash(i: Int, w: Int)(word: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"cm$i|"), word)), 1, 4),
+      16, 10).cast("long"), lit(w.toLong))
+
+  def cmFrequencyAudit(
+      docs: DataFrame, d: Int = 4, w: Int = 1024, probeK: Int = 20): DataFrame = {
+    val vocab = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val hashed = Caches.track(vocab.select(
+      col("word") +: col("n") +: (0 until d).map(i =>
+        cmHash(i, w)(col("word")).as(s"b_$i")): _*))
+    val stacked = hashed.select(col("word"), col("n"),
+      posexplode(array((0 until d).map(i => col(s"b_$i")): _*))
+        .as(Seq("r", "b")))
+    val cells = stacked.groupBy(col("r"), col("b"))
+      .agg(sum(col("n")).as("cell"))
+    val probes = hashed.orderBy(col("n").desc, col("word")).limit(probeK)
+    probes
+      .select(col("word"), col("n"),
+        posexplode(array((0 until d).map(i => col(s"b_$i")): _*))
+          .as(Seq("r", "b")))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("word"))
+      .agg(max(col("n")).as("n"), min(col("cell")).as("cm_est"))
+      .select(col("word"), col("n"), col("cm_est"),
+        (col("cm_est") - col("n")).as("overcount"))
+  }
+
+  def cmFrequencyAudit(s: SparkSession, dir: String): DataFrame =
+    cmFrequencyAudit(Tables.documents(s, dir))
+
+  /** Per-source power-law tail audit (q249): fit the Zipf exponent of
+    * each source's word-frequency spectrum — a source whose tail
+    * exponent collapses between snapshots got template-flooded (mass
+    * concentrated in few types) or shredded (tokenisation broke), both
+    * of which poison vocabulary and mixture decisions before any model
+    * sees a batch. The fit regresses `y = ⌊log2 ccdf(x)⌋` on
+    * `x = ⌊log2 f⌋` over the frequency decades, where `ccdf(x)` counts
+    * distinct words with frequency ≥ 2^x: Zipf `p_r ∝ r^(-s)` gives
+    * `ccdf(f) ∝ f^(-1/s)`, so `slope ≈ -1/s` and `zipf_s = -1/slope`.
+    *
+    * Determinism: ⌊log2⌋ is `length(bin(n)) - 1` — an exact string-length
+    * integer in any engine, never a floating log whose boundary ULPs
+    * differ; the OLS moments are exact small-integer sums (x, y ≤ 63,
+    * ≤ 64 points per source) solved by the q244 fixed-parenthesisation
+    * closed form, one double division per coefficient at the very end.
+    *
+    * Scale: one word-explode + two hash aggregates; the decade grid is
+    * BOUNDED (≤ 64 x-values), so the ccdf suffix-sum window partitions
+    * by source over at most 64 rows per source — the q246 fixed-grid
+    * discipline. Nothing data-sized is windowed, sorted, or collected.
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val freq = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("source"), explode(Text.words(col("text"))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("f"))
+    val spec = freq
+      .select(col("source"), (length(bin(col("f"))) - 1).as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("nw"))
+    val pts = spec
+      .withColumn("ccdf", sum(col("nw")).over(
+        Window.partitionBy(col("source")).orderBy(col("x").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("source"), col("x"), (length(bin(col("ccdf"))) - 1).as("y"))
+    val m = pts.groupBy(col("source")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    // slope/r2 from exact integer moments; one double division each,
+    // the same fixed parenthesisation replicated in the oracle
+    val sxxN = col("n") * col("sxx") - col("sx") * col("sx")
+    val sxyN = col("n") * col("sxy") - col("sx") * col("sy")
+    val syyN = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = sxyN.cast("double") / nullif(sxxN.cast("double"), lit(0.0))
+    m.select(col("source"), col("n").as("n_decades"),
+      slope.as("slope"),
+      (lit(-1.0) / nullif(slope, lit(0.0))).as("zipf_s"),
+      ((sxyN * sxyN).cast("double") /
+        nullif((sxxN * syyN).cast("double"), lit(0.0))).as("r2"))
+  }
+
+  def zipfSlope(s: SparkSession, dir: String): DataFrame =
+    zipfSlope(Tables.documents(s, dir))
 }

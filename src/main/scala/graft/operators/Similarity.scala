@@ -1199,6 +1199,52 @@ object Similarity {
   def hybridRrf(s: SparkSession, dir: String): DataFrame =
     hybridRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))
 
+  /** Reciprocal-nearest-neighbour pairs (q250): within the LSH candidate
+    * set, `(a, b)` is emitted iff `b` is `a`'s single best candidate AND
+    * `a` is `b`'s — the "best-buddy" criterion near-dup pipelines use as
+    * a higher-precision alternative to a raw cosine threshold (a pair
+    * that is mutually closest is a duplicate candidate even when the
+    * corpus-wide threshold would drown it in hub neighbours; a one-sided
+    * neighbour of a hub vector is not). Ties break deterministically to
+    * the smaller neighbour id via lexicographic `max(struct(cosine,
+    * -nbr))` on the exact fixed-point cosine.
+    *
+    * Scale: candidates come from the q25 banded-LSH bucket join (never
+    * all-pairs), the per-vector argmax is one hash aggregate over the
+    * candidate edges, and the mutuality check is a self-equijoin of the
+    * |vectors|-row best-edge relation on the reversed key pair. The
+    * quadratic stays inside buckets, exactly like nearDupLsh.
+    */
+  def reciprocalNn(emb: DataFrame, nPlanes: Int, dims: Int): DataFrame = {
+    val sig = prepared(emb)
+      .withColumn("bucket", Vectors.lshBucketF(col("embedding"), nPlanes, dims))
+    val pairs = sig.as("a").hint("shuffle_hash")
+      .join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        Vectors.cosineFromParts(
+          FixedPoint.dotF(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")).as("cosine"))
+    val directed = pairs
+      .select(col("va").as("src"), col("vb").as("nbr"), col("cosine"))
+      .unionAll(pairs
+        .select(col("vb").as("src"), col("va").as("nbr"), col("cosine")))
+    val best = Caches.track(directed
+      .groupBy(col("src"))
+      .agg(max(struct(col("cosine"), (-col("nbr")).as("neg"))).as("m"))
+      .select(col("src"), (-col("m.neg")).as("nbr"), col("m.cosine").as("cosine")))
+    best.as("x").hint("shuffle_hash")
+      .join(best.as("y"),
+        col("x.src") === col("y.nbr") && col("x.nbr") === col("y.src") &&
+          col("x.src") < col("x.nbr"))
+      .select(col("x.src").as("vec_a"), col("x.nbr").as("vec_b"),
+        col("x.cosine").as("cosine"))
+  }
+
+  def reciprocalNn(s: SparkSession, dir: String): DataFrame =
+    reciprocalNn(Tables.embeddings(s, dir), nPlanes = 8, dims = 64)
+
   /** IVF recall audit (q235): per-query recall@k of the trained-IVF
     * probe (q61) against the exact brute-force top-k (q24) — the q200
     * discipline applied to the ANN index: an approximate index ships

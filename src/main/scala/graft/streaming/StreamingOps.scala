@@ -614,6 +614,34 @@ object StreamingOps {
         array_min(array(scoreCols.toSeq: _*))("cand").as("predicted"))
   }
 
+  /** Streaming count-min monitor — the continuous-ingestion twin of the
+    * batch CM audit (q248, `Corpus.cmFrequencyAudit`): exact integer
+    * cell sums of the same salted-hash `d × w` sketch per event-time
+    * window, so a frequency service can answer "roughly how often did
+    * key X appear in window T" for ANY key without holding the window's
+    * vocabulary. State is O(d·w) rows per open window BY CONSTRUCTION —
+    * the key space is the fixed cell grid, never the data — and the
+    * windows merge downstream by plain cell addition (CM's defining
+    * property). The pre-aggregation row ×d explosion never crosses the
+    * wire: streaming partial aggregation collapses each task to ≤ d·w
+    * partial cells before the exchange.
+    */
+  def cmSketchMonitor(
+      stream: DataFrame, d: Int = 4, w: Int = 1024,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.Text
+    import graft.operators.Corpus
+    stream.withWatermark("ts", watermark)
+      .select(col("ts"), explode(Text.words(col("text"))).as("word"))
+      .select(col("ts"),
+        posexplode(array((0 until d).map(i =>
+          Corpus.cmHash(i, w)(col("word"))): _*)).as(Seq("r", "b")))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("r"), col("b"))
+      .agg(count(lit(1)).as("cell"))
+  }
+
   /** Streaming heavy-hitter monitor — the continuous-ingestion twin of
     * the batch two-pass heavy hitters (operators/Corpus.heavyHitters):
     * per-shard Misra–Gries summaries in the state store, so a pipeline

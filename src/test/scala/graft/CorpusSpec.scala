@@ -659,6 +659,67 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("cmFrequencyAudit: cells match a plain-JVM count-min replay, estimates never undercount") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h(i: Int, w: Int, word: String): Int =
+      Integer.parseInt(md5hex(s"cm$i|$word").take(4), 16) % w
+    val texts = Seq(
+      (0L, "ox ox ox ox zeta"), (1L, "ox pig pig emu"), (2L, "emu emu zeta pig ox"),
+      (3L, "ant bee cat dog elk fox"), (4L, "ox pig emu zeta ant bee"))
+    val docs = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // plain-JVM replay: exact counts, 4x64 cells, min-of-rows estimates
+    val counts = texts.flatMap(_._2.split(" ")).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val (d, w, k) = (4, 64, 5)
+    val cells = counts.toSeq
+      .flatMap { case (word, n) => (0 until d).map(i => (i, h(i, w, word)) -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val probes = counts.toSeq.sortBy { case (wd, n) => (-n, wd) }.take(k)
+    val expected = probes.map { case (word, n) =>
+      val est = (0 until d).map(i => cells((i, h(i, w, word)))).min
+      word -> ((n, est, est - n))
+    }.toMap
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.Corpus
+        .cmFrequencyAudit(docs.repartition(parts), d, w, k).collect()
+        .map(r => r.getAs[String]("word") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("cm_est"),
+            r.getAs[Long]("overcount")))).toMap
+      graft.Caches.releaseAll()
+      assert(got === expected, s"CM audit diverged at $parts partitions")
+      got.values.foreach { case (n, est, over) =>
+        assert(est >= n && over === est - n, "CM must never undercount")
+      }
+    }
+  }
+
+  test("zipfSlope: hand-replayed decade fit on a constructed spectrum") {
+    import spark.implicits._
+    // source "s": frequencies 8,4,2,2,1,1,1,1 ->
+    //   spec: x=3:1, x=2:1, x=1:2, x=0:4
+    //   ccdf (desc): x=3 -> 1, x=2 -> 2, x=1 -> 4, x=0 -> 8
+    //   y = floor(log2(ccdf)): 0, 1, 2, 3 — a perfect line, slope -1,
+    //   zipf_s = 1, r2 = 1
+    val words =
+      Seq.fill(8)("w8") ++ Seq.fill(4)("w4") ++
+        Seq.fill(2)("wa") ++ Seq.fill(2)("wb") ++ Seq("r1", "r2", "r3", "r4")
+    val docs = words.grouped(4).zipWithIndex.map { case (g, i) =>
+      (i.toLong, g.mkString(" "), "en", "s", 10L)
+    }.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.Corpus.zipfSlope(docs.repartition(parts))
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_decades"), r.getAs[Double]("slope"),
+            r.getAs[Double]("zipf_s"), r.getAs[Double]("r2")))).toMap
+      assert(got === Map("s" -> ((4L, -1.0, 1.0, 1.0))),
+        s"zipf fit diverged at $parts partitions: $got")
+    }
+  }
+
   test("nbConfusion on the test tables: folds cover the corpus, predictions come from the trained fold") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val n = docs.count()

@@ -934,4 +934,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"no global sort:\n$plan")
   }
+
+  test("q248: the probe list is a bounded TakeOrdered, the cells broadcast back, nothing windows") {
+    val df = graft.operators.Corpus.cmFrequencyAudit(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k probes must never globally sort the vocabulary:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort anywhere:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the d*w-cell sketch must broadcast onto the probes:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q249: the decade prefix windows are source-partitioned over the bounded grid") {
+    val df = graft.operators.Corpus.zipfSlope(
+      graft.sources.Tables.documents(spark, sf0001))
+    val ns = nodes(df)
+    val globals = ns.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty,
+      s"the ccdf suffix sum must partition by source (<=64 rows each):\n$globals")
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "the fit is aggregates + a bounded window — never a join")
+  }
+
+  test("q250: candidates and mutuality are shuffle_hash equijoins, never a sort or window") {
+    val df = graft.operators.Similarity.reciprocalNn(
+      graft.sources.Tables.embeddings(spark, sf0001), nPlanes = 8, dims = 64)
+    val plan = df.queryExecution.executedPlan.toString
+    val (_, shj) = initialJoins(df)
+    assert(shj >= 2,
+      s"bucket join + mutuality join must be ShuffledHashJoin (got $shj):\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the per-vector argmax is an aggregate, never a window:\n$plan")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
 }

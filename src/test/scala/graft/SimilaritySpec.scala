@@ -746,4 +746,32 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(scores.toSeq === scores.sortBy(-_).toSeq, "not rrf-descending")
   }
+
+  test("reciprocalNn equals the best-buddy recompute over the LSH candidate pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // the q25 candidate relation with the threshold opened up: every
+    // within-bucket pair with its exact cosine
+    val pairs = Similarity.nearDupLsh(emb, nPlanes = 8, threshold = -2.0, dims = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cosine")))
+    graft.Caches.releaseAll()
+    val directed = pairs.flatMap { case (a, b, c) => Seq(a -> ((c, b)), b -> ((c, a))) }
+    val best = directed.groupBy(_._1).map { case (src, es) =>
+      // max cosine, ties to the smaller neighbour id
+      src -> es.map(_._2).minBy { case (c, n) => (-c, n) }
+    }
+    val expected = best.flatMap { case (src, (c, nbr)) =>
+      best.get(nbr) match {
+        case Some((_, back)) if back == src && src < nbr => Some((src, nbr, c))
+        case _ => None
+      }
+    }.toSet
+    val got = Similarity.reciprocalNn(emb, nPlanes = 8, dims = 64).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cosine"))).toSet
+    graft.Caches.releaseAll()
+    assert(got === expected, "mutual-best pairs diverged from the recompute")
+    assert(got.nonEmpty, "sf0.001 must produce at least one best-buddy pair")
+  }
 }

@@ -511,6 +511,40 @@ class StreamingOpsSpec extends SparkSpec {
       s"streaming predictions must equal batch q245: $got vs $batch")
   }
 
+  test("cm sketch monitor: windowed cells equal the batch count-min cells, state is the fixed grid") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "ox ox pig emu"), (1L, "pig pig zeta"), (2L, "ox emu emu emu"))
+    val mem = MemoryStream[StreamTextDoc]
+    mem.addData(texts.zipWithIndex.map { case ((id, t), i) =>
+      StreamTextDoc(id, t, ts(f"2026-01-01 00:0$i:00")) }: _*)
+    val (d, w) = (4, 64)
+    val q = StreamingOps.cmSketchMonitor(mem.toDF(), d, w)
+      .writeStream.format("memory").queryName("cmmon")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cmmon")
+      .select($"r", $"b", $"cell").as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    // batch recompute through the SAME shared hash helper
+    val batch = texts.toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.Text.words($"text")).as("word"))
+      .select((0 until d).map(i =>
+        graft.operators.Corpus.cmHash(i, w)($"word").as(s"b_$i")): _*)
+      .select(org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.array(
+          (0 until d).map(i => $"b_$i"): _*)).as(Seq("r", "b")))
+      .groupBy($"r", $"b").count()
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    assert(got === batch, s"streaming cells must equal batch CM: $got vs $batch")
+    // the state key space is the grid, never the vocabulary
+    assert(got.size <= d * w)
+    assert(got.values.sum === 4L * texts.map(_._2.split(" ").length).sum)
+  }
+
   test("repetition monitor is stateless and bit-identical to the batch q237 profile") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
