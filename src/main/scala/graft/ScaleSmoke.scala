@@ -266,7 +266,20 @@ object ScaleSmoke {
       // multiplier, so these should read near-scan-time — the scale rows
       // are the "pre-aggregable percentile" claim, measured
       timed("q239") { graft.operators.Quality.priceQuantileSketch(lineitem) },
-      timed("q240") { graft.operators.Quality.dailyValueQuantiles(events) })
+      timed("q240") { graft.operators.Quality.dailyValueQuantiles(events) },
+      // round-12 family: the classifier's word-keyed scoring join and
+      // two-fold explode (q245), the fixed-grid rank statistics whose
+      // windows must stay bounded at any multiplier (q246/q249), the
+      // bounded-cell sketch (q248), and the bucketed best-buddy join
+      // (q250) — plus the BM25 rank (bounded top-k) and the one-pass
+      // OLS moments (q242/q244)
+      timed("q242") { graft.operators.Corpus.bm25TopDocs(docs) },
+      timed("q244") { graft.operators.Quality.sourceOlsFit(docs) },
+      timed("q245") { graft.operators.Corpus.nbConfusion(docs) },
+      timed("q246") { graft.operators.Quality.scoreAuc(docs) },
+      timed("q248") { graft.operators.Corpus.cmFrequencyAudit(docs) },
+      timed("q249") { graft.operators.Corpus.zipfSlope(docs) },
+      timed("q250") { graft.operators.Similarity.reciprocalNn(emb, nPlanes = 8, dims = 64) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -278,6 +278,8 @@ object SparkEntry {
     "q248_cm_freq_audit" -> ((s, d) => Corpus.cmFrequencyAudit(s, d)),
     "q249_zipf_slope" -> ((s, d) => Corpus.zipfSlope(s, d)),
     "q250_reciprocal_nn" -> ((s, d) => Similarity.reciprocalNn(s, d)),
+    "q251_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
+    "q252_youden_threshold" -> ((s, d) => Quality.youdenThreshold(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5855,5 +5857,86 @@ object SparkEntry {
         |SELECT x.src AS vec_a, x.nbr AS vec_b, x.cosine AS cosine
         |FROM best x JOIN best y
         |  ON x.src = y.nbr AND x.nbr = y.src AND x.src < x.nbr""".stripMargin,
+
+    // q251: content-defined chunking — cut after each 8-char window
+    // whose md5 starts with '0', md5 chunk fingerprints, per-source
+    // cross-corpus dup mass.
+    "q251_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, length(text) AS l FROM documents
+        |  WHERE length(text) >= 1
+        |), cu AS (
+        |  SELECT doc_id, source, text,
+        |    list_sort(list_distinct(
+        |      [i + 7 FOR i IN range(1, greatest(l - 6, 1))
+        |       IF substr(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0']
+        |      || [l])) AS cuts
+        |  FROM d
+        |), ch AS (
+        |  SELECT source,
+        |    md5(substr(text,
+        |      CAST((CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) + 1 AS INT),
+        |      CAST(cuts[CAST(j AS INT)]
+        |        - (CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) AS INT))) AS fp,
+        |    cuts[CAST(j AS INT)]
+        |      - (CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) AS clen
+        |  FROM (SELECT source, text, cuts,
+        |          unnest(range(1, len(cuts) + 1)) AS j
+        |        FROM cu) t
+        |)
+        |SELECT source, COUNT(*) AS n_chunks,
+        |  COUNT(DISTINCT fp) AS n_distinct,
+        |  CAST(SUM(clen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_chunk_len,
+        |  1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS dup_chunk_share
+        |FROM ch GROUP BY 1""".stripMargin,
+
+    // q252: Youden-J operating point of the dup-share screen per source
+    // — integer argmax of |flagged_pos*nneg - flagged_neg*npos| over
+    // observed thresholds (classify s >= t), smallest-t tie-break.
+    "q252_youden_threshold" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, source, lang = 'en' AS pos,
+        |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        |  FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2
+        |), pg AS (
+        |  SELECT doc_id, source, pos, g, COUNT(*) AS n FROM g0
+        |  GROUP BY 1, 2, 3, 4
+        |), ds AS (
+        |  SELECT doc_id, source, pos, SUM(n) AS n_grams,
+        |    SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_mass
+        |  FROM pg GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT source, pos, (1000000 * dup_mass) // n_grams AS s FROM ds
+        |), cnts AS (
+        |  SELECT source, s, COUNT(*) AS n,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS npos
+        |  FROM sc GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, s, n, npos,
+        |    SUM(n) OVER (PARTITION BY source ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl_n,
+        |    SUM(npos) OVER (PARTITION BY source ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fl_p
+        |  FROM cnts
+        |), tot AS (
+        |  SELECT source, SUM(n) AS tn, SUM(npos) AS tp FROM cnts GROUP BY 1
+        |), j AS (
+        |  SELECT c.source, c.s, c.fl_n, c.fl_p, t.tn, t.tp,
+        |    abs(c.fl_p * (t.tn - t.tp) - (c.fl_n - c.fl_p) * t.tp) AS jnum,
+        |    row_number() OVER (PARTITION BY c.source
+        |      ORDER BY abs(c.fl_p * (t.tn - t.tp) - (c.fl_n - c.fl_p) * t.tp) DESC,
+        |               c.s ASC) AS rn
+        |  FROM cum c JOIN tot t USING (source)
+        |)
+        |SELECT source, CAST(s AS BIGINT) AS threshold_micro,
+        |  CAST(fl_p AS DOUBLE) / nullif(CAST(tp AS DOUBLE), 0.0) AS tpr,
+        |  CAST(fl_n - fl_p AS DOUBLE) / nullif(CAST(tn - tp AS DOUBLE), 0.0) AS fpr,
+        |  CAST(jnum AS DOUBLE)
+        |    / nullif(CAST(tp * (tn - tp) AS DOUBLE), 0.0) AS j
+        |FROM j WHERE rn = 1""".stripMargin,
   )
 }

@@ -1217,4 +1217,64 @@ object Dedup {
 
   def splitLeakage(s: SparkSession, dir: String): DataFrame =
     splitLeakage(Tables.documents(s, dir))
+
+  /** Content-defined chunking dedup profile (q251): split every document
+    * at CONTENT-derived boundaries — a cut after each 8-char window
+    * whose md5 starts with the hex digit '0' (expected chunk ≈ 16 + 7
+    * chars) — then measure, per source, how much chunk mass is
+    * duplicated across the corpus. This is the rolling-hash CDC idea
+    * storage dedup is built on (LBFS/rsync family): unlike fixed-width
+    * chunking (q59), an insertion shifts only the chunks it touches, so
+    * shared passages land on IDENTICAL chunk fingerprints wherever they
+    * sit in the document — the byte-level complement of the shingle
+    * near-dup family.
+    *
+    * Determinism: boundaries are md5-string prefix tests (no arithmetic
+    * at all), fingerprints are md5 of the exact substring; the two
+    * ratios are single double divisions of exact counts.
+    *
+    * Scale: the per-position window hash is the q38 winnowing kernel's
+    * cost class, evaluated per row with zero joins; the per-source
+    * profile is one hash aggregate with an exact distinct (two-level).
+    * Docs shorter than the 8-char window have no interior windows and
+    * are profiled as one whole-document chunk.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .filter(length(col("text")) >= 1)
+      // NB: guard the window sequence — Spark's sequence(1, 0) counts
+      // DOWN to [1, 0] instead of yielding the empty array DuckDB's
+      // range(1, 1) does, so sub-window docs must short-circuit
+      .withColumn("cuts", expr(
+        """array_sort(array_distinct(concat(
+          |  case when length(text) >= 8 then
+          |    transform(
+          |      filter(sequence(1, length(text) - 7),
+          |        i -> substring(md5(substring(text, i, 8)), 1, 1) = '0'),
+          |      i -> i + 7)
+          |  else cast(array() as array<int>) end,
+          |  array(length(text)))))""".stripMargin))
+      .withColumn("prevs",
+        expr("concat(array(0), slice(cuts, 1, size(cuts) - 1))"))
+      .select(col("source"), explode(expr(
+        "zip_with(prevs, cuts, (p, c) -> substring(text, cast(p + 1 as int), cast(c - p as int)))"))
+        .as("chunk"))
+    chunks
+      .select(col("source"), md5(col("chunk")).as("fp"),
+        length(col("chunk")).as("clen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_distinct"),
+        sum(col("clen")).as("n_chars"))
+      .select(col("source"), col("n_chunks"), col("n_distinct"),
+        (col("n_chars").cast("double") / col("n_chunks").cast("double"))
+          .as("mean_chunk_len"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_chunks").cast("double")).as("dup_chunk_share"))
+  }
+
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.documents(s, dir))
 }

@@ -896,4 +896,72 @@ object Quality {
 
   def calibrationBins(s: SparkSession, dir: String): DataFrame =
     calibrationBins(Tables.documents(s, dir))
+
+  /** Optimal screening threshold per source (q252): the Youden-J point
+    * of the duplicate-bigram-share score against the `lang = 'en'`
+    * label — the third leg of the evaluation suite (q246 grades
+    * ordering, q247 grades level, this picks the operating point a
+    * filter would actually deploy). For every observed score value `t`
+    * (classify `s ≥ t` as flagged), `J(t) = |TPR − FPR|`; the argmax is
+    * computed on the EXACT integer numerator `|flagged_pos · nneg −
+    * flagged_neg · npos|` (the common `npos·nneg` denominator is
+    * positive, so the integer argmax IS the rational argmax), ties
+    * broken to the smallest threshold via `max(struct(jnum, −t))`; the
+    * three ratios are single double divisions at the end.
+    *
+    * Scale: flagged counts at every threshold are SUFFIX sums over the
+    * per-(source, score) count relation — the q246 bounded-micro-grid
+    * prefix, run descending. No unpartitioned window, no sort of
+    * anything data-sized; one-class sources yield NULL ratios.
+    */
+  def youdenThreshold(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = Caches.track(dupShareMicro(docs)
+      .groupBy(col("source"), col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      .withColumn("b", expr("s div 100000")))
+    // suffix sums: rows with score >= t, via the descending two-level
+    // fixed-grid prefix (11 bounded bucket offsets + within-bucket runs)
+    val off = g.groupBy(col("source"), col("b"))
+      .agg(sum(col("n")).as("bn"), sum(col("npos")).as("bp"))
+      .withColumn("off_n",
+        coalesce(sum(col("bn")).over(Window.partitionBy(col("source"))
+          .orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("off_p",
+        coalesce(sum(col("bp")).over(Window.partitionBy(col("source"))
+          .orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("b"), col("off_n"), col("off_p"))
+    val inB = Window.partitionBy(col("source"), col("b")).orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("run_n", sum(col("n")).over(inB))
+      .withColumn("run_p", sum(col("npos")).over(inB))
+      .join(broadcast(off), Seq("source", "b"))
+      .withColumn("fl_n", col("run_n") + col("off_n"))
+      .withColumn("fl_p", col("run_p") + col("off_p"))
+    val tot = g.groupBy(col("source"))
+      .agg(sum(col("n")).as("tn"), sum(col("npos")).as("tp"))
+    cum.join(broadcast(tot), "source")
+      .withColumn("jnum", abs(
+        col("fl_p").cast(dec) * (col("tn") - col("tp")).cast(dec) -
+          (col("fl_n") - col("fl_p")).cast(dec) * col("tp").cast(dec)))
+      .groupBy(col("source"))
+      .agg(max(struct(col("jnum"), (-col("s")).as("negs"),
+        col("fl_p"), col("fl_n"), col("tp"), col("tn"))).as("m"))
+      .select(col("source"), (-col("m.negs")).as("threshold_micro"),
+        (col("m.fl_p").cast("double") /
+          nullif(col("m.tp").cast("double"), lit(0.0))).as("tpr"),
+        ((col("m.fl_n") - col("m.fl_p")).cast("double") /
+          nullif((col("m.tn") - col("m.tp")).cast("double"), lit(0.0)))
+          .as("fpr"),
+        (col("m.jnum").cast("double") /
+          nullif((col("m.tp").cast(dec) * (col("m.tn") - col("m.tp")).cast(dec))
+            .cast("double"), lit(0.0))).as("j"))
+  }
+
+  def youdenThreshold(s: SparkSession, dir: String): DataFrame =
+    youdenThreshold(Tables.documents(s, dir))
 }

@@ -450,4 +450,47 @@ class DedupSpec extends SparkSpec {
       assert(nBuckets >= nSingle)
     }
   }
+
+  test("cdcChunks: plain-JVM CDC replay — boundaries, fingerprints, dup mass; shift-invariant shared passage") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[String] = {
+      val interior = (1 to math.max(text.length - 7, 0))
+        .filter(i => md5hex(text.substring(i - 1, i + 7)).startsWith("0"))
+        .map(_ + 7)
+      val cuts = (interior :+ text.length).distinct.sorted
+      cuts.zip(0 +: cuts.dropRight(1)).map { case (c, p) => text.substring(p, c) }
+    }
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val texts = Seq(
+      (0L, shared),
+      (1L, "PREFIX INSERTED HERE " + shared), // shifted copy of the passage
+      (2L, "tiny"),                           // sub-window doc: one chunk
+      (3L, "completely different content with no overlap at all whatsoever"))
+    val docs = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = texts.flatMap { case (_, t) => chunksOf(t) }
+    assert(all.flatten.size === texts.map(_._2.length).sum,
+      "chunks must partition every document exactly")
+    val fps = all.map(md5hex)
+    val expected = Map("s" -> ((fps.size.toLong, fps.distinct.size.toLong,
+      all.map(_.length).sum.toDouble / fps.size,
+      1.0 - fps.distinct.size.toDouble / fps.size)))
+    for (parts <- Seq(1, 3)) {
+      val got = Dedup.cdcChunks(docs.repartition(parts)).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct"),
+            r.getAs[Double]("mean_chunk_len"),
+            r.getAs[Double]("dup_chunk_share")))).toMap
+      assert(got === expected, s"CDC profile diverged at $parts partitions")
+    }
+    // the CDC contract itself: the shared passage must contribute at
+    // least one identical chunk from both its shifted and unshifted copy
+    val c0 = chunksOf(texts(0)._2).toSet
+    val c1 = chunksOf(texts(1)._2).toSet
+    assert((c0 intersect c1).nonEmpty,
+      "content-defined cuts must realign after an insertion")
+  }
 }

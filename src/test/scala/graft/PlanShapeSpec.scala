@@ -961,6 +961,37 @@ class PlanShapeSpec extends SparkSpec {
       "the fit is aggregates + a bounded window — never a join")
   }
 
+  test("q251: CDC chunking is row-local HOFs into one two-level aggregate — no join, no window, no sort") {
+    val df = graft.operators.Dedup.cdcChunks(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"no join:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"no global sort:\n$plan")
+  }
+
+  test("q252: the threshold sweep windows are all partitioned on the bounded grid") {
+    val df = graft.operators.Quality.youdenThreshold(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val globals = whole(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty,
+      s"every suffix-sum window must be (source[, bucket])-partitioned:\n$globals")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q250: candidates and mutuality are shuffle_hash equijoins, never a sort or window") {
     val df = graft.operators.Similarity.reciprocalNn(
       graft.sources.Tables.embeddings(spark, sf0001), nPlanes = 8, dims = 64)

@@ -362,6 +362,35 @@ class QualitySpec extends SparkSpec {
     assert(got(10L) === ((1L, 1.0, 1.0)))
   }
 
+  test("youdenThreshold: hand-computed operating points, smallest-threshold tie-break, one-class nulls") {
+    import spark.implicits._
+    // source s: pos scores {1e6, 666666}, neg {0, 666666}
+    //   t=666666: TPR 1.0, FPR 0.5, J 0.5 (jnum 2)
+    //   t=1e6:    TPR 0.5, FPR 0.0, J 0.5 (jnum 2) -> tie, smaller t wins
+    // source t: pos {1e6}, neg {0, 0} -> t=1e6 perfect: TPR 1, FPR 0, J 1
+    // source u: no positives -> tpr/j NULL, argmax jnum=0 ties to t=0
+    val docs = Seq(
+      (1L, "a a a", "en", "s", 5L), (2L, "x y x y", "en", "s", 7L),
+      (3L, "p q r", "de", "s", 5L), (4L, "m n m n", "de", "s", 7L),
+      (5L, "u u u", "en", "t", 5L), (6L, "c d e", "fr", "t", 5L),
+      (7L, "f g h", "fr", "t", 5L),
+      (8L, "i j k", "zh", "u", 5L), (9L, "l o l o", "zh", "u", 7L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (parts <- Seq(1, 3)) {
+      val got = Quality.youdenThreshold(docs.repartition(parts)).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("threshold_micro"),
+            Option(r.getAs[java.lang.Double]("tpr")),
+            Option(r.getAs[java.lang.Double]("fpr")),
+            Option(r.getAs[java.lang.Double]("j"))))).toMap
+      graft.Caches.releaseAll()
+      assert(got("s") === ((666666L, Some(1.0), Some(0.5), Some(0.5))),
+        s"tie-break must pick the smaller threshold at $parts parts: $got")
+      assert(got("t") === ((1000000L, Some(1.0), Some(0.0), Some(1.0))))
+      assert(got("u") === ((0L, None, Some(1.0), None)))
+    }
+  }
+
   test("scoreAuc on the test tables: every AUC in [0,1], counts cover the bigram-bearing corpus") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val rows = Quality.scoreAuc(docs).collect()
