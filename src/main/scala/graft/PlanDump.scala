@@ -34,7 +34,10 @@ object PlanDump {
     "q237_repetition_profile", "q238_key_overlap",
     "q131_rfm_segments", "q155_price_band_mix",
     "q239_price_quantile_sketch", "q241_mass_estimate",
-    "q242_bm25_topdocs", "q243_hybrid_rrf", "q244_source_ols")
+    "q242_bm25_topdocs", "q243_hybrid_rrf", "q244_source_ols",
+    "q245_nb_confusion", "q246_score_auc", "q248_cm_freq_audit",
+    "q249_zipf_slope", "q250_reciprocal_nn", "q251_cdc_chunks",
+    "q252_youden_threshold")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -279,7 +279,18 @@ object ScaleSmoke {
       timed("q246") { graft.operators.Quality.scoreAuc(docs) },
       timed("q248") { graft.operators.Corpus.cmFrequencyAudit(docs) },
       timed("q249") { graft.operators.Corpus.zipfSlope(docs) },
-      timed("q250") { graft.operators.Similarity.reciprocalNn(emb, nPlanes = 8, dims = 64) })
+      timed("q250") {
+        // nPlanes scales with the corpus (the q204 nCells contract):
+        // fixed 2^8 buckets would grow per-bucket occupancy linearly and
+        // the within-bucket candidate set QUADRATICALLY (measured: a 1.0
+        // exponent at fixed planes); adding ~log2(mult) planes keeps
+        // occupancy — and the per-vector candidate list — bounded, which
+        // is how the operator is configured at any real scale
+        val planes = 8 + math.round(math.log(mult.toDouble) / math.log(2.0)).toInt
+        graft.operators.Similarity.reciprocalNn(emb, nPlanes = planes, dims = 64)
+      },
+      timed("q251") { graft.operators.Dedup.cdcChunks(docs) },
+      timed("q252") { graft.operators.Quality.youdenThreshold(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

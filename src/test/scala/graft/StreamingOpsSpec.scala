@@ -545,6 +545,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.values.sum === 4L * texts.map(_._2.split(" ").length).sum)
   }
 
+  test("cm sketch monitor restart: window cells survive the checkpoint and absorb post-restart words") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-cm-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val (d, w) = (4, 64)
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.cmSketchMonitor(mem.toDF(), d, w, window = "1 day")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: day-1 words land in the open window's cell state
+    mem.addData(StreamTextDoc(0L, "ox ox pig", ts("2026-01-01 01:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // run 2 (recovered): more day-1 words must merge into the RESTORED
+    // cells; a day-3 doc advances the watermark and closes day 1
+    mem.addData(
+      StreamTextDoc(1L, "pig emu", ts("2026-01-01 02:00:00")),
+      StreamTextDoc(2L, "zeta", ts("2026-01-03 00:30:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out)
+      .filter($"window.start".cast("string").startsWith("2026-01-01"))
+      .select($"r", $"b", $"cell").as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    // batch recompute over ALL day-1 words through the shared hash
+    val batch = Seq("ox", "ox", "pig", "pig", "emu").toDF("word")
+      .select((0 until d).map(i =>
+        graft.operators.Corpus.cmHash(i, w)($"word").as(s"b_$i")): _*)
+      .select(org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.array(
+          (0 until d).map(i => $"b_$i"): _*)).as(Seq("r", "b")))
+      .groupBy($"r", $"b").count()
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    assert(got === batch,
+      s"restored cells must cover words from both runs: $got vs $batch")
+    assert(got.values.sum === 4L * 5, "five day-1 words across the restart")
+  }
+
   test("repetition monitor is stateless and bit-identical to the batch q237 profile") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -871,6 +913,49 @@ class StreamingOpsSpec extends SparkSpec {
     // both bigrams: mean = 2.625.
     assert(got === Set((10L, 2L, 2.625)),
       s"doc 10 must merge fragments across the restart under the re-planned LM: $got")
+  }
+
+  test("classifier monitor restart: per-class sums and the re-planned static model survive the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "alpha beta alpha", "newsy"), (1L, "alpha beta gamma", "newsy"),
+      (2L, "zig zag zig", "webby"), (3L, "zag zag boom", "webby"),
+    ).toDF("doc_id", "text", "source")
+    val dirs = java.nio.file.Files.createTempDirectory("graft-cls-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.classifierMonitor(mem.toDF(), corpus)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: doc 10 arrives as a webby-leaning fragment
+    mem.addData(StreamTextDoc(10L, "zig zag", ts("2026-01-01 00:01:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    graft.Caches.releaseAll()
+
+    // run 2 (recovered): the rest of doc 10 is STRONGLY newsy — the
+    // restored per-class sums must merge with fragment 2 under a
+    // re-planned static model and flip the verdict; the late doc closes
+    // the window
+    mem.addData(
+      StreamTextDoc(10L, "alpha beta alpha beta alpha beta alpha beta",
+        ts("2026-01-01 00:05:00")),
+      StreamTextDoc(50L, "zig zag", ts("2026-01-01 01:30:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    graft.Caches.releaseAll()
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"predicted").as[(Long, String)].collect().toSet
+    // batch scorer over the MERGED doc-10 text agrees
+    val batch = graft.operators.Corpus.nbPredict(corpus,
+        Seq((10L, "zig zag alpha beta alpha beta alpha beta alpha beta", "x"))
+          .toDF("doc_id", "text", "source"))
+      .select($"doc_id", $"predicted").as[(Long, String)].collect().toSet
+    graft.Caches.releaseAll()
+    assert(got === batch && got === Set((10L, "newsy")),
+      s"merged fragments must re-score under the restored sums: $got vs $batch")
   }
 
   test("repetition monitor restart: zero-state exactly-once — no re-emits, new docs processed") {
