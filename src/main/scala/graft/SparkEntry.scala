@@ -280,6 +280,7 @@ object SparkEntry {
     "q250_reciprocal_nn" -> ((s, d) => Similarity.reciprocalNn(s, d)),
     "q251_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
     "q252_youden_threshold" -> ((s, d) => Quality.youdenThreshold(s, d)),
+    "q253_dpp_revenue" -> ((s, d) => Warehouse.dppPrunedRevenue(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5938,5 +5939,16 @@ object SparkEntry {
         |  CAST(jnum AS DOUBLE)
         |    / nullif(CAST(tp * (tn - tp) AS DOUBLE), 0.0) AS j
         |FROM j WHERE rn = 1""".stripMargin,
+
+    // q253: dynamic-partition-pruning probe — Q1 months via the
+    // calendar-dim attribute filter; per-month counts/cents. The
+    // pruning mechanism is asserted in PlanShapeSpec, the VALUES here.
+    "q253_dpp_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders
+        |WHERE CAST(strftime(o_orderdate, '%m') AS INT) <= 3
+        |GROUP BY 1""".stripMargin,
   )
 }

@@ -829,4 +829,48 @@ object Warehouse {
 
   def incrementalMv(s: SparkSession, dir: String): DataFrame =
     incrementalMv(Tables.orders(s, dir), "1997-06-01")
+
+  /** Dynamic-partition-pruning revenue probe (q253): orders laid out as a
+    * month-partitioned catalog table, queried through the canonical
+    * star-schema shape — a calendar dim (month → quarter) filtered on a
+    * dim ATTRIBUTE (`quarter = 'Q1'`) and joined on the fact's partition
+    * column. The fact query never mentions months, so static pruning is
+    * impossible; Catalyst's DPP rule turns the dim's broadcast into a
+    * runtime partition filter on the fact scan, and the fact side READS
+    * only the qualifying month directories (3 of every 12). At 100 TB
+    * this is the difference between scanning the whole fact table and a
+    * quarter of it. The PlanShapeSpec pin asserts the `dynamicpruning`
+    * expression sits in the fact scan's partition filters.
+    *
+    * DPP fine print encoded here: the rule only fires for dim predicates
+    * it judges LIKELY SELECTIVE — comparisons against literals (this
+    * equality) qualify; an earlier draft filtered on `rev_c · n >
+    * total_c` (attribute-vs-attribute) and was correctly skipped. Counts
+    * and cents are exact integers, so the result hash-matches the
+    * oracle regardless of which partitions were physically read.
+    */
+  def dppPrunedRevenue(s: SparkSession, dir: String, tag: String = ""): DataFrame = {
+    val tok = token(s, dir, tag)
+    val table = s"graft_orders_p_$tok"
+    Tables.orders(s, dir)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", tablePath(tok, "orders_p"))
+      .partitionBy("month")
+      .saveAsTable(table)
+    val calendar = Tables.orders(s, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .distinct()
+      .withColumn("quarter", concat(lit("Q"), expr(
+        "cast((cast(substring(month, 6, 2) as int) + 2) / 3 as int)")))
+    val dim = calendar.filter(col("quarter") === "Q1").select(col("month"))
+    s.table(table).join(broadcast(dim), "month")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long")).as("rev_c"))
+  }
+
+  def dppPrunedRevenue(s: SparkSession, dir: String): DataFrame =
+    dppPrunedRevenue(s, dir, "")
 }

@@ -992,6 +992,20 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q253: the fact scan carries a dynamicpruning partition filter from the dim broadcast") {
+    val df = graft.operators.Warehouse.dppPrunedRevenue(spark, sf0001, tag = "dppspec")
+    df.collect() // finalize AQE; DPP subqueries live in the executed plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"the month-partitioned fact scan must be dynamically pruned by the dim:\n$plan")
+    // the dim is runtime-only (above-average months), so the result being
+    // a strict subset of the 80 month partitions is the semantic proof
+    assert(df.count() < 80,
+      "the dim must select a strict subset of the month partitions")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q250: candidates and mutuality are shuffle_hash equijoins, never a sort or window") {
     val df = graft.operators.Similarity.reciprocalNn(
       graft.sources.Tables.embeddings(spark, sf0001), nPlanes = 8, dims = 64)
