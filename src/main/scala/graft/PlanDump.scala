@@ -37,7 +37,8 @@ object PlanDump {
     "q242_bm25_topdocs", "q243_hybrid_rrf", "q244_source_ols",
     "q245_nb_confusion", "q246_score_auc", "q248_cm_freq_audit",
     "q249_zipf_slope", "q250_reciprocal_nn", "q251_cdc_chunks",
-    "q252_youden_threshold")
+    "q252_youden_threshold", "q253_dpp_revenue", "q254_lm_affinity",
+    "q255_dup_assortativity", "q256_decile_lift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -290,7 +290,10 @@ object ScaleSmoke {
         graft.operators.Similarity.reciprocalNn(emb, nPlanes = planes, dims = 64)
       },
       timed("q251") { graft.operators.Dedup.cdcChunks(docs) },
-      timed("q252") { graft.operators.Quality.youdenThreshold(docs) })
+      timed("q252") { graft.operators.Quality.youdenThreshold(docs) },
+      timed("q254") { graft.operators.Corpus.lmAffinity(docs) },
+      timed("q255") { graft.operators.Dedup.dupAssortativity(docs) },
+      timed("q256") { graft.operators.Quality.decileLift(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

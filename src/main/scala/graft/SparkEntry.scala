@@ -281,6 +281,9 @@ object SparkEntry {
     "q251_cdc_chunks" -> ((s, d) => Dedup.cdcChunks(s, d)),
     "q252_youden_threshold" -> ((s, d) => Quality.youdenThreshold(s, d)),
     "q253_dpp_revenue" -> ((s, d) => Warehouse.dppPrunedRevenue(s, d)),
+    "q254_lm_affinity" -> ((s, d) => Corpus.lmAffinity(s, d)),
+    "q255_dup_assortativity" -> ((s, d) => Dedup.dupAssortativity(s, d)),
+    "q256_decile_lift" -> ((s, d) => Quality.decileLift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5950,5 +5953,151 @@ object SparkEntry {
         |FROM orders
         |WHERE CAST(strftime(o_orderdate, '%m') AS INT) <= 3
         |GROUP BY 1""".stripMargin,
+
+    // q254: per-source bigram LMs cross-scored on a salted-md5 doc
+    // sample — the q236 micro grid with the monitor's left-join unseen
+    // pricing, |sources|^2 cells out.
+    "q254_lm_affinity" ->
+      """WITH bgr AS (
+        |  SELECT doc_id, source, bigram, string_split(bigram, ' ')[1] AS w1
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |          FROM documents)
+        |  )
+        |), b2 AS (
+        |  SELECT source AS lm, bigram, COUNT(*) AS n12 FROM bgr GROUP BY 1, 2
+        |), h1 AS (
+        |  SELECT source AS lm, w1, COUNT(*) AS n1 FROM bgr GROUP BY 1, 2
+        |), voc AS (
+        |  SELECT lm, COUNT(*) AS v FROM h1 GROUP BY 1
+        |), samp AS (
+        |  SELECT * FROM bgr WHERE
+        |    ( (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 < 20
+        |), sc AS (
+        |  SELECT s.source, l.lm, COUNT(*) AS n_bigrams,
+        |    SUM((1000000 * (COALESCE(h1.n1, 0) + l.v)) // (COALESCE(b2.n12, 0) + 1)) AS sp
+        |  FROM samp s CROSS JOIN voc l
+        |  LEFT JOIN b2 ON b2.lm = l.lm AND b2.bigram = s.bigram
+        |  LEFT JOIN h1 ON h1.lm = l.lm AND h1.w1 = s.w1
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source, lm, n_bigrams,
+        |  CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6
+        |    AS mean_inv_p
+        |FROM sc""".stripMargin,
+
+    // q255: Pearson degree assortativity over the q22 verified near-dup
+    // edges, symmetrised; exact integer moments, one trailing division.
+    "q255_dup_assortativity" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM (SELECT doc_a, doc_b,
+        |          len(list_intersect(da.shs, db.shs)) AS inter,
+        |          len(da.shs) AS n_a, len(db.shs) AS n_b
+        |        FROM cand JOIN d da ON doc_a = da.doc_id
+        |        JOIN d db ON doc_b = db.doc_id)
+        |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+        |), deg AS (
+        |  SELECT dd, COUNT(*) AS deg FROM (
+        |    SELECT doc_a AS dd FROM pairs UNION ALL SELECT doc_b FROM pairs)
+        |  GROUP BY 1
+        |), e AS (
+        |  SELECT da.deg AS x, db.deg AS y
+        |  FROM pairs JOIN deg da ON pairs.doc_a = da.dd
+        |  JOIN deg db ON pairs.doc_b = db.dd
+        |), xy AS (
+        |  SELECT x, y FROM e UNION ALL SELECT y, x FROM e
+        |), m AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+        |    SUM(x * y) AS sxy
+        |  FROM xy
+        |)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+        |  CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_degree,
+        |  CAST(CAST(n * sxy - sx * sx AS VARCHAR) AS DOUBLE)
+        |    / nullif(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE), 0.0)
+        |    AS assortativity
+        |FROM m""".stripMargin,
+
+    // q256: decile lift table — exact descending grid prefix ranks,
+    // atomic tie groups, integer cross-product lifts.
+    "q256_decile_lift" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2
+        |), pg AS (
+        |  SELECT doc_id, pos, g, COUNT(*) AS n FROM g0 GROUP BY 1, 2, 3
+        |), ds AS (
+        |  SELECT doc_id, pos, SUM(n) AS n_grams,
+        |    SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_mass
+        |  FROM pg GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT pos, (1000000 * dup_mass) // n_grams AS s FROM ds
+        |), cnts AS (
+        |  SELECT s, COUNT(*) AS n,
+        |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS npos
+        |  FROM sc GROUP BY 1
+        |), cum AS (
+        |  SELECT s, n, npos,
+        |    COALESCE(SUM(n) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+        |  FROM cnts
+        |), tot AS (
+        |  SELECT SUM(n) AS nn, SUM(npos) AS np FROM cnts
+        |), dd AS (
+        |  SELECT least(9, (10 * above) // nn) AS decile, n, npos, nn, np
+        |  FROM cum, tot
+        |), agg AS (
+        |  SELECT decile, SUM(n) AS n, SUM(npos) AS npos,
+        |    MAX(nn) AS nn, MAX(np) AS np
+        |  FROM dd GROUP BY 1
+        |), c AS (
+        |  SELECT decile, n, npos, nn, np,
+        |    SUM(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    SUM(npos) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_npos
+        |  FROM agg
+        |)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n,
+        |  CAST(npos AS BIGINT) AS npos,
+        |  CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS response_rate,
+        |  CAST(CAST(npos * nn AS VARCHAR) AS DOUBLE)
+        |    / nullif(CAST(CAST(n * np AS VARCHAR) AS DOUBLE), 0.0) AS lift,
+        |  CAST(cum_npos AS DOUBLE) / nullif(CAST(np AS DOUBLE), 0.0)
+        |    AS cum_capture,
+        |  CAST(CAST(cum_npos * nn AS VARCHAR) AS DOUBLE)
+        |    / nullif(CAST(CAST(cum_n * np AS VARCHAR) AS DOUBLE), 0.0)
+        |    AS cum_lift
+        |FROM c""".stripMargin,
   )
 }

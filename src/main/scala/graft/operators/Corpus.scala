@@ -1453,4 +1453,61 @@ object Corpus {
 
   def zipfSlope(s: SparkSession, dir: String): DataFrame =
     zipfSlope(Tables.documents(s, dir))
+
+  /** Cross-source LM affinity matrix (q254): train the q236 add-one
+    * bigram LM once PER SOURCE, then score a deterministic sample of
+    * every source's documents under EVERY source's LM — the
+    * |sources|² "which registers sound alike" matrix a mixture designer
+    * reads before merging or re-weighting sources (two sources whose
+    * cross-scores approach their self-scores are interchangeable in the
+    * mix; an off-diagonal spike says one source is contaminated with
+    * another's boilerplate). Self-cells reproduce q236's scoring rule
+    * exactly; cross-cells use the same left-join/coalesce unseen pricing
+    * as the streaming monitor.
+    *
+    * Determinism: the q236 integer micro-unit grid throughout — `inv_p =
+    * 1e6 · (n1 + V_lm) div (n12 + 1)` with exact DECIMAL(38,0) sums and
+    * one double division per cell.
+    *
+    * Scale: the ×|sources| blow-up multiplies only the SAMPLED bigrams
+    * (salted-md5 doc bucket, `samplePct` of docs) — the model side stays
+    * one pass over the full corpus; the scoring join is shuffle_hash on
+    * (lm, bigram)/(lm, head) composite keys (both sides corpus-scaled,
+    * never broadcast); the output is a bounded |sources|² table.
+    */
+  def lmAffinity(docs: DataFrame, samplePct: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val db = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(Text.bigrams(col("w"))).as("bigram"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1)))
+    val bg = db.groupBy(col("source").as("lm"), col("bigram"))
+      .agg(count(lit(1)).as("n12"))
+    val heads = Caches.track(db.groupBy(col("source").as("lm"), col("w1"))
+      .agg(count(lit(1)).as("n1")))
+    val lms = heads.groupBy(col("lm")).agg(count(lit(1)).as("v"))
+    val sample = db.filter(
+      conv(substring(md5(concat(lit("aff|"), col("doc_id").cast("string"))),
+        1, 4), 16, 10).cast("long") % 100 < samplePct)
+    sample.crossJoin(broadcast(lms))
+      .hint("shuffle_hash")
+      .join(bg, Seq("lm", "bigram"), "left")
+      .hint("shuffle_hash")
+      .join(heads, Seq("lm", "w1"), "left")
+      .withColumn("inv_p_micro",
+        expr("(1000000 * (coalesce(n1, 0) + v)) div (coalesce(n12, 0) + 1)"))
+      .groupBy(col("source"), col("lm"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("inv_p_micro").cast(dec)).as("sp"))
+      .select(col("source"), col("lm"), col("n_bigrams"),
+        (col("sp").cast("double") / col("n_bigrams").cast("double") / 1e6)
+          .as("mean_inv_p"))
+  }
+
+  def lmAffinity(s: SparkSession, dir: String): DataFrame =
+    lmAffinity(Tables.documents(s, dir))
 }

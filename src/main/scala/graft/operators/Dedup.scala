@@ -1277,4 +1277,62 @@ object Dedup {
 
   def cdcChunks(s: SparkSession, dir: String): DataFrame =
     cdcChunks(Tables.documents(s, dir))
+
+  /** Dup-graph degree assortativity (q255): the Pearson correlation of
+    * endpoint degrees across the verified near-dup edges (q22) — the
+    * one-number answer to "is my duplication a few TEMPLATE HUBS fanning
+    * out (disassortative, r < 0: high-degree nodes attach to low-degree
+    * leaves) or MIRRORED CLUSTERS (assortative, r > 0: copies of copies
+    * link to each other)". The two regimes want different cures — hub
+    * boilerplate is a per-source strip (q74), clique mirrors are
+    * canonical-doc election (q195) — so the audit runs before choosing.
+    *
+    * Computed over the symmetrised edge list (each edge contributes both
+    * orientations, the standard undirected-assortativity convention, so
+    * the x- and y-moments coincide): exact integer degree moments in
+    * DECIMAL(38,0), one double division at the end — the q244/q249
+    * closed-form discipline. NULL when the graph has no degree variance
+    * (every node the same degree).
+    *
+    * Scale: degrees are one hash aggregate over the edge endpoints; the
+    * degree table scales with the node count, so it attaches back onto
+    * the edges via shuffle_hash equijoins on the endpoint keys (never a
+    * broadcast); the final moment aggregate is map-side combined down to
+    * a single row.
+    */
+  def dupAssortativity(
+      docs: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val pairs = Caches.track(
+      minhashLsh(docs, bands, rowsPerBand, threshold)
+        .select(col("doc_a"), col("doc_b")))
+    val deg = Caches.track(pairs.select(col("doc_a").as("d"))
+      .unionAll(pairs.select(col("doc_b").as("d")))
+      .groupBy(col("d")).agg(count(lit(1)).as("deg")))
+    val e = pairs
+      .hint("shuffle_hash")
+      .join(deg.select(col("d").as("doc_a"), col("deg").as("da")), "doc_a")
+      .hint("shuffle_hash")
+      .join(deg.select(col("d").as("doc_b"), col("deg").as("db")), "doc_b")
+    val xy = e.select(col("da").as("x"), col("db").as("y"))
+      .unionAll(e.select(col("db").as("x"), col("da").as("y")))
+    val m = xy.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"))
+    // symmetric edge list: sy = sx and syy = sxx, so Pearson reduces to
+    // (n*sxy - sx^2) / (n*sxx - sx^2)
+    val num = col("n") * col("sxy") - col("sx") * col("sx")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    m.select((col("n") / 2).cast("long").as("n_edges"),
+      (col("sx").cast("double") / col("n").cast("double")).as("mean_degree"),
+      (num.cast("double") / nullif(den.cast("double"), lit(0.0)))
+        .as("assortativity"))
+  }
+
+  def dupAssortativity(s: SparkSession, dir: String): DataFrame =
+    dupAssortativity(Tables.documents(s, dir))
 }

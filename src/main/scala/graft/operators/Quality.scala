@@ -964,4 +964,77 @@ object Quality {
 
   def youdenThreshold(s: SparkSession, dir: String): DataFrame =
     youdenThreshold(Tables.documents(s, dir))
+
+  /** Decile lift / cumulative-gains table (q256): rank the corpus by the
+    * duplicate-bigram screening score (descending), cut it into ten
+    * equal-count deciles, and report each decile's `lang = 'en'` rate
+    * against the base rate — the fourth leg of the evaluation suite
+    * (q246 ordering, q247 level, q252 operating point, this one
+    * TARGETING: "if I can only afford to re-process the top 10/20/30%,
+    * how much of the positive class do I capture"). `lift > 1` in the
+    * top deciles is what justifies score-ordered processing at all.
+    *
+    * Ranks come from the exact descending prefix over per-score counts
+    * on the bounded micro-grid (the q252 suffix machinery):
+    * `decile = min(9, (10 · rows_strictly_above) div N)`. Tied scores
+    * form atomic groups assigned to their first rank's decile, so a
+    * heavy tie clump can leave later deciles empty rather than being
+    * split nondeterministically — documented, exact, engine-identical.
+    * Rates and lifts are integer cross-products with one trailing double
+    * division (`lift = npos_d · N / (n_d · NP)`).
+    *
+    * Scale: everything after the per-(score) count aggregate is bounded
+    * — an 11-row bucket offset table, a ≤1e6-key decile assignment, and
+    * ten-row cumulative windows. The only data-sized passes are the
+    * bigram explode and one hash aggregate.
+    */
+  def decileLift(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = Caches.track(dupShareMicro(docs)
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+      .withColumn("b", expr("s div 100000")))
+    // rows strictly above each score: descending two-level prefix over
+    // the fixed grid (bucket offsets bounded at 11 rows, runs bounded by
+    // the 1e5-value bucket domain)
+    val off = g.groupBy(col("b")).agg(sum(col("n")).as("bn"))
+      .withColumn("off_n",
+        coalesce(sum(col("bn")).over(Window.orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off_n"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("npos")).as("np"))
+    val deciles = g
+      .withColumn("run",
+        coalesce(sum(col("n")).over(Window.partitionBy(col("b"))
+          .orderBy(col("s").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(off), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("decile",
+        least(lit(9L), expr("(10 * (run + off_n)) div nn")))
+      .groupBy(col("decile"))
+      .agg(sum(col("n")).as("n"), sum(col("npos")).as("npos"),
+        max(col("nn")).as("nn"), max(col("np")).as("np"))
+    // ten-row cumulative pass: bounded by construction
+    val cum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_npos", sum(col("npos")).over(cum))
+      .select(col("decile"), col("n"), col("npos"),
+        (col("npos").cast("double") / col("n").cast("double"))
+          .as("response_rate"),
+        ((col("npos").cast(dec) * col("nn").cast(dec)).cast("double") /
+          nullif((col("n").cast(dec) * col("np").cast(dec)).cast("double"),
+            lit(0.0))).as("lift"),
+        (col("cum_npos").cast("double") /
+          nullif(col("np").cast("double"), lit(0.0))).as("cum_capture"),
+        ((col("cum_npos").cast(dec) * col("nn").cast(dec)).cast("double") /
+          nullif((col("cum_n").cast(dec) * col("np").cast(dec))
+            .cast("double"), lit(0.0))).as("cum_lift"))
+  }
+
+  def decileLift(s: SparkSession, dir: String): DataFrame =
+    decileLift(Tables.documents(s, dir))
 }

@@ -720,6 +720,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("lmAffinity: hand-computed 2x2 matrix, self- and cross-LM pricing") {
+    import spark.implicits._
+    // newsy LM: bigrams {a b:1, a z:1}, heads {a:2}, V=1
+    // webby LM: bigrams {z z:1}, heads {z:1}, V=1
+    // inv_p(a b | newsy) = 1e6*(2+1) div 2 = 1.5e6 (same for a z)
+    // any bigram under a foreign LM with unseen head = 1e6*(0+1) div 1
+    val docs = Seq(
+      (0L, "a b", "en", "newsy", 3L), (1L, "a z", "en", "newsy", 3L),
+      (2L, "z z", "en", "webby", 3L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (parts <- Seq(1, 3)) {
+      val got = Corpus.lmAffinity(docs.repartition(parts), samplePct = 100)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[String]("lm")) ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_p")))).toMap
+      graft.Caches.releaseAll()
+      assert(got === Map(
+        ("newsy", "newsy") -> ((2L, 1.5)), ("newsy", "webby") -> ((2L, 1.0)),
+        ("webby", "webby") -> ((1L, 1.0)), ("webby", "newsy") -> ((1L, 1.0))),
+        s"affinity matrix diverged at $parts partitions: $got")
+    }
+  }
+
   test("nbConfusion on the test tables: folds cover the corpus, predictions come from the trained fold") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val n = docs.count()

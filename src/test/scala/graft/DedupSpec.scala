@@ -493,4 +493,37 @@ class DedupSpec extends SparkSpec {
     assert((c0 intersect c1).nonEmpty,
       "content-defined cuts must realign after an insertion")
   }
+
+  test("dupAssortativity equals the plain-JVM Pearson recompute over the q22 edges; cliques are NULL-variance") {
+    // recompute over the test tables: same edges, moments in plain scala
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val pairs = Dedup.minhashLsh(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    graft.Caches.releaseAll()
+    assert(pairs.nonEmpty, "sf0.001 must contain near-dup edges")
+    val deg = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val xy = pairs.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = xy.size.toLong
+    val sx = xy.map(_._1).sum; val sxx = xy.map(t => t._1 * t._1).sum
+    val sxy = xy.map(t => t._1 * t._2).sum
+    val expected = (n * sxy - sx * sx).toDouble / (n * sxx - sx * sx).toDouble
+    val row = Dedup.dupAssortativity(docs).collect().head
+    graft.Caches.releaseAll()
+    assert(row.getAs[Long]("n_edges") === pairs.length.toLong)
+    assert(row.getAs[Double]("mean_degree") === sx.toDouble / n)
+    assert(row.getAs[Double]("assortativity") === expected,
+      "moment pass diverged from the JVM recompute")
+
+    // a pure clique has zero degree variance -> NULL assortativity
+    import spark.implicits._
+    val clique = (0L to 3L).map(i => (i, "same same same text here ok", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c = Dedup.dupAssortativity(clique).collect().head
+    graft.Caches.releaseAll()
+    assert(c.getAs[Long]("n_edges") === 6L, "K4 must yield all 6 edges")
+    assert(c.isNullAt(c.fieldIndex("assortativity")),
+      "equal-degree graph must yield NULL, not NaN or 0")
+  }
 }

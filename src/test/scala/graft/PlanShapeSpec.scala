@@ -1006,6 +1006,64 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q254: cross-LM scoring joins are shuffle_hash on composite keys, the lm list broadcasts") {
+    val df = graft.operators.Corpus.lmAffinity(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    val (bhj, shj) = initialJoins(df)
+    assert(shj >= 2,
+      s"the (lm, bigram)/(lm, head) model joins must shuffle (got $shj):\n$plan")
+    // the |sources|-row lm list rides a broadcast CROSS join (nested
+    // loop — there is no equi-key), never a shuffle
+    assert(bhj >= 1 || plan.contains("BroadcastNestedLoopJoin"),
+      s"the lm list must broadcast:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Exchange rangepartitioning"),
+      s"no window, no global sort:\n$plan")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q255: the degree table attaches via shuffle_hash, the moments never window or sort") {
+    val df = graft.operators.Dedup.dupAssortativity(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    val (_, shj) = initialJoins(df)
+    assert(shj >= 2,
+      s"endpoint-degree joins must be ShuffledHashJoin (got $shj):\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Exchange rangepartitioning"),
+      s"assortativity is joins + one moment aggregate:\n$plan")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q256: every unpartitioned window reads a bounded (bucket/decile) aggregate") {
+    val df = graft.operators.Quality.decileLift(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val globals = whole(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    globals.foreach { w =>
+      assert(whole(w).exists {
+        case h: HashAggregateExec =>
+          h.groupingExpressions.exists(e =>
+            e.toString.contains("b") || e.toString.contains("decile"))
+        case _ => false
+      }, s"a global window may only read the 11-bucket offsets or the " +
+        s"<=10-row decile aggregate:\n$w")
+    }
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q250: candidates and mutuality are shuffle_hash equijoins, never a sort or window") {
     val df = graft.operators.Similarity.reciprocalNn(
       graft.sources.Tables.embeddings(spark, sf0001), nPlanes = 8, dims = 64)

@@ -391,6 +391,30 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("decileLift: hand-computed deciles, atomic tie groups, exact lifts and cumulative capture") {
+    import spark.implicits._
+    // scores (desc): 1e6 (pos), 666666 (pos+neg tie group), 0 (neg)
+    // N=4, NP=2, deciles by (10*above) div 4: 0, 2, 7
+    val docs = Seq(
+      (1L, "a a a", "en", "s", 5L), (2L, "x y x y", "en", "s", 7L),
+      (3L, "m n m n", "de", "s", 7L), (4L, "p q r", "de", "s", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (parts <- Seq(1, 3)) {
+      val got = Quality.decileLift(docs.repartition(parts)).collect()
+        .map(r => r.getAs[Long]("decile") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("npos"),
+            r.getAs[Double]("response_rate"), r.getAs[Double]("lift"),
+            r.getAs[Double]("cum_capture"), r.getAs[Double]("cum_lift"))))
+        .toMap
+      graft.Caches.releaseAll()
+      assert(got === Map(
+        0L -> ((1L, 1L, 1.0, 2.0, 0.5, 2.0)),
+        2L -> ((2L, 1L, 0.5, 1.0, 1.0, 8.0 / 6.0)),
+        7L -> ((1L, 0L, 0.0, 0.0, 1.0, 1.0))),
+        s"decile table diverged at $parts partitions: $got")
+    }
+  }
+
   test("scoreAuc on the test tables: every AUC in [0,1], counts cover the bigram-bearing corpus") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val rows = Quality.scoreAuc(docs).collect()
