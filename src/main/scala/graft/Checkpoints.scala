@@ -29,12 +29,14 @@ import org.apache.spark.sql.DataFrame
   *  - '''Disk growth''': per-superstep checkpoint dirs accumulate on the
   *    durable store forever by default
   *    (`spark.cleaner.referenceTracking.cleanCheckpoints` is false).
-  *    Set it to `true` on the session builder alongside this knob — the
-  *    context cleaner then deletes a superstep's files when its RDD is
-  *    garbage-collected (it is read once at context creation, so it
-  *    cannot be flipped here at runtime). Otherwise budget
-  *    supersteps × working-set bytes of durable storage per iterative
-  *    job, or clean `checkpointDir` between jobs.
+  *    Every in-repo session builder that can exercise this path
+  *    (Main, Verify, the test harness) therefore sets it to `true` —
+  *    the context cleaner then deletes a superstep's files when its RDD
+  *    is garbage-collected (the flag is read once at context creation,
+  *    so it cannot be flipped here at runtime; CheckpointsSpec asserts
+  *    the deletion actually happens). A deployment that builds its own
+  *    session must set it too, or budget supersteps × working-set bytes
+  *    of durable storage per iterative job.
   */
 object Checkpoints {
 

@@ -29,6 +29,10 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // read once at context creation: with the reliable-checkpoint knob
+      // (spark.graft.checkpointDir) active, superseded superstep dirs are
+      // deleted when their RDDs are GC'd instead of growing unboundedly
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

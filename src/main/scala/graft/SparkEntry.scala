@@ -5863,8 +5863,9 @@ object SparkEntry {
         |  ON x.src = y.nbr AND x.nbr = y.src AND x.src < x.nbr""".stripMargin,
 
     // q251: content-defined chunking — cut after each 8-char window
-    // whose md5 starts with '0', md5 chunk fingerprints, per-source
-    // cross-corpus dup mass.
+    // whose md5 starts with '0', md5 chunk fingerprints; per source the
+    // within-source dup share plus the cross-source chunk-dup share
+    // (instances whose fingerprint spans >1 distinct source).
     "q251_cdc_chunks" ->
       """WITH d AS (
         |  SELECT doc_id, source, text, length(text) AS l FROM documents
@@ -5887,14 +5888,23 @@ object SparkEntry {
         |  FROM (SELECT source, text, cuts,
         |          unnest(range(1, len(cuts) + 1)) AS j
         |        FROM cu) t
+        |), pf AS (
+        |  SELECT source, fp, COUNT(*) AS n, SUM(clen) AS chars
+        |  FROM ch GROUP BY 1, 2
+        |), ns AS (
+        |  SELECT fp, COUNT(*) AS nsrc FROM pf GROUP BY 1
         |)
-        |SELECT source, COUNT(*) AS n_chunks,
-        |  COUNT(DISTINCT fp) AS n_distinct,
-        |  CAST(SUM(clen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_chunks,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(chars) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
         |    AS mean_chunk_len,
-        |  1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-        |    AS dup_chunk_share
-        |FROM ch GROUP BY 1""".stripMargin,
+        |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |    AS dup_chunk_share,
+        |  CAST(SUM(CASE WHEN nsrc > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_cross_chunks,
+        |  CAST(SUM(CASE WHEN nsrc > 1 THEN n ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(n) AS DOUBLE) AS cross_dup_share
+        |FROM pf JOIN ns USING (fp) GROUP BY 1""".stripMargin,
 
     // q252: Youden-J operating point of the dup-share screen per source
     // — integer argmax of |flagged_pos*nneg - flagged_neg*npos| over

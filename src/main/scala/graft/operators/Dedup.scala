@@ -1221,23 +1221,34 @@ object Dedup {
   /** Content-defined chunking dedup profile (q251): split every document
     * at CONTENT-derived boundaries — a cut after each 8-char window
     * whose md5 starts with the hex digit '0' (expected chunk ≈ 16 + 7
-    * chars) — then measure, per source, how much chunk mass is
-    * duplicated across the corpus. This is the rolling-hash CDC idea
-    * storage dedup is built on (LBFS/rsync family): unlike fixed-width
-    * chunking (q59), an insertion shifts only the chunks it touches, so
-    * shared passages land on IDENTICAL chunk fingerprints wherever they
-    * sit in the document — the byte-level complement of the shingle
-    * near-dup family.
+    * chars) — then measure, per source, two dup signals: the
+    * WITHIN-SOURCE share (`dup_chunk_share`: chunk instances beyond the
+    * source's own distinct fingerprints — intra-source template mass)
+    * and the CROSS-SOURCE share (`cross_dup_share`: chunk instances
+    * whose fingerprint appears in more than one distinct source — the
+    * boilerplate that travels between crawls, which per-source dedup
+    * can never see). This is the rolling-hash CDC idea storage dedup is
+    * built on (LBFS/rsync family): unlike fixed-width chunking (q59),
+    * an insertion shifts only the chunks it touches, so shared passages
+    * land on IDENTICAL chunk fingerprints wherever they sit in the
+    * document — the byte-level complement of the shingle near-dup
+    * family.
     *
     * Determinism: boundaries are md5-string prefix tests (no arithmetic
-    * at all), fingerprints are md5 of the exact substring; the two
+    * at all), fingerprints are md5 of the exact substring; the three
     * ratios are single double divisions of exact counts.
     *
     * Scale: the per-position window hash is the q38 winnowing kernel's
-    * cost class, evaluated per row with zero joins; the per-source
-    * profile is one hash aggregate with an exact distinct (two-level).
-    * Docs shorter than the 8-char window have no interior windows and
-    * are profiled as one whole-document chunk.
+    * cost class, evaluated per row with zero joins; chunk instances
+    * collapse FIRST to the (source, fp) distinct relation (map-side
+    * combined), so the corpus-wide fingerprint-spread aggregate and the
+    * join that carries it back are both keyed on the far smaller
+    * distinct relation — shuffle_hash on the high-cardinality fp key,
+    * never a broadcast (the fingerprint universe scales with corpus
+    * bytes). `n_distinct` is the (source, fp) row count, so no
+    * countDistinct pass remains. Docs shorter than the 8-char window
+    * have no interior windows and are profiled as one whole-document
+    * chunk.
     */
   def cdcChunks(docs: DataFrame): DataFrame = {
     val chunks = docs
@@ -1261,18 +1272,29 @@ object Dedup {
       .select(col("source"), explode(expr(
         "zip_with(prevs, cuts, (p, c) -> substring(text, cast(p + 1 as int), cast(c - p as int)))"))
         .as("chunk"))
-    chunks
+    val perFp = Caches.track(chunks
       .select(col("source"), md5(col("chunk")).as("fp"),
         length(col("chunk")).as("clen"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n"), sum(col("clen")).as("chars")))
+    // fingerprint spread: perFp is keyed (source, fp), so the per-fp row
+    // count IS the number of distinct sources carrying that chunk
+    val spread = perFp.groupBy(col("fp")).agg(count(lit(1)).as("ns"))
+    perFp.hint("shuffle_hash")
+      .join(spread.hint("shuffle_hash"), Seq("fp"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_chunks"),
-        countDistinct(col("fp")).as("n_distinct"),
-        sum(col("clen")).as("n_chars"))
+      .agg(sum(col("n")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("chars")).as("n_chars"),
+        sum(when(col("ns") > 1, col("n")).otherwise(0L)).as("n_cross_chunks"))
       .select(col("source"), col("n_chunks"), col("n_distinct"),
         (col("n_chars").cast("double") / col("n_chunks").cast("double"))
           .as("mean_chunk_len"),
         (lit(1.0) - col("n_distinct").cast("double") /
-          col("n_chunks").cast("double")).as("dup_chunk_share"))
+          col("n_chunks").cast("double")).as("dup_chunk_share"),
+        col("n_cross_chunks"),
+        (col("n_cross_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("cross_dup_share"))
   }
 
   def cdcChunks(s: SparkSession, dir: String): DataFrame =

@@ -52,6 +52,61 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  test("cleanCheckpoints: superseded checkpoint dirs are deleted once their RDDs are unreachable") {
+    // the flag is read once at context creation — the builder must have set it
+    assert(spark.sparkContext.getConf
+      .get("spark.cleaner.referenceTracking.cleanCheckpoints", "false") === "true",
+      "session builders on the reliable path must enable checkpoint cleanup")
+    // setCheckpointDir is minted once per context — earlier tests may
+    // already own it, so observe whatever dir the context actually uses
+    // and track only the rdd-* dirs THIS run creates
+    def rddDirs(): Set[String] =
+      spark.sparkContext.getCheckpointDir.toSet[String].flatMap { root =>
+        // getCheckpointDir reports a URI (file:/tmp/...); walk its PATH
+        val rootPath =
+          if (root.contains(":")) Paths.get(new java.net.URI(root))
+          else Paths.get(root)
+        // the cleaner deletes concurrently with this walk — a dir that
+        // vanishes mid-traversal counts as deleted, not as an error
+        try {
+          val s = Files.walk(rootPath)
+            .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("rdd-"))
+          try {
+            val it = s.iterator()
+            val b = Set.newBuilder[String]
+            while (it.hasNext) b += it.next().toString
+            b.result()
+          } finally s.close()
+        } catch {
+          case _: java.io.UncheckedIOException | _: java.nio.file.NoSuchFileException =>
+            Set.empty[String]
+        }
+      }
+    spark.conf.set(Checkpoints.ConfKey,
+      Files.createTempDirectory("graft_ckpt3").toString)
+    try {
+      val before = rddDirs()
+      // hold the RESULT FRAME (it roots the checkpointed lineage) across
+      // the liveness check, then drop it — cleaner fires on RDD GC
+      var res: org.apache.spark.sql.DataFrame = Dedup.dupClusters(
+        graft.sources.Tables.documents(spark, sf0001),
+        bands = 4, rowsPerBand = 2, threshold = 0.8)
+      assert(res.collect().nonEmpty)
+      graft.Caches.releaseAll()
+      val mine = rddDirs() -- before
+      assert(mine.nonEmpty, "supersteps must have written rdd-* checkpoint dirs")
+      res = null
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while ((rddDirs() intersect mine).nonEmpty && System.nanoTime() < deadline) {
+        System.gc(); Thread.sleep(250)
+      }
+      assert((rddDirs() intersect mine).isEmpty,
+        s"context cleaner must delete superseded checkpoint dirs, left: ${rddDirs() intersect mine}")
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+    }
+  }
+
   test("truncate without the knob stays local: no checkpoint dir demanded") {
     // guards the default path — localCheckpoint must not require
     // SparkContext.setCheckpointDir

@@ -465,25 +465,40 @@ class DedupSpec extends SparkSpec {
     }
     val shared = "the quick brown fox jumps over the lazy dog again and again"
     val texts = Seq(
-      (0L, shared),
-      (1L, "PREFIX INSERTED HERE " + shared), // shifted copy of the passage
-      (2L, "tiny"),                           // sub-window doc: one chunk
-      (3L, "completely different content with no overlap at all whatsoever"))
-    val docs = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      (0L, "s", shared),
+      (1L, "s", "PREFIX INSERTED HERE " + shared), // shifted copy of the passage
+      (2L, "s", "tiny"),                           // sub-window doc: one chunk
+      (3L, "s", "completely different content with no overlap at all whatsoever"),
+      (4L, "t", shared + " TRAILING EDIT"))        // cross-SOURCE shifted copy
+    val docs = texts.map { case (id, src, t) => (id, t, "en", src, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val all = texts.flatMap { case (_, t) => chunksOf(t) }
-    assert(all.flatten.size === texts.map(_._2.length).sum,
+    assert(texts.flatMap(t => chunksOf(t._3)).flatten.size ===
+      texts.map(_._3.length).sum,
       "chunks must partition every document exactly")
-    val fps = all.map(md5hex)
-    val expected = Map("s" -> ((fps.size.toLong, fps.distinct.size.toLong,
-      all.map(_.length).sum.toDouble / fps.size,
-      1.0 - fps.distinct.size.toDouble / fps.size)))
+    // plain-JVM recompute of the full profile, cross-source spread included
+    val bySource = texts.groupBy(_._2).view.mapValues(_.flatMap(t => chunksOf(t._3)))
+    val spread = texts.flatMap { case (_, src, t) =>
+      chunksOf(t).distinct.map(c => (md5hex(c), src)) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = bySource.map { case (src, cs) =>
+      val fps = cs.map(md5hex)
+      val nCross = fps.count(spread(_) > 1).toLong
+      src -> ((fps.size.toLong, fps.distinct.size.toLong,
+        cs.map(_.length).sum.toDouble / fps.size,
+        1.0 - fps.distinct.size.toDouble / fps.size,
+        nCross, nCross.toDouble / fps.size))
+    }.toMap
+    assert(expected("s")._5 > 0L && expected("t")._5 > 0L,
+      "the planted passage must realign into cross-source chunk hits")
     for (parts <- Seq(1, 3)) {
       val got = Dedup.cdcChunks(docs.repartition(parts)).collect()
         .map(r => r.getAs[String]("source") ->
           ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct"),
             r.getAs[Double]("mean_chunk_len"),
-            r.getAs[Double]("dup_chunk_share")))).toMap
+            r.getAs[Double]("dup_chunk_share"),
+            r.getAs[Long]("n_cross_chunks"),
+            r.getAs[Double]("cross_dup_share")))).toMap
+      graft.Caches.releaseAll()
       assert(got === expected, s"CDC profile diverged at $parts partitions")
     }
     // the CDC contract itself: the shared passage must contribute at

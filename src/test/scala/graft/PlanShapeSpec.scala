@@ -961,14 +961,19 @@ class PlanShapeSpec extends SparkSpec {
       "the fit is aggregates + a bounded window — never a join")
   }
 
-  test("q251: CDC chunking is row-local HOFs into one two-level aggregate — no join, no window, no sort") {
+  test("q251: CDC chunking is row-local HOFs into fp-keyed aggregates — shuffle_hash spread join, no broadcast, no window, no sort") {
     val df = graft.operators.Dedup.cdcChunks(
       graft.sources.Tables.documents(spark, sf0001))
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"no join:\n$plan")
+    // the fingerprint-spread join is on the high-cardinality fp key of
+    // the (source, fp) distinct relation: shuffled hash, never broadcast
+    // (the fingerprint universe scales with corpus bytes)
+    assert(plan.contains("ShuffledHashJoin"), s"shuffle_hash spread join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
     assert(!plan.contains("Window"), s"no window:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"no global sort:\n$plan")
+    graft.Caches.releaseAll()
   }
 
   test("q252: the threshold sweep windows are all partitioned on the bounded grid") {

@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // read once at context creation: lets CheckpointsSpec assert that the
+    // reliable path's superseded checkpoint dirs actually get deleted
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     .getOrCreate()
 
   def fixture(rel: String): String =
