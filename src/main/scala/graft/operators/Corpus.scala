@@ -1255,12 +1255,22 @@ object Corpus {
     * 9.2e12` (a ~9-trillion-token class corpus); sums and products are
     * carried in DECIMAL(38,0) downstream.
     */
-  private[graft] def nbModel(train: DataFrame): (DataFrame, DataFrame) = {
-    val words = train
+  private[graft] def nbModel(train: DataFrame): (DataFrame, DataFrame) =
+    nbModelWords(train
       .repartition(shuffleWidth(train), col("doc_id"))
-      .select(col("source"), explode(Text.words(col("text"))).as("word"))
-    val cw = Caches.track(words.groupBy(col("source"), col("word"))
+      .select(col("source"), explode(Text.words(col("text"))).as("word")))
+
+  /** [[nbModel]] from an already-exploded `(source, word)` relation —
+    * the seam that lets [[nbConfusion]] feed both folds from ONE cached
+    * corpus explode instead of exploding per fold.
+    */
+  private[graft] def nbModelWords(words: DataFrame): (DataFrame, DataFrame) =
+    nbModelCounts(words.groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("cnt")))
+
+  /** [[nbModel]] from an already-counted `(source, word, cnt)` relation. */
+  private[graft] def nbModelCounts(counts: DataFrame): (DataFrame, DataFrame) = {
+    val cw = Caches.track(counts)
     val voc = cw.select(col("word")).distinct().agg(count(lit(1)).as("v"))
     val classes = cw.groupBy(col("source")).agg(sum(col("cnt")).as("nc"))
       .crossJoin(broadcast(voc))
@@ -1285,8 +1295,6 @@ object Corpus {
     * No window, no sort, no driver loop.
     */
   def nbPredict(train: DataFrame, test: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, 0)
     val (delta, classes) = nbModel(train)
     val tf = Caches.track(test
       .repartition(shuffleWidth(test), col("doc_id"))
@@ -1294,6 +1302,16 @@ object Corpus {
         explode(Text.words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("source"), col("word"))
       .agg(count(lit(1)).as("tf")))
+    nbScore(tf, delta, classes)
+  }
+
+  /** Score an already-aggregated `(doc_id, source, word, tf)` relation
+    * against a trained model — the shared back half of [[nbPredict]] and
+    * [[nbConfusion]].
+    */
+  private def nbScore(tf: DataFrame, delta: DataFrame, classes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
     val totals = tf.groupBy(col("doc_id"), col("source"))
       .agg(sum(col("tf")).as("t"))
     val adj = tf.hint("shuffle_hash")
@@ -1327,6 +1345,18 @@ object Corpus {
     val bucket = conv(substring(
       md5(concat(lit("nb|"), col("doc_id").cast("string"))), 1, 4),
       16, 10).cast("long") % 2
+    // Two explodes — one per fold — on purpose. The round-13 A/B tried a
+    // single fold-tagged explode cached as a (doc_id, source, fold,
+    // word, tf) relation feeding both folds ([[nbModelCounts]] is the
+    // seam it used): isolated best-of-3 invocations at sf0.1 measured
+    // 3.12/3.24 s for the tagged variant against a 2.62 s best (spread
+    // 2.62–3.53 across five invocations on a noisy box) for this
+    // shape — best-of favors two explodes. The tagged variant loses because
+    // the TRAIN fold only ever needs (source, word) granularity — the
+    // map-side combine collapses it in one pass here — while the shared
+    // relation forces per-doc granularity on both folds and pays its
+    // cache materialization on the corpus's full token count. Each fold
+    // re-reading the (column-pruned) parquet scan is cheaper.
     nbPredict(
       docs.filter(bucket === 0),
       docs.filter(bucket === 1))
