@@ -284,6 +284,7 @@ object SparkEntry {
     "q254_lm_affinity" -> ((s, d) => Corpus.lmAffinity(s, d)),
     "q255_dup_assortativity" -> ((s, d) => Dedup.dupAssortativity(s, d)),
     "q256_decile_lift" -> ((s, d) => Quality.decileLift(s, d)),
+    "q257_exact_substring" -> ((s, d) => Dedup.exactSubstringDedup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6109,5 +6110,58 @@ object SparkEntry {
         |    / nullif(CAST(CAST(cum_n * np AS VARCHAR) AS DOUBLE), 0.0)
         |    AS cum_lift
         |FROM c""".stripMargin,
+
+    // q257: exact-substring dedup — positional 8-token window md5
+    // fingerprints; shared iff min(doc_id) <> max(doc_id) per
+    // fingerprint; per-doc interval union of [p, p+7] via
+    // gaps-and-islands (break on gap > 8); longest span elected with
+    // smallest-start tie-break, char offset from the token array.
+    "q257_exact_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8
+        |), pos AS (
+        |  SELECT doc_id, len(w) AS n_tokens, i AS p,
+        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM t)
+        |), dup AS (
+        |  SELECT fp FROM pos GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)
+        |), sp AS (
+        |  SELECT pos.doc_id, pos.n_tokens, pos.p FROM pos JOIN dup USING (fp)
+        |), isl AS (
+        |  SELECT doc_id, n_tokens, p,
+        |    SUM(CASE WHEN prev IS NOT NULL AND p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM (SELECT doc_id, n_tokens, p,
+        |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sp)
+        |), spans AS (
+        |  SELECT doc_id, n_tokens, island,
+        |    MIN(p) AS s, MAX(p) + 7 AS e
+        |  FROM isl GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT doc_id, n_tokens, s, e - s + 1 AS span_tokens,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY e - s + 1 DESC, s ASC) AS rk
+        |  FROM spans
+        |), agg AS (
+        |  SELECT doc_id, n_tokens, COUNT(*) AS n_spans,
+        |    SUM(span_tokens) AS dup_tokens,
+        |    MAX(CASE WHEN rk = 1 THEN s END) AS top_s,
+        |    MAX(CASE WHEN rk = 1 THEN span_tokens END) AS top_len
+        |  FROM ranked GROUP BY 1, 2
+        |)
+        |SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(a.n_spans AS BIGINT) AS n_spans,
+        |  CAST(a.dup_tokens AS BIGINT) AS dup_tokens,
+        |  CAST(a.dup_tokens AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+        |    AS dup_token_share,
+        |  CAST(a.top_s AS BIGINT) AS top_span_start,
+        |  CAST(a.top_len AS BIGINT) AS top_span_tokens,
+        |  CAST(CASE WHEN a.top_s = 1 THEN 1
+        |    ELSE length(array_to_string(t.w[1:CAST(a.top_s AS INT) - 1], ' ')) + 2
+        |    END AS BIGINT) AS top_span_char_start
+        |FROM agg a JOIN t USING (doc_id)""".stripMargin,
   )
 }

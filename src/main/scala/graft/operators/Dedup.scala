@@ -1357,4 +1357,103 @@ object Dedup {
 
   def dupAssortativity(s: SparkSession, dir: String): DataFrame =
     dupAssortativity(Tables.documents(s, dir))
+
+  /** Exact-substring dedup (q257): token-precision shared-passage
+    * detection — for every document, the exact token mass covered by
+    * some passage of ≥ `k` tokens that ALSO appears verbatim in another
+    * document, with per-doc span counts and the longest span's token and
+    * character offsets. This is the suffix-array "remove any ≥k-token
+    * passage shared between documents" modality (the standard companion
+    * to MinHash in training-data pipelines — MinHash drops whole
+    * near-dup documents, this finds the verbatim passages INSIDE
+    * otherwise-distinct documents), re-expressed join-wise:
+    *
+    *  1. positional `k`-token window fingerprints per document (md5 of
+    *     the exact token run — not a sketch: two equal fingerprint
+    *     strings are equal runs for dedup purposes);
+    *  2. a fingerprint is SHARED iff it occurs in ≥ 2 distinct
+    *     documents — decided per fingerprint by `min(doc_id) ≠
+    *     max(doc_id)` in one map-side-combined aggregate (no
+    *     countDistinct, no pair join);
+    *  3. a token is duplicated iff some shared window covers it, so
+    *     per-doc coverage is the interval union of `[p, p+k-1]` over
+    *     shared positions `p`: classic gaps-and-islands — a new span
+    *     starts when the gap to the previous shared position exceeds
+    *     `k` (coverage would break). Every maximal shared passage of
+    *     length L ≥ k is exactly an island of L-k+1 consecutive shared
+    *     positions.
+    *
+    * Token precision is exact BY CONSTRUCTION for the dup mass: a
+    * passage of ≥ k tokens shared between two docs makes all of its
+    * windows shared, and conversely every shared window sits inside a
+    * shared passage of ≥ k tokens. (Adjacent islands closer than k
+    * merge into one reported span — coverage, not partnership, is the
+    * contract: the span is the region to CUT.) Output carries only
+    * documents with at least one shared span — at 100 TB the result
+    * scales with the dup population, not the corpus.
+    *
+    * Scale: the position relation is one row per token (the word-explode
+    * cost class, linear); the shared-fingerprint filter is one hash
+    * aggregate + a fingerprint-keyed left-semi shuffle_hash join (the
+    * fingerprint universe scales with corpus tokens — never broadcast);
+    * the island windows partition by doc_id over SHARED positions only
+    * (bounded by per-doc dup mass); the char-offset join attaches the
+    * one elected top span per doc back to the doc's token array by
+    * doc_id equi-join. Never all-pairs, nothing single-partition.
+    *
+    * Reference scope: the reference engine has no dedup surface at all
+    * (`script/TributeStreamingJob.py` is a streaming-ETL job); this
+    * operator is part of the training-data extension surface.
+    */
+  def exactSubstringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"a shared-run length needs k >= 2 tokens, got $k")
+    val toks = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= k))
+    val pos = Caches.track(toks
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(w, i, $k))))")).as(Seq("p0", "fp")))
+      .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).as("p"), col("fp")))
+    val sharedFp = pos.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("fp"))
+    val shared = pos
+      .join(sharedFp.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = shared
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(k - 1)).as("e"))
+    val perDoc = spans
+      .withColumn("span_tokens", col("e") - col("s") + 1)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).cast("long").as("dup_tokens"),
+        max(struct(col("span_tokens"), (-col("s")).as("ns"))).as("top"))
+    perDoc
+      .hint("shuffle_hash")
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_spans"),
+        col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_token_share"),
+        (-col("top.ns")).cast("long").as("top_span_start"),
+        col("top.span_tokens").cast("long").as("top_span_tokens"),
+        when(col("top.ns") === -1, lit(1L)).otherwise(
+          length(concat_ws(" ",
+            slice(col("w"), lit(1), (-col("top.ns")) - 1))).cast("long") + 2L)
+          .as("top_span_char_start"))
+  }
+
+  def exactSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    exactSubstringDedup(Tables.documents(s, dir))
 }

@@ -857,18 +857,25 @@ object Warehouse {
     * queried many times, so the probe's cost — the thing DPP buys — is
     * what repeated executions pay, not the ingest write.
     */
-  def dppPrunedRevenue(s: SparkSession, dir: String, tag: String = ""): DataFrame = {
-    val tok = token(s, dir, tag)
+  def dppPrunedRevenue(s: SparkSession, dir: String, tag: String = ""): DataFrame =
+    dppPrunedRevenueOf(s, Tables.orders(s, dir), token(s, dir, tag))
+
+  /** [[dppPrunedRevenue]] over an explicit orders relation — the seam
+    * ScaleSmoke uses to probe DPP against an amplified fact table. `tok`
+    * keys the one-time materialization (distinct relation → distinct
+    * token, or the guard would reuse the wrong layout).
+    */
+  def dppPrunedRevenueOf(s: SparkSession, orders: DataFrame, tok: String): DataFrame = {
     val table = s"graft_orders_p_$tok"
     if (!s.catalog.tableExists(table)) {
-      Tables.orders(s, dir)
+      orders
         .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
         .write.mode("overwrite").format("parquet")
         .option("path", tablePath(tok, "orders_p"))
         .partitionBy("month")
         .saveAsTable(table)
     }
-    val calendar = Tables.orders(s, dir)
+    val calendar = orders
       .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .distinct()
       .withColumn("quarter", concat(lit("Q"), expr(

@@ -509,6 +509,68 @@ class DedupSpec extends SparkSpec {
       "content-defined cuts must realign after an insertion")
   }
 
+  test("exactSubstringDedup: planted shared passages at shifted offsets — exact token mass, span election, char offsets") {
+    import spark.implicits._
+    // a 12-token passage planted into two docs at DIFFERENT offsets, and
+    // a second 9-token passage shared by docs 0 and 2 — k=8 windows
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"   // 12 tokens
+    val passage2 = "one two three four five six seven eight nine"                                // 9 tokens
+    val d0 = s"$passage filler0a fillerX fillerY $passage2"            // both passages
+    val d1 = s"lead1 lead2 lead3 $passage tail1 tail2"                 // passage shifted by 3
+    val d2 = s"$passage2 mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8"      // passage2 at front
+    val d3 = "unique0 " + (1 to 20).map(i => s"unique$i").mkString(" ")// no shared runs
+    // within-doc repetition only: an 8-token run repeated INSIDE one doc
+    // must NOT count (cross-document semantics)
+    val rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val d4 = s"$rep $rep zzz1 zzz2 zzz3"
+    val texts = Seq(0L -> d0, 1L -> d1, 2L -> d2, 3L -> d3, 4L -> d4)
+    val docs = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // plain-JVM recompute of the contract
+    def wordsOf(t: String) = t.split(" ").toSeq
+    val grams = texts.map { case (id, t) =>
+      id -> wordsOf(t).sliding(8).zipWithIndex
+        .map { case (g, i) => (i + 1, g.mkString(" ")) }.toSeq
+    }.toMap
+    val byGram = grams.toSeq.flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val expected = texts.flatMap { case (id, t) =>
+      val sharedPs = grams(id).collect { case (p, g) if byGram(g).size >= 2 => p }
+      if (sharedPs.isEmpty) None else {
+        val islands = sharedPs.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && p - acc.last.last <= 8) acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        val spans = islands.map(is => (is.head, is.last + 7 - is.head + 1))
+        val (topS, topLen) = spans.maxBy { case (s, len) => (len, -s) }
+        val w = wordsOf(t)
+        val charStart = if (topS == 1) 1L else w.take(topS - 1).mkString(" ").length + 2L
+        Some(id -> ((w.size.toLong, spans.size.toLong, spans.map(_._2.toLong).sum,
+          topS.toLong, topLen.toLong, charStart)))
+      }
+    }.toMap
+    assert(expected.keySet === Set(0L, 1L, 2L), "planted dups only; d3/d4 excluded")
+    // the shifted copy carries the same dup TOKEN MASS as the original passage
+    assert(expected(1L)._3 === 12L)
+
+    val got = Dedup.exactSubstringDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("top_span_start"),
+          r.getAs[Long]("top_span_tokens"), r.getAs[Long]("top_span_char_start")))).toMap
+    graft.Caches.releaseAll()
+    assert(got === expected, "per-doc span profile diverged from the JVM recompute")
+    // char offset sanity against the raw text: the elected span's first
+    // token must start exactly there
+    for ((id, t) <- texts if got.contains(id)) {
+      val (_, _, _, topS, _, charStart) = got(id)
+      val tok = wordsOf(t)(topS.toInt - 1)
+      assert(t.substring(charStart.toInt - 1).startsWith(tok),
+        s"doc $id: char offset $charStart must land on token '$tok'")
+    }
+  }
+
   test("dupAssortativity equals the plain-JVM Pearson recompute over the q22 edges; cliques are NULL-variance") {
     // recompute over the test tables: same edges, moments in plain scala
     val docs = graft.sources.Tables.documents(spark, sf0001)

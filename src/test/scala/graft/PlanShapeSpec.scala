@@ -976,6 +976,32 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("q257: exact-substring dedup — fp-keyed shuffle_hash joins (no broadcast), doc-partitioned windows") {
+    val df = graft.operators.Dedup.exactSubstringDedup(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the shared-fingerprint relation and the span table both scale with
+    // corpus dup mass — neither may be forced through a broadcast
+    assert(plan.contains("ShuffledHashJoin"), s"shuffle_hash joins:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    // island windows partition by doc_id, bounded by per-doc dup mass
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val globals = whole(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, s"no single-partition window:\n$globals")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q252: the threshold sweep windows are all partitioned on the bounded grid") {
     val df = graft.operators.Quality.youdenThreshold(
       graft.sources.Tables.documents(spark, sf0001))
