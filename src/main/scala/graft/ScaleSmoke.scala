@@ -318,6 +318,9 @@ object ScaleSmoke {
       // corpus tokens; the shared mass rides the amplifier's within-copy
       // dup structure (cross-copy texts are re-lettered, never equal)
       timed("q257") { graft.operators.Dedup.exactSubstringDedup(docs) },
+      // q258: byte-level ingest probe — index build is one distinct over
+      // corpus chunks, probe side stays the 5% delta at every multiplier
+      timed("q258") { graft.operators.Dedup.cdcIngestProbe(docs) },
       timed("q252") { graft.operators.Quality.youdenThreshold(docs) },
       timed("q254") { graft.operators.Corpus.lmAffinity(docs) },
       timed("q255") { graft.operators.Dedup.dupAssortativity(docs) },

@@ -285,6 +285,7 @@ object SparkEntry {
     "q255_dup_assortativity" -> ((s, d) => Dedup.dupAssortativity(s, d)),
     "q256_decile_lift" -> ((s, d) => Quality.decileLift(s, d)),
     "q257_exact_substring" -> ((s, d) => Dedup.exactSubstringDedup(s, d)),
+    "q258_cdc_ingest_probe" -> ((s, d) => Dedup.cdcIngestProbe(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6163,5 +6164,49 @@ object SparkEntry {
         |    ELSE length(array_to_string(t.w[1:CAST(a.top_s AS INT) - 1], ' ')) + 2
         |    END AS BIGINT) AS top_span_char_start
         |FROM agg a JOIN t USING (doc_id)""".stripMargin,
+
+    // q258: byte-level ingest dedup probe — delta docs (md5 bucket >=
+    // 95) CDC-chunked and probed against the distinct chunk fingerprints
+    // of the standing corpus (bucket < 95); per-doc hit/byte rollup.
+    "q258_cdc_ingest_probe" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS l,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM documents WHERE length(text) >= 1
+        |), cu AS (
+        |  SELECT doc_id, bucket, text,
+        |    list_sort(list_distinct(
+        |      [i + 7 FOR i IN range(1, greatest(l - 6, 1))
+        |       IF substr(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0']
+        |      || [l])) AS cuts
+        |  FROM d
+        |), ch AS (
+        |  SELECT doc_id, bucket,
+        |    md5(substr(text,
+        |      CAST((CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) + 1 AS INT),
+        |      CAST(cuts[CAST(j AS INT)]
+        |        - (CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) AS INT))) AS fp,
+        |    cuts[CAST(j AS INT)]
+        |      - (CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) AS clen
+        |  FROM (SELECT doc_id, bucket, text, cuts,
+        |          unnest(range(1, len(cuts) + 1)) AS j
+        |        FROM cu) t
+        |), idx AS (
+        |  SELECT DISTINCT fp FROM ch WHERE bucket < 95
+        |)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hit,
+        |  CAST(SUM(c.clen) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CASE WHEN i.fp IS NOT NULL THEN c.clen ELSE 0 END) AS BIGINT)
+        |    AS dup_chars,
+        |  CAST(SUM(CASE WHEN i.fp IS NOT NULL THEN c.clen ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c.clen) AS DOUBLE) AS dup_char_share
+        |FROM ch c LEFT JOIN idx i ON c.fp = i.fp
+        |WHERE c.bucket >= 95
+        |GROUP BY 1""".stripMargin,
   )
 }

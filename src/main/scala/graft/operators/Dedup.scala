@@ -1250,10 +1250,18 @@ object Dedup {
     * have no interior windows and are profiled as one whole-document
     * chunk.
     */
-  def cdcChunks(docs: DataFrame): DataFrame = {
-    val chunks = docs
-      .repartition(shuffleWidth(docs), col("doc_id"))
-      .select(col("doc_id"), col("source"), col("text"))
+  /** Row-local CDC chunk relation: `(doc_id, carry..., fp, clen)` — one
+    * row per content-defined chunk (the q251 boundary rule: cut after
+    * each 8-char window whose md5 starts with '0'), fingerprinted by
+    * md5 of the exact substring. Pure HOF projections, zero joins, zero
+    * state — the kernel [[cdcChunks]], [[cdcIngestProbe]], and the
+    * streaming ingest monitor all share, so their chunks are the same
+    * chunks by construction.
+    */
+  private[graft] def cdcChunkRelation(
+      docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val cs = carry.map(col)
+    docs
       .filter(length(col("text")) >= 1)
       // NB: guard the window sequence — Spark's sequence(1, 0) counts
       // DOWN to [1, 0] instead of yielding the empty array DuckDB's
@@ -1269,12 +1277,18 @@ object Dedup {
           |  array(length(text)))))""".stripMargin))
       .withColumn("prevs",
         expr("concat(array(0), slice(cuts, 1, size(cuts) - 1))"))
-      .select(col("source"), explode(expr(
+      .select((col("doc_id") +: cs) :+ explode(expr(
         "zip_with(prevs, cuts, (p, c) -> substring(text, cast(p + 1 as int), cast(c - p as int)))"))
-        .as("chunk"))
-    val perFp = Caches.track(chunks
-      .select(col("source"), md5(col("chunk")).as("fp"),
-        length(col("chunk")).as("clen"))
+        .as("chunk"): _*)
+      .select((col("doc_id") +: cs) :+ md5(col("chunk")).as("fp") :+
+        length(col("chunk")).as("clen"): _*)
+  }
+
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val perFp = Caches.track(
+      cdcChunkRelation(
+        docs.repartition(shuffleWidth(docs), col("doc_id")),
+        carry = Seq("source"))
       .groupBy(col("source"), col("fp"))
       .agg(count(lit(1)).as("n"), sum(col("clen")).as("chars")))
     // fingerprint spread: perFp is keyed (source, fp), so the per-fp row
@@ -1299,6 +1313,54 @@ object Dedup {
 
   def cdcChunks(s: SparkSession, dir: String): DataFrame =
     cdcChunks(Tables.documents(s, dir))
+
+  /** Byte-level ingest dedup probe (q258): each document of an arriving
+    * delta batch (top 5% of the md5 hash-bucket split — the q198
+    * deltaDedup batching) has its CDC chunks probed against the standing
+    * corpus's chunk-fingerprint index, and reports how much of its BYTE
+    * mass already exists in the corpus: `n_chunks/n_chars` (the doc's
+    * chunk profile), `n_hit/dup_chars` (chunks whose fingerprint the
+    * corpus already holds), and the `dup_char_share` an admission filter
+    * thresholds on. Finer than [[deltaDedup]]'s verdict tiers — a doc
+    * that is 60% boilerplate-by-bytes but no near-dup of any single
+    * corpus doc shows up HERE and nowhere else. The streaming arm
+    * (`StreamingOps.cdcChunkMonitor`) runs the identical kernel against
+    * the same index shape on the ingest path.
+    *
+    * Scale: the corpus index is one distinct-aggregate over the corpus
+    * chunk relation — in production a STANDING table maintained per
+    * admitted batch (this probe's join is exactly the maintenance
+    * read); the probe side is delta-bounded; the fp equi-join is
+    * shuffle_hash on the high-cardinality fingerprint key (the index
+    * scales with corpus bytes — never broadcast); the per-doc rollup is
+    * one map-side-combined hash aggregate over delta chunks.
+    */
+  def cdcIngestProbe(docs: DataFrame): DataFrame = {
+    val bucketed = Caches.track(docs
+      .withColumn("bucket", Corpus.hashBucket(col("doc_id")))
+      .select(col("doc_id"), col("text"), col("bucket")))
+    val corpusIdx = cdcChunkRelation(bucketed.filter(col("bucket") < 95))
+      .select(col("fp")).distinct()
+      .withColumn("hit", lit(1))
+    cdcChunkRelation(
+      bucketed.filter(col("bucket") >= 95)
+        .repartition(shuffleWidth(docs), col("doc_id")))
+      .hint("shuffle_hash")
+      .join(corpusIdx, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        sum(col("clen")).as("n_chars"),
+        sum(when(col("hit") === 1, col("clen")).otherwise(0))
+          .cast("long").as("dup_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("n_hit"),
+        col("n_chars"), col("dup_chars"),
+        (col("dup_chars").cast("double") / col("n_chars").cast("double"))
+          .as("dup_char_share"))
+  }
+
+  def cdcIngestProbe(s: SparkSession, dir: String): DataFrame =
+    cdcIngestProbe(Tables.documents(s, dir))
 
   /** Dup-graph degree assortativity (q255): the Pearson correlation of
     * endpoint degrees across the verified near-dup edges (q22) — the

@@ -614,6 +614,51 @@ object StreamingOps {
         array_min(array(scoreCols.toSeq: _*))("cand").as("predicted"))
   }
 
+  /** Streaming CDC-chunk monitor — the continuous-ingestion twin of the
+    * batch byte-level ingest probe (q258, `Dedup.cdcIngestProbe`):
+    * arriving documents are content-defined-chunked PER ROW (the q251
+    * kernel is pure HOF projections — zero stream state, the
+    * repetitionMonitor discipline) and each chunk fingerprint is probed
+    * against a STATIC corpus chunk index built once and cached (the
+    * nearDupAgainstCorpus cache-lifetime rule applies: release after
+    * `query.stop()`, not after `start()`). Emits, per event-time window
+    * and document, the byte mass the corpus already holds — the
+    * admission signal that catches boilerplate-heavy docs no whole-doc
+    * near-dup check sees.
+    *
+    * State: only the windowed per-(window, doc) rollup, evicted by the
+    * watermark. The fp join is stream-static and stateless; at corpus
+    * scale the index exceeds any broadcast ceiling and the per-batch
+    * join shuffles on the fingerprint key — exactly the batch probe's
+    * join shape. Chunk counts/masses are exact integers, so a replayed
+    * document scores BIT-IDENTICALLY to the batch probe (spec-asserted).
+    */
+  def cdcChunkMonitor(
+      stream: DataFrame,
+      corpus: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    val corpusIdx = graft.Caches.track(
+      Dedup.cdcChunkRelation(corpus)
+        .select(col("fp")).distinct()
+        .withColumn("hit", lit(1)))
+    Dedup.cdcChunkRelation(
+      stream.withWatermark("ts", watermark), carry = Seq("ts"))
+      .join(corpusIdx, Seq("fp"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        sum(col("clen")).as("n_chars"),
+        sum(when(col("hit") === 1, col("clen")).otherwise(0))
+          .cast("long").as("dup_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("n_hit"),
+        col("n_chars"), col("dup_chars"),
+        (col("dup_chars").cast("double") / col("n_chars").cast("double"))
+          .as("dup_char_share"))
+  }
+
   /** Streaming count-min monitor — the continuous-ingestion twin of the
     * batch CM audit (q248, `Corpus.cmFrequencyAudit`): exact integer
     * cell sums of the same salted-hash `d × w` sketch per event-time

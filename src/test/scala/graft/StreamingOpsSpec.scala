@@ -618,6 +618,98 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1.0, 1.0, true)))
   }
 
+  test("cdc chunk monitor scores ingest docs bit-identically to the registered q258 batch probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // recreate the operator's md5 bucket rule so the hand corpus lands on
+    // the same delta/corpus split the registered batch twin uses
+    def bucketOf(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(4), 16) % 100
+    }
+    val corpusIds = (0L to 400L).filter(bucketOf(_) < 95).take(3)
+    val deltaIds = (0L to 400L).filter(bucketOf(_) >= 95).take(3)
+    assert(corpusIds.size === 3 && deltaIds.size === 3)
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val corpusTexts = Seq(passage, s"$passage plus corpus-only tail words",
+      "entirely separate corpus material here")
+    val deltaTexts = Seq(
+      passage,                        // byte-identical -> every chunk hits
+      "SHIFTED PREFIX " + passage,    // realigned chunks -> partial hit
+      "wholly novel ingest content never seen")   // zero hits
+    val corpusDf = corpusIds.zip(corpusTexts).toDF("doc_id", "text")
+    val docsAll = (corpusIds.zip(corpusTexts) ++ deltaIds.zip(deltaTexts))
+      .toDF("doc_id", "text")
+
+    val mem = MemoryStream[StreamTextDoc]
+    mem.addData(deltaIds.zip(deltaTexts).zipWithIndex.map { case ((id, t), i) =>
+      StreamTextDoc(id, t, ts(f"2026-01-01 00:0$i:00")) }: _*)
+    val q = StreamingOps.cdcChunkMonitor(mem.toDF(), corpusDf)
+      .writeStream.format("memory").queryName("cdcmon")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.Caches.releaseAll()
+    val got = spark.table("cdcmon")
+      .select($"doc_id", $"n_chunks", $"n_hit", $"n_chars", $"dup_chars",
+        $"dup_char_share")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+    val twin = graft.operators.Dedup.cdcIngestProbe(docsAll)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("n_chars"), r.getAs[Long]("dup_chars"),
+          r.getAs[Double]("dup_char_share")))).toMap
+    graft.Caches.releaseAll()
+    assert(got === twin,
+      s"streaming probe must equal the registered q258 twin: $got vs $twin")
+    // contract anchors: identical text is fully covered, novel text not at all
+    assert(got(deltaIds(0))._5 === 1.0, s"byte-identical doc must score 1.0: $got")
+    assert(got(deltaIds(2))._5 === 0.0, s"novel doc must score 0.0: $got")
+    assert(got(deltaIds(1))._4 > 0L,
+      s"shifted copy must realign onto shared chunks: $got")
+  }
+
+  test("cdc chunk monitor restart: per-(window, doc) byte rollup survives the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sub-window texts (< 8 chars) chunk as exactly one whole-doc chunk,
+    // so expected masses are closed-form
+    val corpus = Seq((100L, "abcdefg")).toDF("doc_id", "text")
+    val dirs = java.nio.file.Files.createTempDirectory("graft-cdc-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.cdcChunkMonitor(mem.toDF(), corpus)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: a corpus-hit fragment of doc 10 lands in the open window
+    mem.addData(StreamTextDoc(10L, "abcdefg", ts("2026-01-01 00:01:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    graft.Caches.releaseAll()
+
+    // run 2 (recovered): a NOVEL fragment of the same doc in the same
+    // window must merge into the restored rollup against a re-planned
+    // corpus index; the late doc advances the watermark past the window
+    // end so the group finalizes
+    mem.addData(
+      StreamTextDoc(10L, "zzzzz", ts("2026-01-01 00:05:00")),
+      StreamTextDoc(50L, "abcdefg", ts("2026-01-01 01:30:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    graft.Caches.releaseAll()
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"n_chunks", $"n_hit", $"n_chars", $"dup_chars")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc 10 across BOTH runs: two whole-doc chunks, one corpus hit —
+    // 7 of 12 chars already held by the corpus
+    assert(got === Set((10L, 2L, 1L, 12L, 7L)),
+      s"doc 10 must merge fragments across the restart: $got")
+  }
+
   test("uniques monitor sketches distinct actives per day (streaming = q209 batch twin, both paths)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
