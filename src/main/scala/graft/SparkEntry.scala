@@ -286,6 +286,8 @@ object SparkEntry {
     "q256_decile_lift" -> ((s, d) => Quality.decileLift(s, d)),
     "q257_exact_substring" -> ((s, d) => Dedup.exactSubstringDedup(s, d)),
     "q258_cdc_ingest_probe" -> ((s, d) => Dedup.cdcIngestProbe(s, d)),
+    "q259_exact_scrub" -> ((s, d) => Dedup.exactSubstringScrub(s, d)),
+    "q260_chunk_flow" -> ((s, d) => Dedup.chunkFlowMatrix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6208,5 +6210,82 @@ object SparkEntry {
         |FROM ch c LEFT JOIN idx i ON c.fp = i.fp
         |WHERE c.bucket >= 95
         |GROUP BY 1""".stripMargin,
+
+    // q259: exact-substring scrub — q257's shared spans cut from every
+    // document (all occurrences), kept tokens re-joined by spaces;
+    // untouched docs pass through with removed_tokens = 0.
+    "q259_exact_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id, i AS p,
+        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM t WHERE len(w) >= 8)
+        |), dup AS (
+        |  SELECT fp FROM pos GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)
+        |), sp AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN dup USING (fp)
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(CASE WHEN prev IS NOT NULL AND p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM (SELECT doc_id, p,
+        |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sp)
+        |), cuts AS (
+        |  SELECT doc_id, list({'s': s, 'e': e}) AS cs
+        |  FROM (SELECT doc_id, island, MIN(p) AS s, MAX(p) + 7 AS e
+        |        FROM isl GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.w) - len(kept) AS BIGINT) AS removed_tokens,
+        |  array_to_string(kept, ' ') AS text_clean
+        |FROM (
+        |  SELECT t.doc_id, t.w,
+        |    CASE WHEN c.cs IS NULL THEN t.w ELSE
+        |      [t.w[i] FOR i IN range(1, len(t.w) + 1)
+        |       IF len(list_filter(c.cs, x -> i >= x.s AND i <= x.e)) = 0]
+        |    END AS kept
+        |  FROM t LEFT JOIN cuts c USING (doc_id)
+        |) t""".stripMargin,
+
+    // q260: cross-source chunk-flow matrix — self-join of the
+    // (source, fp) distinct CDC chunk relation on fp, source_a <
+    // source_b; per pair the shared-fingerprint count and each side's
+    // byte mass on those fingerprints.
+    "q260_chunk_flow" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text, length(text) AS l FROM documents
+        |  WHERE length(text) >= 1
+        |), cu AS (
+        |  SELECT doc_id, source, text,
+        |    list_sort(list_distinct(
+        |      [i + 7 FOR i IN range(1, greatest(l - 6, 1))
+        |       IF substr(md5(substr(text, CAST(i AS INT), 8)), 1, 1) = '0']
+        |      || [l])) AS cuts
+        |  FROM d
+        |), ch AS (
+        |  SELECT source,
+        |    md5(substr(text,
+        |      CAST((CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) + 1 AS INT),
+        |      CAST(cuts[CAST(j AS INT)]
+        |        - (CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) AS INT))) AS fp,
+        |    cuts[CAST(j AS INT)]
+        |      - (CASE WHEN j = 1 THEN 0 ELSE cuts[CAST(j AS INT) - 1] END) AS clen
+        |  FROM (SELECT source, text, cuts,
+        |          unnest(range(1, len(cuts) + 1)) AS j
+        |        FROM cu) t
+        |), pf AS (
+        |  SELECT source, fp, SUM(clen) AS chars FROM ch GROUP BY 1, 2
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_shared_fp,
+        |  CAST(SUM(a.chars) AS BIGINT) AS chars_a,
+        |  CAST(SUM(b.chars) AS BIGINT) AS chars_b
+        |FROM pf a JOIN pf b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1518,4 +1518,98 @@ object Dedup {
 
   def exactSubstringDedup(s: SparkSession, dir: String): DataFrame =
     exactSubstringDedup(Tables.documents(s, dir))
+
+  /** Exact-substring SCRUB (q259): the removal transform that [[q257
+    * exactSubstringDedup]] measures — every token covered by a shared
+    * ≥`k`-token window is cut from the document, ALL occurrences in all
+    * documents (the suffix-array dedup policy for training corpora:
+    * a verbatim passage the corpus holds twice should train zero times,
+    * not once — leaving one copy re-weights boilerplate by its document
+    * frequency). Emits the full corpus: untouched documents pass through
+    * with `removed_tokens = 0`, scrubbed ones carry the cleaned text
+    * (kept tokens re-joined by single spaces, consistent with the
+    * corpus's single-space tokenisation).
+    *
+    * Mechanics: the q257 span relation (shared-position islands) is
+    * collected per doc into a BOUNDED array of (start, end) intervals —
+    * bounded by per-doc dup-span count, never corpus-sized — left-joined
+    * back onto the corpus by doc_id, and one `filter` HOF keeps the
+    * tokens no interval covers. Row-local after the join; the heavy
+    * lifting (anchor aggregate, semi-join, islands) is exactly q257's
+    * plan and scales the same way.
+    */
+  def exactSubstringScrub(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"a shared-run length needs k >= 2 tokens, got $k")
+    val toks = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+    val pos = toks
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), " +
+            s"i -> md5(concat_ws(' ', slice(w, i, $k))))")).as(Seq("p0", "fp")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("fp"))
+    val sharedFp = pos.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("fp"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = pos
+      .join(sharedFp.hint("shuffle_hash"), Seq("fp"), "left_semi")
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    toks
+      .hint("shuffle_hash")
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("cuts").isNull, col("w")).otherwise(
+        expr("filter(w, (x, i) -> !exists(cuts, c -> i + 1 >= c.s AND i + 1 <= c.e))")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
+  def exactSubstringScrub(s: SparkSession, dir: String): DataFrame =
+    exactSubstringScrub(Tables.documents(s, dir))
+
+  /** Cross-source chunk-flow matrix (q260): for every PAIR of sources,
+    * how many distinct CDC chunk fingerprints they both carry and how
+    * much byte mass those shared chunks occupy on each side — the
+    * "who shares boilerplate with whom" table that turns q251's
+    * per-source cross-dup SHARE into an actionable flow: a pair with
+    * heavy one-directional mass is a mirror/syndication relationship, a
+    * clique of pairs sharing the same mass is a common template.
+    *
+    * Scale: the pair relation is a self-equijoin of the (source, fp)
+    * DISTINCT relation on fp — per fingerprint that is
+    * `ns·(ns−1)/2` pairs, bounded by the SOURCE count squared (a fixed
+    * catalog number), never by corpus bytes; output is at most
+    * |sources|² rows. The join is shuffle_hash on the high-cardinality
+    * fp key; per-side char masses ride the same distinct relation.
+    */
+  def chunkFlowMatrix(docs: DataFrame): DataFrame = {
+    val perFp = Caches.track(
+      cdcChunkRelation(
+        docs.repartition(shuffleWidth(docs), col("doc_id")),
+        carry = Seq("source"))
+      .groupBy(col("source"), col("fp"))
+      .agg(sum(col("clen")).as("chars")))
+    perFp.as("a").hint("shuffle_hash")
+      .join(perFp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_fp"),
+        sum(col("a.chars")).as("chars_a"),
+        sum(col("b.chars")).as("chars_b"))
+  }
+
+  def chunkFlowMatrix(s: SparkSession, dir: String): DataFrame =
+    chunkFlowMatrix(Tables.documents(s, dir))
 }

@@ -571,6 +571,67 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstringScrub: shared spans cut from ALL occurrences, untouched docs pass through verbatim") {
+    import spark.implicits._
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima" // 12 tokens
+    val d0 = s"$passage tail0a tail0b"
+    val d1 = s"lead1 lead2 $passage"
+    val d2 = "all unique content here nothing shared with anyone at all ok fine"
+    val texts = Seq(0L -> d0, 1L -> d1, 2L -> d2)
+    val docs = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.exactSubstringScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("removed_tokens"),
+          r.getAs[String]("text_clean")))).toMap
+    graft.Caches.releaseAll()
+    // BOTH copies of the passage are cut (train-zero-times policy)
+    assert(got(0L) === ((14L, 12L, "tail0a tail0b")))
+    assert(got(1L) === ((14L, 12L, "lead1 lead2")))
+    // untouched doc passes through byte-identical, zero removed
+    assert(got(2L) === ((12L, 0L, d2)))
+  }
+
+  test("chunkFlowMatrix: shared chunk fingerprints per source pair with per-side byte mass") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[String] = {
+      val interior = (1 to math.max(text.length - 7, 0))
+        .filter(i => md5hex(text.substring(i - 1, i + 7)).startsWith("0"))
+        .map(_ + 7)
+      val cuts = (interior :+ text.length).distinct.sorted
+      cuts.zip(0 +: cuts.dropRight(1)).map { case (c, p) => text.substring(p, c) }
+    }
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val texts = Seq(
+      (0L, "sa", shared),
+      (1L, "sb", "PREFIX BLOCK " + shared),
+      (2L, "sc", "nothing in common with the others whatsoever truly"),
+      (3L, "sa", shared + " and sa again"))
+    val docs = texts.map { case (id, src, t) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // plain-JVM recompute: per (source, fp) char mass, pair on fp
+    val pf = texts.flatMap { case (_, src, t) => chunksOf(t).map(c => ((src, md5hex(c)), c.length.toLong)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = (for {
+      ((sa, fa), ca) <- pf; ((sb, fb), cb) <- pf
+      if fa == fb && sa < sb
+    } yield ((sa, sb), (1L, ca, cb)))
+      .groupBy(_._1).view.mapValues(vs =>
+        (vs.size.toLong, vs.map(_._2._2).sum, vs.map(_._2._3).sum)).toMap
+    assert(expected.contains(("sa", "sb")), "planted passage must link sa and sb")
+    assert(!expected.keySet.exists { case (a, b) => a == "sc" || b == "sc" },
+      "the unshared source must appear in no pair")
+    val got = Dedup.chunkFlowMatrix(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_shared_fp"), r.getAs[Long]("chars_a"),
+          r.getAs[Long]("chars_b")))).toMap
+    graft.Caches.releaseAll()
+    assert(got === expected, "flow matrix diverged from the JVM recompute")
+  }
+
   test("dupAssortativity equals the plain-JVM Pearson recompute over the q22 edges; cliques are NULL-variance") {
     // recompute over the test tables: same edges, moments in plain scala
     val docs = graft.sources.Tables.documents(spark, sf0001)
