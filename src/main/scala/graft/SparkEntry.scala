@@ -6242,7 +6242,8 @@ object SparkEntry {
         |)
         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
         |  CAST(len(t.w) - len(kept) AS BIGINT) AS removed_tokens,
-        |  array_to_string(kept, ' ') AS text_clean
+        |  -- DuckDB: array_to_string([]) is NULL; Spark concat_ws is ''
+        |  COALESCE(array_to_string(kept, ' '), '') AS text_clean
         |FROM (
         |  SELECT t.doc_id, t.w,
         |    CASE WHEN c.cs IS NULL THEN t.w ELSE

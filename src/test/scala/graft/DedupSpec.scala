@@ -616,7 +616,7 @@ class DedupSpec extends SparkSpec {
     val pf = texts.flatMap { case (_, src, t) => chunksOf(t).map(c => ((src, md5hex(c)), c.length.toLong)) }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     val expected = (for {
-      ((sa, fa), ca) <- pf; ((sb, fb), cb) <- pf
+      ((sa, fa), ca) <- pf.toSeq; ((sb, fb), cb) <- pf.toSeq
       if fa == fb && sa < sb
     } yield ((sa, sb), (1L, ca, cb)))
       .groupBy(_._1).view.mapValues(vs =>

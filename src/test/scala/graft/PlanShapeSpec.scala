@@ -1002,6 +1002,17 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q260: the chunk-flow pair join is fp-keyed shuffle_hash, never broadcast") {
+    val df = graft.operators.Dedup.chunkFlowMatrix(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"shuffle_hash pair join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q252: the threshold sweep windows are all partitioned on the bounded grid") {
     val df = graft.operators.Quality.youdenThreshold(
       graft.sources.Tables.documents(spark, sf0001))
