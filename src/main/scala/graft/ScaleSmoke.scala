@@ -321,6 +321,11 @@ object ScaleSmoke {
       // q258: byte-level ingest probe — index build is one distinct over
       // corpus chunks, probe side stays the 5% delta at every multiplier
       timed("q258") { graft.operators.Dedup.cdcIngestProbe(docs) },
+      // q259: the q257 scrub transform — adds a bounded per-doc interval
+      // collect + one corpus-wide filter HOF over q257's anchor plan
+      timed("q259") { graft.operators.Dedup.exactSubstringScrub(docs) },
+      // q260: source-pair chunk flow — per-fp fan bounded by |sources|²
+      timed("q260") { graft.operators.Dedup.chunkFlowMatrix(docs) },
       timed("q252") { graft.operators.Quality.youdenThreshold(docs) },
       timed("q254") { graft.operators.Corpus.lmAffinity(docs) },
       timed("q255") { graft.operators.Dedup.dupAssortativity(docs) },

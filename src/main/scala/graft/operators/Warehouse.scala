@@ -865,7 +865,9 @@ object Warehouse {
     * keys the one-time materialization (distinct relation → distinct
     * token, or the guard would reuse the wrong layout).
     */
-  def dppPrunedRevenueOf(s: SparkSession, orders: DataFrame, tok: String): DataFrame = {
+  def dppPrunedRevenueOf(s: SparkSession, orders: DataFrame, rawTok: String): DataFrame = {
+    // identifier-safe: a dot in the token would parse as schema.table
+    val tok = rawTok.replaceAll("[^A-Za-z0-9]", "_")
     val table = s"graft_orders_p_$tok"
     if (!s.catalog.tableExists(table)) {
       orders
