@@ -327,9 +327,24 @@ object ScaleSmoke {
       // q260: source-pair chunk flow — per-fp fan bounded by |sources|²
       timed("q260") { graft.operators.Dedup.chunkFlowMatrix(docs) },
       timed("q252") { graft.operators.Quality.youdenThreshold(docs) },
-      timed("q254") { graft.operators.Corpus.lmAffinity(docs) },
+      // q254 rides the fixed-probe-budget contract (the q250 discipline):
+      // the matrix cells are means, so the probe holds ABSOLUTE mass
+      // constant (20% of the 1× corpus) while the models scale with the
+      // data. The fraction-pinned path is the operator's documented
+      // parameter trap: 20% × mult probes measured exponent ~1.5
+      // (6.1/31.8/202.7 s at 10/30/100×), all spill in the scoring joins.
+      timed("q254") { graft.operators.Corpus.lmAffinityBudget(docs,
+        math.max(2000L, 200000L / mult)) },
       timed("q255") { graft.operators.Dedup.dupAssortativity(docs) },
-      timed("q256") { graft.operators.Quality.decileLift(docs) })
+      timed("q256") { graft.operators.Quality.decileLift(docs) },
+      // q261: two digest-keyed shuffles over (md5, source) cells — the
+      // cells grow linearly (amplified copies are distinct texts)
+      timed("q261") { graft.operators.Prep.effectiveTokens(docs) },
+      // q262: rides the q245 classifier plan; post-classifier work is
+      // |sources|²-bounded arithmetic
+      timed("q262") { graft.operators.Quality.kappaAgreement(docs) },
+      // q263: one shard-partitioned cumulative window + a 4-way explode
+      timed("q263") { graft.operators.Prep.packSweep(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -288,6 +288,9 @@ object SparkEntry {
     "q258_cdc_ingest_probe" -> ((s, d) => Dedup.cdcIngestProbe(s, d)),
     "q259_exact_scrub" -> ((s, d) => Dedup.exactSubstringScrub(s, d)),
     "q260_chunk_flow" -> ((s, d) => Dedup.chunkFlowMatrix(s, d)),
+    "q261_effective_tokens" -> ((s, d) => Prep.effectiveTokens(s, d)),
+    "q262_kappa_agreement" -> ((s, d) => Quality.kappaAgreement(s, d)),
+    "q263_pack_sweep" -> ((s, d) => Prep.packSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6288,5 +6291,137 @@ object SparkEntry {
         |  CAST(SUM(b.chars) AS BIGINT) AS chars_b
         |FROM pf a JOIN pf b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2""".stripMargin,
+
+    // q261: exact-dup-adjusted token accounting — (md5(text), source)
+    // cells, global copy counts joined back, 1/n attribution in integer
+    // micro-units. Same words/md5 idioms as q73/q20.
+    "q261_effective_tokens" ->
+      """WITH t AS (
+        |  SELECT source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), per AS (
+        |  SELECT h, source, n_tok, COUNT(*) AS cnt_s FROM t GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT h, SUM(cnt_s) AS n_total FROM per GROUP BY 1
+        |)
+        |SELECT p.source,
+        |  CAST(SUM(p.cnt_s) AS BIGINT) AS raw_docs,
+        |  CAST(SUM(p.n_tok * p.cnt_s) AS BIGINT) AS raw_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_texts,
+        |  CAST(SUM((1000000 * p.n_tok * p.cnt_s) // t2.n_total) AS BIGINT)
+        |    AS eff_tokens_micro
+        |FROM per p JOIN tot t2 USING (h)
+        |GROUP BY 1""".stripMargin,
+
+    // q262: Cohen's kappa over the q245 confusion matrix — q245's CTEs
+    // verbatim, then marginal products in HUGEINT and micro-unit floor
+    // division (mirrors the Spark side's DECIMAL(38,0) internal).
+    "q262_kappa_agreement" ->
+      """WITH fold AS (
+        |  SELECT doc_id, source, text,
+        |    ( (instr('0123456789abcdef', substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5('nb|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 2 AS b
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, source, b, unnest(string_split(text, ' ')) AS word
+        |  FROM fold
+        |), cw AS (
+        |  SELECT source, word, COUNT(*) AS cnt FROM w
+        |  WHERE b = 0 GROUP BY 1, 2
+        |), voc AS (
+        |  SELECT COUNT(DISTINCT word) AS v FROM cw
+        |), classes AS (
+        |  SELECT source AS cand, 1000000 * (SUM(cnt) + voc.v) AS unseen
+        |  FROM cw CROSS JOIN voc GROUP BY 1, voc.v
+        |), delta AS (
+        |  SELECT cw.word, c.cand,
+        |    c.unseen // (cw.cnt + 1) - c.unseen AS delta
+        |  FROM cw JOIN classes c ON cw.source = c.cand
+        |), tf AS (
+        |  SELECT doc_id, source, word, COUNT(*) AS tf FROM w
+        |  WHERE b = 1 GROUP BY 1, 2, 3
+        |), tot AS (
+        |  SELECT doc_id, source, SUM(tf) AS t FROM tf GROUP BY 1, 2
+        |), adj AS (
+        |  SELECT tf.doc_id, d.cand, SUM(tf.tf * d.delta) AS adj
+        |  FROM tf JOIN delta d USING (word) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT tot.doc_id, tot.source, c.cand,
+        |    tot.t * c.unseen + COALESCE(adj.adj, 0) AS score
+        |  FROM tot CROSS JOIN classes c
+        |  LEFT JOIN adj ON adj.doc_id = tot.doc_id AND adj.cand = c.cand
+        |), pred AS (
+        |  SELECT doc_id, source, cand AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score, cand) AS rn
+        |  FROM sc
+        |), cm AS (
+        |  SELECT source, predicted, COUNT(*) AS n
+        |  FROM pred WHERE rn = 1 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(CASE WHEN source = predicted THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM cm
+        |), ra AS (
+        |  SELECT source, SUM(n) AS n_actual FROM cm GROUP BY 1
+        |), rp AS (
+        |  SELECT predicted, SUM(n) AS n_pred FROM cm GROUP BY 1
+        |), ch AS (
+        |  SELECT CAST(SUM(ra.n_actual * rp.n_pred) AS HUGEINT) AS chance_mass
+        |  FROM ra JOIN rp ON ra.source = rp.predicted
+        |), m AS (
+        |  SELECT agg.n_total, agg.n_agree,
+        |    (1000000 * agg.n_agree) // agg.n_total AS po_micro,
+        |    CAST((1000000 * ch.chance_mass)
+        |      // (CAST(agg.n_total AS HUGEINT) * agg.n_total) AS BIGINT)
+        |      AS pe_micro
+        |  FROM agg CROSS JOIN ch
+        |)
+        |SELECT n_total, n_agree, po_micro, pe_micro,
+        |  (1000000 * (po_micro - pe_micro)) // (1000000 - pe_micro)
+        |    AS kappa_micro
+        |FROM m""".stripMargin,
+
+    // q263: q73's shard/cum CTE verbatim, swept over four literal
+    // budgets — straddle rule (cum-n)//B != (cum-1)//B, sequences =
+    // Σ_shard ceil(shard_tokens/B), micro-unit ratios.
+    "q263_pack_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 32 AS INT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM t
+        |), b AS (
+        |  SELECT CAST(unnest([512, 1024, 2048, 4096]) AS BIGINT) AS budget
+        |), perdoc AS (
+        |  SELECT b.budget,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN c.n_tokens >= 1 AND
+        |        (c.cum - c.n_tokens) // b.budget <> (c.cum - 1) // b.budget
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddled
+        |  FROM c CROSS JOIN b GROUP BY 1
+        |), sh AS (
+        |  SELECT shard, MAX(cum) AS st FROM c GROUP BY 1
+        |), seqs AS (
+        |  SELECT b.budget,
+        |    CAST(SUM(CASE WHEN sh.st >= 1 THEN (sh.st - 1) // b.budget + 1
+        |      ELSE 0 END) AS BIGINT) AS n_seqs
+        |  FROM sh CROSS JOIN b GROUP BY 1
+        |)
+        |SELECT p.budget, p.n_docs, p.total_tokens, p.n_straddled, s.n_seqs,
+        |  (1000000 * p.n_straddled) // p.n_docs AS straddle_micro,
+        |  (1000000 * p.total_tokens) // (s.n_seqs * p.budget) AS util_micro
+        |FROM perdoc p JOIN seqs s USING (budget)""".stripMargin,
   )
 }

@@ -1505,7 +1505,31 @@ object Corpus {
     * (lm, bigram)/(lm, head) composite keys (both sides corpus-scaled,
     * never broadcast); the output is a bounded |sources|² table.
     */
-  def lmAffinity(docs: DataFrame, samplePct: Int = 20): DataFrame = {
+  def lmAffinity(docs: DataFrame, samplePct: Int = 20): DataFrame =
+    lmAffinityImpl(docs,
+      conv(substring(md5(concat(lit("aff|"), col("doc_id").cast("string"))),
+        1, 4), 16, 10).cast("long") % 100 < samplePct)
+
+  /** Fixed-probe-budget variant: the sampled fraction in PARTS PER
+    * MILLION (8 md5 hex digits of resolution instead of the pct path's
+    * 4), so a caller can hold the ABSOLUTE probe mass constant as the
+    * corpus grows — `sampleMicro = 200000 / mult` keeps the scoring side
+    * at "20% of the 1× corpus" at every multiplier. This is the 100-TB
+    * contract: the matrix cells are MEANS, whose confidence interval
+    * depends on probe count, not probe fraction — a fraction-pinned
+    * sample ×|sources| probing linearly-growing models measured a ~1.5
+    * scale exponent at 10/30/100× (6.1/31.8/202.7 s, SCALE_r13), all of
+    * it spill in the two shuffle_hash scoring joins; the fixed budget
+    * restores the model side (one corpus pass) as the scaling term.
+    * The pct path is kept bit-identical (different hash width ⇒
+    * different doc set) so q254's oracle/pins stay valid.
+    */
+  def lmAffinityBudget(docs: DataFrame, sampleMicro: Long): DataFrame =
+    lmAffinityImpl(docs,
+      conv(substring(md5(concat(lit("aff|"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000000L < sampleMicro)
+
+  private def lmAffinityImpl(docs: DataFrame, keep: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val db = Caches.track(docs
@@ -1520,9 +1544,7 @@ object Corpus {
     val heads = Caches.track(db.groupBy(col("source").as("lm"), col("w1"))
       .agg(count(lit(1)).as("n1")))
     val lms = heads.groupBy(col("lm")).agg(count(lit(1)).as("v"))
-    val sample = db.filter(
-      conv(substring(md5(concat(lit("aff|"), col("doc_id").cast("string"))),
-        1, 4), 16, 10).cast("long") % 100 < samplePct)
+    val sample = db.filter(keep)
     sample.crossJoin(broadcast(lms))
       .hint("shuffle_hash")
       .join(bg, Seq("lm", "bigram"), "left")

@@ -469,6 +469,91 @@ object Prep {
   def packSequences(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(s, dir))
 
+  /** Context-length planning sweep (q263): [[packSequences]]' greedy
+    * token-stream packing evaluated at four candidate budgets in one
+    * pass — per budget, how many sequences the corpus fills, how many
+    * documents straddle a sequence boundary (and so need truncation or a
+    * cross-document attention mask), and the utilization of the packed
+    * stream. A doc straddles iff its first and last token land in
+    * different sequences: `(cum-n) div B != (cum-1) div B` under the
+    * same shard-local cumulative sum q73 packs with. Ratios are exact
+    * integer micro-units so the sweep is engine-invariant.
+    *
+    * Scale: the shard-partitioned cumulative window is computed ONCE
+    * (per-reducer work = corpus/shards, q73's own profile); the sweep is
+    * a 4-way literal-array explode plus two bounded aggregates (4 rows
+    * and |shards| rows) — no extra corpus passes or shuffles per budget,
+    * which is the point vs re-running q73 once per candidate.
+    */
+  def packSweep(docs: DataFrame, budgets: Seq[Int] = Seq(512, 1024, 2048, 4096),
+      shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    val base = Caches.track(docs
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % shards).cast("int").as("shard"),
+        size(Text.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w)))
+    val bArr = array(budgets.map(b => lit(b.toLong)): _*)
+    val perDoc = base.select(col("*"), explode(bArr).as("budget"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_tokens") >= 1 &&
+            expr("(cum - n_tokens) div budget") =!= expr("(cum - 1) div budget"),
+          1L).otherwise(0L)).as("n_straddled"))
+    // sequences per budget: each shard contributes ceil(shard_tokens / B)
+    val seqs = base.groupBy(col("shard")).agg(max(col("cum")).as("st"))
+      .select(explode(bArr).as("budget"), col("st"))
+      .groupBy(col("budget"))
+      .agg(sum(when(col("st") >= 1, expr("(st - 1) div budget") + lit(1L))
+        .otherwise(0L)).as("n_seqs"))
+    perDoc.join(broadcast(seqs), Seq("budget"))
+      .select(col("budget"), col("n_docs"), col("total_tokens"),
+        col("n_straddled"), col("n_seqs"),
+        expr("(1000000L * n_straddled) div n_docs").as("straddle_micro"),
+        expr("(1000000L * total_tokens) div (n_seqs * budget)").as("util_micro"))
+  }
+
+  def packSweep(s: SparkSession, dir: String): DataFrame =
+    packSweep(Tables.documents(s, dir))
+
+  /** Dedup-adjusted corpus accounting (q261): the token mass a training
+    * run actually sees per source once exact duplicates are collapsed,
+    * with each n-copy text's tokens attributed 1/n to every copy — the
+    * correction mixture planning (q194) needs so a source whose bulk is
+    * re-crawled boilerplate doesn't buy sampling weight with tokens the
+    * dedup stage will delete. Attribution is exact integer micro-units
+    * (`1e6·n_tok·cnt_s div n_total` per (text, source) cell), so the
+    * accounting is engine- and partitioning-invariant.
+    *
+    * Scale: documents reduce to (md5(text), source) cells with a
+    * partial-aggregated groupBy BEFORE anything global — full text never
+    * shuffles, only 16-byte digests; global copy counts attach via one
+    * digest-partitioned window (high-cardinality key, no hot reducer).
+    */
+  def effectiveTokens(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), md5(col("text")).as("h"),
+        size(Text.words(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("h"), col("source"), col("n_tok"))
+      .agg(count(lit(1)).as("cnt_s"))
+    per
+      .withColumn("n_total",
+        sum(col("cnt_s")).over(Window.partitionBy(col("h"))))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt_s")).as("raw_docs"),
+        sum(col("n_tok") * col("cnt_s")).as("raw_tokens"),
+        count(lit(1)).as("distinct_texts"),
+        sum(expr("(1000000L * n_tok * cnt_s) div n_total"))
+          .as("eff_tokens_micro"))
+  }
+
+  def effectiveTokens(s: SparkSession, dir: String): DataFrame =
+    effectiveTokens(Tables.documents(s, dir))
+
   /** Per-domain document cap: keep at most `k` documents per source, the
     * guard every crawl-derived corpus applies so no single domain
     * dominates the mixture. Selection is an md5 lottery over doc_id —

@@ -1037,4 +1037,47 @@ object Quality {
 
   def decileLift(s: SparkSession, dir: String): DataFrame =
     decileLift(Tables.documents(s, dir))
+
+  /** Chance-corrected classifier agreement (q262): Cohen's kappa over
+    * the q245 NB source-classifier confusion matrix — observed accuracy
+    * corrected for the agreement a marginal-respecting random assignment
+    * would reach, the standard guard against a classifier that scores
+    * "accurate" by parroting the majority source. All ratios are exact
+    * integer micro-units (`div`), so kappa hashes identically across
+    * engines; chance mass is DECIMAL(38,0) because
+    * `1e6 · Σ(n_actual·n_pred)` exceeds a long once the corpus passes
+    * ~10⁶ scored docs.
+    *
+    * Scale: everything after [[Corpus.nbConfusion]] is arithmetic over a
+    * |sources|²-bounded matrix — two |sources|-row marginal aggregates,
+    * one broadcast equi-join between them, and a broadcast cross of two
+    * one-row scalars. The classifier pass itself is q245's plan.
+    */
+  def kappaAgreement(docs: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cm = Caches.track(Corpus.nbConfusion(docs))
+    val tot = cm.agg(sum(col("n")).as("n_total"),
+      sum(when(col("source") === col("predicted"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    // Σ row-marginal × col-marginal over classes present on BOTH axes
+    // (a class never predicted, or predicted but never actual,
+    // contributes zero to the product either way)
+    val chance = cm.groupBy(col("source")).agg(sum(col("n")).as("n_actual"))
+      .join(cm.groupBy(col("predicted")).agg(sum(col("n")).as("n_pred")),
+        col("source") === col("predicted"))
+      .agg(sum((col("n_actual") * col("n_pred")).cast(dec))
+        .as("chance_mass"))
+    tot.crossJoin(broadcast(chance))
+      .withColumn("po_micro", expr("(1000000L * n_agree) div n_total"))
+      .withColumn("pe_micro",
+        expr("""(CAST(1000000 AS DECIMAL(38,0)) * chance_mass) div
+               (CAST(n_total AS DECIMAL(38,0)) * CAST(n_total AS DECIMAL(38,0)))"""))
+      .select(col("n_total"), col("n_agree"),
+        col("po_micro"), col("pe_micro"),
+        expr("(1000000L * (po_micro - pe_micro)) div (1000000L - pe_micro)")
+          .as("kappa_micro"))
+  }
+
+  def kappaAgreement(s: SparkSession, dir: String): DataFrame =
+    kappaAgreement(Tables.documents(s, dir))
 }

@@ -743,6 +743,27 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("lmAffinityBudget at a full budget is bit-identical to the full-population pct path") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val pct = Corpus.lmAffinity(docs, samplePct = 100).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_p")))).toMap
+    graft.Caches.releaseAll()
+    // sampleMicro = 1e6 keeps every doc, so the two hash widths converge
+    val bud = Corpus.lmAffinityBudget(docs, 1000000L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_p")))).toMap
+    graft.Caches.releaseAll()
+    assert(bud === pct, "full-budget and full-pct scoring must agree bit-for-bit")
+    // and a partial budget actually subsamples (the contract's point)
+    val part = Corpus.lmAffinityBudget(docs, 250000L).collect()
+      .map(r => r.getAs[Long]("n_bigrams")).sum
+    graft.Caches.releaseAll()
+    val full = pct.values.map(_._1).sum
+    assert(part > 0 && part < full,
+      s"a 25% budget must probe a strict non-empty subset: $part vs $full")
+  }
+
   test("nbConfusion on the test tables: folds cover the corpus, predictions come from the trained fold") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val n = docs.count()

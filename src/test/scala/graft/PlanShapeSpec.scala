@@ -1120,4 +1120,46 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caches.releaseAll()
     spark.catalog.clearCache()
   }
+
+  test("q261: full text never shuffles — exchanges carry the 32-char digest, windows are digest-partitioned") {
+    val df = graft.operators.Prep.effectiveTokens(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    // every window is partitioned (by the digest) — never a global window
+    plan.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+    // no exchange ships the raw text column: the (h, source, n_tok)
+    // reduction happens before the first shuffle
+    planStr.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach(l =>
+      assert(!l.contains("text#"), s"an exchange carries full text:\n$l"))
+    // map-side partial combine on the cell reduction
+    assert(planStr.split("HashAggregate").length - 1 >= 2,
+      s"cell reduction must partial-aggregate:\n$planStr")
+  }
+
+  test("q263: the sweep adds no per-budget passes — exactly one shard-partitioned window") {
+    val df = graft.operators.Prep.packSweep(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect() // AQE + cache realization
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val windows = whole(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"the cumulative sum must be shard-partitioned: $windows")
+    // the cached base is computed once: the four budgets must NOT
+    // quadruple the window count
+    assert(windows.size <= 2,
+      s"budget sweep re-ran the pack window per budget: ${windows.size}")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
 }

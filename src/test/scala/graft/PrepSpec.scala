@@ -377,4 +377,67 @@ class PrepSpec extends SparkSpec {
       1 -> ((3L, 6L, 2000000L, 1.0)),
       2 -> ((2L, 6L, 3000000L, 2.0))))
   }
+
+  test("effectiveTokens: 1/n attribution of exact-dup token mass, partition-invariant") {
+    import spark.implicits._
+    // "a b" ×2 in web + ×1 in books (3 copies globally, 2 tokens);
+    // "c d e" unique to web (3 tokens)
+    val d = Seq(
+      (1L, "a b", "en", "web", 3L),
+      (2L, "a b", "en", "web", 3L),
+      (3L, "a b", "de", "books", 3L),
+      (4L, "c d e", "en", "web", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    for (parts <- Seq(1, 3)) {
+      val got = Prep.effectiveTokens(d.repartition(parts)).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("raw_docs"), r.getAs[Long]("raw_tokens"),
+            r.getAs[Long]("distinct_texts"), r.getAs[Long]("eff_tokens_micro"))))
+        .toMap
+      assert(got === Map(
+        // web: floor(1e6·2·2/3) + floor(1e6·3·1/1) = 1333333 + 3000000
+        "web" -> ((3L, 7L, 2L, 4333333L)),
+        // books: floor(1e6·2·1/3)
+        "books" -> ((1L, 2L, 1L, 666666L))),
+        s"accounting diverged at $parts partitions: $got")
+    }
+  }
+
+  test("packSweep matches a plain-Scala replay of q73's pack at every budget") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val budgets = Seq(16, 50, 200, 1000)
+    val got = Prep.packSweep(docs, budgets = budgets, shards = 4).collect()
+      .map(r => r.getAs[Long]("budget") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_straddled"), r.getAs[Long]("n_seqs"),
+          r.getAs[Long]("straddle_micro"), r.getAs[Long]("util_micro"))))
+      .toMap
+    graft.Caches.releaseAll()
+    // replay: same shard function and doc_id-ordered greedy pack as the
+    // q73 spec above, swept over the budgets in plain Scala
+    val base = Prep.packSequences(docs, budget = 50, shards = 4).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+    val totalTokens = base.map(_._3).sum
+    val nDocs = base.length.toLong
+    for (b <- budgets) {
+      var straddled = 0L
+      var nSeqs = 0L
+      base.groupBy(_._1).foreach { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._2).foreach { case (_, _, n) =>
+          if (n >= 1 && cum / b != (cum + n - 1) / b) straddled += 1
+          cum += n
+        }
+        if (cum >= 1) nSeqs += (cum - 1) / b + 1
+      }
+      val expected = ((nDocs, totalTokens, straddled, nSeqs,
+        1000000L * straddled / nDocs, 1000000L * totalTokens / (nSeqs * b)))
+      assert(got(b.toLong) === expected, s"budget $b: ${got(b.toLong)} vs $expected")
+      assert(straddled >= 1, s"budget $b straddled nothing — test too weak")
+    }
+    // monotonicity of the planning signal across NESTED budgets (50 |
+    // 200 | 1000: every larger-budget boundary is also a smaller-budget
+    // boundary, so crossings can only shrink — NOT true of 16 vs 1000)
+    assert(got(1000L)._3 <= got(200L)._3 && got(200L)._3 <= got(50L)._3)
+  }
 }

@@ -415,6 +415,37 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("kappaAgreement equals the plain-JVM kappa recompute over the q245 confusion matrix") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val cm = graft.operators.Corpus.nbConfusion(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("predicted"),
+        r.getAs[Long]("n")))
+    graft.Caches.releaseAll()
+    val row = Quality.kappaAgreement(docs).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    graft.Caches.releaseAll()
+    // recompute with BigInt floor division (the operator's div semantics)
+    val nTotal = cm.map(_._3).sum
+    val nAgree = cm.collect { case (a, p, n) if a == p => n }.sum
+    val actual = cm.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val pred = cm.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val chance = actual.map { case (k, na) =>
+      BigInt(na) * BigInt(pred.getOrElse(k, 0L)) }.sum
+    val po = 1000000L * nAgree / nTotal
+    val pe = (BigInt(1000000) * chance / (BigInt(nTotal) * BigInt(nTotal))).toLong
+    val kappa = 1000000L * (po - pe) / (1000000L - pe)
+    assert(row.getAs[Long]("n_total") === nTotal)
+    assert(row.getAs[Long]("n_agree") === nAgree)
+    assert(row.getAs[Long]("po_micro") === po)
+    assert(row.getAs[Long]("pe_micro") === pe)
+    assert(row.getAs[Long]("kappa_micro") === kappa)
+    // the NB classifier genuinely beats chance on the test corpus —
+    // kappa must be positive and below perfect
+    assert(kappa > 0L && kappa < 1000000L, s"kappa degenerate: $kappa")
+  }
+
   test("scoreAuc on the test tables: every AUC in [0,1], counts cover the bigram-bearing corpus") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
     val rows = Quality.scoreAuc(docs).collect()

@@ -1085,4 +1085,114 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSet === batch,
       "post-restart output must still equal the batch q237 profile")
   }
+
+  test("funnel tracker restart: partial funnel progress survives the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-funnel-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[Ev]
+    def start() = StreamingOps.funnelTracker(mem.toDS(), idle = "1 hour")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: user 1 is mid-funnel (view+click), user 2 has only viewed
+    mem.addData(
+      Ev(1, 1, "view", 0.0, ts("2026-01-01 10:00:00")),
+      Ev(2, 1, "click", 0.0, ts("2026-01-01 10:05:00")),
+      Ev(3, 2, "view", 0.0, ts("2026-01-01 10:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // run 2 (recovered): the purchase must complete user 1 from the
+    // RESTORED progress; watermark pushes then flush user 2's restored
+    // state via the event-time timeout
+    val q2 = start()
+    mem.addData(Ev(4, 1, "purchase", 42.0, ts("2026-01-01 10:10:00")))
+    q2.processAllAvailable()
+    mem.addData(Ev(5, 3, "view", 0.0, ts("2026-01-01 15:00:00")))
+    q2.processAllAvailable()
+    mem.addData(Ev(6, 3, "click", 0.0, ts("2026-01-01 15:01:00")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import graft.streaming.FunnelEmit
+    val rows = spark.read.parquet(out).as[FunnelEmit].collect()
+    val u1 = rows.filter(_.user_id == 1L)
+    assert(u1.length === 1, s"user 1 must complete exactly once: ${rows.toSeq}")
+    assert(u1.head.stage === 3 && u1.head.completed)
+    assert(u1.head.view_sec.get === ts("2026-01-01 10:00:00").getTime / 1000,
+      "the completing emission must carry the PRE-restart view time")
+    val u2 = rows.filter(_.user_id == 2L)
+    assert(u2.length === 1 && u2.head.stage === 1 && !u2.head.completed,
+      s"user 2's restored view-only state must flush by timeout: ${rows.toSeq}")
+  }
+
+  test("charge monitor restart: the last-charge tuple survives the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Charge
+    val dirs = java.nio.file.Files.createTempDirectory("graft-charge-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[Charge]
+    def start() = StreamingOps.chargeMonitor(mem.toDS())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: a clean first charge — no alert, state = (101, day, cents)
+    mem.addData(Charge(101, 7, 10000, ts("2026-01-01 00:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // run 2 (recovered): a 1%-off charge 5 days later must alert against
+    // the restored tuple — if state were lost this looks like a first
+    // charge and the fraud signal silently disappears
+    mem.addData(Charge(102, 7, 10100, ts("2026-01-06 00:00:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    import graft.streaming.ChargeAlert
+    val alerts = spark.read.parquet(out).as[ChargeAlert].collect().toSet
+    assert(alerts === Set(ChargeAlert(7L, 101L, 102L, 10000L, 10100L, 5L)),
+      s"the near-duplicate charge must alert against pre-restart state: $alerts")
+  }
+
+  test("session window restart: an open session extends across the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-session-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[Ev]
+    def start() = StreamingOps.sessionized(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: user 7's session is OPEN (two events 10 min apart; the
+    // 30-min gap hasn't elapsed, the 1-h watermark holds it back)
+    mem.addData(
+      Ev(1, 7, "view", 1.0, ts("2026-01-01 10:00:00")),
+      Ev(2, 7, "view", 2.0, ts("2026-01-01 10:10:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // run 2 (recovered): a third event must EXTEND the restored open
+    // session (not start a new one); far-future events then advance the
+    // watermark past the session end so it finalizes and emits
+    val q2 = start()
+    mem.addData(Ev(3, 7, "view", 4.0, ts("2026-01-01 10:20:00")))
+    q2.processAllAvailable()
+    mem.addData(Ev(4, 8, "view", 8.0, ts("2026-01-01 14:00:00")))
+    q2.processAllAvailable()
+    mem.addData(Ev(5, 8, "view", 8.0, ts("2026-01-01 14:01:00")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select($"s_start".cast("string"), $"s_end".cast("string"),
+        $"user_id", $"n_events", $"session_value")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    // one MERGED session: starts at the pre-restart first event, ends
+    // 30 min after the post-restart last event, counts all three
+    assert(got === Set(("2026-01-01 10:00:00", "2026-01-01 10:50:00", 7L, 3L, 7.0)),
+      s"the session must merge across the restart: $got")
+  }
 }
