@@ -252,6 +252,35 @@ object StreamingOps {
         col("amount"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER join: every click, annotated with the
+    * purchase that followed it within `horizon` — or with NULLs once the
+    * watermark proves no purchase can still arrive. The NULL rows are
+    * the funnel-drop feed ([[clickToPurchase]]'s inner join can never
+    * emit them): a click row is held in state until event time passes
+    * `click_ts + horizon`, and only then released unmatched — so
+    * "abandoned" is a WATERMARK-PROVEN verdict, not a guess, and state
+    * stays bounded by the horizon exactly as in the inner join. The
+    * standard alert feed on it is `WHERE purchase_id IS NULL`.
+    */
+  def clickAbandon(clicks: DataFrame, purchases: DataFrame,
+                   horizon: String = "1 hour"): DataFrame = {
+    val c = withEventTime(clicks)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val p = withEventTime(purchases)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("amount"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("amount"), col("purchase_ts"))
+  }
+
   /** Engine-side last-writer-wins keyed state via mapGroupsWithState: the
     * state store holds exactly one `UserLatest` per user (bounded by key
     * cardinality), each trigger emits the updated state for the keys seen

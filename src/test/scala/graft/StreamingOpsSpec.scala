@@ -1195,4 +1195,81 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === Set(("2026-01-01 10:00:00", "2026-01-01 10:50:00", 7L, 3L, 7.0)),
       s"the session must merge across the restart: $got")
   }
+
+  test("clickAbandon: unmatched clicks emit NULLs only once the watermark proves no purchase can come") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamingOps.clickAbandon(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("abandon")
+      .outputMode(OutputMode.Append()).start()
+
+    clicks.addData(
+      Ev(10, 1, "click", 0.0, ts("2026-01-01 10:00:00")), // converts
+      Ev(11, 2, "click", 0.0, ts("2026-01-01 10:00:00"))) // abandons
+    purchases.addData(
+      Ev(20, 1, "purchase", 99.0, ts("2026-01-01 10:30:00")))
+    q.processAllAvailable()
+    // before the watermark passes 11:00, user 2 must NOT have a verdict
+    val early = spark.table("abandon").select($"user_id").as[Long].collect().toSet
+    assert(!early.contains(2L),
+      s"user 2's abandonment cannot be proven yet: $early")
+    // advance BOTH streams (the join watermark is the min across inputs)
+    clicks.addData(Ev(12, 3, "click", 0.0, ts("2026-01-01 13:00:00")))
+    purchases.addData(Ev(21, 9, "purchase", 1.0, ts("2026-01-01 13:00:00")))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("abandon")
+      .select($"user_id", $"click_id",
+        $"purchase_id", $"amount")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+    val u1 = rows.filter(_._1 == 1L)
+    assert(u1 === Array((1L, 10L, Some(20L), Some(99.0))),
+      s"user 1's click must annotate with its purchase: ${rows.toSeq}")
+    val u2 = rows.filter(_._1 == 2L)
+    assert(u2 === Array((2L, 11L, None, None)),
+      s"user 2 must emit exactly one watermark-proven NULL row: ${rows.toSeq}")
+  }
+
+  test("clickAbandon restart: buffered click state survives and verdicts stay exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-abandon-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    def start() = StreamingOps.clickAbandon(clicks.toDF(), purchases.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: two clicks buffered, no purchases yet
+    clicks.addData(
+      Ev(10, 1, "click", 0.0, ts("2026-01-01 10:00:00")),
+      Ev(11, 2, "click", 0.0, ts("2026-01-01 10:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // run 2 (recovered): user 1's purchase lands within the horizon and
+    // must match the RESTORED click; watermark pushes then prove user 2
+    // abandoned
+    val q2 = start()
+    purchases.addData(Ev(20, 1, "purchase", 99.0, ts("2026-01-01 10:45:00")))
+    q2.processAllAvailable()
+    clicks.addData(Ev(12, 3, "click", 0.0, ts("2026-01-01 13:00:00")))
+    purchases.addData(Ev(21, 9, "purchase", 1.0, ts("2026-01-01 13:00:00")))
+    q2.processAllAvailable()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(out)
+      .select($"user_id", $"click_id", $"purchase_id", $"amount")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+    assert(rows.filter(_._1 == 1L) === Array((1L, 10L, Some(20L), Some(99.0))),
+      s"the post-restart purchase must match the pre-restart click: ${rows.toSeq}")
+    assert(rows.filter(_._1 == 2L) === Array((2L, 11L, None, None)),
+      s"user 2's restored click must flush as watermark-proven abandoned: ${rows.toSeq}")
+  }
 }
