@@ -291,6 +291,7 @@ object SparkEntry {
     "q261_effective_tokens" -> ((s, d) => Prep.effectiveTokens(s, d)),
     "q262_kappa_agreement" -> ((s, d) => Quality.kappaAgreement(s, d)),
     "q263_pack_sweep" -> ((s, d) => Prep.packSweep(s, d)),
+    "q264_cluster_split" -> ((s, d) => Prep.clusterSplit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6423,5 +6424,21 @@ object SparkEntry {
         |  (1000000 * p.n_straddled) // p.n_docs AS straddle_micro,
         |  (1000000 * p.total_tokens) // (s.n_seqs * p.budget) AS util_micro
         |FROM perdoc p JOIN seqs s USING (budget)""".stripMargin,
+
+    // q264: cluster-atomic split — the q40 lottery applied to md5(text)
+    // (salted "csplit|"), so dup copies share a split by construction.
+    "q264_cluster_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS cluster_key,
+        |    ( (instr('0123456789abcdef', substr(md5('csplit|' || md5(text)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5('csplit|' || md5(text)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5('csplit|' || md5(text)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5('csplit|' || md5(text)), 4, 1)) - 1) ) % 100 AS b
+        |  FROM documents
+        |)
+        |SELECT doc_id, cluster_key,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM t""".stripMargin,
   )
 }

@@ -554,6 +554,33 @@ object Prep {
   def effectiveTokens(s: SparkSession, dir: String): DataFrame =
     effectiveTokens(Tables.documents(s, dir))
 
+  /** Dup-cluster-atomic split assignment (q264): the train/val/test
+    * lottery keyed on the doc's exact-dup CLUSTER — `md5(text)` — rather
+    * than the doc id, so every copy of a text lands in the SAME split
+    * and exact duplicates can never straddle the train/eval boundary.
+    * This is the assignment that prevents by construction the leakage
+    * q234 audits after the fact (near-dup leakage is handled upstream by
+    * REMOVAL — q195 canonicalization / q259 scrub — so exact-hash
+    * atomicity is the right granularity for the assigner itself). Same
+    * 80/10/10 md5-lottery shape as q40, salted `csplit|` over the
+    * digest.
+    *
+    * Scale: entirely ROW-LOCAL — two md5 projections, zero shuffles,
+    * zero joins; the cluster key is derivable per row, which is exactly
+    * why the exact-dup granularity scales where a connected-component
+    * key (a full q56 run) would cost a graph computation per assignment.
+    */
+  def clusterSplit(docs: DataFrame): DataFrame = {
+    val bucket = conv(substring(md5(concat(lit("csplit|"), md5(col("text")))),
+      1, 4), 16, 10).cast("long") % 100
+    docs.select(col("doc_id"), md5(col("text")).as("cluster_key"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
+
+  def clusterSplit(s: SparkSession, dir: String): DataFrame =
+    clusterSplit(Tables.documents(s, dir))
+
   /** Per-domain document cap: keep at most `k` documents per source, the
     * guard every crawl-derived corpus applies so no single domain
     * dominates the mixture. Selection is an md5 lottery over doc_id —

@@ -440,4 +440,30 @@ class PrepSpec extends SparkSpec {
     // boundary, so crossings can only shrink — NOT true of 16 vs 1000)
     assert(got(1000L)._3 <= got(200L)._3 && got(200L)._3 <= got(50L)._3)
   }
+
+  test("clusterSplit: exact-dup copies land in the same split; lottery spreads on the corpus") {
+    import spark.implicits._
+    // three copies of one text under different ids/sources, one other text
+    val d = Seq(
+      (1L, "shared passage", "en", "web", 14L),
+      (2L, "shared passage", "en", "books", 14L),
+      (3L, "shared passage", "de", "web", 14L),
+      (4L, "another text", "en", "web", 12L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Prep.clusterSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cluster_key"), r.getAs[String]("split")))).toMap
+    assert(got.size === 4, "every doc gets exactly one assignment")
+    assert(got(1L) === got(2L) && got(2L) === got(3L),
+      s"dup copies must share cluster AND split: $got")
+    assert(got(1L)._1 !== got(4L)._1)
+    // on the real corpus the 80/10/10 lottery must actually spread
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val n = docs.count().toDouble
+    val bySplit = Prep.clusterSplit(docs).groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"), s"degenerate: $bySplit")
+    assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9,
+      s"train share off the 80% lottery: $bySplit")
+  }
 }
