@@ -292,6 +292,8 @@ object SparkEntry {
     "q262_kappa_agreement" -> ((s, d) => Quality.kappaAgreement(s, d)),
     "q263_pack_sweep" -> ((s, d) => Prep.packSweep(s, d)),
     "q264_cluster_split" -> ((s, d) => Prep.clusterSplit(s, d)),
+    "q265_kn_fluency" -> ((s, d) => Corpus.knFluency(s, d)),
+    "q266_shard_manifest" -> ((s, d) => Prep.shardManifest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6440,5 +6442,54 @@ object SparkEntry {
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM t""".stripMargin,
+
+    // q265: Kneser–Ney bigram fluency — D = 3/4 exactly on a common
+    // denominator, one HUGEINT floor division per bigram (mirrors
+    // Spark's DECIMAL(38,0) div), q236's VARCHAR→DOUBLE sum parity.
+    "q265_kn_fluency" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |), b2 AS (
+        |  SELECT bigram, COUNT(*) AS c12,
+        |    string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+        |  FROM bg GROUP BY 1
+        |), h AS (
+        |  SELECT w1, SUM(c12) AS c1, COUNT(*) AS nc1 FROM b2 GROUP BY 1
+        |), hist AS (
+        |  SELECT w2, COUNT(*) AS nh2 FROM b2 GROUP BY 1
+        |), bt AS (
+        |  SELECT COUNT(*) AS b FROM b2
+        |), sc AS (
+        |  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |    SUM((4000000::HUGEINT * h.c1 * bt.b) //
+        |        (CAST(greatest(4 * b2.c12 - 3, 0) AS HUGEINT) * bt.b
+        |         + 3::HUGEINT * h.nc1 * hist.nh2)) AS s
+        |  FROM bg JOIN b2 USING (bigram) JOIN h USING (w1)
+        |    JOIN hist USING (w2) CROSS JOIN bt
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1e6
+        |    AS mean_inv_kn
+        |FROM sc""".stripMargin,
+
+    // q266: token-balanced shard manifest — global token-desc rank,
+    // snake-striped across 8 shards; rank via row_number here, via
+    // bucketedPrefix in Spark (order-identical by the doc_id tiebreak).
+    "q266_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rank
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok, rank,
+        |  CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+        |       ELSE 7 - (rank - 1) % 8 END AS BIGINT) AS shard
+        |FROM r""".stripMargin,
   )
 }

@@ -1098,6 +1098,76 @@ object Corpus {
   def lmFluency(s: SparkSession, dir: String): DataFrame =
     lmFluency(Tables.documents(s, dir))
 
+  /** Kneser–Ney-smoothed bigram fluency (q265) — the production-grade
+    * successor to the add-one LM in q236. Add-one smoothing over-taxes
+    * frequent heads and ignores how PROMISCUOUS a word's contexts are;
+    * KN (Kneser & Ney 1995) discounts every seen bigram by a fixed D
+    * and redistributes the freed mass by CONTINUATION probability —
+    * "how many distinct heads precede w2" over the distinct-bigram-type
+    * universe. With D = 3/4 exactly, everything sits on one common
+    * denominator, so each inverse probability is ONE integer floor
+    * division (the q236 discipline — no transcendental `ln`, no float
+    * accumulation, bit-identical across engines and partitionings):
+    *
+    *   p(w2|w1)   = [max(4·c12−3, 0)·B + 3·nc1·nh2] / (4·c1·B)
+    *   inv_micro  = (4e6·c1·B) div (max(4·c12−3,0)·B + 3·nc1·nh2)
+    *
+    * where c12 = bigram count, c1 = head token count, nc1 = distinct
+    * continuations of w1, nh2 = distinct heads preceding w2, B = total
+    * distinct bigram types. Every scored bigram is corpus-observed, so
+    * c12 ≥ 1 and nc1, nh2 ≥ 1 — the denominator is never zero. The
+    * numerator 4e6·c1·B is formed in DECIMAL(38,0) (≤ ~4e28 even at
+    * c1 ~ 1e12, B ~ 1e10 — 100 TB headroom); the quotient is ≤ 4e6·c1,
+    * comfortably BIGINT. Per-doc sums combine in DECIMAL(38,0) with one
+    * correctly-rounded double conversion at the end (q236's
+    * VARCHAR-parse parity on the DuckDB side).
+    *
+    * Scale: the exploded-bigram relation is cached and feeds the bigram
+    * count; heads (c1, nc1) and histories (nh2) then derive from the
+    * DISTINCT-bigram relation — nc1/nh2 are plain `count(*)` there, no
+    * count-distinct state anywhere. B rides a one-row broadcast; the
+    * scoring join is three shuffle_hash equijoins on high-cardinality
+    * keys (bigram, w1, w2), all map-side-combinable.
+    */
+  def knFluency(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val db = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(Text.bigrams(col("w"))).as("bigram")))
+    // distinct-bigram-type relation: (w1, w2, c12) — one row per type
+    val bg = Caches.track(db
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2)))
+    val heads = bg.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nc1"))
+    val hists = bg.groupBy(col("w2")).agg(count(lit(1)).as("nh2"))
+    val btypes = bg.agg(count(lit(1)).as("b"))
+    db
+      .hint("shuffle_hash")
+      .join(bg.select(col("bigram"), col("c12"), col("w1"), col("w2"))
+        .hint("shuffle_hash"), "bigram")
+      .hint("shuffle_hash").join(heads.hint("shuffle_hash"), "w1")
+      .hint("shuffle_hash").join(hists.hint("shuffle_hash"), "w2")
+      .crossJoin(broadcast(btypes))
+      .withColumn("inv_kn_micro", expr(
+        """(cast(4000000 as decimal(38,0)) * c1 * b) div
+          |  (greatest(4 * c12 - 3, 0) * cast(b as decimal(38,0))
+          |   + cast(3 as decimal(38,0)) * nc1 * nh2)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("inv_kn_micro").cast(dec)).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("s").cast("double") / col("n_bigrams").cast("double") / 1e6)
+          .as("mean_inv_kn"))
+  }
+
+  def knFluency(s: SparkSession, dir: String): DataFrame =
+    knFluency(Tables.documents(s, dir))
+
   /** Intra-document repetition profile (q237) — the Gopher/MassiveText
     * repetition rules: a document whose 2-gram mass concentrates in a
     * few phrases is boilerplate or degenerate generation, filtered

@@ -581,6 +581,46 @@ object Prep {
   def clusterSplit(s: SparkSession, dir: String): DataFrame =
     clusterSplit(Tables.documents(s, dir))
 
+  /** Token-balanced training-shard manifest (q266): assign every
+    * document to one of `shards` shards so per-shard token mass comes
+    * out near-equal — the step that decides which file each doc lands
+    * in before an epoch, where imbalance = straggling data-loader
+    * workers. Docs are ranked globally by token count descending
+    * (doc_id tiebreak) and striped BOUSTROPHEDON (snake) across shards:
+    * rank cycle 0 deals shards 0..W−1, cycle 1 deals W−1..0, so the
+    * shard that just received the largest doc of a cycle receives the
+    * smallest of the next — the classic sorted-stripe bound (any two
+    * shard sums differ by at most one cycle's spread, independent of
+    * corpus size).
+    *
+    * Scale: the global rank is the ONE order-dependent step, and it
+    * rides `Advanced.bucketedPrefix` (two-pass distributed prefix — no
+    * single-partition window ever touches a fact-scaled relation);
+    * everything after the rank is a row-local modulo. Deterministic:
+    * ties broken by doc_id, no randomness.
+    */
+  def shardManifest(docs: DataFrame, shards: Int = 8,
+      buckets: Int = 32): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(Text.words(col("text"))).cast("long").as("n_tok"))
+    Advanced.bucketedPrefix(toks,
+      Seq(col("n_tok").desc, col("doc_id")), buckets)(
+      spec => count(lit(1)).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      count(lit(1)),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .select(col("doc_id"), col("n_tok"), col("prefix").as("rank"),
+        // Column./ is double division — the cycle index needs `div`
+        when(expr(s"((prefix - 1) div $shards) % 2") === 0,
+          (col("prefix") - 1) % shards)
+          .otherwise(lit(shards - 1) - (col("prefix") - 1) % shards)
+          .as("shard"))
+  }
+
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.documents(s, dir))
+
   /** Per-domain document cap: keep at most `k` documents per source, the
     * guard every crawl-derived corpus applies so no single domain
     * dominates the mixture. Selection is an md5 lottery over doc_id —

@@ -549,6 +549,79 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("knFluency: hand-checked Kneser–Ney scores; continuation mass beats add-one's blindness") {
+    import spark.implicits._
+    // bigram tokens: "a b" x3, "a z" x1, "z b" x1
+    // types B=3; heads: a(c1=4,nc1=2), z(c1=1,nc1=1); hists: b(nh2=2), z(nh2=1)
+    val docs = Seq(
+      (10L, "a b"), (11L, "a b"), (12L, "a b"), (13L, "a z"), (14L, "z b"),
+      (15L, "solo"), // single word: no bigrams, absent from output
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val out = Corpus.knFluency(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_kn")))).toMap
+    graft.Caches.releaseAll()
+    assert(out.keySet === Set(10L, 11L, 12L, 13L, 14L))
+    // "a b": floor(4e6*4*3 / (max(12-3,0)*3 + 3*2*2)) = floor(48e6/39) = 1230769
+    assert(out(10L) === ((1L, 1.230769)))
+    // "a z": floor(48e6 / (1*3 + 3*2*1)) = floor(48e6/9) = 5333333
+    assert(out(13L) === ((1L, 5.333333)))
+    // "z b": floor(4e6*1*3 / (1*3 + 3*1*2)) = floor(12e6/9) = 1333333
+    assert(out(14L) === ((1L, 1.333333)))
+    // the rare continuation "z" is the least fluent; "z b" (rare head but
+    // common continuation "b") sits close to the common bigram — the
+    // continuation-probability behavior add-one smoothing cannot express
+    assert(out(13L)._2 > out(14L)._2 && out(14L)._2 > out(10L)._2)
+  }
+
+  test("knFluency: partition-invariant and equal to a plain-JVM BigInt recompute on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val vocabPool = Vector("a", "b", "c", "dd", "ee", "fff", "gg", "hh", "ii", "jj")
+    val texts = (0L until 40L).map { id =>
+      val n = 2 + rnd.nextInt(30)
+      id -> Seq.fill(n)(vocabPool(rnd.nextInt(vocabPool.length))).mkString(" ")
+    }
+    val base = texts.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val bigrams = texts.flatMap { case (id, t) =>
+      val w = t.split(" ", -1); w.sliding(2).filter(_.length == 2)
+        .map(p => (id, p(0) + " " + p(1), p(0), p(1))).toSeq
+    }
+    val c12 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    // keys is a SET — .toSeq before mapping to counts, or equal counts
+    // would dedupe and understate c1
+    val heads = c12.keys.toSeq.groupBy(_.split(" ")(0)).map { case (w1, ks) =>
+      w1 -> ((ks.map(c12).sum, ks.size.toLong))
+    }
+    val hists = c12.keys.toSeq.groupBy(_.split(" ")(1)).map { case (w2, ks) =>
+      w2 -> ks.size.toLong
+    }
+    val bTypes = c12.size.toLong
+    val exp = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { case (_, bg, w1, w2) =>
+        val (c1, nc1) = heads(w1)
+        val num = BigInt(4000000L) * c1 * bTypes
+        val den = BigInt(math.max(4L * c12(bg) - 3L, 0L)) * bTypes +
+          BigInt(3L) * nc1 * hists(w2)
+        (num / den).toLong
+      }.sum
+      id -> ((bs.size.toLong, s.toDouble / bs.size.toDouble / 1e6))
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Corpus.knFluency(base.repartition(parts)).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_kn")))).toMap
+      graft.Caches.releaseAll()
+      assert(got === exp, s"knFluency diverged at $parts partitions")
+    }
+  }
+
   test("repetitionProfile: exact shares and the 0.20 top-share flag") {
     import spark.implicits._
     val docs = Seq(

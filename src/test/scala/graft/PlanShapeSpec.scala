@@ -807,6 +807,51 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q265: KN count joins are shuffle_hash, never broadcast (all three relations scale with the corpus)") {
+    val df = graft.operators.Corpus.knFluency(
+      graft.sources.Tables.documents(spark, sf0001))
+    val plan = df.queryExecution.executedPlan.toString
+    val (bhj, shj) = initialJoins(df)
+    // bigram-count, heads (c1/nc1), and histories (nh2) joins — all
+    // corpus-scaled on both sides — must plan as shuffled hash joins
+    assert(shj >= 3,
+      s"expected the three count joins to be ShuffledHashJoin (got $shj):\n$plan")
+    // the only broadcast is the one-row bigram-type-count scalar
+    assert(bhj <= 1,
+      s"count joins must not broadcast (corpus-scaled, got $bhj):\n$plan")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q266: the shard rank rides bucketedPrefix — range-partitioned pass, global window only over bucket totals") {
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val df = graft.operators.Prep.shardManifest(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect() // finalize AQE so cached subplans are real
+    val nodes = whole(df.queryExecution.executedPlan)
+    val planText = nodes.map(_.toString).mkString("\n").toLowerCase
+    assert(planText.contains("rangepartitioning"),
+      s"pass 1 must range-partition by (n_tok desc, doc_id):\n$planText")
+    nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(whole(w).exists {
+          case h: HashAggregateExec =>
+            h.groupingExpressions.exists(_.toString.contains("bucket"))
+          case _ => false
+        }, s"a global window may only read the 32-row bucket totals:\n$w")
+      }
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q238: overlap sketches never join — two scans into k-bounded aggregates") {
     val df = graft.operators.Quality.keyOverlapSketch(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

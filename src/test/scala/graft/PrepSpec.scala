@@ -441,6 +441,44 @@ class PrepSpec extends SparkSpec {
     assert(got(1000L)._3 <= got(200L)._3 && got(200L)._3 <= got(50L)._3)
   }
 
+  test("shardManifest: snake order matches a plain-Scala replay; bucket-count invariant; shards token-balanced on the corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val texts = (0L until 50L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")
+    }
+    val base = texts.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    // plain-Scala replay: sort by (n_tok desc, doc_id), snake-stripe over 8
+    val exp = texts.map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+      .sortBy { case (id, n) => (-n, id) }.zipWithIndex
+      .map { case ((id, n), i) =>
+        val shard = if ((i / 8) % 2 == 0) i % 8 else 7 - i % 8
+        id -> ((n, i.toLong + 1L, shard.toLong))
+      }.toMap
+    for (buckets <- Seq(3, 32)) {
+      val got = Prep.shardManifest(base, shards = 8, buckets = buckets)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tok"), r.getAs[Long]("rank"),
+            r.getAs[Long]("shard")))).toMap
+      graft.Caches.releaseAll()
+      assert(got === exp, s"shardManifest diverged at buckets=$buckets")
+    }
+    // on the real corpus the snake stripe must balance token mass:
+    // any two shard sums differ by at most one cycle's spread <= 2*max
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val m = Prep.shardManifest(docs).collect()
+    graft.Caches.releaseAll()
+    val sums = m.groupBy(_.getAs[Long]("shard"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_tok")).sum }
+    val maxTok = m.map(_.getAs[Long]("n_tok")).max
+    assert(sums.keySet === (0L until 8L).toSet, s"empty shard: $sums")
+    assert(sums.values.max - sums.values.min <= 2 * maxTok,
+      s"shards unbalanced past the stripe bound: $sums (max doc $maxTok)")
+  }
+
   test("clusterSplit: exact-dup copies land in the same split; lottery spreads on the corpus") {
     import spark.implicits._
     // three copies of one text under different ids/sources, one other text
