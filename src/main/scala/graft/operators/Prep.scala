@@ -570,13 +570,20 @@ object Prep {
     * why the exact-dup granularity scales where a connected-component
     * key (a full q56 run) would cost a graph computation per assignment.
     */
-  def clusterSplit(docs: DataFrame): DataFrame = {
+  /** The q264 assignment expressions, shared verbatim with the streaming
+    * split router (`streaming/StreamingOps.splitRouter`) so the ingest
+    * path is bit-identical to the batch assigner by construction. */
+  private[graft] def clusterKeyCol: org.apache.spark.sql.Column =
+    md5(col("text"))
+  private[graft] def clusterSplitCol: org.apache.spark.sql.Column = {
     val bucket = conv(substring(md5(concat(lit("csplit|"), md5(col("text")))),
       1, 4), 16, 10).cast("long") % 100
-    docs.select(col("doc_id"), md5(col("text")).as("cluster_key"),
-      when(bucket < 80, "train").when(bucket < 90, "val")
-        .otherwise("test").as("split"))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
+
+  def clusterSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), clusterKeyCol.as("cluster_key"),
+      clusterSplitCol.as("split"))
 
   def clusterSplit(s: SparkSession, dir: String): DataFrame =
     clusterSplit(Tables.documents(s, dir))

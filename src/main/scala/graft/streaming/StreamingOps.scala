@@ -492,6 +492,27 @@ object StreamingOps {
     * O(m log m) in the document's word count. Scores are bit-identical
     * to the batch op on the same documents (spec-asserted).
     */
+  /** Streaming split router — the ingest-path twin of the batch
+    * dup-cluster-atomic split assigner (q264, `operators/Prep
+    * .clusterSplit`): every arriving document is stamped with its
+    * exact-dup cluster key and its train/val/test verdict AT INGEST, so
+    * downstream curated writers can route to split-partitioned storage
+    * without a later global assignment pass — and because the lottery is
+    * keyed on md5(text), a late-arriving copy of an already-routed text
+    * is GUARANTEED to land in the same split as the original. Shares the
+    * batch operator's Column expressions verbatim (not a re-derivation),
+    * so streaming = batch bit-identity holds by construction and is
+    * spec-asserted on a corpus replay.
+    *
+    * Zero state (the repetitionMonitor discipline): a pure projection —
+    * no watermark, no aggregation, no store. Restart safety is the
+    * sink's exactly-once contract alone.
+    */
+  def splitRouter(stream: DataFrame): DataFrame =
+    stream.select(col("doc_id"), col("ts"),
+      graft.operators.Prep.clusterKeyCol.as("cluster_key"),
+      graft.operators.Prep.clusterSplitCol.as("split"))
+
   def repetitionMonitor(stream: DataFrame): DataFrame = {
     import graft.functions.Text
     stream

@@ -587,6 +587,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.values.sum === 4L * 5, "five day-1 words across the restart")
   }
 
+  test("split router is stateless and bit-identical to the batch q264 assigner; dup copies share a split across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "shared passage"), (1L, "shared passage"),   // exact-dup pair
+      (2L, "another text"), (3L, "a third document"))
+    val mem = MemoryStream[StreamTextDoc]
+    // the dup copies arrive in DIFFERENT micro-batches — the router must
+    // still agree with itself (row-local lottery, no cross-batch state)
+    mem.addData(StreamTextDoc(0L, texts(0)._2, ts("2026-01-01 00:00:00")),
+      StreamTextDoc(2L, texts(2)._2, ts("2026-01-01 00:01:00")))
+    val q = StreamingOps.splitRouter(mem.toDF())
+      .writeStream.format("memory").queryName("splitroute")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    mem.addData(StreamTextDoc(1L, texts(1)._2, ts("2026-01-01 00:02:00")),
+      StreamTextDoc(3L, texts(3)._2, ts("2026-01-01 00:03:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("splitroute")
+      .select($"doc_id", $"cluster_key", $"split")
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = graft.operators.Prep.clusterSplit(texts.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cluster_key"), r.getAs[String]("split")))).toMap
+    assert(got === batch, s"router must equal batch q264: $got vs $batch")
+    assert(got(0L) === got(1L),
+      "dup copies in different micro-batches must share cluster and split")
+  }
+
   test("repetition monitor is stateless and bit-identical to the batch q237 profile") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -1084,6 +1115,46 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Boolean)].collect().toSet
     assert(got.toSet === batch,
       "post-restart output must still equal the batch q237 profile")
+  }
+
+  test("split router restart: zero-state exactly-once — no re-routes, post-restart copy matches pre-restart verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-split-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.splitRouter(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    mem.addData(
+      StreamTextDoc(0L, "shared passage", ts("2026-01-01 00:00:00")),
+      StreamTextDoc(1L, "another text", ts("2026-01-01 00:01:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+
+    // run 2 (recovered): a COPY of doc 0's text arrives after the restart
+    mem.addData(
+      StreamTextDoc(2L, "shared passage", ts("2026-01-01 00:02:00")),
+      StreamTextDoc(3L, "fresh post-restart text", ts("2026-01-01 00:03:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"cluster_key", $"split")
+      .as[(Long, String, String)].collect()
+    assert(got.length === 4,
+      s"each doc must route exactly once across the restart: ${got.toSeq}")
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(0L) === byId(2L),
+      "the post-restart copy must land in the pre-restart doc's split")
+    val batch = graft.operators.Prep.clusterSplit(
+        Seq((0L, "shared passage"), (1L, "another text"),
+          (2L, "shared passage"), (3L, "fresh post-restart text"))
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cluster_key"), r.getAs[String]("split")))).toMap
+    assert(byId === batch,
+      "post-restart output must still equal the batch q264 assignment")
   }
 
   test("funnel tracker restart: partial funnel progress survives the checkpoint") {
