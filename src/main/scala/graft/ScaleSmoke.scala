@@ -344,7 +344,16 @@ object ScaleSmoke {
       // |sources|²-bounded arithmetic
       timed("q262") { graft.operators.Quality.kappaAgreement(docs) },
       // q263: one shard-partitioned cumulative window + a 4-way explode
-      timed("q263") { graft.operators.Prep.packSweep(docs) })
+      timed("q263") { graft.operators.Prep.packSweep(docs) },
+      // q264: row-local md5 lottery — pure projection, the scale
+      // question is only scan throughput
+      timed("q264") { graft.operators.Prep.clusterSplit(docs) },
+      // q265: KN fluency — the q236 shape plus continuation counts
+      // derived from the distinct-bigram-type relation (one extra
+      // linear aggregate) and a third shuffle_hash count join
+      timed("q265") { graft.operators.Corpus.knFluency(docs) },
+      // q266: global token-desc rank on bucketedPrefix + row-local snake
+      timed("q266") { graft.operators.Prep.shardManifest(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
