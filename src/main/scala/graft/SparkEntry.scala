@@ -294,6 +294,8 @@ object SparkEntry {
     "q264_cluster_split" -> ((s, d) => Prep.clusterSplit(s, d)),
     "q265_kn_fluency" -> ((s, d) => Corpus.knFluency(s, d)),
     "q266_shard_manifest" -> ((s, d) => Prep.shardManifest(s, d)),
+    "q267_epoch_plan" -> ((s, d) => Prep.epochPlan(s, d)),
+    "q268_neyman_alloc" -> ((s, d) => Quality.neymanAllocation(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6490,6 +6492,93 @@ object SparkEntry {
         |SELECT doc_id, n_tok, rank,
         |  CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
         |       ELSE 7 - (rank - 1) % 8 END AS BIGINT) AS shard
+        |FROM r""".stripMargin,
+
+    // q267: q194's allocation CTE chain verbatim, then the epoch-plan
+    // arithmetic — every added column HUGEINT (mirrors DECIMAL(38,0)).
+    "q267_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT *, CAST(floor(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1e6) AS BIGINT) AS w_int FROM t
+        |), a AS (
+        |  SELECT *, (1000000 * w_int) // CAST((SELECT SUM(w_int) FROM w) AS BIGINT) AS base,
+        |            (1000000 * w_int) % CAST((SELECT SUM(w_int) FROM w) AS BIGINT) AS rem
+        |  FROM w
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000000 - CAST((SELECT SUM(base) FROM a) AS BIGINT) AS residual
+        |  FROM a
+        |), p AS (
+        |  SELECT source, n_tokens,
+        |    base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS alloc_tokens
+        |  FROM r
+        |), e AS (
+        |  SELECT *, (1000000::HUGEINT * alloc_tokens) // n_tokens AS epochs_micro
+        |  FROM p
+        |)
+        |SELECT source, n_tokens, alloc_tokens,
+        |  CAST(epochs_micro AS BIGINT) AS epochs_micro,
+        |  epochs_micro > 4000000 AS capped,
+        |  CAST(greatest(alloc_tokens - 4 * n_tokens, 0) AS BIGINT) AS wasted_tokens,
+        |  CAST((4::HUGEINT * n_tokens * epochs_micro)
+        |       // (epochs_micro + 4000000) AS BIGINT) AS effective_tokens
+        |FROM e""".stripMargin,
+
+    // q268: Neyman allocation — q246's score CTEs, per-source HUGEINT
+    // moments, exact integer sqrt (double seed + two ±1 clamp probes
+    // each way), then the q194 largest-remainder seat assignment. The
+    // radicand reaches the double via VARCHAR (correct rounding past
+    // 2^53, the q236 parity rule).
+    "q268_neyman_alloc" ->
+      """WITH g0 AS (
+        |  SELECT doc_id, source,
+        |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 2
+        |), pg AS (
+        |  SELECT doc_id, source, g, COUNT(*) AS n FROM g0 GROUP BY 1, 2, 3
+        |), ds AS (
+        |  SELECT doc_id, source, SUM(n) AS n_grams,
+        |    SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_mass
+        |  FROM pg GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT source, (1000000 * dup_mass) // n_grams AS s FROM ds
+        |), mo AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    SUM(CAST(s AS HUGEINT)) AS s1,
+        |    SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS s2
+        |  FROM sc GROUP BY 1
+        |), mm AS (
+        |  SELECT source, n_docs,
+        |    CAST(n_docs AS HUGEINT) * s2 - s1 * s1 AS m FROM mo
+        |), q0 AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(CAST(m AS VARCHAR) AS DOUBLE)))
+        |    AS HUGEINT) AS r0 FROM mm
+        |), q1 AS (
+        |  SELECT *, CASE WHEN (r0+1)*(r0+1) <= m THEN r0+1 ELSE r0 END AS r1 FROM q0
+        |), q2 AS (
+        |  SELECT *, CASE WHEN (r1+1)*(r1+1) <= m THEN r1+1 ELSE r1 END AS r2 FROM q1
+        |), q3 AS (
+        |  SELECT *, CASE WHEN r2*r2 > m THEN r2-1 ELSE r2 END AS r3 FROM q2
+        |), qw AS (
+        |  SELECT source, n_docs,
+        |    CASE WHEN r3*r3 > m THEN r3-1 ELSE r3 END AS w FROM q3
+        |), a AS (
+        |  SELECT *, (1000::HUGEINT * w) // (SELECT SUM(w) FROM qw) AS base,
+        |            (1000::HUGEINT * w) % (SELECT SUM(w) FROM qw) AS rem
+        |  FROM qw
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000 - CAST((SELECT SUM(base) FROM a) AS BIGINT) AS residual
+        |  FROM a
+        |)
+        |SELECT source, n_docs, CAST(w AS BIGINT) AS ns_sd,
+        |  CAST(base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_docs
         |FROM r""".stripMargin,
   )
 }

@@ -718,6 +718,50 @@ object Prep {
         (col("alloc_tokens").cast("double") / col("n_tokens")).as("epochs"))
   }
 
+  /** Data-constrained-scaling epoch plan (q267): the audit layered on
+    * the q194 temperature mixture that answers "which sources does this
+    * allocation over-repeat, and what is the budget really worth?" —
+    * the question raised by the data-constrained scaling result
+    * (Muennighoff et al. 2023: repeating data beyond ~4 epochs has
+    * near-zero marginal value). Per source, from q194's exact
+    * `alloc_tokens`:
+    *
+    *   - `epochs_micro`   floor(1e6·alloc/T) — repeats on the 1e6 grid
+    *   - `capped`         epochs > R* (default 4): the allocation asks
+    *                      for repeats past the useful regime
+    *   - `wasted_tokens`  max(alloc − R*·T, 0) — budget mass spent past
+    *                      the cap, the re-allocation opportunity
+    *   - `effective_tokens` R*·T·E/(E + R*) — a RATIONAL saturation
+    *     surrogate for the exponential-decay effective-data form (exact
+    *     in integer arithmetic where e^{−E/R*} is not): slope 1 at E→0
+    *     (fresh tokens count fully), saturating at R*·T as E→∞. At E=R*
+    *     it reads R*T/2 vs the true form's ≈0.63·R*T — the ranking and
+    *     cap diagnostics are unchanged, and every value is bit-exact
+    *     across engines.
+    *
+    * Scale: inherits q194's plan (one corpus aggregate, |sources|-row
+    * arithmetic); every added column is row-local DECIMAL(38,0) math on
+    * the bounded per-source relation.
+    */
+  def epochPlan(docs: DataFrame, budgetTokens: Long = 1000000L,
+      rStar: Int = 4): DataFrame = {
+    val rMicro = rStar.toLong * 1000000L
+    mixtureWeights(docs, budgetTokens)
+      .withColumn("epochs_micro",
+        expr("(cast(1000000 as decimal(38,0)) * alloc_tokens) div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        col("epochs_micro"),
+        (col("epochs_micro") > rMicro).as("capped"),
+        greatest(col("alloc_tokens") - lit(rStar.toLong) * col("n_tokens"),
+          lit(0L)).as("wasted_tokens"),
+        expr(s"(cast($rStar as decimal(38,0)) * n_tokens * epochs_micro)" +
+          s" div (cast(epochs_micro as decimal(38,0)) + $rMicro)")
+          .as("effective_tokens"))
+  }
+
+  def epochPlan(s: SparkSession, dir: String): DataFrame =
+    epochPlan(Tables.documents(s, dir))
+
   def mixtureWeights(s: SparkSession, dir: String): DataFrame =
     mixtureWeights(Tables.documents(s, dir))
 

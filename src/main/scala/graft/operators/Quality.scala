@@ -869,6 +869,68 @@ object Quality {
   def scoreAuc(s: SparkSession, dir: String): DataFrame =
     scoreAuc(Tables.documents(s, dir))
 
+  /** Neyman-optimal eval-set allocation (q268): split a fixed
+    * human-review budget across source strata ∝ N_h·S_h — stratum size
+    * times stratum standard deviation of the screening score (the q246
+    * dup-bigram-share micro score) — the classical minimum-variance
+    * allocation for estimating the corpus mean score from `evalBudget`
+    * labeled docs. High-variance strata (where a sample tells you most)
+    * get proportionally more of the budget than proportional sampling
+    * would give; a zero-variance stratum gets zero (its mean is already
+    * known from any one doc — the textbook caveat, documented not
+    * patched). Allocations may exceed a small stratum's size, as in the
+    * textbook form.
+    *
+    * Exactness: N·S = sqrt(N·Σs² − (Σs)²) on the micro grid. The root is
+    * taken as an EXACT integer sqrt: an IEEE-correct double sqrt seeds
+    * within ±2 of the true root (root ≤ ~5·10¹⁵ < 2⁵³ even at 10¹⁰
+    * docs/stratum, and the DECIMAL(38,0) radicand reaches the double
+    * correctly rounded), then two exact +1 probes and two exact −1
+    * probes in DECIMAL(38,0) clamp to floor(√m) regardless of which side
+    * the seed landed — both engines converge to the same integer even if
+    * their libm ulps differ. Seats then assign by the q194
+    * largest-remainder discipline (pure integer arithmetic).
+    *
+    * Scale: one corpus pass (the q246 score derivation), then
+    * |sources|-row arithmetic; the only windows are over the bounded
+    * per-source relation.
+    */
+  def neymanAllocation(docs: DataFrame, evalBudget: Long = 1000L): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val g = Caches.track(dupShareMicro(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s").cast(dec)).as("s1"),
+        sum(col("s").cast(dec) * col("s").cast(dec)).as("s2"))
+      .withColumn("m", col("n_docs").cast(dec) * col("s2") -
+        col("s1") * col("s1"))
+      .withColumn("r0", floor(sqrt(col("m").cast("double"))).cast(dec))
+      .withColumn("r1", when((col("r0") + 1) * (col("r0") + 1) <= col("m"),
+        col("r0") + 1).otherwise(col("r0")))
+      .withColumn("r2", when((col("r1") + 1) * (col("r1") + 1) <= col("m"),
+        col("r1") + 1).otherwise(col("r1")))
+      .withColumn("r3", when(col("r2") * col("r2") > col("m"),
+        col("r2") - 1).otherwise(col("r2")))
+      .withColumn("w", when(col("r3") * col("r3") > col("m"),
+        col("r3") - 1).otherwise(col("r3"))))
+    val win = Window.orderBy(col("rem").desc, col("source"))
+    val withBase = Caches.track(g
+      .crossJoin(broadcast(g.agg(sum(col("w")).as("w_tot"))))
+      .withColumn("base",
+        expr(s"(cast($evalBudget as decimal(38,0)) * w) div w_tot"))
+      .withColumn("rem", (col("w") * evalBudget) % col("w_tot")))
+    withBase
+      .crossJoin(broadcast(withBase.agg(sum(col("base")).as("base_tot"))))
+      .withColumn("rk", row_number().over(win))
+      .withColumn("alloc_docs", col("base") +
+        when(col("rk") <= lit(evalBudget) - col("base_tot"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"),
+        col("w").cast("long").as("ns_sd"), col("alloc_docs"))
+  }
+
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame =
+    neymanAllocation(Tables.documents(s, dir))
+
   /** Calibration / reliability bins (q247): the duplicate-bigram share
     * bucketed into eleven fixed micro-grid bins (`s div 1e5`; bin 10 is
     * the exactly-1.0 scores), each with its doc count, mean score, and

@@ -457,4 +457,67 @@ class QualitySpec extends SparkSpec {
       assert(r.getAs[Long]("npos") + r.getAs[Long]("nneg") > 0)
     }
   }
+
+  test("neymanAllocation: zero-variance stratum draws zero; seats reconcile; corpus parity with a BigInt isqrt replay") {
+    import spark.implicits._
+    // "flat": every doc scores s=0 (all-distinct bigrams) -> variance 0;
+    // "vary": scores {1e6, 0, 0} -> all 1000 seats must go to vary
+    val d = Seq(
+      (0L, "a b c d", "flat"), (1L, "e f g h", "flat"), (2L, "i j k l", "flat"),
+      (10L, "x x x x", "vary"), (11L, "p q r s", "vary"), (12L, "m n o u", "vary"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val got = Quality.neymanAllocation(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("ns_sd"),
+          r.getAs[Long]("alloc_docs")))).toMap
+    graft.Caches.releaseAll()
+    assert(got("flat")._2 === 0L && got("flat")._3 === 0L,
+      s"zero-variance stratum must get zero seats: $got")
+    assert(got("vary")._3 === 1000L)
+    assert(got.values.map(_._3).sum === 1000L, "seats must reconcile")
+    // vary: scores {1e6,0,0}: m = 3*1e12 - (1e6)^2 = 2e12; isqrt = 1414213
+    assert(got("vary")._2 === 1414213L)
+
+    // corpus parity: plain-Scala score derivation + BigInt isqrt +
+    // largest-remainder replay must match the operator exactly
+    def isqrt(m: BigInt): BigInt = {
+      if (m == 0) BigInt(0)
+      else { var r = BigInt(math.sqrt(m.toDouble).toLong)
+        while ((r + 1) * (r + 1) <= m) r += 1
+        while (r * r > m) r -= 1
+        r }
+    }
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+    val scores = corpus.collect().toSeq
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text").split(" ", -1)))
+      .filter(_._2.length >= 2)
+      .map { case (src, w) =>
+        val grams = w.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+        val cnt = grams.groupBy(identity).map(_._2.size.toLong)
+        val dup = cnt.filter(_ >= 2).sum
+        src -> (1000000L * dup / cnt.sum)
+      }
+    val weights = scores.groupBy(_._1).map { case (src, xs) =>
+      val n = xs.size.toLong
+      val s1 = xs.map(x => BigInt(x._2)).sum
+      val s2 = xs.map(x => BigInt(x._2) * x._2).sum
+      (src, n, isqrt(BigInt(n) * s2 - s1 * s1))
+    }.toSeq
+    val wTot = weights.map(_._3).sum
+    val based = weights.map { case (src, n, w) =>
+      (src, n, w, (BigInt(1000) * w / wTot).toLong, (BigInt(1000) * w % wTot)) }
+    val residual = 1000L - based.map(_._4).sum
+    val exp = based.sortBy { case (src, _, _, _, rem) => (-rem, src) }.zipWithIndex
+      .map { case ((src, n, w, base, _), i) =>
+        src -> ((n, w.toLong, base + (if (i + 1 <= residual) 1L else 0L))) }.toMap
+    val gotC = Quality.neymanAllocation(corpus).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("ns_sd"),
+          r.getAs[Long]("alloc_docs")))).toMap
+    graft.Caches.releaseAll()
+    assert(gotC === exp, "corpus Neyman allocation diverged from the replay")
+    assert(gotC.values.map(_._3).sum === 1000L)
+  }
 }
