@@ -353,7 +353,13 @@ object ScaleSmoke {
       // linear aggregate) and a third shuffle_hash count join
       timed("q265") { graft.operators.Corpus.knFluency(docs) },
       // q266: global token-desc rank on bucketedPrefix + row-local snake
-      timed("q266") { graft.operators.Prep.shardManifest(docs) })
+      timed("q266") { graft.operators.Prep.shardManifest(docs) },
+      // q267: one corpus token aggregate + |sources|-row plan arithmetic
+      timed("q267") { graft.operators.Prep.epochPlan(docs) },
+      // q268: the q246 score pass + bounded per-stratum isqrt/seats
+      timed("q268") { graft.operators.Quality.neymanAllocation(docs) },
+      // q269: row-local HOF screen against two literal term arrays
+      timed("q269") { graft.operators.Prep.blocklistScreen(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -296,6 +296,7 @@ object SparkEntry {
     "q266_shard_manifest" -> ((s, d) => Prep.shardManifest(s, d)),
     "q267_epoch_plan" -> ((s, d) => Prep.epochPlan(s, d)),
     "q268_neyman_alloc" -> ((s, d) => Quality.neymanAllocation(s, d)),
+    "q269_blocklist_screen" -> ((s, d) => Prep.blocklistScreen(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6580,5 +6581,27 @@ object SparkEntry {
         |  CAST(base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc_docs
         |FROM r""".stripMargin,
+
+    // q269: exact-token blocklist screen — per-occurrence hit counts via
+    // list_filter, distinct terms via list_intersect (both engines
+    // dedupe intersections; only sizes are compared).
+    "q269_blocklist_screen" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, w,
+        |    [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bg
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |        FROM documents)
+        |), h AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(w, x -> list_contains(['slow','merge','spill'], x)))
+        |       + len(list_filter(bg, x -> list_contains(['hash value','table scan'], x)))
+        |      AS BIGINT) AS n_hits,
+        |    CAST(len(list_intersect(w, ['slow','merge','spill']))
+        |       + len(list_intersect(bg, ['hash value','table scan']))
+        |      AS BIGINT) AS n_terms
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_hits, n_terms, n_hits > 0 AS flagged
+        |FROM h""".stripMargin,
   )
 }

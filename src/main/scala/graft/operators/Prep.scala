@@ -143,6 +143,42 @@ object Prep {
   def filterSweep(s: SparkSession, dir: String): DataFrame =
     filterSweep(Tables.documents(s, dir))
 
+  /** Blocklist / safety-term screen (q269): per document, how many
+    * blocklist hits (word terms counted per occurrence, two-word phrase
+    * terms counted per bigram occurrence), how many DISTINCT terms
+    * matched, and the flag — the unsafe-content gate every curation
+    * pipeline runs before admission. Matching is exact-token (not
+    * substring), so "class" never trips a "ass" entry — the classic
+    * Scunthorpe failure of regex screens.
+    *
+    * Scale: entirely ROW-LOCAL — the blocklist rides into the plan as
+    * two array literals (a real list is thousands of terms — still a
+    * broadcast-sized constant) and matching is `filter`/`array_intersect`
+    * HOFs over the per-row words/bigrams arrays. Zero joins, zero
+    * shuffles, zero state: the q53/q264 per-row family, and the same
+    * plan pin (no Exchange anywhere).
+    */
+  def blocklistScreen(docs: DataFrame,
+      wordTerms: Seq[String] = Seq("slow", "merge", "spill"),
+      phraseTerms: Seq[String] = Seq("hash value", "table scan")): DataFrame = {
+    val wl = array(wordTerms.map(lit): _*)
+    val pl = array(phraseTerms.map(lit): _*)
+    docs
+      .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
+      .withColumn("bg", Text.bigrams(col("w")))
+      .select(col("doc_id"), col("source"),
+        (size(filter(col("w"), w => array_contains(wl, w))) +
+          size(filter(col("bg"), g => array_contains(pl, g))))
+          .cast("long").as("n_hits"),
+        (size(array_intersect(col("w"), wl)) +
+          size(array_intersect(col("bg"), pl))).cast("long")
+          .as("n_terms"))
+      .withColumn("flagged", col("n_hits") > 0)
+  }
+
+  def blocklistScreen(s: SparkSession, dir: String): DataFrame =
+    blocklistScreen(Tables.documents(s, dir))
+
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     qualityFilter(Tables.documents(s, dir))
 

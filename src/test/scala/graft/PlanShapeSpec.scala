@@ -91,12 +91,13 @@ class PlanShapeSpec extends SparkSpec {
       s"expected TakeOrderedAndProject for top-k, plan:\n$plan")
   }
 
-  test("q53/q54/q59/q264: per-row quality/scrub/chunk/split operators plan zero exchanges") {
+  test("q53/q54/q59/q264/q269: per-row quality/scrub/chunk/split/screen operators plan zero exchanges") {
     Seq[(String, DataFrame)](
       "repetition" -> graft.operators.Prep.repetitionRatios(spark, sf0001),
       "pii" -> graft.operators.Prep.piiScrub(spark, sf0001),
       "chunk" -> graft.operators.Prep.chunk(spark, sf0001),
       "csplit" -> graft.operators.Prep.clusterSplit(spark, sf0001),
+      "blocklist" -> graft.operators.Prep.blocklistScreen(spark, sf0001),
     ).foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),

@@ -441,6 +441,32 @@ class PrepSpec extends SparkSpec {
     assert(got(1000L)._3 <= got(200L)._3 && got(200L)._3 <= got(50L)._3)
   }
 
+  test("blocklistScreen: exact-token hits, phrase hits, distinct terms; no substring Scunthorpe matches") {
+    import spark.implicits._
+    val d = Seq(
+      // "slow" x2 + phrase "hash value" x1 -> 3 hits, 2 distinct terms
+      (0L, "slow path slow hash value store", "en", "web", 31L),
+      // "slowly" must NOT match "slow" (token-exact, not substring)
+      (1L, "slowly merged values", "en", "web", 20L),
+      // phrase split across different positions: "table scan" once;
+      // "scan table" is NOT the phrase
+      (2L, "scan table then table scan", "en", "web", 26L),
+      (3L, "clean text entirely", "en", "web", 19L),
+      // single word doc: no bigrams, word terms still screened
+      (4L, "spill", "en", "web", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Prep.blocklistScreen(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_terms"),
+          r.getAs[Boolean]("flagged")))).toMap
+    assert(got(0L) === ((3L, 2L, true)))
+    assert(got(1L) === ((0L, 0L, false)), "substring matches are forbidden")
+    assert(got(2L) === ((1L, 1L, true)))
+    assert(got(3L) === ((0L, 0L, false)))
+    assert(got(4L) === ((1L, 1L, true)))
+    assert(got.size === 5, "clean docs must still appear with zero counts")
+  }
+
   test("epochPlan: both cap branches exercised; columns recompute in BigInt from the q194 chain; corpus parity") {
     import spark.implicits._
     // big source ~1000 tokens, small ~10: the tau=0.25 weights give the
