@@ -1245,6 +1245,73 @@ object Similarity {
   def reciprocalNn(s: SparkSession, dir: String): DataFrame =
     reciprocalNn(Tables.embeddings(s, dir), nPlanes = 8, dims = 64)
 
+  /** Ratio-margin candidate pairs (q270) — the hubness-corrected
+    * similarity criterion of CSLS (Lample et al. 2018) / the
+    * margin-based bitext miner (Artetxe & Schwenk 2019): a pair
+    * qualifies not by its RAW cosine but by how far the cosine stands
+    * above BOTH endpoints' local neighbourhoods,
+    * `margin(x,y) = cos(x,y) / ((μₖ(x) + μₖ(y))/2)` with μₖ the mean
+    * cosine of a vector's k best candidates. Hub vectors (close to
+    * everything) have high μₖ and stop winning every pairing; isolated
+    * genuine matches clear the bar at modest absolute cosine. q250 keeps
+    * only mutual TOP-1 edges; this keeps EVERY edge that clears the
+    * locally-normalised margin — the recall-side complement.
+    *
+    * Exactness: cosines land on the 1e6 grid (`floor(cos·1e6)`, the
+    * deterministic double from exact fixed-point parts), μₖ stays an
+    * UNREDUCED (sum, count) pair, and the margin is one positive integer
+    * division on the common denominator,
+    * `(2e6·cos·nₐ·n_b) div (sumₐ·n_b + sum_b·nₐ)` in DECIMAL(38,0) —
+    * no negative division anywhere (pairs require cos > 0 and a positive
+    * denominator), so Spark's truncating `div` and DuckDB's `//` agree.
+    *
+    * Scale: candidates from the banded-LSH bucket join (never
+    * all-pairs); μₖ is one partitioned top-k window over the candidate
+    * edges; the margin join is two shuffle_hash equijoins on vec ids.
+    */
+  def marginPairs(emb: DataFrame, nPlanes: Int = 8, dims: Int = 64,
+      k: Int = 3, marginThresholdMicro: Long = 1020000L): DataFrame = {
+    val sig = prepared(emb)
+      .withColumn("bucket", Vectors.lshBucketF(col("embedding"), nPlanes, dims))
+    val pairs = Caches.track(sig.as("a").hint("shuffle_hash")
+      .join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        floor(Vectors.cosineFromParts(
+          FixedPoint.dotF(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")) * 1e6).cast("long").as("cos_micro")))
+    val directed = pairs
+      .select(col("va").as("src"), col("vb").as("nbr"), col("cos_micro"))
+      .unionAll(pairs
+        .select(col("vb").as("src"), col("va").as("nbr"), col("cos_micro")))
+    val bySrc = Window.partitionBy(col("src"))
+      .orderBy(col("cos_micro").desc, col("nbr"))
+    val mtk = directed
+      .withColumn("rn", row_number().over(bySrc))
+      .filter(col("rn") <= k)
+      .groupBy(col("src"))
+      .agg(sum(col("cos_micro")).as("msum"), count(lit(1)).as("mn"))
+    pairs.filter(col("cos_micro") > 0)
+      .hint("shuffle_hash")
+      .join(mtk.select(col("src").as("va"), col("msum").as("sum_a"),
+        col("mn").as("n_a")), "va")
+      .hint("shuffle_hash")
+      .join(mtk.select(col("src").as("vb"), col("msum").as("sum_b"),
+        col("mn").as("n_b")), "vb")
+      .filter(col("sum_a") * col("n_b") + col("sum_b") * col("n_a") > 0)
+      .withColumn("margin_micro", expr(
+        """(cast(2000000 as decimal(38,0)) * cos_micro * n_a * n_b)
+          |  div (cast(sum_a as decimal(38,0)) * n_b
+          |       + cast(sum_b as decimal(38,0)) * n_a)""".stripMargin))
+      .filter(col("margin_micro") >= marginThresholdMicro)
+      .select(col("va").as("vec_a"), col("vb").as("vec_b"),
+        col("cos_micro"), col("margin_micro"))
+  }
+
+  def marginPairs(s: SparkSession, dir: String): DataFrame =
+    marginPairs(Tables.embeddings(s, dir))
+
   /** IVF recall audit (q235): per-query recall@k of the trained-IVF
     * probe (q61) against the exact brute-force top-k (q24) — the q200
     * discipline applied to the ANN index: an approximate index ships
