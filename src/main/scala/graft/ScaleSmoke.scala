@@ -359,7 +359,13 @@ object ScaleSmoke {
       // q268: the q246 score pass + bounded per-stratum isqrt/seats
       timed("q268") { graft.operators.Quality.neymanAllocation(docs) },
       // q269: row-local HOF screen against two literal term arrays
-      timed("q269") { graft.operators.Prep.blocklistScreen(docs) })
+      timed("q269") { graft.operators.Prep.blocklistScreen(docs) },
+      // q270: same scaled-planes contract as q250 — fixed planes would
+      // grow the within-bucket candidate set quadratically
+      timed("q270") {
+        val planes = 8 + math.round(math.log(mult.toDouble) / math.log(2.0)).toInt
+        graft.operators.Similarity.marginPairs(emb, nPlanes = planes, dims = 64)
+      })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -297,6 +297,7 @@ object SparkEntry {
     "q267_epoch_plan" -> ((s, d) => Prep.epochPlan(s, d)),
     "q268_neyman_alloc" -> ((s, d) => Quality.neymanAllocation(s, d)),
     "q269_blocklist_screen" -> ((s, d) => Prep.blocklistScreen(s, d)),
+    "q270_margin_pairs" -> ((s, d) => Similarity.marginPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6603,5 +6604,60 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_hits, n_terms, n_hits > 0 AS flagged
         |FROM h""".stripMargin,
+
+    // q270: CSLS/ratio-margin pairs — q250's LSH+fixed-point-cosine
+    // chain, cosines floored to the 1e6 grid, μk kept as an unreduced
+    // (sum, count), one positive HUGEINT division on the common
+    // denominator (mirrors Spark's DECIMAL(38,0) div exactly).
+    "q270_margin_pairs" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 8) tp(p), range(1, 65) ti(i)
+        |), proj AS (
+        |  SELECT e.vec_id, hp.p,
+        |    CASE WHEN SUM(CAST(floor(CAST(e.embedding[hp.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * hp.s) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM embeddings e, hp GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+        |), cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), cos AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE)) *
+        |       sqrt(CAST(SUM(CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE))) AS cosine
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.vec_a = ea.vec_id
+        |  JOIN embeddings eb ON c.vec_b = eb.vec_id,
+        |  LATERAL (SELECT unnest(range(1, len(ea.embedding) + 1)) AS i) t
+        |  GROUP BY 1, 2
+        |), cosm AS (
+        |  SELECT vec_a, vec_b, CAST(floor(cosine * 1e6) AS BIGINT) AS cos_micro FROM cos
+        |), directed AS (
+        |  SELECT vec_a AS src, vec_b AS nbr, cos_micro FROM cosm
+        |  UNION ALL
+        |  SELECT vec_b, vec_a, cos_micro FROM cosm
+        |), topk AS (
+        |  SELECT src, SUM(cos_micro) AS msum, COUNT(*) AS mn FROM (
+        |    SELECT src, cos_micro,
+        |      row_number() OVER (PARTITION BY src
+        |        ORDER BY cos_micro DESC, nbr ASC) AS rn
+        |    FROM directed)
+        |  WHERE rn <= 3 GROUP BY src
+        |), scored AS (
+        |  SELECT c.vec_a, c.vec_b, c.cos_micro,
+        |    CAST((2000000::HUGEINT * c.cos_micro * a.mn * b.mn)
+        |      // (CAST(a.msum AS HUGEINT) * b.mn + CAST(b.msum AS HUGEINT) * a.mn)
+        |      AS BIGINT) AS margin_micro
+        |  FROM cosm c
+        |  JOIN topk a ON a.src = c.vec_a
+        |  JOIN topk b ON b.src = c.vec_b
+        |  WHERE c.cos_micro > 0
+        |    AND CAST(a.msum AS HUGEINT) * b.mn + CAST(b.msum AS HUGEINT) * a.mn > 0
+        |)
+        |SELECT vec_a, vec_b, cos_micro, margin_micro
+        |FROM scored WHERE margin_micro >= 1020000""".stripMargin,
   )
 }

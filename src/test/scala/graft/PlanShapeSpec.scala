@@ -853,6 +853,22 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q270: margin scoring stays shuffle_hash; the μk window is partitioned by src") {
+    val df = graft.operators.Similarity.marginPairs(
+      graft.sources.Tables.embeddings(spark, sf0001))
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    val (bhj, shj) = initialJoins(df)
+    // bucket join + the two μk equijoins — all corpus-scaled both sides
+    assert(shj >= 3,
+      s"bucket and margin joins must be ShuffledHashJoin (got $shj):\n$planStr")
+    assert(bhj === 0, s"nothing here is broadcastable (got $bhj):\n$planStr")
+    plan.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty, s"unpartitioned window:\n$w"))
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q238: overlap sketches never join — two scans into k-bounded aggregates") {
     val df = graft.operators.Quality.keyOverlapSketch(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

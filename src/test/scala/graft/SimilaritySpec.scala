@@ -774,4 +774,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected, "mutual-best pairs diverged from the recompute")
     assert(got.nonEmpty, "sf0.001 must produce at least one best-buddy pair")
   }
+
+  test("marginPairs equals the CSLS-margin recompute; local normalisation reorders raw cosine") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // the LSH candidate relation with the threshold opened up
+    val pairs = Similarity.nearDupLsh(emb, nPlanes = 8, threshold = -2.0, dims = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        math.floor(r.getAs[Double]("cosine") * 1e6).toLong))
+    graft.Caches.releaseAll()
+    val directed = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val mtk = directed.groupBy(_._1).map { case (src, es) =>
+      val top = es.sortBy(e => (-e._3, e._2)).take(3)
+      src -> ((top.map(_._3).sum, top.size.toLong))
+    }
+    def marginOf(a: Long, b: Long, c: Long): Option[Long] = {
+      val (sa, na) = mtk(a); val (sb, nb) = mtk(b)
+      val den = BigInt(sa) * nb + BigInt(sb) * na
+      if (c > 0 && den > 0) Some((BigInt(2000000L) * c * na * nb / den).toLong)
+      else None
+    }
+    val scoredAll = pairs.flatMap { case (a, b, c) =>
+      marginOf(a, b, c).map(m => (a, b, c, m)) }
+    val exp = scoredAll.filter(_._4 >= 1020000L).toSet
+    val got = Similarity.marginPairs(emb).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Long]("cos_micro"), r.getAs[Long]("margin_micro"))).toSet
+    graft.Caches.releaseAll()
+    assert(got === exp, "margin pairs diverged from the recompute")
+    assert(got.nonEmpty, "sf0.001 must clear the margin bar somewhere")
+    // the point of CSLS: the margin order is NOT the raw cosine order —
+    // some pair must outrank a higher-cosine pair once hubs are priced
+    val inverted = scoredAll.exists(p => scoredAll.exists(q =>
+      p._3 > q._3 && p._4 < q._4))
+    assert(inverted, "local normalisation must reorder at least one pair")
+  }
 }
