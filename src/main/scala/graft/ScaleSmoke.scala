@@ -365,7 +365,10 @@ object ScaleSmoke {
       timed("q270") {
         val planes = 8 + math.round(math.log(mult.toDouble) / math.log(2.0)).toInt
         graft.operators.Similarity.marginPairs(emb, nPlanes = planes, dims = 64)
-      })
+      },
+      // q271: one posexplode aggregate (|labels|·dims rows), a row-local
+      // HOF distance, and the bucketedPrefix grouped rank
+      timed("q271") { graft.operators.Similarity.centroidOutliers(emb) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -298,6 +298,7 @@ object SparkEntry {
     "q268_neyman_alloc" -> ((s, d) => Quality.neymanAllocation(s, d)),
     "q269_blocklist_screen" -> ((s, d) => Prep.blocklistScreen(s, d)),
     "q270_margin_pairs" -> ((s, d) => Similarity.marginPairs(s, d)),
+    "q271_centroid_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6659,5 +6660,39 @@ object SparkEntry {
         |)
         |SELECT vec_a, vec_b, cos_micro, margin_micro
         |FROM scored WHERE margin_micro >= 1020000""".stripMargin,
+
+    // q271: centroid-distance outliers — common-denominator squared
+    // distance in HUGEINT (mirrors DECIMAL(38,0)), per-label rank via
+    // row_number (Spark recovers it from the bucketedPrefix global
+    // rank), one VARCHAR-routed double division for the reported d2.
+    "q271_centroid_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, i AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings,
+        |  LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        |), s AS (
+        |  SELECT label, pos, SUM(x) AS s FROM q GROUP BY 1, 2
+        |), n AS (
+        |  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+        |), d AS (
+        |  SELECT q.vec_id, q.label,
+        |    SUM((CAST(q.x AS HUGEINT) * n.n - s.s)
+        |      * (CAST(q.x AS HUGEINT) * n.n - s.s)) AS d2num,
+        |    MAX(n.n) AS n
+        |  FROM q JOIN s USING (label, pos) JOIN n USING (label)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT vec_id, label,
+        |    CAST(CAST(d2num AS VARCHAR) AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * n * 1e16) AS d2,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY d2num DESC, vec_id) AS BIGINT) AS rank,
+        |    n
+        |  FROM d
+        |)
+        |SELECT vec_id, label, d2, rank,
+        |  rank <= (n * 1 + 99) // 100 AS flagged
+        |FROM r""".stripMargin,
   )
 }

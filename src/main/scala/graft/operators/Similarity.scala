@@ -1312,6 +1312,77 @@ object Similarity {
   def marginPairs(s: SparkSession, dir: String): DataFrame =
     marginPairs(Tables.embeddings(s, dir))
 
+  /** Centroid-distance outlier screen (q271): per label group, every
+    * vector's squared distance to its group's EXACT fixed-point
+    * centroid, the group-wise descending rank, and a flag on the top
+    * `outlierPct`% — the embedding-space poison/mislabel screen (a
+    * vector far from everything that shares its label is a labeling
+    * error, an adversarial insert, or a degenerate embedding; the
+    * hygiene audit q221 catches NaN/zero pathologies, this catches the
+    * geometrically wrong).
+    *
+    * Exactness: the centroid is never materialised as floats — distance
+    * uses the common denominator, `d2num = Σ_i (qᵢ·n − sᵢ)²` in
+    * DECIMAL(38,0) (qᵢ the 1e8 fixed-point coord, sᵢ the group's exact
+    * per-dimension sum, n the group size), which orders identically to
+    * d² within a group; the reported `d2` is the one double division
+    * `d2num / (n²·1e16)`.
+    *
+    * Scale: the group rank does NOT ride a per-label window (few labels
+    * = single-partition windows over fact-scaled groups). Instead the
+    * GLOBAL rank over (label, d2num desc, vec_id) rides
+    * `Advanced.bucketedPrefix`, and the per-label rank is recovered by
+    * subtracting each label's start offset — a |labels|-row cumulative
+    * join (the bounded relation where an unpartitioned window is fine).
+    */
+  def centroidOutliers(emb: DataFrame, outlierPct: Int = 1,
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val q = Caches.track(emb
+      .select(col("vec_id"), col("label"),
+        Vectors.quantVec(col("embedding")).as("q")))
+    val sums = q
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val cents = sums.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"),
+        max(col("n")).as("n"))
+      .select(col("label"), transform(col("ps"), p => p.getField("s")).as("svec"),
+        col("n"))
+    val d = q.join(broadcast(cents), "label")
+      .withColumn("d2num", expr(
+        """aggregate(
+          |  zip_with(q, svec, (a, b) -> cast(a as decimal(38,0)) * n - b),
+          |  cast(0 as decimal(38,0)), (acc, v) -> acc + v * v)""".stripMargin))
+      .select(col("vec_id"), col("label"), col("n"), col("d2num"))
+    val ranked = Advanced.bucketedPrefix(d,
+      Seq(col("label"), col("d2num").desc, col("vec_id")), buckets)(
+      spec => count(lit(1)).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      count(lit(1)),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+    // per-label start offsets: a |labels|-row relation — the bounded
+    // place where an unpartitioned cumulative window is the right tool
+    val offs = d.groupBy(col("label")).agg(count(lit(1)).as("ln"))
+      .withColumn("loff", coalesce(sum(col("ln")).over(
+        Window.orderBy(col("label"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("label"), col("loff"))
+    ranked.join(broadcast(offs), "label")
+      .withColumn("rank", col("prefix") - col("loff"))
+      .select(col("vec_id"), col("label"),
+        (col("d2num").cast("double") /
+          (col("n").cast("double") * col("n") * 1e16)).as("d2"),
+        col("rank"),
+        (col("rank") <= expr(s"(n * $outlierPct + 99) div 100")).as("flagged"))
+  }
+
+  def centroidOutliers(s: SparkSession, dir: String): DataFrame =
+    centroidOutliers(Tables.embeddings(s, dir))
+
   /** IVF recall audit (q235): per-query recall@k of the trained-IVF
     * probe (q61) against the exact brute-force top-k (q24) — the q200
     * discipline applied to the ANN index: an approximate index ships

@@ -809,4 +809,60 @@ class SimilaritySpec extends SparkSpec {
       p._3 > q._3 && p._4 < q._4))
     assert(inverted, "local normalisation must reorder at least one pair")
   }
+
+  test("centroidOutliers: planted far vector flagged; BigInt replay and bucket invariance on the corpus") {
+    import spark.implicits._
+    // label 0: four clustered vectors + one far insert -> top-1% of 5
+    // rows is ceil(0.05)=1 flag, and it must be the plant
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(1.1f, -0.1f), 0), (3L, Seq(1.0f, 0.1f), 0),
+      (4L, Seq(-5.0f, 5.0f), 0),
+      (10L, Seq(0.0f, 1.0f), 1), (11L, Seq(0.0f, 1.2f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Boolean]("flagged")))).toMap
+    graft.Caches.releaseAll()
+    assert(got(4L) === ((1L, true)), s"the plant must rank first: $got")
+    assert(Seq(0L, 1L, 2L, 3L).forall(!got(_)._2), "cluster members unflagged")
+    assert(got(10L)._1 <= 2 && got(11L)._1 <= 2 && got.size === 7)
+
+    // corpus: plain-Scala BigInt replay of d2num + grouped rank; the
+    // bucket count must not change a single row
+    val corpus = graft.sources.Tables.embeddings(spark, sf0001)
+    val rows = corpus.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Int]("label"),
+      r.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => math.floor(x.toDouble * 1e8 + 0.5).toLong)))
+    val byLabel = rows.groupBy(_._2)
+    val exp = byLabel.flatMap { case (lab, vs) =>
+      val n = vs.length.toLong
+      val dims = vs.head._3.length
+      val sums = (0 until dims).map(i => vs.map(_._3(i)).sum)
+      val ds = vs.map { case (id, _, qv) =>
+        val d2 = (0 until dims).map { i =>
+          val t = BigInt(qv(i)) * n - sums(i); t * t }.sum
+        (id, d2)
+      }
+      val ranked = ds.sortBy { case (id, d2) => (-d2, id) }.zipWithIndex
+      ranked.toSeq.map { case ((id, d2), i) =>
+        id -> ((lab, (d2.toDouble / (n.toDouble * n * 1e16)),
+          i.toLong + 1, i.toLong + 1 <= (n + 99) / 100)) }
+    }.toMap
+    for (buckets <- Seq(3, 32)) {
+      val gotC = Similarity.centroidOutliers(corpus, buckets = buckets).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Int]("label"), r.getAs[Double]("d2"),
+            r.getAs[Long]("rank"), r.getAs[Boolean]("flagged")))).toMap
+      graft.Caches.releaseAll()
+      exp.foreach { case (id, (lab, d2, rk, fl)) =>
+        val g = gotC(id)
+        assert(g._1 === lab && g._3 === rk && g._4 === fl,
+          s"vec $id diverged at buckets=$buckets: got $g exp ($lab,$d2,$rk,$fl)")
+        assert(math.abs(g._2 - d2) < 1e-9, s"vec $id d2 drift: ${g._2} vs $d2")
+      }
+      assert(gotC.size === exp.size)
+    }
+  }
 }
