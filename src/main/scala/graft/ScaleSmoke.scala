@@ -368,7 +368,9 @@ object ScaleSmoke {
       },
       // q271: one posexplode aggregate (|labels|·dims rows), a row-local
       // HOF distance, and the bucketedPrefix grouped rank
-      timed("q271") { graft.operators.Similarity.centroidOutliers(emb) })
+      timed("q271") { graft.operators.Similarity.centroidOutliers(emb) },
+      // q272: four row-local rules, one text scan
+      timed("q272") { graft.operators.Prep.admissionAudit(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

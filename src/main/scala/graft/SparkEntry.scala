@@ -299,6 +299,7 @@ object SparkEntry {
     "q269_blocklist_screen" -> ((s, d) => Prep.blocklistScreen(s, d)),
     "q270_margin_pairs" -> ((s, d) => Similarity.marginPairs(s, d)),
     "q271_centroid_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d)),
+    "q272_admission_audit" -> ((s, d) => Prep.admissionAudit(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6694,5 +6695,34 @@ object SparkEntry {
         |SELECT vec_id, label, d2, rank,
         |  rank <= (n * 1 + 99) // 100 AS flagged
         |FROM r""".stripMargin,
+
+    // q272: composed admission gate — four row-local rules, reasons as
+    // the sorted comma-joined tag list (list comprehension drops the
+    // non-firing NULL tags), q54's regexes for the pii rule.
+    "q272_admission_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS w
+        |  FROM documents
+        |), b AS (
+        |  SELECT *, [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bg
+        |  FROM t
+        |), v AS (
+        |  SELECT doc_id, source,
+        |    -- DuckDB's array_to_string([]) is NULL; Spark's concat_ws is ''
+        |    coalesce(array_to_string(list_sort([r FOR r IN [
+        |      CASE WHEN len(w) < 5 THEN 'too_short' END,
+        |      CASE WHEN len(list_filter(w, x -> list_contains(['slow','merge','spill'], x)))
+        |             + len(list_filter(bg, x -> list_contains(['hash value','table scan'], x))) > 0
+        |           THEN 'blocklist' END,
+        |      CASE WHEN len(bg) > 0 AND (len(bg) - len(list_distinct(bg))) * 2 > len(bg)
+        |           THEN 'repetition' END,
+        |      CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |             + len(regexp_extract_all(text, '\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}')) > 0
+        |           THEN 'pii' END
+        |    ] IF r IS NOT NULL]), ','), '') AS reasons
+        |  FROM b
+        |)
+        |SELECT doc_id, source, reasons, reasons = '' AS admitted
+        |FROM v""".stripMargin,
   )
 }

@@ -158,9 +158,12 @@ object Prep {
     * shuffles, zero state: the q53/q264 per-row family, and the same
     * plan pin (no Exchange anywhere).
     */
+  private[graft] val BlockWordTerms = Seq("slow", "merge", "spill")
+  private[graft] val BlockPhraseTerms = Seq("hash value", "table scan")
+
   def blocklistScreen(docs: DataFrame,
-      wordTerms: Seq[String] = Seq("slow", "merge", "spill"),
-      phraseTerms: Seq[String] = Seq("hash value", "table scan")): DataFrame = {
+      wordTerms: Seq[String] = BlockWordTerms,
+      phraseTerms: Seq[String] = BlockPhraseTerms): DataFrame = {
     val wl = array(wordTerms.map(lit): _*)
     val pl = array(phraseTerms.map(lit): _*)
     docs
@@ -178,6 +181,47 @@ object Prep {
 
   def blocklistScreen(s: SparkSession, dir: String): DataFrame =
     blocklistScreen(Tables.documents(s, dir))
+
+  /** The q272 admission projection, shared VERBATIM with the streaming
+    * admission gate (`streaming/StreamingOps.admissionMonitor`) so the
+    * ingest verdict is bit-identical to the batch audit by construction.
+    * Four row-local rules, each a reason tag: `too_short` (< 5 words),
+    * `blocklist` (any q269 term/phrase hit), `repetition` (more than
+    * half the bigram instances are repeats — the HOF form of the Gopher
+    * dup-mass rule), `pii` (any q54 email/phone match). `reasons` is the
+    * sorted comma-joined tag list; `admitted` = no reasons.
+    */
+  private[graft] def admissionScreen(df: DataFrame): DataFrame = {
+    val wl = array(BlockWordTerms.map(lit): _*)
+    val pl = array(BlockPhraseTerms.map(lit): _*)
+    df.withColumn("w", Text.words(col("text")))
+      .withColumn("bg", Text.bigrams(col("w")))
+      .withColumn("reasons", concat_ws(",", sort_array(filter(array(
+        when(size(col("w")) < 5, lit("too_short")),
+        when(size(filter(col("w"), x => array_contains(wl, x))) +
+          size(filter(col("bg"), g => array_contains(pl, g))) > 0,
+          lit("blocklist")),
+        when(size(col("bg")) > 0 &&
+          (size(col("bg")) - size(array_distinct(col("bg")))) * 2 >
+            size(col("bg")), lit("repetition")),
+        when(regexp_count(col("text"), lit(EmailRe)) +
+          regexp_count(col("text"), lit(PhoneRe)) > 0, lit("pii"))
+      ), x => x.isNotNull))))
+      .withColumn("admitted", col("reasons") === lit(""))
+  }
+
+  /** Batch admission audit (q272): the composed corpus-admission gate —
+    * every document with its reject reasons and verdict. This is the
+    * operator a curation pipeline runs FIRST (cheap row-local rules
+    * before any shuffle-bearing dedup); the streaming twin applies the
+    * identical projection at ingest. Zero shuffles, the q53-family plan.
+    */
+  def admissionAudit(docs: DataFrame): DataFrame =
+    admissionScreen(docs)
+      .select(col("doc_id"), col("source"), col("reasons"), col("admitted"))
+
+  def admissionAudit(s: SparkSession, dir: String): DataFrame =
+    admissionAudit(Tables.documents(s, dir))
 
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     qualityFilter(Tables.documents(s, dir))

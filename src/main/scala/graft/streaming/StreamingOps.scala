@@ -513,6 +513,20 @@ object StreamingOps {
       graft.operators.Prep.clusterKeyCol.as("cluster_key"),
       graft.operators.Prep.clusterSplitCol.as("split"))
 
+  /** Streaming admission gate — the ingest twin of the batch admission
+    * audit (q272, `operators/Prep.admissionAudit`): every arriving
+    * document gets its reject reasons and verdict AT INGEST, before any
+    * stateful work spends shuffle or state-store budget on a document
+    * the pipeline would discard anyway. Shares the batch operator's
+    * projection verbatim (`Prep.admissionScreen`), so streaming = batch
+    * bit-identity holds by construction and is spec-asserted on a
+    * replay. Zero state: pure row-local rules (the splitRouter
+    * discipline) — restart safety is the sink's exactly-once contract.
+    */
+  def admissionMonitor(stream: DataFrame): DataFrame =
+    graft.operators.Prep.admissionScreen(stream)
+      .select(col("doc_id"), col("ts"), col("reasons"), col("admitted"))
+
   def repetitionMonitor(stream: DataFrame): DataFrame = {
     import graft.functions.Text
     stream

@@ -98,6 +98,7 @@ class PlanShapeSpec extends SparkSpec {
       "chunk" -> graft.operators.Prep.chunk(spark, sf0001),
       "csplit" -> graft.operators.Prep.clusterSplit(spark, sf0001),
       "blocklist" -> graft.operators.Prep.blocklistScreen(spark, sf0001),
+      "admission" -> graft.operators.Prep.admissionAudit(spark, sf0001),
     ).foreach { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),

@@ -441,6 +441,29 @@ class PrepSpec extends SparkSpec {
     assert(got(1000L)._3 <= got(200L)._3 && got(200L)._3 <= got(50L)._3)
   }
 
+  test("admissionAudit: each rule fires alone, multi-reason docs sort tags, clean docs admit") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a perfectly ordinary clean document here", "en", "web", 40L),
+      (1L, "too short", "en", "web", 9L),                       // too_short
+      (2L, "please merge the branch into main now", "en", "web", 37L), // blocklist
+      (3L, "loop loop loop loop loop loop", "en", "web", 29L),  // repetition
+      (4L, "contact bob@example.com for the details today", "en", "web", 45L), // pii
+      // short AND blocklisted AND pii -> sorted tag list
+      (5L, "spill a@b.co", "en", "web", 12L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Prep.admissionAudit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("reasons"), r.getAs[Boolean]("admitted")))).toMap
+    assert(got(0L) === (("", true)))
+    assert(got(1L) === (("too_short", false)))
+    assert(got(2L) === (("blocklist", false)))
+    assert(got(3L) === (("repetition", false)))
+    assert(got(4L) === (("pii", false)))
+    assert(got(5L) === (("blocklist,pii,too_short", false)),
+      "multi-reason tags must be sorted and comma-joined")
+  }
+
   test("blocklistScreen: exact-token hits, phrase hits, distinct terms; no substring Scunthorpe matches") {
     import spark.implicits._
     val d = Seq(

@@ -618,6 +618,63 @@ class StreamingOpsSpec extends SparkSpec {
       "dup copies in different micro-batches must share cluster and split")
   }
 
+  test("admission gate is stateless and bit-identical to the batch q272 audit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (0L, "a perfectly ordinary clean document here"),
+      (1L, "too short"),
+      (2L, "please merge the branch into main now"),
+      (3L, "loop loop loop loop loop loop"),
+      (4L, "spill a@b.co"))
+    val mem = MemoryStream[StreamTextDoc]
+    mem.addData(texts.zipWithIndex.map { case ((id, t), i) =>
+      StreamTextDoc(id, t, ts(f"2026-01-01 00:0$i:00")) }: _*)
+    val q = StreamingOps.admissionMonitor(mem.toDF())
+      .writeStream.format("memory").queryName("admit")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("admit")
+      .select($"doc_id", $"reasons", $"admitted")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = graft.operators.Prep.admissionAudit(
+        texts.toDF("doc_id", "text")
+          .withColumn("source", org.apache.spark.sql.functions.lit("t")))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("reasons"), r.getAs[Boolean]("admitted")))).toMap
+    assert(got === batch, s"gate must equal batch q272: $got vs $batch")
+    assert(got(0L)._2 && !got(4L)._2)
+  }
+
+  test("admission gate restart: zero-state exactly-once, verdicts stable across the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-admit-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.admissionMonitor(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamTextDoc(0L, "a perfectly ordinary clean document here", ts("2026-01-01 00:00:00")),
+      StreamTextDoc(1L, "too short", ts("2026-01-01 00:01:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    mem.addData(
+      StreamTextDoc(2L, "loop loop loop loop loop loop", ts("2026-01-01 00:02:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"reasons", $"admitted")
+      .as[(Long, String, Boolean)].collect()
+    assert(got.length === 3,
+      s"each doc must emit exactly once across the restart: ${got.toSeq}")
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap.apply(2L) ===
+      (("repetition", false)),
+      "post-restart doc must carry the same verdict the batch audit gives")
+  }
+
   test("repetition monitor is stateless and bit-identical to the batch q237 profile") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
