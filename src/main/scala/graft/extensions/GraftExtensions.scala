@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FixedPointDot, FixedPointSqDist, MinGramMd5}
+import graft.functions.{FixedPointDot, FixedPointSqDist, KrWindowFp, MinGramMd5}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as native SQL functions, so `spark.sql` users get
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.fixedPointDot)
     ext.injectFunction(GraftExtensions.fixedPointSqDist)
     ext.injectFunction(GraftExtensions.minGramMd5)
+    ext.injectFunction(GraftExtensions.krWindowFp)
   }
 }
 
@@ -119,5 +120,38 @@ object GraftExtensions {
           s"min_gram_md5: k must be a constant integral expression, got ${other.sql}")
       }
       MinGramMd5(children.head, k)
+    })
+
+  /** `kr_window_fp(array<string>, k) -> array<string>`: dual Karp–Rabin
+    * rolling fingerprints ("h1:h2", mod 2^61−1) of every k-token window —
+    * the O(n) exact-substring anchor kernel.
+    */
+  val krWindowFp: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kr_window_fp"),
+    new ExpressionInfo(
+      classOf[KrWindowFp].getCanonicalName, null, "kr_window_fp",
+      "_FUNC_(words, k) - dual Karp-Rabin rolling fingerprints of every " +
+        "k-token window of a string array.",
+      "", "", "", "", "4.0.0", "", "built-in"),
+    (children: Seq[Expression]) => {
+      def bad(msg: String) = new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" -> msg), None)
+      if (children.length != 2) throw bad("kr_window_fp takes exactly 2 arguments")
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val k = children(1) match {
+        case e if e.foldable && (e.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }) =>
+          e.eval() match {
+            case null => throw bad("kr_window_fp: k must not be NULL")
+            case n: Number if n.longValue() >= 2 && n.longValue() <= Int.MaxValue =>
+              n.intValue()
+            case n => throw bad(s"kr_window_fp: k out of range [2, 2^31): $n")
+          }
+        case other => throw bad(
+          s"kr_window_fp: k must be a constant integral expression, got ${other.sql}")
+      }
+      KrWindowFp(children.head, k)
     })
 }

@@ -88,6 +88,20 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
         spark.sql("SELECT min_gram_md5(text, 0) FROM texts").collect()
       }
       assert(zero.getMessage.contains("out of range"))
+
+      // kr_window_fp: SQL surface equals the Column API kernel
+      val words = Seq(Seq("a", "b", "c", "d", "e")).toDF("w")
+      words.createOrReplaceTempView("words")
+      val krSql = spark.sql("SELECT kr_window_fp(w, 3) AS fps FROM words")
+        .collect().head.getAs[scala.collection.Seq[String]]("fps").toSeq
+      val krApi = words.select(
+        graft.functions.KrWindowFp.krWindowFp($"w", 3).as("fps"))
+        .collect().head.getAs[scala.collection.Seq[String]]("fps").toSeq
+      assert(krSql === krApi && krSql.size === 3)
+      val krBad = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT kr_window_fp(w, 1) FROM words").collect()
+      }
+      assert(krBad.getMessage.contains("out of range"))
     } finally spark.stop()
   }
 }
