@@ -20,7 +20,7 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // and builder extensions are ignored — register the same triple into
     // the live registry so the assertion holds either way
     Seq(GraftExtensions.fixedPointDot, GraftExtensions.fixedPointSqDist,
-        GraftExtensions.minGramMd5).foreach {
+        GraftExtensions.minGramMd5, GraftExtensions.krWindowFp).foreach {
       case (ident, info, builder) =>
         if (!spark.catalog.functionExists(ident.funcName)) {
           spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

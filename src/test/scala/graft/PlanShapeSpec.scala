@@ -1049,6 +1049,10 @@ class PlanShapeSpec extends SparkSpec {
     // corpus dup mass — neither may be forced through a broadcast
     assert(plan.contains("ShuffledHashJoin"), s"shuffle_hash joins:\n$plan")
     assert(!plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    // the anchor pass must ride the O(n) rolling kernel, not a
+    // per-window md5 lambda (the round-13 10×-at-100× A/B)
+    assert(plan.contains("kr_window_fp"),
+      s"anchor fingerprints must use the KR rolling kernel:\n$plan")
     // island windows partition by doc_id, bounded by per-doc dup mass
     def whole(p: SparkPlan): Seq[SparkPlan] =
       p.collect {
