@@ -38,7 +38,13 @@ object PlanDump {
     "q245_nb_confusion", "q246_score_auc", "q248_cm_freq_audit",
     "q249_zipf_slope", "q250_reciprocal_nn", "q251_cdc_chunks",
     "q252_youden_threshold", "q253_dpp_revenue", "q254_lm_affinity",
-    "q255_dup_assortativity", "q256_decile_lift")
+    "q255_dup_assortativity", "q256_decile_lift",
+    "q257_exact_substring", "q258_cdc_ingest_probe", "q259_exact_scrub",
+    "q260_chunk_flow", "q261_effective_tokens", "q262_kappa_agreement",
+    "q263_pack_sweep", "q264_cluster_split", "q265_kn_fluency",
+    "q266_shard_manifest", "q267_epoch_plan", "q268_neyman_alloc",
+    "q269_blocklist_screen", "q270_margin_pairs", "q271_centroid_outliers",
+    "q272_admission_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
