@@ -936,6 +936,11 @@ object Dedup {
       .join(dupIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= k)
+      // kernel A/B (round 13, 100× amplified docs, best-of-2 warm): raw
+      // positional trigram strings 14.82 s vs KrWindowFp 16.58 s — at
+      // k=3 the window concat is three short words and the raw string is
+      // NARROWER than the 39-char dual-KR fp, so the rolling kernel that
+      // wins q257's k=8 anchor pass (10×) loses here; the raw kernel ships
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, size(w) - 2), " +
           "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as(Seq("p0", "sh")))
