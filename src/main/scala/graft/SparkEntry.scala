@@ -300,6 +300,7 @@ object SparkEntry {
     "q270_margin_pairs" -> ((s, d) => Similarity.marginPairs(s, d)),
     "q271_centroid_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d)),
     "q272_admission_audit" -> ((s, d) => Prep.admissionAudit(s, d)),
+    "q273_signal_agreement" -> ((s, d) => Quality.signalAgreement(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6724,5 +6725,97 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, reasons, reasons = '' AS admitted
         |FROM v""".stripMargin,
+
+    // q273: Spearman-with-ties between the dup-share and inverse-fluency
+    // scores per source — exact doubled midranks (min+max row_number over
+    // each tie group), HUGEINT moments, the q268 isqrt clamp, and one
+    // positive integer division onto the 1e6 grid.
+    "q273_signal_agreement" ->
+      """WITH bgr AS (
+        |  SELECT doc_id, source, bigram, string_split(bigram, ' ')[1] AS w1
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+        |    FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 2
+        |  )
+        |), sa AS (
+        |  SELECT doc_id, source, (1000000 * dup_mass) // n_grams AS s_dup
+        |  FROM (
+        |    SELECT doc_id, source, SUM(n) AS n_grams,
+        |      SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_mass
+        |    FROM (SELECT doc_id, source, bigram, COUNT(*) AS n
+        |          FROM bgr GROUP BY 1, 2, 3)
+        |    GROUP BY 1, 2)
+        |), b2 AS (
+        |  SELECT bigram, COUNT(*) AS n12 FROM bgr GROUP BY 1
+        |), h1 AS (
+        |  SELECT w1, COUNT(*) AS n1 FROM bgr GROUP BY 1
+        |), voc AS (SELECT COUNT(*) AS v FROM h1
+        |), sb AS (
+        |  SELECT doc_id, s // nb AS s_flu FROM (
+        |    SELECT bgr.doc_id, COUNT(*) AS nb,
+        |      SUM((1000000 * (h1.n1 + voc.v)) // (b2.n12 + 1)) AS s
+        |    FROM bgr JOIN b2 USING (bigram) JOIN h1 USING (w1) CROSS JOIN voc
+        |    GROUP BY 1)
+        |), sc AS (
+        |  SELECT sa.doc_id, sa.source, sa.s_dup, sb.s_flu
+        |  FROM sa JOIN sb USING (doc_id)
+        |), ra AS (
+        |  SELECT doc_id, source, s_dup,
+        |    row_number() OVER (PARTITION BY source ORDER BY s_dup, doc_id) AS rk
+        |  FROM sc
+        |), ma AS (
+        |  SELECT source, s_dup, MIN(rk) + MAX(rk) AS a2 FROM ra GROUP BY 1, 2
+        |), rb AS (
+        |  SELECT doc_id, source, s_flu,
+        |    row_number() OVER (PARTITION BY source ORDER BY s_flu, doc_id) AS rk
+        |  FROM sc
+        |), mb AS (
+        |  SELECT source, s_flu, MIN(rk) + MAX(rk) AS b2 FROM rb GROUP BY 1, 2
+        |), mr AS (
+        |  SELECT sc.doc_id, sc.source, ma.a2, mb.b2
+        |  FROM sc JOIN ma ON ma.source = sc.source AND ma.s_dup = sc.s_dup
+        |          JOIN mb ON mb.source = sc.source AND mb.s_flu = sc.s_flu
+        |), mo AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    SUM(a2::HUGEINT) AS sa1, SUM(b2::HUGEINT) AS sb1,
+        |    SUM(a2::HUGEINT * b2) AS sab,
+        |    SUM(a2::HUGEINT * a2) AS saa,
+        |    SUM(b2::HUGEINT * b2) AS sbb
+        |  FROM mr GROUP BY 1
+        |), vv AS (
+        |  SELECT source, n,
+        |    n::HUGEINT * sab - sa1 * sb1 AS covn,
+        |    n::HUGEINT * saa - sa1 * sa1 AS vara,
+        |    n::HUGEINT * sbb - sb1 * sb1 AS varb
+        |  FROM mo
+        |), q0 AS (
+        |  SELECT *,
+        |    CAST(floor(sqrt(CAST(CAST(vara AS VARCHAR) AS DOUBLE))) AS HUGEINT) AS ra0,
+        |    CAST(floor(sqrt(CAST(CAST(varb AS VARCHAR) AS DOUBLE))) AS HUGEINT) AS rb0
+        |  FROM vv
+        |), q1 AS (
+        |  SELECT *, CASE WHEN (ra0+1)*(ra0+1) <= vara THEN ra0+1 ELSE ra0 END AS ra1,
+        |            CASE WHEN (rb0+1)*(rb0+1) <= varb THEN rb0+1 ELSE rb0 END AS rb1 FROM q0
+        |), q2 AS (
+        |  SELECT *, CASE WHEN (ra1+1)*(ra1+1) <= vara THEN ra1+1 ELSE ra1 END AS ra2,
+        |            CASE WHEN (rb1+1)*(rb1+1) <= varb THEN rb1+1 ELSE rb1 END AS rb2 FROM q1
+        |), q3 AS (
+        |  SELECT *, CASE WHEN ra2*ra2 > vara THEN ra2-1 ELSE ra2 END AS ra3,
+        |            CASE WHEN rb2*rb2 > varb THEN rb2-1 ELSE rb2 END AS rb3 FROM q2
+        |), qr AS (
+        |  SELECT source, n, covn,
+        |    CASE WHEN ra3*ra3 > vara THEN ra3-1 ELSE ra3 END AS rra,
+        |    CASE WHEN rb3*rb3 > varb THEN rb3-1 ELSE rb3 END AS rrb
+        |  FROM q3
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CASE WHEN (rra * rrb) // 1000000 > 0 THEN
+        |    CAST(CASE WHEN covn >= 0
+        |      THEN abs(covn) // ((rra * rrb) // 1000000)
+        |      ELSE -(abs(covn) // ((rra * rrb) // 1000000)) END AS BIGINT)
+        |  ELSE NULL END AS rho_micro
+        |FROM qr""".stripMargin,
   )
 }

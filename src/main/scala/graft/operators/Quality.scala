@@ -931,6 +931,122 @@ object Quality {
   def neymanAllocation(s: SparkSession, dir: String): DataFrame =
     neymanAllocation(Tables.documents(s, dir))
 
+  /** Quality-signal rank agreement (q273): per source, Spearman's rho
+    * (with ties, i.e. Pearson on MIDRANKS) between two independent
+    * "badness" signals — the duplicate-bigram share (q246's screening
+    * score) and the add-one LM inverse-fluency (q236's statistic as the
+    * per-doc exact integer `s div n_bigrams`). Curation pipelines stack
+    * filters; this is the audit that says whether two filters measure
+    * the same thing (rho → 1: the second filter is redundant) or
+    * different things (rho → 0: both earn their place). Both scores
+    * derive from ONE shared exploded-bigram relation — the corpus is
+    * read once.
+    *
+    * Exactness: midranks are exact half-integers carried DOUBLED
+    * (`mr2 = min_rank + max_rank` over a tie group); the per-source
+    * moments are DECIMAL(38,0); rho lands on the 1e6 grid as
+    * `sign(cov) · |cov_n| div ((isqrt(varA_n)·isqrt(varB_n)) div 1e6)`
+    * with the q268 exact integer sqrt — every division is positive, so
+    * Spark `div` ≡ DuckDB `//`. Moments scale as 4·n⁴ per source: exact
+    * to ~1.3e9 docs per source in DECIMAL(38,0)/HUGEINT; beyond that,
+    * rescale the rank grid (divide mr2 by a power of two) — documented,
+    * not silent.
+    *
+    * Scale: the global rank over (source, score, doc_id) rides
+    * `Advanced.bucketedPrefix` twice (once per score) with per-source
+    * offsets recovered from a |sources|-row relation (the q271 grouped
+    * rank trick — no per-source single-partition window); midrank
+    * groups aggregate on the high-cardinality (source, score) key; the
+    * final moments are one map-side-combined aggregate to |sources| rows.
+    */
+  def signalAgreement(docs: DataFrame, buckets: Int = 32): DataFrame = {
+    import graft.functions.Text
+    val dec = DecimalType(38, 0)
+    val db = Caches.track(docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.Text.bigrams(col("w"))).as("g"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1)))
+    // score A: duplicate-bigram share on the 1e6 grid (q246's screen)
+    val sa = db.groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).as("n_grams"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_mass"))
+      .select(col("doc_id"), col("source"),
+        expr("(1000000 * dup_mass) div n_grams").as("s_dup"))
+    // score B: q236's inverse-fluency as the exact integer mean
+    val bg = db.groupBy(col("g")).agg(count(lit(1)).as("n12"))
+    val heads = Caches.track(db.groupBy(col("w1")).agg(count(lit(1)).as("n1")))
+    val vocab = heads.agg(count(lit(1)).as("v"))
+    val sb = db.hint("shuffle_hash").join(bg.hint("shuffle_hash"), "g")
+      .join(heads.hint("shuffle_hash"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("inv_p_micro", expr("(1000000 * (n1 + v)) div (n12 + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("inv_p_micro").cast(dec)).as("s"))
+      .select(col("doc_id"), expr("cast(s div nb as long)").as("s_flu"))
+    val scored = Caches.track(sa.hint("shuffle_hash").join(sb, "doc_id"))
+    // exact midranks for one score column via the q271 grouped-rank trick
+    def midrank2(valueCol: String, out: String): DataFrame = {
+      val ranked = Advanced.bucketedPrefix(
+        scored.select(col("doc_id"), col("source"), col(valueCol)),
+        Seq(col("source"), col(valueCol), col("doc_id")), buckets)(
+        spec => count(lit(1)).over(
+          spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        count(lit(1)),
+        spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+        (run, off) => run + off)
+      val offs = scored.groupBy(col("source")).agg(count(lit(1)).as("ln"))
+        .withColumn("loff", coalesce(sum(col("ln")).over(
+          Window.orderBy(col("source"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("loff"))
+      val r = ranked.join(broadcast(offs), "source")
+        .withColumn("rank", col("prefix") - col("loff"))
+      val groups = r.groupBy(col("source"), col(valueCol))
+        .agg((min(col("rank")) + max(col("rank"))).as(out))
+      r.select(col("doc_id"), col("source"), col(valueCol))
+        .hint("shuffle_hash")
+        .join(groups.hint("shuffle_hash"), Seq("source", valueCol))
+        .select(col("doc_id"), col(out))
+    }
+    val mr = scored.select(col("doc_id"), col("source"))
+      .join(midrank2("s_dup", "a2"), "doc_id")
+      .join(midrank2("s_flu", "b2"), "doc_id")
+    val m = mr.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a2").cast(dec)).as("sa1"),
+        sum(col("b2").cast(dec)).as("sb1"),
+        sum((col("a2").cast(dec) * col("b2")).cast(dec)).as("sab"),
+        sum((col("a2").cast(dec) * col("a2")).cast(dec)).as("saa"),
+        sum((col("b2").cast(dec) * col("b2")).cast(dec)).as("sbb"))
+      .withColumn("covn", col("n").cast(dec) * col("sab") - col("sa1") * col("sb1"))
+      .withColumn("vara", col("n").cast(dec) * col("saa") - col("sa1") * col("sa1"))
+      .withColumn("varb", col("n").cast(dec) * col("sbb") - col("sb1") * col("sb1"))
+    def isqrtOf(c: String): Column = {
+      val r0 = floor(sqrt(col(c).cast("double"))).cast(dec)
+      val r1 = when((r0 + 1) * (r0 + 1) <= col(c), r0 + 1).otherwise(r0)
+      val r2 = when((r1 + 1) * (r1 + 1) <= col(c), r1 + 1).otherwise(r1)
+      val r3 = when(r2 * r2 > col(c), r2 - 1).otherwise(r2)
+      when(r3 * r3 > col(c), r3 - 1).otherwise(r3)
+    }
+    m.withColumn("ra", isqrtOf("vara"))
+      .withColumn("rb", isqrtOf("varb"))
+      .withColumn("denom", expr("(ra * rb) div 1000000"))
+      .select(col("source"), col("n").as("n_docs"),
+        when(col("denom") > 0,
+          when(col("covn") >= 0, expr("abs(covn) div denom"))
+            .otherwise(-expr("abs(covn) div denom")))
+          .otherwise(lit(null).cast("long")).as("rho_micro"))
+  }
+
+  def signalAgreement(s: SparkSession, dir: String): DataFrame =
+    signalAgreement(Tables.documents(s, dir))
+
   /** Calibration / reliability bins (q247): the duplicate-bigram share
     * bucketed into eleven fixed micro-grid bins (`s div 1e5`; bin 10 is
     * the exactly-1.0 scores), each with its doc count, mean score, and

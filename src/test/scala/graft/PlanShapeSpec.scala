@@ -870,6 +870,37 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q273: both midrank passes ride bucketedPrefix — global windows only over bucket totals or |sources| offsets") {
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val df = graft.operators.Quality.signalAgreement(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    val nodes = whole(df.queryExecution.executedPlan)
+    val planText = nodes.map(_.toString).mkString("\n").toLowerCase
+    assert(planText.contains("rangepartitioning"),
+      s"rank pass 1 must range-partition by (source, score, doc_id):\n$planText")
+    nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(whole(w).exists {
+          case h: HashAggregateExec =>
+            h.groupingExpressions.exists(e =>
+              e.toString.contains("bucket") || e.toString.contains("source"))
+          case _ => false
+        }, s"a global window may only read bucket totals or the " +
+          s"|sources|-row offsets:\n$w")
+      }
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q238: overlap sketches never join — two scans into k-bounded aggregates") {
     val df = graft.operators.Quality.keyOverlapSketch(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

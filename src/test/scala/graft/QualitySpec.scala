@@ -520,4 +520,70 @@ class QualitySpec extends SparkSpec {
     assert(gotC === exp, "corpus Neyman allocation diverged from the replay")
     assert(gotC.values.map(_._3).sum === 1000L)
   }
+
+  test("signalAgreement: BigInt midrank replay on the corpus; bucket-count invariant; rho on the 1e6 grid") {
+    def isqrt(m: BigInt): BigInt = {
+      if (m <= 0) BigInt(0)
+      else { var r = BigInt(math.sqrt(m.toDouble).toLong)
+        while ((r + 1) * (r + 1) <= m) r += 1
+        while (r * r > m) r -= 1
+        r }
+    }
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+    val rows = corpus.collect().toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").split(" ", -1)))
+      .filter(_._3.length >= 2)
+    val bigrams = rows.flatMap { case (id, src, w) =>
+      w.sliding(2).map(p => (id, src, p(0) + " " + p(1), p(0))).toSeq }
+    // score A: dup-bigram share on the 1e6 grid
+    val sA = bigrams.groupBy(b => (b._1, b._2)).map { case ((id, src), bs) =>
+      val cnt = bs.groupBy(_._3).map(_._2.size.toLong)
+      (id, src, 1000000L * cnt.filter(_ >= 2).sum / cnt.map(identity).sum)
+    }.toSeq
+    // score B: q236's inverse fluency as the exact integer mean
+    val n12 = bigrams.groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val n1 = bigrams.groupBy(_._4).map { case (k, v) => k -> v.size.toLong }
+    val v = n1.size.toLong
+    val sB = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val s = bs.map { b => (1000000L * (n1(b._4) + v)) / (n12(b._3) + 1L) }.sum
+      id -> s / bs.size
+    }
+    val sc = sA.map { case (id, src, a) => (id, src, a, sB(id)) }
+    def midranks(sel: ((Long, String, Long, Long)) => Long): Map[Long, Long] = {
+      sc.groupBy(_._2).flatMap { case (_, docs) =>
+        val ranked = docs.sortBy(d => (sel(d), d._1)).zipWithIndex
+          .map { case (d, i) => (d._1, sel(d), i.toLong + 1) }
+        val groups = ranked.groupBy(_._2).map { case (vv, g) =>
+          vv -> (g.map(_._3).min + g.map(_._3).max) }
+        ranked.map { case (id, vv, _) => id -> groups(vv) }
+      }
+    }
+    val a2 = midranks(_._3)
+    val b2 = midranks(_._4)
+    val exp = sc.groupBy(_._2).map { case (src, docs) =>
+      val n = BigInt(docs.size)
+      val as = docs.map(d => BigInt(a2(d._1)))
+      val bs = docs.map(d => BigInt(b2(d._1)))
+      val (sa1, sb1) = (as.sum, bs.sum)
+      val sab = docs.map(d => BigInt(a2(d._1)) * b2(d._1)).sum
+      val saa = as.map(x => x * x).sum
+      val sbb = bs.map(x => x * x).sum
+      val covn = n * sab - sa1 * sb1
+      val denom = (isqrt(n * saa - sa1 * sa1) * isqrt(n * sbb - sb1 * sb1)) / 1000000L
+      val rho = if (denom > 0) Some((covn.abs / denom).toLong * (if (covn >= 0) 1L else -1L))
+        else None
+      src -> ((docs.size.toLong, rho))
+    }
+    for (buckets <- Seq(3, 32)) {
+      val got = Quality.signalAgreement(corpus, buckets = buckets).collect()
+        .map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"),
+            Option(r.get(r.fieldIndex("rho_micro"))).map(_.asInstanceOf[Long])))).toMap
+      graft.Caches.releaseAll()
+      assert(got === exp, s"signalAgreement diverged at buckets=$buckets")
+      got.values.flatMap(_._2).foreach(rho =>
+        assert(math.abs(rho) <= 1001000L, s"rho off the unit grid: $rho"))
+    }
+  }
 }
