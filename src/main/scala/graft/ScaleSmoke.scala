@@ -370,7 +370,9 @@ object ScaleSmoke {
       // HOF distance, and the bucketedPrefix grouped rank
       timed("q271") { graft.operators.Similarity.centroidOutliers(emb) },
       // q272: four row-local rules, one text scan
-      timed("q272") { graft.operators.Prep.admissionAudit(docs) })
+      timed("q272") { graft.operators.Prep.admissionAudit(docs) },
+      // q273: one shared bigram pass + two bucketedPrefix rank passes
+      timed("q273") { graft.operators.Quality.signalAgreement(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
