@@ -372,7 +372,9 @@ object ScaleSmoke {
       // q272: four row-local rules, one text scan
       timed("q272") { graft.operators.Prep.admissionAudit(docs) },
       // q273: one shared bigram pass + two bucketedPrefix rank passes
-      timed("q273") { graft.operators.Quality.signalAgreement(docs) })
+      timed("q273") { graft.operators.Quality.signalAgreement(docs) },
+      // q274: corpus fp index (95%) + delta probe (5%), KR anchor kernel
+      timed("q274") { graft.operators.Dedup.exactSubstringProbe(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -301,6 +301,7 @@ object SparkEntry {
     "q271_centroid_outliers" -> ((s, d) => Similarity.centroidOutliers(s, d)),
     "q272_admission_audit" -> ((s, d) => Prep.admissionAudit(s, d)),
     "q273_signal_agreement" -> ((s, d) => Quality.signalAgreement(s, d)),
+    "q274_substring_probe" -> ((s, d) => Dedup.exactSubstringProbe(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6817,5 +6818,50 @@ object SparkEntry {
         |      ELSE -(abs(covn) // ((rra * rrb) // 1000000)) END AS BIGINT)
         |  ELSE NULL END AS rho_micro
         |FROM qr""".stripMargin,
+
+    // q274: token-precision ingest probe — delta docs (q258's md5 bucket
+    // >= 95) probed against the corpus window-fp index; md5 windows here
+    // vs the KR rolling kernel in Spark (independent families, same hit
+    // set); longest hit run via gaps-and-islands over hit windows.
+    "q274_substring_probe" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8
+        |), pos AS (
+        |  SELECT doc_id, bucket, i AS p,
+        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+        |  FROM (SELECT doc_id, bucket, w, unnest(range(1, len(w) - 6)) AS i FROM t)
+        |), corp AS (
+        |  SELECT DISTINCT fp FROM pos WHERE bucket < 95
+        |), probed AS (
+        |  SELECT d.doc_id, d.p, (c.fp IS NOT NULL) AS hit
+        |  FROM (SELECT * FROM pos WHERE bucket >= 95) d
+        |  LEFT JOIN corp c USING (fp)
+        |), tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_windows,
+        |    SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit
+        |  FROM probed GROUP BY 1
+        |), runs AS (
+        |  SELECT doc_id, MAX(run) AS top_run FROM (
+        |    SELECT doc_id, isl, COUNT(*) AS run FROM (
+        |      SELECT doc_id, p,
+        |        p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        |      FROM probed WHERE hit)
+        |    GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+        |  CAST(t.n_hit AS BIGINT) AS n_hit,
+        |  CAST(t.n_hit AS DOUBLE) / CAST(t.n_windows AS DOUBLE) AS hit_share,
+        |  CAST(coalesce(r.top_run, 0) AS BIGINT) AS top_run_windows,
+        |  CAST(CASE WHEN coalesce(r.top_run, 0) > 0
+        |       THEN coalesce(r.top_run, 0) + 7 ELSE 0 END AS BIGINT)
+        |    AS top_run_tokens
+        |FROM tot t LEFT JOIN runs r USING (doc_id)""".stripMargin,
   )
 }

@@ -1364,6 +1364,68 @@ object Dedup {
           .as("dup_char_share"))
   }
 
+  /** Token-precision ingest dedup probe (q274): arriving (delta) docs'
+    * k-token KR window fingerprints probed against the standing corpus's
+    * fingerprint index — the exact-substring counterpart of the
+    * byte-level CDC probe (q258): q258 answers "which BYTES of this doc
+    * already exist", this answers "which ≥k-TOKEN passages already
+    * exist", per doc: window count, hit count, hit share, and the
+    * longest CONSECUTIVE hit run in tokens (a long run = a verbatim
+    * lift from the corpus; scattered singleton hits = common phrases).
+    * The registered split is the q258 md5-bucket rule (bucket ≥ 95 is
+    * the 5% delta). The streaming twin (`StreamingOps.dupSpanMonitor`)
+    * applies the identical probe at ingest.
+    *
+    * Scale: the corpus index is one DISTINCT over the linear fp
+    * relation (built once, reused across micro-batches in the streaming
+    * twin); the probe side stays delta-sized; the run-length pass is
+    * gaps-and-islands over HIT windows only (bounded by per-doc dup
+    * mass). Anchor fingerprints ride the O(n) KR rolling kernel; the
+    * oracle probes per-window md5 instead — two independent fingerprint
+    * families must agree on the hit set.
+    */
+  def exactSubstringProbe(docs: DataFrame, k: Int = 8): DataFrame = {
+    val bucketed = Caches.track(docs
+      .withColumn("bucket", Corpus.hashBucket(col("doc_id")))
+      .select(col("doc_id"), col("text"), col("bucket")))
+    def fps(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(graft.functions.KrWindowFp.krWindowFp(col("w"), k))
+          .as(Seq("p0", "fp")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("fp"))
+    val corpusIdx = fps(bucketed.filter(col("bucket") < 95))
+      .select(col("fp")).distinct()
+      .withColumn("hit", lit(1))
+    val probed = Caches.track(fps(
+      bucketed.filter(col("bucket") >= 95)
+        .repartition(shuffleWidth(docs), col("doc_id")))
+      .hint("shuffle_hash")
+      .join(corpusIdx, Seq("fp"), "left"))
+    val totals = probed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val topRun = probed.filter(col("hit") === 1)
+      .withColumn("isl", col("p") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("top_run"))
+    totals.join(topRun, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_windows").cast("double"))
+          .as("hit_share"),
+        coalesce(col("top_run"), lit(0L)).as("top_run_windows"),
+        when(coalesce(col("top_run"), lit(0L)) > 0,
+          coalesce(col("top_run"), lit(0L)) + lit(k - 1))
+          .otherwise(0L).as("top_run_tokens"))
+  }
+
+  def exactSubstringProbe(s: SparkSession, dir: String): DataFrame =
+    exactSubstringProbe(Tables.documents(s, dir))
+
   def cdcIngestProbe(s: SparkSession, dir: String): DataFrame =
     cdcIngestProbe(Tables.documents(s, dir))
 

@@ -723,6 +723,68 @@ object StreamingOps {
           .as("dup_char_share"))
   }
 
+  /** Streaming exact-substring monitor — the continuous-ingestion twin
+    * of the batch token-precision probe (q274,
+    * `Dedup.exactSubstringProbe`): every arriving document's k-token KR
+    * window fingerprints are probed against the STATIC corpus fp index
+    * (built once, cached — the cdcChunkMonitor lifetime rule), emitting
+    * per event-time window and doc the window/hit counts, hit share,
+    * and the longest consecutive hit run — the ingest signal that
+    * catches verbatim lifts from the corpus at token precision, where
+    * the byte-level CDC monitor sees only chunk-boundary-aligned reuse.
+    *
+    * State: the windowed per-(window, doc) rollup, evicted by the
+    * watermark; the collected hit-position list is bounded by the doc's
+    * own window count (a per-doc constant, not stream history). The run
+    * length is the repetitionMonitor sorted-walk HOF over that bounded
+    * array — batch and stream share the "consecutive positions" island
+    * definition, so a replayed delta scores BIT-IDENTICALLY to q274
+    * (spec-asserted).
+    */
+  def dupSpanMonitor(
+      stream: DataFrame,
+      corpus: DataFrame,
+      k: Int = 8,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.{KrWindowFp, Text}
+    def fps(df: DataFrame, carry: Seq[String]): DataFrame = df
+      .select(col("doc_id") +: carry.map(col) :+
+        Text.words(col("text")).as("w"): _*)
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id") +: carry.map(col) :+
+        posexplode(KrWindowFp.krWindowFp(col("w"), k)).as(Seq("p0", "fp")): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        (col("p0") + 1).as("p") :+ col("fp"): _*)
+    val corpusIdx = graft.Caches.track(
+      fps(corpus, Seq.empty).select(col("fp")).distinct()
+        .withColumn("hit", lit(1)))
+    fps(stream.withWatermark("ts", watermark), Seq("ts"))
+      .join(corpusIdx, Seq("fp"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        sort_array(collect_list(when(col("hit") === 1, col("p"))))
+          .as("hits"))
+      .withColumn("top_run", expr(
+        """aggregate(
+          |  hits,
+          |  named_struct('prev', cast(null as int), 'run', 0L, 'top', 0L),
+          |  (a, x) -> if(a.prev is not null and x = a.prev + 1,
+          |    named_struct('prev', x, 'run', a.run + 1L,
+          |                 'top', greatest(a.top, a.run + 1L)),
+          |    named_struct('prev', x, 'run', 1L,
+          |                 'top', greatest(a.top, 1L))),
+          |  a -> a.top)""".stripMargin))
+      .select(col("doc_id"), col("n_windows"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_windows").cast("double"))
+          .as("hit_share"),
+        col("top_run").as("top_run_windows"),
+        when(col("top_run") > 0, col("top_run") + lit(k - 1))
+          .otherwise(0L).as("top_run_tokens"))
+  }
+
   /** Streaming count-min monitor — the continuous-ingestion twin of the
     * batch CM audit (q248, `Corpus.cmFrequencyAudit`): exact integer
     * cell sums of the same salted-hash `d × w` sketch per event-time

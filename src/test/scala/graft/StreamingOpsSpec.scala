@@ -706,6 +706,60 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(3L) === ((3L, 1.0, 1.0, true)))
   }
 
+  test("dup-span monitor scores ingest docs bit-identically to the registered q274 batch probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def bucketOf(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(4), 16) % 100
+    }
+    val corpusIds = (0L to 400L).filter(bucketOf(_) < 95).take(2)
+    val deltaIds = (0L to 400L).filter(bucketOf(_) >= 95).take(3)
+    assert(corpusIds.size === 2 && deltaIds.size === 3)
+    val passage = "one two three four five six seven eight nine ten"
+    val corpusTexts = Seq(s"$passage and some corpus only trailing words here",
+      "a wholly different second corpus document with many words")
+    val deltaTexts = Seq(
+      passage,                                      // every window hits
+      s"novel opening words never seen then $passage closes it",  // run inside
+      "completely fresh ingest text with no shared passages at all today")
+    val corpusDf = corpusIds.zip(corpusTexts).toDF("doc_id", "text")
+    val docsAll = (corpusIds.zip(corpusTexts) ++ deltaIds.zip(deltaTexts))
+      .toDF("doc_id", "text")
+
+    val mem = MemoryStream[StreamTextDoc]
+    mem.addData(deltaIds.zip(deltaTexts).zipWithIndex.map { case ((id, t), i) =>
+      StreamTextDoc(id, t, ts(f"2026-01-01 00:0$i:00")) }: _*)
+    val q = StreamingOps.dupSpanMonitor(mem.toDF(), corpusDf)
+      .writeStream.format("memory").queryName("spanmon")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.Caches.releaseAll()
+    val got = spark.table("spanmon")
+      .select($"doc_id", $"n_windows", $"n_hit", $"hit_share",
+        $"top_run_windows", $"top_run_tokens")
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+    val twin = graft.operators.Dedup.exactSubstringProbe(docsAll)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_hit"),
+          r.getAs[Double]("hit_share"), r.getAs[Long]("top_run_windows"),
+          r.getAs[Long]("top_run_tokens")))).toMap
+    graft.Caches.releaseAll()
+    assert(got === twin,
+      s"streaming probe must equal the registered q274 twin: $got vs $twin")
+    // contract anchors: the verbatim lift is one full run; novel text zero
+    assert(got(deltaIds(0))._3 === 1.0, s"verbatim doc must score 1.0: $got")
+    assert(got(deltaIds(0))._5 === 10L, "the full 10-token passage is the run")
+    assert(got(deltaIds(2))._2 === 0L && got(deltaIds(2))._4 === 0L,
+      s"novel doc must have zero hits: $got")
+    assert(got(deltaIds(1))._5 >= 10L,
+      s"the embedded passage must surface as a long run: $got")
+  }
+
   test("cdc chunk monitor scores ingest docs bit-identically to the registered q258 batch probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -758,6 +812,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(deltaIds(2))._5 === 0.0, s"novel doc must score 0.0: $got")
     assert(got(deltaIds(1))._4 > 0L,
       s"shifted copy must realign onto shared chunks: $got")
+  }
+
+  test("dup-span monitor restart: per-(window, doc) window rollup survives the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "one two three four five six seven eight with corpus tail words"))
+      .toDF("doc_id", "text")
+    val dirs = java.nio.file.Files.createTempDirectory("graft-span-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.dupSpanMonitor(mem.toDF(), corpus)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+
+    // run 1: doc 10's corpus-lifted fragment (one 8-token window, a hit)
+    mem.addData(StreamTextDoc(10L,
+      "one two three four five six seven eight", ts("2026-01-01 00:01:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    graft.Caches.releaseAll()
+
+    // run 2 (recovered): a novel fragment of the same doc in the same
+    // window must merge into the restored rollup; the late doc advances
+    // the watermark so the window finalizes
+    mem.addData(
+      StreamTextDoc(10L,
+        "totally novel ingest fragment never seen anywhere before",
+        ts("2026-01-01 00:05:00")),
+      StreamTextDoc(50L,
+        "one two three four five six seven eight", ts("2026-01-01 01:30:00")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    graft.Caches.releaseAll()
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"n_windows", $"n_hit", $"top_run_windows",
+        $"top_run_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // doc 10 across BOTH runs: two single-window fragments, one hit,
+    // longest run 1 window = 8 tokens
+    assert(got === Set((10L, 2L, 1L, 1L, 8L)),
+      s"doc 10 must merge fragments across the restart: $got")
   }
 
   test("cdc chunk monitor restart: per-(window, doc) byte rollup survives the checkpoint") {
