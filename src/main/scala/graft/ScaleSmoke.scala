@@ -374,7 +374,12 @@ object ScaleSmoke {
       // q273: one shared bigram pass + two bucketedPrefix rank passes
       timed("q273") { graft.operators.Quality.signalAgreement(docs) },
       // q274: corpus fp index (95%) + delta probe (5%), KR anchor kernel
-      timed("q274") { graft.operators.Dedup.exactSubstringProbe(docs) })
+      timed("q274") { graft.operators.Dedup.exactSubstringProbe(docs) },
+      // q275: the q250/q270 scaled-planes contract
+      timed("q275") {
+        val planes = 8 + math.round(math.log(mult.toDouble) / math.log(2.0)).toInt
+        graft.operators.Similarity.hardNegatives(emb, nPlanes = planes, dims = 64)
+      })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -302,6 +302,7 @@ object SparkEntry {
     "q272_admission_audit" -> ((s, d) => Prep.admissionAudit(s, d)),
     "q273_signal_agreement" -> ((s, d) => Quality.signalAgreement(s, d)),
     "q274_substring_probe" -> ((s, d) => Dedup.exactSubstringProbe(s, d)),
+    "q275_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6863,5 +6864,47 @@ object SparkEntry {
         |       THEN coalesce(r.top_run, 0) + 7 ELSE 0 END AS BIGINT)
         |    AS top_run_tokens
         |FROM tot t LEFT JOIN runs r USING (doc_id)""".stripMargin,
+
+    // q275: hard negatives — the q250 LSH + fixed-point-cosine chain,
+    // band-filtered on the 1e6 grid, per-anchor top-3 by row_number.
+    "q275_hard_negatives" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 8) tp(p), range(1, 65) ti(i)
+        |), proj AS (
+        |  SELECT e.vec_id, hp.p,
+        |    CASE WHEN SUM(CAST(floor(CAST(e.embedding[hp.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * hp.s) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM embeddings e, hp GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+        |), cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), cos AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    CAST(floor(1e6 *
+        |      CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) /
+        |      (sqrt(CAST(SUM(CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(ea.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE)) *
+        |       sqrt(CAST(SUM(CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(eb.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE)))) AS BIGINT) AS cos_micro
+        |  FROM cand c
+        |  JOIN embeddings ea ON c.vec_a = ea.vec_id
+        |  JOIN embeddings eb ON c.vec_b = eb.vec_id,
+        |  LATERAL (SELECT unnest(range(1, len(ea.embedding) + 1)) AS i) t
+        |  GROUP BY 1, 2
+        |), band AS (
+        |  SELECT * FROM cos WHERE cos_micro >= 300000 AND cos_micro < 900000
+        |), directed AS (
+        |  SELECT vec_a AS anchor, vec_b AS negative, cos_micro FROM band
+        |  UNION ALL
+        |  SELECT vec_b, vec_a, cos_micro FROM band
+        |)
+        |SELECT anchor, negative, cos_micro, CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT anchor, negative, cos_micro,
+        |    row_number() OVER (PARTITION BY anchor
+        |      ORDER BY cos_micro DESC, negative ASC) AS rank
+        |  FROM directed)
+        |WHERE rank <= 3""".stripMargin,
   )
 }

@@ -1383,6 +1383,53 @@ object Similarity {
   def centroidOutliers(s: SparkSession, dir: String): DataFrame =
     centroidOutliers(Tables.embeddings(s, dir))
 
+  /** Hard-negative mining (q275): for every anchor vector, its top-k
+    * most-similar candidates inside a similarity BAND — close enough to
+    * be confusable (`cos ≥ lo`), not so close they are duplicates
+    * (`cos < hi`, the near-dup cutoff). These (anchor, hard-negative)
+    * pairs are the contrastive-training fuel embedding models are
+    * fine-tuned on: random negatives are trivially separable and teach
+    * nothing; band-mined ones sit on the decision boundary. The hi
+    * cutoff matters as much as lo — a duplicate mined as a "negative"
+    * is a poisoned label (it IS the anchor's positive).
+    *
+    * Exactness: the fixed-point cosine on the 1e6 grid (the q270
+    * convention), per-anchor rank by (cos_micro desc, negative id) —
+    * fully deterministic. Scale: candidates from the banded-LSH bucket
+    * join (never all-pairs); the per-anchor top-k is one partitioned
+    * window over the band-filtered candidate edges (bounded per anchor
+    * by construction).
+    */
+  def hardNegatives(emb: DataFrame, nPlanes: Int = 8, dims: Int = 64,
+      loMicro: Long = 300000L, hiMicro: Long = 900000L,
+      k: Int = 3): DataFrame = {
+    val sig = prepared(emb)
+      .withColumn("bucket", Vectors.lshBucketF(col("embedding"), nPlanes, dims))
+    val pairs = sig.as("a").hint("shuffle_hash")
+      .join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        floor(Vectors.cosineFromParts(
+          FixedPoint.dotF(col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2")) * 1e6).cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= loMicro && col("cos_micro") < hiMicro)
+    val directed = pairs
+      .select(col("va").as("anchor"), col("vb").as("negative"), col("cos_micro"))
+      .unionAll(pairs
+        .select(col("vb").as("anchor"), col("va").as("negative"), col("cos_micro")))
+    val byAnchor = Window.partitionBy(col("anchor"))
+      .orderBy(col("cos_micro").desc, col("negative"))
+    directed
+      .withColumn("rank", row_number().over(byAnchor))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("negative"), col("cos_micro"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  def hardNegatives(s: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.embeddings(s, dir))
+
   /** IVF recall audit (q235): per-query recall@k of the trained-IVF
     * probe (q61) against the exact brute-force top-k (q24) — the q200
     * discipline applied to the ANN index: an approximate index ships

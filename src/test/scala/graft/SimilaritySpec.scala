@@ -865,4 +865,31 @@ class SimilaritySpec extends SparkSpec {
       assert(gotC.size === exp.size)
     }
   }
+
+  test("hardNegatives equals the band-filtered top-k recompute; duplicates never leak into the negatives") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val pairs = Similarity.nearDupLsh(emb, nPlanes = 8, threshold = -2.0, dims = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        math.floor(r.getAs[Double]("cosine") * 1e6).toLong))
+    graft.Caches.releaseAll()
+    val band = pairs.filter(p => p._3 >= 300000L && p._3 < 900000L)
+    val directed = band.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val exp = directed.groupBy(_._1).toSeq.flatMap { case (anchor, es) =>
+      es.toSeq.sortBy(e => (-e._3, e._2)).take(3).zipWithIndex
+        .map { case ((_, neg, c), i) => (anchor, neg, c, i.toLong + 1) }
+    }.toSet
+    val got = Similarity.hardNegatives(emb).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("negative"),
+        r.getAs[Long]("cos_micro"), r.getAs[Long]("rank"))).toSet
+    graft.Caches.releaseAll()
+    assert(got === exp, "hard negatives diverged from the recompute")
+    assert(got.nonEmpty, "sf0.001 must mine at least one hard negative")
+    // the poisoned-label guard: nothing at or above the near-dup cutoff
+    assert(got.forall(_._3 < 900000L), s"a duplicate leaked into the negatives")
+    assert(got.forall(_._3 >= 300000L), s"a trivial negative leaked in")
+    // per-anchor cap holds
+    got.groupBy(_._1).foreach { case (a, es) =>
+      assert(es.size <= 3, s"anchor $a mined ${es.size} > k negatives") }
+  }
 }
