@@ -379,6 +379,12 @@ object ScaleSmoke {
       timed("q275") {
         val planes = 8 + math.round(math.log(mult.toDouble) / math.log(2.0)).toInt
         graft.operators.Similarity.hardNegatives(emb, nPlanes = planes, dims = 64)
+      },
+      // q276: the erase rewrites <= |victims| bucket dirs of the
+      // write-once layout; the audit is two pruned-friendly aggregates
+      timed("q276") {
+        graft.operators.Warehouse.gdprEraseOf(
+          spark, orders, s"scale_${sfTag}_v${ampVersion}_${mult}x")
       })
 
     val qs = times.filter(_._2 >= 0)

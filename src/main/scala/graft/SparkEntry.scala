@@ -303,6 +303,7 @@ object SparkEntry {
     "q273_signal_agreement" -> ((s, d) => Quality.signalAgreement(s, d)),
     "q274_substring_probe" -> ((s, d) => Dedup.exactSubstringProbe(s, d)),
     "q275_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q276_gdpr_erase" -> ((s, d) => Warehouse.gdprErase(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6906,5 +6907,35 @@ object SparkEntry {
         |      ORDER BY cos_micro DESC, negative ASC) AS rank
         |  FROM directed)
         |WHERE rank <= 3""".stripMargin,
+
+    // q276: the erase audit recomputed from the RAW orders relation —
+    // the Spark side reads the physically-rewritten target table, so a
+    // lost row, leaked victim, or clobbered untouched partition all
+    // hash-mismatch here. Victims: five smallest distinct custkeys with
+    // md5 bucket < 10 (the q258 bucket rule on custkey).
+    "q276_gdpr_erase" ->
+      """WITH b AS (
+        |  SELECT o_custkey,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(o_custkey AS VARCHAR)), 4, 1)) - 1) ) % 100 AS cust_bucket
+        |  FROM orders
+        |), v AS (
+        |  SELECT o_custkey FROM (SELECT DISTINCT o_custkey, cust_bucket FROM b)
+        |  WHERE cust_bucket < 10 ORDER BY o_custkey LIMIT 5
+        |), vb AS (
+        |  SELECT DISTINCT cust_bucket FROM b WHERE o_custkey IN (SELECT o_custkey FROM v)
+        |), agg AS (
+        |  SELECT cust_bucket, COUNT(*) AS rows_before,
+        |    SUM(CASE WHEN o_custkey IN (SELECT o_custkey FROM v) THEN 1 ELSE 0 END) AS erased
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT cust_bucket, CAST(rows_before AS BIGINT) AS rows_before,
+        |  CAST(rows_before - erased AS BIGINT) AS rows_after,
+        |  CAST(erased AS BIGINT) AS erased,
+        |  cust_bucket IN (SELECT cust_bucket FROM vb) AS rewritten,
+        |  CAST(0 AS BIGINT) AS residual_victims
+        |FROM agg""".stripMargin,
   )
 }
