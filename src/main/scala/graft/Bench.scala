@@ -168,7 +168,11 @@ object Bench {
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] full dump skipped: $e") }
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${timed.size},"queries":$qs$omitPart$errsPart,"sf":"$sfDir"}""")
+    // "full" names the tracked file carrying the COMPLETE per-query map
+    // (the stdout map is budget-bounded; see above). The driver commits
+    // leftover changes each round, so the full driver-run map lands in the
+    // tree as BENCH_FULL.json — per-query gates are auditable from there.
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n_queries":${timed.size},"full":"BENCH_FULL.json","queries":$qs$omitPart$errsPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5986,7 +5986,10 @@ object SparkEntry {
 
     // q254: per-source bigram LMs cross-scored on a salted-md5 doc
     // sample — the q236 micro grid with the monitor's left-join unseen
-    // pricing, |sources|^2 cells out.
+    // pricing, |sources|^2 cells out. Round 14: the sample predicate is
+    // the fixed-probe-BUDGET contract (8 md5 hex digits mod 1e6 <
+    // 200000 ppm — absolute probe mass), matching lmAffinityBudget;
+    // the fraction-pinned 4-digit path is package-private now.
     "q254_lm_affinity" ->
       """WITH bgr AS (
         |  SELECT doc_id, source, bigram, string_split(bigram, ' ')[1] AS w1
@@ -6004,10 +6007,14 @@ object SparkEntry {
         |  SELECT lm, COUNT(*) AS v FROM h1 GROUP BY 1
         |), samp AS (
         |  SELECT * FROM bgr WHERE
-        |    ( (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) ) % 100 < 20
+        |    ( (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5('aff|' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1) ) % 1000000 < 200000
         |), sc AS (
         |  SELECT s.source, l.lm, COUNT(*) AS n_bigrams,
         |    SUM((1000000 * (COALESCE(h1.n1, 0) + l.v)) // (COALESCE(b2.n12, 0) + 1)) AS sp

@@ -100,6 +100,15 @@ object KrWindowFp {
     r
   }
 
+  /** Hash assigned to a NULL array element. kr_window_fp is registered as
+    * a public SQL function, so `kr_window_fp(array('a', NULL, 'b'), 2)`
+    * must not NPE a task: a null token hashes to this fixed sentinel
+    * (collision odds with a real token's 48-bit md5 prefix: 2⁻⁴⁸ per
+    * distinct token — the same class of risk the hash already carries).
+    * Word arrays produced by `split()` never contain nulls, so the
+    * registered queries never see this path. */
+  val NullTokenHash: Long = 0x6E756C6C5F30L // "null_0" in ASCII, < 2^48
+
   /** 48-bit token hash: integer value of the first 12 hex chars of
     * md5(token) — i.e. the first 6 digest bytes, big-endian. */
   def tokenHash(md: MessageDigest, t: UTF8String): Long = {
@@ -119,7 +128,8 @@ object KrWindowFp {
     val t = new Array[Long](n)
     var i = 0
     while (i < n) {
-      t(i) = tokenHash(md, words.getUTF8String(i))
+      val w = words.getUTF8String(i)
+      t(i) = if (w == null) NullTokenHash else tokenHash(md, w)
       i += 1
     }
     val m = n - k + 1

@@ -1575,7 +1575,20 @@ object Corpus {
     * (lm, bigram)/(lm, head) composite keys (both sides corpus-scaled,
     * never broadcast); the output is a bounded |sources|² table.
     */
-  def lmAffinity(docs: DataFrame, samplePct: Int = 20): DataFrame =
+  def lmAffinity(docs: DataFrame): DataFrame =
+    lmAffinityBudget(docs, 200000L)
+
+  /** FRACTION-PINNED variant — the operator's documented parameter trap,
+    * deliberately NOT public: a pct-pinned sample ×|sources| probing
+    * linearly-growing models measured scale exponent ~1.5 at 10/30/100×
+    * (6.1/31.8/202.7 s, SCALE_r13), all of it spill in the two
+    * shuffle_hash scoring joins. Kept package-private solely so
+    * CorpusSpec can replay the hand-computed 2×2 matrix at 100% and the
+    * full-budget ≡ full-pct equivalence; every production path
+    * ([[lmAffinity]], SparkEntry q254, ScaleSmoke) rides
+    * [[lmAffinityBudget]], whose probe mass is absolute. */
+  private[graft] def lmAffinityFractionPinned(
+      docs: DataFrame, samplePct: Int): DataFrame =
     lmAffinityImpl(docs,
       conv(substring(md5(concat(lit("aff|"), col("doc_id").cast("string"))),
         1, 4), 16, 10).cast("long") % 100 < samplePct)
@@ -1591,8 +1604,11 @@ object Corpus {
     * scale exponent at 10/30/100× (6.1/31.8/202.7 s, SCALE_r13), all of
     * it spill in the two shuffle_hash scoring joins; the fixed budget
     * restores the model side (one corpus pass) as the scaling term.
-    * The pct path is kept bit-identical (different hash width ⇒
-    * different doc set) so q254's oracle/pins stay valid.
+    * Since round 14 this IS the only public path ([[lmAffinity]]
+    * delegates here at 200 000 ppm = 20% of the 1× corpus); the
+    * fraction-pinned overload is package-private
+    * ([[lmAffinityFractionPinned]]) so the trap cannot be reached by
+    * default.
     */
   def lmAffinityBudget(docs: DataFrame, sampleMicro: Long): DataFrame =
     lmAffinityImpl(docs,

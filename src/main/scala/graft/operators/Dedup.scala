@@ -1515,10 +1515,6 @@ object Dedup {
     *     documents — decided per fingerprint by `min(doc_id) ≠
     *     max(doc_id)` in one map-side-combined aggregate (no
     *     countDistinct, no pair join);
-    *  2. a fingerprint is SHARED iff it occurs in ≥ 2 distinct
-    *     documents — decided per fingerprint by `min(doc_id) ≠
-    *     max(doc_id)` in one map-side-combined aggregate (no
-    *     countDistinct, no pair join);
     *  3. a token is duplicated iff some shared window covers it, so
     *     per-doc coverage is the interval union of `[p, p+k-1]` over
     *     shared positions `p`: classic gaps-and-islands — a new span

@@ -969,12 +969,33 @@ object Warehouse {
     // erased anything). Hence: drop the catalog entry, DELETE the
     // partition directory, then append the cleaned rows. The collect is
     // the bounded forget-request itself (≤ |victims| rows).
+    //
+    // Recovery contract (non-atomic by design): drop+delete+append is not
+    // transactional — a crash between the delete and the append leaves the
+    // affected buckets' NON-victim rows missing from the target. That state
+    // is (a) detectable — the audit's rows_before/rows_after gap exceeds
+    // the victim count — and (b) recoverable by RE-RUNNING the erase, since
+    // the source table is never mutated and the operation is idempotent.
+    // Erring on the side of missing non-victim rows is the correct failure
+    // direction for a compliance erase (the alternative — victim bytes
+    // surviving — is the unrecoverable one). A failed DELETE, by contrast,
+    // must fail FAST: an existing partition directory that cannot be
+    // removed means the victim's bytes are still on disk, and continuing
+    // to the append would re-register them as live data.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     affected.collect().map(_.getLong(0)).foreach { b =>
       s.sql(s"ALTER TABLE $tgt DROP IF EXISTS PARTITION (cust_bucket=$b)")
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${tablePath(tok, "orders_gdpr_tgt")}/cust_bucket=$b"), true)
+      val dir = new org.apache.hadoop.fs.Path(
+        s"${tablePath(tok, "orders_gdpr_tgt")}/cust_bucket=$b")
+      // delete()=false with the path still present = deletion FAILURE
+      // (false on a missing path is fine: an erased-to-empty bucket has no
+      // directory on a re-run). Fail before the append re-registers stale
+      // victim files.
+      if (!fs.delete(dir, true) && fs.exists(dir))
+        throw new java.io.IOException(
+          s"gdprErase: failed to delete partition directory $dir — " +
+            "victim bytes still on disk; aborting before append")
     }
     s.table(src)
       .join(broadcast(affected), Seq("cust_bucket"), "left_semi")

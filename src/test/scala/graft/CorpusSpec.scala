@@ -804,7 +804,7 @@ class CorpusSpec extends SparkSpec {
       (2L, "z z", "en", "webby", 3L),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     for (parts <- Seq(1, 3)) {
-      val got = Corpus.lmAffinity(docs.repartition(parts), samplePct = 100)
+      val got = Corpus.lmAffinityFractionPinned(docs.repartition(parts), samplePct = 100)
         .collect()
         .map(r => (r.getAs[String]("source"), r.getAs[String]("lm")) ->
           ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_p")))).toMap
@@ -818,7 +818,7 @@ class CorpusSpec extends SparkSpec {
 
   test("lmAffinityBudget at a full budget is bit-identical to the full-population pct path") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
-    val pct = Corpus.lmAffinity(docs, samplePct = 100).collect()
+    val pct = Corpus.lmAffinityFractionPinned(docs, samplePct = 100).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_inv_p")))).toMap
     graft.Caches.releaseAll()

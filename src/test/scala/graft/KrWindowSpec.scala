@@ -68,6 +68,28 @@ class KrWindowSpec extends SparkSpec {
     assert(df.collect().head.getAs[scala.collection.Seq[String]]("fps").size === 4)
   }
 
+  test("null array elements hash as the sentinel token instead of NPEing the task") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // kr_window_fp is a PUBLIC SQL function (GraftExtensions): a user
+    // query with a NULL element must not crash the job (the round-13
+    // advisor finding). Literal array with a typed null, k=2.
+    val viaExpr = spark.range(1).select(KrWindowFp.krWindowFp(
+      array(lit("a"), lit(null).cast("string"), lit("b")), 2).as("fps"))
+      .collect().head.getAs[scala.collection.Seq[String]]("fps")
+    assert(viaExpr.size === 2, "3 tokens, k=2 => 2 windows even with a null")
+    // the sentinel is deterministic: two docs with nulls at the same
+    // positions fingerprint identically; a null is NOT the empty string
+    val df = Seq(
+      (0L, Seq("a", null, "b")), (1L, Seq("a", null, "b")),
+      (2L, Seq("a", "", "b"))).toDF("id", "w")
+      .select($"id", KrWindowFp.krWindowFp($"w", 2).as("fps"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("fps").toSeq).toMap
+    assert(got(0L) === got(1L), "null sentinel must be deterministic")
+    assert(got(0L) !== got(2L), "null must not collide with the empty string")
+  }
+
   test("mulmod/powmod agree with BigInt across edge magnitudes") {
     val m = BigInt(KrWindowFp.M)
     val rnd = new scala.util.Random(7L)

@@ -1148,8 +1148,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q254: cross-LM scoring joins are shuffle_hash on composite keys, the lm list broadcasts") {
-    val df = graft.operators.Corpus.lmAffinity(
-      graft.sources.Tables.documents(spark, sf0001))
+    val df = graft.operators.Corpus.lmAffinityBudget(
+      graft.sources.Tables.documents(spark, sf0001), 200000L)
     val plan = df.queryExecution.executedPlan.toString
     val (bhj, shj) = initialJoins(df)
     assert(shj >= 2,
