@@ -952,71 +952,114 @@ object Quality {
     * rescale the rank grid (divide mr2 by a power of two) — documented,
     * not silent.
     *
-    * Scale: the global rank over (source, score, doc_id) rides
-    * `Advanced.bucketedPrefix` twice (once per score) with per-source
-    * offsets recovered from a |sources|-row relation (the q271 grouped
-    * rank trick — no per-source single-partition window); midrank
-    * groups aggregate on the high-cardinality (source, score) key; the
-    * final moments are one map-side-combined aggregate to |sources| rows.
+    * Scale: the global rank over (signal, source, score, doc_id) rides
+    * `Advanced.bucketedPrefix` ONCE over both signals stacked (2n rows,
+    * one range shuffle) with per-(signal, source) offsets recovered
+    * from a 2|sources|-row relation (the q271 grouped rank trick — no
+    * per-source single-partition window); midrank groups aggregate on
+    * the high-cardinality (signal, source, score) key; one pivot
+    * aggregate lands both midranks on the doc row; the final moments
+    * are one map-side-combined aggregate to |sources| rows.
     */
   def signalAgreement(docs: DataFrame, buckets: Int = 32): DataFrame = {
     import graft.functions.Text
     val dec = DecimalType(38, 0)
-    val db = Caches.track(docs
+    // ONE explode pass, immediately collapsed to distinct (doc, bigram)
+    // pairs with occurrence counts — the round-14 cut. Everything both
+    // scores need is derivable from this relation: the LM's bigram
+    // counts (n12 = Σ_docs n), head counts (n1 = Σ_types n12), the
+    // dup-share numerator (pairs with n ≥ 2), and the per-doc fluency
+    // sum (Σ n·inv_p — occurrences of the same bigram in the same doc
+    // share one inv_p). The previous shape scored PER OCCURRENCE: the
+    // (g, w1) model joins carried every bigram token in the corpus;
+    // this one carries only distinct pairs (~0.6× rows at sf0.1, and
+    // the gap widens with duplication — exactly the corpora this audit
+    // targets). Results are bit-identical: the oracle is unchanged.
+    // doc_id repartition + bg cache were A/B'd against a no-repartition
+    // and an uncached-types variant at 10×/100× (round 14): at sf0.1 the
+    // stripped variant reads ~0.5 s faster (pure stage-count overhead),
+    // but at 100× this shape wins 13.7 s vs 16.3–20.7 s — the text
+    // shuffle co-locates every per-doc aggregate and the types cache
+    // spares two extra passes over the pair relation. Scale wins.
+    val dg = Caches.track(docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"),
         explode(graft.functions.Text.bigrams(col("w"))).as("g"))
-      .withColumn("w1", element_at(split(col("g"), " "), 1)))
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("n")))
     // score A: duplicate-bigram share on the 1e6 grid (q246's screen)
-    val sa = db.groupBy(col("doc_id"), col("source"), col("g"))
-      .agg(count(lit(1)).as("n"))
+    val sa = dg
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("n")).as("n_grams"),
         sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_mass"))
       .select(col("doc_id"), col("source"),
         expr("(1000000 * dup_mass) div n_grams").as("s_dup"))
-    // score B: q236's inverse-fluency as the exact integer mean
-    val bg = db.groupBy(col("g")).agg(count(lit(1)).as("n12"))
-    val heads = Caches.track(db.groupBy(col("w1")).agg(count(lit(1)).as("n1")))
+    // score B: q236's inverse-fluency as the exact integer mean. The
+    // whole model rolls up the TYPE ladder: pair counts → bigram types
+    // (n12 = Σ_docs n) → heads (n1 = Σ_types n12) → vocab (|heads|), so
+    // each aggregate shuffles one level SMALLER than the last, and
+    // inv_p is priced once per bigram TYPE — the pair relation then
+    // takes a single g-keyed join instead of the former two (g, then
+    // w1) pair-sized shuffles
+    val bg = Caches.track(dg.groupBy(col("g")).agg(sum(col("n")).as("n12"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1)))
+    val heads = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     val vocab = heads.agg(count(lit(1)).as("v"))
-    val sb = db.hint("shuffle_hash").join(bg.hint("shuffle_hash"), "g")
+    val typeScore = bg.hint("shuffle_hash")
       .join(heads.hint("shuffle_hash"), "w1")
       .crossJoin(broadcast(vocab))
-      .withColumn("inv_p_micro", expr("(1000000 * (n1 + v)) div (n12 + 1)"))
+      .select(col("g"),
+        expr("(1000000 * (n1 + v)) div (n12 + 1)").as("inv_p_micro"))
+    val sb = dg.hint("shuffle_hash").join(typeScore.hint("shuffle_hash"), "g")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nb"),
-        sum(col("inv_p_micro").cast(dec)).as("s"))
+      .agg(sum(col("n")).as("nb"),
+        sum((col("n").cast(dec) * col("inv_p_micro")).cast(dec)).as("s"))
       .select(col("doc_id"), expr("cast(s div nb as long)").as("s_flu"))
     val scored = Caches.track(sa.hint("shuffle_hash").join(sb, "doc_id"))
-    // exact midranks for one score column via the q271 grouped-rank trick
-    def midrank2(valueCol: String, out: String): DataFrame = {
-      val ranked = Advanced.bucketedPrefix(
-        scored.select(col("doc_id"), col("source"), col(valueCol)),
-        Seq(col("source"), col(valueCol), col("doc_id")), buckets)(
-        spec => count(lit(1)).over(
-          spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        count(lit(1)),
-        spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
-        (run, off) => run + off)
-      val offs = scored.groupBy(col("source")).agg(count(lit(1)).as("ln"))
-        .withColumn("loff", coalesce(sum(col("ln")).over(
-          Window.orderBy(col("source"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("source"), col("loff"))
-      val r = ranked.join(broadcast(offs), "source")
-        .withColumn("rank", col("prefix") - col("loff"))
-      val groups = r.groupBy(col("source"), col(valueCol))
-        .agg((min(col("rank")) + max(col("rank"))).as(out))
-      r.select(col("doc_id"), col("source"), col(valueCol))
-        .hint("shuffle_hash")
-        .join(groups.hint("shuffle_hash"), Seq("source", valueCol))
-        .select(col("doc_id"), col(out))
-    }
-    val mr = scored.select(col("doc_id"), col("source"))
-      .join(midrank2("s_dup", "a2"), "doc_id")
-      .join(midrank2("s_flu", "b2"), "doc_id")
+    // exact midranks via the q271 grouped-rank trick, BOTH signals in
+    // ONE bucketedPrefix pass (round 14): the two score columns stack
+    // into a (sig, source, v) relation of 2n rows ranked by the single
+    // total order (sig, source, v, doc_id) — one range shuffle instead
+    // of two — and the per-(sig, source) offsets come from the same
+    // |sources|-row counts, doubled. The former shape joined each
+    // midrank back to the doc list separately (three doc-keyed joins);
+    // here one (sig, source, v)-keyed join attaches the tie-group
+    // midranks and one pivot aggregate lands a2/b2 on the doc row.
+    val stacked = scored
+      .select(col("doc_id"), col("source"), lit("a").as("sig"),
+        col("s_dup").as("v"))
+      .unionByName(scored.select(col("doc_id"), col("source"),
+        lit("b").as("sig"), col("s_flu").as("v")))
+    val ranked = Advanced.bucketedPrefix(
+      stacked, Seq(col("sig"), col("source"), col("v"), col("doc_id")),
+      buckets)(
+      spec => count(lit(1)).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      count(lit(1)),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+    // both signals rank the same doc population, so per-source counts
+    // serve both sig blocks; the 2|sources|-row window is the pinned
+    // "offsets only" global window
+    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("ln"))
+    val offs = counts.select(lit("a").as("sig"), col("source"), col("ln"))
+      .unionByName(counts.select(lit("b").as("sig"), col("source"), col("ln")))
+      .withColumn("loff", coalesce(sum(col("ln")).over(
+        Window.orderBy(col("sig"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("sig"), col("source"), col("loff"))
+    val r = ranked.join(broadcast(offs), Seq("sig", "source"))
+      .withColumn("rank", col("prefix") - col("loff"))
+    val groups = r.groupBy(col("sig"), col("source"), col("v"))
+      .agg((min(col("rank")) + max(col("rank"))).as("mr2"))
+    val mr = r.select(col("doc_id"), col("source"), col("sig"), col("v"))
+      .hint("shuffle_hash")
+      .join(groups.hint("shuffle_hash"), Seq("sig", "source", "v"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(when(col("sig") === "a", col("mr2"))).as("a2"),
+        max(when(col("sig") === "b", col("mr2"))).as("b2"))
     val m = mr.groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(col("a2").cast(dec)).as("sa1"),

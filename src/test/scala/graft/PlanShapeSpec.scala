@@ -870,7 +870,7 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q273: both midrank passes ride bucketedPrefix — global windows only over bucket totals or |sources| offsets") {
+  test("q273: the stacked midrank pass rides one bucketedPrefix — global windows only over bucket totals or 2|sources| offsets") {
     def whole(p: SparkPlan): Seq[SparkPlan] =
       p.collect {
         case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
