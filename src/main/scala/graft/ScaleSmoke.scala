@@ -385,7 +385,11 @@ object ScaleSmoke {
       timed("q276") {
         graft.operators.Warehouse.gdprEraseOf(
           spark, orders, s"scale_${sfTag}_v${ampVersion}_${mult}x")
-      })
+      },
+      // q277: per-doc codec+dHash is the linear term (partition-local);
+      // candidates stay band-bucketed — planted twins grow with the
+      // copies, cross-copy images never pair (distinct base gradients)
+      timed("q277") { graft.operators.Multimodal.imageDHashDups(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

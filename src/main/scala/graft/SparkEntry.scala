@@ -304,6 +304,7 @@ object SparkEntry {
     "q274_substring_probe" -> ((s, d) => Dedup.exactSubstringProbe(s, d)),
     "q275_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q276_gdpr_erase" -> ((s, d) => Warehouse.gdprErase(s, d)),
+    "q277_image_dhash_dups" -> ((s, d) => Multimodal.imageDHashDups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6944,5 +6945,61 @@ object SparkEntry {
         |  cust_bucket IN (SELECT cust_bucket FROM vb) AS rewritten,
         |  CAST(0 AS BIGINT) AS residual_victims
         |FROM agg""".stripMargin,
+
+    // q277: image perceptual-hash near-dup. The Spark side synthesizes
+    // real PNGs (docs ≡ 3 mod 17 carry a +6-brightness mod-256 re-encode
+    // of doc_id-1's image), decodes them, and dHashes the decoded
+    // pixels; the oracle rebuilds the SAME hashes from the closed-form
+    // pixel function (PNG is lossless), then replays the 4×16-bit
+    // Hamming-band LSH and the bit_count verify. A hash match therefore
+    // proves the whole codec→hash→band→verify chain.
+    "q277_image_dhash_dups" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 1 AND doc_id % 17 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    (doc_id >= 1 AND doc_id % 17 = 3) AS planted
+        |  FROM documents
+        |), dims AS (
+        |  SELECT doc_id, base, planted,
+        |    16 + base % 48 AS w, 16 + (base * 7) % 48 AS h
+        |  FROM ids
+        |), px AS (
+        |  SELECT d.doc_id,
+        |    (9 * x.x + 8) // d.w AS ci, (8 * y.y + 7) // d.h AS cj,
+        |    ( (CASE WHEN d.planted THEN ((x.x*31 + y.y*17 + d.base) % 256 + 6) % 256
+        |            ELSE (x.x*31 + y.y*17 + d.base) % 256 END)
+        |    + (CASE WHEN d.planted THEN ((x.x*13 + y.y*29 + d.base*3) % 256 + 6) % 256
+        |            ELSE (x.x*13 + y.y*29 + d.base*3) % 256 END)
+        |    + (CASE WHEN d.planted THEN ((x.x*7 + y.y*11 + d.base*5) % 256 + 6) % 256
+        |            ELSE (x.x*7 + y.y*11 + d.base*5) % 256 END) ) // 3 AS gray
+        |  FROM dims d, range(0, 63) x(x), range(0, 63) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h
+        |), cells AS (
+        |  SELECT doc_id, ci, cj, SUM(gray) // COUNT(*) AS cv
+        |  FROM px GROUP BY 1, 2, 3
+        |), bits AS (
+        |  SELECT a.doc_id, a.cj * 8 + a.ci AS pos
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.cj = a.cj AND b.ci = a.ci + 1
+        |  WHERE a.ci <= 7 AND b.cv > a.cv
+        |), hashes AS (
+        |  -- the SUM is HUGEINT; cast back to the signed-64 domain or a
+        |  -- negative hash drags 64 sign-extension bits into bit_count
+        |  SELECT i.doc_id, CAST(COALESCE(s.hsh, 0) AS BIGINT) AS dhash
+        |  FROM ids i LEFT JOIN (
+        |    SELECT doc_id, SUM(CASE WHEN pos = 63 THEN -9223372036854775807 - 1
+        |                            ELSE (CAST(1 AS BIGINT) << pos) END) AS hsh
+        |    FROM bits GROUP BY 1) s ON s.doc_id = i.doc_id
+        |), bandk AS (
+        |  SELECT h.doc_id, h.dhash, b.b, (h.dhash >> (16 * b.b)) & 65535 AS k
+        |  FROM hashes h, range(0, 4) b(b)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.dhash AS ha, y.dhash AS hb
+        |  FROM bandk x JOIN bandk y
+        |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 10""".stripMargin,
   )
 }

@@ -409,4 +409,164 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // --------------------------------------------------------------------
+  // Image perceptual-hash near-dup (q277): dHash + Hamming-banded LSH
+  // --------------------------------------------------------------------
+
+  /** Docs planted as near-duplicate image twins: every `doc_id ≡ 3
+    * (mod 17)` carries a brightness-perturbed RE-ENCODE of `doc_id - 1`'s
+    * image (decode the neighbour's actual PNG bytes, +6 per channel with
+    * mod-256 wrap, encode again). The wrap makes the perturbation
+    * non-trivial — cells whose means straddle a wrap flip a few dHash
+    * bits — while staying closed-form, so the DuckDB oracle recomputes
+    * the twin's pixels (and hence its hash) exactly.
+    */
+  private[graft] def plantedTwin(docId: Long): Boolean =
+    docId >= 1 && docId % 17 == 3
+
+  private[graft] def syntheticImageWithTwins(docId: Long): Array[Byte] =
+    if (!plantedTwin(docId)) syntheticPng(docId)
+    else {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(syntheticPng(docId - 1)))
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val r = (((rgb >> 16) & 0xff) + 6) % 256
+          val g = (((rgb >> 8) & 0xff) + 6) % 256
+          val b = ((rgb & 0xff) + 6) % 256
+          row(x) = (r << 16) | (g << 8) | b
+          x += 1
+        }
+        out.setRGB(0, y, w, 1, row, 0, w)
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+  /** 64-bit difference hash over DECODED pixels: gray = (r+g+b)/3 per
+    * pixel (integer floor), box-mean over a 9×8 cell grid with exact
+    * floor boundaries (cell i spans x ∈ [⌊i·w/9⌋, ⌊(i+1)·w/9⌋)), bit
+    * `j·8 + i` set iff cell(i+1, j) > cell(i, j). Every step is integer
+    * arithmetic on losslessly-decoded pixels, which is what lets the
+    * oracle rebuild the hash from the closed-form pixel function. The
+    * size normalization (any w×h collapses to the same grid) is what
+    * buys re-encode/resize/brightness robustness — the classic dHash
+    * contract.
+    */
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val row = new Array[Int](w)
+    // per-cell gray sums in one pixel pass: cell of x is (9x+8)/w, of y
+    // is (8y+7)/h — the closed form of the floor boundaries above
+    val sums = new Array[Long](9 * 8)
+    val cnts = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      val cj = (8 * y + 7) / h
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        val ci = (9 * x + 8) / w
+        sums(cj * 9 + ci) += gray
+        cnts(cj * 9 + ci) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val a = sums(j * 9 + i) / cnts(j * 9 + i)
+        val b = sums(j * 9 + i + 1) / cnts(j * 9 + i + 1)
+        if (b > a) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  private val dhashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("dhash", LongType),
+  ))
+
+  /** Per-doc 64-bit dHash through the REAL codec path: synthesize (or
+    * twin-perturb + re-encode) the PNG, decode it with javax.imageio,
+    * hash the decoded pixels — all inside one task, no payload shuffle.
+    */
+  def imageDHashes(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(dhashSchema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(syntheticImageWithTwins(id)))
+        Row(id, dHash64(img))
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs (q277): Hamming-banded LSH over the
+    * dHashes — the missing image-side dedup modality (the text side has
+    * MinHash/SimHash q21–q23, embeddings have SemDedup q204; this is
+    * the perceptual-hash family: re-encodes, resizes, brightness shifts
+    * of the SAME image land within a few dHash bits of each other).
+    *
+    * Candidates come from 4 bands of 16 bits (the q23 SimHash banding
+    * discipline): a pair is considered iff SOME band matches exactly —
+    * at 64 bits and ≤ `maxHamming` flips the probability all four bands
+    * are hit stays low, and random cross-doc hashes collide in a 16-bit
+    * band at ~2⁻¹⁶ — so the candidate set is bucket-bounded, NEVER
+    * all-pairs (the banded join is the whole scale story: corpus²
+    * comparisons never materialize at 100 TB; plan-pinned no-cartesian/
+    * no-broadcast). Candidates dedup on (a, b) before one codegen'd
+    * `bit_count(xor)` verify against the full 64-bit hashes.
+    *
+    * Output: verified pairs (doc_a < doc_b) with their Hamming
+    * distance — dominated by the planted twin population (~1/17 of
+    * docs), so the result scales with the dup rate, not the corpus.
+    */
+  def imageDHashDups(s: SparkSession, dir: String): DataFrame =
+    imageDHashDups(Tables.documents(s, dir))
+
+  def imageDHashDups(docs: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val hashes = graft.Caches.track(imageDHashes(docs))
+    val bands = hashes.select(col("doc_id"), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "k")
+    val cand = bands.as("x").hint("shuffle_hash")
+      .join(bands.as("y").hint("shuffle_hash"),
+        col("x.band") === col("y.band") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

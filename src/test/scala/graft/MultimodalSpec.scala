@@ -133,4 +133,84 @@ class MultimodalSpec extends SparkSpec {
     assert(rows((3L, 2)) === ((4, frames(2))))
     assert(!rows.contains((3L, 1)) && !rows.contains((3L, 3)))
   }
+
+  private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  /** Independent dHash replay: per-pixel closed form, plain Int grids. */
+  private def dHashReplay(docId: Long): Long = {
+    val base = if (Multimodal.plantedTwin(docId)) docId - 1 else docId
+    val planted = Multimodal.plantedTwin(docId)
+    val w = (16 + base % 48).toInt
+    val h = (16 + (base * 7) % 48).toInt
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    for (y <- 0 until h; x <- 0 until w) {
+      var r = ((x * 31 + y * 17 + base) % 256).toInt
+      var g = ((x * 13 + y * 29 + base * 3) % 256).toInt
+      var b = ((x * 7 + y * 11 + base * 5) % 256).toInt
+      if (planted) { r = (r + 6) % 256; g = (g + 6) % 256; b = (b + 6) % 256 }
+      val cj = (8 * y + 7) / h
+      val ci = (9 * x + 8) / w
+      sums(cj)(ci) += (r + g + b) / 3
+      cnts(cj)(ci) += 1
+    }
+    var hash = 0L
+    for (j <- 0 until 8; i <- 0 until 8)
+      if (sums(j)(i + 1) / cnts(j)(i + 1) > sums(j)(i) / cnts(j)(i))
+        hash |= 1L << (j * 8 + i)
+    hash
+  }
+
+  test("dHash64 of the decoded PNG equals the closed-form replay, planted twins included") {
+    for (id <- Seq(0L, 3L, 7L, 155L, 156L, 173L, 499L)) {
+      val got = Multimodal.dHash64(decode(Multimodal.syntheticImageWithTwins(id)))
+      assert(got === dHashReplay(id), s"doc $id")
+    }
+  }
+
+  test("dHash is invariant under re-encode and stable under 2x upscale; different images stay far") {
+    val img = decode(Multimodal.syntheticPng(42L))
+    val h0 = Multimodal.dHash64(img)
+    // re-encode: decode -> encode -> decode must hash identically (PNG
+    // bytes differ across encoders, pixels do not)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash64(decode(bos.toByteArray)) === h0, "re-encode")
+    // exact 2x nearest-neighbour upscale: cell boundaries shift by at
+    // most one source pixel, so the hash moves a few bits at most
+    val up = new java.awt.image.BufferedImage(
+      img.getWidth * 2, img.getHeight * 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until up.getHeight; x <- 0 until up.getWidth)
+      up.setRGB(x, y, img.getRGB(x / 2, y / 2))
+    val dUp = java.lang.Long.bitCount(Multimodal.dHash64(up) ^ h0)
+    assert(dUp <= 8, s"2x upscale moved the hash $dUp bits")
+    // a structurally different image (different base gradient) is FAR
+    val other = Multimodal.dHash64(decode(Multimodal.syntheticPng(43L)))
+    assert(java.lang.Long.bitCount(other ^ h0) > 10, "different image must not match")
+  }
+
+  test("imageDHashDups finds the planted re-encoded twins through the banded join, no all-pairs") {
+    val pairs = Multimodal.imageDHashDups(spark, sf0001)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the band join must never degenerate to all-pairs:\n$plan")
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    graft.Caches.releaseAll()
+    // sf0.001 has 500 docs; planted twins are (d-1, d) for d = 3, 20, …
+    val planted = (3L until 500L by 17L).map(d => (d - 1, d))
+    // banded LSH is a recall<1 design by construction; the +6 brightness
+    // wrap flips a few bits per twin, so most — not necessarily all —
+    // twins must surface, and every surfaced pair must verify <= 10
+    val found = planted.count(got.contains)
+    assert(found >= planted.size * 7 / 10,
+      s"only $found of ${planted.size} planted twins surfaced: $got")
+    got.foreach { case (p, d) => assert(d <= 10, s"unverified pair $p") }
+    // planted pairs that surfaced carry a small distance (the +6 shift
+    // with sparse wraps): all <= 10 by the filter, most far below
+    assert(got.nonEmpty)
+  }
 }

@@ -765,6 +765,22 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q277: the dHash band self-join shuffles on (band, key) — no cartesian, no corpus broadcast") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Multimodal.imageDHashDups(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"candidates must come from band equality, never all-pairs:\n$plan")
+      val (bhj, shj) = initialJoins(df)
+      assert(shj >= 1, s"the band self-join must shuffle (the hash " +
+        s"relation scales with the corpus):\n$plan")
+      assert(bhj === 0, s"nothing corpus-scaled may broadcast:\n$plan")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("star joins: only CONSTANT dims are forced broadcasts; customer/supplier stay size-decided") {
     withNoAutoBroadcast {
       // expected = the constant-dim (nation/region) hints; customer and
