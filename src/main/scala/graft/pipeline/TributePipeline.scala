@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{Column, DataFrame, ForeachWriter, Row}
+import org.apache.spark.sql.{Column, DataFrame, ForeachWriter, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.execution.SparkPlan
@@ -26,6 +26,10 @@ trait KVStore extends Serializable {
   def put(key: String, item: Map[String, String]): Unit
   def get(key: String): Option[Map[String, String]]
   def snapshot(): Map[String, Map[String, String]]
+  /** Physical key removal — the compliance-erase primitive (DynamoDB
+    * `delete_item` in the reference's deployment). Idempotent: deleting
+    * an absent key is a no-op. */
+  def delete(key: String): Unit
 }
 
 /** In-memory KV store for local mode and tests. In local[*] executors share
@@ -38,6 +42,7 @@ final class InMemoryKVStore extends KVStore {
   override def put(key: String, item: Map[String, String]): Unit = m.put(key, item)
   override def get(key: String): Option[Map[String, String]] = Option(m.get(key))
   override def snapshot(): Map[String, Map[String, String]] = m.asScala.toMap
+  override def delete(key: String): Unit = { m.remove(key); () }
 }
 
 object KVRegistry {
@@ -195,14 +200,145 @@ object TributePipeline {
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val stamped = batch.withColumn(ArrivalSeqCol, monotonically_increasing_id())
-          val enriched = Status.enrich(stamped, tributes, games).persist()
-          try {
-            appendEventLog(enriched.drop(ArrivalSeqCol), logDir)
-            upsertState(latestStatePerTribute(enriched, col(ArrivalSeqCol)), storeName)
-          } finally { enriched.unpersist(); () }
-        }
+        processBatch(batch, tributes, games, storeName, logDir)
+      }
+      .start()
+  }
+
+  private def processBatch(
+      batch: DataFrame,
+      tributes: DataFrame,
+      games: DataFrame,
+      storeName: String,
+      logDir: String): Unit = {
+    if (!batch.isEmpty) {
+      val stamped = batch.withColumn(ArrivalSeqCol, monotonically_increasing_id())
+      val enriched = Status.enrich(stamped, tributes, games).persist()
+      try {
+        appendEventLog(enriched.drop(ArrivalSeqCol), logDir)
+        upsertState(latestStatePerTribute(enriched, col(ArrivalSeqCol)), storeName)
+      } finally { enriched.unpersist(); () }
+    }
+  }
+
+  private[graft] def forgetStoreName(storeName: String): String =
+    s"forget:$storeName"
+  private[graft] def tombstoneStoreName(storeName: String): String =
+    s"tombstones:$storeName"
+
+  /** Right-to-be-forgotten propagation for the STREAMING side — q276's
+    * twin. The batch erase rewrites warehouse partitions; a streaming
+    * pipeline additionally owns (a) the KV state table, (b) the
+    * path-keyed append event log (reference:
+    * script/TributeStreamingJob.py:70-74 — one object per
+    * streamingeventid, which is exactly why the log can be scrubbed
+    * without rewriting unrelated objects), and (c) FUTURE batches, which
+    * will keep re-materializing the victim unless the forget request
+    * outlives the erase. So the op does all three:
+    *
+    *  1. registers the victims in a standing forget store (consulted by
+    *     [[runGoverned]] on every micro-batch — including batches
+    *     replayed after a checkpoint restart, which is what makes the
+    *     erase RESTART-SAFE: an at-least-once replay of the victim's
+    *     events is admitted by the filter exactly never);
+    *  2. evicts the victims' keys from the KV state table (physical
+    *     `delete`, not an overwrite);
+    *  3. deletes the victims' event-log objects: a DISTRIBUTED scan of
+    *     the log keyed by the `tributeid` field each object carries —
+    *     the deletion set is bounded by the victims' own events, the
+    *     q276 DPP analogue (executors delete their partition's matches;
+    *     nothing row-scaled crosses the driver);
+    *  4. writes one tombstone per victim to an audit store and returns
+    *     the audit as a DataFrame: state_evicted, log_files_deleted,
+    *     and the re-scanned residuals (both must read zero — the spec's
+    *     full-erase invariant).
+    *
+    * Idempotent: a re-run evicts nothing, deletes nothing, and reports
+    * the same zero residuals (tombstones record the LATEST audit).
+    * Untouched keys/objects are never read for mutation — only the
+    * victims' rows leave the scan filter.
+    */
+  def forgetTributes(
+      s: SparkSession,
+      victims: Seq[String],
+      storeName: String,
+      logDir: String): DataFrame = {
+    val forget = KVRegistry.getOrCreate(forgetStoreName(storeName))
+    victims.foreach(v => forget.put(v, Map("tributeId" -> v)))
+    val store = KVRegistry.getOrCreate(storeName)
+    val hadState = victims.map(v => v -> store.get(v).isDefined).toMap
+    victims.foreach(store.delete)
+    // distributed log scrub: every object carries its tributeid; the
+    // filter bounds the deletion set to the victims' events
+    def victimLogCounts(delete: Boolean): Map[String, Long] = {
+      val dir = Paths.get(logDir)
+      val hasFiles = Files.isDirectory(dir) && {
+        val st = Files.list(dir)
+        try st.findFirst().isPresent finally st.close()
+      }
+      if (!hasFiles) Map.empty
+      else {
+        val matches = s.read.json(logDir)
+          .select(col("tributeid").cast("string").as("tid"),
+            input_file_name().as("path"))
+          .filter(col("tid").isin(victims: _*))
+        val counted = matches.rdd.mapPartitions { rows =>
+          rows.map { r =>
+            if (delete) {
+              Files.deleteIfExists(Paths.get(new java.net.URI(r.getString(1))))
+              ()
+            }
+            (r.getString(0), 1L)
+          }
+        }.reduceByKey(_ + _).collect() // <= |victims| rows: the audit itself
+        counted.toMap
+      }
+    }
+    val deleted = victimLogCounts(delete = true)
+    val residualLog = victimLogCounts(delete = false)
+    val tomb = KVRegistry.getOrCreate(tombstoneStoreName(storeName))
+    val audit = victims.map { v =>
+      val row = (v, hadState(v), deleted.getOrElse(v, 0L),
+        store.get(v).isDefined, residualLog.getOrElse(v, 0L))
+      tomb.put(v, Map(
+        "tributeId" -> v,
+        "stateEvicted" -> row._2.toString,
+        "logFilesDeleted" -> row._3.toString,
+        "residualState" -> row._4.toString,
+        "residualLog" -> row._5.toString))
+      row
+    }
+    import s.implicits._
+    audit.toDF("tribute_id", "state_evicted", "log_files_deleted",
+      "residual_state", "residual_log")
+  }
+
+  /** [[run]] with the forget filter applied per micro-batch: events of
+    * forgotten tributes are dropped BEFORE enrichment, so neither sink
+    * ever sees them again — including on checkpoint-restart replays
+    * (the forget store is consulted at batch time, not at query wiring
+    * time, so requests registered mid-stream take effect from the next
+    * batch). With an empty forget store the plan is identical to
+    * [[run]]'s.
+    */
+  def runGoverned(
+      streamingEvents: DataFrame,
+      tributes: DataFrame,
+      games: DataFrame,
+      storeName: String,
+      logDir: String,
+      checkpointDir: String): StreamingQuery = {
+    streamingEvents.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val forgotten = KVRegistry.getOrCreate(forgetStoreName(storeName))
+          .snapshot().keys.toSeq
+        val admitted =
+          if (forgotten.isEmpty) batch
+          else batch.filter(
+            !col("tributeid").cast("string").isin(forgotten: _*))
+        processBatch(admitted, tributes, games, storeName, logDir)
       }
       .start()
   }

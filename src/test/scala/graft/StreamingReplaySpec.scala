@@ -185,4 +185,107 @@ class StreamingReplaySpec extends SparkSpec {
     assert(logged1 === logged2)
     assert(logged1 === 16) // preCornucopia has 16 events
   }
+
+  test("forgetTributes: full erase from state + event log, untouched keys intact, idempotent") {
+    val base = Files.createTempDirectory("graft-forget")
+    val streamDir = Files.createDirectory(base.resolve("stream"))
+    val logDir = base.resolve("eventlog").toString
+    val ckpt = base.resolve("checkpoint").toString
+    val storeName = s"forget-${System.nanoTime()}"
+
+    batchOrder.take(5).zipWithIndex.foreach { case (n, i) =>
+      val dst = streamDir.resolve(s"$n.json")
+      Files.copy(Paths.get(fixture(s"streamingData/$n.json")), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 60000 + i * 1000)
+      ()
+    }
+    val q = TributePipeline.runGoverned(
+      Sources.eventStream(spark, streamDir.toString),
+      Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+      Sources.gameDim(spark, fixture("staticData/gameData.json")),
+      storeName, logDir, ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    val logsBefore = Files.list(Paths.get(logDir)).count()
+    val catoBefore = spark.read.json(logDir)
+      .filter(org.apache.spark.sql.functions.col("tributeid") === "3").count()
+    assert(catoBefore > 0, "the fixture must contain victim events")
+    val stateBefore = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(stateBefore.contains("3"))
+
+    val audit = TributePipeline.forgetTributes(spark, Seq("3"), storeName, logDir)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(audit.toSeq === Seq(("3", true, catoBefore, false, 0L)),
+      s"audit must record the erase exactly: ${audit.toSeq}")
+
+    // full erase: state key gone, zero victim objects left in the log
+    val stateAfter = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(!stateAfter.contains("3"))
+    assert(spark.read.json(logDir)
+      .filter(org.apache.spark.sql.functions.col("tributeid") === "3")
+      .count() === 0)
+    // untouched: every other key and object survives bit-for-bit
+    assert(stateAfter === stateBefore - "3")
+    assert(Files.list(Paths.get(logDir)).count() === logsBefore - catoBefore)
+    // idempotent: the re-run erases nothing and reports the same residuals
+    val again = TributePipeline.forgetTributes(spark, Seq("3"), storeName, logDir)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(again.toSeq === Seq(("3", false, 0L, false, 0L)))
+    // tombstone audit persists the LATEST verdict
+    val tomb = KVRegistry.getOrCreate(
+      TributePipeline.tombstoneStoreName(storeName)).snapshot()
+    assert(tomb("3")("residualState") === "false" &&
+      tomb("3")("residualLog") === "0")
+  }
+
+  test("forgetTributes is restart-safe: replayed and future victim events never re-materialize") {
+    val base = Files.createTempDirectory("graft-forget-rs")
+    val streamDir = Files.createDirectory(base.resolve("stream"))
+    val logDir = base.resolve("eventlog").toString
+    val ckpt = base.resolve("checkpoint").toString
+    val storeName = s"forget-rs-${System.nanoTime()}"
+
+    def stage(names: Seq[String], t0: Long): Unit =
+      names.zipWithIndex.foreach { case (n, i) =>
+        val dst = streamDir.resolve(s"$n.json")
+        Files.copy(Paths.get(fixture(s"streamingData/$n.json")), dst,
+          StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(t0 + i * 1000)
+        ()
+      }
+    def drain(): Unit = {
+      val q = TributePipeline.runGoverned(
+        Sources.eventStream(spark, streamDir.toString),
+        Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+        Sources.gameDim(spark, fixture("staticData/gameData.json")),
+        storeName, logDir, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    val t0 = System.currentTimeMillis() - 60000
+    stage(batchOrder.take(5), t0)
+    drain() // first incarnation, then "crash"
+
+    // the forget request lands while the query is down
+    TributePipeline.forgetTributes(spark, Seq("3"), storeName, logDir).collect()
+
+    // recovery: the checkpoint resumes at batch 6; afterRue/almostTheEnd/
+    // theEnd all carry tribute-3 events, which the governed filter must
+    // drop BEFORE either sink
+    stage(batchOrder.drop(5), t0 + 10000)
+    drain()
+
+    val state = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(!state.contains("3"), "the victim must never re-materialize")
+    assert(state.size === 15, s"the other 15 tributes converge, got ${state.size}")
+    assert(state("8")("status") === "ALIVE" && state("9")("status") === "ALIVE")
+    assert(spark.read.json(logDir)
+      .filter(org.apache.spark.sql.functions.col("tributeid") === "3")
+      .count() === 0, "no victim object may reappear in the event log")
+  }
 }
