@@ -6991,13 +6991,16 @@ object SparkEntry {
         |                            ELSE (CAST(1 AS BIGINT) << pos) END) AS hsh
         |    FROM bits GROUP BY 1) s ON s.doc_id = i.doc_id
         |), bandk AS (
-        |  SELECT h.doc_id, h.dhash, b.b, (h.dhash >> (16 * b.b)) & 65535 AS k
+        |  SELECT h.doc_id, h.dhash, b.b, (h.dhash >> (16 * b.b)) & 65535 AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY b.b, (h.dhash >> (16 * b.b)) & 65535
+        |                       ORDER BY h.doc_id) AS rn
         |  FROM hashes h, range(0, 4) b(b)
         |), cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
         |    x.dhash AS ha, y.dhash AS hb
         |  FROM bandk x JOIN bandk y
-        |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id
+        |    ON x.b = y.b AND x.k = y.k
+        |   AND y.rn > x.rn AND y.rn <= x.rn + 8
         |)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 10""".stripMargin,

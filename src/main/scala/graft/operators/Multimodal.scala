@@ -537,32 +537,52 @@ object Multimodal {
     * discipline): a pair is considered iff SOME band matches exactly —
     * at 64 bits and ≤ `maxHamming` flips the probability all four bands
     * are hit stays low, and random cross-doc hashes collide in a 16-bit
-    * band at ~2⁻¹⁶ — so the candidate set is bucket-bounded, NEVER
-    * all-pairs (the banded join is the whole scale story: corpus²
-    * comparisons never materialize at 100 TB; plan-pinned no-cartesian/
-    * no-broadcast). Candidates dedup on (a, b) before one codegen'd
-    * `bit_count(xor)` verify against the full 64-bit hashes.
+    * band at ~2⁻¹⁶. A 16-bit band universe SATURATES once the corpus
+    * passes ~2¹⁶ docs, and a raw within-bucket self-join then grows
+    * quadratically in bucket occupancy (measured: exponent ~1.6 at
+    * 10/30/100× on the first cut). So bucket enumeration is BOUNDED —
+    * the q270/q275 per-anchor-window contract: within each (band, key)
+    * bucket, a doc pairs only with the next `window` members by doc_id
+    * (probe keys generated by an offset explode joined back on
+    * (band, key, rank) — strictly linear ×window, never an in-bucket
+    * n² join; plan-pinned no-cartesian/no-broadcast). Saturated buckets
+    * are exactly the low-information band values, so the cap costs
+    * recall only where the band carried no signal; at genuinely 100-TB
+    * image corpora the honest fix for recall is a LONGER perceptual
+    * hash (dHash-256 → 64-bit bands), not wider enumeration — the
+    * documented anti-quadratic knob. Candidates dedup on (a, b) before
+    * one codegen'd `bit_count(xor)` verify on the full 64-bit hashes.
     *
     * Output: verified pairs (doc_a < doc_b) with their Hamming
     * distance — dominated by the planted twin population (~1/17 of
-    * docs), so the result scales with the dup rate, not the corpus.
+    * docs, id-adjacent so their in-bucket rank distance is exactly 1),
+    * so the result scales with the dup rate, not the corpus.
     */
   def imageDHashDups(s: SparkSession, dir: String): DataFrame =
     imageDHashDups(Tables.documents(s, dir))
 
-  def imageDHashDups(docs: DataFrame, maxHamming: Int = 10): DataFrame = {
+  def imageDHashDups(docs: DataFrame, maxHamming: Int = 10,
+      window: Int = 8): DataFrame = {
     val hashes = graft.Caches.track(imageDHashes(docs))
     val bands = hashes.select(col("doc_id"), col("dhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "k")
-    val cand = bands.as("x").hint("shuffle_hash")
-      .join(bands.as("y").hint("shuffle_hash"),
-        col("x.band") === col("y.band") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+    // rank within the (band, key) bucket: a per-bucket window, never a
+    // global sort (the partition key scales with corpus × 4)
+    val ranked = graft.Caches.track(bands.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("k")).orderBy(col("doc_id")))))
+    val probes = ranked.select(col("band"), col("k"),
+      col("doc_id").as("doc_a"), col("dhash").as("ha"),
+      explode(array((1 to window).map(j => col("rn") + j): _*)).as("rn"))
+    val cand = probes.hint("shuffle_hash")
+      .join(ranked.select(col("band"), col("k"), col("rn"),
+          col("doc_id").as("doc_b"), col("dhash").as("hb"))
+          .hint("shuffle_hash"),
+        Seq("band", "k", "rn"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
       .distinct()
     cand
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
