@@ -389,7 +389,10 @@ object ScaleSmoke {
       // q277: per-doc codec+dHash is the linear term (partition-local);
       // candidates stay band-bucketed — planted twins grow with the
       // copies, cross-copy images never pair (distinct base gradients)
-      timed("q277") { graft.operators.Multimodal.imageDHashDups(docs) })
+      timed("q277") { graft.operators.Multimodal.imageDHashDups(docs) },
+      // q278: the audio twin — WAV codec linear term + the same bounded
+      // Hamming-band join over the frame-energy fingerprints
+      timed("q278") { graft.operators.Multimodal.audioFpDups(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -305,6 +305,7 @@ object SparkEntry {
     "q275_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "q276_gdpr_erase" -> ((s, d) => Warehouse.gdprErase(s, d)),
     "q277_image_dhash_dups" -> ((s, d) => Multimodal.imageDHashDups(s, d)),
+    "q278_audio_fp_dups" -> ((s, d) => Multimodal.audioFpDups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7003,6 +7004,57 @@ object SparkEntry {
         |   AND y.rn > x.rn AND y.rn <= x.rn + 8
         |)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 10""".stripMargin,
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin,
+
+    // q278: audio perceptual-fingerprint near-dup — q277's pipeline over
+    // the WAV side. The Spark kernel decodes real RIFF/WAVE PCM (docs
+    // ≡ 5 mod 19 carry a 63/64-gain re-encode of doc_id-1's audio) and
+    // fingerprints 65 frame-mean-|amplitude|s by sign of delta; the
+    // oracle rebuilds the samples closed-form (WAV PCM is lossless) and
+    // replays frames → bits → bands → bounded window → bit_count.
+    "q278_audio_fp_dups" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 1 AND doc_id % 19 = 5 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    (doc_id >= 1 AND doc_id % 19 = 5) AS planted
+        |  FROM documents
+        |), dims AS (
+        |  SELECT doc_id, base, planted, 256 + base % 512 AS n FROM ids
+        |), smp AS (
+        |  SELECT doc_id, (65 * t + 64) // n AS f,
+        |    ABS(CASE WHEN planted THEN v - (v >> 4) ELSE v END) AS av
+        |  FROM (
+        |    SELECT d.doc_id, d.planted, d.n, t.t AS t,
+        |      CAST(( (d.base * 25173 % 65536 + t.t * 13849) % 65536
+        |           + (d.base * 12289 % 65536 + t.t * 31397) % 65536 ) % 65536
+        |           - 32768 AS BIGINT) AS v
+        |    FROM dims d, range(0, 768) t(t) WHERE t.t < d.n
+        |  )
+        |), frames AS (
+        |  SELECT doc_id, f, SUM(av) // COUNT(*) AS fv FROM smp GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.doc_id, a.f AS pos
+        |  FROM frames a JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f <= 63 AND b.fv > a.fv
+        |), hashes AS (
+        |  SELECT i.doc_id, CAST(COALESCE(s.hsh, 0) AS BIGINT) AS afp
+        |  FROM ids i LEFT JOIN (
+        |    SELECT doc_id, SUM(CASE WHEN pos = 63 THEN -9223372036854775807 - 1
+        |                            ELSE (CAST(1 AS BIGINT) << pos) END) AS hsh
+        |    FROM bits GROUP BY 1) s ON s.doc_id = i.doc_id
+        |), bandk AS (
+        |  SELECT h.doc_id, h.afp, b.b, (h.afp >> (16 * b.b)) & 65535 AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY b.b, (h.afp >> (16 * b.b)) & 65535
+        |                       ORDER BY h.doc_id) AS rn
+        |  FROM hashes h, range(0, 4) b(b)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.afp AS ha, y.afp AS hb
+        |  FROM bandk x JOIN bandk y
+        |    ON x.b = y.b AND x.k = y.k
+        |   AND y.rn > x.rn AND y.rn <= x.rn + 8
+        |)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin,
   )
 }

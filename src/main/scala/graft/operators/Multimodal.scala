@@ -562,11 +562,22 @@ object Multimodal {
     imageDHashDups(Tables.documents(s, dir))
 
   def imageDHashDups(docs: DataFrame, maxHamming: Int = 10,
-      window: Int = 8): DataFrame = {
-    val hashes = graft.Caches.track(imageDHashes(docs))
-    val bands = hashes.select(col("doc_id"), col("dhash"),
+      window: Int = 8): DataFrame =
+    hammingBandedPairs(imageDHashes(docs), "dhash", maxHamming, window)
+
+  /** The shared Hamming-banded near-dup join over any (doc_id, 64-bit
+    * fingerprint) relation — q277's image dHashes and q278's audio
+    * frame-energy fingerprints ride the identical plan: 4×16-bit band
+    * keys, per-bucket rank, the bounded next-`window` probe explode
+    * (linear ×window — the anti-saturation contract measured in
+    * SCALE_r14), pair dedup, one codegen'd bit_count(xor) verify.
+    */
+  private def hammingBandedPairs(fps: DataFrame, fpCol: String,
+      maxHamming: Int, window: Int): DataFrame = {
+    val hashes = graft.Caches.track(fps)
+    val bands = hashes.select(col("doc_id"), col(fpCol),
         posexplode(array((0 until 4).map(b =>
-          shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L))): _*)))
+          shiftright(col(fpCol), 16 * b).bitwiseAND(lit(65535L))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "k")
     // rank within the (band, key) bucket: a per-bucket window, never a
@@ -575,11 +586,11 @@ object Multimodal {
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("k")).orderBy(col("doc_id")))))
     val probes = ranked.select(col("band"), col("k"),
-      col("doc_id").as("doc_a"), col("dhash").as("ha"),
+      col("doc_id").as("doc_a"), col(fpCol).as("ha"),
       explode(array((1 to window).map(j => col("rn") + j): _*)).as("rn"))
     val cand = probes.hint("shuffle_hash")
       .join(ranked.select(col("band"), col("k"), col("rn"),
-          col("doc_id").as("doc_b"), col("dhash").as("hb"))
+          col("doc_id").as("doc_b"), col(fpCol).as("hb"))
           .hint("shuffle_hash"),
         Seq("band", "k", "rn"))
       .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
@@ -589,4 +600,161 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  // --------------------------------------------------------------------
+  // Audio perceptual-fingerprint near-dup (q278): frame-energy deltas
+  // --------------------------------------------------------------------
+
+  /** Docs planted as near-duplicate AUDIO twins: every `doc_id ≡ 5
+    * (mod 19)` carries a gain-perturbed RE-ENCODE of `doc_id - 1`'s
+    * audio — decode the neighbour's actual WAV bytes, scale every
+    * sample to v − (v >> 4) (a ~15/16 gain ride, the arithmetic shift
+    * both Spark and the oracle floor identically), encode again. A
+    * uniform gain change scales every frame's mean energy together, so
+    * the sign-of-delta fingerprint moves only where adjacent frames sat
+    * within the floor noise — a few bits, the audio analogue of q277's
+    * brightness wrap.
+    */
+  private[graft] def plantedAudioTwin(docId: Long): Boolean =
+    docId >= 1 && docId % 19 == 5
+
+  /** Deterministic synthetic "chiptune" for q278 — two fast-wrapping
+    * ramp components summed mod 2¹⁶. q72's [[syntheticWav]] is a single
+    * slope-17 ramp that wraps at most once in ≤767 samples, so its
+    * |amplitude| contour is one V shape: ~12 bits of fingerprint
+    * entropy, and at 500 docs everything near-matches everything (the
+    * first q278 cut measured 3 964 "pairs" at sf0.01). The two
+    * components here wrap every ~4.7 and ~2.1 samples, the waveform is
+    * determined by the PHASE PAIR (2³² distinct clips), and the
+    * frame-mean deltas are effectively random signs — natural cross-doc
+    * collisions at Hamming ≤ 10 price out at ~2⁻²⁸ per candidate.
+    * Still a REAL RIFF/WAVE round trip and fully closed-form for the
+    * oracle.
+    */
+  private[graft] def syntheticChipWav(docId: Long): Array[Byte] = {
+    val n = (256 + docId % 512).toInt
+    val p1 = (docId * 25173) % 65536
+    val p2 = (docId * 12289) % 65536
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val v = (((p1 + t.toLong * 13849) % 65536 +
+        (p2 + t.toLong * 31397) % 65536) % 65536 - 32768).toInt
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private[graft] def decodeWavSamples(payload: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected decoded format: $fmt")
+    val bytes = ais.readAllBytes()
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  private[graft] def syntheticWavWithTwins(docId: Long): Array[Byte] =
+    if (!plantedAudioTwin(docId)) syntheticChipWav(docId)
+    else {
+      val samples = decodeWavSamples(syntheticChipWav(docId - 1))
+      val n = samples.length
+      val pcm = new Array[Byte](n * 2)
+      var t = 0
+      while (t < n) {
+        val v = samples(t) - (samples(t) >> 4)
+        pcm(2 * t) = (v & 0xff).toByte
+        pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+        t += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+  /** 64-bit audio fingerprint over DECODED PCM: 65 equal-boundary
+    * frames (frame f spans t ∈ [⌊f·n/65⌋, ⌊(f+1)·n/65⌋), the q277 cell
+    * formula), per-frame mean ABSOLUTE amplitude with integer floors,
+    * bit f set iff frame(f+1) > frame(f) — the sign-of-delta contour a
+    * production chromaprint reduces to once the spectral transform is
+    * stripped. Length-normalized (any n collapses to 65 frames) and
+    * gain-robust (uniform scaling preserves most deltas) — the two
+    * axes audio re-encodes actually move.
+    */
+  private[graft] def audioFp64(samples: Array[Int]): Long = {
+    val n = samples.length
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var t = 0
+    while (t < n) {
+      val f = (65 * t + 64) / n
+      sums(f) += math.abs(samples(t))
+      cnts(f) += 1
+      t += 1
+    }
+    var hash = 0L
+    var f = 0
+    while (f < 64) {
+      if (sums(f + 1) / cnts(f + 1) > sums(f) / cnts(f)) hash |= 1L << f
+      f += 1
+    }
+    hash
+  }
+
+  private val afpSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("afp", LongType),
+  ))
+
+  /** Per-doc audio fingerprint through the REAL codec path: synthesize
+    * (or twin-perturb + re-encode) the WAV, decode it with
+    * javax.sound.sampled, fingerprint the decoded PCM — one task, no
+    * payload shuffle.
+    */
+  def audioFps(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(afpSchema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, audioFp64(decodeWavSamples(syntheticWavWithTwins(id))))
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs (q278): the q277 pipeline pointed at
+    * the audio fingerprints — gain-rides and re-encodes of the SAME
+    * recording land within a few bits; candidates ride the identical
+    * bounded Hamming-band join (see [[hammingBandedPairs]]). With q277
+    * this closes the perceptual-dedup story for both binary modalities
+    * the container can really decode.
+    */
+  def audioFpDups(s: SparkSession, dir: String): DataFrame =
+    audioFpDups(Tables.documents(s, dir))
+
+  def audioFpDups(docs: DataFrame, maxHamming: Int = 4,
+      window: Int = 8): DataFrame =
+    hammingBandedPairs(audioFps(docs), "afp", maxHamming, window)
 }

@@ -191,6 +191,69 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(other ^ h0) > 10, "different image must not match")
   }
 
+  /** Independent audio-fp replay: closed-form chip samples, plain Longs. */
+  private def audioFpReplay(docId: Long): Long = {
+    val base = if (Multimodal.plantedAudioTwin(docId)) docId - 1 else docId
+    val planted = Multimodal.plantedAudioTwin(docId)
+    val n = (256 + base % 512).toInt
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    for (t <- 0 until n) {
+      val raw = (((base * 25173) % 65536 + t.toLong * 13849) % 65536 +
+        ((base * 12289) % 65536 + t.toLong * 31397) % 65536) % 65536 - 32768
+      val v = if (planted) raw - (raw >> 4) else raw
+      val f = (65 * t + 64) / n
+      sums(f) += math.abs(v)
+      cnts(f) += 1
+    }
+    var hash = 0L
+    for (f <- 0 until 64)
+      if (sums(f + 1) / cnts(f + 1) > sums(f) / cnts(f)) hash |= 1L << f
+    hash
+  }
+
+  test("audioFp64 of the decoded WAV equals the closed-form replay, planted gain twins included") {
+    for (id <- Seq(0L, 5L, 24L, 43L, 121L, 499L)) {
+      val got = Multimodal.audioFp64(
+        Multimodal.decodeWavSamples(Multimodal.syntheticWavWithTwins(id)))
+      assert(got === audioFpReplay(id), s"doc $id")
+    }
+  }
+
+  test("audio fp is re-encode-invariant and gain-robust; different clips stay far") {
+    val samples = Multimodal.decodeWavSamples(Multimodal.syntheticChipWav(42L))
+    val h0 = Multimodal.audioFp64(samples)
+    // decode -> re-encode -> decode: WAV PCM is lossless
+    val re = Multimodal.decodeWavSamples(Multimodal.syntheticChipWav(42L))
+    assert(Multimodal.audioFp64(re) === h0, "re-encode")
+    // a 15/16 gain ride moves the fingerprint a few bits at most
+    val gained = samples.map(v => v - (v >> 4))
+    val dG = java.lang.Long.bitCount(Multimodal.audioFp64(gained) ^ h0)
+    assert(dG <= 4, s"gain ride moved the fingerprint $dG bits")
+    // a different clip (different phase pair) is FAR
+    val other = Multimodal.audioFp64(
+      Multimodal.decodeWavSamples(Multimodal.syntheticChipWav(43L)))
+    assert(java.lang.Long.bitCount(other ^ h0) > 10, "different clip must not match")
+  }
+
+  test("audioFpDups finds every planted gain twin through the banded join, no all-pairs") {
+    val pairs = Multimodal.audioFpDups(spark, sf0001)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the band join must never degenerate to all-pairs:\n$plan")
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    graft.Caches.releaseAll()
+    // twins are id-adjacent (in-bucket rank distance 1) and the gain
+    // ride lands within the 4-bit verify, so every planted pair surfaces
+    val planted = (5L until 500L by 19L).map(d => (d - 1, d))
+    planted.foreach { p =>
+      assert(got.contains(p), s"planted twin $p missing: ${got.keys.toSeq.sorted}")
+    }
+    got.foreach { case (p, d) => assert(d <= 4, s"unverified pair $p at $d") }
+  }
+
   test("imageDHashDups finds the planted re-encoded twins through the banded join, no all-pairs") {
     val pairs = Multimodal.imageDHashDups(spark, sf0001)
     val plan = pairs.queryExecution.executedPlan.toString

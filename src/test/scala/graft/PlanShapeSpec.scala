@@ -781,6 +781,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q278: the audio-fp band join rides the same bounded-window shape — no cartesian, no broadcast") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Multimodal.audioFpDups(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"candidates must come from band equality, never all-pairs:\n$plan")
+      val (bhj, shj) = initialJoins(df)
+      assert(shj >= 1 && bhj === 0,
+        s"the probe join must shuffle, nothing corpus-scaled broadcasts:\n$plan")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("star joins: only CONSTANT dims are forced broadcasts; customer/supplier stay size-decided") {
     withNoAutoBroadcast {
       // expected = the constant-dim (nation/region) hints; customer and
