@@ -512,20 +512,33 @@ object Multimodal {
     * twin-perturb + re-encode) the PNG, decode it with javax.imageio,
     * hash the decoded pixels — all inside one task, no payload shuffle.
     */
-  def imageDHashes(docs: DataFrame): DataFrame = {
-    val ids = docs.select(col("doc_id"))
+  def imageDHashes(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val ids = docs.select(("doc_id" +: carry).map(col): _*)
+    val schema = StructType(
+      dhashSchema.fields.toSeq ++ carry.map(c => docs.schema(c)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(dhashSchema)
+      .encoderFor(schema)
     ids.mapPartitions { rows: Iterator[Row] =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(syntheticImageWithTwins(id)))
-        Row(id, dHash64(img))
+        Row.fromSeq(id +: dHash64(img) +: (1 until r.length).map(r.get))
       }
     }(enc)
   }
+
+  /** 4×16-bit band keys of a 64-bit fingerprint column — the shared
+    * candidate-key generator for [[hammingBandedPairs]] and the
+    * streaming ingest monitors. */
+  private[graft] def bandKeys16(fps: DataFrame, fpCol: String,
+      carry: Seq[String] = Nil): DataFrame =
+    fps.select(Seq(col("doc_id"), col(fpCol)) ++ carry.map(col) :+
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col(fpCol), 16 * b).bitwiseAND(lit(65535L))): _*)): _*)
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "k")
 
   /** Image near-duplicate pairs (q277): Hamming-banded LSH over the
     * dHashes — the missing image-side dedup modality (the text side has
@@ -575,11 +588,7 @@ object Multimodal {
   private def hammingBandedPairs(fps: DataFrame, fpCol: String,
       maxHamming: Int, window: Int): DataFrame = {
     val hashes = graft.Caches.track(fps)
-    val bands = hashes.select(col("doc_id"), col(fpCol),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col(fpCol), 16 * b).bitwiseAND(lit(65535L))): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "k")
+    val bands = bandKeys16(hashes, fpCol)
     // rank within the (band, key) bucket: a per-bucket window, never a
     // global sort (the partition key scales with corpus × 4)
     val ranked = graft.Caches.track(bands.withColumn("rn",
@@ -732,14 +741,17 @@ object Multimodal {
     * javax.sound.sampled, fingerprint the decoded PCM — one task, no
     * payload shuffle.
     */
-  def audioFps(docs: DataFrame): DataFrame = {
-    val ids = docs.select(col("doc_id"))
+  def audioFps(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val ids = docs.select(("doc_id" +: carry).map(col): _*)
+    val schema = StructType(
+      afpSchema.fields.toSeq ++ carry.map(c => docs.schema(c)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(afpSchema)
+      .encoderFor(schema)
     ids.mapPartitions { rows: Iterator[Row] =>
       rows.map { r =>
         val id = r.getLong(0)
-        Row(id, audioFp64(decodeWavSamples(syntheticWavWithTwins(id))))
+        Row.fromSeq(id +: audioFp64(decodeWavSamples(syntheticWavWithTwins(id))) +:
+          (1 until r.length).map(r.get))
       }
     }(enc)
   }

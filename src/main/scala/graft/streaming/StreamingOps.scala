@@ -450,6 +450,62 @@ object StreamingOps {
     * query, and the state key is (doc, corpus-doc) pairs of actual
     * near-dups, a vanishingly small fraction of the stream.
     */
+  /** Streaming perceptual-dup monitor — the ingest twin of the q277/q278
+    * batch near-dup joins: every arriving media row is fingerprinted in
+    * the partition-local codec seam (dHash for images, frame-energy fp
+    * for audio — in production the payload column is decoded; here the
+    * deterministic synthetic codec stands in at the same seam), banded
+    * into the 4×16-bit keys, and probed against a STATIC fingerprint
+    * index of the corpus. The static index is bucket-capped (the q277
+    * saturation lesson applied stream-side: a saturated 16-bit bucket
+    * would fan every arrival out by the bucket's full occupancy), the
+    * verify is the same codegen'd `bit_count(xor)`, and
+    * `dropDuplicatesWithinWatermark` collapses multi-band matches with
+    * state bounded by the watermark — the nearDupAgainstCorpus
+    * discipline, fingerprint-shaped.
+    */
+  private def perceptualDupMonitor(
+      streamFps: DataFrame, corpusFps: DataFrame, fpCol: String,
+      maxHamming: Int, bucketCap: Int, watermark: String): DataFrame = {
+    import graft.operators.Multimodal
+    val corpusIdx = graft.Caches.track(
+      Multimodal.bandKeys16(corpusFps, fpCol)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("k")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= bucketCap)
+        .select(col("band"), col("k"), col("doc_id").as("corpus_id"),
+          col(fpCol).as("corpus_fp")))
+    Multimodal.bandKeys16(streamFps.withWatermark("ts", watermark),
+        fpCol, carry = Seq("ts"))
+      .join(corpusIdx, Seq("band", "k"))
+      .withColumn("hamming",
+        bit_count(col(fpCol).bitwiseXOR(col("corpus_fp"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_id"), col("ts"), col("corpus_id"), col("hamming"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+
+  /** q277's ingest twin: arriving images probed against the corpus
+    * dHash index. */
+  def imageDupMonitor(stream: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 10, bucketCap: Int = 16,
+      watermark: String = "10 minutes"): DataFrame =
+    perceptualDupMonitor(
+      graft.operators.Multimodal.imageDHashes(stream, carry = Seq("ts")),
+      graft.operators.Multimodal.imageDHashes(corpus),
+      "dhash", maxHamming, bucketCap, watermark)
+
+  /** q278's ingest twin: arriving audio probed against the corpus
+    * fingerprint index. */
+  def audioDupMonitor(stream: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 4, bucketCap: Int = 16,
+      watermark: String = "10 minutes"): DataFrame =
+    perceptualDupMonitor(
+      graft.operators.Multimodal.audioFps(stream, carry = Seq("ts")),
+      graft.operators.Multimodal.audioFps(corpus),
+      "afp", maxHamming, bucketCap, watermark)
+
   def nearDupAgainstCorpus(
       stream: DataFrame,
       corpus: DataFrame,

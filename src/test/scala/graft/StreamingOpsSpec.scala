@@ -367,6 +367,87 @@ class StreamingOpsSpec extends SparkSpec {
       s"re-delivered pair must not re-emit after restart: ${rows.toSeq}")
   }
 
+  test("image dup monitor flags planted twins and re-ingests against the corpus dHash index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // 54 % 17 == 3, so doc 54's image is the planted re-encoded twin of
+    // doc 53's; 101 is an unrelated corpus member
+    val corpus = Seq((53L, "x"), (101L, "x")).toDF("doc_id", "text")
+    val mem = MemoryStream[StreamTextDoc]
+    val q = StreamingOps.imageDupMonitor(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("imgdup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamTextDoc(54L, "x", ts("2026-01-01 00:00:00")),  // twin of 53
+      StreamTextDoc(999L, "x", ts("2026-01-01 00:00:05")), // distinct image
+      StreamTextDoc(53L, "x", ts("2026-01-01 00:00:10")))  // re-ingest
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("imgdup")
+      .select($"doc_id", $"corpus_id", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    graft.Caches.releaseAll()
+    val byDoc = rows.groupBy(_._1)
+    // the twin's verdict equals the batch kernels' distance exactly
+    def hashOf(id: Long) = Multimodal.dHash64(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.syntheticImageWithTwins(id))))
+    val expect = java.lang.Long.bitCount(hashOf(54L) ^ hashOf(53L))
+    assert(byDoc(54L).toSeq === Seq((54L, 53L, expect)),
+      s"twin must flag once with the exact Hamming: ${rows.toSeq}")
+    assert(byDoc(53L).toSeq === Seq((53L, 53L, 0)), "re-ingest flags at 0")
+    assert(!byDoc.contains(999L), s"distinct image must pass: ${rows.toSeq}")
+  }
+
+  test("audio dup monitor flags planted gain twins against the corpus fp index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // 24 % 19 == 5, so doc 24's audio is the gain-ride twin of doc 23's
+    val corpus = Seq((23L, "x"), (300L, "x")).toDF("doc_id", "text")
+    val mem = MemoryStream[StreamTextDoc]
+    val q = StreamingOps.audioDupMonitor(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("auddup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamTextDoc(24L, "x", ts("2026-01-01 00:00:00")),  // twin of 23
+      StreamTextDoc(777L, "x", ts("2026-01-01 00:00:05"))) // distinct clip
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("auddup")
+      .select($"doc_id", $"corpus_id", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    graft.Caches.releaseAll()
+    def fpOf(id: Long) = Multimodal.audioFp64(
+      Multimodal.decodeWavSamples(Multimodal.syntheticWavWithTwins(id)))
+    val expect = java.lang.Long.bitCount(fpOf(24L) ^ fpOf(23L))
+    assert(rows.toSeq === Seq((24L, 23L, expect)),
+      s"only the twin flags, with the exact batch distance: ${rows.toSeq}")
+  }
+
+  test("image dup monitor restart: pair-dedup state survives the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((53L, "x")).toDF("doc_id", "text")
+    val dirs = java.nio.file.Files.createTempDirectory("graft-imgdup-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.imageDupMonitor(mem.toDF(), corpus)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(StreamTextDoc(54L, "x", ts("2026-01-01 00:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 1)
+    // re-deliver the same pair within the watermark after a restart: the
+    // restored dedup state must suppress it
+    mem.addData(StreamTextDoc(54L, "x", ts("2026-01-01 00:00:05")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    graft.Caches.releaseAll()
+    val rows = spark.read.parquet(out)
+      .select($"doc_id", $"corpus_id").as[(Long, Long)].collect()
+    assert(rows.toSeq === Seq((54L, 53L)),
+      s"re-delivered pair must not re-emit after restart: ${rows.toSeq}")
+  }
+
   test("quality monitor flags contract violations per window (streaming = batch result)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
