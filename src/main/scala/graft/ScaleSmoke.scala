@@ -392,7 +392,9 @@ object ScaleSmoke {
       timed("q277") { graft.operators.Multimodal.imageDHashDups(docs) },
       // q278: the audio twin — WAV codec linear term + the same bounded
       // Hamming-band join over the frame-energy fingerprints
-      timed("q278") { graft.operators.Multimodal.audioFpDups(docs) })
+      timed("q278") { graft.operators.Multimodal.audioFpDups(docs) },
+      // q279: GIF codec pass (linear in frames) + one doc_id window
+      timed("q279") { graft.operators.Multimodal.sceneCuts(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

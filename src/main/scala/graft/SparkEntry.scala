@@ -306,6 +306,7 @@ object SparkEntry {
     "q276_gdpr_erase" -> ((s, d) => Warehouse.gdprErase(s, d)),
     "q277_image_dhash_dups" -> ((s, d) => Multimodal.imageDHashDups(s, d)),
     "q278_audio_fp_dups" -> ((s, d) => Multimodal.audioFpDups(s, d)),
+    "q279_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7056,5 +7057,47 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin,
+
+    // q279: GIF scene-cut detection. Spark decodes real multi-frame GIF
+    // bytes and fingerprints each frame (63-bit raster sign-of-delta);
+    // the oracle rebuilds the frames closed-form (indexed gray is
+    // lossless) and replays lag/threshold/scene numbering. Scene changes
+    // rotate the gradient direction; within-scene drift is additive and
+    // must NOT cut.
+    "q279_scene_cuts" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 2 + doc_id % 7 AS n FROM documents
+        |), px AS (
+        |  SELECT d.doc_id, f.f AS f, y.y * 8 + x.x AS i,
+        |    (x.x * (31 + 37 * (f.f // 3)) + y.y * (17 + 53 * (f.f // 3))
+        |     + d.doc_id + f.f * 3) % 256 AS g
+        |  FROM dims d, range(0, 8) f(f), range(0, 8) x(x), range(0, 8) y(y)
+        |  WHERE f.f < d.n
+        |), bits AS (
+        |  SELECT a.doc_id, a.f, a.i AS pos
+        |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.f = a.f AND b.i = a.i + 1
+        |  WHERE a.i <= 62 AND b.g > a.g
+        |), fps AS (
+        |  SELECT d.doc_id, fr.f AS frame,
+        |    COALESCE(CAST(s.h AS BIGINT), 0) AS fp
+        |  FROM dims d
+        |  JOIN range(0, 8) fr(f) ON fr.f < d.n
+        |  LEFT JOIN (SELECT doc_id, f, SUM(CAST(1 AS BIGINT) << pos) AS h
+        |             FROM bits GROUP BY 1, 2) s
+        |    ON s.doc_id = d.doc_id AND s.f = fr.f
+        |), marked AS (
+        |  SELECT doc_id, frame,
+        |    CASE WHEN LAG(fp) OVER (PARTITION BY doc_id ORDER BY frame) IS NULL
+        |         THEN -1
+        |         ELSE bit_count(xor(fp, LAG(fp) OVER (PARTITION BY doc_id ORDER BY frame))) END
+        |      AS hamming_prev
+        |  FROM fps
+        |)
+        |SELECT doc_id, CAST(frame AS INT) AS frame,
+        |  CAST(hamming_prev AS INT) AS hamming_prev,
+        |  (hamming_prev = -1 OR hamming_prev > 8) AS new_scene,
+        |  CAST(SUM(CASE WHEN hamming_prev = -1 OR hamming_prev > 8 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS scene_id
+        |FROM marked""".stripMargin,
   )
 }

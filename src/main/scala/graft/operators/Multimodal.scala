@@ -242,6 +242,144 @@ object Multimodal {
     }(enc)
   }
 
+  // --------------------------------------------------------------------
+  // GIF scene-cut detection (q279): keyframe segmentation for curation
+  // --------------------------------------------------------------------
+
+  /** Deterministic synthetic CLIP for q279: `2 + docId % 7` frames of
+    * 8×8 indexed gray, with a SCENE change every 3 frames — the scene
+    * index rotates the gradient DIRECTION (`x·(31+37p) + y·(17+53p)`),
+    * because for a delta fingerprint an additive change (the
+    * [[syntheticGif]] `f·7` term) is just brightness and detects
+    * nothing; within a scene frames drift by +3 brightness per frame.
+    * Real multi-frame GIF bytes via javax.imageio, lossless indexed
+    * gray, fully closed-form for the oracle.
+    */
+  private[graft] def syntheticClipGif(docId: Long): Array[Byte] = {
+    val frames = (2 + docId % 7).toInt
+    val grays = Array.tabulate(256)(v => ((v << 16) | (v << 8) | v))
+    val palette = new java.awt.image.IndexColorModel(
+      8, 256, grays, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val p = f / 3
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+      val px = img.getRaster
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          px.setSample(x, y, 0,
+            ((x * (31 + 37L * p) + y * (17 + 53L * p) + docId + f * 3) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** 63-bit frame fingerprint over a DECODED 8×8 gray frame: bit i set
+    * iff raster pixel i+1 > pixel i (row-major). Sign-of-delta again —
+    * brightness-invariant, gradient-direction-sensitive, exactly what a
+    * scene cut moves and a within-scene drift does not. */
+  private[graft] def frameFp63(img: java.awt.image.BufferedImage): Long = {
+    val g = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        g(y * 8 + x) = (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 63) {
+      if (g(i + 1) > g(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  private val sceneSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame", IntegerType),
+    StructField("fp", LongType),
+  ))
+
+  /** Per-frame fingerprints through the REAL GIF codec, one row per
+    * decoded frame (the frameSample fan-out shape — whole clips never
+    * shuffle; ≤ 8 rows leave per doc). */
+  def clipFrameFps(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(sceneSchema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(syntheticClipGif(id)))
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        val out = (0 until n).map(f => Row(id, f, frameFp63(reader.read(f))))
+        reader.dispose(); iis.close()
+        out
+      }
+    }(enc)
+  }
+
+  /** GIF scene-cut detection (q279): the keyframe-segmentation pass a
+    * video-curation pipeline runs before sampling training frames —
+    * storing every frame of every clip is waste, one frame per SCENE is
+    * the curated unit. Consecutive decoded frames are compared by their
+    * 63-bit delta fingerprints; a Hamming jump > `cutThreshold` opens a
+    * new scene (frame 0 always does), and `scene_id` numbers scenes per
+    * clip with a running sum over the per-doc frame window (clips are
+    * ≤ 8 frames — the window partitions by doc_id, never global).
+    * Output: one row per frame with its distance-to-previous, cut flag,
+    * and scene number; a keyframe sampler keeps `new_scene` rows.
+    *
+    * Scale: the codec pass is partition-local and linear in frames; the
+    * lag/scene numbering shuffles once on doc_id with ≤ 8 rows per key.
+    */
+  def sceneCuts(s: SparkSession, dir: String): DataFrame =
+    sceneCuts(Tables.documents(s, dir))
+
+  def sceneCuts(docs: DataFrame, cutThreshold: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    clipFrameFps(docs)
+      .withColumn("prev_fp", lag(col("fp"), 1).over(w))
+      .withColumn("hamming_prev",
+        when(col("prev_fp").isNull, lit(-1))
+          .otherwise(bit_count(col("fp").bitwiseXOR(col("prev_fp")))))
+      .withColumn("new_scene",
+        col("hamming_prev") === -1 || col("hamming_prev") > cutThreshold)
+      .withColumn("scene_id", sum(when(col("new_scene"), 1L).otherwise(0L))
+        .over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("doc_id"), col("frame"), col("hamming_prev"),
+        col("new_scene"), col("scene_id"))
+  }
+
   /** Deterministic synthetic PNG for `docId`: a w×h RGB image whose every
     * pixel channel is a pure function of (docId, x, y), encoded to REAL
     * PNG bytes by javax.imageio. Because the pixel formula is closed-form

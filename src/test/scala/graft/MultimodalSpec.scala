@@ -254,6 +254,39 @@ class MultimodalSpec extends SparkSpec {
     got.foreach { case (p, d) => assert(d <= 4, s"unverified pair $p at $d") }
   }
 
+  test("sceneCuts: frame fps replay closed-form; cuts land exactly on the planted scene boundaries") {
+    // closed-form frame fp replay for a couple of clips
+    for (id <- Seq(2L, 9L, 481L)) {
+      val n = (2 + id % 7).toInt
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticClipGif(id)))
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) === n, s"doc $id frame count")
+      for (f <- 0 until n) {
+        val got = Multimodal.frameFp63(reader.read(f))
+        val p = f / 3
+        val g = Array.tabulate(64)(i =>
+          (((i % 8) * (31 + 37L * p) + (i / 8) * (17 + 53L * p) + id + f * 3) % 256).toInt)
+        var exp = 0L
+        for (i <- 0 until 63) if (g(i + 1) > g(i)) exp |= 1L << i
+        assert(got === exp, s"doc $id frame $f")
+      }
+      reader.dispose(); iis.close()
+    }
+    // distributed: every frame's cut flag and scene id follow the
+    // planted every-3-frames structure (gradient-direction rotation
+    // cuts; within-scene +3 brightness drift must NOT cut)
+    val rows = Multimodal.sceneCuts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getBoolean(3), r.getLong(4)))).toMap
+    assert(rows.size === (0L until 500L).map(d => 2 + d % 7).sum)
+    rows.foreach { case ((d, f), (cut, scene)) =>
+      assert(cut === (f % 3 == 0), s"doc $d frame $f cut flag")
+      assert(scene === f / 3 + 1, s"doc $d frame $f scene id")
+    }
+  }
+
   test("imageDHashDups finds the planted re-encoded twins through the banded join, no all-pairs") {
     val pairs = Multimodal.imageDHashDups(spark, sf0001)
     val plan = pairs.queryExecution.executedPlan.toString

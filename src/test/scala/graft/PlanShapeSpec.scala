@@ -796,6 +796,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q279: scene numbering windows are doc_id-partitioned only — no global window, no join") {
+    val df = graft.operators.Multimodal.sceneCuts(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"one codec pass, no join anywhere:\n$plan")
+    nodes(df).collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"every window must partition by doc_id (clips are <= 8 frames):\n$w")
+    }
+  }
+
   test("star joins: only CONSTANT dims are forced broadcasts; customer/supplier stay size-decided") {
     withNoAutoBroadcast {
       // expected = the constant-dim (nation/region) hints; customer and
