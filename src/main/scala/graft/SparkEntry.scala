@@ -7005,7 +7005,7 @@ object SparkEntry {
         |   AND y.rn > x.rn AND y.rn <= x.rn + 8
         |)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin,
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 10""".stripMargin,
 
     // q278: audio perceptual-fingerprint near-dup — q277's pipeline over
     // the WAV side. The Spark kernel decodes real RIFF/WAVE PCM (docs
