@@ -394,7 +394,9 @@ object ScaleSmoke {
       // Hamming-band join over the frame-energy fingerprints
       timed("q278") { graft.operators.Multimodal.audioFpDups(docs) },
       // q279: GIF codec pass (linear in frames) + one doc_id window
-      timed("q279") { graft.operators.Multimodal.sceneCuts(docs) })
+      timed("q279") { graft.operators.Multimodal.sceneCuts(docs) },
+      // q280: both perceptual pipelines + a dup-bounded pair fusion join
+      timed("q280") { graft.operators.Multimodal.dupEvidence(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -307,11 +307,109 @@ object SparkEntry {
     "q277_image_dhash_dups" -> ((s, d) => Multimodal.imageDHashDups(s, d)),
     "q278_audio_fp_dups" -> ((s, d) => Multimodal.audioFpDups(s, d)),
     "q279_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
+    "q280_dup_evidence" -> ((s, d) => Multimodal.dupEvidence(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  private val q277OracleSql: String =
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 1 AND doc_id % 17 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    (doc_id >= 1 AND doc_id % 17 = 3) AS planted
+        |  FROM documents
+        |), dims AS (
+        |  SELECT doc_id, base, planted,
+        |    16 + base % 48 AS w, 16 + (base * 7) % 48 AS h
+        |  FROM ids
+        |), px AS (
+        |  SELECT d.doc_id,
+        |    (9 * x.x + 8) // d.w AS ci, (8 * y.y + 7) // d.h AS cj,
+        |    ( (CASE WHEN d.planted THEN ((x.x*31 + y.y*17 + d.base) % 256 + 6) % 256
+        |            ELSE (x.x*31 + y.y*17 + d.base) % 256 END)
+        |    + (CASE WHEN d.planted THEN ((x.x*13 + y.y*29 + d.base*3) % 256 + 6) % 256
+        |            ELSE (x.x*13 + y.y*29 + d.base*3) % 256 END)
+        |    + (CASE WHEN d.planted THEN ((x.x*7 + y.y*11 + d.base*5) % 256 + 6) % 256
+        |            ELSE (x.x*7 + y.y*11 + d.base*5) % 256 END) ) // 3 AS gray
+        |  FROM dims d, range(0, 63) x(x), range(0, 63) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h
+        |), cells AS (
+        |  SELECT doc_id, ci, cj, SUM(gray) // COUNT(*) AS cv
+        |  FROM px GROUP BY 1, 2, 3
+        |), bits AS (
+        |  SELECT a.doc_id, a.cj * 8 + a.ci AS pos
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.cj = a.cj AND b.ci = a.ci + 1
+        |  WHERE a.ci <= 7 AND b.cv > a.cv
+        |), hashes AS (
+        |  -- the SUM is HUGEINT; cast back to the signed-64 domain or a
+        |  -- negative hash drags 64 sign-extension bits into bit_count
+        |  SELECT i.doc_id, CAST(COALESCE(s.hsh, 0) AS BIGINT) AS dhash
+        |  FROM ids i LEFT JOIN (
+        |    SELECT doc_id, SUM(CASE WHEN pos = 63 THEN -9223372036854775807 - 1
+        |                            ELSE (CAST(1 AS BIGINT) << pos) END) AS hsh
+        |    FROM bits GROUP BY 1) s ON s.doc_id = i.doc_id
+        |), bandk AS (
+        |  SELECT h.doc_id, h.dhash, b.b, (h.dhash >> (16 * b.b)) & 65535 AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY b.b, (h.dhash >> (16 * b.b)) & 65535
+        |                       ORDER BY h.doc_id) AS rn
+        |  FROM hashes h, range(0, 4) b(b)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.dhash AS ha, y.dhash AS hb
+        |  FROM bandk x JOIN bandk y
+        |    ON x.b = y.b AND x.k = y.k
+        |   AND y.rn > x.rn AND y.rn <= x.rn + 8
+        |)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 10""".stripMargin
+
+  private val q278OracleSql: String =
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 1 AND doc_id % 19 = 5 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    (doc_id >= 1 AND doc_id % 19 = 5) AS planted
+        |  FROM documents
+        |), dims AS (
+        |  SELECT doc_id, base, planted, 256 + base % 512 AS n FROM ids
+        |), smp AS (
+        |  SELECT doc_id, (65 * t + 64) // n AS f,
+        |    ABS(CASE WHEN planted THEN v - (v >> 4) ELSE v END) AS av
+        |  FROM (
+        |    SELECT d.doc_id, d.planted, d.n, t.t AS t,
+        |      CAST(( (d.base * 25173 % 65536 + t.t * 13849) % 65536
+        |           + (d.base * 12289 % 65536 + t.t * 31397) % 65536 ) % 65536
+        |           - 32768 AS BIGINT) AS v
+        |    FROM dims d, range(0, 768) t(t) WHERE t.t < d.n
+        |  )
+        |), frames AS (
+        |  SELECT doc_id, f, SUM(av) // COUNT(*) AS fv FROM smp GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.doc_id, a.f AS pos
+        |  FROM frames a JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f <= 63 AND b.fv > a.fv
+        |), hashes AS (
+        |  SELECT i.doc_id, CAST(COALESCE(s.hsh, 0) AS BIGINT) AS afp
+        |  FROM ids i LEFT JOIN (
+        |    SELECT doc_id, SUM(CASE WHEN pos = 63 THEN -9223372036854775807 - 1
+        |                            ELSE (CAST(1 AS BIGINT) << pos) END) AS hsh
+        |    FROM bits GROUP BY 1) s ON s.doc_id = i.doc_id
+        |), bandk AS (
+        |  SELECT h.doc_id, h.afp, b.b, (h.afp >> (16 * b.b)) & 65535 AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY b.b, (h.afp >> (16 * b.b)) & 65535
+        |                       ORDER BY h.doc_id) AS rn
+        |  FROM hashes h, range(0, 4) b(b)
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.afp AS ha, y.afp AS hb
+        |  FROM bandk x JOIN bandk y
+        |    ON x.b = y.b AND x.k = y.k
+        |   AND y.rn > x.rn AND y.rn <= x.rn + 8
+        |)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price
@@ -6956,56 +7054,7 @@ object SparkEntry {
     // Hamming-band LSH and the bit_count verify. A hash match therefore
     // proves the whole codec→hash→band→verify chain.
     "q277_image_dhash_dups" ->
-      """WITH ids AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id >= 1 AND doc_id % 17 = 3 THEN doc_id - 1 ELSE doc_id END AS base,
-        |    (doc_id >= 1 AND doc_id % 17 = 3) AS planted
-        |  FROM documents
-        |), dims AS (
-        |  SELECT doc_id, base, planted,
-        |    16 + base % 48 AS w, 16 + (base * 7) % 48 AS h
-        |  FROM ids
-        |), px AS (
-        |  SELECT d.doc_id,
-        |    (9 * x.x + 8) // d.w AS ci, (8 * y.y + 7) // d.h AS cj,
-        |    ( (CASE WHEN d.planted THEN ((x.x*31 + y.y*17 + d.base) % 256 + 6) % 256
-        |            ELSE (x.x*31 + y.y*17 + d.base) % 256 END)
-        |    + (CASE WHEN d.planted THEN ((x.x*13 + y.y*29 + d.base*3) % 256 + 6) % 256
-        |            ELSE (x.x*13 + y.y*29 + d.base*3) % 256 END)
-        |    + (CASE WHEN d.planted THEN ((x.x*7 + y.y*11 + d.base*5) % 256 + 6) % 256
-        |            ELSE (x.x*7 + y.y*11 + d.base*5) % 256 END) ) // 3 AS gray
-        |  FROM dims d, range(0, 63) x(x), range(0, 63) y(y)
-        |  WHERE x.x < d.w AND y.y < d.h
-        |), cells AS (
-        |  SELECT doc_id, ci, cj, SUM(gray) // COUNT(*) AS cv
-        |  FROM px GROUP BY 1, 2, 3
-        |), bits AS (
-        |  SELECT a.doc_id, a.cj * 8 + a.ci AS pos
-        |  FROM cells a JOIN cells b
-        |    ON b.doc_id = a.doc_id AND b.cj = a.cj AND b.ci = a.ci + 1
-        |  WHERE a.ci <= 7 AND b.cv > a.cv
-        |), hashes AS (
-        |  -- the SUM is HUGEINT; cast back to the signed-64 domain or a
-        |  -- negative hash drags 64 sign-extension bits into bit_count
-        |  SELECT i.doc_id, CAST(COALESCE(s.hsh, 0) AS BIGINT) AS dhash
-        |  FROM ids i LEFT JOIN (
-        |    SELECT doc_id, SUM(CASE WHEN pos = 63 THEN -9223372036854775807 - 1
-        |                            ELSE (CAST(1 AS BIGINT) << pos) END) AS hsh
-        |    FROM bits GROUP BY 1) s ON s.doc_id = i.doc_id
-        |), bandk AS (
-        |  SELECT h.doc_id, h.dhash, b.b, (h.dhash >> (16 * b.b)) & 65535 AS k,
-        |    ROW_NUMBER() OVER (PARTITION BY b.b, (h.dhash >> (16 * b.b)) & 65535
-        |                       ORDER BY h.doc_id) AS rn
-        |  FROM hashes h, range(0, 4) b(b)
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |    x.dhash AS ha, y.dhash AS hb
-        |  FROM bandk x JOIN bandk y
-        |    ON x.b = y.b AND x.k = y.k
-        |   AND y.rn > x.rn AND y.rn <= x.rn + 8
-        |)
-        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 10""".stripMargin,
+      q277OracleSql,
 
     // q278: audio perceptual-fingerprint near-dup — q277's pipeline over
     // the WAV side. The Spark kernel decodes real RIFF/WAVE PCM (docs
@@ -7014,49 +7063,7 @@ object SparkEntry {
     // oracle rebuilds the samples closed-form (WAV PCM is lossless) and
     // replays frames → bits → bands → bounded window → bit_count.
     "q278_audio_fp_dups" ->
-      """WITH ids AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id >= 1 AND doc_id % 19 = 5 THEN doc_id - 1 ELSE doc_id END AS base,
-        |    (doc_id >= 1 AND doc_id % 19 = 5) AS planted
-        |  FROM documents
-        |), dims AS (
-        |  SELECT doc_id, base, planted, 256 + base % 512 AS n FROM ids
-        |), smp AS (
-        |  SELECT doc_id, (65 * t + 64) // n AS f,
-        |    ABS(CASE WHEN planted THEN v - (v >> 4) ELSE v END) AS av
-        |  FROM (
-        |    SELECT d.doc_id, d.planted, d.n, t.t AS t,
-        |      CAST(( (d.base * 25173 % 65536 + t.t * 13849) % 65536
-        |           + (d.base * 12289 % 65536 + t.t * 31397) % 65536 ) % 65536
-        |           - 32768 AS BIGINT) AS v
-        |    FROM dims d, range(0, 768) t(t) WHERE t.t < d.n
-        |  )
-        |), frames AS (
-        |  SELECT doc_id, f, SUM(av) // COUNT(*) AS fv FROM smp GROUP BY 1, 2
-        |), bits AS (
-        |  SELECT a.doc_id, a.f AS pos
-        |  FROM frames a JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
-        |  WHERE a.f <= 63 AND b.fv > a.fv
-        |), hashes AS (
-        |  SELECT i.doc_id, CAST(COALESCE(s.hsh, 0) AS BIGINT) AS afp
-        |  FROM ids i LEFT JOIN (
-        |    SELECT doc_id, SUM(CASE WHEN pos = 63 THEN -9223372036854775807 - 1
-        |                            ELSE (CAST(1 AS BIGINT) << pos) END) AS hsh
-        |    FROM bits GROUP BY 1) s ON s.doc_id = i.doc_id
-        |), bandk AS (
-        |  SELECT h.doc_id, h.afp, b.b, (h.afp >> (16 * b.b)) & 65535 AS k,
-        |    ROW_NUMBER() OVER (PARTITION BY b.b, (h.afp >> (16 * b.b)) & 65535
-        |                       ORDER BY h.doc_id) AS rn
-        |  FROM hashes h, range(0, 4) b(b)
-        |), cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |    x.afp AS ha, y.afp AS hb
-        |  FROM bandk x JOIN bandk y
-        |    ON x.b = y.b AND x.k = y.k
-        |   AND y.rn > x.rn AND y.rn <= x.rn + 8
-        |)
-        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin,
+      q278OracleSql,
 
     // q279: GIF scene-cut detection. Spark decodes real multi-frame GIF
     // bytes and fingerprints each frame (63-bit raster sign-of-delta);
@@ -7099,5 +7106,25 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN hamming_prev = -1 OR hamming_prev > 8 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS scene_id
         |FROM marked""".stripMargin,
+
+    // q280: multimodal dup-evidence fusion — the q277 and q278 verdict
+    // chains composed verbatim as CTEs (the oracle literally reuses the
+    // two independently-gated queries) and FULL OUTER joined on the pair
+    // key; absent verdicts surface as -1 so the table hash-compares.
+    "q280_dup_evidence" ->
+      s"""WITH img AS (
+         |$q277OracleSql
+         |), aud AS (
+         |$q278OracleSql
+         |)
+         |SELECT COALESCE(i.doc_a, a.doc_a) AS doc_a,
+         |  COALESCE(i.doc_b, a.doc_b) AS doc_b,
+         |  CAST(COALESCE(i.hamming, -1) AS INT) AS img_hamming,
+         |  CAST(COALESCE(a.hamming, -1) AS INT) AS aud_hamming,
+         |  CAST((CASE WHEN i.doc_a IS NULL THEN 0 ELSE 1 END)
+         |     + (CASE WHEN a.doc_a IS NULL THEN 0 ELSE 1 END) AS INT)
+         |    AS n_modalities
+         |FROM img i FULL OUTER JOIN aud a
+         |  ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b""".stripMargin,
   )
 }

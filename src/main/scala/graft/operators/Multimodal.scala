@@ -907,4 +907,35 @@ object Multimodal {
   def audioFpDups(docs: DataFrame, maxHamming: Int = 4,
       window: Int = 8): DataFrame =
     hammingBandedPairs(audioFps(docs), "afp", maxHamming, window)
+
+  /** Multimodal dup-evidence fusion (q280): the decision table a
+    * curation pipeline reads BEFORE deleting — one row per candidate
+    * pair carrying every modality's verdict, because deleting on a
+    * single perceptual signal is how false-positive dedup eats real
+    * data. Joins the image (q277) and audio (q278) near-dup verdicts
+    * FULL OUTER on the pair key: `n_modalities = 2` pairs are the
+    * safe-to-collapse population, single-signal pairs go to review.
+    * Absent verdicts surface as -1 (not null) so the table is
+    * hash-stable across engines.
+    *
+    * Scale: both inputs are dup-bounded pair sets (each already
+    * band-bucketed and window-capped upstream), so the fusion join
+    * shuffles only confirmed near-dup pairs — it scales with the dup
+    * rate, never the corpus.
+    */
+  def dupEvidence(s: SparkSession, dir: String): DataFrame =
+    dupEvidence(Tables.documents(s, dir))
+
+  def dupEvidence(docs: DataFrame): DataFrame = {
+    val img = imageDHashDups(docs)
+      .select(col("doc_a"), col("doc_b"), col("hamming").as("ih"))
+    val aud = audioFpDups(docs)
+      .select(col("doc_a"), col("doc_b"), col("hamming").as("ah"))
+    img.join(aud, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("ih"), lit(-1)).as("img_hamming"),
+        coalesce(col("ah"), lit(-1)).as("aud_hamming"),
+        (col("ih").isNotNull.cast("int") + col("ah").isNotNull.cast("int"))
+          .as("n_modalities"))
+  }
 }

@@ -287,6 +287,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dupEvidence fuses the image and audio verdicts losslessly on the pair key") {
+    val img = Multimodal.imageDHashDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    graft.Caches.releaseAll()
+    val aud = Multimodal.audioFpDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    graft.Caches.releaseAll()
+    val fused = Multimodal.dupEvidence(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    graft.Caches.releaseAll()
+    assert(fused.keySet === img.keySet ++ aud.keySet,
+      "the fusion must cover exactly the union of pair keys")
+    fused.foreach { case (p, (ih, ah, n)) =>
+      assert(ih === img.getOrElse(p, -1), s"$p image verdict")
+      assert(ah === aud.getOrElse(p, -1), s"$p audio verdict")
+      assert(n === Seq(img.contains(p), aud.contains(p)).count(identity),
+        s"$p modality count")
+    }
+    // both planted families surface with their own modality only (the
+    // residues 3 mod 17 and 5 mod 19 do not coincide below 500)
+    assert(fused((53L, 54L))._3 === 1 && fused((53L, 54L))._1 >= 0)
+    assert(fused((23L, 24L))._3 === 1 && fused((23L, 24L))._2 >= 0)
+  }
+
   test("imageDHashDups finds the planted re-encoded twins through the banded join, no all-pairs") {
     val pairs = Multimodal.imageDHashDups(spark, sf0001)
     val plan = pairs.queryExecution.executedPlan.toString
