@@ -178,8 +178,18 @@ object Multimodal {
     * whole value space exactly), so decoded frames are SQL-predictable —
     * the syntheticPng trick extended to the time axis.
     */
-  private[graft] def syntheticGif(docId: Long): Array[Byte] = {
-    val frames = (1 + docId % 8).toInt
+  private[graft] def syntheticGif(docId: Long): Array[Byte] =
+    writeGifSequence((1 + docId % 8).toInt)((f, x, y) =>
+      ((x * 31 + y * 17 + docId + f * 7) % 256).toInt)
+
+  /** Shared multi-frame GIF encoder: 8×8 indexed gray, one frame per
+    * `pixel(f, x, y)` evaluation. The writer and its ImageOutputStream
+    * are released in try/finally — an encode exception must not leak
+    * them (they hold native buffers; the leak compounds at a
+    * per-executor-thread rate under retry storms).
+    */
+  private def writeGifSequence(frames: Int)(
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
     val grays = Array.tabulate(256)(v => ((v << 16) | (v << 8) | v))
     val palette = new java.awt.image.IndexColorModel(
       8, 256, grays, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
@@ -187,28 +197,30 @@ object Multimodal {
       .getImageWritersByFormatName("gif").next()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    var f = 0
-    while (f < frames) {
-      val img = new java.awt.image.BufferedImage(
-        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
-      val px = img.getRaster
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          px.setSample(x, y, 0, ((x * 31 + y * 17 + docId + f * 7) % 256).toInt)
-          x += 1
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val px = img.getRaster
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            px.setSample(x, y, 0, pixel(f, x, y))
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
       }
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-      f += 1
+      writer.endWriteSequence()
+    } finally {
+      try ios.close() finally writer.dispose()
     }
-    writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
     bos.toByteArray
   }
 
@@ -285,41 +297,11 @@ object Multimodal {
     * Real multi-frame GIF bytes via javax.imageio, lossless indexed
     * gray, fully closed-form for the oracle.
     */
-  private[graft] def syntheticClipGif(docId: Long): Array[Byte] = {
-    val frames = (2 + docId % 7).toInt
-    val grays = Array.tabulate(256)(v => ((v << 16) | (v << 8) | v))
-    val palette = new java.awt.image.IndexColorModel(
-      8, 256, grays, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("gif").next()
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    var f = 0
-    while (f < frames) {
+  private[graft] def syntheticClipGif(docId: Long): Array[Byte] =
+    writeGifSequence((2 + docId % 7).toInt) { (f, x, y) =>
       val p = f / 3
-      val img = new java.awt.image.BufferedImage(
-        8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
-      val px = img.getRaster
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          px.setSample(x, y, 0,
-            ((x * (31 + 37L * p) + y * (17 + 53L * p) + docId + f * 3) % 256).toInt)
-          x += 1
-        }
-        y += 1
-      }
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-      f += 1
+      ((x * (31 + 37L * p) + y * (17 + 53L * p) + docId + f * 3) % 256).toInt
     }
-    writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
-    bos.toByteArray
-  }
 
   /** 63-bit frame fingerprint over a DECODED 8×8 gray frame: bit i set
     * iff raster pixel i+1 > pixel i (row-major). Sign-of-delta again —

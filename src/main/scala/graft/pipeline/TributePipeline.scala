@@ -51,6 +51,25 @@ object KVRegistry {
     stores.computeIfAbsent(name, _ => new InMemoryKVStore)
 }
 
+/** Hadoop Configuration is not Serializable; this wrapper ships it to
+  * executors via its own Writable encoding so distributed file operations
+  * (the forget-scrub's per-partition deletes) resolve the SAME FileSystem
+  * the driver would — scheme, credentials, and all.
+  */
+private[pipeline] final class SerializableHadoopConf(
+    @transient var conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
+}
+
 /** The flagship continuous pipeline: stream-static enrich + two sinks
   * (reference: script/TributeStreamingJob.py:101-146).
   *
@@ -257,6 +276,15 @@ object TributePipeline {
     * the same zero residuals (tombstones record the LATEST audit).
     * Untouched keys/objects are never read for mutation — only the
     * victims' rows leave the scan filter.
+    *
+    * Quiesce contract: the scrub reads the log at a point in time, and
+    * [[runGoverned]] reads the forget snapshot at micro-batch START — a
+    * batch already in flight when the erase runs was admitted under the
+    * PRE-erase snapshot and may re-append victim events after the scrub.
+    * Run the erase with the governed query quiesced (stop, erase,
+    * restart — the forget store makes the restart replay-safe), or
+    * re-run the erase after the next batch completes; the idempotent
+    * re-run scrubs any such residual and re-audits to zero.
     */
   def forgetTributes(
       s: SparkSession,
@@ -269,24 +297,37 @@ object TributePipeline {
     val hadState = victims.map(v => v -> store.get(v).isDefined).toMap
     victims.foreach(store.delete)
     // distributed log scrub: every object carries its tributeid; the
-    // filter bounds the deletion set to the victims' events
+    // filter bounds the deletion set to the victims' events. Deletes go
+    // through the Hadoop FileSystem resolved from each path's scheme, so
+    // the scrub works on file:, hdfs:, and s3a: logs alike (the
+    // reference's log is S3), and a delete that fails with the object
+    // still present aborts the task — the audit must never count a file
+    // whose victim bytes survived (Warehouse.gdprErase's delete contract).
     def victimLogCounts(delete: Boolean): Map[String, Long] = {
-      val dir = Paths.get(logDir)
-      val hasFiles = Files.isDirectory(dir) && {
-        val st = Files.list(dir)
-        try st.findFirst().isPresent finally st.close()
-      }
+      val logPath = new org.apache.hadoop.fs.Path(logDir)
+      val dfs = logPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val hasFiles = dfs.isDirectory(logPath) &&
+        dfs.listFiles(logPath, false).hasNext
       if (!hasFiles) Map.empty
       else {
         val matches = s.read.json(logDir)
           .select(col("tributeid").cast("string").as("tid"),
             input_file_name().as("path"))
           .filter(col("tid").isin(victims: _*))
+        val confBc = s.sparkContext.broadcast(
+          new SerializableHadoopConf(s.sparkContext.hadoopConfiguration))
         val counted = matches.rdd.mapPartitions { rows =>
+          val conf = confBc.value.conf
           rows.map { r =>
             if (delete) {
-              Files.deleteIfExists(Paths.get(new java.net.URI(r.getString(1))))
-              ()
+              val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(1)))
+              val fs = p.getFileSystem(conf)
+              // delete()=false with the path still present = FAILURE;
+              // false on an already-gone path is fine (idempotent re-run)
+              if (!fs.delete(p, false) && fs.exists(p))
+                throw new java.io.IOException(
+                  s"forgetTributes: failed to delete log object $p — " +
+                    "victim bytes still on disk")
             }
             (r.getString(0), 1L)
           }
@@ -334,10 +375,22 @@ object TributePipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val forgotten = KVRegistry.getOrCreate(forgetStoreName(storeName))
           .snapshot().keys.toSeq
+        // Small forget sets stay an In-list (codegen'd, no join); a large
+        // victim population would rebuild a huge literal list into every
+        // micro-batch's plan (analysis + codegen cost per batch), so past
+        // the threshold switch to a broadcast anti-join — same semantics,
+        // plan size independent of |forgotten|.
         val admitted =
           if (forgotten.isEmpty) batch
-          else batch.filter(
+          else if (forgotten.size <= 64) batch.filter(
             !col("tributeid").cast("string").isin(forgotten: _*))
+          else {
+            import batch.sparkSession.implicits._
+            val ids = forgotten.toDF("__forgotten_id")
+            batch.join(broadcast(ids),
+              batch.col("tributeid").cast("string") === col("__forgotten_id"),
+              "left_anti")
+          }
         processBatch(admitted, tributes, games, storeName, logDir)
       }
       .start()

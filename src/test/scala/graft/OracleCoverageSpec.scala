@@ -23,6 +23,28 @@ class OracleCoverageSpec extends AnyFunSuite {
       s"oracle SQL for unregistered queries: $dangling")
   }
 
+  test("BASELINE_QUERIES.json value equals the sum of its per-query pins") {
+    // Round 14 landed two re-pins without refreshing the declared total
+    // (237.878 vs the 244.105 its own entries summed to), silently skewing
+    // every ratio gate that read `value`. Keep the file self-consistent.
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get("BASELINE_QUERIES.json"))
+    val pins = """"(q\d+)":\s*([0-9.]+)""".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val declared = """"value":\s*([0-9.]+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toDouble)
+      .getOrElse(fail("BASELINE_QUERIES.json has no \"value\" field"))
+    val sum = pins.values.sum
+    assert(math.abs(sum - declared) < 1e-3,
+      f"pin sum $sum%.3f != declared value $declared%.3f — re-pin scripts must refresh the total")
+    // and the pin surface must track the registry: every registered query
+    // has a pin, every pin names a registered query (prefix before '_')
+    val registered = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    val unpinned = registered diff pins.keySet
+    val stale = pins.keySet diff registered
+    assert(unpinned.isEmpty, s"registered queries with no BASELINE_QUERIES pin: $unpinned")
+    assert(stale.isEmpty, s"pins for unregistered queries: $stale")
+  }
+
   test("oracle SQL is non-trivial and aliased column names are lowercase") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty && sql.length > 20, s"$name: oracle SQL looks like a stub")
