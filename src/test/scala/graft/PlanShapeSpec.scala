@@ -806,6 +806,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q280: dup-evidence fusion is a shuffled full-outer on the pair key — no cartesian, no broadcast") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Multimodal.dupEvidence(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"both inputs are banded pair sets; fusing them must never go all-pairs:\n$plan")
+      // the fusion join must keep single-modality pairs (FullOuter) and
+      // shuffle on the pair key — a full outer cannot broadcast, and the
+      // upstream banded joins must stay shuffle-based too
+      assert(plan.contains("FullOuter"),
+        s"fusion must be a full outer join on (doc_a, doc_b):\n$plan")
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 0, s"nothing corpus-scaled may broadcast:\n$plan")
+      assert(shj >= 2, s"both modality band joins must shuffle:\n$plan")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("star joins: only CONSTANT dims are forced broadcasts; customer/supplier stay size-decided") {
     withNoAutoBroadcast {
       // expected = the constant-dim (nation/region) hints; customer and
