@@ -46,7 +46,8 @@ object PlanDump {
     "q269_blocklist_screen", "q270_margin_pairs", "q271_centroid_outliers",
     "q272_admission_audit", "q273_signal_agreement", "q274_substring_probe",
     "q275_hard_negatives", "q276_gdpr_erase", "q277_image_dhash_dups",
-    "q278_audio_fp_dups", "q279_scene_cuts", "q280_dup_evidence")
+    "q278_audio_fp_dups", "q279_scene_cuts", "q280_dup_evidence",
+    "q281_clip_dups")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

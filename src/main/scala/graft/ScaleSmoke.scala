@@ -395,8 +395,13 @@ object ScaleSmoke {
       timed("q278") { graft.operators.Multimodal.audioFpDups(docs) },
       // q279: GIF codec pass (linear in frames) + one doc_id window
       timed("q279") { graft.operators.Multimodal.sceneCuts(docs) },
-      // q280: both perceptual pipelines + a dup-bounded pair fusion join
-      timed("q280") { graft.operators.Multimodal.dupEvidence(docs) })
+      // q280: all three perceptual pipelines + dup-bounded fusion joins
+      timed("q280") { graft.operators.Multimodal.dupEvidence(docs) },
+      // q281: GIF codec + partition-local keyframe extraction is the
+      // linear term; the scene-fp band join is window-bounded and the
+      // set-overlap verify touches candidate pairs only (twins are
+      // id-adjacent, so in-bucket rank distance stays ~1 at any corpus)
+      timed("q281") { graft.operators.Multimodal.clipDups(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

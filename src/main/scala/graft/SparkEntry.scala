@@ -308,6 +308,7 @@ object SparkEntry {
     "q278_audio_fp_dups" -> ((s, d) => Multimodal.audioFpDups(s, d)),
     "q279_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
     "q280_dup_evidence" -> ((s, d) => Multimodal.dupEvidence(s, d)),
+    "q281_clip_dups" -> ((s, d) => Multimodal.clipDups(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -409,6 +410,84 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4""".stripMargin
+
+  private val q281OracleSql: String =
+      """WITH cdims AS (
+        |  SELECT doc_id,
+        |    (doc_id >= 1 AND doc_id % 23 = 7) AS planted,
+        |    CASE WHEN doc_id >= 1 AND doc_id % 23 = 7 THEN doc_id - 1 ELSE doc_id END AS base
+        |  FROM documents
+        |), cframes AS (
+        |  SELECT doc_id, planted, base,
+        |    CASE WHEN planted THEN 1 + base % 7 ELSE 2 + base % 7 END AS nf
+        |  FROM cdims
+        |), cpx AS (
+        |  -- the trimmed twin's frame f is the base clip's frame f+1, +2
+        |  -- brightness; pixel = multiply-xorshift-multiply hash of
+        |  -- (base, scene, raster index), replayed arithmetic-for-arithmetic
+        |  SELECT d.doc_id, f.f AS f, i.i AS i,
+        |    CAST(CASE WHEN d.planted THEN f.f + 1 ELSE f.f END AS BIGINT) AS bf,
+        |    (bf // 3) AS p,
+        |    ((d.base * 2654435761 + p * 40503) % 2147483648 * 48271) % 2147483647 AS seed,
+        |    (seed + (i.i + 1) * 69621) % 2147483647 AS v1,
+        |    (v1 * 16807) % 2147483647 AS v2,
+        |    xor(v2, v2 >> 16) AS v3,
+        |    (v3 * 48271) % 2147483647 AS v4,
+        |    (v4 % 256 + 3 * bf + CASE WHEN d.planted THEN 2 ELSE 0 END) % 256 AS g
+        |  FROM cframes d, range(0, 8) f(f), range(0, 64) i(i)
+        |  WHERE f.f < d.nf
+        |), cbits AS (
+        |  SELECT a.doc_id, a.f, a.i AS pos
+        |  FROM cpx a JOIN cpx b ON b.doc_id = a.doc_id AND b.f = a.f AND b.i = a.i + 1
+        |  WHERE a.i <= 62 AND b.g > a.g
+        |), cfps AS (
+        |  SELECT d.doc_id, fr.f AS frame, COALESCE(CAST(s.h AS BIGINT), 0) AS fp
+        |  FROM cframes d JOIN range(0, 8) fr(f) ON fr.f < d.nf
+        |  LEFT JOIN (SELECT doc_id, f, SUM(CAST(1 AS BIGINT) << pos) AS h
+        |             FROM cbits GROUP BY 1, 2) s
+        |    ON s.doc_id = d.doc_id AND s.f = fr.f
+        |), cmarked AS (
+        |  SELECT doc_id, frame, fp,
+        |    CASE WHEN LAG(fp) OVER (PARTITION BY doc_id ORDER BY frame) IS NULL THEN 999
+        |         ELSE bit_count(xor(fp, LAG(fp) OVER (PARTITION BY doc_id ORDER BY frame))) END
+        |      AS hamming_prev
+        |  FROM cfps
+        |), csig AS (
+        |  -- scene keyframes: frame 0 or a Hamming jump > 8 (q279's rule)
+        |  SELECT doc_id, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) AS scene
+        |  FROM cmarked WHERE hamming_prev = 999 OR hamming_prev > 8
+        |), cpacks AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM csig GROUP BY 1
+        |), cbandk AS (
+        |  SELECT s.doc_id, s.fp, b.b, (s.fp >> (16 * b.b)) & 65535 AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY b.b, (s.fp >> (16 * b.b)) & 65535
+        |                       ORDER BY s.doc_id, s.fp) AS rn
+        |  FROM csig s, range(0, 4) b(b)
+        |), ccand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM cbandk x JOIN cbandk y
+        |    ON x.b = y.b AND x.k = y.k
+        |   AND y.rn > x.rn AND y.rn <= x.rn + 8
+        |  WHERE x.doc_id < y.doc_id
+        |), cmatched AS (
+        |  -- per-element EXISTS: an element of a's signature matches if
+        |  -- SOME element of b's is within Hamming 10
+        |  SELECT doc_a, doc_b, COUNT(*) AS m FROM (
+        |    SELECT DISTINCT c.doc_a, c.doc_b, sa.scene
+        |    FROM ccand c
+        |    JOIN csig sa ON sa.doc_id = c.doc_a
+        |    JOIN csig sb ON sb.doc_id = c.doc_b
+        |     AND bit_count(xor(sa.fp, sb.fp)) <= 10
+        |  ) GROUP BY 1, 2
+        |)
+        |SELECT m.doc_a, m.doc_b,
+        |  CAST(pa.n AS INT) AS n_a, CAST(pb.n AS INT) AS n_b,
+        |  CAST(m.m AS INT) AS matched
+        |FROM cmatched m
+        |JOIN cpacks pa ON pa.doc_id = m.doc_a
+        |JOIN cpacks pb ON pb.doc_id = m.doc_b
+        |WHERE 2 * m.m >= GREATEST(pa.n, pb.n)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
@@ -7107,24 +7186,45 @@ object SparkEntry {
         |    OVER (PARTITION BY doc_id ORDER BY frame) AS BIGINT) AS scene_id
         |FROM marked""".stripMargin,
 
-    // q280: multimodal dup-evidence fusion — the q277 and q278 verdict
-    // chains composed verbatim as CTEs (the oracle literally reuses the
-    // two independently-gated queries) and FULL OUTER joined on the pair
-    // key; absent verdicts surface as -1 so the table hash-compares.
+    // q280: multimodal dup-evidence fusion — the q277, q278, and q281
+    // verdict chains composed verbatim as CTEs (the oracle literally
+    // reuses the three independently-gated queries) and FULL OUTER
+    // joined on the pair key; absent verdicts surface as -1 so the
+    // table hash-compares.
     "q280_dup_evidence" ->
       s"""WITH img AS (
          |$q277OracleSql
          |), aud AS (
          |$q278OracleSql
-         |)
+         |), vid AS (
+         |$q281OracleSql
+         |), ia AS (
          |SELECT COALESCE(i.doc_a, a.doc_a) AS doc_a,
          |  COALESCE(i.doc_b, a.doc_b) AS doc_b,
-         |  CAST(COALESCE(i.hamming, -1) AS INT) AS img_hamming,
-         |  CAST(COALESCE(a.hamming, -1) AS INT) AS aud_hamming,
-         |  CAST((CASE WHEN i.doc_a IS NULL THEN 0 ELSE 1 END)
-         |     + (CASE WHEN a.doc_a IS NULL THEN 0 ELSE 1 END) AS INT)
-         |    AS n_modalities
+         |  i.hamming AS ih, a.hamming AS ah
          |FROM img i FULL OUTER JOIN aud a
-         |  ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b""".stripMargin,
+         |  ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+         |)
+         |SELECT COALESCE(x.doc_a, v.doc_a) AS doc_a,
+         |  COALESCE(x.doc_b, v.doc_b) AS doc_b,
+         |  CAST(COALESCE(x.ih, -1) AS INT) AS img_hamming,
+         |  CAST(COALESCE(x.ah, -1) AS INT) AS aud_hamming,
+         |  CAST(COALESCE(v.matched, -1) AS INT) AS vid_matched,
+         |  CAST((CASE WHEN x.ih IS NULL THEN 0 ELSE 1 END)
+         |     + (CASE WHEN x.ah IS NULL THEN 0 ELSE 1 END)
+         |     + (CASE WHEN v.doc_a IS NULL THEN 0 ELSE 1 END) AS INT)
+         |    AS n_modalities
+         |FROM ia x FULL OUTER JOIN vid v
+         |  ON x.doc_a = v.doc_a AND x.doc_b = v.doc_b""".stripMargin,
+
+    // q281: clip-level video near-dup. Spark decodes real multi-frame
+    // GIF bytes (the planted twins are TRIMMED + brightness-ridden
+    // re-encodes of their neighbour's actual bytes), extracts scene
+    // keyframes partition-locally, and band-joins + set-overlap
+    // verifies; the oracle rebuilds every frame from the closed-form
+    // pixel hash (indexed gray is lossless) and replays the identical
+    // cut rule, banding, bounded window, and overlap verdict.
+    "q281_clip_dups" ->
+      q281OracleSql,
   )
 }

@@ -307,7 +307,12 @@ object Multimodal {
     * iff raster pixel i+1 > pixel i (row-major). Sign-of-delta again —
     * brightness-invariant, gradient-direction-sensitive, exactly what a
     * scene cut moves and a within-scene drift does not. */
-  private[graft] def frameFp63(img: java.awt.image.BufferedImage): Long = {
+  private[graft] def frameFp63(img: java.awt.image.BufferedImage): Long =
+    frameFp63(grayRaster8(img))
+
+  /** Row-major 8×8 gray levels of a decoded frame (indexed gray: any RGB
+    * channel is the level). */
+  private[graft] def grayRaster8(img: java.awt.image.BufferedImage): Array[Int] = {
     val g = new Array[Int](64)
     var y = 0
     while (y < 8) {
@@ -318,6 +323,10 @@ object Multimodal {
       }
       y += 1
     }
+    g
+  }
+
+  private[graft] def frameFp63(g: Array[Int]): Long = {
     var hash = 0L
     var i = 0
     while (i < 63) {
@@ -920,19 +929,198 @@ object Multimodal {
       window: Int = 8): DataFrame =
     hammingBandedPairs(audioFps(docs), "afp", maxHamming, window)
 
+  // --------------------------------------------------------------------
+  // Clip-level video near-dup (q281): scene-keyframe signature sets
+  // --------------------------------------------------------------------
+
+  /** Docs planted as near-duplicate VIDEO twins: every `doc_id ≡ 7
+    * (mod 23)` carries a TRIMMED, brightness-ridden RE-ENCODE of
+    * `doc_id - 1`'s clip — decode the neighbour's actual GIF bytes, drop
+    * frame 0, add +2 per pixel with mod-256 wrap, encode again. Trim +
+    * re-encode is the clip-twin class a 100 TB video curation pass
+    * actually hunts (the same footage re-cut and re-compressed); the
+    * wrap flips a few fingerprint bits per keyframe (the q277
+    * brightness-wrap discipline) so the match is NEAR, not exact, while
+    * staying fully closed-form for the oracle.
+    */
+  private[graft] def plantedClipTwin(docId: Long): Boolean =
+    docId >= 1 && docId % 23 == 7
+
+  /** Per-frame pixel of the q281 clip family. [[syntheticClipGif]]'s
+    * scenes differ across docs only by an ADDITIVE constant, and the
+    * sign-of-delta fingerprint is brightness-invariant by design — under
+    * it every doc's scene-p frames would near-collide with every other
+    * doc's (the q278 single-ramp entropy trap, measured at 3 964 false
+    * "pairs"). Linear and quadratic per-(doc, scene) gradients were
+    * simulated and REJECTED too: any affine ramp gives per-row sign
+    * bias (~16 effective fingerprint bits → 46 811 false band pairs at
+    * 5 000 docs), and x² mod p of a ramp is palindromic around its
+    * vertex. What survives is a per-pixel multiply–xorshift–multiply
+    * hash seeded on (docId, scene) — the xor between Lehmer steps
+    * breaks linearity, so cross-doc fingerprints are effectively
+    * uniform 63-bit values (simulated: 0 false pairs / 218 planted
+    * found at 5 000 docs) while within-scene drift (+3/frame) and the
+    * twin ride (+2) flip only wrap-straddling pixels. Every operation
+    * is closed-form BIGINT arithmetic the DuckDB oracle replays
+    * verbatim (all intermediates < 2⁶³).
+    */
+  private[graft] def clipPixel(docId: Long, f: Int, x: Int, y: Int): Int = {
+    val i = y * 8 + x
+    val p = f / 3
+    val s0 = (docId * 2654435761L + p * 40503L) % 2147483648L
+    val seed = (s0 * 48271L) % 2147483647L
+    var v = (seed + (i + 1) * 69621L) % 2147483647L
+    v = (v * 16807L) % 2147483647L
+    v = v ^ (v >> 16)
+    v = (v * 48271L) % 2147483647L
+    ((v % 256 + 3L * f) % 256).toInt
+  }
+
+  private[graft] def syntheticVideoClip(docId: Long): Array[Byte] =
+    writeGifSequence((2 + docId % 7).toInt)((f, x, y) =>
+      clipPixel(docId, f, x, y))
+
+  private[graft] def syntheticVideoWithTwins(docId: Long): Array[Byte] =
+    if (!plantedClipTwin(docId)) syntheticVideoClip(docId)
+    else {
+      val frames = decodeGifGray(syntheticVideoClip(docId - 1))
+      writeGifSequence(frames.length - 1)((f, x, y) =>
+        (frames(f + 1)(y * 8 + x) + 2) % 256)
+    }
+
+  /** REAL multi-frame decode to row-major 8×8 gray rasters, resources
+    * released in try/finally. */
+  private[graft] def decodeGifGray(payload: Array[Byte]): IndexedSeq[Array[Int]] = {
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      (0 until reader.getNumImages(true)).map(f => grayRaster8(reader.read(f)))
+    } finally {
+      try iis.close() finally reader.dispose()
+    }
+  }
+
+  private val clipSigSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("scene", IntegerType),
+    StructField("fp", LongType),
+    StructField("n_scenes", IntegerType),
+  ))
+
+  /** Per-clip scene-keyframe signature set, PARTITION-LOCAL: decode the
+    * clip, fingerprint every frame, apply the q279 cut rule (frame 0 or
+    * Hamming-to-previous > 8 opens a scene) INSIDE the kernel, and emit
+    * one row per keyframe. Unlike [[sceneCuts]] — whose per-frame output
+    * is the point, so it rides a doc_id window — the signature pass
+    * needs no shuffle at all: the whole clip sits in one task row, so
+    * cut detection is a local loop and only ≤ ⌈8/3⌉ signature rows per
+    * clip leave the scan.
+    */
+  def clipSignatures(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(clipSigSchema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val fps = decodeGifGray(syntheticVideoWithTwins(id)).map(frameFp63)
+        val kf = Vector.newBuilder[Long]
+        var prev = 0L
+        var f = 0
+        while (f < fps.length) {
+          if (f == 0 || java.lang.Long.bitCount(fps(f) ^ prev) > 8)
+            kf += fps(f)
+          prev = fps(f)
+          f += 1
+        }
+        val sig = kf.result()
+        sig.zipWithIndex.map { case (fp, s) => Row(id, s, fp, sig.size) }
+      }
+    }(enc)
+  }
+
+  /** Clip-level video near-duplicate pairs (q281): the operator a 100 TB
+    * video curation pass runs AFTER segmentation — q279 finds the scene
+    * keyframes, this dedups whole clips by them. A clip's signature is
+    * its scene-keyframe fingerprint SET (order-free: a re-cut that drops
+    * leading frames shifts every frame index but leaves interior scene
+    * fingerprints in place); candidates come from the same bounded
+    * 4×16-bit Hamming-band join as q277/q278 applied to EVERY signature
+    * member (a pair is considered iff SOME keyframe band matches — at
+    * most ~3 keyframes per clip, so the band relation is 3× the corpus,
+    * still linear); the verify is a SET-OVERLAP test on the two
+    * signature arrays (≤ 3×3 codegen'd bit_counts per candidate):
+    * `matched` counts keyframes of a within `maxHamming` of some
+    * keyframe of b, and a pair survives iff at least half the LARGER
+    * signature matched — a trim can drop a whole scene without losing
+    * the pair, but two clips sharing one incidental scene of many do
+    * not collapse.
+    *
+    * Scale: signature extraction is codec-linear and shuffle-free; the
+    * band join is the plan-pinned bounded-window shape (never in-bucket
+    * n²); the verify joins only candidate pairs to the ≤-3-row-per-doc
+    * signature packs — everything downstream of the scan scales with
+    * the dup rate, not the corpus.
+    */
+  def clipDups(s: SparkSession, dir: String): DataFrame =
+    clipDups(Tables.documents(s, dir))
+
+  def clipDups(docs: DataFrame, maxHamming: Int = 10,
+      window: Int = 8): DataFrame = {
+    val sigs = graft.Caches.track(clipSignatures(docs))
+    val bands = sigs.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "k")
+    // rank within the (band, key) bucket by (doc_id, fp) — docs appear
+    // once per keyframe, so the tiebreak keeps row_number deterministic
+    val ranked = graft.Caches.track(bands.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("k"))
+        .orderBy(col("doc_id"), col("fp")))))
+    val probes = ranked.select(col("band"), col("k"),
+      col("doc_id").as("doc_a"),
+      explode(array((1 to window).map(j => col("rn") + j): _*)).as("rn"))
+    val cand = probes.hint("shuffle_hash")
+      .join(ranked.select(col("band"), col("k"), col("rn"),
+          col("doc_id").as("doc_b")).hint("shuffle_hash"),
+        Seq("band", "k", "rn"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val packs = sigs.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("fp"))).as("fps"),
+        max(col("n_scenes")).as("n"))
+    cand
+      .join(packs.select(col("doc_id").as("doc_a"),
+        col("fps").as("fps_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(packs.select(col("doc_id").as("doc_b"),
+        col("fps").as("fps_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("matched", expr(
+        s"size(filter(fps_a, fa -> exists(fps_b, fb -> bit_count(fa ^ fb) <= $maxHamming)))"))
+      .filter(col("matched") * 2 >= greatest(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("matched"))
+  }
+
   /** Multimodal dup-evidence fusion (q280): the decision table a
     * curation pipeline reads BEFORE deleting — one row per candidate
     * pair carrying every modality's verdict, because deleting on a
     * single perceptual signal is how false-positive dedup eats real
-    * data. Joins the image (q277) and audio (q278) near-dup verdicts
-    * FULL OUTER on the pair key: `n_modalities = 2` pairs are the
-    * safe-to-collapse population, single-signal pairs go to review.
-    * Absent verdicts surface as -1 (not null) so the table is
-    * hash-stable across engines.
+    * data. Joins the image (q277), audio (q278), and video-clip (q281)
+    * near-dup verdicts FULL OUTER on the pair key: high-`n_modalities`
+    * pairs are the safe-to-collapse population, single-signal pairs go
+    * to review. Absent verdicts surface as -1 (not null) so the table
+    * is hash-stable across engines.
     *
-    * Scale: both inputs are dup-bounded pair sets (each already
-    * band-bucketed and window-capped upstream), so the fusion join
-    * shuffles only confirmed near-dup pairs — it scales with the dup
+    * Scale: all three inputs are dup-bounded pair sets (each already
+    * band-bucketed and window-capped upstream), so the fusion joins
+    * shuffle only confirmed near-dup pairs — they scale with the dup
     * rate, never the corpus.
     */
   def dupEvidence(s: SparkSession, dir: String): DataFrame =
@@ -943,11 +1131,15 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming").as("ih"))
     val aud = audioFpDups(docs)
       .select(col("doc_a"), col("doc_b"), col("hamming").as("ah"))
+    val vid = clipDups(docs)
+      .select(col("doc_a"), col("doc_b"), col("matched").as("vm"))
     img.join(aud, Seq("doc_a", "doc_b"), "full_outer")
+      .join(vid, Seq("doc_a", "doc_b"), "full_outer")
       .select(col("doc_a"), col("doc_b"),
         coalesce(col("ih"), lit(-1)).as("img_hamming"),
         coalesce(col("ah"), lit(-1)).as("aud_hamming"),
-        (col("ih").isNotNull.cast("int") + col("ah").isNotNull.cast("int"))
-          .as("n_modalities"))
+        coalesce(col("vm"), lit(-1)).as("vid_matched"),
+        (col("ih").isNotNull.cast("int") + col("ah").isNotNull.cast("int") +
+          col("vm").isNotNull.cast("int")).as("n_modalities"))
   }
 }

@@ -287,29 +287,108 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("dupEvidence fuses the image and audio verdicts losslessly on the pair key") {
+  test("dupEvidence fuses the image, audio, and video verdicts losslessly on the pair key") {
     val img = Multimodal.imageDHashDups(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     graft.Caches.releaseAll()
     val aud = Multimodal.audioFpDups(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     graft.Caches.releaseAll()
+    val vid = Multimodal.clipDups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    graft.Caches.releaseAll()
     val fused = Multimodal.dupEvidence(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    graft.Caches.releaseAll()
+    assert(fused.keySet === img.keySet ++ aud.keySet ++ vid.keySet,
+      "the fusion must cover exactly the union of pair keys")
+    fused.foreach { case (p, (ih, ah, vm, n)) =>
+      assert(ih === img.getOrElse(p, -1), s"$p image verdict")
+      assert(ah === aud.getOrElse(p, -1), s"$p audio verdict")
+      assert(vm === vid.getOrElse(p, -1), s"$p video verdict")
+      assert(n === Seq(img.contains(p), aud.contains(p), vid.contains(p))
+        .count(identity), s"$p modality count")
+    }
+    // all three planted families surface with their own modality only
+    // (the residues 3 mod 17, 5 mod 19, and 7 mod 23 never coincide
+    // below 500)
+    assert(fused((53L, 54L))._4 === 1 && fused((53L, 54L))._1 >= 0)
+    assert(fused((23L, 24L))._4 === 1 && fused((23L, 24L))._2 >= 0)
+    assert(fused((29L, 30L))._4 === 1 && fused((29L, 30L))._3 >= 0)
+  }
+
+  test("clipSignatures replay closed-form through the real GIF codec, trimmed twins included") {
+    // plain-JVM replay of the per-pixel hash — no codec, no Spark — must
+    // equal what Spark recovers from REAL encode+decode (lossless
+    // indexed gray), for originals and for a planted twin (id 30:
+    // trimmed first frame of 29's clip, +2 brightness ride)
+    val M = 2147483647L
+    def g(doc: Long, f: Int, i: Int, shift: Int): Int = {
+      val s0 = (doc * 2654435761L + (f / 3) * 40503L) % 2147483648L
+      var v = ((s0 * 48271L) % M + (i + 1) * 69621L) % M
+      v = (v * 16807L) % M
+      v = v ^ (v >> 16)
+      v = (v * 48271L) % M
+      ((v % 256 + 3L * f + shift) % 256).toInt
+    }
+    def fp(doc: Long, f: Int, shift: Int): Long = {
+      var h = 0L
+      for (i <- 0 until 63)
+        if (g(doc, f, i + 1, shift) > g(doc, f, i, shift)) h |= 1L << i
+      h
+    }
+    def keyframes(fps: Seq[Long]): Seq[Long] = {
+      val kf = Seq.newBuilder[Long]
+      var prev = 0L
+      for ((v, i) <- fps.zipWithIndex) {
+        if (i == 0 || java.lang.Long.bitCount(v ^ prev) > 8) kf += v
+        prev = v
+      }
+      kf.result()
+    }
+    val sig = graft.operators.Multimodal
+      .clipSignatures(graft.sources.Tables.documents(spark, sf0001))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (d, rs) =>
+        d -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getInt(3))).toSeq
+      }
+    for (id <- Seq(0L, 9L, 29L, 481L)) { // originals (none ≡ 7 mod 23)
+      val n = (2 + id % 7).toInt
+      val exp = keyframes((0 until n).map(f => fp(id, f, 0)))
+      assert(sig(id).map(_._1) === exp, s"doc $id keyframes")
+      assert(sig(id).forall(_._2 === exp.size), s"doc $id n_scenes")
+    }
+    for (id <- Seq(30L, 76L)) { // planted twins: base frames 1..n-1, +2
+      val base = id - 1
+      val n = (2 + base % 7).toInt
+      val exp = keyframes((1 until n).map(f => fp(base, f, 2)))
+      assert(sig(id).map(_._1) === exp, s"twin $id keyframes")
+    }
+  }
+
+  test("clipDups finds every planted trimmed twin through the banded join, nothing else") {
+    val pairs = Multimodal.clipDups(spark, sf0001)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the band join must never degenerate to all-pairs:\n$plan")
+    val got = pairs.collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
     graft.Caches.releaseAll()
-    assert(fused.keySet === img.keySet ++ aud.keySet,
-      "the fusion must cover exactly the union of pair keys")
-    fused.foreach { case (p, (ih, ah, n)) =>
-      assert(ih === img.getOrElse(p, -1), s"$p image verdict")
-      assert(ah === aud.getOrElse(p, -1), s"$p audio verdict")
-      assert(n === Seq(img.contains(p), aud.contains(p)).count(identity),
-        s"$p modality count")
+    // twins are id-adjacent (in-bucket rank distance ~1 at ANY corpus
+    // size) and the +2 ride plus ≤ 3-frame trim drift stays within the
+    // 10-bit keyframe verify — the 5 000-doc simulation measured full
+    // recall AND zero false pairs, so unlike the q277 recall<1 contract
+    // this gate is exact
+    val planted = (7L until 500L by 23L).map(d => (d - 1, d)).toSet
+    assert(got.keySet === planted,
+      s"expected exactly the planted twin pairs: got ${got.keys.toSeq.sorted}")
+    got.foreach { case (p, (na, nb, m)) =>
+      assert(m >= 1 && 2 * m >= math.max(na, nb), s"$p verdict invariant")
     }
-    // both planted families surface with their own modality only (the
-    // residues 3 mod 17 and 5 mod 19 do not coincide below 500)
-    assert(fused((53L, 54L))._3 === 1 && fused((53L, 54L))._1 >= 0)
-    assert(fused((23L, 24L))._3 === 1 && fused((23L, 24L))._2 >= 0)
   }
 
   test("imageDHashDups finds the planted re-encoded twins through the banded join, no all-pairs") {

@@ -826,6 +826,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q281: clip signature band join is the bounded-window shape; verify joins only candidate pairs") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Multimodal.clipDups(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"candidates must come from band equality, never all-pairs:\n$plan")
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 0, s"nothing corpus-scaled may broadcast:\n$plan")
+      assert(shj >= 1, s"the band probe join must shuffle:\n$plan")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("star joins: only CONSTANT dims are forced broadcasts; customer/supplier stay size-decided") {
     withNoAutoBroadcast {
       // expected = the constant-dim (nation/region) hints; customer and
