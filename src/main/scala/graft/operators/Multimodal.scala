@@ -228,30 +228,10 @@ object Multimodal {
     * the frames from the container, and return per-frame pixel sums read
     * from the DECODED indexed rasters (gray level = any RGB channel).
     */
-  private[graft] def decodeGifFrames(payload: Array[Byte]): Seq[(Int, Long)] = {
-    val reader = javax.imageio.ImageIO
-      .getImageReadersByFormatName("gif").next()
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    reader.setInput(iis)
-    val n = reader.getNumImages(true)
-    val out = (0 until n).map { f =>
-      val img = reader.read(f)
-      var sum = 0L
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          sum += (img.getRGB(x, y) >> 16) & 0xff
-          x += 1
-        }
-        y += 1
-      }
-      (f, sum)
+  private[graft] def decodeGifFrames(payload: Array[Byte]): Seq[(Int, Long)] =
+    decodeGifGray(payload).zipWithIndex.map { case (g, f) =>
+      (f, g.foldLeft(0L)(_ + _))
     }
-    reader.dispose(); iis.close()
-    out
-  }
 
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -345,6 +325,11 @@ object Multimodal {
   /** Per-frame fingerprints through the REAL GIF codec, one row per
     * decoded frame (the frameSample fan-out shape — whole clips never
     * shuffle; ≤ 8 rows leave per doc). */
+  /** Frame fps of one q279 clip through the real codec — the kernel the
+    * batch window path and the zero-state streaming monitor share. */
+  private[graft] def clipFrameFpSeq(docId: Long): IndexedSeq[Long] =
+    decodeGifGray(syntheticClipGif(docId)).map(frameFp63)
+
   def clipFrameFps(docs: DataFrame): DataFrame = {
     val ids = docs.select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -353,15 +338,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val reader = javax.imageio.ImageIO
-          .getImageReadersByFormatName("gif").next()
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(syntheticClipGif(id)))
-        reader.setInput(iis)
-        val n = reader.getNumImages(true)
-        val out = (0 until n).map(f => Row(id, f, frameFp63(reader.read(f))))
-        reader.dispose(); iis.close()
-        out
+        clipFrameFpSeq(id).zipWithIndex.map { case (fp, f) => Row(id, f, fp) }
       }
     }(enc)
   }
@@ -1019,6 +996,21 @@ object Multimodal {
     * cut detection is a local loop and only ≤ ⌈8/3⌉ signature rows per
     * clip leave the scan.
     */
+  /** The q279 cut rule over a frame-fp sequence: keyframe iff frame 0 or
+    * Hamming-to-previous > 8. */
+  private[graft] def keyframeFps(fps: IndexedSeq[Long]): Vector[Long] = {
+    val kf = Vector.newBuilder[Long]
+    var prev = 0L
+    var f = 0
+    while (f < fps.length) {
+      if (f == 0 || java.lang.Long.bitCount(fps(f) ^ prev) > 8)
+        kf += fps(f)
+      prev = fps(f)
+      f += 1
+    }
+    kf.result()
+  }
+
   def clipSignatures(docs: DataFrame): DataFrame = {
     val ids = docs.select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -1027,18 +1019,39 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.flatMap { r =>
         val id = r.getLong(0)
-        val fps = decodeGifGray(syntheticVideoWithTwins(id)).map(frameFp63)
-        val kf = Vector.newBuilder[Long]
-        var prev = 0L
-        var f = 0
-        while (f < fps.length) {
-          if (f == 0 || java.lang.Long.bitCount(fps(f) ^ prev) > 8)
-            kf += fps(f)
-          prev = fps(f)
-          f += 1
-        }
-        val sig = kf.result()
+        val sig = keyframeFps(
+          decodeGifGray(syntheticVideoWithTwins(id)).map(frameFp63))
         sig.zipWithIndex.map { case (fp, s) => Row(id, s, fp, sig.size) }
+      }
+    }(enc)
+  }
+
+  private val clipPackSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("fps", ArrayType(LongType, containsNull = false)),
+    StructField("n", IntegerType),
+  ))
+
+  /** One row per clip: the sorted scene-keyframe fingerprint array and
+    * its size — the verify-side relation of [[clipDups]] and the
+    * streaming clip-dup monitor, emitted STRAIGHT FROM THE KERNEL (no
+    * groupBy/collect_list shuffle: the clip already sits whole in one
+    * task row, so aggregating its own keyframes through an exchange
+    * would be a corpus-scaled shuffle for nothing).
+    */
+  def clipSignaturePacks(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val ids = docs.select(("doc_id" +: carry).map(col): _*)
+    val schema = StructType(
+      clipPackSchema.fields.toSeq ++ carry.map(c => docs.schema(c)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val sig = keyframeFps(
+          decodeGifGray(syntheticVideoWithTwins(id)).map(frameFp63))
+        Row.fromSeq(id +: sig.sorted +: sig.size +: (1 until r.length).map(r.get))
       }
     }(enc)
   }
@@ -1071,10 +1084,12 @@ object Multimodal {
 
   def clipDups(docs: DataFrame, maxHamming: Int = 10,
       window: Int = 8): DataFrame = {
-    val sigs = graft.Caches.track(clipSignatures(docs))
-    val bands = sigs.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L))): _*)))
+    val packs = graft.Caches.track(clipSignaturePacks(docs))
+    val bands = packs
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "k")
     // rank within the (band, key) bucket by (doc_id, fp) — docs appear
@@ -1093,9 +1108,6 @@ object Multimodal {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    val packs = sigs.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("fp"))).as("fps"),
-        max(col("n_scenes")).as("n"))
     cand
       .join(packs.select(col("doc_id").as("doc_a"),
         col("fps").as("fps_a"), col("n").as("n_a")), Seq("doc_a"))

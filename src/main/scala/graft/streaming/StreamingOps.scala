@@ -506,6 +506,88 @@ object StreamingOps {
       graft.operators.Multimodal.audioFps(corpus),
       "afp", maxHamming, bucketCap, watermark)
 
+  /** q279's ingest twin: scene-cut detection on arriving clips. The
+    * batch operator windows over doc_id because its per-frame output is
+    * a RELATION after the codec explode; stream-side every clip arrives
+    * as ONE row, so the whole lag/threshold/scene-numbering chain is a
+    * local loop inside the decode kernel — ZERO stream state (the
+    * repetitionMonitor discipline): no watermark, no aggregation,
+    * nothing to evict. Emits the batch operator's exact columns (plus
+    * ts), bit-identical on the same clips (spec-asserted).
+    */
+  def sceneCutMonitor(stream: DataFrame, cutThreshold: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("frame", IntegerType),
+      StructField("hamming_prev", IntegerType),
+      StructField("new_scene", BooleanType),
+      StructField("scene_id", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    stream.select(col("doc_id"), col("ts")).mapPartitions { rows: Iterator[Row] =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val ts = r.getTimestamp(1)
+        val fps = graft.operators.Multimodal.clipFrameFpSeq(id)
+        var prev = 0L
+        var scene = 0L
+        fps.zipWithIndex.map { case (fp, f) =>
+          val h = if (f == 0) -1 else java.lang.Long.bitCount(fp ^ prev)
+          val cut = h == -1 || h > cutThreshold
+          if (cut) scene += 1
+          prev = fp
+          Row(id, ts, f, h, cut, scene)
+        }
+      }
+    }(enc)
+  }
+
+  /** q281's ingest twin: arriving clips probed against the corpus
+    * scene-keyframe signature index. The index explodes each corpus
+    * signature member into its 4×16-bit band keys with per-bucket
+    * occupancy capped (the perceptualDupMonitor saturation rule); an
+    * arriving clip's members probe by band equality, and the verify is
+    * the batch operator's SET-OVERLAP rule on the two full signature
+    * arrays (`matched·2 ≥ max(n, corpus_n)`) — both arrays ride the
+    * probe row, so the verdict needs no second join. Multi-member /
+    * multi-band hits collapse via `dropDuplicatesWithinWatermark`
+    * (state bounded by the watermark).
+    */
+  def clipDupMonitor(stream: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 10, bucketCap: Int = 16,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Multimodal
+    val corpusIdx = graft.Caches.track(
+      Multimodal.bandKeys16(
+          Multimodal.clipSignaturePacks(corpus)
+            .select(col("doc_id"), col("fps"), col("n"),
+              explode(col("fps")).as("fp")),
+          "fp", carry = Seq("fps", "n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("k"))
+            .orderBy(col("doc_id"), col("fp"))))
+        .filter(col("rn") <= bucketCap)
+        .select(col("band"), col("k"), col("doc_id").as("corpus_id"),
+          col("fps").as("corpus_fps"), col("n").as("corpus_n")))
+    Multimodal.bandKeys16(
+        Multimodal.clipSignaturePacks(stream, carry = Seq("ts"))
+          .withWatermark("ts", watermark)
+          .select(col("doc_id"), col("ts"), col("fps"), col("n"),
+            explode(col("fps")).as("fp")),
+        "fp", carry = Seq("ts", "fps", "n"))
+      .join(corpusIdx, Seq("band", "k"))
+      .withColumn("matched", expr(
+        s"size(filter(fps, fa -> exists(corpus_fps, fb -> bit_count(fa ^ fb) <= $maxHamming)))"))
+      .filter(col("matched") * 2 >= greatest(col("n"), col("corpus_n")))
+      .select(col("doc_id"), col("ts"), col("corpus_id"), col("matched"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+  }
+
   def nearDupAgainstCorpus(
       stream: DataFrame,
       corpus: DataFrame,

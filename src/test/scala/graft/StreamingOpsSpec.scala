@@ -448,6 +448,93 @@ class StreamingOpsSpec extends SparkSpec {
       s"re-delivered pair must not re-emit after restart: ${rows.toSeq}")
   }
 
+  test("scene cut monitor emits the batch scene table bit-identically with zero stream state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamTextDoc]
+    val q = StreamingOps.sceneCutMonitor(mem.toDF())
+      .writeStream.format("memory").queryName("scmon")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamTextDoc(2L, "x", ts("2026-01-01 00:00:00")),   // 4 frames, 2 scenes
+      StreamTextDoc(9L, "x", ts("2026-01-01 00:00:05")),   // 4 frames
+      StreamTextDoc(481L, "x", ts("2026-01-01 00:00:10"))) // 7 frames, 3 scenes
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "the monitor must carry ZERO streaming state")
+    q.stop()
+    val got = spark.table("scmon")
+      .select($"doc_id", $"frame", $"hamming_prev", $"new_scene", $"scene_id")
+      .as[(Long, Int, Int, Boolean, Long)].collect().toSet
+    val batch = graft.operators.Multimodal.sceneCuts(
+        Seq((2L, "x"), (9L, "x"), (481L, "x")).toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Boolean, Long)].collect().toSet
+    assert(got === batch, "streaming scene table must equal the batch q279 table")
+    assert(got.count(_._1 == 481L) === 7 && got.filter(_._1 == 481L).map(_._5).max === 3L)
+  }
+
+  test("scene cut monitor restart: pending clips process exactly once through the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-scmon-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.sceneCutMonitor(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(StreamTextDoc(2L, "x", ts("2026-01-01 00:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 4) // 2 + 2 % 7 frames
+    // a clip delivered while the query is down is processed exactly once
+    // by the restarted query — no loss, no duplication (zero-state op:
+    // restart safety IS the sink+checkpoint exactly-once contract)
+    mem.addData(StreamTextDoc(9L, "x", ts("2026-01-01 00:00:05")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+      .select($"doc_id", $"frame").as[(Long, Int)].collect().toSeq
+    assert(rows.sorted === Seq((2L, 0), (2L, 1), (2L, 2), (2L, 3),
+      (9L, 0), (9L, 1), (9L, 2), (9L, 3)).sorted,
+      s"each frame row exactly once across the restart: $rows")
+  }
+
+  test("clip dup monitor flags planted trimmed twins against the corpus signature index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    // 30 % 23 == 7, so doc 30's clip is the trimmed re-encode of doc
+    // 29's; 500 is an unrelated corpus member
+    val corpus = Seq((29L, "x"), (500L, "x")).toDF("doc_id", "text")
+    val mem = MemoryStream[StreamTextDoc]
+    val q = StreamingOps.clipDupMonitor(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("clipdup")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamTextDoc(30L, "x", ts("2026-01-01 00:00:00")),  // twin of 29
+      StreamTextDoc(777L, "x", ts("2026-01-01 00:00:05")), // distinct clip
+      StreamTextDoc(29L, "x", ts("2026-01-01 00:00:10")))  // re-ingest
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("clipdup")
+      .select($"doc_id", $"corpus_id", $"matched")
+      .as[(Long, Long, Int)].collect()
+    graft.Caches.releaseAll()
+    val byDoc = rows.groupBy(_._1)
+    // the twin's verdict equals the batch operator's matched count
+    val batch = Multimodal.clipDups(
+        Seq((29L, "x"), (30L, "x")).toDF("doc_id", "text"))
+      .select($"doc_a", $"doc_b", $"matched")
+      .as[(Long, Long, Int)].collect()
+    graft.Caches.releaseAll()
+    assert(batch.length === 1 && batch.head._1 === 29L && batch.head._2 === 30L)
+    assert(byDoc(30L).toSeq === Seq((30L, 29L, batch.head._3)),
+      s"twin must flag once with the batch matched count: ${rows.toSeq}")
+    // a re-ingested corpus clip matches itself on its full signature
+    val n29 = Multimodal.keyframeFps(Multimodal.decodeGifGray(
+      Multimodal.syntheticVideoWithTwins(29L)).map(Multimodal.frameFp63)).size
+    assert(byDoc(29L).toSeq === Seq((29L, 29L, n29)), "re-ingest flags fully")
+    assert(!byDoc.contains(777L), s"distinct clip must pass: ${rows.toSeq}")
+  }
+
   test("quality monitor flags contract violations per window (streaming = batch result)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
