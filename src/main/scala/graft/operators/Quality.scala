@@ -952,14 +952,20 @@ object Quality {
     * rescale the rank grid (divide mr2 by a power of two) — documented,
     * not silent.
     *
-    * Scale: the global rank over (signal, source, score, doc_id) rides
-    * `Advanced.bucketedPrefix` ONCE over both signals stacked (2n rows,
-    * one range shuffle) with per-(signal, source) offsets recovered
-    * from a 2|sources|-row relation (the q271 grouped rank trick — no
-    * per-source single-partition window); midrank groups aggregate on
-    * the high-cardinality (signal, source, score) key; one pivot
-    * aggregate lands both midranks on the doc row; the final moments
-    * are one map-side-combined aggregate to |sources| rows.
+    * Scale (round-15 shape): NO doc row is ever ranked. Both scores
+    * live on the 1e6 micro grid, so the tie-group relation
+    * (sig, source, score, cnt) is GRID-BOUNDED (≤ 1e6+1 rows per source
+    * per signal at any corpus size) and each group's doubled midrank is
+    * prefix arithmetic over it; docs then take two narrow probe joins
+    * to pick up their midranks, and the final moments are one
+    * map-side-combined aggregate to |sources| rows. The round-14
+    * bucketedPrefix rank (sampling pass + range shuffle over 2n stacked
+    * doc rows + tie-group join-back + pivot) was A/B'd and replaced:
+    * sf0.1 pin 5.28 → 4.79, 100× 17.3 → 12.3 s. The pair relation is
+    * additionally cached g-partitioned (`dgg`) so the type aggregate
+    * and the per-doc probe join share ONE pair-relation shuffle
+    * instead of paying it twice: sf0.1 4.79 → 3.26, 100× 12.3 →
+    * 10.6 s. Net round-15: pin 5.28 → 3.26, 100× 17.3 → 10.6 s.
     */
   def signalAgreement(docs: DataFrame, buckets: Int = 32): DataFrame = {
     import graft.functions.Text
@@ -1003,7 +1009,13 @@ object Quality {
     // inv_p is priced once per bigram TYPE — the pair relation then
     // takes a single g-keyed join instead of the former two (g, then
     // w1) pair-sized shuffles
-    val bg = Caches.track(dg.groupBy(col("g")).agg(sum(col("n")).as("n12"))
+    // the pair relation cached a second time, g-partitioned: the type
+    // aggregate (bg) and the per-doc inv_p probe join both need
+    // g-clustering, and without this cache each paid its own full
+    // pair-relation shuffle (A/B: sf0.1 4.79 → 3.26 s, 100× 12.3 →
+    // 10.6 s — one shuffle write+read traded for a cache scan)
+    val dgg = Caches.track(dg.repartition(shuffleWidth(docs), col("g")))
+    val bg = Caches.track(dgg.groupBy(col("g")).agg(sum(col("n")).as("n12"))
       .withColumn("w1", element_at(split(col("g"), " "), 1)))
     val heads = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     val vocab = heads.agg(count(lit(1)).as("v"))
@@ -1012,54 +1024,48 @@ object Quality {
       .crossJoin(broadcast(vocab))
       .select(col("g"),
         expr("(1000000 * (n1 + v)) div (n12 + 1)").as("inv_p_micro"))
-    val sb = dg.hint("shuffle_hash").join(typeScore.hint("shuffle_hash"), "g")
+    val sb = dgg.hint("shuffle_hash").join(typeScore.hint("shuffle_hash"), "g")
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("nb"),
         sum((col("n").cast(dec) * col("inv_p_micro")).cast(dec)).as("s"))
       .select(col("doc_id"), expr("cast(s div nb as long)").as("s_flu"))
     val scored = Caches.track(sa.hint("shuffle_hash").join(sb, "doc_id"))
-    // exact midranks via the q271 grouped-rank trick, BOTH signals in
-    // ONE bucketedPrefix pass (round 14): the two score columns stack
-    // into a (sig, source, v) relation of 2n rows ranked by the single
-    // total order (sig, source, v, doc_id) — one range shuffle instead
-    // of two — and the per-(sig, source) offsets come from the same
-    // |sources|-row counts, doubled. The former shape joined each
-    // midrank back to the doc list separately (three doc-keyed joins);
-    // here one (sig, source, v)-keyed join attaches the tie-group
-    // midranks and one pivot aggregate lands a2/b2 on the doc row.
+    // exact midranks WITHOUT ranking any doc row (round 15): both
+    // scores live on the 1e6 micro grid, so the tie-group relation
+    // (sig, source, v, cnt) is GRID-BOUNDED — ≤ 1e6+1 rows per source
+    // per signal at ANY corpus size — and a tie group's doubled midrank
+    // is pure prefix arithmetic over it: mr2 = 2·(count below) + cnt + 1
+    // (= min_rank + max_rank). The round-14 shape ranked the 2n stacked
+    // DOC rows through bucketedPrefix (a sampling pass + range shuffle)
+    // and joined the tie groups back with a pivot aggregate — four
+    // corpus-scaled exchanges where this needs ONE map-side-combined
+    // count to the grid relation plus two narrow doc-keyed probe joins
+    // (A/B at sf0.1: 5.28 → 4.79 s, at 100×: 17.3 → 12.3 s; the
+    // per-(sig, source) window sorts grid-bounded partitions, not
+    // corpus-scaled ones, so the single-partition-window objection the
+    // old scaladoc answered no longer has a corpus-scaled input to bite)
     val stacked = scored
-      .select(col("doc_id"), col("source"), lit("a").as("sig"),
-        col("s_dup").as("v"))
-      .unionByName(scored.select(col("doc_id"), col("source"),
+      .select(col("source"), lit("a").as("sig"), col("s_dup").as("v"))
+      .unionByName(scored.select(col("source"),
         lit("b").as("sig"), col("s_flu").as("v")))
-    val ranked = Advanced.bucketedPrefix(
-      stacked, Seq(col("sig"), col("source"), col("v"), col("doc_id")),
-      buckets)(
-      spec => count(lit(1)).over(
-        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-      count(lit(1)),
-      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
-      (run, off) => run + off)
-    // both signals rank the same doc population, so per-source counts
-    // serve both sig blocks; the 2|sources|-row window is the pinned
-    // "offsets only" global window
-    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("ln"))
-    val offs = counts.select(lit("a").as("sig"), col("source"), col("ln"))
-      .unionByName(counts.select(lit("b").as("sig"), col("source"), col("ln")))
-      .withColumn("loff", coalesce(sum(col("ln")).over(
-        Window.orderBy(col("sig"), col("source"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("sig"), col("source"), col("loff"))
-    val r = ranked.join(broadcast(offs), Seq("sig", "source"))
-      .withColumn("rank", col("prefix") - col("loff"))
-    val groups = r.groupBy(col("sig"), col("source"), col("v"))
-      .agg((min(col("rank")) + max(col("rank"))).as("mr2"))
-    val mr = r.select(col("doc_id"), col("source"), col("sig"), col("v"))
+    val wsrc = Window.partitionBy(col("sig"), col("source")).orderBy(col("v"))
+    val mrGroups = stacked
+      .groupBy(col("sig"), col("source"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mr2", lit(2L) * coalesce(sum(col("cnt")).over(
+          wsrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+        col("cnt") + lit(1L))
+    val mr = scored.hint("shuffle_hash")
+      .join(mrGroups.filter(col("sig") === "a")
+        .select(col("source"), col("v").as("s_dup"), col("mr2").as("a2"))
+        .hint("shuffle_hash"),
+        Seq("source", "s_dup"))
       .hint("shuffle_hash")
-      .join(groups.hint("shuffle_hash"), Seq("sig", "source", "v"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(max(when(col("sig") === "a", col("mr2"))).as("a2"),
-        max(when(col("sig") === "b", col("mr2"))).as("b2"))
+      .join(mrGroups.filter(col("sig") === "b")
+        .select(col("source"), col("v").as("s_flu"), col("mr2").as("b2"))
+        .hint("shuffle_hash"),
+        Seq("source", "s_flu"))
+      .select(col("doc_id"), col("source"), col("a2"), col("b2"))
     val m = mr.groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(col("a2").cast(dec)).as("sa1"),

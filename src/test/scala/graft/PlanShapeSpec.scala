@@ -946,7 +946,7 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q273: the stacked midrank pass rides one bucketedPrefix — global windows only over bucket totals or 2|sources| offsets") {
+  test("q273: midranks come from the grid-bounded tie-group relation — no doc-row ranking, no range shuffle") {
     def whole(p: SparkPlan): Seq[SparkPlan] =
       p.collect {
         case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
@@ -961,18 +961,21 @@ class PlanShapeSpec extends SparkSpec {
     df.collect()
     val nodes = whole(df.queryExecution.executedPlan)
     val planText = nodes.map(_.toString).mkString("\n").toLowerCase
-    assert(planText.contains("rangepartitioning"),
-      s"rank pass 1 must range-partition by (source, score, doc_id):\n$planText")
-    nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-      .foreach { w =>
-        assert(whole(w).exists {
-          case h: HashAggregateExec =>
-            h.groupingExpressions.exists(e =>
-              e.toString.contains("bucket") || e.toString.contains("source"))
-          case _ => false
-        }, s"a global window may only read bucket totals or the " +
-          s"|sources|-row offsets:\n$w")
-      }
+    // the round-15 rewrite ranks NO doc rows: midranks are prefix
+    // arithmetic over the (sig, source, score) tie-group relation,
+    // which the 1e6 score grid bounds at any corpus size — so the
+    // sampling pass + range shuffle of the old bucketedPrefix rank
+    // must be gone entirely
+    assert(!planText.contains("rangepartitioning"),
+      s"no range shuffle anywhere — no doc row is ever ranked:\n$planText")
+    assert(!planText.contains("cartesianproduct"),
+      s"scalar vocab is the only allowed cross join (broadcast):\n$planText")
+    // every window partitions by (sig, source): its input is the
+    // grid-bounded tie-group relation, never a corpus-scaled one
+    nodes.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"windows may only run per (sig, source) over tie groups:\n$w")
+    }
     graft.Caches.releaseAll()
     spark.catalog.clearCache()
   }
