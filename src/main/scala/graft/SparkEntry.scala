@@ -309,6 +309,8 @@ object SparkEntry {
     "q279_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d)),
     "q280_dup_evidence" -> ((s, d) => Multimodal.dupEvidence(s, d)),
     "q281_clip_dups" -> ((s, d) => Multimodal.clipDups(s, d)),
+    "q282_k_anonymity" -> ((s, d) => Quality.kAnonymityAudit(s, d)),
+    "q283_pagerank" -> ((s, d) => Advanced.copurchasePageRank(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7226,5 +7228,67 @@ object SparkEntry {
     // cut rule, banding, bounded window, and overlap verdict.
     "q281_clip_dups" ->
       q281OracleSql,
+
+    // q282: k-anonymity / l-diversity audit over a 3-level
+    // generalization ladder — bands on IEEE floor(bal/width), classes
+    // by (width, nation, band), one report row per width.
+    "q282_k_anonymity" ->
+      """WITH lad AS (
+        |  SELECT c_nationkey, c_acctbal, c_mktsegment, w.band_width
+        |  FROM customer, (SELECT UNNEST([100, 1000, 10000]) AS band_width) w
+        |), cls AS (
+        |  SELECT band_width, c_nationkey,
+        |    CAST(floor(c_acctbal / band_width) AS BIGINT) AS band,
+        |    COUNT(*) AS k, COUNT(DISTINCT c_mktsegment) AS l
+        |  FROM lad GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(band_width AS BIGINT) AS band_width,
+        |  COUNT(*) AS n_classes,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |    AS records_at_risk,
+        |  CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_at_risk,
+        |  MIN(l) AS min_l,
+        |  CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l1
+        |FROM cls GROUP BY 1""".stripMargin,
+
+    // q283: fixed-point PageRank (3 supersteps, damping 0.85) over the
+    // q121 support-2 co-purchase edge relation, symmetrized; all
+    // arithmetic on the integer ppb grid (contrib = r // outdeg,
+    // r' = 0.15e9 + (85 * inflow) // 100) so both engines agree bit-for-bit.
+    "q283_pagerank" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |freq AS (SELECT p FROM baskets GROUP BY 1 HAVING COUNT(*) >= 2),
+        |fb AS (SELECT o, p FROM baskets WHERE p IN (SELECT p FROM freq)),
+        |ed AS (
+        |  SELECT a.p AS a, b.p AS b
+        |  FROM fb a JOIN fb b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |),
+        |sym AS (SELECT a AS src, b AS dst FROM ed
+        |        UNION ALL SELECT b AS src, a AS dst FROM ed),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY 1),
+        |r0 AS (SELECT src AS node, CAST(1000000000 AS HUGEINT) AS r FROM deg),
+        |i1 AS (
+        |  SELECT s.dst AS node,
+        |    150000000 + (85 * SUM(r.r // d.outdeg)) // 100 AS r
+        |  FROM sym s JOIN deg d ON d.src = s.src JOIN r0 r ON r.node = s.src
+        |  GROUP BY 1
+        |),
+        |i2 AS (
+        |  SELECT s.dst AS node,
+        |    150000000 + (85 * SUM(r.r // d.outdeg)) // 100 AS r
+        |  FROM sym s JOIN deg d ON d.src = s.src JOIN i1 r ON r.node = s.src
+        |  GROUP BY 1
+        |),
+        |i3 AS (
+        |  SELECT s.dst AS node,
+        |    150000000 + (85 * SUM(r.r // d.outdeg)) // 100 AS r
+        |  FROM sym s JOIN deg d ON d.src = s.src JOIN i2 r ON r.node = s.src
+        |  GROUP BY 1
+        |)
+        |SELECT i3.node AS part, d.outdeg, CAST(i3.r AS BIGINT) AS rank_ppb
+        |FROM i3 JOIN deg d ON d.src = i3.node""".stripMargin,
   )
 }

@@ -1056,6 +1056,78 @@ object Advanced {
   def triangleCounts(s: SparkSession, dir: String): DataFrame =
     copurchaseTriangles(Tables.lineitem(s, dir), minSupport = 2L)
 
+  /** Fixed-point PageRank over an undirected edge list (q283) — the
+    * authority score a dedup/curation pass uses to pick CANONICAL
+    * representatives (the most-linked copy of a page survives, mirrors
+    * die) and to weight in-corpus citations. Runs a fixed number of
+    * power-iteration supersteps (damping 0.85) on a parts-per-billion
+    * integer grid so the result is hash-exact against any engine:
+    * contrib = rank div outdeg and rank' = 0.15·S + (85·inflow) div 100
+    * are pure integral arithmetic — no float summation-order drift.
+    *
+    * Scale contract: the edge relation is symmetrized once and cached;
+    * each superstep is ONE shuffle of the edge relation joined with the
+    * |V|-row rank relation on src plus a hash aggregate on dst — the
+    * textbook distributed PageRank step, cost linear in |E| per
+    * superstep, no driver-side iteration state. The graph is undirected
+    * so every node has outdeg ≥ 1 (no dangling-mass correction) and
+    * appears as a dst (the aggregate covers all of V). Iterations are
+    * FIXED (default 3), so the unrolled plan stays bounded and needs no
+    * convergence collect. Inflow accumulates in DECIMAL(38,0); per-node
+    * ranks stay near S = 10⁹, so the long-typed div results hold
+    * headroom for ~10⁸ nodes of mass concentrated on one hub before the
+    * grid would saturate.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val scaleS = 1000000000L // 1 ppb grid unit = 10^-9 of one rank mass
+    // cache the (possibly expensive) edge derivation BEFORE symmetrizing:
+    // the unionAll consumes it twice, and without the cache the whole
+    // upstream subtree (e.g. the q110 basket self-join) would execute
+    // once per direction
+    val e = Caches.track(edges.select(col("a"), col("b")))
+    // sym itself is NOT cached: both its consumers (deg, adj) are single
+    // passes over a cheap union of the cached edge relation
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = Caches.track(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    // the degree join happens ONCE, and the cached adjacency is
+    // hash-partitioned by src so every superstep's join reuses its
+    // layout — only the |V|-row rank relation moves per superstep
+    val adj = Caches.track(
+      sym.join(deg, "src").repartition(col("src")))
+    var ranks = deg.select(col("src").as("node"),
+      lit(scaleS).cast(dec).as("rank"))
+    var i = 0
+    while (i < iters) {
+      val contribs = adj
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("rank div outdeg").cast(dec).as("contrib"))
+      ranks = contribs.groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("inflow"))
+        .select(col("node"),
+          (expr("(inflow * 85) div 100") + lit(scaleS * 15L / 100L))
+            .cast(dec).as("rank"))
+      i += 1
+    }
+    ranks.join(deg.withColumnRenamed("src", "node"), "node")
+      .select(col("node").as("part"), col("outdeg"),
+        col("rank").cast("long").as("rank_ppb"))
+  }
+
+  /** q283 entry: PageRank over the support-2 co-purchase graph (the q121
+    * edge relation). */
+  def copurchasePageRank(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    val baskets = Caches.track(lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+    pageRank(pairCounts(baskets, minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b")))
+  }
+
+  def copurchasePageRank(s: SparkSession, dir: String): DataFrame =
+    copurchasePageRank(Tables.lineitem(s, dir))
+
   /** Weighted systematic sampling: walk the cumulative weight line in
     * strides of `total div k` and pick whichever row each stride
     * boundary lands in — every row's pick count is proportional to its

@@ -1307,4 +1307,55 @@ object Quality {
 
   def kappaAgreement(s: SparkSession, dir: String): DataFrame =
     kappaAgreement(Tables.documents(s, dir))
+
+  /** k-anonymity / l-diversity audit across a generalization ladder
+    * (q282) — the privacy check a curation pass runs before releasing a
+    * table keyed on quasi-identifiers, completing the governance family
+    * (PII scrub q54, GDPR erase q276, forget propagation). The
+    * quasi-identifier here is (nation, account-balance band); the
+    * sensitive attribute is the market segment. Sweeping the band width
+    * (100 / 1 000 / 10 000 currency units) is the generalization-ladder
+    * decision the auditor actually makes: how coarse must the balance
+    * bucket be before every equivalence class reaches the k floor?
+    *
+    * Per ladder level: equivalence classes = groupBy(level, nation,
+    * band); k = class size, l = distinct sensitive values in the class.
+    * The report row per level carries the class count, min/max k, the
+    * record mass in classes below k=5 (prosecutor-risk records — the
+    * rows an adversary who knows the QI pins to < 5 candidates), and the
+    * minimum l (a class with l = 1 leaks the sensitive value outright,
+    * whatever its k).
+    *
+    * Scale: the ladder is exploded BEFORE the single wide aggregation,
+    * so the whole audit is one shuffle of |ladder| × |table| keyed rows
+    * and one |classes|-row re-aggregation — no per-level passes over the
+    * table. The band is floor(bal / width) on IEEE doubles (exact parity
+    * with the oracle's floor-division; widths are powers of ten so the
+    * quotient is well inside exact double range).
+    */
+  def kAnonymityAudit(customer: DataFrame,
+      widths: Seq[Long] = Seq(100L, 1000L, 10000L),
+      kFloor: Long = 5L): DataFrame = {
+    val classes = customer
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("band_width", explode(array(widths.map(lit(_)): _*)))
+      .withColumn("band",
+        floor(col("c_acctbal") / col("band_width")).cast("long"))
+      .groupBy(col("band_width"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+    classes.groupBy(col("band_width"))
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k") < kFloor, col("k")).otherwise(0L))
+          .as("records_at_risk"),
+        count(when(col("k") < kFloor, 1)).as("classes_at_risk"),
+        min(col("l")).as("min_l"),
+        count(when(col("l") === 1, 1)).as("classes_l1"))
+  }
+
+  def kAnonymityAudit(s: SparkSession, dir: String): DataFrame =
+    kAnonymityAudit(Tables.customer(s, dir))
 }

@@ -797,4 +797,45 @@ class AdvancedSpec extends SparkSpec {
     assert(out(1L) === (("click", 2L)))
     assert(out(2L) === (("click", 1L)))
   }
+
+  test("pageRank: plain-JVM fixed-point replay on a star-plus-edge graph") {
+    import spark.implicits._
+    // star 1-{2,3,4} plus edge 2-3: hub 1 should out-rank everything,
+    // and 2/3 (degree 2) should out-rank 4 (degree 1)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("a", "b")
+    val got = Advanced.pageRank(edges, iters = 3).collect()
+      .map(r => r.getAs[Long]("part") ->
+        ((r.getAs[Long]("outdeg"), r.getAs[Long]("rank_ppb")))).toMap
+    graft.Caches.releaseAll()
+    // exact integer replay of the same supersteps
+    val sym = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val outdeg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r = outdeg.keys.map(_ -> BigInt(1000000000L)).toMap
+    for (_ <- 1 to 3) {
+      val inflow = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = inflow.map { case (n, in) => n -> (BigInt(150000000L) + in * 85 / 100) }
+    }
+    val exp = r.map { case (n, v) => n -> ((outdeg(n), v.toLong)) }
+    assert(got === exp)
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 === got(3L)._2 &&
+      got(3L)._2 > got(4L)._2, s"rank order violated: $got")
+  }
+
+  test("pageRank: rank mass is conserved up to floor-division loss; isolated support-filtered parts absent") {
+    val out = Advanced.copurchasePageRank(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val n = out.length.toLong
+    val mass = out.map(_.getAs[Long]("rank_ppb")).sum
+    // each superstep floors |E_sym| divisions and one *85/100 per node:
+    // total mass can only drop below N * 1e9, never rise, and by less
+    // than (|E_sym| + N) grid units per superstep
+    val eSym = out.map(_.getAs[Long]("outdeg")).sum
+    assert(mass <= n * 1000000000L)
+    assert(mass >= n * 1000000000L - 3L * (eSym + 2L * n),
+      s"mass leaked more than floor-loss allows: n=$n mass=$mass")
+    graft.Caches.releaseAll()
+  }
 }

@@ -841,6 +841,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q282: the ladder explodes BEFORE one wide aggregation — single customer scan, no join, no window") {
+    val df = graft.operators.Quality.kAnonymityAudit(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the audit is two hash aggregates over one exploded pass, no join:\n$plan")
+    assert(!plan.contains("Window"), s"no window anywhere:\n$plan")
+    assert(plan.contains("Generate"),
+      s"the generalization ladder must be an in-task explode, not per-level passes:\n$plan")
+    assert(scans(df).size === 1,
+      s"one customer scan feeds all ladder levels:\n$plan")
+  }
+
+  test("q283: supersteps shuffle the adjacency relation only — no cartesian, fixed unrolled depth") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Advanced.copurchasePageRank(spark, sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"rank propagation is a keyed equi-join per superstep, never all-pairs:\n$plan")
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 0, s"nothing corpus-scaled may broadcast:\n$plan")
+      // the basket self-join + 3 superstep joins + the final degree join
+      // all shuffle — either hash- or merge-flavored, planner's pick
+      val smj = df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("SortMergeJoin"))
+      assert(shj + smj >= 4,
+        s"superstep joins must shuffle (shj=$shj smj=$smj):\n$plan")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("star joins: only CONSTANT dims are forced broadcasts; customer/supplier stay size-decided") {
     withNoAutoBroadcast {
       // expected = the constant-dim (nation/region) hints; customer and

@@ -586,4 +586,45 @@ class QualitySpec extends SparkSpec {
         assert(math.abs(rho) <= 1001000L, s"rho off the unit grid: $rho"))
     }
   }
+
+  test("kAnonymityAudit: hand-checked classes, risk mass, and l-diversity floor") {
+    import spark.implicits._
+    // nation 1, width 10: band 0 holds 3 rows (k=3, segments A,B -> l=2);
+    // band 1 holds 1 row (k=1, l=1). nation 2: band 0 holds 5 rows all
+    // segment A (k=5 — NOT at risk under kFloor=5 — but l=1 leaks).
+    val customer = Seq(
+      (1, 1.0, "A"), (1, 2.0, "B"), (1, 9.0, "A"),
+      (1, 15.0, "C"),
+      (2, 0.0, "A"), (2, 1.0, "A"), (2, 2.0, "A"), (2, 3.0, "A"), (2, 4.0, "A"),
+    ).toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    val r = Quality.kAnonymityAudit(customer, widths = Seq(10L), kFloor = 5L)
+      .collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("band_width") === 10L)
+    assert(row.getAs[Long]("n_classes") === 3L)
+    assert(row.getAs[Long]("min_k") === 1L)
+    assert(row.getAs[Long]("max_k") === 5L)
+    assert(row.getAs[Long]("records_at_risk") === 4L) // k=3 class + k=1 class
+    assert(row.getAs[Long]("classes_at_risk") === 2L)
+    assert(row.getAs[Long]("min_l") === 1L)
+    assert(row.getAs[Long]("classes_l1") === 2L) // the k=1 and the k=5/l=1 class
+  }
+
+  test("kAnonymityAudit: coarser generalization is monotone in min_k on the ladder") {
+    val got = Quality.kAnonymityAudit(spark, sf001).collect()
+      .map(r => r.getAs[Long]("band_width") -> r.getAs[Long]("min_k")).toMap
+    assert(got.keySet === Set(100L, 1000L, 10000L))
+    // widening a band can only merge classes, never split them
+    assert(got(100L) <= got(1000L) && got(1000L) <= got(10000L),
+      s"generalization ladder not monotone: $got")
+    // negative balances must band by floor (toward -inf), not truncate:
+    // floor(-4.5) = -5, so a -450.0 balance at width 100 lands in band -5
+    import spark.implicits._
+    val neg = Seq((7, -450.0, "Z"), (7, -450.0, "Z")).toDF(
+      "c_nationkey", "c_acctbal", "c_mktsegment")
+    val one = Quality.kAnonymityAudit(neg, widths = Seq(100L)).collect().head
+    assert(one.getAs[Long]("n_classes") === 1L)
+    assert(one.getAs[Long]("max_k") === 2L)
+  }
 }
