@@ -311,6 +311,7 @@ object SparkEntry {
     "q281_clip_dups" -> ((s, d) => Multimodal.clipDups(s, d)),
     "q282_k_anonymity" -> ((s, d) => Quality.kAnonymityAudit(s, d)),
     "q283_pagerank" -> ((s, d) => Advanced.copurchasePageRank(s, d)),
+    "q284_audio_vad" -> ((s, d) => Multimodal.audioVad(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7290,5 +7291,47 @@ object SparkEntry {
         |)
         |SELECT i3.node AS part, d.outdeg, CAST(i3.r AS BIGINT) AS rank_ppb
         |FROM i3 JOIN deg d ON d.src = i3.node""".stripMargin,
+
+    // q284: audio VAD segmentation. Spark decodes a real RIFF/WAVE
+    // round trip and segments voiced runs inside the kernel; the oracle
+    // replays the closed-form per-sample waveform (16-bit PCM is
+    // lossless), the integer window energies, and the gaps-and-islands
+    // run decomposition.
+    "q284_audio_vad" ->
+      """WITH d AS (
+        |  SELECT doc_id, 512 + doc_id % 512 AS n,
+        |    (doc_id * 25173) % 65536 AS p1, (doc_id * 12289) % 65536 AS p2
+        |  FROM documents
+        |), smp AS (
+        |  SELECT d.doc_id, t.t // 64 AS w,
+        |    abs(CASE WHEN (d.doc_id * 31 + (t.t // 64) * 17) % 5 >= 2
+        |      THEN ((d.p1 + t.t * 13849) % 65536
+        |            + (d.p2 + t.t * 31397) % 65536) % 65536 - 32768
+        |      ELSE (d.p1 + t.t * 13849) % 128 - 64 END) AS av
+        |  FROM d, range(0, 1024) t(t) WHERE t.t < d.n
+        |), wins AS (
+        |  SELECT doc_id, w, (SUM(av) // COUNT(*) >= 4096) AS on_w
+        |  FROM smp GROUP BY 1, 2
+        |), isl AS (
+        |  SELECT doc_id, w,
+        |    w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        |  FROM wins WHERE on_w
+        |), segs AS (
+        |  SELECT doc_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2
+        |), perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS n_windows,
+        |    SUM(CASE WHEN on_w THEN 1 ELSE 0 END) AS voiced_windows
+        |  FROM wins GROUP BY 1
+        |)
+        |SELECT p.doc_id,
+        |  CAST(p.n_windows AS BIGINT) AS n_windows,
+        |  CAST(p.voiced_windows AS BIGINT) AS voiced_windows,
+        |  CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(COALESCE(s.longest_voiced, 0) AS BIGINT) AS longest_voiced,
+        |  CAST((1000000 * p.voiced_windows) // p.n_windows AS BIGINT)
+        |    AS voiced_ratio_micro
+        |FROM perdoc p LEFT JOIN (
+        |  SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest_voiced
+        |  FROM segs GROUP BY 1) s ON s.doc_id = p.doc_id""".stripMargin,
   )
 }

@@ -907,6 +907,115 @@ object Multimodal {
     hammingBandedPairs(audioFps(docs), "afp", maxHamming, window)
 
   // --------------------------------------------------------------------
+  // Audio VAD / silence segmentation (q284)
+  // --------------------------------------------------------------------
+
+  /** Deterministic synthetic "speech" WAV: 64-sample windows gate
+    * between LOUD (the q278 two-ramp chip waveform, mean |amp| ≈ 16 k)
+    * and NEAR-SILENCE (a 7-bit ripple, mean |amp| ≈ 32) by a
+    * per-(doc, window) hash — the voiced/pause alternation a speech
+    * recording actually has, with run lengths that vary across docs.
+    * Real RIFF/WAVE round trip; the gate and both waveforms are
+    * closed-form for the oracle.
+    */
+  private[graft] def syntheticSpeechWav(docId: Long): Array[Byte] = {
+    val n = (512 + docId % 512).toInt
+    val p1 = (docId * 25173) % 65536
+    val p2 = (docId * 12289) % 65536
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val w = t / 64
+      val v =
+        if ((docId * 31 + w.toLong * 17) % 5 >= 2)
+          (((p1 + t.toLong * 13849) % 65536 +
+            (p2 + t.toLong * 31397) % 65536) % 65536 - 32768).toInt
+        else ((p1 + t.toLong * 13849) % 128 - 64).toInt
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    wavWriterProvider.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Energy-threshold voice-activity segmentation over decoded PCM:
+    * window w's energy is the integer mean |amplitude| over its ≤ `win`
+    * samples; a window is VOICED iff energy ≥ `threshold`; maximal
+    * voiced runs are the segments. Returns (n_windows, voiced_windows,
+    * n_segments, longest_voiced) — the per-clip trim/keep stats a
+    * speech-data curation pass gates on (silence share, fragmentation).
+    */
+  private[graft] def vadStats(samples: Array[Int], win: Int = 64,
+      threshold: Long = 4096L): (Long, Long, Long, Long) = {
+    val nw = (samples.length + win - 1) / win
+    var w = 0
+    var voiced = 0L
+    var segs = 0L
+    var longest = 0L
+    var run = 0L
+    while (w < nw) {
+      var s = 0L
+      var c = 0L
+      var t = w * win
+      val end = math.min(samples.length, (w + 1) * win)
+      while (t < end) { s += math.abs(samples(t)); c += 1; t += 1 }
+      if (s / c >= threshold) {
+        voiced += 1; run += 1
+        if (run == 1L) segs += 1
+        if (run > longest) longest = run
+      } else run = 0L
+      w += 1
+    }
+    (nw.toLong, voiced, segs, longest)
+  }
+
+  private val vadSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_windows", LongType),
+    StructField("voiced_windows", LongType),
+    StructField("n_segments", LongType),
+    StructField("longest_voiced", LongType),
+    StructField("voiced_ratio_micro", LongType),
+  ))
+
+  /** Audio VAD segmentation (q284): synthesize (or ingest) the clip,
+    * decode through the REAL javax.sound codec, segment voiced/silent
+    * runs — all inside one task per clip. The curation signal for a
+    * 100 TB speech corpus: clips that are mostly silence, or shredded
+    * into many short bursts, are trimmed or dropped before training.
+    *
+    * Scale: codec + segmentation are row-local (the whole clip is one
+    * task row; the run-length loop lives inside the kernel, not in a
+    * window) — ZERO shuffles end to end, output one row per clip.
+    */
+  def audioVad(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val ids = docs.select(("doc_id" +: carry).map(col): _*)
+    val schema = StructType(
+      vadSchema.fields.toSeq ++ carry.map(c => docs.schema(c)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(schema)
+    ids.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (nw, v, segs, longest) =
+          vadStats(decodeWavSamples(syntheticSpeechWav(id)))
+        Row.fromSeq(Seq(id, nw, v, segs, longest, 1000000L * v / nw) ++
+          (1 until r.length).map(r.get))
+      }
+    }(enc)
+  }
+
+  def audioVad(s: SparkSession, dir: String): DataFrame =
+    audioVad(Tables.documents(s, dir))
+
+  // --------------------------------------------------------------------
   // Clip-level video near-dup (q281): scene-keyframe signature sets
   // --------------------------------------------------------------------
 

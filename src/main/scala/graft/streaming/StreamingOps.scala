@@ -546,6 +546,16 @@ object StreamingOps {
     }(enc)
   }
 
+  /** q284's ingest twin: voice-activity segmentation on arriving audio
+    * clips. The whole decode + window-energy + run-length chain is
+    * row-local inside the kernel — ZERO stream state (the
+    * repetitionMonitor/sceneCutMonitor discipline): no watermark, no
+    * aggregation, nothing to evict. Emits the batch operator's exact
+    * columns plus ts, bit-identical on the same clips (spec-asserted).
+    */
+  def vadMonitor(stream: DataFrame): DataFrame =
+    graft.operators.Multimodal.audioVad(stream, carry = Seq("ts"))
+
   /** q281's ingest twin: arriving clips probed against the corpus
     * scene-keyframe signature index. The index explodes each corpus
     * signature member into its 4×16-bit band keys with per-bucket

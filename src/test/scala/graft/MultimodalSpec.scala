@@ -413,4 +413,63 @@ class MultimodalSpec extends SparkSpec {
     // with sparse wraps): all <= 10 by the filter, most far below
     assert(got.nonEmpty)
   }
+
+  test("vadStats: hand-built runs, partial last window, all-silent clip") {
+    import graft.operators.Multimodal
+    // 3 windows of 4: loud, quiet, loud -> 2 segments, longest 1
+    val loud = Array.fill(4)(5000)
+    val quiet = Array.fill(4)(10)
+    assert(Multimodal.vadStats(loud ++ quiet ++ loud, win = 4) ===
+      ((3L, 2L, 2L, 1L)))
+    // adjacent voiced windows merge into one segment of length 2
+    assert(Multimodal.vadStats(loud ++ loud ++ quiet, win = 4) ===
+      ((3L, 2L, 1L, 2L)))
+    // partial last window: 9 samples at win=4 -> 3 windows, the 1-sample
+    // tail is its own window and its mean (not sum) decides the flag
+    assert(Multimodal.vadStats(loud ++ loud ++ Array(5000), win = 4) ===
+      ((3L, 3L, 1L, 3L)))
+    assert(Multimodal.vadStats(quiet, win = 4) === ((1L, 0L, 0L, 0L)))
+    // threshold is a mean: window at exactly the threshold is voiced
+    assert(Multimodal.vadStats(Array.fill(4)(4096), win = 4) ===
+      ((1L, 1L, 1L, 1L)))
+  }
+
+  test("audioVad equals a plain-JVM closed-form replay through the real WAV codec") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val ids = Seq(0L, 1L, 7L, 313L, 511L)
+    val got = Multimodal.audioVad(ids.map(i => (i, "x")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("voiced_windows"),
+          r.getAs[Long]("n_segments"), r.getAs[Long]("longest_voiced"),
+          r.getAs[Long]("voiced_ratio_micro")))).toMap
+    val exp = ids.map { id =>
+      val n = (512 + id % 512).toInt
+      val p1 = id * 25173 % 65536
+      val p2 = id * 12289 % 65536
+      val flags = (0 until (n + 63) / 64).map { w =>
+        val (s, c) = (w * 64 until math.min(n, (w + 1) * 64)).foldLeft((0L, 0L)) {
+          case ((s, c), t) =>
+            val v = if ((id * 31 + w.toLong * 17) % 5 >= 2)
+              ((p1 + t.toLong * 13849) % 65536 +
+                (p2 + t.toLong * 31397) % 65536) % 65536 - 32768
+            else (p1 + t.toLong * 13849) % 128 - 64
+            (s + math.abs(v), c + 1)
+        }
+        s / c >= 4096L
+      }
+      val runs = flags.foldLeft(List.empty[Long]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1L :: acc
+        case (acc, false) => 0L :: acc
+      }.filter(_ > 0)
+      id -> ((flags.size.toLong, flags.count(identity).toLong,
+        runs.size.toLong, if (runs.isEmpty) 0L else runs.max,
+        1000000L * flags.count(identity) / flags.size))
+    }.toMap
+    assert(got === exp, "real-codec VAD must equal the closed-form replay")
+    // the gate hash must produce BOTH states in this sample
+    assert(exp.values.exists(_._2 > 0) && exp.values.exists(v => v._1 > v._2))
+  }
 }

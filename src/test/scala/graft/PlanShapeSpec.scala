@@ -853,6 +853,17 @@ class PlanShapeSpec extends SparkSpec {
       s"one customer scan feeds all ladder levels:\n$plan")
   }
 
+  test("q284: VAD is one row-local codec pass — no join, no window, no exchange") {
+    val df = graft.operators.Multimodal.audioVad(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"decode+segment is row-local, no join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"run-length lives inside the kernel, never in a window:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"zero shuffles end to end — one task per clip partition:\n$plan")
+    assert(scans(df).size === 1, s"single documents scan:\n$plan")
+  }
+
   test("q283: supersteps shuffle the adjacency relation only — no cartesian, fixed unrolled depth") {
     withNoAutoBroadcast {
       val df = graft.operators.Advanced.copurchasePageRank(spark, sf0001)

@@ -498,6 +498,52 @@ class StreamingOpsSpec extends SparkSpec {
       s"each frame row exactly once across the restart: $rows")
   }
 
+  test("VAD monitor emits the batch segmentation bit-identically with zero stream state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamTextDoc]
+    val q = StreamingOps.vadMonitor(mem.toDF())
+      .writeStream.format("memory").queryName("vadmon")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamTextDoc(0L, "x", ts("2026-01-01 00:00:00")),
+      StreamTextDoc(7L, "x", ts("2026-01-01 00:00:05")),
+      StreamTextDoc(313L, "x", ts("2026-01-01 00:00:10")))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "the monitor must carry ZERO streaming state")
+    q.stop()
+    val got = spark.table("vadmon")
+      .select($"doc_id", $"n_windows", $"voiced_windows", $"n_segments",
+        $"longest_voiced", $"voiced_ratio_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Multimodal.audioVad(
+        Seq((0L, "x"), (7L, "x"), (313L, "x")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === batch, "streaming VAD table must equal the batch q284 table")
+  }
+
+  test("VAD monitor restart: pending clips process exactly once through the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dirs = java.nio.file.Files.createTempDirectory("graft-vadmon-restart").toString
+    val (out, ckpt) = (s"$dirs/out", s"$dirs/ckpt")
+    val mem = MemoryStream[StreamTextDoc]
+    def start() = StreamingOps.vadMonitor(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(StreamTextDoc(5L, "x", ts("2026-01-01 00:00:00")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 1)
+    mem.addData(StreamTextDoc(6L, "x", ts("2026-01-01 00:00:05")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(rows.sorted === Seq(5L, 6L),
+      s"each clip row exactly once across the restart: $rows")
+  }
+
   test("clip dup monitor flags planted trimmed twins against the corpus signature index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
