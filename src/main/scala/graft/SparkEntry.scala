@@ -312,6 +312,7 @@ object SparkEntry {
     "q282_k_anonymity" -> ((s, d) => Quality.kAnonymityAudit(s, d)),
     "q283_pagerank" -> ((s, d) => Advanced.copurchasePageRank(s, d)),
     "q284_audio_vad" -> ((s, d) => Multimodal.audioVad(s, d)),
+    "q285_budget_select" -> ((s, d) => Prep.budgetSelect(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7333,5 +7334,26 @@ object SparkEntry {
         |FROM perdoc p LEFT JOIN (
         |  SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest_voiced
         |  FROM segs GROUP BY 1) s ON s.doc_id = p.doc_id""".stripMargin,
+
+    // q285: token-budget greedy selection — micro-grid type-token-ratio
+    // density, total order (density desc, doc_id), inclusive running
+    // token mass <= budget; one global cumulative window stands in for
+    // the distributed bucketed prefix.
+    "q285_budget_select" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tok,
+        |    (1000000 * CAST(len(list_distinct(w)) AS BIGINT)) // len(w)
+        |      AS density
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |        FROM documents)
+        |), r AS (
+        |  SELECT *, SUM(n_tok) OVER (ORDER BY density DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM sc
+        |)
+        |SELECT source, COUNT(*) AS n_admitted,
+        |  CAST(SUM(n_tok) AS BIGINT) AS tokens_admitted,
+        |  CAST(MIN(density) AS BIGINT) AS worst_density_admitted
+        |FROM r WHERE cum <= 20000 GROUP BY 1""".stripMargin,
   )
 }

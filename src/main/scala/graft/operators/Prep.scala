@@ -1007,4 +1007,49 @@ object Prep {
 
   def rebalancePlan(s: SparkSession, dir: String): DataFrame =
     rebalancePlan(Tables.embeddings(s, dir))
+
+  /** Token-budget-constrained data selection (q285): the step every
+    * budgeted training run ends with — rank the corpus by a quality
+    * density and admit greedily until the token budget is spent. The
+    * density here is the micro-grid type-token ratio (distinct words per
+    * word — repetitive boilerplate ranks last); the order is total
+    * (density desc, doc_id), so the admitted set is unique and
+    * engine-independent. A doc is admitted iff the INCLUSIVE running
+    * token mass up to it stays within the budget — the greedy prefix,
+    * not a best-fit knapsack (documented, deterministic, and what
+    * production selections actually run). Output: per-source admitted
+    * doc/token mass and the per-source worst admitted density — the
+    * mixture report a curation pass reads to see which sources the
+    * budget squeezed out.
+    *
+    * Scale: the only order-dependent step is the global running sum and
+    * it rides [[Advanced.bucketedPrefix]] (range-partition by the rank
+    * key, in-bucket window, broadcast bucket offsets) — no
+    * single-partition window ever sees the corpus. Everything else is a
+    * row-local projection plus one |sources|-row aggregate.
+    */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long = 20000L,
+      buckets: Int = 32): DataFrame = {
+    val ws = Text.words(col("text"))
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(ws).cast("long").as("n_tok"),
+      (lit(1000000L) * size(array_distinct(ws)).cast("long")).as("dm"))
+      .withColumn("density", expr("dm div n_tok"))
+      .drop("dm")
+    Advanced.bucketedPrefix(scored,
+      Seq(col("density").desc, col("doc_id")), buckets)(
+      spec => sum(col("n_tok")).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col("n_tok")),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .filter(col("prefix") <= budgetTokens)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(col("n_tok")).as("tokens_admitted"),
+        min(col("density")).as("worst_density_admitted"))
+  }
+
+  def budgetSelect(s: SparkSession, dir: String): DataFrame =
+    budgetSelect(Tables.documents(s, dir))
 }

@@ -944,6 +944,35 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q285: the budget prefix rides bucketedPrefix — range-partitioned pass, global window only over bucket totals") {
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val df = graft.operators.Prep.budgetSelect(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    val nodes = whole(df.queryExecution.executedPlan)
+    val planText = nodes.map(_.toString).mkString("\n").toLowerCase
+    assert(planText.contains("rangepartitioning"),
+      s"the running sum must range-partition by (density desc, doc_id):\n$planText")
+    nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(whole(w).exists {
+          case h: HashAggregateExec =>
+            h.groupingExpressions.exists(_.toString.contains("bucket"))
+          case _ => false
+        }, s"a global window may only read the 32-row bucket totals:\n$w")
+      }
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q266: the shard rank rides bucketedPrefix — range-partitioned pass, global window only over bucket totals") {
     def whole(p: SparkPlan): Seq[SparkPlan] =
       p.collect {

@@ -614,4 +614,52 @@ class PrepSpec extends SparkSpec {
     assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9,
       s"train share off the 80% lottery: $bySplit")
   }
+
+  test("budgetSelect: greedy inclusive boundary, density order, doc_id tie-break") {
+    import spark.implicits._
+    // densities: d1 = 1e6 (4 distinct / 4), d2 = 1e6 (2/2),
+    // d3 = 500000 (2/4), d4 = 333333 (1/3)
+    val docs = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "x y", "s2"),
+      (3L, "a a b b", "s1"),
+      (4L, "z z z", "s2"),
+    ).toDF("doc_id", "text", "source")
+    // order: d1 (tie 1e6, id 1), d2 (tie 1e6, id 2), d3, d4
+    // budget 10: cum 4, 6, 10, 13 -> docs 1,2,3 admitted (inclusive <=)
+    val got = Prep.budgetSelect(docs, budgetTokens = 10L, buckets = 2)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_admitted"), r.getAs[Long]("tokens_admitted"),
+          r.getAs[Long]("worst_density_admitted")))).toMap
+    graft.Caches.releaseAll()
+    assert(got === Map("s1" -> ((2L, 8L, 500000L)), "s2" -> ((1L, 2L, 1000000L))))
+    // budget 9 excludes doc 3 (cum 10 > 9) — the boundary doc does NOT
+    // partially fit; budget 13 admits everything
+    val g9 = Prep.budgetSelect(docs, budgetTokens = 9L, buckets = 2).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_admitted")).toMap
+    graft.Caches.releaseAll()
+    assert(g9 === Map("s1" -> 1L, "s2" -> 1L))
+    val g13 = Prep.budgetSelect(docs, budgetTokens = 13L, buckets = 2).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_admitted")).toMap
+    graft.Caches.releaseAll()
+    assert(g13 === Map("s1" -> 2L, "s2" -> 2L))
+  }
+
+  test("budgetSelect: bucket count never changes the admitted set") {
+    val ref = Prep.budgetSelect(graft.sources.Tables.documents(spark, sf001))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    graft.Caches.releaseAll()
+    for (b <- Seq(1, 7)) {
+      val got = Prep.budgetSelect(graft.sources.Tables.documents(spark, sf001),
+          buckets = b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      graft.Caches.releaseAll()
+      assert(got === ref, s"bucketed prefix diverged at buckets=$b")
+    }
+    assert(ref.map(_._3).sum <= 20000L, "admitted token mass must respect the budget")
+    assert(ref.nonEmpty)
+  }
 }
