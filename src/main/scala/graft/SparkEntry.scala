@@ -313,6 +313,7 @@ object SparkEntry {
     "q283_pagerank" -> ((s, d) => Advanced.copurchasePageRank(s, d)),
     "q284_audio_vad" -> ((s, d) => Multimodal.audioVad(s, d)),
     "q285_budget_select" -> ((s, d) => Prep.budgetSelect(s, d)),
+    "q286_dedup_mixture" -> ((s, d) => Prep.dedupMixture(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7355,5 +7356,86 @@ object SparkEntry {
         |  CAST(SUM(n_tok) AS BIGINT) AS tokens_admitted,
         |  CAST(MIN(density) AS BIGINT) AS worst_density_admitted
         |FROM r WHERE cum <= 20000 GROUP BY 1""".stripMargin,
+
+    // q286: dedup-adjusted mixture — q56's cluster membership, q195's
+    // representative election, then q194's exact largest-remainder
+    // allocation recomputed on the surviving mass.
+    "q286_dedup_mixture" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), mem AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src
+        |), reps AS (
+        |  SELECT doc_id FROM (
+        |    SELECT m.doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY m.cluster
+        |        ORDER BY dd.n_chars DESC, m.doc_id) AS rn
+        |    FROM mem m JOIN documents dd ON dd.doc_id = m.doc_id)
+        |  WHERE rn = 1
+        |), surv AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM mem)
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM reps)
+        |), kt AS (
+        |  SELECT source, COUNT(*) AS n_docs_kept,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_kept
+        |  FROM surv GROUP BY 1
+        |), raw AS (
+        |  SELECT source, COUNT(*) AS n_docs_raw,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_raw
+        |  FROM documents GROUP BY 1
+        |), w AS (
+        |  SELECT *, CAST(floor(sqrt(sqrt(CAST(n_tokens_kept AS DOUBLE))) * 1e6) AS BIGINT) AS w_int FROM kt
+        |), a AS (
+        |  SELECT *, (1000000 * w_int) // CAST((SELECT SUM(w_int) FROM w) AS BIGINT) AS base,
+        |            (1000000 * w_int) % CAST((SELECT SUM(w_int) FROM w) AS BIGINT) AS rem
+        |  FROM w
+        |), r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |    1000000 - CAST((SELECT SUM(base) FROM a) AS BIGINT) AS residual
+        |  FROM a
+        |)
+        |SELECT r.source, raw.n_docs_raw, raw.n_tokens_raw,
+        |  r.n_docs_kept, r.n_tokens_kept,
+        |  base + CASE WHEN rk <= residual THEN 1 ELSE 0 END AS alloc_tokens,
+        |  (1000000 * (raw.n_tokens_raw - r.n_tokens_kept)) // raw.n_tokens_raw
+        |    AS dup_token_share_micro
+        |FROM r JOIN raw ON raw.source = r.source""".stripMargin,
   )
 }

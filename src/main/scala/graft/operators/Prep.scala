@@ -765,7 +765,20 @@ object Prep {
     * rows — the unpartitioned rank window reads THAT, not the corpus),
     * with the two scalar totals broadcast, never collected.
     */
-  def mixtureWeights(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+  def mixtureWeights(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame =
+    temperatureAlloc(
+      docs.select(col("source"),
+          size(Text.words(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")),
+      budgetTokens)
+
+  /** The q194 allocation arithmetic on an already-aggregated
+    * (source, n_docs, n_tokens) relation — shared by [[mixtureWeights]]
+    * (raw corpus) and [[dedupMixture]] (post-dedup survivor mass).
+    */
+  private[operators] def temperatureAlloc(perSourceMass: DataFrame,
+      budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("source"))
@@ -773,10 +786,7 @@ object Prep {
     // hot multiply silently (garbage allocations, broken reconciliation)
     // where the DuckDB oracle errors — fail loudly at the same boundary
     val wCap = Long.MaxValue / budgetTokens
-    val perSource = Caches.track(docs
-      .select(col("source"), size(Text.words(col("text"))).cast("long").as("n_tok"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val perSource = Caches.track(perSourceMass
       .withColumn("w_int",
         floor(sqrt(sqrt(col("n_tokens").cast("double"))) * 1e6).cast("long"))
       .withColumn("w_int",
@@ -1052,4 +1062,56 @@ object Prep {
 
   def budgetSelect(s: SparkSession, dir: String): DataFrame =
     budgetSelect(Tables.documents(s, dir))
+
+  /** Dedup-adjusted mixture weights (q286): re-run the q194 temperature
+    * mixture on the POST-DEDUP corpus — the step a pipeline must insert
+    * between dedup and training, because near-dup mass is not spread
+    * evenly across sources (a mirror-heavy crawl can hold 2× its fair
+    * share of the raw token count and collapse after dedup). Survivors
+    * are the docs outside every near-dup cluster (q56's connected
+    * components) plus each cluster's canonical representative (q195's
+    * election: max n_chars, ties to the smallest doc_id). Output per
+    * source: raw vs kept doc/token mass, the exact largest-remainder
+    * token allocation computed on KEPT mass, and the micro-grid dup
+    * token share the dedup removed.
+    *
+    * Scale: the cluster relation is the dup graph's vertex set (scales
+    * with the dup population, not the corpus); survivors are two
+    * key-only anti/semi joins against it; the mixture itself is q194's
+    * one map-side-combined aggregate plus |sources|-row arithmetic.
+    */
+  def dedupMixture(docs: DataFrame, budgetTokens: Long = 1000000L): DataFrame = {
+    // tokenize ONCE: everything after the cluster pass works on the
+    // narrow (doc_id, source, n_chars, n_tok) relation, never on text
+    val tokd = Caches.track(docs.select(
+      col("doc_id"), col("source"), col("n_chars"),
+      size(Text.words(col("text"))).cast("long").as("n_tok")))
+    val members = Caches.track(
+      Dedup.dupClusters(docs, bands = 4, rowsPerBand = 2, threshold = 0.8))
+    val reps = tokd.select(col("doc_id"), col("n_chars"))
+      .join(members.hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select((-col("best.neg_id")).as("doc_id"))
+    val survivors = tokd
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionAll(tokd.join(reps, Seq("doc_id"), "left_semi"))
+    val raw = tokd
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_raw"), sum(col("n_tok")).as("n_tokens_raw"))
+    temperatureAlloc(
+      survivors.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")),
+      budgetTokens)
+      .select(col("source"), col("n_docs").as("n_docs_kept"),
+        col("n_tokens").as("n_tokens_kept"), col("alloc_tokens"))
+      .join(raw, Seq("source"))
+      .select(col("source"), col("n_docs_raw"), col("n_tokens_raw"),
+        col("n_docs_kept"), col("n_tokens_kept"), col("alloc_tokens"),
+        expr("(1000000L * (n_tokens_raw - n_tokens_kept)) div n_tokens_raw")
+          .as("dup_token_share_micro"))
+  }
+
+  def dedupMixture(s: SparkSession, dir: String): DataFrame =
+    dedupMixture(Tables.documents(s, dir))
 }

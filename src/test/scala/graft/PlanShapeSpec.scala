@@ -884,6 +884,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q286: survivors are key-only anti/semi joins; membership never force-broadcast; scalar totals are the only hints") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Prep.dedupMixture(
+        graft.sources.Tables.documents(spark, sf0001))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"no all-pairs anywhere in the dedup-mixture chain:\n$plan")
+      // the only BroadcastNestedLoopJoins allowed are the mixture's
+      // ONE-ROW scalar totals (w_tot / base_tot crossJoins; the cached
+      // w_tot subtree prints once more inside its InMemoryRelation)
+      val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= 3, s"only the scalar-total crossJoins may BNLJ:\n$plan")
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 0,
+        s"membership/survivor relations scale with the corpus — never forced broadcast:\n$plan")
+      assert(shj >= 1, s"the rep election lookup must shuffle:\n$plan")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("star joins: only CONSTANT dims are forced broadcasts; customer/supplier stay size-decided") {
     withNoAutoBroadcast {
       // expected = the constant-dim (nation/region) hints; customer and

@@ -662,4 +662,27 @@ class PrepSpec extends SparkSpec {
     assert(ref.map(_._3).sum <= 20000L, "admitted token mass must respect the budget")
     assert(ref.nonEmpty)
   }
+
+  test("dedupMixture: planted dup pair collapses its source's mass; allocation reconciles on kept tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "A", 30L),
+      (2L, "alpha beta gamma delta epsilon", "A", 30L), // exact near-dup of 1
+      (3L, "one two three four five six", "B", 27L),
+      (4L, "seven eight nine ten eleven twelve", "B", 34L),
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = Prep.dedupMixture(docs, budgetTokens = 1000L).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    graft.Caches.releaseAll()
+    val a = got("A"); val b = got("B")
+    assert(a.getAs[Long]("n_docs_raw") === 2L && a.getAs[Long]("n_docs_kept") === 1L)
+    assert(a.getAs[Long]("n_tokens_raw") === 10L && a.getAs[Long]("n_tokens_kept") === 5L)
+    assert(a.getAs[Long]("dup_token_share_micro") === 500000L)
+    assert(b.getAs[Long]("n_docs_kept") === 2L && b.getAs[Long]("n_tokens_kept") === 12L)
+    assert(b.getAs[Long]("dup_token_share_micro") === 0L)
+    // exact largest-remainder reconciliation on the KEPT mass
+    assert(got.values.map(_.getAs[Long]("alloc_tokens")).sum === 1000L)
+    // the dedup must shift allocation toward the un-dup'd source
+    assert(b.getAs[Long]("alloc_tokens") > a.getAs[Long]("alloc_tokens"))
+  }
 }
