@@ -401,7 +401,18 @@ object ScaleSmoke {
       // linear term; the scene-fp band join is window-bounded and the
       // set-overlap verify touches candidate pairs only (twins are
       // id-adjacent, so in-bucket rank distance stays ~1 at any corpus)
-      timed("q281") { graft.operators.Multimodal.clipDups(docs) })
+      timed("q281") { graft.operators.Multimodal.clipDups(docs) },
+      // q283: per-copy disjoint catalogs -> edges/degrees grow linearly;
+      // each superstep is one shuffle of the edge relation + rank agg
+      timed("q283") { graft.operators.Advanced.copurchasePageRank(lineitem) },
+      // q284: WAV codec + in-kernel run-length, row-local — the pure
+      // codec-linear term with zero shuffles
+      timed("q284") { graft.operators.Multimodal.audioVad(docs) },
+      // q285: one tokenize pass + the bucketedPrefix running sum
+      timed("q285") { graft.operators.Prep.budgetSelect(docs) },
+      // q286: the q56 cluster chain + key-only anti/semi joins + the
+      // |sources|-row allocation — dup structure grows linearly by design
+      timed("q286") { graft.operators.Prep.dedupMixture(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

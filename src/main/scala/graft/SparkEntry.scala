@@ -314,6 +314,7 @@ object SparkEntry {
     "q284_audio_vad" -> ((s, d) => Multimodal.audioVad(s, d)),
     "q285_budget_select" -> ((s, d) => Prep.budgetSelect(s, d)),
     "q286_dedup_mixture" -> ((s, d) => Prep.dedupMixture(s, d)),
+    "q287_target_mixture" -> ((s, d) => Prep.targetMixture(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7437,5 +7438,51 @@ object SparkEntry {
         |  (1000000 * (raw.n_tokens_raw - r.n_tokens_kept)) // raw.n_tokens_raw
         |    AS dup_token_share_micro
         |FROM r JOIN raw ON raw.source = r.source""".stripMargin,
+
+    // q287: balanced-target mixture by exact integer water-filling —
+    // capped prefix on the (avail, lang)-sorted relation, level = R // m
+    // with the remainder to the lexicographically first uncapped langs.
+    "q287_target_mixture" ->
+      """WITH av AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY 1
+        |), rkd AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY avail_tokens, lang) AS rk,
+        |    SUM(avail_tokens) OVER (ORDER BY avail_tokens, lang
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    (SELECT COUNT(*) FROM av) AS n_langs,
+        |    (SELECT SUM(avail_tokens) FROM av) AS total_avail
+        |  FROM av
+        |), cpd AS (
+        |  SELECT *, LEAST(500000, total_avail) AS bp,
+        |    (avail_tokens * (n_langs - rk) + cum
+        |      <= LEAST(500000, total_avail)) AS capped
+        |  FROM rkd
+        |), k AS (
+        |  SELECT COALESCE(SUM(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS n_capped,
+        |    COALESCE(SUM(CASE WHEN capped THEN avail_tokens END), 0) AS capped_mass
+        |  FROM cpd
+        |), fin AS (
+        |  SELECT c.lang, c.n_docs, c.avail_tokens, c.capped,
+        |    CASE WHEN c.n_langs - k.n_capped > 0
+        |         THEN (c.bp - k.capped_mass) // (c.n_langs - k.n_capped)
+        |         ELSE 0 END AS lvl,
+        |    CASE WHEN c.n_langs - k.n_capped > 0
+        |         THEN (c.bp - k.capped_mass) % (c.n_langs - k.n_capped)
+        |         ELSE 0 END AS rem,
+        |    ROW_NUMBER() OVER (PARTITION BY c.capped ORDER BY c.lang) AS urk
+        |  FROM cpd c, k
+        |), al AS (
+        |  SELECT lang, n_docs, avail_tokens, capped,
+        |    CAST(CASE WHEN capped THEN avail_tokens
+        |         ELSE lvl + CASE WHEN urk <= rem THEN 1 ELSE 0 END END
+        |      AS BIGINT) AS alloc_tokens
+        |  FROM fin
+        |)
+        |SELECT lang, n_docs, avail_tokens, alloc_tokens, capped,
+        |  CAST((1000000 * alloc_tokens) // avail_tokens AS BIGINT)
+        |    AS utilization_micro
+        |FROM al""".stripMargin,
   )
 }

@@ -1114,4 +1114,68 @@ object Prep {
 
   def dedupMixture(s: SparkSession, dir: String): DataFrame =
     dedupMixture(Tables.documents(s, dir))
+
+  /** Balanced-target mixture under availability caps (q287): exact
+    * integer WATER-FILLING. A multilingual training run wants every
+    * language at the same token mass (the balanced target), but
+    * low-resource languages cap out — their surplus must spill to the
+    * rest, recursively, until the budget is exact. The classic level
+    * construction does this in closed form on the per-language
+    * aggregate: sort ascending by (avail, lang); language i is CAPPED
+    * iff avail_i·(n−i) + cum_i ≤ B' (monotone in i, so the capped set
+    * is a prefix — proof: the difference (avail_{i+1}−avail_i)·(n−i) is
+    * ≥ 0 on a sorted relation); the uncapped languages share the
+    * remaining budget at level = R div m with the division remainder
+    * handed to the lexicographically first uncapped languages. Every
+    * uncapped language's avail strictly exceeds the level (shown by the
+    * same inequality), so allocations never breach caps and the total
+    * reconciles to min(budget, total availability) EXACTLY.
+    *
+    * Scale: one map-side-combined corpus aggregate to |langs| rows;
+    * every window and scalar after that reads the bounded per-language
+    * relation — nothing corpus-sized is sorted, windowed, or collected.
+    */
+  def targetMixture(docs: DataFrame, budgetTokens: Long = 500000L): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val byAvail = Window.orderBy(col("avail_tokens"), col("lang"))
+    val avail = Caches.track(docs
+      .select(col("lang"), size(Text.words(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("avail_tokens")))
+    val ranked = Caches.track(avail
+      .withColumn("rk", row_number().over(byAvail))
+      .withColumn("cum", sum(col("avail_tokens")).over(
+        byAvail.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(avail.agg(
+        count(lit(1)).as("n_langs"),
+        sum(col("avail_tokens")).as("total_avail"))))
+      .withColumn("bp", least(lit(budgetTokens), col("total_avail")))
+      .withColumn("capped",
+        col("avail_tokens") * (col("n_langs") - col("rk")) + col("cum") <=
+          col("bp")))
+    val kAgg = ranked.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"),
+      coalesce(sum(when(col("capped"), col("avail_tokens"))), lit(0L))
+        .as("capped_mass"))
+    ranked.crossJoin(broadcast(kAgg))
+      .withColumn("m", col("n_langs") - col("n_capped"))
+      .withColumn("rr", col("bp") - col("capped_mass"))
+      .withColumn("level",
+        when(col("m") > 0, expr("rr div m")).otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("m") > 0, col("rr") % col("m")).otherwise(lit(0L)))
+      .withColumn("urk", row_number().over(
+        Window.partitionBy(col("capped")).orderBy(col("lang"))))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("avail_tokens"))
+          .otherwise(col("level") +
+            when(col("urk") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("lang"), col("n_docs"), col("avail_tokens"),
+        col("alloc_tokens"), col("capped"),
+        expr("(1000000L * alloc_tokens) div avail_tokens")
+          .as("utilization_micro"))
+  }
+
+  def targetMixture(s: SparkSession, dir: String): DataFrame =
+    targetMixture(Tables.documents(s, dir))
 }

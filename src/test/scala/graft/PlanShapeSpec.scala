@@ -994,6 +994,34 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q287: water-filling windows read only the per-language aggregate — nothing corpus-sized is sorted or windowed") {
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val df = graft.operators.Prep.targetMixture(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    val nodes = whole(df.queryExecution.executedPlan)
+    nodes.collect { case w: WindowExec => w }.foreach { w =>
+      assert(whole(w).exists {
+        case h: HashAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("lang"))
+        case _ => false
+      }, s"every window must sit above the |langs|-row aggregate:\n$w")
+    }
+    val planText = nodes.map(_.toString).mkString("\n")
+    assert(!planText.contains("CartesianProduct"),
+      s"only scalar-total broadcast crossJoins are allowed:\n$planText")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q266: the shard rank rides bucketedPrefix — range-partitioned pass, global window only over bucket totals") {
     def whole(p: SparkPlan): Seq[SparkPlan] =
       p.collect {

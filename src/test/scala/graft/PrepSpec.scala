@@ -685,4 +685,62 @@ class PrepSpec extends SparkSpec {
     // the dedup must shift allocation toward the un-dup'd source
     assert(b.getAs[Long]("alloc_tokens") > a.getAs[Long]("alloc_tokens"))
   }
+
+  test("targetMixture: hand-checked water level, cap spill, remainder hand-out, over-budget case") {
+    import spark.implicits._
+    def mk(rows: (String, Int)*) = rows.toSeq.flatMap { case (l, tok) =>
+      Seq((l, ("w " * tok).trim)) // tok single-char words
+    }.toDF("lang", "text")
+    val docs = mk("a" -> 2, "b" -> 5, "c" -> 100, "d" -> 100)
+    def run(b: Long) = Prep.targetMixture(docs, budgetTokens = b).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped")))).toMap
+    val g27 = run(27L); graft.Caches.releaseAll()
+    assert(g27 === Map("a" -> ((2L, true)), "b" -> ((5L, true)),
+      "c" -> ((10L, false)), "d" -> ((10L, false))))
+    // one remainder token goes to the lexicographically first uncapped lang
+    val g28 = run(28L); graft.Caches.releaseAll()
+    assert(g28("c") === ((11L, false)) && g28("d") === ((10L, false)))
+    // budget above total availability: everyone capped at avail
+    val gBig = run(10000L); graft.Caches.releaseAll()
+    assert(gBig === Map("a" -> ((2L, true)), "b" -> ((5L, true)),
+      "c" -> ((100L, true)), "d" -> ((100L, true))))
+  }
+
+  test("targetMixture equals iterative water-filling on the real corpus; budget reconciles exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val budget = 500000L
+    val got = Prep.targetMixture(docs, budget).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("avail_tokens"), r.getAs[Long]("alloc_tokens")))).toMap
+    graft.Caches.releaseAll()
+    // reference: repeat "spread the remaining budget evenly over uncapped
+    // langs; cap any that overflow" until stable, then hand the division
+    // remainder to the lexicographically first uncapped langs
+    val avail = got.view.mapValues(_._1).toMap
+    var capped = Set.empty[String]
+    var stable = false
+    val bp = math.min(budget, avail.values.sum)
+    while (!stable) {
+      val m = avail.size - capped.size
+      val r = bp - capped.toSeq.map(avail).sum
+      val newly = avail.keys.filterNot(capped)
+        .filter(l => m > 0 && avail(l) <= r / m).toSet
+      if (newly.subsetOf(capped) || m == 0) stable = true
+      capped ++= newly
+      if (newly.isEmpty) stable = true
+    }
+    val m = avail.size - capped.size
+    val r = bp - capped.toSeq.map(avail).sum
+    val uncappedSorted = avail.keys.filterNot(capped).toSeq.sorted
+    val exp = avail.map { case (l, a) =>
+      if (capped(l)) l -> a
+      else l -> (r / m + (if (uncappedSorted.indexOf(l) < r % m) 1L else 0L))
+    }
+    assert(got.view.mapValues(_._2).toMap === exp,
+      "closed-form level must equal iterative water-filling")
+    assert(got.values.map(_._2).sum === bp, "allocation must reconcile exactly")
+    got.foreach { case (l, (a, al)) =>
+      assert(al <= a, s"$l allocated past its availability") }
+  }
 }
