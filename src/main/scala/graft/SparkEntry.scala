@@ -315,6 +315,7 @@ object SparkEntry {
     "q285_budget_select" -> ((s, d) => Prep.budgetSelect(s, d)),
     "q286_dedup_mixture" -> ((s, d) => Prep.dedupMixture(s, d)),
     "q287_target_mixture" -> ((s, d) => Prep.targetMixture(s, d)),
+    "q288_diverse_select" -> ((s, d) => Similarity.diverseSelect(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7484,5 +7485,33 @@ object SparkEntry {
         |  CAST((1000000 * alloc_tokens) // avail_tokens AS BIGINT)
         |    AS utilization_micro
         |FROM al""".stripMargin,
+
+    // q288: diversity-first selection — q214's md5 hyperplane cells,
+    // within-cell vec_id rank, first K of the (round, cell) total order;
+    // one global cumulative window stands in for bucketedPrefix.
+    "q288_diverse_select" ->
+      """WITH hp AS (
+        |  SELECT p, i,
+        |    CASE WHEN substr(md5(p || ':' || i), 1, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 6) tp(p), range(1, 65) ti(i)
+        |), proj AS (
+        |  SELECT e.vec_id, hp.p,
+        |    CASE WHEN SUM(CAST(floor(CAST(e.embedding[hp.i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * hp.s) >= 0 THEN '1' ELSE '0' END AS bit
+        |  FROM embeddings e, hp GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS bucket FROM proj GROUP BY vec_id
+        |), rnk AS (
+        |  SELECT vec_id, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS r
+        |  FROM sig
+        |), gl AS (
+        |  SELECT s.bucket, s.r, e.label,
+        |    ROW_NUMBER() OVER (ORDER BY s.r, s.bucket) AS grank
+        |  FROM rnk s JOIN embeddings e ON e.vec_id = s.vec_id
+        |)
+        |SELECT label, COUNT(*) AS n_selected,
+        |  CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_cells,
+        |  CAST(MAX(r) AS INT) AS max_round
+        |FROM gl WHERE grank <= 300 GROUP BY 1""".stripMargin,
   )
 }

@@ -1459,4 +1459,46 @@ object Similarity {
 
   def ivfRecallAudit(s: SparkSession, dir: String): DataFrame =
     ivfRecallAudit(Tables.embeddings(s, dir))
+
+  /** Diversity-first selection under a budget (q288): the embedding-space
+    * complement of q285's quality-first greedy — when the training budget
+    * is K examples, taking the K highest-scored ones collapses onto the
+    * densest region; a diversity-first pass ROUND-ROBINS the embedding
+    * space instead. Vectors land in deterministic LSH cells (the q214
+    * hyperplane family); within a cell they rank by vec_id; the admitted
+    * set is the first K rows of the TOTAL order (round, cell) — i.e. one
+    * representative from every occupied cell, then a second from every
+    * cell, ... until the budget is spent. This is greedy k-center's
+    * cheap distributed stand-in, made exact and engine-independent.
+    *
+    * Scale: one cell-keyed window ranks within cells (cells shrink as
+    * nPlanes grows — pick nPlanes ~ log2(corpus/cell_target)); the global
+    * rank is the ONE order-dependent step and rides
+    * [[Advanced.bucketedPrefix]]; output aggregates to |labels| rows.
+    */
+  def diverseSelect(emb: DataFrame, k: Long = 300L, nPlanes: Int = 6,
+      dims: Int = 64, buckets: Int = 32): DataFrame = {
+    val cells = emb
+      .repartition(shuffleWidth(emb), col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        Vectors.lshBucketF(col("embedding"), nPlanes, dims).as("cell"))
+    val ranked = cells.withColumn("r", row_number().over(
+      Window.partitionBy(col("cell")).orderBy(col("vec_id"))))
+    // NB: the cell column must not be named "bucket" — bucketedPrefix
+    // claims that name for its internal range-partition id
+    Advanced.bucketedPrefix(ranked, Seq(col("r"), col("cell")), buckets)(
+      spec => count(lit(1)).over(
+        spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      count(lit(1)),
+      spec => coalesce(sum(col("tot")).over(spec), lit(0L)),
+      (run, off) => run + off)
+      .filter(col("prefix") <= k)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_selected"),
+        countDistinct(col("cell")).as("n_cells"),
+        max(col("r")).as("max_round"))
+  }
+
+  def diverseSelect(s: SparkSession, dir: String): DataFrame =
+    diverseSelect(Tables.embeddings(s, dir))
 }

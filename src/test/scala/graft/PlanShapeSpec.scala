@@ -994,6 +994,42 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q288: cell ranks partition by cell; the global prefix rides bucketedPrefix; no join, no all-pairs") {
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val df = graft.operators.Similarity.diverseSelect(
+      graft.sources.Tables.embeddings(spark, sf0001))
+    df.collect()
+    val nodes = whole(df.queryExecution.executedPlan)
+    val planText = nodes.map(_.toString).mkString("\n")
+    // the ONLY join is bucketedPrefix's broadcast of the 32-row bucket
+    // offsets — nothing corpus-sized joins or goes all-pairs
+    assert(!planText.contains("CartesianProduct") &&
+      !planText.contains("SortMergeJoin") &&
+      !planText.contains("ShuffledHashJoin"),
+      s"only the broadcast offsets join is allowed:\n$planText")
+    assert(planText.toLowerCase.contains("rangepartitioning"),
+      s"the global prefix must range-partition by (round, cell):\n$planText")
+    // the only unpartitioned window may read the bucket totals
+    nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach { w =>
+        assert(whole(w).exists {
+          case h: HashAggregateExec =>
+            h.groupingExpressions.exists(_.toString.contains("bucket"))
+          case _ => false
+        }, s"a global window may only read the bucket totals:\n$w")
+      }
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q287: water-filling windows read only the per-language aggregate — nothing corpus-sized is sorted or windowed") {
     def whole(p: SparkPlan): Seq[SparkPlan] =
       p.collect {

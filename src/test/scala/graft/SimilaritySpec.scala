@@ -892,4 +892,36 @@ class SimilaritySpec extends SparkSpec {
     got.groupBy(_._1).foreach { case (a, es) =>
       assert(es.size <= 3, s"anchor $a mined ${es.size} > k negatives") }
   }
+
+  test("diverseSelect: admitted set is the exact (round, cell) prefix; bucket-count invariant") {
+    import org.apache.spark.sql.functions._
+    val embDf = graft.sources.Tables.embeddings(spark, sf001)
+    // plain replay: cells from the operator's own deterministic hash,
+    // round-robin ranks in local Scala, take the (round, cell) prefix
+    val cells = embDf
+      .select(col("vec_id"), col("label"),
+        graft.functions.Vectors.lshBucketF(col("embedding"), 6, 64).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val ranked = cells.groupBy(_._3).toSeq.flatMap { case (c, vs) =>
+      vs.sortBy(_._1).zipWithIndex.map { case ((id, l, _), i) => (l, c, i + 1) }
+    }
+    val admitted = ranked.sortBy { case (_, c, r) => (r, c) }.take(300)
+    val exp = admitted.groupBy(_._1).map { case (l, vs) =>
+      l -> ((vs.size.toLong, vs.map(_._2).distinct.size.toLong, vs.map(_._3).max))
+    }
+    // with K >= #occupied cells, round one covers EVERY occupied cell —
+    // the diversity guarantee the operator exists for
+    val occupied = cells.map(_._3).distinct.length
+    assert(occupied <= 300 &&
+      admitted.count(_._3 == 1) === occupied,
+      s"round one must touch all $occupied occupied cells")
+    for (b <- Seq(1, 7, 32)) {
+      val got = Similarity.diverseSelect(embDf, k = 300L, buckets = b).collect()
+        .map(r => r.getAs[Int]("label") ->
+          ((r.getAs[Long]("n_selected"), r.getAs[Long]("n_cells"),
+            r.getAs[Int]("max_round")))).toMap
+      graft.Caches.releaseAll()
+      assert(got === exp, s"diverseSelect diverged from the replay at buckets=$b")
+    }
+  }
 }
