@@ -316,6 +316,7 @@ object SparkEntry {
     "q286_dedup_mixture" -> ((s, d) => Prep.dedupMixture(s, d)),
     "q287_target_mixture" -> ((s, d) => Prep.targetMixture(s, d)),
     "q288_diverse_select" -> ((s, d) => Similarity.diverseSelect(s, d)),
+    "q289_decontam_scrub" -> ((s, d) => Dedup.decontamScrub(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7513,5 +7514,48 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_cells,
         |  CAST(MAX(r) AS INT) AS max_round
         |FROM gl WHERE grank <= 300 GROUP BY 1""".stripMargin,
+
+    // q289: q259's scrub with the reference set = the eval tier
+    // (doc_id % 10 = 3); train docs only in the output. The oracle keeps
+    // per-window md5 as the independent fingerprint family.
+    "q289_decontam_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id, i AS p,
+        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM t WHERE len(w) >= 8)
+        |), ev AS (
+        |  SELECT DISTINCT fp FROM pos WHERE doc_id % 10 = 3
+        |), sp AS (
+        |  SELECT pos.doc_id, pos.p FROM pos JOIN ev USING (fp)
+        |  WHERE pos.doc_id % 10 <> 3
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    SUM(CASE WHEN prev IS NOT NULL AND p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM (SELECT doc_id, p,
+        |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |        FROM sp)
+        |), cuts AS (
+        |  SELECT doc_id, list({'s': s, 'e': e}) AS cs
+        |  FROM (SELECT doc_id, island, MIN(p) AS s, MAX(p) + 7 AS e
+        |        FROM isl GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.w) - len(kept) AS BIGINT) AS removed_tokens,
+        |  COALESCE(array_to_string(kept, ' '), '') AS text_clean
+        |FROM (
+        |  SELECT t.doc_id, t.w,
+        |    CASE WHEN c.cs IS NULL THEN t.w ELSE
+        |      [t.w[i] FOR i IN range(1, len(t.w) + 1)
+        |       IF len(list_filter(c.cs, x -> i >= x.s AND i <= x.e)) = 0]
+        |    END AS kept
+        |  FROM t LEFT JOIN cuts c USING (doc_id)
+        |  WHERE t.doc_id % 10 <> 3
+        |) t""".stripMargin,
   )
 }

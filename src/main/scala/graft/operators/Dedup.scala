@@ -1655,6 +1655,63 @@ object Dedup {
   def exactSubstringScrub(s: SparkSession, dir: String): DataFrame =
     exactSubstringScrub(Tables.documents(s, dir))
 
+  /** Eval-set decontamination scrub (q289): q259's exact-substring
+    * surgery with the reference set swapped from "any other doc" to the
+    * EVAL TIER (doc_id ≡ 3 mod 10 — the held-out 10%) — the
+    * decontamination pass a training pipeline actually runs so the
+    * benchmark answers don't sit verbatim inside the training text
+    * (GPT-3-style n-gram decontamination, k = 8 whitespace tokens,
+    * surgical window removal rather than whole-doc drops). Only TRAIN
+    * docs are output; an eval window occurring in train text marks a
+    * [p, p+k-1] interval, overlapping intervals merge by the q257
+    * gaps-and-islands rule, and the covered tokens are cut.
+    *
+    * Scale: identical to q259 — the KR rolling-fingerprint Expression
+    * is the per-token linear term; the eval fp relation scales with the
+    * EVAL tier (a fixed fraction); the semi-join and islands shuffle
+    * matched windows only.
+    */
+  def decontamScrub(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"a contamination run needs k >= 2 tokens, got $k")
+    def isEval(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c % 10 === 3
+    val toks = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+    val pos = toks
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(graft.functions.KrWindowFp.krWindowFp(col("w"), k))
+          .as(Seq("p0", "fp")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("fp"))
+    val evalFp = pos.filter(isEval(col("doc_id"))).select(col("fp")).distinct()
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val spans = pos
+      .filter(!isEval(col("doc_id")))
+      .join(evalFp.hint("shuffle_hash"), Seq("fp"), "left_semi")
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    toks
+      .filter(!isEval(col("doc_id")))
+      .hint("shuffle_hash")
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("cuts").isNull, col("w")).otherwise(
+        expr("filter(w, (x, i) -> !exists(cuts, c -> i + 1 >= c.s AND i + 1 <= c.e))")))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("removed_tokens"),
+        concat_ws(" ", col("kept")).as("text_clean"))
+  }
+
+  def decontamScrub(s: SparkSession, dir: String): DataFrame =
+    decontamScrub(Tables.documents(s, dir))
+
   /** Cross-source chunk-flow matrix (q260): for every PAIR of sources,
     * how many distinct CDC chunk fingerprints they both carry and how
     * much byte mass those shared chunks occupy on each side — the

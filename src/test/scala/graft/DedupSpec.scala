@@ -592,6 +592,34 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === ((12L, 0L, d2)))
   }
 
+  test("decontamScrub: eval passages cut from train docs only; eval tier absent; train-train overlap untouched") {
+    import spark.implicits._
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima" // 12 tokens
+    val trainShared = "one two three four five six seven eight nine ten" // 10 tokens
+    val texts = Seq(
+      3L -> s"evalprefix $passage",              // 3 % 10 == 3: the EVAL doc
+      1L -> s"$passage traintail",               // contaminated train doc
+      2L -> s"lead $trainShared",                // train-train overlap pair...
+      4L -> s"$trainShared tail",                // ...must NOT be scrubbed
+      5L -> "all unique content here nothing shared with anyone at all",
+    )
+    val docs = texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.decontamScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("removed_tokens"),
+          r.getAs[String]("text_clean")))).toMap
+    graft.Caches.releaseAll()
+    // the eval tier never appears in the scrubbed output
+    assert(!got.contains(3L), "eval docs must not be emitted")
+    // the contaminated train doc loses exactly the eval passage
+    assert(got(1L) === ((13L, 12L, "traintail")))
+    // train-train shared runs are NOT this operator's business (q259 is)
+    assert(got(2L) === ((11L, 0L, s"lead $trainShared")))
+    assert(got(4L) === ((11L, 0L, s"$trainShared tail")))
+    assert(got(5L)._2 === 0L)
+  }
+
   test("chunkFlowMatrix: shared chunk fingerprints per source pair with per-side byte mass") {
     import spark.implicits._
     def md5hex(s: String): String =

@@ -1337,6 +1337,33 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q289: decontam scrub rides the KR kernel and fp-keyed shuffle joins; no single-partition window") {
+    val df = graft.operators.Dedup.decontamScrub(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the eval fp relation scales with the eval tier — a fixed FRACTION
+    // of the corpus, not a constant — so it must never force-broadcast
+    assert(plan.contains("ShuffledHashJoin"), s"shuffle_hash joins:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"no broadcast:\n$plan")
+    assert(plan.contains("kr_window_fp"),
+      s"anchor fingerprints must use the KR rolling kernel:\n$plan")
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val globals = whole(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globals.isEmpty, s"no single-partition window:\n$globals")
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q260: the chunk-flow pair join is fp-keyed shuffle_hash, never broadcast") {
     val df = graft.operators.Dedup.chunkFlowMatrix(
       graft.sources.Tables.documents(spark, sf0001))
