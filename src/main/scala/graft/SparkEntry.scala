@@ -317,6 +317,7 @@ object SparkEntry {
     "q287_target_mixture" -> ((s, d) => Prep.targetMixture(s, d)),
     "q288_diverse_select" -> ((s, d) => Similarity.diverseSelect(s, d)),
     "q289_decontam_scrub" -> ((s, d) => Dedup.decontamScrub(s, d)),
+    "q290_isotonic_rate" -> ((s, d) => Quality.isotonicCalibration(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7557,5 +7558,42 @@ object SparkEntry {
         |  FROM t LEFT JOIN cuts c USING (doc_id)
         |  WHERE t.doc_id % 10 <> 3
         |) t""".stripMargin,
+
+    // q290: PAV isotonic fit in the closed minimax form over the
+    // bounded density-bin relation; floored micro means commute with
+    // min/max, so both engines land on floor(true PAV) exactly.
+    "q290_isotonic_rate" ->
+      """WITH sc AS (
+        |  SELECT md5(text) AS fp,
+        |    ((1000000 * CAST(len(list_distinct(w)) AS BIGINT)) // len(w))
+        |      // 50000 AS bin
+        |  FROM (SELECT text, string_split(text, ' ') AS w FROM documents)
+        |), dupfp AS (
+        |  SELECT fp, 1 AS is_dup FROM sc GROUP BY fp HAVING COUNT(*) > 1
+        |), br AS (
+        |  SELECT bin, COUNT(*) AS n_docs,
+        |    CAST(SUM(COALESCE(d.is_dup, 0)) AS BIGINT) AS n_dups
+        |  FROM sc LEFT JOIN dupfp d USING (fp) GROUP BY 1
+        |), cum AS (
+        |  SELECT *,
+        |    SUM(n_docs) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cd,
+        |    SUM(n_dups) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cy
+        |  FROM br
+        |), pairs AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    (1000000 * (k.cy - j.cy + j.n_dups))
+        |      // (k.cd - j.cd + j.n_docs) AS mean_micro
+        |  FROM cum j JOIN cum k ON j.bin <= k.bin
+        |), mns AS (
+        |  SELECT b.bin, p.j, MIN(p.mean_micro) AS mn
+        |  FROM br b JOIN pairs p ON p.j <= b.bin AND p.k >= b.bin
+        |  GROUP BY 1, 2
+        |), fits AS (
+        |  SELECT bin, MAX(mn) AS iso FROM mns GROUP BY 1
+        |)
+        |SELECT b.bin, b.n_docs, b.n_dups,
+        |  CAST((1000000 * b.n_dups) // b.n_docs AS BIGINT) AS rate_micro,
+        |  CAST(f.iso AS BIGINT) AS iso_micro
+        |FROM br b JOIN fits f USING (bin)""".stripMargin,
   )
 }

@@ -1358,4 +1358,61 @@ object Quality {
 
   def kAnonymityAudit(s: SparkSession, dir: String): DataFrame =
     kAnonymityAudit(Tables.customer(s, dir))
+
+  /** Isotonic calibration of a quality signal against dup labels
+    * (q290): the PAV (pool-adjacent-violators) fit, in its CLOSED
+    * minimax form — fit_i = max_{j≤i} min_{k≥i} mean(y over bins j..k)
+    * — of the exact-dup rate across type-token-ratio density bins. A
+    * curation pipeline uses the calibrated curve, not the raw bin
+    * rates, to turn a heuristic quality score into a monotone "expected
+    * dup probability" it can threshold; PAV is the standard isotonic
+    * regression and the minimax identity makes it one bounded
+    * relational expression instead of a sequential merge loop.
+    *
+    * Exactness: bin means live on the micro grid with floor division,
+    * and floor is monotone, so minimax of floored means = floor of the
+    * true PAV fit — both engines agree bit-for-bit (spec also replays a
+    * real stack-PAV on exact rationals and compares modulo the floor).
+    *
+    * Scale: ONE corpus pass builds the ≤ 21-bin relation (the md5
+    * exact-dup flag is a fp-keyed aggregate + semi-join, q20's rule);
+    * the O(bins²) minimax runs on the bounded bin relation — windows
+    * and joins there never see the corpus.
+    */
+  def isotonicCalibration(docs: DataFrame, binWidth: Long = 50000L): DataFrame = {
+    val ws = graft.functions.Text.words(col("text"))
+    val scored = Caches.track(docs.select(md5(col("text")).as("fp"),
+      (lit(1000000L) * size(array_distinct(ws)).cast("long")).as("dm"),
+      size(ws).cast("long").as("n_tok"))
+      .withColumn("bin", expr(s"(dm div n_tok) div $binWidth"))
+      .select(col("fp"), col("bin")))
+    val dupFp = scored.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("fp")).withColumn("is_dup", lit(1L))
+    val binRel = Caches.track(scored
+      .join(dupFp.hint("shuffle_hash"), Seq("fp"), "left")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dups")))
+    val byBin = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Caches.track(binRel
+      .withColumn("cd", sum(col("n_docs")).over(byBin))
+      .withColumn("cy", sum(col("n_dups")).over(byBin)))
+    val pairs = cum.as("j").join(cum.as("k"), col("j.bin") <= col("k.bin"))
+      .select(col("j.bin").as("j"), col("k.bin").as("k"),
+        expr("""(1000000L * (k.cy - j.cy + j.n_dups))
+               div (k.cd - j.cd + j.n_docs)""").as("mean_micro"))
+    val fits = binRel.select(col("bin"))
+      .join(pairs, col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j")).agg(min(col("mean_micro")).as("mn"))
+      .groupBy(col("bin")).agg(max(col("mn")).as("iso_micro"))
+    binRel
+      .withColumn("rate_micro", expr("(1000000L * n_dups) div n_docs"))
+      .join(fits, Seq("bin"))
+      .select(col("bin"), col("n_docs"), col("n_dups"),
+        col("rate_micro"), col("iso_micro"))
+  }
+
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame =
+    isotonicCalibration(Tables.documents(s, dir))
 }

@@ -933,6 +933,62 @@ object StreamingOps {
           .otherwise(0L).as("top_run_tokens"))
   }
 
+  /** q289's ingest twin: arriving TRAIN docs probed against the static
+    * eval-tier fingerprint index; per (event-time window, doc) the
+    * monitor reports contaminated window count and the exact token mass
+    * the batch scrub would cut — the admission signal a governed ingest
+    * uses to quarantine contaminated docs before they reach training
+    * shards. The interval merge (gap > k closes an island, island
+    * [s, prev] removes prev + k − s tokens) runs as a sorted-walk HOF
+    * over the doc's own bounded hit-position list, so the streaming
+    * number is BIT-IDENTICAL to `Dedup.decontamScrub`'s removed_tokens
+    * (spec-asserted). State: the windowed per-doc rollup, evicted by
+    * the watermark; the eval index is a static cached relation.
+    */
+  def decontamMonitor(
+      stream: DataFrame,
+      evalDocs: DataFrame,
+      k: Int = 8,
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.{KrWindowFp, Text}
+    val evalIdx = graft.Caches.track(
+      evalDocs.select(Text.words(col("text")).as("w"))
+        .filter(size(col("w")) >= k)
+        .select(explode(KrWindowFp.krWindowFp(col("w"), k)).as("fp"))
+        .distinct().withColumn("hit", lit(1)))
+    stream.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("ts"),
+        size(col("w")).cast("long").as("n_tokens"),
+        posexplode(KrWindowFp.krWindowFp(col("w"), k)).as(Seq("p0", "fp")))
+      .select(col("doc_id"), col("ts"), col("n_tokens"),
+        (col("p0") + 1).as("p"), col("fp"))
+      .join(evalIdx, Seq("fp"), "left")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("doc_id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"),
+        sort_array(collect_list(when(col("hit") === 1, col("p"))))
+          .as("hits"))
+      .withColumn("removed_tokens", expr(
+        s"""aggregate(
+           |  hits,
+           |  named_struct('s', cast(null as int), 'prev', cast(null as int),
+           |               'rm', 0L),
+           |  (a, x) -> if(a.prev is null,
+           |    named_struct('s', x, 'prev', x, 'rm', a.rm),
+           |    if(x - a.prev > $k,
+           |      named_struct('s', x, 'prev', x,
+           |                   'rm', a.rm + cast(a.prev + $k - a.s as long)),
+           |      named_struct('s', a.s, 'prev', x, 'rm', a.rm))),
+           |  a -> if(a.prev is null, a.rm,
+           |          a.rm + cast(a.prev + $k - a.s as long)))""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"), col("n_hit"),
+        col("removed_tokens"))
+  }
+
   /** Streaming count-min monitor — the continuous-ingestion twin of the
     * batch CM audit (q248, `Corpus.cmFrequencyAudit`): exact integer
     * cell sums of the same salted-hash `d × w` sketch per event-time

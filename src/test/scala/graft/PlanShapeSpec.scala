@@ -1364,6 +1364,36 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q290: the O(bins²) minimax runs on the cached bin relation; the dup flag is a fp-keyed shuffle join") {
+    def whole(p: SparkPlan): Seq[SparkPlan] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => whole(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: whole(m.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: whole(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val df = graft.operators.Quality.isotonicCalibration(
+      graft.sources.Tables.documents(spark, sf0001))
+    df.collect()
+    val nodes = whole(df.queryExecution.executedPlan)
+    val planText = nodes.map(_.toString).mkString("\n")
+    // the corpus-scaled dup-flag join must be the hinted shuffle_hash;
+    // every window reads the bounded bin aggregate, never the corpus
+    assert(planText.contains("ShuffledHashJoin"),
+      s"fp-keyed dup flag must shuffle:\n$planText")
+    nodes.collect { case w: WindowExec => w }.foreach { w =>
+      assert(whole(w).exists {
+        case h: HashAggregateExec =>
+          h.groupingExpressions.exists(_.toString.contains("bin"))
+        case _ => false
+      }, s"every window must sit above the bin aggregate:\n$w")
+    }
+    graft.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("q260: the chunk-flow pair join is fp-keyed shuffle_hash, never broadcast") {
     val df = graft.operators.Dedup.chunkFlowMatrix(
       graft.sources.Tables.documents(spark, sf0001))

@@ -627,4 +627,54 @@ class QualitySpec extends SparkSpec {
     assert(one.getAs[Long]("n_classes") === 1L)
     assert(one.getAs[Long]("max_k") === 2L)
   }
+
+  test("isotonicCalibration: a hand violation pools to the weighted mean (minimax = PAV)") {
+    import spark.implicits._
+    // bin 10 (TTR 0.5): two identical docs -> dup rate 1e6; bin 20
+    // (TTR 1.0): two unique docs -> rate 0. The violation pools to the
+    // weighted mean 500000 on BOTH bins.
+    val docs = Seq(
+      (1L, "a a b b"), (2L, "a a b b"),
+      (3L, "p q r s"), (4L, "t u v w"),
+    ).toDF("doc_id", "text")
+    val got = Quality.isotonicCalibration(docs).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dups"),
+          r.getAs[Long]("rate_micro"), r.getAs[Long]("iso_micro")))).toMap
+    graft.Caches.releaseAll()
+    assert(got === Map(
+      10L -> ((2L, 2L, 1000000L, 500000L)),
+      20L -> ((2L, 0L, 0L, 500000L))))
+  }
+
+  test("isotonicCalibration equals stack-PAV on exact rationals (mod floor); fit is monotone") {
+    val got = Quality.isotonicCalibration(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dups"), r.getAs[Long]("iso_micro")))
+      .sortBy(_._1)
+    graft.Caches.releaseAll()
+    assert(got.nonEmpty)
+    // monotone nondecreasing by construction
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._4, s"fit must be isotone: $a then $b")
+    case _ => }
+    // classic stack PAV with exact BigInt rationals, floored at the end
+    case class Pool(w: BigInt, y: BigInt)
+    val pools = got.foldLeft(List.empty[(Pool, Int)]) { case (acc, (_, w, y, _)) =>
+      var cur = (Pool(BigInt(w), BigInt(y)), 1)
+      var rest = acc
+      // merge while the previous pool's mean EXCEEDS the new one's
+      while (rest.nonEmpty &&
+        rest.head._1.y * cur._1.w > cur._1.y * rest.head._1.w) {
+        cur = (Pool(rest.head._1.w + cur._1.w, rest.head._1.y + cur._1.y),
+          rest.head._2 + cur._2)
+        rest = rest.tail
+      }
+      cur :: rest
+    }.reverse
+    val exp = pools.flatMap { case (p, n) =>
+      Seq.fill(n)((BigInt(1000000) * p.y / p.w).toLong) }
+    assert(got.map(_._4).toSeq === exp,
+      "minimax fit must equal the sequential PAV modulo the micro floor")
+  }
 }

@@ -974,6 +974,49 @@ class StreamingOpsSpec extends SparkSpec {
       s"the embedded passage must surface as a long run: $got")
   }
 
+  test("decontam monitor reports the exact token mass the q289 batch scrub would cut") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val evalDocs = Seq(
+      (3L, s"evalprefix $passage"),
+      (13L, "another held out benchmark document with distinct words")
+    ).toDF("doc_id", "text")
+    // train ids avoid the %10==3 eval residue so the BATCH twin puts
+    // them on the train side of its internal split
+    val trainTexts = Seq(
+      1L -> s"$passage traintail",                           // one island
+      2L -> s"$passage gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 $passage", // two islands
+      5L -> "all unique content here nothing shared with anyone at all")
+    val mem = MemoryStream[StreamTextDoc]
+    mem.addData(trainTexts.zipWithIndex.map { case ((id, t), i) =>
+      StreamTextDoc(id, t, ts(f"2026-01-01 00:0$i:00")) }: _*)
+    val q = StreamingOps.decontamMonitor(mem.toDF(), evalDocs)
+      .writeStream.format("memory").queryName("decmon")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    graft.Caches.releaseAll()
+    val got = spark.table("decmon")
+      .select($"doc_id", $"n_tokens", $"n_hit", $"removed_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // batch twin on the union (eval ids are %10==3 by construction)
+    val union = (evalDocs.as[(Long, String)].collect().toSeq ++ trainTexts)
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = graft.operators.Dedup.decontamScrub(union).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("removed_tokens")))).toMap
+    graft.Caches.releaseAll()
+    got.foreach { case (id, (n, _, rm)) =>
+      assert(batch(id) === ((n, rm)),
+        s"doc $id: streaming ($n, $rm) != batch ${batch(id)}") }
+    // anchors: single island cuts the passage; the two-island doc cuts both
+    assert(got(1L)._3 === 12L)
+    assert(got(2L)._3 === 24L, s"both islands must cut: $got")
+    assert(got(5L) === ((10L, 0L, 0L)))
+  }
+
   test("cdc chunk monitor scores ingest docs bit-identically to the registered q258 batch probe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
