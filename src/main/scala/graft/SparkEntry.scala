@@ -318,6 +318,7 @@ object SparkEntry {
     "q288_diverse_select" -> ((s, d) => Similarity.diverseSelect(s, d)),
     "q289_decontam_scrub" -> ((s, d) => Dedup.decontamScrub(s, d)),
     "q290_isotonic_rate" -> ((s, d) => Quality.isotonicCalibration(s, d)),
+    "q291_code_switch" -> ((s, d) => TextAnalysis.codeSwitchProfile(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7595,5 +7596,39 @@ object SparkEntry {
         |  CAST((1000000 * b.n_dups) // b.n_docs AS BIGINT) AS rate_micro,
         |  CAST(f.iso AS BIGINT) AS iso_micro
         |FROM br b JOIN fits f USING (bin)""".stripMargin,
+
+    // q291: per-16-token-window marker argmax (q18's priority rule:
+    // en > es > fr > de on ties, und when no evidence), replayed as
+    // nested list comprehensions; switch walk over adjacent windows.
+    "q291_code_switch" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+        |), pr AS (
+        |  SELECT doc_id, lang,
+        |    [CASE
+        |       WHEN len(list_filter(sl, x -> list_contains(['the','and','of','to','is'], x))) >= len(list_filter(sl, x -> list_contains(['el','la','de','que','los'], x)))
+        |        AND len(list_filter(sl, x -> list_contains(['the','and','of','to','is'], x))) >= len(list_filter(sl, x -> list_contains(['le','les','des','et','une'], x)))
+        |        AND len(list_filter(sl, x -> list_contains(['the','and','of','to','is'], x))) >= len(list_filter(sl, x -> list_contains(['der','die','und','das','ist'], x)))
+        |        AND len(list_filter(sl, x -> list_contains(['the','and','of','to','is'], x))) > 0 THEN 'en'
+        |       WHEN len(list_filter(sl, x -> list_contains(['el','la','de','que','los'], x))) >= len(list_filter(sl, x -> list_contains(['le','les','des','et','une'], x)))
+        |        AND len(list_filter(sl, x -> list_contains(['el','la','de','que','los'], x))) >= len(list_filter(sl, x -> list_contains(['der','die','und','das','ist'], x)))
+        |        AND len(list_filter(sl, x -> list_contains(['el','la','de','que','los'], x))) > 0 THEN 'es'
+        |       WHEN len(list_filter(sl, x -> list_contains(['le','les','des','et','une'], x))) >= len(list_filter(sl, x -> list_contains(['der','die','und','das','ist'], x)))
+        |        AND len(list_filter(sl, x -> list_contains(['le','les','des','et','une'], x))) > 0 THEN 'fr'
+        |       WHEN len(list_filter(sl, x -> list_contains(['der','die','und','das','ist'], x))) > 0 THEN 'de'
+        |       ELSE 'und' END
+        |     FOR sl IN [w[(wi*16+1):(wi*16+16)]
+        |                FOR wi IN range(0, (len(w) + 15) // 16)]] AS preds
+        |  FROM t
+        |)
+        |SELECT doc_id, lang,
+        |  CAST(len(preds) AS BIGINT) AS n_windows,
+        |  CAST(len(list_filter(preds, p -> p = 'und')) AS BIGINT) AS n_und,
+        |  CAST(len(list_filter(preds, p -> p <> 'und' AND p <> lang)) AS BIGINT)
+        |    AS n_foreign,
+        |  CAST(CASE WHEN len(preds) > 1 THEN
+        |    len(list_filter(range(2, len(preds) + 1), i -> preds[i] <> preds[i-1]))
+        |    ELSE 0 END AS BIGINT) AS n_switches
+        |FROM pr""".stripMargin,
   )
 }

@@ -107,4 +107,59 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         graft.functions.Winnow.minGramMd5(col("text"), k).as("winnow_fp"))
+
+  /** Code-switching / language-mixing profile (q291): q18's marker
+    * language-ID applied to fixed 16-token WINDOWS of each document —
+    * the screen a multilingual curation pass runs because a doc-level
+    * language label hides embedded foreign passages (boilerplate from a
+    * mirrored site, quoted sources, spam injections), and a
+    * lang-conditioned mixture (q194/q287) silently mis-routes the mixed
+    * mass. Per doc: window count, windows with no marker evidence
+    * (`und`), windows whose prediction disagrees with the doc label
+    * (foreign mass), and adjacent-window switches (fragmentation — many
+    * switches with low foreign mass reads as noise, few switches with a
+    * long foreign run reads as an embedded passage).
+    *
+    * Scale: the ENTIRE profile is one codegen'd projection — window
+    * slicing, per-window marker argmax, and the switch walk are nested
+    * HOFs over the doc's own token array, so there is no explode, no
+    * window shuffle, no aggregation: zero exchanges end to end, the
+    * q284 row-local discipline in pure SQL functions.
+    */
+  def codeSwitchProfile(docs: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Text.words(col("text"))
+    val nWin = ((size(w) + window - 1) / window).cast("int")
+    // two-stage argmax (the langIdFromScores contract): materialize the
+    // four marker scores per window into a struct FIRST, then argmax
+    // over field references — inlining markerHits into the argmax tree
+    // re-evaluates each window's filter ~3× per language (measured
+    // 3.8 s -> the struct form at sf0.1)
+    val scored = transform(
+      sequence(lit(0), nWin - 1),
+      wi => {
+        val win = slice(w, wi * window + 1, lit(window))
+        struct(Text.langMarkers.map { case (lang, ms) =>
+          Text.markerHits(win, ms).as(s"s_$lang")
+        }: _*)
+      })
+    val preds = transform(col("scored"), sc =>
+      Text.langIdFromScores(
+        Text.langMarkers.map { case (lang, _) => lang -> sc.getField(s"s_$lang") }))
+    docs
+      .select(col("doc_id"), col("lang"), scored.as("scored"))
+      .select(col("doc_id"), col("lang"), preds.as("preds"))
+      .select(col("doc_id"), col("lang"),
+        size(col("preds")).cast("long").as("n_windows"),
+        size(filter(col("preds"), p => p === "und")).cast("long").as("n_und"),
+        size(filter(col("preds"), p => p =!= "und" && p =!= col("lang")))
+          .cast("long").as("n_foreign"),
+        when(size(col("preds")) > 1,
+          expr("""size(filter(sequence(2, size(preds)),
+                 i -> element_at(preds, i) != element_at(preds, i - 1)))"""))
+          .otherwise(0).cast("long").as("n_switches"))
+  }
+
+  def codeSwitchProfile(s: SparkSession, dir: String): DataFrame =
+    codeSwitchProfile(Tables.documents(s, dir))
 }

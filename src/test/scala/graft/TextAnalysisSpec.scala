@@ -26,4 +26,36 @@ class TextAnalysisSpec extends SparkSpec {
     // only the label vocabulary is pinned
     assert(got.map(_._2).toSet.subsetOf(Set("en", "es", "fr", "de", "und")))
   }
+
+  test("codeSwitchProfile: embedded foreign window, und window, tie priority, partial tail") {
+    import spark.implicits._
+    val docs = Seq(
+      // [en en en en][es es es es][en-ish + noise]: 1 foreign, 2 switches
+      (1L, "en", "the and of to el la de que the is xx yy"),
+      // no marker evidence at all: one und window, not "foreign"
+      (2L, "en", "zz yy xx ww"),
+      // en/es tie resolves to en by priority; the doc label is es,
+      // so the window counts as FOREIGN mass
+      (3L, "es", "the el xx yy"),
+      // 5 tokens at window 4: a 1-token partial tail window
+      (4L, "en", "the and of to the"),
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.codeSwitchProfile(docs, window = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_und"),
+          r.getAs[Long]("n_foreign"), r.getAs[Long]("n_switches")))).toMap
+    assert(got(1L) === ((3L, 0L, 1L, 2L)))
+    assert(got(2L) === ((1L, 1L, 0L, 0L)))
+    assert(got(3L) === ((1L, 0L, 1L, 0L)))
+    assert(got(4L) === ((2L, 0L, 0L, 0L)))
+  }
+
+  test("codeSwitchProfile plan: zero exchanges — the whole profile is one row-local projection") {
+    val df = TextAnalysis.codeSwitchProfile(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"window slicing, argmax, and the switch walk are HOFs — no shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Generate"),
+      s"no explode, no join:\n$plan")
+  }
 }
