@@ -412,7 +412,18 @@ object ScaleSmoke {
       timed("q285") { graft.operators.Prep.budgetSelect(docs) },
       // q286: the q56 cluster chain + key-only anti/semi joins + the
       // |sources|-row allocation — dup structure grows linearly by design
-      timed("q286") { graft.operators.Prep.dedupMixture(docs) })
+      timed("q286") { graft.operators.Prep.dedupMixture(docs) },
+      // q288: one cell-keyed window over the embeddings + the
+      // bucketedPrefix global rank
+      timed("q288") { graft.operators.Similarity.diverseSelect(emb) },
+      // q289: KR rolling fps (per-token linear) + eval-fraction-scaled
+      // fp semi-join; matched windows only shuffle
+      timed("q289") { graft.operators.Dedup.decontamScrub(docs) },
+      // q290: one corpus pass to the bin relation; the O(bins²) minimax
+      // never sees the corpus
+      timed("q290") { graft.operators.Quality.isotonicCalibration(docs) },
+      // q291: pure row-local nested-HOF projection — zero exchanges
+      timed("q291") { graft.operators.TextAnalysis.codeSwitchProfile(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
