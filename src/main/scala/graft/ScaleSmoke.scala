@@ -423,7 +423,10 @@ object ScaleSmoke {
       // never sees the corpus
       timed("q290") { graft.operators.Quality.isotonicCalibration(docs) },
       // q291: pure row-local nested-HOF projection — zero exchanges
-      timed("q291") { graft.operators.TextAnalysis.codeSwitchProfile(docs) })
+      timed("q291") { graft.operators.TextAnalysis.codeSwitchProfile(docs) },
+      // q292: one LSH chain feeds both superstep families (components +
+      // rank); everything after it is dup-graph-sized
+      timed("q292") { graft.operators.Dedup.authorityCanon(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -319,6 +319,7 @@ object SparkEntry {
     "q289_decontam_scrub" -> ((s, d) => Dedup.decontamScrub(s, d)),
     "q290_isotonic_rate" -> ((s, d) => Quality.isotonicCalibration(s, d)),
     "q291_code_switch" -> ((s, d) => TextAnalysis.codeSwitchProfile(s, d)),
+    "q292_authority_canon" -> ((s, d) => Dedup.authorityCanon(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7630,5 +7631,79 @@ object SparkEntry {
         |    len(list_filter(range(2, len(preds) + 1), i -> preds[i] <> preds[i-1]))
         |    ELSE 0 END AS BIGINT) AS n_switches
         |FROM pr""".stripMargin,
+
+    // q292: q56's verified pair graph feeds BOTH the component closure
+    // (membership) and the q283 fixed-point PageRank (authority); the
+    // election takes (rank desc, doc_id) per cluster.
+    "q292_authority_canon" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM verified
+        |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+        |), sym2 AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), deg2 AS (
+        |  SELECT src, COUNT(*) AS outdeg FROM sym2 GROUP BY 1
+        |), p0 AS (
+        |  SELECT src AS node, CAST(1000000000 AS HUGEINT) AS r FROM deg2
+        |), p1 AS (
+        |  SELECT s.dst AS node, 150000000 + (85 * SUM(r.r // d2.outdeg)) // 100 AS r
+        |  FROM sym2 s JOIN deg2 d2 ON d2.src = s.src JOIN p0 r ON r.node = s.src
+        |  GROUP BY 1
+        |), p2 AS (
+        |  SELECT s.dst AS node, 150000000 + (85 * SUM(r.r // d2.outdeg)) // 100 AS r
+        |  FROM sym2 s JOIN deg2 d2 ON d2.src = s.src JOIN p1 r ON r.node = s.src
+        |  GROUP BY 1
+        |), p3 AS (
+        |  SELECT s.dst AS node, 150000000 + (85 * SUM(r.r // d2.outdeg)) // 100 AS r
+        |  FROM sym2 s JOIN deg2 d2 ON d2.src = s.src JOIN p2 r ON r.node = s.src
+        |  GROUP BY 1
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), mem AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+        |  FROM reach GROUP BY src
+        |), jn AS (
+        |  SELECT m.doc_id, m.cluster, CAST(p3.r AS BIGINT) AS rank_ppb
+        |  FROM mem m JOIN p3 ON p3.node = m.doc_id
+        |)
+        |SELECT cluster, doc_id AS rep_doc, rank_ppb AS rep_rank_ppb,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY rank_ppb DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM jn
+        |) WHERE rn = 1""".stripMargin,
   )
 }

@@ -1094,9 +1094,24 @@ object Advanced {
       sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     // the degree join happens ONCE, and the cached adjacency is
     // hash-partitioned by src so every superstep's join reuses its
-    // layout — only the |V|-row rank relation moves per superstep
+    // layout — only the |V|-row rank relation moves per superstep.
+    // Width follows the GRAPH, not the session default: a dup graph is
+    // corpus × dup-rate, and 32-way tiny cached partitions made every
+    // superstep pay 32 tasks of pure scheduling (q292's first cut
+    // measured 7.4 s at sf0.1, 5.9 s graph-sized). The divisor is 20k
+    // directed edges per partition — NOT dupClusters' 500k: the
+    // superstep join does per-edge rank arithmetic, so it saturates a
+    // core far sooner than label propagation. Measured on the 100×
+    // co-purchase graph (715k directed edges): 29.9 s at 32-way,
+    // 39.7 s at 15-way (the 50k rule), 59.0 s at 2-way (the 500k
+    // rule) — 20k restores full width at that size while a sub-40k-edge
+    // dup graph still collapses to one scheduling-free partition.
+    val nDirected = 2L * e.count()
+    val width = math.max(1L, math.min(
+      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong,
+      nDirected / 20000L + 1L)).toInt
     val adj = Caches.track(
-      sym.join(deg, "src").repartition(col("src")))
+      sym.join(deg, "src").repartition(width, col("src")))
     var ranks = deg.select(col("src").as("node"),
       lit(scaleS).cast(dec).as("rank"))
     var i = 0

@@ -415,9 +415,17 @@ object Dedup {
       docs: DataFrame,
       bands: Int, rowsPerBand: Int,
       threshold: Double,
-      maxIters: Int = 20): DataFrame = {
-    val pairs = minhashLsh(docs, bands, rowsPerBand, threshold)
-      .select(col("doc_a"), col("doc_b"))
+      maxIters: Int = 20): DataFrame =
+    dupClustersFromPairs(
+      minhashLsh(docs, bands, rowsPerBand, threshold)
+        .select(col("doc_a"), col("doc_b")),
+      shuffleWidth(docs), maxIters)
+
+  /** The superstep component loop on an ALREADY-BUILT verified pair
+    * relation — factored out so q292 can share one LSH chain between
+    * the membership and the authority passes. */
+  private[operators] def dupClustersFromPairs(
+      pairs: DataFrame, maxWidth: Int, maxIters: Int = 20): DataFrame = {
     val rawEdges = pairs
       .unionAll(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -428,7 +436,7 @@ object Dedup {
     // partition per ~500k edges, capped at the session width
     val edgeCount = rawEdges.count()
     val width = math.max(1L,
-      math.min(shuffleWidth(docs).toLong, edgeCount / 500000L + 1L)).toInt
+      math.min(maxWidth.toLong, edgeCount / 500000L + 1L)).toInt
     // edges are the static probe side of every superstep's join: hash-
     // partition by dst ONCE before caching so the cached partitioning
     // satisfies each iteration's join and only the label side moves
@@ -1711,6 +1719,42 @@ object Dedup {
 
   def decontamScrub(s: SparkSession, dir: String): DataFrame =
     decontamScrub(Tables.documents(s, dir))
+
+  /** Authority-based canonical election (q292): q195 elects a dup
+    * cluster's representative by CONTENT SIZE (max n_chars); this
+    * operator elects by GRAPH AUTHORITY — fixed-point PageRank
+    * (q283's kernel) over the verified dup-pair graph itself, so the
+    * most-linked copy of a page survives and mirrors die, the selection
+    * rule a crawl-dedup pass actually wants (the canonical URL is the
+    * one everything else duplicates, not the one with the most
+    * boilerplate appended). One LSH chain feeds BOTH passes: the pair
+    * relation is cached and shared by the component supersteps
+    * (membership) and the rank supersteps (authority); the election is
+    * the q195 max-of-struct aggregate on (rank_ppb, −doc_id).
+    *
+    * Scale: everything after the LSH chain runs on the dup graph
+    * (corpus × dup-rate); both superstep families shuffle the edge
+    * relation only; no window, no corpus self-join.
+    */
+  def authorityCanon(docs: DataFrame): DataFrame = {
+    val pairs = Caches.track(
+      minhashLsh(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b")))
+    val members = dupClustersFromPairs(pairs, shuffleWidth(docs))
+    val ranks = Advanced.pageRank(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("part").as("doc_id"), col("rank_ppb"))
+    members
+      .join(ranks.hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("rank_ppb"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster"), (-col("best.neg_id")).as("rep_doc"),
+        col("best.rank_ppb").as("rep_rank_ppb"), col("n_members"))
+  }
+
+  def authorityCanon(s: SparkSession, dir: String): DataFrame =
+    authorityCanon(Tables.documents(s, dir))
 
   /** Cross-source chunk-flow matrix (q260): for every PAIR of sources,
     * how many distinct CDC chunk fingerprints they both carry and how

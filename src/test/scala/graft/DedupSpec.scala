@@ -620,6 +620,33 @@ class DedupSpec extends SparkSpec {
     assert(got(5L)._2 === 0L)
   }
 
+  test("authorityCanon: the path center wins the election by rank, not by content size") {
+    import spark.implicits._
+    // A(101) — B(102) — C(103): B near-dups both ends, A vs C drops
+    // below the 0.8 verify bar (A–B: 1 changed shingle, 47/49 = 0.96;
+    // B–C: 5, 43/53 = 0.81; A–C: 6, 42/54 = 0.78), so the dup graph is
+    // a PATH and B (degree 2) carries the highest fixed-point PageRank
+    // — the authority election must pick B, whatever the text sizes.
+    val base = (1 to 50).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = (base.dropRight(1) :+ "zzz").mkString(" ")
+    val c = (base.take(19) ++ Seq("yy1", "yy2", "yy3") ++
+      base.slice(22, 49) :+ "zzz").mkString(" ")
+    val docs = Seq((101L, a), (102L, b), (103L, c)).map { case (id, t) =>
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.authorityCanon(docs).collect()
+    graft.Caches.releaseAll()
+    assert(got.length === 1, s"one path cluster expected: ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[Long]("cluster") === 101L)
+    assert(r.getAs[Long]("rep_doc") === 102L,
+      s"the degree-2 center must win the authority election: $r")
+    assert(r.getAs[Long]("n_members") === 3L)
+    // exact fixed-point replay on the path: 3 supersteps, ppb grid
+    assert(r.getAs[Long]("rep_rank_ppb") === 1741625000L)
+  }
+
   test("chunkFlowMatrix: shared chunk fingerprints per source pair with per-side byte mass") {
     import spark.implicits._
     def md5hex(s: String): String =

@@ -1394,6 +1394,25 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q292: membership and authority share one cached pair relation; nothing dup-scaled broadcasts") {
+    withNoAutoBroadcast {
+      val df = graft.operators.Dedup.authorityCanon(
+        graft.sources.Tables.documents(spark, sf0001))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"everything joins on keys:\n$plan")
+      val (bhj, shj) = initialJoins(df)
+      assert(bhj === 0,
+        s"membership/rank relations scale with the dup population — never forced broadcast:\n$plan")
+      assert(shj >= 1, s"the rank lookup must shuffle:\n$plan")
+      assert(!plan.contains("Window"),
+        s"the election is the max-of-struct aggregate, not a window:\n$plan")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q260: the chunk-flow pair join is fp-keyed shuffle_hash, never broadcast") {
     val df = graft.operators.Dedup.chunkFlowMatrix(
       graft.sources.Tables.documents(spark, sf0001))
