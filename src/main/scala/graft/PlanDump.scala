@@ -72,8 +72,16 @@ object PlanDump {
         case Some(fn) =>
           val scope = Caches.open()
           try {
-            val plan = fn(spark, sfDir).queryExecution.explainString(
+            val full = fn(spark, sfDir).queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode)
+            // cached subtrees reprint their whole child plan inside every
+            // InMemoryRelation reference — q292's superstep chain dumps
+            // 15k lines of repeats. The head carries the shape; cap it.
+            val lines = full.linesIterator.toSeq
+            val plan = if (lines.size <= 800) full
+              else lines.take(800).mkString("", "\n",
+                s"\n... [${lines.size - 800} more lines — cached-subplan " +
+                  "reprints — truncated]\n")
             sb.append(s"\n## $name\n\n```\n$plan```\n")
           } finally scope.release()
         case None =>
