@@ -320,6 +320,7 @@ object SparkEntry {
     "q290_isotonic_rate" -> ((s, d) => Quality.isotonicCalibration(s, d)),
     "q291_code_switch" -> ((s, d) => TextAnalysis.codeSwitchProfile(s, d)),
     "q292_authority_canon" -> ((s, d) => Dedup.authorityCanon(s, d)),
+    "q293_retention_sweep" -> ((s, d) => Warehouse.retentionSweep(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7705,5 +7706,16 @@ object SparkEntry {
         |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
         |  FROM jn
         |) WHERE rn = 1""".stripMargin,
+
+    // q293: the oracle recomputes the EXPECTED post-sweep state from
+    // raw rows — a surviving expired partition or a clobbered live one
+    // hash-mismatches either way.
+    "q293_retention_sweep" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  COUNT(*) AS rows_src,
+        |  CAST(CASE WHEN strftime(o_orderdate, '%Y-%m') < '1996-01'
+        |       THEN 0 ELSE COUNT(*) END AS BIGINT) AS rows_after,
+        |  strftime(o_orderdate, '%Y-%m') < '1996-01' AS expired
+        |FROM orders GROUP BY 1""".stripMargin,
   )
 }

@@ -1025,4 +1025,72 @@ object Warehouse {
         coalesce(col("rewritten"), lit(false)).as("rewritten"),
         coalesce(col("residual"), lit(0L)).as("residual_victims"))
   }
+
+  /** Retention / TTL sweep (q293): the time-keyed leg of the governance
+    * family (GDPR erase q276 is key-keyed; forget propagation is its
+    * streaming twin). A month-partitioned fact table is swept against a
+    * fixed retention cutoff: every expired month partition is dropped
+    * from the catalog AND physically deleted — the q276 lesson applies
+    * verbatim, a metadata-only DROP PARTITION on an external table
+    * leaves the bytes on disk and a retention policy that leaves bytes
+    * has not retained anything. No rewrite is needed (expiry is
+    * partition-aligned by LAYOUT — that is the point of partitioning a
+    * fact table by its retention key), so the sweep is pure
+    * drop+delete, idempotent, and the audit proves BOTH directions:
+    * expired months read zero rows after, retained months read exactly
+    * their source count (a clobbered live partition hash-mismatches the
+    * oracle as loudly as a surviving expired one).
+    *
+    * Scale: affected partitions are a bounded collect (months, not
+    * rows); the audit is one aggregate per side, both partition-pruned
+    * friendly; nothing row-scaled moves at all.
+    */
+  def retentionSweep(s: SparkSession, dir: String, tag: String = ""): DataFrame =
+    retentionSweepOf(s, Tables.orders(s, dir), token(s, dir, tag))
+
+  def retentionSweepOf(s: SparkSession, orders: DataFrame, rawTok: String,
+      cutoffMonth: String = "1996-01"): DataFrame = {
+    val tok = rawTok.replaceAll("[^A-Za-z0-9]", "_")
+    val src = s"graft_orders_ttl_src_$tok"
+    val tgt = s"graft_orders_ttl_tgt_$tok"
+    def monthed(df: DataFrame) = df
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    if (!s.catalog.tableExists(src)) {
+      monthed(orders)
+        .write.mode("overwrite").format("parquet")
+        .option("path", tablePath(tok, "orders_ttl_src"))
+        .partitionBy("month")
+        .saveAsTable(src)
+    }
+    if (!s.catalog.tableExists(tgt)) {
+      s.table(src)
+        .write.mode("overwrite").format("parquet")
+        .option("path", tablePath(tok, "orders_ttl_tgt"))
+        .partitionBy("month")
+        .saveAsTable(tgt)
+    }
+    val expired = s.table(tgt).select(col("month")).distinct()
+      .filter(col("month") < cutoffMonth)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    expired.collect().map(_.getString(0)).foreach { m =>
+      s.sql(s"ALTER TABLE $tgt DROP IF EXISTS PARTITION (month='$m')")
+      val pdir = new org.apache.hadoop.fs.Path(
+        s"${tablePath(tok, "orders_ttl_tgt")}/month=$m")
+      fs.delete(pdir, true)
+      // fail FAST if the bytes are still there — a retention sweep that
+      // cannot delete has not expired anything (the q276 contract)
+      if (fs.exists(pdir)) throw new IllegalStateException(
+        s"retentionSweep: could not delete expired partition $pdir")
+    }
+    s.catalog.refreshTable(tgt)
+    val before = s.table(src).groupBy(col("month"))
+      .agg(count(lit(1)).as("rows_src"))
+    val after = s.table(tgt).groupBy(col("month"))
+      .agg(count(lit(1)).as("rows_after"))
+    before.join(after, Seq("month"), "left")
+      .select(col("month"), col("rows_src"),
+        coalesce(col("rows_after"), lit(0L)).as("rows_after"),
+        (col("month") < cutoffMonth).as("expired"))
+  }
 }

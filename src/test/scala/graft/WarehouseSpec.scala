@@ -280,6 +280,36 @@ class WarehouseSpec extends SparkSpec {
     assert(out === Map("concentrated" -> 1L, "moderate" -> 1L, "diversified" -> 1L))
   }
 
+  test("retentionSweep: expired months physically gone, retained intact, idempotent") {
+    def run() = graft.operators.Warehouse
+      .retentionSweepOf(spark, graft.sources.Tables.orders(spark, sf0001),
+        "sf0_001_ttlspec")
+      .collect()
+      .map(r => r.getAs[String]("month") ->
+        ((r.getAs[Long]("rows_src"), r.getAs[Long]("rows_after"),
+          r.getAs[Boolean]("expired")))).toMap
+    val out1 = run()
+    val (expired, retained) = out1.partition(_._2._3)
+    assert(expired.nonEmpty && retained.nonEmpty, s"degenerate sweep: $out1")
+    assert(expired.values.forall(_._2 === 0L),
+      s"expired months must read zero rows: $expired")
+    assert(retained.values.forall(v => v._2 === v._1),
+      s"retained months must be byte-count intact: $retained")
+    // the BYTES are gone, not just the catalog entries (the q276 lesson)
+    val tgtDir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse/sf0_001_ttlspec/orders_ttl_tgt")
+    val onDisk = Option(tgtDir.listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("month=")).map(_.getName).toSet
+    expired.keys.foreach { m =>
+      assert(!onDisk.contains(s"month=$m"),
+        s"expired partition month=$m still on disk: $onDisk") }
+    retained.keys.foreach { m =>
+      assert(onDisk.contains(s"month=$m"),
+        s"retained partition month=$m missing from disk") }
+    // idempotent: a re-sweep of the already-swept table audits identically
+    assert(run() === out1)
+  }
+
   test("gdprErase: victims physically gone, untouched buckets intact, idempotent across re-runs") {
     val out1 = graft.operators.Warehouse.gdprErase(spark, sf0001, tag = "gdprspec")
       .collect()
