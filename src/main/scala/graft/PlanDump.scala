@@ -50,7 +50,8 @@ object PlanDump {
     "q281_clip_dups", "q282_k_anonymity", "q283_pagerank",
     "q284_audio_vad", "q285_budget_select", "q286_dedup_mixture",
     "q287_target_mixture", "q288_diverse_select", "q289_decontam_scrub",
-    "q290_isotonic_rate", "q291_code_switch", "q292_authority_canon")
+    "q290_isotonic_rate", "q291_code_switch", "q292_authority_canon",
+    "q293_retention_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
