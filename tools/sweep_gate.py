@@ -37,7 +37,10 @@ def run_isolates(query_full: str, sf: str) -> list[float]:
                  # do not clobber the sweep's BENCH_FULL.json
                  "SPARK_GRAFT_BENCH_OUT": "/tmp/bench_isolate.json"},
         )
-        m = re.search(r'"%s":([0-9.]+)' % re.escape(query_full),
+        # Bench's JSON line keys queries by SHORT name ("q256": 1.48) —
+        # matching the full name here returned zero isolates and let a
+        # flag "confirm" with no isolate evidence (round-15 q256)
+        m = re.search(r'"%s":([0-9.]+)' % re.escape(short(query_full)),
                       p.stdout + p.stderr)
         if m:
             out.append(float(m.group(1)))
