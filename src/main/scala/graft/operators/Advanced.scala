@@ -574,14 +574,32 @@ object Advanced {
     * driver-side collect.
     */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
-    val baskets = Caches.track(
-      lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
-    val nBaskets = baskets.select(countDistinct(col("o")).as("n_baskets"))
-    pairCounts(baskets, minSupport)
+    // distinct (o,p) never changes the set of o's, so the basket count
+    // reads straight off the fact table (map-side-combined count-distinct)
+    val nBaskets = lineitem.select(
+      countDistinct(col("l_orderkey")).as("n_baskets"))
+    sharedPairCounts(lineitem, minSupport)
       .crossJoin(broadcast(nBaskets))
       .withColumn("support", col("n").cast("double") / col("n_baskets"))
       .select(col("part_a"), col("part_b"), col("n"), col("support"))
   }
+
+  /** The co-purchase pair relation as a SHARED derived artifact: q110
+    * (support table), q114 (fixed-point ranks), q121 (triangles), and
+    * q283 (PageRank) all consume the same deterministic pair mining, so
+    * it is materialized once per (input generation, support) through
+    * [[graft.Derived]] and every consumer scans the build — the nightly
+    * edge-store shape a 100 TB pipeline uses, instead of four queries
+    * each re-running the basket expansion. In-memory inputs (unit tests)
+    * have no content fingerprint and keep the inline plan.
+    */
+  private def sharedPairCounts(lineitem: DataFrame, minSupport: Long): DataFrame =
+    graft.Derived.materialized(lineitem.sparkSession,
+      s"copurchase_pairs_s$minSupport", Seq(lineitem)) {
+      val baskets = Caches.track(lineitem
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+      pairCounts(baskets, minSupport)
+    }
 
   /** The apriori-pruned pair-count core of `basketPairs`, without the
     * support-ratio scalar — `triangleCounts` consumes this directly so
@@ -765,33 +783,20 @@ object Advanced {
     * Isolated frequent parts (degree 0 after symmetrization: none, by
     * construction of pair edges) would keep the teleport mass only.
     */
-  def copurchaseRank(lineitem: DataFrame, iters: Int = 2): DataFrame = {
-    val base = 1000000000000L
-    // pairs is persisted BEFORE the symmetrizing union: both union
-    // branches would otherwise re-run the whole mining pipeline (the
-    // per-basket pair aggregate — the expensive part — twice)
-    val pairs = Caches.track(basketPairs(lineitem, 3L)
-      .select(col("part_a"), col("part_b")))
-    val edges = Caches.track(pairs
-      .select(col("part_a").as("src"), col("part_b").as("dst"))
-      .unionByName(pairs.select(col("part_b").as("src"), col("part_a").as("dst"))))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = Caches.track(edges.join(deg, "src"))
-    var rank = deg.select(col("src").as("node"), lit(base).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = withDeg
-        .join(rank, col("src") === col("node"))
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      rank = deg.select(col("src").as("node"))
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(150000000000L) +
-            expr("coalesce(in_mass, 0L) * 85 div 100")).as("rank"))
-    }
-    rank.join(deg, col("node") === col("src"))
-      .select(col("node").as("part"), col("deg"), col("rank").as("rank_fp"))
-  }
+  def copurchaseRank(lineitem: DataFrame, iters: Int = 2): DataFrame =
+    // one fixed-point kernel serves q114, q283 and q292 (the round-15
+    // dedup): q114 is pageRank at scale 1e12 over the support-3 shared
+    // pair relation. The integer arithmetic is IDENTICAL — `div` is
+    // integral divide (long result) for both long and decimal operands,
+    // the damped update commutes, and on a symmetrized graph every node
+    // receives inflow, so the old left-join teleport and the kernel's
+    // inner aggregate produce the same rows.
+    pageRank(
+      sharedPairCounts(lineitem, 3L)
+        .select(col("part_a").as("a"), col("part_b").as("b")),
+      iters, scaleS = 1000000000000L)
+      .select(col("part"), col("outdeg").as("deg"),
+        col("rank_ppb").as("rank_fp"))
 
   def copurchaseRank(s: SparkSession, dir: String): DataFrame =
     copurchaseRank(Tables.lineitem(s, dir))
@@ -1043,12 +1048,9 @@ object Advanced {
     */
   /** Triangle counts over the co-purchase graph a lineitem fact table
     * induces (apriori-pruned frequent pairs as edges). */
-  def copurchaseTriangles(lineitem: DataFrame, minSupport: Long): DataFrame = {
-    val baskets = Caches.track(lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
-    triangleCounts(pairCounts(baskets, minSupport)
+  def copurchaseTriangles(lineitem: DataFrame, minSupport: Long): DataFrame =
+    triangleCounts(sharedPairCounts(lineitem, minSupport)
       .select(col("part_a").as("a"), col("part_b").as("b")))
-  }
 
   // support 2 (not q110's 3): the synthetic baskets thin out as the
   // part space grows, and support 3 leaves the sf0.01+ graph
@@ -1078,9 +1080,10 @@ object Advanced {
     * headroom for ~10⁸ nodes of mass concentrated on one hub before the
     * grid would saturate.
     */
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      scaleS: Long = 1000000000L, // 1 ppb grid unit = 10^-9 of one rank mass
+      widthHint: Option[Int] = None): DataFrame = {
     val dec = DecimalType(38, 0)
-    val scaleS = 1000000000L // 1 ppb grid unit = 10^-9 of one rank mass
     // cache the (possibly expensive) edge derivation BEFORE symmetrizing:
     // the unionAll consumes it twice, and without the cache the whole
     // upstream subtree (e.g. the q110 basket self-join) would execute
@@ -1106,10 +1109,17 @@ object Advanced {
     // 39.7 s at 15-way (the 50k rule), 59.0 s at 2-way (the 500k
     // rule) — 20k restores full width at that size while a sub-40k-edge
     // dup graph still collapses to one scheduling-free partition.
-    val nDirected = 2L * e.count()
-    val width = math.max(1L, math.min(
-      e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong,
-      nDirected / 20000L + 1L)).toInt
+    // `widthHint` keeps plan construction side-effect-free for callers
+    // that already know the graph size; without it the count is an eager
+    // action at construction time (the dupClusters edgeCount precedent —
+    // cheap when `edges` is a Derived parquet scan, where the count is a
+    // footer-statistics job, but a full mining pass for an inline plan)
+    val width = widthHint.getOrElse {
+      val nDirected = 2L * e.count()
+      math.max(1L, math.min(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong,
+        nDirected / 20000L + 1L)).toInt
+    }
     val adj = Caches.track(
       sym.join(deg, "src").repartition(width, col("src")))
     var ranks = deg.select(col("src").as("node"),
@@ -1133,12 +1143,9 @@ object Advanced {
 
   /** q283 entry: PageRank over the support-2 co-purchase graph (the q121
     * edge relation). */
-  def copurchasePageRank(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
-    val baskets = Caches.track(lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
-    pageRank(pairCounts(baskets, minSupport)
+  def copurchasePageRank(lineitem: DataFrame, minSupport: Long = 2L): DataFrame =
+    pageRank(sharedPairCounts(lineitem, minSupport)
       .select(col("part_a").as("a"), col("part_b").as("b")))
-  }
 
   def copurchasePageRank(s: SparkSession, dir: String): DataFrame =
     copurchasePageRank(Tables.lineitem(s, dir))
