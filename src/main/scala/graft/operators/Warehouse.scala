@@ -1055,12 +1055,44 @@ object Warehouse {
     val tgt = s"graft_orders_ttl_tgt_$tok"
     def monthed(df: DataFrame) = df
       .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    // Content marker: the snapshot tables are reused across calls keyed
+    // only by the token, so without it a sweep against a REGENERATED
+    // input under the same dir/tag silently read the stale snapshot
+    // (round-15 advice). The input's scan-file fingerprint is recorded
+    // beside the src table; a mismatch drops and rebuilds both tables.
+    // In-memory inputs have no fingerprint and keep name-keyed reuse.
+    val fp = graft.Derived.fingerprint(s, Seq(orders)).getOrElse("")
+    val marker = new org.apache.hadoop.fs.Path(
+      tablePath(tok, "orders_ttl_src") + ".fp")
+    val mfs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def markerFp: Option[String] =
+      if (!mfs.exists(marker)) None
+      else {
+        val in = mfs.open(marker)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          Some(new String(buf.toByteArray, "UTF-8"))
+        } finally in.close()
+      }
+    if (s.catalog.tableExists(src) && !markerFp.contains(fp)) {
+      s.sql(s"DROP TABLE IF EXISTS $src")
+      s.sql(s"DROP TABLE IF EXISTS $tgt")
+      mfs.delete(new org.apache.hadoop.fs.Path(
+        tablePath(tok, "orders_ttl_src")), true)
+      mfs.delete(new org.apache.hadoop.fs.Path(
+        tablePath(tok, "orders_ttl_tgt")), true)
+    }
     if (!s.catalog.tableExists(src)) {
       monthed(orders)
         .write.mode("overwrite").format("parquet")
         .option("path", tablePath(tok, "orders_ttl_src"))
         .partitionBy("month")
         .saveAsTable(src)
+      val out = mfs.create(marker, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
     }
     if (!s.catalog.tableExists(tgt)) {
       s.table(src)

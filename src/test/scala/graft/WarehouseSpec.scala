@@ -310,6 +310,33 @@ class WarehouseSpec extends SparkSpec {
     assert(run() === out1)
   }
 
+  test("retentionSweep: a regenerated input under the same tag forces a snapshot rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("ttl_fp").toString
+    val ordersPath = s"$tmp/orders.parquet"
+    def sweep() = graft.operators.Warehouse
+      .retentionSweepOf(spark, spark.read.parquet(ordersPath),
+        "sf0_001_ttlfp")
+      .collect()
+      .map(r => r.getAs[String]("month") -> r.getAs[Long]("rows_src")).toMap
+    val base = graft.sources.Tables.orders(spark, sf0001)
+    base.filter(col("o_orderdate") < "1996-07-01")
+      .write.mode("overwrite").parquet(ordersPath)
+    val out1 = sweep()
+    // regenerate IN PLACE under the same dir and tag: different rows,
+    // different months — the round-15 staleness scenario
+    base.filter(col("o_orderdate") >= "1996-07-01")
+      .write.mode("overwrite").parquet(ordersPath)
+    val out2 = sweep()
+    assert(out1.nonEmpty && out2.nonEmpty)
+    assert(out1 !== out2,
+      s"sweep served the stale snapshot after the input changed: $out2")
+    // the rebuilt audit reflects the NEW generation exactly
+    val freshMonths = spark.read.parquet(ordersPath)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out2 === freshMonths)
+  }
+
   test("gdprErase: victims physically gone, untouched buckets intact, idempotent across re-runs") {
     val out1 = graft.operators.Warehouse.gdprErase(spark, sf0001, tag = "gdprspec")
       .collect()
