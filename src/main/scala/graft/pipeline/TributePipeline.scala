@@ -277,14 +277,16 @@ object TributePipeline {
     * Untouched keys/objects are never read for mutation — only the
     * victims' rows leave the scan filter.
     *
-    * Quiesce contract: the scrub reads the log at a point in time, and
-    * [[runGoverned]] reads the forget snapshot at micro-batch START — a
-    * batch already in flight when the erase runs was admitted under the
-    * PRE-erase snapshot and may re-append victim events after the scrub.
-    * Run the erase with the governed query quiesced (stop, erase,
-    * restart — the forget store makes the restart replay-safe), or
-    * re-run the erase after the next batch completes; the idempotent
-    * re-run scrubs any such residual and re-audits to zero.
+    * In-flight batches need no quiesce: the scrub reads the log at a
+    * point in time, and [[runGoverned]] reads the forget snapshot at
+    * micro-batch START — a batch already in flight when the erase runs
+    * was admitted under the PRE-erase snapshot and may re-append victim
+    * events after the scrub. [[runGoverned]] closes that race itself:
+    * after each batch commits it diffs the forget store against the
+    * batch's admission snapshot and re-runs the (idempotent)
+    * [[scrubVictims]] core for any victim registered mid-flight, so the
+    * erase converges to zero residuals by the end of the first
+    * post-erase batch without stopping the query.
     */
   def forgetTributes(
       s: SparkSession,
@@ -295,6 +297,37 @@ object TributePipeline {
     victims.foreach(v => forget.put(v, Map("tributeId" -> v)))
     val store = KVRegistry.getOrCreate(storeName)
     val hadState = victims.map(v => v -> store.get(v).isDefined).toMap
+    val (deleted, residualLog) = scrubVictims(s, victims, storeName, logDir)
+    val tomb = KVRegistry.getOrCreate(tombstoneStoreName(storeName))
+    val audit = victims.map { v =>
+      val row = (v, hadState(v), deleted.getOrElse(v, 0L),
+        store.get(v).isDefined, residualLog.getOrElse(v, 0L))
+      tomb.put(v, Map(
+        "tributeId" -> v,
+        "stateEvicted" -> row._2.toString,
+        "logFilesDeleted" -> row._3.toString,
+        "residualState" -> row._4.toString,
+        "residualLog" -> row._5.toString))
+      row
+    }
+    import s.implicits._
+    audit.toDF("tribute_id", "state_evicted", "log_files_deleted",
+      "residual_state", "residual_log")
+  }
+
+  /** The state-evict + log-scrub core shared by [[forgetTributes]] and
+    * [[runGoverned]]'s post-batch residual re-scrub: evict the victims'
+    * keys from the KV state table, then physically delete their event-log
+    * objects. Returns (log files deleted, residual log files after the
+    * scrub) per victim. Idempotent — a re-run deletes nothing and reports
+    * the same zero residuals.
+    */
+  private[graft] def scrubVictims(
+      s: SparkSession,
+      victims: Seq[String],
+      storeName: String,
+      logDir: String): (Map[String, Long], Map[String, Long]) = {
+    val store = KVRegistry.getOrCreate(storeName)
     victims.foreach(store.delete)
     // distributed log scrub: every object carries its tributeid; the
     // filter bounds the deletion set to the victims' events. Deletes go
@@ -326,7 +359,7 @@ object TributePipeline {
               // false on an already-gone path is fine (idempotent re-run)
               if (!fs.delete(p, false) && fs.exists(p))
                 throw new java.io.IOException(
-                  s"forgetTributes: failed to delete log object $p — " +
+                  s"scrubVictims: failed to delete log object $p — " +
                     "victim bytes still on disk")
             }
             (r.getString(0), 1L)
@@ -335,23 +368,7 @@ object TributePipeline {
         counted.toMap
       }
     }
-    val deleted = victimLogCounts(delete = true)
-    val residualLog = victimLogCounts(delete = false)
-    val tomb = KVRegistry.getOrCreate(tombstoneStoreName(storeName))
-    val audit = victims.map { v =>
-      val row = (v, hadState(v), deleted.getOrElse(v, 0L),
-        store.get(v).isDefined, residualLog.getOrElse(v, 0L))
-      tomb.put(v, Map(
-        "tributeId" -> v,
-        "stateEvicted" -> row._2.toString,
-        "logFilesDeleted" -> row._3.toString,
-        "residualState" -> row._4.toString,
-        "residualLog" -> row._5.toString))
-      row
-    }
-    import s.implicits._
-    audit.toDF("tribute_id", "state_evicted", "log_files_deleted",
-      "residual_state", "residual_log")
+    (victimLogCounts(delete = true), victimLogCounts(delete = false))
   }
 
   /** [[run]] with the forget filter applied per micro-batch: events of
@@ -368,13 +385,18 @@ object TributePipeline {
       games: DataFrame,
       storeName: String,
       logDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      // test seam: runs after the batch's admission snapshot is taken and
+      // before its writes — the only way to deterministically exercise an
+      // erase landing mid-flight (production leaves the default no-op)
+      onBatchAdmitted: () => Unit = () => ()): StreamingQuery = {
     streamingEvents.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val forgotten = KVRegistry.getOrCreate(forgetStoreName(storeName))
-          .snapshot().keys.toSeq
+        val forget = KVRegistry.getOrCreate(forgetStoreName(storeName))
+        val forgotten = forget.snapshot().keys.toSeq
+        onBatchAdmitted()
         // Small forget sets stay an In-list (codegen'd, no join); a large
         // victim population would rebuild a huge literal list into every
         // micro-batch's plan (analysis + codegen cost per batch), so past
@@ -392,6 +414,18 @@ object TributePipeline {
               "left_anti")
           }
         processBatch(admitted, tributes, games, storeName, logDir)
+        // In-flight erase race (round-15 advice): an erase that landed
+        // AFTER this batch's admission snapshot was taken saw a log/state
+        // point-in-time that this batch's writes may have just re-polluted
+        // (the batch was admitted under the pre-erase snapshot). Re-scrub
+        // those victims NOW, after the batch's writes committed — the
+        // scrub is idempotent, so a victim the batch never touched costs
+        // one no-op pass, and the erase needs no manual quiesce.
+        val raced = (forget.snapshot().keys.toSet -- forgotten).toSeq.sorted
+        if (raced.nonEmpty) {
+          scrubVictims(batch.sparkSession, raced, storeName, logDir)
+          ()
+        }
       }
       .start()
   }

@@ -242,6 +242,61 @@ class StreamingReplaySpec extends SparkSpec {
       tomb("3")("residualLog") === "0")
   }
 
+  test("forgetTributes mid-flight: an erase racing an in-flight batch leaves zero residuals without quiesce") {
+    val base = Files.createTempDirectory("graft-forget-race")
+    val streamDir = Files.createDirectory(base.resolve("stream"))
+    val logDir = base.resolve("eventlog").toString
+    val ckpt = base.resolve("checkpoint").toString
+    val storeName = s"forget-race-${System.nanoTime()}"
+
+    batchOrder.take(5).zipWithIndex.foreach { case (n, i) =>
+      val dst = streamDir.resolve(s"$n.json")
+      Files.copy(Paths.get(fixture(s"streamingData/$n.json")), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(System.currentTimeMillis() - 60000 + i * 1000)
+      ()
+    }
+    // the erase fires INSIDE the first batch, after its admission
+    // snapshot is taken and before its writes — the exact race the old
+    // quiesce contract documented: the batch was admitted pre-erase and
+    // re-appends victim events right after the scrub
+    val erased = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = TributePipeline.runGoverned(
+      Sources.eventStream(spark, streamDir.toString),
+      Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+      Sources.gameDim(spark, fixture("staticData/gameData.json")),
+      storeName, logDir, ckpt,
+      onBatchAdmitted = () => {
+        if (erased.compareAndSet(false, true)) {
+          TributePipeline.forgetTributes(spark, Seq("3"), storeName, logDir)
+            .collect()
+          ()
+        }
+      })
+    q.processAllAvailable()
+    q.stop()
+
+    // zero residuals anywhere, with NO manual quiesce and NO re-erase:
+    // the post-batch re-scrub must have cleaned what the in-flight batch
+    // re-appended
+    val state = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(!state.contains("3"),
+      s"victim state re-materialized past the in-flight erase: ${state.keys}")
+    assert(spark.read.json(logDir)
+      .filter(org.apache.spark.sql.functions.col("tributeid") === "3")
+      .count() === 0, "victim log objects survived the in-flight erase")
+    // the erase really did race a batch that carried victim events
+    // (otherwise this test proves nothing): the first fixture has them
+    assert(spark.read
+      .schema(graft.model.Schemas.eventSchema)
+      .option("multiLine", "true")
+      .json(streamDir.resolve(s"${batchOrder.head}.json").toString)
+      .filter(org.apache.spark.sql.functions.col("tributeid") === "3")
+      .count() > 0)
+    // untouched keys still converge — the re-scrub touched only victims
+    assert(state.nonEmpty && !state.keySet.contains("3"))
+  }
+
   test("forgetTributes is restart-safe: replayed and future victim events never re-materialize") {
     val base = Files.createTempDirectory("graft-forget-rs")
     val streamDir = Files.createDirectory(base.resolve("stream"))
