@@ -186,6 +186,96 @@ class StreamingReplaySpec extends SparkSpec {
     assert(logged1 === 16) // preCornucopia has 16 events
   }
 
+  test("Kafka-seam contract: wire-format byte replay through decodeEventValue converges to the file-source state") {
+    // The broker jar is not on this classpath, so eventStreamKafka's
+    // transport hop cannot run here — but everything AFTER the hop is
+    // decodeEventValue over a binary `value` column, which is exactly
+    // what this replays: each fixture batch split into its individual
+    // top-level JSON objects, the EXACT bytes a producer would put on
+    // the topic (one event per message), fed through a MemoryStream in
+    // the broker's column shape.
+    def wireMessages(file: java.nio.file.Path): Seq[Array[Byte]] = {
+      val text = new String(Files.readAllBytes(file),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val out = scala.collection.mutable.Buffer[String]()
+      var depth = 0; var start = -1; var inStr = false; var esc = false
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (esc) esc = false
+        else if (inStr) {
+          if (c == '\\') esc = true else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => if (depth == 0) start = i; depth += 1
+          case '}' =>
+            depth -= 1
+            if (depth == 0) { out += text.substring(start, i + 1); () }
+          case _ =>
+        }
+        i += 1
+      }
+      out.toSeq.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    val base = Files.createTempDirectory("graft-kafka-seam")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // leg 1: the 9 batches through the wire-format decode
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Array[Byte]]
+    val kafkaShaped = mem.toDF().select(
+      org.apache.spark.sql.functions.col("value"))
+    val wireStore = s"kafka-seam-${System.nanoTime()}"
+    val q = TributePipeline.run(
+      Sources.decodeEventValue(kafkaShaped),
+      Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+      Sources.gameDim(spark, fixture("staticData/gameData.json")),
+      wireStore,
+      base.resolve("wire-log").toString,
+      base.resolve("wire-ckpt").toString)
+    var nMessages = 0
+    batchOrder.foreach { n =>
+      val msgs = wireMessages(Paths.get(fixture(s"streamingData/$n.json")))
+      nMessages += msgs.size
+      mem.addData(msgs)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(nMessages === 65, s"fixtures carry 65 events, split $nMessages")
+
+    // leg 2: the same batches through the file source (the replay path)
+    val streamDir = Files.createDirectory(base.resolve("stream"))
+    val t0 = System.currentTimeMillis() - 60000
+    batchOrder.zipWithIndex.foreach { case (n, i) =>
+      val dst = streamDir.resolve(s"$n.json")
+      Files.copy(Paths.get(fixture(s"streamingData/$n.json")), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(t0 + i * 1000)
+      ()
+    }
+    val fileStore = s"kafka-seam-file-${System.nanoTime()}"
+    val qf = TributePipeline.run(
+      Sources.eventStream(spark, streamDir.toString),
+      Sources.tributeDim(spark, fixture("staticData/tributeData.csv")),
+      Sources.gameDim(spark, fixture("staticData/gameData.json")),
+      fileStore,
+      base.resolve("file-log").toString,
+      base.resolve("file-ckpt").toString)
+    qf.processAllAvailable()
+    qf.stop()
+
+    // the CONVERGED state tables must be identical, item for item
+    val wire = KVRegistry.getOrCreate(wireStore).snapshot()
+    val file = KVRegistry.getOrCreate(fileStore).snapshot()
+    assert(wire.size === 16 && wire === file,
+      s"wire-format replay diverged from the file replay:\n" +
+        s"wire-only: ${wire.toSet -- file.toSet}\nfile-only: ${file.toSet -- wire.toSet}")
+    // and the wire leg's event log carries all 65 path-keyed objects
+    assert(Files.list(base.resolve("wire-log")).count() === 65)
+  }
+
   test("forgetTributes: full erase from state + event log, untouched keys intact, idempotent") {
     val base = Files.createTempDirectory("graft-forget")
     val streamDir = Files.createDirectory(base.resolve("stream"))
