@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Advanced, Corpus, Dedup, Multimodal, Prep, Quality, Relational, Similarity, TextAnalysis, Warehouse}
+import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -321,6 +322,14 @@ object SparkEntry {
     "q291_code_switch" -> ((s, d) => TextAnalysis.codeSwitchProfile(s, d)),
     "q292_authority_canon" -> ((s, d) => Dedup.authorityCanon(s, d)),
     "q293_retention_sweep" -> ((s, d) => Warehouse.retentionSweep(s, d)),
+    // q200 at threshold 0.5 — the second operating point of the recall/
+    // precision audit: a lower threshold admits a much larger truth set
+    // and a dirtier candidate stream, so a band-math regression that
+    // explodes candidates (or silently narrows them) moves THIS row even
+    // when the 0.8 row stays green
+    "q294_lsh_recall_audit_t05" -> ((s, d) =>
+      Dedup.lshRecallAudit(Tables.documents(s, d),
+        bands = 4, rowsPerBand = 2, threshold = 0.5)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7717,5 +7726,54 @@ object SparkEntry {
         |       THEN 0 ELSE COUNT(*) END AS BIGINT) AS rows_after,
         |  strftime(o_orderdate, '%Y-%m') < '1996-01' AS expired
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q294: q200's CTEs verbatim with both Jaccard gates at 0.5 — the
+    // second operating point that moves when band math explodes (or
+    // silently narrows) the candidate stream.
+    "q294_lsh_recall_audit_t05" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        |    / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.5
+        |)
+        |SELECT
+        |  (SELECT COUNT(*) FROM truth) AS n_truth,
+        |  (SELECT COUNT(*) FROM cand) AS n_candidates,
+        |  (SELECT COUNT(*) FROM verified) AS n_verified,
+        |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / nullif(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 0) AS recall,
+        |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / nullif(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 0) AS precision
+        |FROM (SELECT 1) one""".stripMargin,
   )
 }

@@ -188,6 +188,39 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("precision") > 0.0)
   }
 
+  test("lshRecallAudit threshold monotonicity: 0.5 vs 0.8 rows obey the band-math invariants") {
+    import spark.implicits._
+    // planted structure around both operating points: an exact pair
+    // (j=1.0, above both), a mid pair (j≈0.6 — above 0.5, below 0.8),
+    // and a singleton
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val mid = ((1 to 28).map(i => s"w$i") ++ (29 to 40).map(i => s"y$i"))
+      .mkString(" ")
+    val d = Seq((1L, base), (2L, base), (3L, mid),
+      (4L, (1 to 40).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    def audit(t: Double) =
+      Dedup.lshRecallAudit(d, bands = 8, rowsPerBand = 1, threshold = t)
+        .collect().head
+    val (r05, r08) = (audit(0.5), audit(0.8))
+    // candidates come from the BANDS alone — the threshold must not move
+    // them (a threshold-dependent candidate stage is the band-math
+    // regression this second operating point exists to catch)
+    assert(r05.getAs[Long]("n_candidates") === r08.getAs[Long]("n_candidates"))
+    // truth and verified both grow monotonically as the gate loosens,
+    // and verified never exceeds either bound
+    assert(r05.getAs[Long]("n_truth") >= r08.getAs[Long]("n_truth"))
+    assert(r05.getAs[Long]("n_verified") >= r08.getAs[Long]("n_verified"))
+    assert(r05.getAs[Long]("n_verified") <= r05.getAs[Long]("n_truth"))
+    assert(r05.getAs[Long]("n_verified") <= r05.getAs[Long]("n_candidates"))
+    // the planted mid doc separates the two rows exactly: only the
+    // exact pair clears 0.8, while BOTH of mid's pairings with the
+    // exact twins (j≈0.52 each) join it above 0.5
+    assert(r08.getAs[Long]("n_truth") === 1L)
+    assert(r05.getAs[Long]("n_truth") === 3L)
+    assert(r05.getAs[Double]("recall") === 1.0,
+      "8x1 banding catches every pair at or above j=0.5 on this corpus")
+  }
+
   test("dupClusters on a corpus with zero dup pairs returns empty without iterating") {
     import spark.implicits._
     // every doc disjoint → empty dup graph; the empty graph is its own
