@@ -12,21 +12,27 @@ import java.nio.file.{Files, Paths}
   * real plan regression shows up as a per-query ratio, not as noise in a
   * 70-query total.
   *
-  * Usage: `runMain graft.BenchDiff BASELINE_QUERIES.json bench_out.json`
-  * Both files just need to contain `"qNN":seconds` pairs (the Bench
-  * stdout line verbatim works). Exit code 1 if any shared query regressed
-  * beyond 1.5× — loose enough to ignore residual machine noise on
-  * sub-100ms queries, tight enough to catch a lost broadcast or a new
-  * unpruned scan.
+  * Usage: `runMain graft.BenchDiff [BASELINE_QUERIES.json] [bench.json]`
+  * (defaults: the committed baseline vs BENCH_FULL.json — the full-name
+  * per-query history Bench writes on every sweep, so round N+1 diffs
+  * round N without re-parsing sbt tails). Both files just need to
+  * contain `"qNN":seconds` or `"qNN_full_name":seconds` pairs — full
+  * names are normalized to their qNN prefix, so BENCH_FULL.json,
+  * BENCH_LOCAL_r{N}.json, and the Bench stdout line all parse and
+  * cross-compare. Exit code 1 if any shared query regressed beyond
+  * 1.5× — loose enough to ignore residual machine noise on sub-100ms
+  * queries, tight enough to catch a lost broadcast or a new unpruned
+  * scan.
   */
 object BenchDiff {
-  private val Entry = """"(q\d+)":\s*([0-9.]+)""".r
+  private val Entry = """"(q\d+)[A-Za-z0-9_]*":\s*([0-9.]+)""".r
 
   def parse(s: String): Map[String, Double] =
     Entry.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
 
   def main(args: Array[String]): Unit = {
-    val Array(basePath, curPath) = args.take(2)
+    val basePath = args.lift(0).getOrElse("BASELINE_QUERIES.json")
+    val curPath = args.lift(1).getOrElse("BENCH_FULL.json")
     val base = parse(Files.readString(Paths.get(basePath)))
     val cur = parse(Files.readString(Paths.get(curPath)))
     val shared = (base.keySet & cur.keySet).toSeq.sorted
