@@ -45,6 +45,14 @@ final class InMemoryKVStore extends KVStore {
   override def delete(key: String): Unit = { m.remove(key); () }
 }
 
+/** Name-keyed store registry. The name-lookup-from-task-threads pattern is
+  * a `local[*]` contract — executors share the driver JVM here, so the
+  * task resolves the driver's instance; on a real cluster each executor
+  * JVM would mint its own empty [[InMemoryKVStore]]. See README "Design
+  * for scale" (the KV state store bullet) for the deployment shape: a
+  * client-per-partition [[KVStore]] against a shared service behind the
+  * same trait.
+  */
 object KVRegistry {
   private val stores = new ConcurrentHashMap[String, KVStore]()
   def getOrCreate(name: String): KVStore =
