@@ -51,7 +51,7 @@ object PlanDump {
     "q284_audio_vad", "q285_budget_select", "q286_dedup_mixture",
     "q287_target_mixture", "q288_diverse_select", "q289_decontam_scrub",
     "q290_isotonic_rate", "q291_code_switch", "q292_authority_canon",
-    "q293_retention_sweep")
+    "q293_retention_sweep", "q294_lsh_recall_audit_t05")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -32,7 +32,11 @@ class CacheLifecycleSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(awaitReleased() === 0, "dirty session before the test")
 
-    val dedup = operators.Dedup.minhashLsh(spark, sf0001)
+    // the INLINE chain: the shared-artifact wrapper returns a plain scan
+    // on reuse, so the cache-tracking contract is pinned on the builder
+    val dedup = operators.Dedup.minhashLshInline(
+      graft.sources.Tables.documents(spark, sf0001),
+      bands = 4, rowsPerBand = 2, threshold = 0.8)
     dedup.write.format("noop").mode("overwrite").save()
     assert(pinned > 0, "minhashLsh should persist its shingle/candidate relations")
     Caches.releaseAll()
@@ -61,7 +65,9 @@ class CacheLifecycleSpec extends SparkSpec {
     // query A: opened scope on this thread, built AND materialized
     val scopeA = Caches.open()
     try {
-      operators.Dedup.minhashLsh(spark, sf0001)
+      operators.Dedup.minhashLshInline(
+        graft.sources.Tables.documents(spark, sf0001),
+        bands = 4, rowsPerBand = 2, threshold = 0.8)
         .write.format("noop").mode("overwrite").save()
       val pinnedA = pinned
       assert(pinnedA > 0, "minhashLsh should persist its intermediates")

@@ -136,7 +136,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q22: minhash verification semi-restricts shingle sets to candidates before the pair joins") {
-    val df = graft.operators.Dedup.minhashLsh(spark, sf0001)
+    // the BUILD plan (minhashLshInline) carries the chain pins; the
+    // public entry returns a scan of the shared derived artifact on reuse
+    val df = graft.operators.Dedup.minhashLshInline(
+      graft.sources.Tables.documents(spark, sf0001),
+      bands = 4, rowsPerBand = 2, threshold = 0.8)
     val plan = df.queryExecution.executedPlan.toString
     // one LeftSemi per pair side: the wide shs arrays enter the
     // verification exchanges only for candidate ids
