@@ -710,7 +710,20 @@ object Multimodal {
   def imageDHashDups(s: SparkSession, dir: String): DataFrame =
     imageDHashDups(Tables.documents(s, dir))
 
+  /** Shared derived artifact (the round-16 pattern): q280's fusion and
+    * q277's own row both read the identical verified pair set, and the
+    * codec decode behind it is the expensive stage — materialized once
+    * per (input generation, hamming, window) via [[graft.Derived]].
+    * Plan pins live on [[imageDHashDupsInline]] (the build plan).
+    */
   def imageDHashDups(docs: DataFrame, maxHamming: Int = 10,
+      window: Int = 8): DataFrame =
+    graft.Derived.materialized(docs.sparkSession,
+      s"img_dhash_pairs_h${maxHamming}_w$window", Seq(docs)) {
+      imageDHashDupsInline(docs, maxHamming, window)
+    }
+
+  private[graft] def imageDHashDupsInline(docs: DataFrame, maxHamming: Int = 10,
       window: Int = 8): DataFrame =
     hammingBandedPairs(imageDHashes(docs), "dhash", maxHamming, window)
 
@@ -903,6 +916,13 @@ object Multimodal {
     audioFpDups(Tables.documents(s, dir))
 
   def audioFpDups(docs: DataFrame, maxHamming: Int = 4,
+      window: Int = 8): DataFrame =
+    graft.Derived.materialized(docs.sparkSession,
+      s"audio_fp_pairs_h${maxHamming}_w$window", Seq(docs)) {
+      audioFpDupsInline(docs, maxHamming, window)
+    }
+
+  private[graft] def audioFpDupsInline(docs: DataFrame, maxHamming: Int = 4,
       window: Int = 8): DataFrame =
     hammingBandedPairs(audioFps(docs), "afp", maxHamming, window)
 
@@ -1192,6 +1212,13 @@ object Multimodal {
     clipDups(Tables.documents(s, dir))
 
   def clipDups(docs: DataFrame, maxHamming: Int = 10,
+      window: Int = 8): DataFrame =
+    graft.Derived.materialized(docs.sparkSession,
+      s"clip_pairs_h${maxHamming}_w$window", Seq(docs)) {
+      clipDupsInline(docs, maxHamming, window)
+    }
+
+  private[graft] def clipDupsInline(docs: DataFrame, maxHamming: Int = 10,
       window: Int = 8): DataFrame = {
     val packs = graft.Caches.track(clipSignaturePacks(docs))
     val bands = packs

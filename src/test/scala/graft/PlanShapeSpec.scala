@@ -771,7 +771,10 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q277: the dHash band self-join shuffles on (band, key) — no cartesian, no corpus broadcast") {
     withNoAutoBroadcast {
-      val df = graft.operators.Multimodal.imageDHashDups(spark, sf0001)
+      // the BUILD plan carries the chain pins (the q22 convention: the
+      // public entry scans the shared derived artifact on reuse)
+      val df = graft.operators.Multimodal.imageDHashDupsInline(
+        graft.sources.Tables.documents(spark, sf0001))
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
@@ -787,7 +790,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q278: the audio-fp band join rides the same bounded-window shape — no cartesian, no broadcast") {
     withNoAutoBroadcast {
-      val df = graft.operators.Multimodal.audioFpDups(spark, sf0001)
+      val df = graft.operators.Multimodal.audioFpDupsInline(
+        graft.sources.Tables.documents(spark, sf0001))
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
@@ -818,13 +822,18 @@ class PlanShapeSpec extends SparkSpec {
         !plan.contains("BroadcastNestedLoopJoin"),
         s"both inputs are banded pair sets; fusing them must never go all-pairs:\n$plan")
       // the fusion join must keep single-modality pairs (FullOuter) and
-      // shuffle on the pair key — a full outer cannot broadcast, and the
-      // upstream banded joins must stay shuffle-based too
+      // shuffle on the pair key — a full outer cannot broadcast. The
+      // modality inputs are now shared derived artifacts (scans), so the
+      // joins in THIS plan are the two fusion full-outers themselves
+      // (hash- or merge-flavored, planner's pick); the upstream banded
+      // joins are pinned on the Inline build plans (q277/q278/q281).
       assert(plan.contains("FullOuter"),
         s"fusion must be a full outer join on (doc_a, doc_b):\n$plan")
       val (bhj, shj) = initialJoins(df)
       assert(bhj === 0, s"nothing corpus-scaled may broadcast:\n$plan")
-      assert(shj >= 2, s"both modality band joins must shuffle:\n$plan")
+      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+      assert(shj + smj >= 2,
+        s"both fusion joins must shuffle (shj=$shj smj=$smj):\n$plan")
       Caches.releaseAll()
       spark.catalog.clearCache()
     }
@@ -832,7 +841,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q281: clip signature band join is the bounded-window shape; verify joins only candidate pairs") {
     withNoAutoBroadcast {
-      val df = graft.operators.Multimodal.clipDups(spark, sf0001)
+      val df = graft.operators.Multimodal.clipDupsInline(
+        graft.sources.Tables.documents(spark, sf0001))
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
