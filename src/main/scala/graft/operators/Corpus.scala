@@ -1411,7 +1411,16 @@ object Corpus {
     * (round-robin writers, modulo sharding) confounds with the label:
     * the test fold would then contain only sources the model never saw.
     */
-  def nbConfusion(docs: DataFrame): DataFrame = {
+  def nbConfusion(docs: DataFrame): DataFrame =
+    // shared derived artifact (round-16 pattern): the classifier pass is
+    // the cost and both q245 and q262's kappa read the identical
+    // |sources|^2 matrix — built once per input generation, plan pins on
+    // the Inline build plan
+    graft.Derived.materialized(docs.sparkSession, "nb_confusion", Seq(docs)) {
+      nbConfusionInline(docs)
+    }
+
+  private[graft] def nbConfusionInline(docs: DataFrame): DataFrame = {
     val bucket = conv(substring(
       md5(concat(lit("nb|"), col("doc_id").cast("string"))), 1, 4),
       16, 10).cast("long") % 2

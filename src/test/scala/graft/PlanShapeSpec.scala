@@ -1227,7 +1227,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q245: the observed-pair scoring join is shuffle_hash, the argmin never windows or sorts") {
-    val df = graft.operators.Corpus.nbConfusion(
+    val df = graft.operators.Corpus.nbConfusionInline(
       graft.sources.Tables.documents(spark, sf0001))
     val plan = df.queryExecution.executedPlan.toString
     val (bhj, shj) = initialJoins(df)
