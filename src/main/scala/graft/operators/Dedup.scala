@@ -102,7 +102,17 @@ object Dedup {
     * threshold. The shingle self-join is the honest quadratic-in-collisions
     * baseline; use `minhashLsh` at scale.
     */
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
+    // shared derived artifact (round-16 pattern): the quadratic truth at
+    // t=0.5 feeds q21 and q294's recall denominator, t=0.8 feeds q200's
+    // and q234's — one build per (input generation, threshold), plan
+    // pinned on the inline chain
+    graft.Derived.materialized(docs.sparkSession,
+      s"ngram_jaccard_t${math.round(threshold * 100)}", Seq(docs)) {
+      ngramJaccardInline(docs, threshold)
+    }
+
+  private[graft] def ngramJaccardInline(docs: DataFrame, threshold: Double): DataFrame = {
     // the shingle set feeds both self-join sides and the per-doc counts;
     // persist so the explode+shingle scan runs once, not three times
     // (caller-released, see graft.Caches)
@@ -1139,17 +1149,20 @@ object Dedup {
       threshold: Double): DataFrame = {
     val truth = ngramJaccard(docs, threshold).select(col("doc_a"), col("doc_b"))
     val shSets = Caches.track(docShingleSets(docs))
-    // band keys computed ONCE, candidates persisted ONCE: the candidate
-    // count and the verification below read the same frame, so the
-    // dominant band self-join + distinct runs a single time (a prior
-    // draft called minhashLsh for `verified`, which recomputed it)
-    val keys = bandKeys(shSets, bands, rowsPerBand)
-    val cands = Caches.track(keys.as("a").hint("shuffle_hash")
-      .join(keys.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct())
+    // the candidate pair set is THRESHOLD-INDEPENDENT (bands alone
+    // decide it), so the two audit operating points (q200 at 0.8, q294
+    // at 0.5) share one derived build; within a build the band keys are
+    // computed once and the self-join + distinct runs a single time
+    val cands = Caches.track(graft.Derived.materialized(docs.sparkSession,
+      s"lsh_cands_b${bands}r$rowsPerBand", Seq(docs)) {
+      val keys = bandKeys(shSets, bands, rowsPerBand)
+      keys.as("a").hint("shuffle_hash")
+        .join(keys.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    })
     val verified = verifyCandidates(shSets, cands, threshold)
       .select(col("doc_a"), col("doc_b"))
     // nullif guards: on a dup-free corpus n_truth/n_candidates are 0 and
