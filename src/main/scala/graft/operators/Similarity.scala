@@ -496,7 +496,19 @@ object Similarity {
     * corpus against the broadcast nCells-row centroid table; the per-vec
     * argmax is a WindowGroupLimit-pruned rank-1 window.
     */
-  private def kmeansAssign(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+  private def kmeansAssign(emb: DataFrame, nCells: Int, iters: Int): DataFrame =
+    // shared derived artifact (round-16 pattern): the Lloyd training +
+    // full-corpus argmax is recomputed identically by semDedup (q204),
+    // clusterKeywords (q206), clusterPurity (q208), shardPlan (q225) and
+    // diverseSelect (q288) — one build per (input generation, nCells,
+    // iters), every consumer scans the (vec_id, cid) relation
+    graft.Derived.materialized(emb.sparkSession,
+      s"kmeans_assign_c${nCells}_i$iters", Seq(emb)) {
+      kmeansAssignInline(emb, nCells, iters)
+    }
+
+  private[graft] def kmeansAssignInline(
+      emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
     val e = Caches.track(prepared(emb))
     val cents = kmeansCentroids(emb, nCells, iters)
       .withColumn("cn2", FixedPoint.normSqF(col("ce")))
