@@ -212,7 +212,18 @@ object Similarity {
     *
     * Returns (cid, ce: array<float>).
     */
-  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame =
+    // shared derived artifact: the Lloyd loop makes `iters` full corpus
+    // passes and its k-row result feeds q61's probe, q235's audit, and
+    // the q204-family assignment build — trained once per (input
+    // generation, k, iters). Float arrays roundtrip parquet exactly.
+    graft.Derived.materialized(emb.sparkSession,
+      s"kmeans_cents_c${k}_i$iters", Seq(emb)) {
+      kmeansCentroidsInline(emb, k, iters)
+    }
+
+  private[graft] def kmeansCentroidsInline(
+      emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val e = Caches.track(prepared(emb))
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
