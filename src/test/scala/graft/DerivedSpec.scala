@@ -77,6 +77,33 @@ class DerivedSpec extends SparkSpec {
     assert(builds.get() === 2, "in-memory inputs must never share state")
   }
 
+  test("two concurrent consumers of one key build exactly once and both read correct values") {
+    val base = Files.createTempDirectory("derived-spec-conc").toString
+    val in = s"$base/input.parquet"
+    freshInput(Seq((1L, "a"), (2L, "b"), (3L, "b")), in)
+    val builds = new AtomicInteger(0)
+    def q() = {
+      val df = spark.read.parquet(in)
+      Derived.materialized(spark, "spec_conc_counts", Seq(df)) {
+        builds.incrementAndGet()
+        df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      }.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val (fa, fb) = (Future(q()), Future(q()))
+      val expected = Map("a" -> 1L, "b" -> 2L)
+      assert(Await.result(fa, 5.minutes) === expected)
+      assert(Await.result(fb, 5.minutes) === expected)
+      assert(builds.get() === 1,
+        "computeIfAbsent must serialize concurrent builders of one key")
+    } finally pool.shutdown()
+  }
+
   test("fingerprint covers every input: a change in ANY of two inputs re-keys") {
     val base = Files.createTempDirectory("derived-spec-multi").toString
     val (inA, inB) = (s"$base/a.parquet", s"$base/b.parquet")
