@@ -40,9 +40,16 @@ object Derived {
   private def root: String =
     s"${sys.props("java.io.tmpdir")}/graft-derived"
 
-  /** Content fingerprint of the scan files behind `dfs`: hex MD5 over the
-    * sorted (path, length, mtime) listing. None when any input is not
-    * file-backed (no stable content identity → caller must build inline).
+  /** Content fingerprint of the scan files behind `dfs` PLUS each input's
+    * canonicalized logical plan: hex MD5 over the sorted
+    * (path, length, mtime) listing followed by the canonicalized plan
+    * strings. The plan half matters because two DIFFERENT relations can
+    * scan the SAME files (`docs` vs `docs.filter(bucket < 95)`): file
+    * identity alone would let them collide under one artifact name.
+    * Canonicalized plans normalize expression ids, so the same code path
+    * produces the same string across sessions. None when any input is
+    * not file-backed (no stable content identity → caller must build
+    * inline).
     */
   def fingerprint(s: SparkSession, dfs: Seq[DataFrame]): Option[String] = {
     val files = dfs.flatMap(_.inputFiles)
@@ -55,6 +62,8 @@ object Derived {
     }
     val md = MessageDigest.getInstance("MD5")
     lines.foreach(l => md.update(l.getBytes("UTF-8")))
+    dfs.foreach(df => md.update(
+      df.queryExecution.analyzed.canonicalized.toString.getBytes("UTF-8")))
     Some(md.digest().map("%02x".format(_)).mkString)
   }
 

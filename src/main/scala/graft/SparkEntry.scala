@@ -330,6 +330,11 @@ object SparkEntry {
     "q294_lsh_recall_audit_t05" -> ((s, d) =>
       Dedup.lshRecallAudit(Tables.documents(s, d),
         bands = 4, rowsPerBand = 2, threshold = 0.5)),
+    // q295: incremental maintenance of the standing pair relation — the
+    // oracle is q22's FULL-recompute SQL verbatim, so the hash match
+    // proves pairs(corpus)∪pairs(delta)∪cross(delta⋈corpus) equals the
+    // from-scratch mining exactly
+    "q295_delta_pair_update" -> ((s, d) => Dedup.deltaPairUpdate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7775,5 +7780,38 @@ object SparkEntry {
         |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / nullif(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 0) AS recall,
         |  CAST((SELECT COUNT(*) FROM verified) AS DOUBLE) / nullif(CAST((SELECT COUNT(*) FROM cand) AS DOUBLE), 0) AS precision
         |FROM (SELECT 1) one""".stripMargin,
+
+    // q295: the incremental update must equal the FULL recompute - q22's
+    // oracle verbatim is the strongest possible check of the
+    // decomposition pairs(corpus) UNION pairs(delta) UNION cross pairs.
+    "q295_delta_pair_update" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |)
+        |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+        |FROM verified
+        |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8""".stripMargin,
   )
 }

@@ -1081,6 +1081,70 @@ object Dedup {
   def deltaDedup(s: SparkSession, dir: String): DataFrame =
     deltaDedup(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
 
+  /** Incremental pair-relation maintenance (q295): when a crawl delta
+    * lands, the standing verified-pair artifact must not be rebuilt by
+    * re-mining the whole corpus — the update decomposes exactly as
+    *
+    *   pairs(corpus ∪ delta) = pairs(corpus)            — the STANDING artifact
+    *                         ∪ pairs(delta)             — tiny, delta-internal
+    *                         ∪ cross(delta ⋈ corpus)    — delta band keys PROBE
+    *                                                      the corpus band index
+    *
+    * because LSH membership is per-pair local (a pair collides iff its
+    * two band-key sets intersect — adding unrelated documents changes
+    * nothing). The operator materializes the corpus side once through
+    * [[graft.Derived]] (the 95% md5 bucket tier, the q198/q258 split
+    * convention), mines the ≤5% delta inline, probes the corpus band
+    * keys with the delta's, and verifies cross candidates with the same
+    * true-Jaccard test — then proves the decomposition by RETURNING the
+    * union, whose DuckDB oracle is q22's FULL-recompute SQL verbatim: an
+    * incremental result that hash-equals the from-scratch mining.
+    *
+    * Scale: the corpus is touched once per generation (the artifact
+    * build); each delta pays delta-sized shingle/band work plus one
+    * band-keyed probe join against the corpus index — the cost a 100 TB
+    * nightly ingest actually budgets for, linear in the delta, never in
+    * the corpus.
+    */
+  def deltaPairUpdate(
+      docs: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val bucketed = docs.withColumn("bucket", Corpus.hashBucket(col("doc_id")))
+    val corpus = bucketed.filter(col("bucket") < 95).drop("bucket")
+    val delta = bucketed.filter(col("bucket") >= 95).drop("bucket")
+    // the standing corpus-internal pairs: one build per input generation
+    // (the Derived fingerprint covers the filter plan, so this artifact
+    // can never collide with the full-corpus minhashLsh artifact)
+    val standing = graft.Derived.materialized(docs.sparkSession,
+      s"lsh_pairs_corpus95_b${bands}r${rowsPerBand}_t${math.round(threshold * 100)}",
+      Seq(docs)) {
+      minhashLshInline(corpus, bands, rowsPerBand, threshold)
+    }
+    val shCorpus = Caches.track(docShingleSets(corpus))
+    val shDelta = Caches.track(docShingleSets(delta))
+    // cross candidates: delta band keys probe the corpus index; the md5
+    // bucket split is not id-ordered, so canonicalize (doc_a < doc_b)
+    // with least/greatest. shuffle_hash: both sides scale with their
+    // tier, nothing may broadcast (the minhashLsh discipline).
+    val crossCands = Caches.track(
+      bandKeys(shDelta, bands, rowsPerBand).as("d").hint("shuffle_hash")
+        .join(bandKeys(shCorpus, bands, rowsPerBand).as("c"),
+          col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
+        .select(least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
+          greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
+        .distinct())
+    val crossVerified = verifyCandidates(
+      Caches.track(shCorpus.unionByName(shDelta)), crossCands, threshold)
+    standing
+      .unionByName(minhashLshInline(delta, bands, rowsPerBand, threshold))
+      .unionByName(crossVerified)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def deltaPairUpdate(s: SparkSession, dir: String): DataFrame =
+    deltaPairUpdate(Tables.documents(s, dir))
+
   /** Batch twin of streaming/StreamingOps.nearDupAgainstCorpus — the
     * same stream-vs-static-corpus MinHash-LSH probe, expressed over the
     * deterministic 95/5 bucket split (the same splitAssign primitive as

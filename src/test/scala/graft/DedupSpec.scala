@@ -221,6 +221,35 @@ class DedupSpec extends SparkSpec {
       "8x1 banding catches every pair at or above j=0.5 on this corpus")
   }
 
+  test("deltaPairUpdate equals the from-scratch mining, with all three pair classes present") {
+    import spark.implicits._
+    // 200 docs in 10 heavy dup groups: the ~5% md5 delta tier is
+    // guaranteed members, so corpus-internal, delta-internal (if two
+    // delta docs share a group) and cross pairs all arise
+    val docs = (1L to 200L)
+      .map(i => (i, (1 to 30).map(j => s"g${i % 10}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    val incremental = pairSet(Dedup.deltaPairUpdate(docs))
+    val full = pairSet(Dedup.minhashLshInline(
+      docs, bands = 4, rowsPerBand = 2, threshold = 0.8))
+    graft.Caches.releaseAll()
+    assert(incremental === full,
+      s"decomposition diverged: extra=${incremental -- full} missing=${full -- incremental}")
+    // not vacuous: the delta tier holds docs and contributes cross pairs
+    import org.apache.spark.sql.functions.{col => c}
+    val deltaIds = docs
+      .withColumn("b", graft.operators.Corpus.hashBucket(c("doc_id")))
+      .filter(c("b") >= 95).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaIds.nonEmpty, "the md5 split left the delta tier empty")
+    assert(full.exists { case (a, b, _) =>
+      deltaIds.contains(a) ^ deltaIds.contains(b) },
+      "no cross pair — the equality proves nothing about the probe leg")
+  }
+
   test("dupClusters on a corpus with zero dup pairs returns empty without iterating") {
     import spark.implicits._
     // every doc disjoint → empty dup graph; the empty graph is its own
