@@ -34,8 +34,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Derived {
 
   /** memoKey -> materialized path, per JVM (avoids re-fingerprinting and
-    * re-listing on every plan construction). */
+    * re-listing on every plan construction). Builds NEVER run inside the
+    * map's own computeIfAbsent: one artifact's build may materialize
+    * another (the k-means assignment builds the centroid table), and a
+    * nested computeIfAbsent on the same ConcurrentHashMap throws
+    * "Recursive update" when the keys share a bin. Per-key monitor
+    * objects serialize same-key builders instead; the lock graph follows
+    * the (acyclic) artifact-dependency graph, so nesting cannot deadlock.
+    */
   private val memo = new ConcurrentHashMap[String, String]()
+  private val locks = new ConcurrentHashMap[String, Object]()
 
   private def root: String =
     s"${sys.props("java.io.tmpdir")}/graft-derived"
@@ -78,7 +86,17 @@ object Derived {
       case None => build
       case Some(fp) =>
         val key = s"${name}_$fp"
-        val path = memo.computeIfAbsent(key, _ => ensure(s, key, build))
+        var path = memo.get(key)
+        if (path == null) {
+          val lock = locks.computeIfAbsent(key, _ => new Object)
+          lock.synchronized {
+            path = memo.get(key)
+            if (path == null) {
+              path = ensure(s, key, build)
+              memo.put(key, path)
+            }
+          }
+        }
         s.read.parquet(path)
     }
   }

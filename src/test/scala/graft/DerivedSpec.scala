@@ -104,6 +104,42 @@ class DerivedSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("a build may materialize another artifact (nested keys never hit the recursive-update trap)") {
+    val base = Files.createTempDirectory("derived-spec-nested").toString
+    val in = s"$base/input.parquet"
+    freshInput(Seq((1L, "a"), (2L, "a"), (3L, "b")), in)
+    val df = spark.read.parquet(in)
+    // outer artifact's build reads the inner artifact — the k-means
+    // assignment/centroids shape; with computeIfAbsent this threw
+    // IllegalStateException("Recursive update") on same-bin keys
+    val out = Derived.materialized(spark, "spec_nested_outer", Seq(df)) {
+      val inner = Derived.materialized(spark, "spec_nested_inner", Seq(df)) {
+        df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      }
+      inner.filter(col("n") >= 2L)
+    }.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 2L))
+  }
+
+  test("fingerprint distinguishes two relations over the SAME files (a filtered view never collides)") {
+    val base = Files.createTempDirectory("derived-spec-plan").toString
+    val in = s"$base/input.parquet"
+    freshInput(Seq((1L, "a"), (2L, "b")), in)
+    val full = spark.read.parquet(in)
+    val filtered = full.filter(col("k") >= 2L)
+    val (fa, fb) = (Derived.fingerprint(spark, Seq(full)).get,
+      Derived.fingerprint(spark, Seq(filtered)).get)
+    assert(fa !== fb,
+      "file identity alone would let docs and docs.filter share one artifact")
+    // and the artifacts really are distinct relations under one name
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      Derived.materialized(spark, "spec_plan_counts", Seq(df)) {
+        df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      }.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts(full) === Map("a" -> 1L, "b" -> 1L))
+    assert(counts(filtered) === Map("b" -> 1L))
+  }
+
   test("fingerprint covers every input: a change in ANY of two inputs re-keys") {
     val base = Files.createTempDirectory("derived-spec-multi").toString
     val (inA, inB) = (s"$base/a.parquet", s"$base/b.parquet")
