@@ -42,6 +42,17 @@ object Bench {
     // failure signals in the driver's captured tail on a healthy run
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Start from an EMPTY derived store: every shared artifact (pair
+    // mining, LSH dup pairs, Lloyd centroids, …) rebuilds exactly once in
+    // this run, inside rep 1 of its first consumer. Best-of-3 still
+    // reports the consumer's steady-state scan cost, and the build wall
+    // times — recorded per artifact by graft.Derived — land in
+    // BENCH_FULL.json's "builds" section so the sweep gate can pin them:
+    // consumer pins price the artifact SCAN, and without a gated build
+    // number a 2x regression in the mining/Lloyd chains ships invisibly.
+    Derived.clearRoot(spark)
+    Derived.resetBuildLog()
+
     // Warmup: touch the main tables (footer + schema + one scan) and
     // exercise shuffle/codegen once, so the first timed query isn't
     // charged for session bring-up.
@@ -66,9 +77,19 @@ object Bench {
     // Optional comma-separated qNN prefixes for targeted re-measurement
     // (e.g. SPARK_GRAFT_ONLY=q45,q39); unset = full sweep (driver mode).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // artifact name -> the first query whose reps triggered its build:
+    // the sweep gate re-measures a flagged BUILD by re-running that
+    // consumer against a cleared store, so the mapping must be recorded
+    val buildConsumers = scala.collection.mutable.LinkedHashMap[String, String]()
+    // boundary-exact prefix match: "q21" selects q21_* only, never q210_*
+    // (bare startsWith made targeted audit-family runs drag in the whole
+    // q210-q219 block)
+    def selected(name: String, prefixes: Set[String]): Boolean =
+      prefixes.exists(p => name == p || name.startsWith(p + "_"))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => only.forall(selected(name, _)) }
       .map { case (name, fn) =>
+      val buildsBefore = Derived.buildSeconds.keySet
       def rep(): Either[String, Double] = {
         // scope the rep so only ITS tracked caches are dropped (graft.Caches)
         val scope = Caches.open()
@@ -92,10 +113,14 @@ object Bench {
       // runs much of the hot path under C1 tiering — steady state (the
       // number that scales with data volume) arrives by the third
       val reps = Seq(rep(), rep(), rep())
+      (Derived.buildSeconds.keySet -- buildsBefore).foreach { art =>
+        buildConsumers.getOrElseUpdate(art, name)
+      }
       val ok = reps.collect { case Right(t) => t }
       if (ok.nonEmpty) name -> Right(ok.min)
       else name -> Left(reps.collectFirst { case Left(m) => m }.getOrElse("unknown"))
     }
+    val builds = Derived.buildSeconds
     val timed = results.collect { case (k, Right(t)) => k -> t }
     val failed = results.collect { case (k, Left(m)) => k -> m }
     // Full-name per-query detail goes to stdout, '#'-prefixed, ABOVE the
@@ -115,6 +140,9 @@ object Bench {
     failed.foreach { case (k, m) => println(s"# BENCH FAIL $k: $m") }
     timed.sortBy(-_._2).foreach { case (k, v) =>
       println(f"# BENCH $k%-28s ${v}%9.3f s")
+    }
+    builds.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      println(f"# BUILD $k%-36s ${v}%9.3f s  (during ${buildConsumers.getOrElse(k, "?")})")
     }
     def ms3(v: Double): String = f"$v%.3f"
     val mapBudget = 1500 // chars for the queries map, < the ~2000 tail
@@ -162,8 +190,21 @@ object Bench {
       else failed.map { case (k, m) =>
         JsonEscape.quote(k) + ":" + JsonEscape.quote(m)
       }.mkString(""","errors":{""", ",", "}")
+    // build wall times + the consumer each build ran under: the sweep
+    // gate pins these (BASELINE_QUERIES.json "builds") exactly like
+    // query times, closing the round-16 gate hole where consumer pins
+    // priced artifact scans while the builds themselves went unmeasured
+    val buildsPart = {
+      val bs = builds.toSeq.sortBy(_._1).map { case (k, v) =>
+        JsonEscape.quote(k) + ":" + ms3(v)
+      }.mkString("{", ",", "}")
+      val bc = buildConsumers.toSeq.sortBy(_._1).map { case (k, q) =>
+        JsonEscape.quote(k) + ":" + JsonEscape.quote(q.takeWhile(_ != '_'))
+      }.mkString("{", ",", "}")
+      s""","builds":$bs,"build_consumers":$bc"""
+    }
     val fullLine =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$fullQs$errsFullPart,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$fullQs$errsFullPart$buildsPart,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), fullLine + "\n")

@@ -26,15 +26,29 @@ import java.nio.file.{Files, Paths}
   */
 object BenchDiff {
   private val Entry = """"(q\d+)[A-Za-z0-9_]*":\s*([0-9.]+)""".r
+  private val BuildsObj = """"builds"\s*:\s*\{([^}]*)\}""".r
+  private val BuildEntry = """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
 
   def parse(s: String): Map[String, Double] =
     Entry.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** Derived-artifact build wall times (the "builds" object both
+    * BENCH_FULL.json and BASELINE_QUERIES.json carry since round 17),
+    * keyed "build:<artifact>" so they diff alongside queries without
+    * colliding with the qNN namespace. */
+  def parseBuilds(s: String): Map[String, Double] =
+    BuildsObj.findFirstMatchIn(s).map { obj =>
+      BuildEntry.findAllMatchIn(obj.group(1))
+        .map(m => s"build:${m.group(1)}" -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+
   def main(args: Array[String]): Unit = {
     val basePath = args.lift(0).getOrElse("BASELINE_QUERIES.json")
     val curPath = args.lift(1).getOrElse("BENCH_FULL.json")
-    val base = parse(Files.readString(Paths.get(basePath)))
-    val cur = parse(Files.readString(Paths.get(curPath)))
+    val baseText = Files.readString(Paths.get(basePath))
+    val curText = Files.readString(Paths.get(curPath))
+    val base = parse(baseText) ++ parseBuilds(baseText)
+    val cur = parse(curText) ++ parseBuilds(curText)
     val shared = (base.keySet & cur.keySet).toSeq.sorted
     if (shared.isEmpty) {
       System.err.println("no shared qNN keys between baseline and current")

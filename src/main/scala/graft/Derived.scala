@@ -3,7 +3,8 @@ package graft
 import java.security.MessageDigest
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared DERIVED relations: expensive deterministic intermediates that
@@ -18,61 +19,191 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Staleness is handled by CONTENT, not by name (the retentionSweep
   * lesson: a name-keyed reuse silently reads a stale snapshot when the
   * data under the same path changes). The cache key is a fingerprint of
-  * every input scan file's (path, length, mtime): regenerating the input
-  * parquet — even in place — changes the fingerprint and forces a
-  * rebuild; the stale artifact is simply never addressed again.
+  * every input scan file's (path, length, mtime, tail-KB checksum):
+  * regenerating the input parquet — even in place, even preserving length
+  * within the mtime granularity, since a content change moves the parquet
+  * footer statistics the tail probe hashes — changes the fingerprint and
+  * forces a rebuild. Superseded generations are garbage-collected (see
+  * [[gcSuperseded]]) instead of orphaned under the root forever.
   *
   * Non-file-backed inputs (in-memory test DataFrames, streaming
   * relations) have no stable fingerprint, so [[materialized]] falls back
   * to the inline plan — unit tests and one-off frames never touch disk.
   *
-  * Concurrency: within a JVM a `computeIfAbsent` memo builds each key
-  * once; across JVMs the build lands in a session-unique staging dir and
-  * is RENAMED into the keyed location (rename-if-absent), so two sessions
-  * racing on the same key produce one artifact and no torn reads.
+  * Trust boundary: the root defaults to a PER-USER directory created
+  * 0700 (a shared /tmp/graft-derived let any other local user pre-plant
+  * an artifact that would be silently served as query results), is
+  * overridable via `spark.graft.derived.root` for production placement,
+  * and every artifact carries its own key in a hidden `.graft_fp` marker
+  * written BEFORE publication — a directory with a `_SUCCESS` but no
+  * matching marker is foreign or torn and is reclaimed, never served.
+  *
+  * Concurrency: within a JVM a per-key monitor builds each key once;
+  * across JVMs the build lands in a session-unique staging dir and is
+  * RENAMED into the keyed location (rename-if-absent), so two sessions
+  * racing on the same key produce one artifact and no torn reads — the
+  * loser adopts the winner's artifact and deletes its own stage, including
+  * the copy Hadoop's rename-into-existing-dir semantics nests INSIDE the
+  * winner's target.
   */
 object Derived {
 
-  /** memoKey -> materialized path, per JVM (avoids re-fingerprinting and
-    * re-listing on every plan construction). Builds NEVER run inside the
-    * map's own computeIfAbsent: one artifact's build may materialize
-    * another (the k-means assignment builds the centroid table), and a
-    * nested computeIfAbsent on the same ConcurrentHashMap throws
-    * "Recursive update" when the keys share a bin. Per-key monitor
-    * objects serialize same-key builders instead; the lock graph follows
-    * the (acyclic) artifact-dependency graph, so nesting cannot deadlock.
+  /** target path -> present, per JVM. The memo only short-circuits the
+    * staging/rename/marker protocol of [[ensure]]; it does NOT cache the
+    * fingerprint — [[fingerprints]] runs on every [[materialized]] call
+    * by design, because freshness comes from re-reading each input file's
+    * status and tail bytes (a memoized fingerprint would serve a stale
+    * artifact after an in-place input rewrite for the JVM's lifetime).
+    * Every memo hit is still revalidated against the filesystem (`_SUCCESS`
+    * + marker), so an external tmp-cleaner deleting the root inside a
+    * long-lived JVM triggers a rebuild instead of a dead-path scan.
+    *
+    * Builds NEVER run inside a ConcurrentHashMap computeIfAbsent: one
+    * artifact's build may materialize another (the k-means assignment
+    * builds the centroid table), and a nested computeIfAbsent on the same
+    * map throws "Recursive update" when the keys share a bin. Per-key
+    * monitor objects serialize same-key builders instead; the lock graph
+    * follows the (acyclic) artifact-dependency graph, so nesting cannot
+    * deadlock.
     */
   private val memo = new ConcurrentHashMap[String, String]()
   private val locks = new ConcurrentHashMap[String, Object]()
 
-  private def root: String =
-    s"${sys.props("java.io.tmpdir")}/graft-derived"
-
-  /** Content fingerprint of the scan files behind `dfs` PLUS each input's
-    * canonicalized logical plan: hex MD5 over the sorted
-    * (path, length, mtime) listing followed by the canonicalized plan
-    * strings. The plan half matters because two DIFFERENT relations can
-    * scan the SAME files (`docs` vs `docs.filter(bucket < 95)`): file
-    * identity alone would let them collide under one artifact name.
-    * Canonicalized plans normalize expression ids, so the same code path
-    * produces the same string across sessions. None when any input is
-    * not file-backed (no stable content identity → caller must build
-    * inline).
+  /** Cumulative wall seconds spent BUILDING each artifact name in this
+    * JVM (the stage write, not the consumer scan). Bench/ScaleSmoke read
+    * this after a sweep so the one-time build cost of every shared
+    * artifact is a first-class, gateable number — consumer pins price the
+    * artifact SCAN, so without this a 2x regression in the mining/Lloyd
+    * build chains would ship invisibly (the round-16 verdict's gate hole).
     */
-  def fingerprint(s: SparkSession, dfs: Seq[DataFrame]): Option[String] = {
+  private val buildSecs = new ConcurrentHashMap[String, java.lang.Double]()
+
+  def buildSeconds: Map[String, Double] = {
+    val out = Map.newBuilder[String, Double]
+    buildSecs.forEach((k, v) => out += (k -> v.doubleValue()))
+    out.result()
+  }
+
+  private[graft] def resetBuildLog(): Unit = buildSecs.clear()
+
+  /** Marker file carrying the artifact's own key (line 1) and its schema
+    * JSON (line 2): hidden from parquet scans (dot prefix), validated
+    * before any adoption. The stored schema lets consumers read with an
+    * explicit schema — parquet schema INFERENCE runs a footer-reading
+    * Spark job per `spark.read.parquet`, which would make every memo-hit
+    * plan construction launch jobs. */
+  private val MarkerName = ".graft_fp"
+
+  private[graft] def defaultRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft-derived-${sys.props.getOrElse("user.name", "anon")}"
+
+  /** Artifact root: `spark.graft.derived.root` if set (production parity —
+    * point it at durable storage), else a per-user tmpdir. */
+  def rootOf(s: SparkSession): String =
+    s.conf.get("spark.graft.derived.root", defaultRoot)
+
+  /** Drop every artifact under the session's root (and the JVM memo
+    * entries beneath it). Bench calls this at startup so rep 1 prices
+    * every build honestly on each sweep. */
+  def clearRoot(s: SparkSession): Unit = {
+    val root = rootOf(s)
+    val p = new Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val it = memo.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(root + "/")) it.remove()
+  }
+
+  /** Test seam: invoked with the target path after the stage write,
+    * before the publish rename — a spec plants a competing winner here to
+    * force the cross-JVM rename race deterministically. */
+  private[graft] var testPrePublishHook: Path => Unit = _ => ()
+
+  /** Content fingerprints of the scan files behind `dfs`: a FILE half and
+    * a PLAN half, kept separate because they answer different questions.
+    *
+    * File half — hex MD5 over the sorted (path, length, mtime) listing
+    * plus each file's LAST <=1 KB of bytes. The tail probe is the
+    * robustness margin: an in-place rewrite that preserves length within
+    * the filesystem's mtime granularity still moves the parquet footer
+    * (column statistics, page CRCs live at the tail), so it re-keys. It
+    * also names the input GENERATION for garbage collection: when a new
+    * file fingerprint is built under a name, siblings keyed to other file
+    * fingerprints are superseded and deleted.
+    *
+    * Plan half — MD5 of each input's canonicalized logical plan. Two
+    * DIFFERENT relations can scan the SAME files (`docs` vs
+    * `docs.filter(bucket < 95)`): file identity alone would let them
+    * collide under one artifact name. Canonicalized plans normalize
+    * expression ids, so the same code path produces the same string
+    * across sessions. Same-file, different-plan artifacts COEXIST (both
+    * are live views of one generation) — GC never touches them.
+    *
+    * None when any input is not file-backed (no stable content identity →
+    * caller must build inline).
+    */
+  private[graft] def fingerprints(
+      s: SparkSession, dfs: Seq[DataFrame]): Option[(String, String)] = {
     val files = dfs.flatMap(_.inputFiles)
     if (files.isEmpty || dfs.exists(_.inputFiles.isEmpty)) return None
     val conf = s.sparkContext.hadoopConfiguration
-    val lines = files.sorted.map { f =>
+    val fmd = MessageDigest.getInstance("MD5")
+    files.sorted.foreach { f =>
       val p = new Path(f)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$f|${st.getLen}|${st.getModificationTime}"
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      fmd.update(s"$f|${st.getLen}|${st.getModificationTime}|".getBytes("UTF-8"))
+      val n = math.min(st.getLen, 1024L).toInt
+      if (n > 0) {
+        val in = fs.open(p)
+        try {
+          in.seek(st.getLen - n)
+          val buf = new Array[Byte](n)
+          in.readFully(buf)
+          fmd.update(buf)
+        } finally in.close()
+      }
     }
-    val md = MessageDigest.getInstance("MD5")
-    lines.foreach(l => md.update(l.getBytes("UTF-8")))
-    dfs.foreach(df => md.update(
+    val pmd = MessageDigest.getInstance("MD5")
+    dfs.foreach(df => pmd.update(
       df.queryExecution.analyzed.canonicalized.toString.getBytes("UTF-8")))
-    Some(md.digest().map("%02x".format(_)).mkString)
+    def hex(md: MessageDigest) = md.digest().map("%02x".format(_)).mkString
+    Some((hex(fmd), hex(pmd)))
+  }
+
+  def fingerprint(s: SparkSession, dfs: Seq[DataFrame]): Option[String] =
+    fingerprints(s, dfs).map { case (f, p) => s"${f}_$p" }
+
+  /** Path-safe EXACT encoding of a numeric build parameter for artifact
+    * names (0.8 -> "0p8", -1.5e-3 -> "m1p5Em3"). Keys must encode the
+    * parameter exactly: a rounded percent (`math.round(t*100)`) let
+    * thresholds 0.80 and 0.804 silently share one artifact, serving the
+    * first threshold's pairs to the second caller.
+    */
+  def paramKey(v: Double): String =
+    v.toString.replace('.', 'p').replace('-', 'm')
+
+  /** Driver-side parquet row count over a file-backed relation's input
+    * files — footer metadata only, ZERO Spark jobs. None when the
+    * relation is not (purely) parquet-file-backed. Callers use it as a
+    * SIZE HEURISTIC (partition-width sizing), not as a semantic count: it
+    * ignores plan-level filters, so a filtered view over-counts — which
+    * only over-widens, never corrupts.
+    */
+  private[graft] def parquetRowCount(df: DataFrame): Option[Long] = {
+    val files = df.inputFiles
+    if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) return None
+    try {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      var n = 0L
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try n += r.getRecordCount finally r.close()
+      }
+      Some(n)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The materialized relation named `name` derived from `inputs`: build
@@ -82,45 +213,156 @@ object Derived {
     */
   def materialized(s: SparkSession, name: String, inputs: Seq[DataFrame])(
       build: => DataFrame): DataFrame = {
-    fingerprint(s, inputs) match {
+    fingerprints(s, inputs) match {
       case None => build
-      case Some(fp) =>
-        val key = s"${name}_$fp"
-        var path = memo.get(key)
-        if (path == null) {
-          val lock = locks.computeIfAbsent(key, _ => new Object)
+      case Some((fileFp, planFp)) =>
+        val root = rootOf(s)
+        val target = s"$root/${name}_${fileFp}_$planFp"
+        if (!(memo.containsKey(target) && published(s, target))) {
+          val lock = locks.computeIfAbsent(target, _ => new Object)
           lock.synchronized {
-            path = memo.get(key)
-            if (path == null) {
-              path = ensure(s, key, build)
-              memo.put(key, path)
+            if (!(memo.containsKey(target) && published(s, target))) {
+              memo.remove(target)
+              ensure(s, name, fileFp, target, build)
+              memo.put(target, target)
             }
           }
         }
-        s.read.parquet(path)
+        // read with the schema recorded at publish time: no inference job
+        val p = new Path(target)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        readMarker(fs, p).flatMap(_._2) match {
+          case Some(schema) => s.read.schema(schema).parquet(target)
+          case None => s.read.parquet(target)
+        }
     }
   }
 
-  /** Build-or-adopt the keyed artifact; returns its path. */
-  private def ensure(s: SparkSession, key: String, build: => DataFrame): String = {
+  private def published(s: SparkSession, target: String): Boolean = {
+    val p = new Path(target)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    adoptable(fs, p)
+  }
+
+  /** A directory is served ONLY if it is complete (`_SUCCESS`) and carries
+    * its own key in the marker — anything else (foreign pre-plant, torn
+    * copy, pre-marker leftovers) is invisible to consumers. */
+  private def adoptable(fs: FileSystem, target: Path): Boolean =
+    fs.exists(new Path(target, "_SUCCESS")) &&
+      readMarker(fs, target).exists(_._1 == target.getName)
+
+  /** (key, schema if recorded). */
+  private def readMarker(
+      fs: FileSystem, dir: Path): Option[(String, Option[org.apache.spark.sql.types.StructType])] = {
+    val m = new Path(dir, MarkerName)
+    try {
+      if (!fs.exists(m)) None
+      else {
+        val len = fs.getFileStatus(m).getLen.toInt
+        val in = fs.open(m)
+        val buf = new Array[Byte](len)
+        try in.readFully(buf) finally in.close()
+        val lines = new String(buf, "UTF-8").split("\n", 2)
+        val schema = lines.lift(1).map(_.trim).filter(_.nonEmpty).flatMap { j =>
+          try Some(org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        Some((lines.head.trim, schema))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeMarker(
+      fs: FileSystem, dir: Path, key: String, schemaJson: String): Unit = {
+    val out = fs.create(new Path(dir, MarkerName), true)
+    try out.write(s"$key\n$schemaJson".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Build-or-adopt the keyed artifact at `target`. */
+  private def ensure(s: SparkSession, name: String, fileFp: String,
+      targetStr: String, build: => DataFrame): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    val target = new Path(s"$root/$key")
+    val target = new Path(targetStr)
     val fs = target.getFileSystem(conf)
-    if (fs.exists(new Path(target, "_SUCCESS"))) return target.toString
-    // stage under a session-unique name, then rename-if-absent: the
-    // loser of a cross-JVM race adopts the winner's artifact
+    val key = target.getName
+    if (adoptable(fs, target)) return
+    val rootPath = target.getParent
+    if (!fs.exists(rootPath)) {
+      fs.mkdirs(rootPath)
+      // 0700 best-effort: on filesystems without POSIX perms this is a
+      // no-op; the per-user root name is the primary isolation anyway
+      try fs.setPermission(rootPath, new FsPermission("700"))
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+    // an occupied but non-adoptable target is foreign or torn: reclaim it
+    // BEFORE staging, so our publish rename can land (deleting after a
+    // nesting rename would destroy our own staged copy with it)
+    if (fs.exists(target)) fs.delete(target, true)
+    // stage under a session-unique name, then rename-if-absent: the loser
+    // of a cross-JVM race adopts the winner's artifact. The DOT prefix
+    // matters twice: Spark's file listing hides dot-paths, so a stage dir
+    // that loses the race and lands NESTED inside the winner's target
+    // (Hadoop rename-into-existing-dir semantics) is invisible to every
+    // parquet scan until the explicit cleanup below removes it.
     val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-    // the DOT prefix matters twice: Spark's file listing hides dot-paths,
-    // so a stage dir that loses a rename race and lands NESTED inside the
-    // winner's target (Hadoop rename-into-existing-dir semantics) is
-    // invisible to every later parquet scan
-    val stage = new Path(s"$root/.stage_${app}_$key")
-    build.write.mode("overwrite").parquet(stage.toString)
+    val stage = new Path(rootPath, s".stage_${app}_$key")
+    val t0 = System.nanoTime()
+    val built = build
+    built.write.mode("overwrite").parquet(stage.toString)
+    buildSecs.merge(name, Double.box((System.nanoTime() - t0) / 1e9),
+      (a, b) => Double.box(a + b))
+    // the key marker (+ the schema, sparing consumers an inference job)
+    // is written INSIDE the stage before publication, so a published
+    // target always self-identifies — there is no window where a
+    // legitimate artifact exists without its marker
+    writeMarker(fs, stage, key, built.schema.json)
+    testPrePublishHook(target)
     if (!fs.exists(target)) fs.rename(stage, target)
-    if (!fs.exists(new Path(target, "_SUCCESS")))
+    if (!adoptable(fs, target)) {
+      // the rename neither landed ours nor found a valid winner (e.g. a
+      // marker-less dir appeared inside the race window): refuse to serve
       throw new java.io.IOException(
-        s"Derived: could not publish $target and no winner's artifact found")
+        s"Derived: could not publish $target and no valid winner's artifact found")
+    }
+    // lost-race cleanup: Hadoop's rename into an existing dir NESTS the
+    // source inside it — delete the nested copy (a full duplicate of the
+    // artifact that would otherwise leak inside every contended target),
+    // then the original stage path if the rename never consumed it
+    fs.delete(new Path(target, stage.getName), true)
     fs.delete(stage, true)
-    target.toString
+    gcSuperseded(fs, rootPath, name, fileFp)
+  }
+
+  /** Reclaim disk the moment a generation dies: delete sibling artifacts
+    * of `name` keyed to a DIFFERENT file fingerprint (their input
+    * generation was regenerated — nothing will ever address them again),
+    * plus stage leftovers from crashed JVMs older than a day. Same-file,
+    * different-plan siblings are live views of the current generation and
+    * are kept. A concurrent session still scanning a reclaimed artifact
+    * rebuilds via memo revalidation — correctness is unaffected, the
+    * cost is one redundant build in a window that requires regenerating
+    * the inputs mid-flight.
+    */
+  private def gcSuperseded(
+      fs: FileSystem, root: Path, name: String, liveFileFp: String): Unit = {
+    val re = ("^" + java.util.regex.Pattern.quote(name) +
+      "_([0-9a-f]{32})_[0-9a-f]{32}$").r
+    val dayMs = 24L * 3600 * 1000
+    val stati =
+      try fs.listStatus(root)
+      catch { case scala.util.control.NonFatal(_) => return }
+    stati.foreach { st =>
+      val n = st.getPath.getName
+      n match {
+        case re(ffp) if ffp != liveFileFp =>
+          fs.delete(st.getPath, true)
+          memo.remove(s"$root/$n")
+        case _ if n.startsWith(".stage_") &&
+            st.getModificationTime < System.currentTimeMillis() - dayMs =>
+          fs.delete(st.getPath, true)
+        case _ =>
+      }
+    }
   }
 }

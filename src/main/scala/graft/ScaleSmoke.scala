@@ -134,6 +134,14 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // fresh derived store per run: the untimed warmup rep then prices
+    // every shared-artifact build honestly, and graft.Derived records the
+    // per-artifact build wall time for the "builds" split in the output
+    // (the amplified input tables above are cached across runs — only
+    // the derived artifacts rebuild)
+    Derived.clearRoot(spark)
+    Derived.resetBuildLog()
+
     // Materialize the amplified tables to parquet ONCE and time queries
     // against the on-disk relation — what an N× crawl actually is. The
     // earlier in-plan union amplification made every timed query re-plan
@@ -192,7 +200,9 @@ object ScaleSmoke {
     // time: queries_sec IS the settled cost that scales with data.
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
     def timed(name: String)(df: => DataFrame): (String, Double) = {
-      if (!only.forall(_.exists(name.startsWith))) return name -> -1.0
+      // ScaleSmoke names are already short (qNN): exact membership, so
+      // SPARK_GRAFT_ONLY=q21 never drags in q210-q215
+      if (!only.forall(_.contains(name))) return name -> -1.0
       def rep(): Double = {
         val scope = Caches.open()
         val t0 = System.nanoTime()
@@ -244,6 +254,15 @@ object ScaleSmoke {
       },
       timed("q200") {
         graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+      },
+      // the audit family's second operating point + the quadratic-truth
+      // consumers (round-17: re-measured with the build/consumer split —
+      // the ngramJaccard truth and the threshold-independent band
+      // candidates are shared derived artifacts since round 16)
+      timed("q21") { graft.operators.Dedup.ngramJaccard(docs, threshold = 0.5) },
+      timed("q234") { graft.operators.Dedup.splitLeakage(docs) },
+      timed("q294") {
+        graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2, threshold = 0.5)
       },
       timed("q203") { graft.operators.Prep.dsirWeights(docs) },
       timed("q205") { graft.operators.Corpus.sourceDivergence(docs) },
@@ -430,8 +449,12 @@ object ScaleSmoke {
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    // one-time artifact builds (paid in the untimed warmup), split out so
+    // scale rows report build vs consumer cost separately per artifact
+    val builds = Derived.buildSeconds.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     println(
-      s"""{"multiplier":$mult,"rows":{"documents":$nDocs,"embeddings":$nEmb},"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"multiplier":$mult,"rows":{"documents":$nDocs,"embeddings":$nEmb},"queries":$qs,"builds":$builds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1109,17 +1109,23 @@ object Advanced {
     // 39.7 s at 15-way (the 50k rule), 59.0 s at 2-way (the 500k
     // rule) — 20k restores full width at that size while a sub-40k-edge
     // dup graph still collapses to one scheduling-free partition.
-    // `widthHint` keeps plan construction side-effect-free for callers
-    // that already know the graph size; without it the count is an eager
-    // action at construction time (the dupClusters edgeCount precedent —
-    // cheap when `edges` is a Derived parquet scan, where the count is a
-    // footer-statistics job, but a full mining pass for an inline plan)
-    val width = widthHint.getOrElse {
-      val nDirected = 2L * e.count()
-      math.max(1L, math.min(
-        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong,
-        nDirected / 20000L + 1L)).toInt
-    }
+    // Plan construction is SIDE-EFFECT-FREE: when `edges` is file-backed
+    // (the Derived pair artifacts behind q114/q283/q292) the edge count
+    // reads the parquet footers driver-side — zero Spark jobs, exact for
+    // these unfiltered scans (a filtered view would over-count, which
+    // only over-widens). Non-file-backed edges (unit tests, ad-hoc
+    // in-memory graphs) get the session default width instead of an
+    // eager e.count() that would execute the whole upstream mining at
+    // construction time — pass `widthHint` when the in-memory graph is
+    // big enough for width to matter.
+    val width = widthHint
+      .orElse(graft.Derived.parquetRowCount(e).map { n =>
+        math.max(1L, math.min(
+          e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toLong,
+          2L * n / 20000L + 1L)).toInt
+      })
+      .getOrElse(
+        e.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val adj = Caches.track(
       sym.join(deg, "src").repartition(width, col("src")))
     var ranks = deg.select(col("src").as("node"),

@@ -108,7 +108,7 @@ object Dedup {
     // and q234's — one build per (input generation, threshold), plan
     // pinned on the inline chain
     graft.Derived.materialized(docs.sparkSession,
-      s"ngram_jaccard_t${math.round(threshold * 100)}", Seq(docs)) {
+      s"ngram_jaccard_t${graft.Derived.paramKey(threshold)}", Seq(docs)) {
       ngramJaccardInline(docs, threshold)
     }
 
@@ -265,7 +265,7 @@ object Dedup {
       bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame =
     graft.Derived.materialized(docs.sparkSession,
-      s"lsh_pairs_b${bands}r${rowsPerBand}_t${math.round(threshold * 100)}",
+      s"lsh_pairs_b${bands}r${rowsPerBand}_t${graft.Derived.paramKey(threshold)}",
       Seq(docs)) {
       minhashLshInline(docs, bands, rowsPerBand, threshold)
     }
@@ -467,8 +467,15 @@ object Dedup {
     // size superstep shuffles to the GRAPH, not the corpus: the dup graph
     // is corpus-size × dup-rate, often orders of magnitude smaller, and
     // each superstep pays per-partition scheduling overhead — one
-    // partition per ~500k edges, capped at the session width
-    val edgeCount = rawEdges.count()
+    // partition per ~500k edges, capped at the session width. When the
+    // pair relation is a Derived parquet artifact (every qNN consumer),
+    // the count reads footers driver-side — no eager Spark job at plan
+    // construction; in-memory pairs (unit tests) keep the count action.
+    // A filtered file-backed view would over-count, which only
+    // over-widens and, for the emptiness shortcut below, costs at most
+    // one no-op superstep before the fixpoint test converges.
+    val edgeCount = graft.Derived.parquetRowCount(pairs).map(2L * _)
+      .getOrElse(rawEdges.count())
     val width = math.max(1L,
       math.min(maxWidth.toLong, edgeCount / 500000L + 1L)).toInt
     // edges are the static probe side of every superstep's join: hash-
@@ -1117,7 +1124,7 @@ object Dedup {
     // (the Derived fingerprint covers the filter plan, so this artifact
     // can never collide with the full-corpus minhashLsh artifact)
     val standing = graft.Derived.materialized(docs.sparkSession,
-      s"lsh_pairs_corpus95_b${bands}r${rowsPerBand}_t${math.round(threshold * 100)}",
+      s"lsh_pairs_corpus95_b${bands}r${rowsPerBand}_t${graft.Derived.paramKey(threshold)}",
       Seq(docs)) {
       minhashLshInline(corpus, bands, rowsPerBand, threshold)
     }

@@ -129,6 +129,28 @@ object Tables {
 
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
+  /** Parquet schema memo, per table path. Spark 4 runs footer schema
+    * inference as a SPARK JOB on every cold `spark.read.parquet`
+    * (SchemaMergeUtils.mergeSchemasInParallel, even for one file), so an
+    * uncached loader charges one job to every plan construction — Bench
+    * reps, PlanDump, and the q283/q114 zero-jobs-at-construction
+    * contract all pay it. The testdata generations under one path are
+    * immutable for a JVM's lifetime (the driver regenerates between
+    * runs, never mid-run), so first read infers, later reads pass the
+    * schema explicitly. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def read(s: SparkSession, path: String): DataFrame = {
+    val known = schemaMemo.get(path)
+    if (known != null) s.read.schema(known).parquet(path)
+    else {
+      val df = s.read.parquet(path)
+      schemaMemo.put(path, df.schema)
+      df
+    }
+  }
+
   /** events.parquet's `ts` column has shipped in two physical layouts across
     * testdata generations, so the loader adapts to the footer schema instead
     * of assuming either:
@@ -149,7 +171,7 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(p(dir, "events"))
+    val raw = read(s, p(dir, "events"))
     val ts = raw.schema("ts").dataType match {
       case LongType                         => timestamp_micros(expr("ts div 1000"))
       case TimestampType | TimestampNTZType => col("ts")
@@ -165,13 +187,13 @@ object Tables {
     raw.withColumn("ts", ts.cast(TimestampNTZType))
   }
 
-  def region(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "region"))
-  def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "nation"))
-  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "customer"))
-  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "supplier"))
-  def part(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "part"))
-  def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "orders"))
-  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "lineitem"))
-  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
-  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+  def region(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "region"))
+  def nation(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "nation"))
+  def customer(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "customer"))
+  def supplier(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "supplier"))
+  def part(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "part"))
+  def orders(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "orders"))
+  def lineitem(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "lineitem"))
+  def documents(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = read(s, p(dir, "embeddings"))
 }

@@ -153,4 +153,204 @@ class DerivedSpec extends SparkSpec {
       spark, Seq(dfA, spark.read.parquet(inB))).get
     assert(fp1 !== fp2)
   }
+
+  // ---- round-17 hardening: conf root, revalidation, GC, race, markers ----
+
+  private def withRoot[T](body: String => T): T = {
+    val root = Files.createTempDirectory("derived-spec-root").toString + "/store"
+    spark.conf.set("spark.graft.derived.root", root)
+    try body(root) finally spark.conf.unset("spark.graft.derived.root")
+  }
+
+  private def artifactDirs(root: String, name: String): Seq[String] = {
+    val d = new java.io.File(root)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().map(_.getName).filter(_.startsWith(name + "_")).toSeq.sorted
+  }
+
+  test("spark.graft.derived.root places artifacts under the configured store") {
+    withRoot { root =>
+      val base = Files.createTempDirectory("derived-spec-conf").toString
+      val in = s"$base/input.parquet"
+      freshInput(Seq((1L, "a")), in)
+      val df = spark.read.parquet(in)
+      val out = Derived.materialized(spark, "spec_confroot", Seq(df)) {
+        df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      }.collect()
+      assert(out.length === 1)
+      val dirs = artifactDirs(root, "spec_confroot")
+      assert(dirs.length === 1, s"artifact must land under the conf root, found $dirs")
+      // the artifact self-identifies: the hidden marker carries its key
+      val marker = new java.io.File(s"$root/${dirs.head}/.graft_fp")
+      assert(marker.exists(), "published artifact must carry its .graft_fp marker")
+      val lines = Files.readString(marker.toPath).split("\n")
+      assert(lines.head.trim === dirs.head, "marker line 1 must be the artifact's own key")
+      assert(lines.lift(1).exists(_.contains("\"type\":\"struct\"")),
+        "marker line 2 must carry the schema (spares consumers an inference job)")
+    }
+  }
+
+  test("a memo hit revalidates on disk: an externally deleted artifact is rebuilt, not served dead") {
+    withRoot { root =>
+      val base = Files.createTempDirectory("derived-spec-vanish").toString
+      val in = s"$base/input.parquet"
+      freshInput(Seq((1L, "a"), (2L, "a")), in)
+      val builds = new AtomicInteger(0)
+      def q() = {
+        val df = spark.read.parquet(in)
+        Derived.materialized(spark, "spec_vanish", Seq(df)) {
+          builds.incrementAndGet()
+          df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+        }.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      assert(q() === Map("a" -> 2L))
+      assert(builds.get() === 1)
+      // a tmp cleaner wipes the store inside a long-lived JVM
+      val dir = artifactDirs(root, "spec_vanish").head
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$root/$dir"))
+      assert(q() === Map("a" -> 2L),
+        "the vanished artifact must be rebuilt on the next consumer")
+      assert(builds.get() === 2)
+    }
+  }
+
+  test("GC reclaims superseded generations but keeps same-file different-plan siblings") {
+    withRoot { root =>
+      val base = Files.createTempDirectory("derived-spec-gc").toString
+      val in = s"$base/input.parquet"
+      freshInput(Seq((1L, "a"), (2L, "b")), in)
+      def build(df: org.apache.spark.sql.DataFrame) =
+        Derived.materialized(spark, "spec_gc", Seq(df)) {
+          df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+        }.collect()
+      // two live views of ONE generation: full + filtered share the file
+      // fingerprint, differ in the plan half — both must coexist
+      build(spark.read.parquet(in))
+      build(spark.read.parquet(in).filter(col("k") >= 2L))
+      assert(artifactDirs(root, "spec_gc").length === 2,
+        "same-file different-plan artifacts are both live and must coexist")
+      // regenerating the input kills the generation: the next build must
+      // GC BOTH superseded artifacts (disk stops growing across epochs)
+      freshInput(Seq((1L, "x"), (2L, "x"), (3L, "y")), in)
+      build(spark.read.parquet(in))
+      val left = artifactDirs(root, "spec_gc")
+      assert(left.length === 1,
+        s"superseded generation must be garbage-collected, found $left")
+    }
+  }
+
+  test("a lost publish race adopts the winner's artifact and leaks no nested stage copy") {
+    withRoot { root =>
+      import spark.implicits._
+      val base = Files.createTempDirectory("derived-spec-race").toString
+      val in = s"$base/input.parquet"
+      freshInput(Seq((1L, "loser")), in)
+      val df = spark.read.parquet(in)
+      val conf = spark.sparkContext.hadoopConfiguration
+      // plant a WINNER between the loser's stage write and its publish
+      // rename — the cross-JVM race window, forced deterministically
+      Derived.testPrePublishHook = { target =>
+        val fs = target.getFileSystem(conf)
+        val plant = new org.apache.hadoop.fs.Path(target.getParent, ".plant_winner")
+        Seq(("winner", 7L)).toDF("v", "n")
+          .coalesce(1).write.mode("overwrite").parquet(plant.toString)
+        val out = fs.create(new org.apache.hadoop.fs.Path(plant, ".graft_fp"), true)
+        out.write(target.getName.getBytes("UTF-8")); out.close()
+        assert(fs.rename(plant, target), "test plant must win the rename")
+      }
+      val got =
+        try Derived.materialized(spark, "spec_race", Seq(df)) {
+          df.select(lit("loser").as("v"), lit(1L).as("n"))
+        }.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        finally Derived.testPrePublishHook = _ => ()
+      assert(got === Seq(("winner", 7L)),
+        "the loser must adopt the winner's artifact, not overwrite or fail")
+      // no torn reads and no leaked duplicates: the loser's stage is gone
+      // from the root AND from inside the winner's target
+      val stray = new java.io.File(root).listFiles().map(_.getName)
+        .filter(_.startsWith(".stage_"))
+      assert(stray.isEmpty, s"loser's stage must be cleaned up: ${stray.toSeq}")
+      val dir = artifactDirs(root, "spec_race").head
+      val nested = new java.io.File(s"$root/$dir").listFiles().map(_.getName)
+        .filter(_.startsWith(".stage_"))
+      assert(nested.isEmpty,
+        s"no stage copy may leak inside a contended target: ${nested.toSeq}")
+    }
+  }
+
+  test("a pre-planted directory without a matching marker is reclaimed, never served") {
+    withRoot { root =>
+      val base = Files.createTempDirectory("derived-spec-plant").toString
+      val in = s"$base/input.parquet"
+      freshInput(Seq((1L, "real"), (2L, "real")), in)
+      val df = spark.read.parquet(in)
+      val (fileFp, planFp) = Derived.fingerprints(spark, Seq(df)).get
+      // an attacker (or a torn copy) occupies the key with a _SUCCESS but
+      // no self-identifying marker
+      val target = new java.io.File(s"$root/spec_plant_${fileFp}_$planFp")
+      import spark.implicits._
+      Seq(("evil", 666L)).toDF("v", "n")
+        .coalesce(1).write.mode("overwrite").parquet(target.toString)
+      assert(new java.io.File(target, "_SUCCESS").exists(),
+        "the plant must look complete apart from the marker")
+      val got = Derived.materialized(spark, "spec_plant", Seq(df)) {
+        df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      }.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === Seq(("real", 2L)),
+        "a marker-less pre-plant must be reclaimed and rebuilt, not served")
+    }
+  }
+
+  test("an in-place rewrite preserving length and mtime still re-keys (the tail probe)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("derived-spec-tail").toString
+    val (dirA, dirB) = (s"$base/a.parquet", s"$base/b.parquet")
+    // same schema, same value lengths -> byte-identical file SIZES, but
+    // the parquet footer statistics (min/max of v) differ at the tail
+    Seq((1L, "aa")).toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dirA)
+    Seq((1L, "ab")).toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dirB)
+    def part(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val (pa, pb) = (part(dirA), part(dirB))
+    assert(pa.length === pb.length,
+      "scenario requires equal-length rewrites; adjust the payloads if parquet output drifted")
+    val fp1 = Derived.fingerprint(spark, Seq(spark.read.parquet(dirA))).get
+    val mtime = Files.getLastModifiedTime(pa.toPath)
+    Files.copy(pb.toPath, pa.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // keep Hadoop's ChecksumFileSystem consistent with the rewritten
+    // bytes (the sidecar is not part of the fingerprint surface)
+    def crc(f: java.io.File) = new java.io.File(f.getParent, s".${f.getName}.crc")
+    if (crc(pb).exists())
+      Files.copy(crc(pb).toPath, crc(pa).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(pa.toPath, mtime)
+    val fp2 = Derived.fingerprint(spark, Seq(spark.read.parquet(dirA))).get
+    assert(fp1 !== fp2,
+      "a same-length same-mtime content rewrite must re-key via the tail checksum")
+  }
+
+  test("build wall time is recorded per artifact name, once — consumers scanning the artifact add nothing") {
+    withRoot { _ =>
+      val base = Files.createTempDirectory("derived-spec-timer").toString
+      val in = s"$base/input.parquet"
+      freshInput(Seq((1L, "a")), in)
+      def q() = {
+        val df = spark.read.parquet(in)
+        Derived.materialized(spark, "spec_timer", Seq(df)) {
+          df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+        }.collect()
+      }
+      q()
+      val t1 = Derived.buildSeconds.get("spec_timer")
+      assert(t1.exists(_ > 0.0), s"build must be timed, got $t1")
+      q() // scan-only reuse
+      assert(Derived.buildSeconds.get("spec_timer") === t1,
+        "a consumer scan must not add build time")
+    }
+  }
 }

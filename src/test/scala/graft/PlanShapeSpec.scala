@@ -1587,4 +1587,42 @@ class PlanShapeSpec extends SparkSpec {
     graft.Caches.releaseAll()
     spark.catalog.clearCache()
   }
+
+  test("q283/q114: constructing the PageRank plan launches ZERO Spark jobs once the pair artifact exists") {
+    // warm pass: builds the Derived pair artifacts (jobs allowed here) —
+    // the steady state every later session/PlanDump/plan test sees
+    graft.operators.Advanced.copurchasePageRank(spark, sf0001).queryExecution.analyzed
+    graft.operators.Advanced.copurchaseRank(spark, sf0001).queryExecution.analyzed
+    graft.Caches.releaseAll(); spark.catalog.clearCache()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        sites.add(j.stageInfos.headOption
+          .map(si => si.name + "\n" + si.details).getOrElse("?"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction only: Derived memo hit + footer-statistics width —
+      // the eager e.count() this pins against executed the whole upstream
+      // mining at plan-construction time (round-16 watch item)
+      graft.operators.Advanced.copurchasePageRank(spark, sf0001).queryExecution.analyzed
+      graft.operators.Advanced.copurchaseRank(spark, sf0001).queryExecution.analyzed
+      // fence: the listener bus is FIFO, so once the fence job's start is
+      // observed, every job submitted during construction has been too
+      spark.sparkContext.parallelize(1 to 1, 1).count()
+      val deadline = System.currentTimeMillis() + 30000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      assert(jobs.get() === 1,
+        s"plan construction must launch no jobs (only the fence may appear), saw ${jobs.get()}:\n" +
+          sites.toArray.mkString("\n---\n"))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      graft.Caches.releaseAll(); spark.catalog.clearCache()
+    }
+  }
 }
