@@ -445,7 +445,15 @@ object ScaleSmoke {
       timed("q291") { graft.operators.TextAnalysis.codeSwitchProfile(docs) },
       // q292: one LSH chain feeds both superstep families (components +
       // rank); everything after it is dup-graph-sized
-      timed("q292") { graft.operators.Dedup.authorityCanon(docs) })
+      timed("q292") { graft.operators.Dedup.authorityCanon(docs) },
+      // q296: the codebook trains once per generation (untimed warmup
+      // build, recorded in the builds split); the timed consumer is one
+      // broadcast-argmax pass over the 5% delta — linear in the delta
+      timed("q296") { graft.operators.Similarity.deltaAssign(emb) },
+      // q297: the q24 exact-top-k contract carries the cost (queries
+      // broadcast, one corpus pass, k-bounded ranking exchange); the
+      // metric math after it is nQueries*k rows
+      timed("q297") { graft.operators.Similarity.retrievalEval(emb) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

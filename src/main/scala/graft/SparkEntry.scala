@@ -335,6 +335,14 @@ object SparkEntry {
     // proves pairs(corpus)∪pairs(delta)∪cross(delta⋈corpus) equals the
     // from-scratch mining exactly
     "q295_delta_pair_update" -> ((s, d) => Dedup.deltaPairUpdate(s, d)),
+    // q296: q295's embedding-side twin — the codebook trains once per
+    // generation on the standing corpus tier and serves from the derived
+    // store; ingest assignment touches the 5% delta only
+    "q296_delta_assign" -> ((s, d) => Similarity.deltaAssign(s, d)),
+    // q297: exact MRR@k / recall@k of cosine retrieval against the
+    // embeddings' class labels — the space-quality eval the semantic
+    // dedup / diversity / hard-negative operators all inherit
+    "q297_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7813,5 +7821,120 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
         |FROM verified
         |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8""".stripMargin,
+
+    // q296: the q204 Lloyd CTE chain restricted to the standing corpus
+    // tier (md5 bucket < 95 — the q295 split), then ONE argmax assignment
+    // of the delta tier against the trained centroids. Init replicates
+    // the trainer: the first 8 vec_ids OF THE CORPUS TIER (a seed that
+    // hashes into the delta is absent — k shrinks identically on both
+    // engines).
+    "q296_delta_assign" ->
+      """WITH bkt AS (
+        |  SELECT vec_id,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM embeddings
+        |), qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), qec AS (
+        |  SELECT qe.* FROM qe JOIN bkt ON bkt.vec_id = qe.vec_id WHERE bkt.bucket < 95
+        |), qed AS (
+        |  SELECT qe.* FROM qe JOIN bkt ON bkt.vec_id = qe.vec_id WHERE bkt.bucket >= 95
+        |), vnc AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qec GROUP BY 1
+        |), vnd AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qed GROUP BY 1
+        |), qc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qec WHERE vec_id < 8
+        |), cn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc0 GROUP BY 1
+        |), d1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qec q JOIN qc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d1 d JOIN vnc v ON v.vec_id = d.vec_id JOIN cn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a1 a JOIN qec q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m1
+        |), cn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc1 GROUP BY 1
+        |), d2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qec q JOIN qc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), a2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM d2 d JOIN vnc v ON v.vec_id = d.vec_id JOIN cn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM a2 a JOIN qec q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), qc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM m2
+        |), cn2t AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM qc2 GROUP BY 1
+        |), d3 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qed q JOIN qc2 c ON c.pos = q.pos GROUP BY 1, 2
+        |)
+        |SELECT vec_id, cid FROM (
+        |  SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |    ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |  FROM d3 d JOIN vnd v ON v.vec_id = d.vec_id JOIN cn2t c ON c.cid = d.cid
+        |) WHERE rn = 1""".stripMargin,
+
+    // q297: the q24 exact top-k chain + label relevance; both metrics
+    // are integer floor divisions on the micro grid, so the hash gate
+    // sees exact longs on both engines.
+    "q297_retrieval_eval" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS qe, label AS ql FROM embeddings WHERE vec_id < 10
+        |), pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS dot,
+        |    SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS na,
+        |    SUM(CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) * CAST(floor(CAST(q.qe[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS nq
+        |  FROM embeddings e, q, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |  WHERE e.vec_id != q.query_id
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))) AS cosine FROM pairs
+        |), topk AS (
+        |  SELECT query_id, neighbor_id, "rank" FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank" FROM c
+        |  ) WHERE "rank" <= 10
+        |), rel AS (
+        |  SELECT t.query_id, q.ql, t."rank",
+        |    CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS is_rel
+        |  FROM topk t JOIN q ON q.query_id = t.query_id
+        |  JOIN embeddings e ON e.vec_id = t.neighbor_id
+        |), per AS (
+        |  SELECT query_id, ql, CAST(SUM(is_rel) AS BIGINT) AS n_rel_at_k,
+        |    MIN(CASE WHEN is_rel = 1 THEN "rank" END) AS first_rank
+        |  FROM rel GROUP BY 1, 2
+        |), cs AS (
+        |  SELECT label, COUNT(*) AS n_label FROM embeddings GROUP BY 1
+        |)
+        |SELECT p.query_id,
+        |  p.n_rel_at_k,
+        |  COALESCE(p.first_rank, 0) AS first_rel_rank,
+        |  COALESCE(1000000 // p.first_rank, 0) AS mrr_micro,
+        |  cs.n_label - 1 AS n_rel_total,
+        |  CASE WHEN least(cs.n_label - 1, 10) = 0 THEN 0
+        |       ELSE (p.n_rel_at_k * 1000000) // least(cs.n_label - 1, 10) END AS recall_at_k_micro
+        |FROM per p JOIN cs ON cs.label = p.ql""".stripMargin,
   )
 }

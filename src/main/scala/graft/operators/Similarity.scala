@@ -80,6 +80,57 @@ object Similarity {
       k: Int = 10, nQueries: Int = 10): DataFrame =
     annBruteForceTopK(Tables.embeddings(s, dir), k, nQueries)
 
+  /** Retrieval-quality audit (q297): exact MRR@k and recall@k of cosine
+    * retrieval against the embeddings' own class labels — the eval a
+    * pipeline runs before trusting an embedding space for curation
+    * (semantic dedup, diversity selection, hard-negative mining all
+    * inherit the space's neighborhood quality). Relevance for query q =
+    * "neighbor carries q's label"; retrieval = the exact q24 top-k
+    * (brute force IS the ceiling the ANN variants are audited against in
+    * q235, so the eval measures the SPACE, not an index's recall).
+    *
+    * Determinism: both metrics live on the micro grid as integer floor
+    * divisions — mrr_micro = 1e6 div first_rel_rank, recall_at_k_micro =
+    * n_rel_at_k·1e6 div min(n_rel_total, k) — no float accumulation, so
+    * DuckDB lands on identical longs. A query with no relevant neighbor
+    * in the corpus (singleton label) reports zeros, not NULL poison.
+    *
+    * Scale: the q24 contract carries the cost — queries broadcast, one
+    * corpus pass, BoundedTopK caps the ranking exchange at k rows per
+    * (map task × query). Everything after is nQueries·k rows joined to
+    * the label relation (one semi-bounded lookup join) and the |labels|-
+    * row class-size aggregate; nothing downstream is corpus-scaled.
+    */
+  def retrievalEval(emb: DataFrame, k: Int = 10, nQueries: Int = 10): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val top = annBruteForceTopK(emb, k, nQueries)
+    // nQueries·k rows: the label lookups broadcast THIS side, the corpus
+    // label relation streams — one pass, no corpus shuffle
+    val rel = top
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .withColumn("is_rel", (col("ql") === col("nl")).cast("long"))
+    val classSizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    rel
+      .groupBy(col("query_id"), col("ql"))
+      .agg(
+        sum(col("is_rel")).as("n_rel_at_k"),
+        min(when(col("is_rel") === 1L, col("rank"))).as("first_rank"))
+      .join(broadcast(classSizes.select(col("label").as("ql"), col("n_label"))), Seq("ql"))
+      .select(
+        col("query_id"),
+        col("n_rel_at_k"),
+        coalesce(col("first_rank").cast("long"), lit(0L)).as("first_rel_rank"),
+        coalesce(expr("1000000L div first_rank"), lit(0L)).as("mrr_micro"),
+        (col("n_label") - 1L).as("n_rel_total"),
+        when(least(col("n_label") - 1L, lit(k.toLong)) === 0L, lit(0L))
+          .otherwise(expr(s"n_rel_at_k * 1000000L div least(n_label - 1L, ${k}L)"))
+          .as("recall_at_k_micro"))
+  }
+
+  def retrievalEval(s: SparkSession, dir: String): DataFrame =
+    retrievalEval(Tables.embeddings(s, dir), k = 10, nQueries = 10)
+
   /** Near-duplicate vector pairs via hyperplane-LSH buckets, verified with
     * exact cosine >= threshold. Recall is bucket-limited by design (the
     * scale path); the bucketing is deterministic so results are exactly
@@ -533,6 +584,49 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid"))
   }
+
+  /** Incremental centroid assignment for a crawl delta (q296) — q295's
+    * embedding-side twin: the codebook is trained ONCE per input
+    * generation on the STANDING corpus tier (md5 bucket < 95, the q295
+    * split) and served from the derived store; the arriving delta tier
+    * (bucket >= 95) is assigned by one broadcast-argmax pass over the
+    * DELTA ALONE. The corpus is never re-read by the assignment — at
+    * 100 TB the nightly Lloyd job owns the corpus passes and every
+    * ingest batch pays only |delta| × nCells row-local cosines, which is
+    * how a production quantizer actually serves ingest (train nightly,
+    * assign per batch). The Derived fingerprint covers the corpus
+    * FILTER plan, so this codebook can never collide with the
+    * full-corpus q204 centroids under one artifact name.
+    *
+    * Init follows the trainer: the first `nCells` vec_ids OF THE CORPUS
+    * TIER — a seed vector that hashes into the delta is simply absent
+    * (k shrinks), deterministically on both engines.
+    */
+  def deltaAssign(emb: DataFrame, nCells: Int = 8, iters: Int = 2): DataFrame = {
+    val bucketed = emb.withColumn("bucket", Corpus.hashBucket(col("vec_id")))
+    val corpus = bucketed.filter(col("bucket") < 95).drop("bucket")
+    val delta = prepared(bucketed.filter(col("bucket") >= 95).drop("bucket"))
+    // distinct artifact NAME (not just a distinct plan fingerprint): the
+    // build gate pins build wall-times BY NAME, so the corpus-tier
+    // codebook must not merge its seconds into the full-corpus
+    // kmeans_cents pin (the lsh_pairs_corpus95 convention)
+    val cents = graft.Derived.materialized(emb.sparkSession,
+      s"kmeans_cents_corpus95_c${nCells}_i$iters", Seq(emb)) {
+      kmeansCentroidsInline(corpus, nCells, iters)
+    }.withColumn("cn2", FixedPoint.normSqF(col("ce")))
+    val vc = delta.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Vectors.cosineFromParts(
+          FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    vc.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+  }
+
+  def deltaAssign(s: SparkSession, dir: String): DataFrame =
+    deltaAssign(Tables.embeddings(s, dir))
 
   def semDedup(emb: DataFrame, nCells: Int, iters: Int, tau: Double): DataFrame = {
     val e = Caches.track(prepared(emb))

@@ -924,4 +924,62 @@ class SimilaritySpec extends SparkSpec {
       assert(got === exp, s"diverseSelect diverged from the replay at buckets=$b")
     }
   }
+
+  test("deltaAssign: only the delta tier is assigned, each to its argmax standing centroid (replayed)") {
+    import org.apache.spark.sql.functions.col
+    // two loose families plus a per-(id, dim) ripple so vectors are
+    // distinct and the trained centroids are not degenerate
+    val vecs = (0L until 60L).map { i =>
+      val base =
+        if (i % 2 == 0) Seq.fill(dims)(0.8f)
+        else Seq.tabulate(dims)(j => if (j % 2 == 0) 0.7f else -0.7f)
+      (i, base.zipWithIndex.map { case (x, j) => x + ((i * 7 + j) % 5) * 0.01f })
+    }
+    val df = emb(vecs: _*)
+    val out = Similarity.deltaAssign(df, nCells = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay: the same md5 split, the public trainer on the
+    // corpus tier, then a plain-Scala argmax per delta vector
+    val buckets = df
+      .select(col("vec_id"), graft.operators.Corpus.hashBucket(col("vec_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deltaIds = buckets.collect { case (id, b) if b >= 95 => id }.toSet
+    assert(deltaIds.nonEmpty && deltaIds.size < 60,
+      s"test corpus must split into both tiers, delta=$deltaIds")
+    assert(out.keySet === deltaIds, "exactly the delta tier is assigned")
+    val corpusDf = df.filter(graft.operators.Corpus.hashBucket(col("vec_id")) < 95)
+    val cents = Similarity.kmeansCentroids(corpusDf, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    assert(cents.length > 1, "the corpus tier must train multiple centroids")
+    val byId = vecs.toMap
+    deltaIds.foreach { id =>
+      val want = cents
+        .map { case (cid, ce) => (cid, refCosine(byId(id), ce)) }
+        .maxBy { case (cid, c) => (c, -cid) }._1
+      assert(out(id) === want, s"delta vec $id assigned ${out(id)}, argmax is $want")
+    }
+    graft.Caches.releaseAll()
+  }
+
+  test("retrievalEval: hand MRR/recall on the micro grid; a singleton label reports zeros") {
+    import spark.implicits._
+    val v0 = Seq.fill(dims)(0.5f)
+    val rows = Seq(
+      (0L, v0, 1),                                    // query 0
+      (1L, v0.updated(0, 0.51f), 9),                  // rank 1 for q0, label unique
+      (2L, Seq.tabulate(dims)(i => if (i % 2 == 0) 0.9f else -0.9f), 2),
+      (3L, v0.updated(1, 0.52f), 1),                  // rank 2 for q0, RELEVANT
+      (4L, v0.map(_ * -1f), 2))                       // opposite
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.retrievalEval(df, k = 2, nQueries = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // query 0 (label 1): top-2 = v1 (not rel), v3 (rel) -> one hit at
+    // rank 2; n_rel_total = 1 (only v3 shares the label), so recall@2
+    // has denominator min(1, 2) = 1
+    assert(out(0L) === ((1L, 2L, 500000L, 1L, 1000000L)))
+    // query 1 (label 9, singleton): no relevant neighbour exists —
+    // zeros, never NULL poison or a divide-by-zero
+    assert(out(1L) === ((0L, 0L, 0L, 0L, 0L)))
+  }
 }
