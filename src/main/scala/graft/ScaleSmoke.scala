@@ -453,7 +453,10 @@ object ScaleSmoke {
       // q297: the q24 exact-top-k contract carries the cost (queries
       // broadcast, one corpus pass, k-bounded ranking exchange); the
       // metric math after it is nQueries*k rows
-      timed("q297") { graft.operators.Similarity.retrievalEval(emb) })
+      timed("q297") { graft.operators.Similarity.retrievalEval(emb) },
+      // q298: both codebooks are derived artifacts (built in the untimed
+      // warmup); the timed audit is an nCells-row join at ANY corpus size
+      timed("q298") { graft.operators.Similarity.codebookDrift(emb) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

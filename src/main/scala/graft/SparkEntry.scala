@@ -339,10 +339,15 @@ object SparkEntry {
     // generation on the standing corpus tier and serves from the derived
     // store; ingest assignment touches the 5% delta only
     "q296_delta_assign" -> ((s, d) => Similarity.deltaAssign(s, d)),
-    // q297: exact MRR@k / recall@k of cosine retrieval against the
+    // q297: exact MRR/recall of cosine retrieval against the
     // embeddings' class labels — the space-quality eval the semantic
     // dedup / diversity / hard-negative operators all inherit
     "q297_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(s, d)),
+    // q298: the retrain trigger for the q296 serving pattern — per-cell
+    // cosine between the standing (corpus-tier) codebook and today's
+    // full retrain; both codebooks are shared derived artifacts, the
+    // audit itself is an nCells-row join
+    "q298_codebook_drift" -> ((s, d) => Similarity.codebookDrift(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -7936,5 +7941,117 @@ object SparkEntry {
         |  CASE WHEN least(cs.n_label - 1, 10) = 0 THEN 0
         |       ELSE (p.n_rel_at_k * 1000000) // least(cs.n_label - 1, 10) END AS recall_at_k_micro
         |FROM per p JOIN cs ON cs.label = p.ql""".stripMargin,
+
+    // q298: TWO Lloyd chains (the q204 CTE trained on all vectors, the
+    // q296 chain trained on the corpus tier), then the per-cid cosine
+    // between the two trained codebooks. The final centroids on each
+    // side are the iteration-2 means re-quantized (qc2* CTEs) — exactly
+    // what the Spark side's fixed-point cosine sees after the float
+    // arrays round-trip the derived-store parquet.
+    "q298_codebook_drift" ->
+      """WITH bkt AS (
+        |  SELECT vec_id,
+        |    ( (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |    + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |    + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |    + (instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 4, 1)) - 1) ) % 100 AS bucket
+        |  FROM embeddings
+        |), qe AS (
+        |  SELECT e.vec_id, i AS pos,
+        |    CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qx
+        |  FROM embeddings e, LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) t
+        |), vn AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qe GROUP BY 1
+        |), fqc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qe WHERE vec_id < 8
+        |), fcn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM fqc0 GROUP BY 1
+        |), fd1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN fqc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), fa1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM fd1 d JOIN vn v ON v.vec_id = d.vec_id JOIN fcn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), fm1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM fa1 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), fqc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM fm1
+        |), fcn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM fqc1 GROUP BY 1
+        |), fd2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qe q JOIN fqc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), fa2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM fd2 d JOIN vn v ON v.vec_id = d.vec_id JOIN fcn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), fm2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM fa2 a JOIN qe q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), fqc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM fm2
+        |), qec AS (
+        |  SELECT qe.* FROM qe JOIN bkt ON bkt.vec_id = qe.vec_id WHERE bkt.bucket < 95
+        |), vnc AS (
+        |  SELECT vec_id, SUM(qx * qx) AS n2 FROM qec GROUP BY 1
+        |), sqc0 AS (
+        |  SELECT vec_id AS cid, pos, qx AS qm FROM qec WHERE vec_id < 8
+        |), scn0 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM sqc0 GROUP BY 1
+        |), sd1 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qec q JOIN sqc0 c ON c.pos = q.pos GROUP BY 1, 2
+        |), sa1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM sd1 d JOIN vnc v ON v.vec_id = d.vec_id JOIN scn0 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), sm1 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM sa1 a JOIN qec q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), sqc1 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM sm1
+        |), scn1 AS (
+        |  SELECT cid, SUM(qm * qm) AS cn2 FROM sqc1 GROUP BY 1
+        |), sd2 AS (
+        |  SELECT q.vec_id, c.cid, SUM(q.qx * c.qm) AS dot
+        |  FROM qec q JOIN sqc1 c ON c.pos = q.pos GROUP BY 1, 2
+        |), sa2 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT d.vec_id, d.cid, row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(d.dot AS DOUBLE) / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC, d.cid) AS rn
+        |    FROM sd2 d JOIN vnc v ON v.vec_id = d.vec_id JOIN scn1 c ON c.cid = d.cid
+        |  ) WHERE rn = 1
+        |), sm2 AS (
+        |  SELECT a.cid, q.pos,
+        |    CAST(CAST(SUM(q.qx) AS DOUBLE) / (COUNT(*) * 1e8) AS FLOAT) AS m
+        |  FROM sa2 a JOIN qec q ON q.vec_id = a.vec_id GROUP BY 1, 2
+        |), sqc2 AS (
+        |  SELECT cid, pos, CAST(floor(CAST(m AS DOUBLE) * 1e8 + 0.5) AS BIGINT) AS qm FROM sm2
+        |), fn AS (
+        |  SELECT cid, SUM(qm * qm) AS n2 FROM fqc2 GROUP BY 1
+        |), sn AS (
+        |  SELECT cid, SUM(qm * qm) AS n2 FROM sqc2 GROUP BY 1
+        |), dt AS (
+        |  SELECT f.cid, SUM(f.qm * s.qm) AS dot
+        |  FROM fqc2 f JOIN sqc2 s ON s.cid = f.cid AND s.pos = f.pos GROUP BY 1
+        |)
+        |SELECT COALESCE(fn.cid, sn.cid) AS cid,
+        |  fn.cid IS NOT NULL AS in_full,
+        |  sn.cid IS NOT NULL AS in_standing,
+        |  CASE WHEN fn.cid IS NOT NULL AND sn.cid IS NOT NULL
+        |       THEN CAST(dt.dot AS DOUBLE) / (sqrt(CAST(fn.n2 AS DOUBLE)) * sqrt(CAST(sn.n2 AS DOUBLE))) END AS cosine
+        |FROM fn FULL OUTER JOIN sn ON sn.cid = fn.cid
+        |LEFT JOIN dt ON dt.cid = COALESCE(fn.cid, sn.cid)""".stripMargin,
   )
 }

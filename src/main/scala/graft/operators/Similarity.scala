@@ -604,16 +604,9 @@ object Similarity {
     */
   def deltaAssign(emb: DataFrame, nCells: Int = 8, iters: Int = 2): DataFrame = {
     val bucketed = emb.withColumn("bucket", Corpus.hashBucket(col("vec_id")))
-    val corpus = bucketed.filter(col("bucket") < 95).drop("bucket")
     val delta = prepared(bucketed.filter(col("bucket") >= 95).drop("bucket"))
-    // distinct artifact NAME (not just a distinct plan fingerprint): the
-    // build gate pins build wall-times BY NAME, so the corpus-tier
-    // codebook must not merge its seconds into the full-corpus
-    // kmeans_cents pin (the lsh_pairs_corpus95 convention)
-    val cents = graft.Derived.materialized(emb.sparkSession,
-      s"kmeans_cents_corpus95_c${nCells}_i$iters", Seq(emb)) {
-      kmeansCentroidsInline(corpus, nCells, iters)
-    }.withColumn("cn2", FixedPoint.normSqF(col("ce")))
+    val cents = standingCentroids(emb, nCells, iters)
+      .withColumn("cn2", FixedPoint.normSqF(col("ce")))
     val vc = delta.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         Vectors.cosineFromParts(
@@ -627,6 +620,52 @@ object Similarity {
 
   def deltaAssign(s: SparkSession, dir: String): DataFrame =
     deltaAssign(Tables.embeddings(s, dir))
+
+  /** The standing (corpus-tier, md5 bucket < 95) Lloyd codebook as a
+    * shared derived artifact. Distinct artifact NAME, not just a
+    * distinct plan fingerprint: the build gate pins build wall-times BY
+    * NAME, so the corpus-tier train must not merge its seconds into the
+    * full-corpus kmeans_cents pin (the lsh_pairs_corpus95 convention).
+    */
+  private def standingCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    val bucketed = emb.withColumn("bucket", Corpus.hashBucket(col("vec_id")))
+    val corpus = bucketed.filter(col("bucket") < 95).drop("bucket")
+    graft.Derived.materialized(emb.sparkSession,
+      s"kmeans_cents_corpus95_c${nCells}_i$iters", Seq(emb)) {
+      kmeansCentroidsInline(corpus, nCells, iters)
+    }
+  }
+
+  /** Codebook drift audit (q298) — the retrain trigger for the q296
+    * serving pattern: per cell, the cosine between the STANDING codebook
+    * (trained on the corpus tier, the one ingest assigns against) and
+    * the codebook a full retrain would produce today. Cells near 1.0 →
+    * the standing quantizer still speaks for the whole corpus; a
+    * drifted or missing cell (a seed that exists in only one training
+    * set — reported via the presence flags, never silently dropped) is
+    * the signal to promote a retrain. Both codebooks are shared derived
+    * artifacts (the q204-family full train, q296's corpus95 train), so
+    * the audit itself is an nCells-row join — at 100 TB this query
+    * costs nothing beyond the builds the pipeline already pays.
+    */
+  def codebookDrift(emb: DataFrame, nCells: Int = 8, iters: Int = 2): DataFrame = {
+    val full = kmeansCentroids(emb, nCells, iters)
+      .select(col("cid"), col("ce").as("cf"))
+    val standing = standingCentroids(emb, nCells, iters)
+      .select(col("cid"), col("ce").as("cs"))
+    full.join(standing, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        col("cf").isNotNull.as("in_full"),
+        col("cs").isNotNull.as("in_standing"),
+        when(col("cf").isNotNull && col("cs").isNotNull,
+          Vectors.cosineFromParts(
+            FixedPoint.dotF(col("cf"), col("cs")),
+            FixedPoint.normSqF(col("cf")), FixedPoint.normSqF(col("cs"))))
+          .as("cosine"))
+  }
+
+  def codebookDrift(s: SparkSession, dir: String): DataFrame =
+    codebookDrift(Tables.embeddings(s, dir))
 
   def semDedup(emb: DataFrame, nCells: Int, iters: Int, tau: Double): DataFrame = {
     val e = Caches.track(prepared(emb))

@@ -961,6 +961,40 @@ class SimilaritySpec extends SparkSpec {
     graft.Caches.releaseAll()
   }
 
+  test("codebookDrift: per-cell cosine replayed from the two public trainers, presence flags exact") {
+    import org.apache.spark.sql.functions.col
+    val vecs = (0L until 60L).map { i =>
+      val base =
+        if (i % 2 == 0) Seq.fill(dims)(0.8f)
+        else Seq.tabulate(dims)(j => if (j % 2 == 0) 0.7f else -0.7f)
+      (i, base.zipWithIndex.map { case (x, j) => x + ((i * 7 + j) % 5) * 0.01f })
+    }
+    val df = emb(vecs: _*)
+    val out = Similarity.codebookDrift(df, nCells = 4, iters = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    val full = Similarity.kmeansCentroids(df, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val corpusDf = df.filter(graft.operators.Corpus.hashBucket(col("vec_id")) < 95)
+    val standing = Similarity.kmeansCentroids(corpusDf, 4, 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.keySet === (full.keySet ++ standing.keySet),
+      "every cell of either codebook must be reported")
+    out.foreach { case (cid, (inF, inS, cos)) =>
+      assert(inF === full.contains(cid))
+      assert(inS === standing.contains(cid))
+      (full.get(cid), standing.get(cid)) match {
+        case (Some(f), Some(s2)) =>
+          assert(cos.contains(refCosine(f, s2)),
+            s"cell $cid drift cosine must equal the fixed-point replay")
+        case _ => assert(cos.isEmpty, s"cell $cid present on one side only must report NULL cosine")
+      }
+    }
+    graft.Caches.releaseAll()
+  }
+
   test("retrievalEval: hand MRR/recall on the micro grid; a singleton label reports zeros") {
     import spark.implicits._
     val v0 = Seq.fill(dims)(0.5f)
