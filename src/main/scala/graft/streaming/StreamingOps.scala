@@ -556,6 +556,38 @@ object StreamingOps {
   def vadMonitor(stream: DataFrame): DataFrame =
     graft.operators.Multimodal.audioVad(stream, carry = Seq("ts"))
 
+  /** q296's ingest twin: arriving embeddings (vec_id, embedding, ts)
+    * assigned to the STANDING codebook at ingest — with ZERO streaming
+    * state. The codebook is a bounded nCells-row table (trained once by
+    * the q204-family Lloyd pass — a shared derived artifact when the
+    * corpus is file-backed — and collected at monitor construction, the
+    * per-class-constants discipline), so the argmax is a ROW-LOCAL
+    * greatest-of-structs over literal centroids: no window, no
+    * watermark, no join, nothing to evict. Tie-break matches the batch
+    * assignment exactly ((ccos DESC, cid ASC) ≡ max of (ccos, −cid)), so
+    * verdicts are bit-identical to `Similarity.deltaAssign` on the same
+    * rows (spec-asserted).
+    */
+  def assignMonitor(stream: DataFrame, corpus: DataFrame,
+      nCells: Int = 8, iters: Int = 2): DataFrame = {
+    import graft.functions.{FixedPoint, Vectors}
+    val cents = graft.operators.Similarity.kmeansCentroids(corpus, nCells, iters)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "assignMonitor: the standing codebook is empty")
+    def q(x: Float): Long = math.floor(x.toDouble * 1e8 + 0.5).toLong
+    val n2 = FixedPoint.normSqF(col("embedding"))
+    val scored = cents.map { case (cid, ce) =>
+      val cn2 = ce.map(x => q(x) * q(x)).sum
+      struct(
+        Vectors.cosineFromParts(
+          FixedPoint.dotF(col("embedding"), typedLit(ce)), n2, lit(cn2)).as("ccos"),
+        lit(-cid).as("negcid"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored: _*)
+    stream.select(col("vec_id"), col("ts"),
+      (-best.getField("negcid")).as("cid"))
+  }
+
   /** q281's ingest twin: arriving clips probed against the corpus
     * scene-keyframe signature index. The index explodes each corpus
     * signature member into its 4×16-bit band keys with per-bucket

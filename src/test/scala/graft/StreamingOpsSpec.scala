@@ -14,6 +14,9 @@ case class StreamDoc(doc_id: Long, text: String, lang: String)
 /** Arriving document row for the streaming near-dup test. */
 case class StreamTextDoc(doc_id: Long, text: String, ts: Timestamp)
 
+/** Arriving embedding row for the streaming assignment monitor test. */
+case class StreamEmb(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
+
 /** Event-time streaming operators under real micro-batch execution
   * (MemoryStream source, memory sink), including watermark-driven late-row
   * dropping and engine-side keyed state.
@@ -1752,5 +1755,44 @@ class StreamingOpsSpec extends SparkSpec {
       s"the post-restart purchase must match the pre-restart click: ${rows.toSeq}")
     assert(rows.filter(_._1 == 2L) === Array((2L, 11L, None, None)),
       s"user 2's restored click must flush as watermark-proven abandoned: ${rows.toSeq}")
+  }
+
+  test("assignment monitor equals batch deltaAssign on the same rows with zero stream state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = 8
+    // the q296 family: two loose vector families plus a per-(id, dim)
+    // ripple; the md5 bucket split decides which rows are the corpus
+    // tier (codebook training) and which arrive on the stream
+    val vecs = (0L until 60L).map { i =>
+      val base =
+        if (i % 2 == 0) Seq.fill(dims)(0.8f)
+        else Seq.tabulate(dims)(j => if (j % 2 == 0) 0.7f else -0.7f)
+      (i, base.zipWithIndex.map { case (x, j) => x + ((i * 7 + j) % 5) * 0.01f })
+    }
+    val full = vecs.toDF("vec_id", "embedding")
+    val corpusTier = full.filter(graft.operators.Corpus.hashBucket(col("vec_id")) < 95)
+    val deltaIds = full.filter(graft.operators.Corpus.hashBucket(col("vec_id")) >= 95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(deltaIds.nonEmpty, "the split must produce arriving rows")
+
+    val mem = MemoryStream[StreamEmb]
+    val q = StreamingOps.assignMonitor(mem.toDF(), corpusTier, nCells = 4, iters = 2)
+      .writeStream.format("memory").queryName("assignmon")
+      .outputMode(OutputMode.Append()).start()
+    val byId = vecs.toMap
+    mem.addData(deltaIds.toSeq.sorted.map(id =>
+      StreamEmb(id, byId(id), ts("2026-01-01 00:00:00"))): _*)
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.isEmpty,
+      "the assignment monitor must carry ZERO streaming state")
+    q.stop()
+    val got = spark.table("assignmon")
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().toMap
+    val batch = graft.operators.Similarity.deltaAssign(full, nCells = 4, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === batch,
+      "streaming assignments must equal the batch deltaAssign verdicts")
+    graft.Caches.releaseAll()
   }
 }
