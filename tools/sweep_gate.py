@@ -12,8 +12,10 @@ Round 17 adds the DERIVED BUILD gate: Bench clears the derived store at
 startup, so every shared artifact (pair mining, LSH pairs, Lloyd, ...)
 rebuilds once per sweep and its wall time lands in BENCH_FULL.json's
 "builds" section. Those are gated against BASELINE_QUERIES.json's "builds"
-pins the same floored-2x way (floor 1.0 s — builds are single-shot, noisier
-than best-of-3 queries). This closes the round-16 hole where consumer pins
+pins the same floored-2x way (floor 2.5 s: builds are SINGLE-SHOT readings
+— no best-of-3 to shed janino/JIT — and a fresh JVM's first Lloyd/mining
+build pays ~3 s of one-time codegen that would otherwise "confirm" as a
+false regression in the fresh-JVM isolate runs). This closes the round-16 hole where consumer pins
 priced the artifact SCAN while a 2x regression in the build chains shipped
 invisibly. A flagged build is isolated by re-running its recorded consumer
 query (Bench re-clears the store, so the build re-runs) 3x, taking the min.
@@ -32,7 +34,7 @@ import subprocess
 import sys
 
 FLOOR_SEC = 0.5
-BUILD_FLOOR_SEC = 1.0
+BUILD_FLOOR_SEC = 2.5
 GATE = 2.0
 ISOLATE_REPS = 3
 
@@ -164,7 +166,8 @@ def main() -> int:
                    "Derived-artifact BUILD wall times (Bench clears the "
                    "store at startup, so each build runs once per sweep) "
                    "are gated the same way against the baseline's 'builds' "
-                   f"pins, floored at {BUILD_FLOOR_SEC} s, isolated by "
+                   f"pins, floored at {BUILD_FLOOR_SEC} s (single-shot readings "
+                   "carry one-time JIT), isolated by "
                    "re-running the recorded consumer."),
         "n_queries": len(qsec),
         "total_sec": total,
