@@ -456,7 +456,10 @@ object ScaleSmoke {
       timed("q297") { graft.operators.Similarity.retrievalEval(emb) },
       // q298: both codebooks are derived artifacts (built in the untimed
       // warmup); the timed audit is an nCells-row join at ANY corpus size
-      timed("q298") { graft.operators.Similarity.codebookDrift(emb) })
+      timed("q298") { graft.operators.Similarity.codebookDrift(emb) },
+      // q299: the q289 contract — KR fps linear, eval index scales with
+      // the eval tier, only matched windows shuffle; matrix = |sources|²
+      timed("q299") { graft.operators.Dedup.contaminationMatrix(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

@@ -348,6 +348,11 @@ object SparkEntry {
     // full retrain; both codebooks are shared derived artifacts, the
     // audit itself is an nCells-row join
     "q298_codebook_drift" -> ((s, d) => Similarity.codebookDrift(s, d)),
+    // q299: the report above q289's scrub — per (train source, eval
+    // source) cell: contaminated docs, matched windows, merged-island
+    // token mass. Hot row = a crawler scraping benchmarks; hot column =
+    // a leaked benchmark.
+    "q299_contamination_matrix" -> ((s, d) => Dedup.contaminationMatrix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8053,5 +8058,42 @@ object SparkEntry {
         |       THEN CAST(dt.dot AS DOUBLE) / (sqrt(CAST(fn.n2 AS DOUBLE)) * sqrt(CAST(sn.n2 AS DOUBLE))) END AS cosine
         |FROM fn FULL OUTER JOIN sn ON sn.cid = fn.cid
         |LEFT JOIN dt ON dt.cid = COALESCE(fn.cid, sn.cid)""".stripMargin,
+
+    // q299: the q289 window/island machinery aggregated per
+    // (train source, eval source) cell. Per-window md5 on the oracle
+    // side (the independent fingerprint family — same hit set as the
+    // KR kernel); islands partition by (doc, eval_source) so a span
+    // contaminated by two eval sources counts in both cells.
+    "q299_contamination_matrix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |), pos AS (
+        |  SELECT doc_id, source, i AS p,
+        |    md5(array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS fp
+        |  FROM (SELECT doc_id, source, w, unnest(range(1, len(w) - 6)) AS i
+        |        FROM t WHERE len(w) >= 8)
+        |), ev AS (
+        |  SELECT DISTINCT fp, source AS eval_source FROM pos WHERE doc_id % 10 = 3
+        |), hits AS (
+        |  SELECT pos.doc_id, pos.source AS train_source, ev.eval_source, pos.p
+        |  FROM pos JOIN ev USING (fp) WHERE pos.doc_id % 10 <> 3
+        |), isl AS (
+        |  SELECT doc_id, train_source, eval_source, p,
+        |    SUM(CASE WHEN prev IS NOT NULL AND p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id, eval_source ORDER BY p
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM (SELECT doc_id, train_source, eval_source, p,
+        |          lag(p) OVER (PARTITION BY doc_id, eval_source ORDER BY p) AS prev
+        |        FROM hits)
+        |), agg AS (
+        |  SELECT train_source, eval_source, doc_id, island,
+        |    MIN(p) AS s, MAX(p) + 7 AS e, COUNT(*) AS nw
+        |  FROM isl GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT train_source, eval_source,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_windows,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
+        |FROM agg GROUP BY 1, 2""".stripMargin,
   )
 }

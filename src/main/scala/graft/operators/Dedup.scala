@@ -1828,6 +1828,66 @@ object Dedup {
   def decontamScrub(s: SparkSession, dir: String): DataFrame =
     decontamScrub(Tables.documents(s, dir))
 
+  /** Contamination heat matrix (q299): q289 tells you WHAT to cut; this
+    * is the report a curation team reads to decide what to FIX —
+    * per (train source, eval source) cell: contaminated train docs,
+    * matched windows, and the merged-island token mass that eval slice
+    * covers in that train slice. A hot row means a train source is
+    * scraping benchmark text (fix the crawler); a hot column means an
+    * eval set has leaked widely (retire the benchmark). Cells are
+    * independent by design: a span contaminated by two eval sources
+    * counts in both cells, because fixing one source must not hide the
+    * other's leak.
+    *
+    * Scale: the q289 contract — the KR rolling-fingerprint Expression is
+    * the per-token linear term, the eval fp relation scales with the
+    * eval tier, and only MATCHED windows shuffle into the
+    * (doc, eval_source)-partitioned island windows; the matrix itself is
+    * |sources|² rows. shuffle_hash on the fp join: both sides scale with
+    * their tier, nothing may broadcast.
+    */
+  def contaminationMatrix(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"a contamination run needs k >= 2 tokens, got $k")
+    def isEval(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c % 10 === 3
+    val toks = docs
+      .repartition(shuffleWidth(docs), col("doc_id"))
+      .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
+    val pos = toks
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), col("source"),
+        posexplode(graft.functions.KrWindowFp.krWindowFp(col("w"), k))
+          .as(Seq("p0", "fp")))
+      .select(col("doc_id"), col("source"), (col("p0") + 1).as("p"), col("fp"))
+    // (fp, eval_source) distinct: a window hits a given eval SOURCE once
+    // no matter how many of that source's docs carry it
+    val evalFp = pos.filter(isEval(col("doc_id")))
+      .select(col("fp"), col("source").as("eval_source")).distinct()
+    val hits = pos.filter(!isEval(col("doc_id")))
+      .hint("shuffle_hash")
+      .join(evalFp.hint("shuffle_hash"), Seq("fp"))
+      .select(col("doc_id"), col("source").as("train_source"),
+        col("eval_source"), col("p"))
+    val byKey = Window.partitionBy(col("doc_id"), col("eval_source"))
+      .orderBy(col("p"))
+    hits
+      .withColumn("brk",
+        when(col("p") - lag(col("p"), 1).over(byKey) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("train_source"), col("eval_source"),
+        col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + lit(k - 1)).as("e"),
+        count(lit(1)).as("nw"))
+      .groupBy(col("train_source"), col("eval_source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("nw")).as("n_windows"),
+        sum(col("e") - col("s") + 1).cast("long").as("covered_tokens"))
+  }
+
+  def contaminationMatrix(s: SparkSession, dir: String): DataFrame =
+    contaminationMatrix(Tables.documents(s, dir))
+
   /** Authority-based canonical election (q292): q195 elects a dup
     * cluster's representative by CONTENT SIZE (max n_chars); this
     * operator elects by GRAPH AUTHORITY — fixed-point PageRank

@@ -781,4 +781,27 @@ class DedupSpec extends SparkSpec {
     assert(c.isNullAt(c.fieldIndex("assortativity")),
       "equal-degree graph must yield NULL, not NaN or 0")
   }
+
+  test("contaminationMatrix: hand cells — per eval-source islands, dedup across eval docs, clean sources absent") {
+    import spark.implicits._
+    // eval tier = doc_id % 10 == 3; k = 3 keeps the hand windows small.
+    // Train doc 1 carries one 4-token passage from evalA (windows p3, p4
+    // merge into one island covering "a b c d") and one 3-token passage
+    // from evalB (p9); doc 23 duplicates evalA's passage so the
+    // (fp, eval_source) dedup is exercised; train doc 2 is clean.
+    val docs = Seq(
+      (3L, "a b c d e", "evalA"),
+      (23L, "a b c d zz", "evalA"),
+      (13L, "x y z w", "evalB"),
+      (1L, "q1 q2 a b c d q3 q4 x y z", "s1"),
+      (2L, "m1 m2 m3 m4 m5 m6", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.contaminationMatrix(docs, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      ("s1", "evalA") -> ((1L, 2L, 4L)),
+      ("s1", "evalB") -> ((1L, 1L, 3L))),
+      s"hand matrix mismatch: $got")
+  }
 }
