@@ -53,7 +53,8 @@ object PlanDump {
     "q290_isotonic_rate", "q291_code_switch", "q292_authority_canon",
     "q293_retention_sweep", "q294_lsh_recall_audit_t05",
     "q295_delta_pair_update", "q296_delta_assign", "q297_retrieval_eval",
-    "q298_codebook_drift", "q299_contamination_matrix")
+    "q298_codebook_drift", "q299_contamination_matrix",
+    "q300_neardup_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -459,7 +459,10 @@ object ScaleSmoke {
       timed("q298") { graft.operators.Similarity.codebookDrift(emb) },
       // q299: the q289 contract — KR fps linear, eval index scales with
       // the eval tier, only matched windows shuffle; matrix = |sources|²
-      timed("q299") { graft.operators.Dedup.contaminationMatrix(docs) })
+      timed("q299") { graft.operators.Dedup.contaminationMatrix(docs) },
+      // q300: two key-only lookups + a |sources|²-row aggregate over the
+      // SHARED q22 pair artifact (built in the untimed warmup)
+      timed("q300") { graft.operators.Dedup.nearDupContamination(docs) })
 
     val qs = times.filter(_._2 >= 0)
       .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")

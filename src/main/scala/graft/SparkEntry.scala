@@ -353,6 +353,11 @@ object SparkEntry {
     // token mass. Hot row = a crawler scraping benchmarks; hot column =
     // a leaked benchmark.
     "q299_contamination_matrix" -> ((s, d) => Dedup.contaminationMatrix(s, d)),
+    // q300: q299's LSH-verified twin — whole-document near-dups crossing
+    // the eval boundary per source cell (a paraphrased benchmark copy
+    // carries no exact window but still poisons the eval); two key-only
+    // lookups + a |sources|²-row aggregate over the shared q22 artifact
+    "q300_neardup_contamination" -> ((s, d) => Dedup.nearDupContamination(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8095,5 +8100,52 @@ object SparkEntry {
         |  CAST(SUM(nw) AS BIGINT) AS n_windows,
         |  CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
         |FROM agg GROUP BY 1, 2""".stripMargin,
+
+    // q300: the q22 verified-pair chain + eval-boundary orientation +
+    // the per-source-cell aggregate. Pair orientation is canonical
+    // (doc_a < doc_b), so a crossing pair counts once with its
+    // train/eval roles resolved per row.
+    "q300_neardup_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT doc_a, doc_b, len(list_intersect(da.shs, db.shs)) AS inter, len(da.shs) AS n_a, len(db.shs) AS n_b
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |), pr AS (
+        |  SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+        |  FROM verified
+        |  WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.8
+        |), x AS (
+        |  SELECT CASE WHEN doc_a % 10 = 3 THEN doc_b ELSE doc_a END AS train_doc,
+        |         CASE WHEN doc_a % 10 = 3 THEN doc_a ELSE doc_b END AS eval_doc,
+        |         jaccard
+        |  FROM pr WHERE (doc_a % 10 = 3) <> (doc_b % 10 = 3)
+        |)
+        |SELECT ts.source AS train_source, es.source AS eval_source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT x.train_doc) AS BIGINT) AS n_train_docs,
+        |  MAX(CAST(floor(jaccard * 1e6) AS BIGINT)) AS max_jaccard_micro
+        |FROM x JOIN documents ts ON ts.doc_id = x.train_doc
+        |JOIN documents es ON es.doc_id = x.eval_doc
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

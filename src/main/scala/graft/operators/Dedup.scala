@@ -1888,6 +1888,47 @@ object Dedup {
   def contaminationMatrix(s: SparkSession, dir: String): DataFrame =
     contaminationMatrix(Tables.documents(s, dir))
 
+  /** Near-dup contamination matrix (q300) — q299's LSH-verified twin:
+    * q299 counts VERBATIM leakage (exact 8-token windows); this counts
+    * whole-document near-dups crossing the eval boundary (a paraphrased
+    * or lightly-edited benchmark copy carries no exact window but still
+    * poisons the eval). Per (train source, eval source) cell: the
+    * verified pair count, the distinct contaminated train docs, and the
+    * worst (max) Jaccard on the micro grid. Pairs come from the SHARED
+    * q22 dup-pair artifact — at 100 TB this report costs two key-only
+    * lookups and a |sources|²-row aggregate on top of the relation the
+    * dedup pass already built.
+    *
+    * The eval tier is q289/q299's (doc_id ≡ 3 mod 10); pair orientation
+    * is canonical (doc_a < doc_b), so a crossing pair is counted once
+    * with its train/eval roles resolved per row, never double.
+    */
+  def nearDupContamination(
+      docs: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    def isEval(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c % 10 === 3
+    val pairs = minhashLsh(docs, bands, rowsPerBand, threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    val oriented = pairs
+      .filter(isEval(col("doc_a")) =!= isEval(col("doc_b")))
+      .select(
+        when(isEval(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
+        when(isEval(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
+        col("jaccard"))
+    oriented
+      .join(src.select(col("doc_id").as("train_doc"), col("source").as("train_source")).hint("shuffle_hash"), Seq("train_doc"))
+      .join(src.select(col("doc_id").as("eval_doc"), col("source").as("eval_source")).hint("shuffle_hash"), Seq("eval_doc"))
+      .groupBy(col("train_source"), col("eval_source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("train_doc")).as("n_train_docs"),
+        max(floor(col("jaccard") * 1e6).cast("long")).as("max_jaccard_micro"))
+  }
+
+  def nearDupContamination(s: SparkSession, dir: String): DataFrame =
+    nearDupContamination(Tables.documents(s, dir))
+
   /** Authority-based canonical election (q292): q195 elects a dup
     * cluster's representative by CONTENT SIZE (max n_chars); this
     * operator elects by GRAPH AUTHORITY — fixed-point PageRank

@@ -804,4 +804,23 @@ class DedupSpec extends SparkSpec {
       ("s1", "evalB") -> ((1L, 1L, 3L))),
       s"hand matrix mismatch: $got")
   }
+
+  test("nearDupContamination: only eval-boundary-crossing verified pairs count, roles oriented") {
+    import spark.implicits._
+    // doc 3 (eval) is an exact copy of train doc 5 -> one crossing pair
+    // at jaccard 1.0; docs 1/2 are a TRAIN-TRAIN dup pair and must not
+    // appear; doc 13 (eval) is clean
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon", "evalA"),
+      (5L, "alpha beta gamma delta epsilon", "s1"),
+      (1L, "uno dos tres cuatro cinco seis", "s1"),
+      (2L, "uno dos tres cuatro cinco seis", "s1"),
+      (13L, "zeta eta theta iota kappa", "evalB")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.nearDupContamination(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(("s1", "evalA") -> ((1L, 1L, 1000000L))),
+      s"only the crossing pair may count, train-train dups excluded: $got")
+  }
 }
