@@ -86,12 +86,16 @@ object Derived {
 
   private[graft] def resetBuildLog(): Unit = buildSecs.clear()
 
-  /** Marker file carrying the artifact's own key (line 1) and its schema
-    * JSON (line 2): hidden from parquet scans (dot prefix), validated
-    * before any adoption. The stored schema lets consumers read with an
-    * explicit schema — parquet schema INFERENCE runs a footer-reading
-    * Spark job per `spark.read.parquet`, which would make every memo-hit
-    * plan construction launch jobs. */
+  /** Marker file carrying the artifact's own key (line 1), its schema
+    * JSON (line 2), and the MD5 of its input PATHS (line 3): hidden from
+    * parquet scans (dot prefix), validated before any adoption. The
+    * stored schema lets consumers read with an explicit schema — parquet
+    * schema INFERENCE runs a footer-reading Spark job per
+    * `spark.read.parquet`, which would make every memo-hit plan
+    * construction launch jobs. The path digest scopes garbage collection
+    * to one DATASET: two same-name artifacts over different inputs
+    * (sf0.001 unit tests and sf0.1 bench sharing one per-user root) are
+    * both live and must never reclaim each other. */
   private val MarkerName = ".graft_fp"
 
   private[graft] def defaultRoot: String =
@@ -139,15 +143,26 @@ object Derived {
     * across sessions. Same-file, different-plan artifacts COEXIST (both
     * are live views of one generation) — GC never touches them.
     *
+    * A third digest — the MD5 of the sorted input PATHS alone, stable
+    * across regenerations of one dataset — names the DATASET for GC
+    * scoping and travels in the marker, never in the key.
+    *
     * None when any input is not file-backed (no stable content identity →
     * caller must build inline).
     */
   private[graft] def fingerprints(
-      s: SparkSession, dfs: Seq[DataFrame]): Option[(String, String)] = {
+      s: SparkSession, dfs: Seq[DataFrame]): Option[(String, String, String)] = {
     val files = dfs.flatMap(_.inputFiles)
     if (files.isEmpty || dfs.exists(_.inputFiles.isEmpty)) return None
     val conf = s.sparkContext.hadoopConfiguration
     val fmd = MessageDigest.getInstance("MD5")
+    val dmd = MessageDigest.getInstance("MD5")
+    // the dataset digest hashes the PARENT directories: an in-place
+    // regeneration rewrites the part files under the same table dir with
+    // fresh task-UUID names, and the digest must survive that (it names
+    // the dataset across generations — that is its whole job)
+    files.map(f => new Path(f).getParent.toString).distinct.sorted
+      .foreach(d => dmd.update(s"$d|".getBytes("UTF-8")))
     files.sorted.foreach { f =>
       val p = new Path(f)
       val fs = p.getFileSystem(conf)
@@ -168,11 +183,11 @@ object Derived {
     dfs.foreach(df => pmd.update(
       df.queryExecution.analyzed.canonicalized.toString.getBytes("UTF-8")))
     def hex(md: MessageDigest) = md.digest().map("%02x".format(_)).mkString
-    Some((hex(fmd), hex(pmd)))
+    Some((hex(fmd), hex(pmd), hex(dmd)))
   }
 
   def fingerprint(s: SparkSession, dfs: Seq[DataFrame]): Option[String] =
-    fingerprints(s, dfs).map { case (f, p) => s"${f}_$p" }
+    fingerprints(s, dfs).map { case (f, p, _) => s"${f}_$p" }
 
   /** Path-safe EXACT encoding of a numeric build parameter for artifact
     * names (0.8 -> "0p8", -1.5e-3 -> "m1p5Em3"). Keys must encode the
@@ -215,45 +230,51 @@ object Derived {
       build: => DataFrame): DataFrame = {
     fingerprints(s, inputs) match {
       case None => build
-      case Some((fileFp, planFp)) =>
+      case Some((fileFp, planFp, pathsFp)) =>
         val root = rootOf(s)
         val target = s"$root/${name}_${fileFp}_$planFp"
-        if (!(memo.containsKey(target) && published(s, target))) {
+        val p = new Path(target)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // one marker read serves both the memo-hit revalidation AND the
+        // publish-time schema (a second read per plan construction would
+        // double the per-artifact RPCs on a remote-FS root)
+        def valid(): Option[Marker] =
+          readMarker(fs, p).filter(m =>
+            m.key == p.getName && fs.exists(new Path(p, "_SUCCESS")))
+        var m = if (memo.containsKey(target)) valid() else None
+        if (m.isEmpty) {
           val lock = locks.computeIfAbsent(target, _ => new Object)
           lock.synchronized {
-            if (!(memo.containsKey(target) && published(s, target))) {
+            m = if (memo.containsKey(target)) valid() else None
+            if (m.isEmpty) {
               memo.remove(target)
-              ensure(s, name, fileFp, target, build)
+              ensure(s, name, fileFp, pathsFp, target, build)
               memo.put(target, target)
+              m = valid()
             }
           }
         }
         // read with the schema recorded at publish time: no inference job
-        val p = new Path(target)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        readMarker(fs, p).flatMap(_._2) match {
+        m.flatMap(_.schema) match {
           case Some(schema) => s.read.schema(schema).parquet(target)
           case None => s.read.parquet(target)
         }
     }
   }
 
-  private def published(s: SparkSession, target: String): Boolean = {
-    val p = new Path(target)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    adoptable(fs, p)
-  }
+  private case class Marker(
+      key: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      pathsFp: Option[String])
 
   /** A directory is served ONLY if it is complete (`_SUCCESS`) and carries
     * its own key in the marker — anything else (foreign pre-plant, torn
     * copy, pre-marker leftovers) is invisible to consumers. */
   private def adoptable(fs: FileSystem, target: Path): Boolean =
     fs.exists(new Path(target, "_SUCCESS")) &&
-      readMarker(fs, target).exists(_._1 == target.getName)
+      readMarker(fs, target).exists(_.key == target.getName)
 
-  /** (key, schema if recorded). */
-  private def readMarker(
-      fs: FileSystem, dir: Path): Option[(String, Option[org.apache.spark.sql.types.StructType])] = {
+  private def readMarker(fs: FileSystem, dir: Path): Option[Marker] = {
     val m = new Path(dir, MarkerName)
     try {
       if (!fs.exists(m)) None
@@ -262,43 +283,45 @@ object Derived {
         val in = fs.open(m)
         val buf = new Array[Byte](len)
         try in.readFully(buf) finally in.close()
-        val lines = new String(buf, "UTF-8").split("\n", 2)
+        val lines = new String(buf, "UTF-8").split("\n", 3)
         val schema = lines.lift(1).map(_.trim).filter(_.nonEmpty).flatMap { j =>
           try Some(org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
           catch { case scala.util.control.NonFatal(_) => None }
         }
-        Some((lines.head.trim, schema))
+        Some(Marker(lines.head.trim, schema,
+          lines.lift(2).map(_.trim).filter(_.nonEmpty)))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  private def writeMarker(
-      fs: FileSystem, dir: Path, key: String, schemaJson: String): Unit = {
+  private def writeMarker(fs: FileSystem, dir: Path, key: String,
+      schemaJson: String, pathsFp: String): Unit = {
     val out = fs.create(new Path(dir, MarkerName), true)
-    try out.write(s"$key\n$schemaJson".getBytes("UTF-8")) finally out.close()
+    try out.write(s"$key\n$schemaJson\n$pathsFp".getBytes("UTF-8")) finally out.close()
   }
 
   /** Build-or-adopt the keyed artifact at `target`. */
   private def ensure(s: SparkSession, name: String, fileFp: String,
-      targetStr: String, build: => DataFrame): Unit = {
+      pathsFp: String, targetStr: String, build: => DataFrame): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val target = new Path(targetStr)
     val fs = target.getFileSystem(conf)
     val key = target.getName
     if (adoptable(fs, target)) return
     val rootPath = target.getParent
-    if (!fs.exists(rootPath)) {
-      fs.mkdirs(rootPath)
-      // 0700 best-effort: on filesystems without POSIX perms this is a
-      // no-op; the per-user root name is the primary isolation anyway
-      try fs.setPermission(rootPath, new FsPermission("700"))
-      catch { case scala.util.control.NonFatal(_) => }
-    }
+    ensureRoot(fs, rootPath)
     // an occupied but non-adoptable target is foreign or torn: reclaim it
     // BEFORE staging, so our publish rename can land (deleting after a
-    // nesting rename would destroy our own staged copy with it)
-    if (fs.exists(target)) fs.delete(target, true)
+    // nesting rename would destroy our own staged copy with it). The
+    // adoptable verdict is re-taken HERE, not reused from the check
+    // above: a concurrent JVM may have published a valid artifact in
+    // between, and a stale verdict would delete it out from under that
+    // session's in-flight scans.
+    if (fs.exists(target)) {
+      if (adoptable(fs, target)) return
+      fs.delete(target, true)
+    }
     // stage under a session-unique name, then rename-if-absent: the loser
     // of a cross-JVM race adopts the winner's artifact. The DOT prefix
     // matters twice: Spark's file listing hides dot-paths, so a stage dir
@@ -312,11 +335,12 @@ object Derived {
     built.write.mode("overwrite").parquet(stage.toString)
     buildSecs.merge(name, Double.box((System.nanoTime() - t0) / 1e9),
       (a, b) => Double.box(a + b))
-    // the key marker (+ the schema, sparing consumers an inference job)
-    // is written INSIDE the stage before publication, so a published
-    // target always self-identifies — there is no window where a
-    // legitimate artifact exists without its marker
-    writeMarker(fs, stage, key, built.schema.json)
+    // the key marker (+ the schema, sparing consumers an inference job,
+    // + the dataset path digest that scopes GC) is written INSIDE the
+    // stage before publication, so a published target always
+    // self-identifies — there is no window where a legitimate artifact
+    // exists without its marker
+    writeMarker(fs, stage, key, built.schema.json, pathsFp)
     testPrePublishHook(target)
     if (!fs.exists(target)) fs.rename(stage, target)
     if (!adoptable(fs, target)) {
@@ -331,21 +355,55 @@ object Derived {
     // then the original stage path if the rename never consumed it
     fs.delete(new Path(target, stage.getName), true)
     fs.delete(stage, true)
-    gcSuperseded(fs, rootPath, name, fileFp)
+    gcSuperseded(fs, rootPath, name, fileFp, pathsFp)
   }
 
-  /** Reclaim disk the moment a generation dies: delete sibling artifacts
-    * of `name` keyed to a DIFFERENT file fingerprint (their input
-    * generation was regenerated — nothing will ever address them again),
-    * plus stage leftovers from crashed JVMs older than a day. Same-file,
-    * different-plan siblings are live views of the current generation and
-    * are kept. A concurrent session still scanning a reclaimed artifact
-    * rebuilds via memo revalidation — correctness is unaffected, the
-    * cost is one redundant build in a window that requires regenerating
-    * the inputs mid-flight.
+  /** Root bring-up, run on EVERY build (not just creation): a root that
+    * pre-exists — benign or pre-planted — still gets the 0700 tightening
+    * attempt, and a root owned by another user is refused outright
+    * instead of silently adopted (the pre-plant attack is another user
+    * preparing the per-user path before the victim's first run). The
+    * ownership probe is best-effort: filesystems that don't report
+    * owners skip it, and the per-user root NAME plus the in-artifact
+    * markers remain the fallback boundary.
     */
-  private def gcSuperseded(
-      fs: FileSystem, root: Path, name: String, liveFileFp: String): Unit = {
+  private def ensureRoot(fs: FileSystem, rootPath: Path): Unit = {
+    if (!fs.exists(rootPath)) fs.mkdirs(rootPath)
+    try fs.setPermission(rootPath, new FsPermission("700"))
+    catch { case scala.util.control.NonFatal(_) => }
+    try {
+      val owner = fs.getFileStatus(rootPath).getOwner
+      val me = sys.props.getOrElse("user.name", "")
+      if (owner != null && owner.nonEmpty && me.nonEmpty && owner != me)
+        throw new ForeignRootException(
+          s"Derived: root $rootPath is owned by '$owner', not '$me' — " +
+            "another user pre-created it; set spark.graft.derived.root " +
+            "to a directory you own")
+    } catch {
+      case e: ForeignRootException => throw e
+      case scala.util.control.NonFatal(_) => // FS without owner reporting
+    }
+  }
+
+  private[graft] final class ForeignRootException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Reclaim disk the moment a generation dies: delete sibling artifacts
+    * of `name` keyed to a DIFFERENT file fingerprint whose marker names
+    * the SAME dataset (path digest) — their input generation was
+    * regenerated in place, nothing will ever address them again — plus
+    * stage leftovers from crashed JVMs older than a day. Two classes of
+    * sibling are deliberately kept: same-file different-plan artifacts
+    * (live views of the current generation) and same-name artifacts over
+    * a DIFFERENT dataset (sf0.001 unit tests and sf0.1 bench share one
+    * per-user root; reclaiming across datasets would make every run GC
+    * the other's live artifact in an endless rebuild ping-pong).
+    * Pre-path-digest markers are skipped, never guessed at. A concurrent
+    * session still scanning a reclaimed artifact rebuilds via memo
+    * revalidation — correctness is unaffected.
+    */
+  private def gcSuperseded(fs: FileSystem, root: Path, name: String,
+      liveFileFp: String, pathsFp: String): Unit = {
     val re = ("^" + java.util.regex.Pattern.quote(name) +
       "_([0-9a-f]{32})_[0-9a-f]{32}$").r
     val dayMs = 24L * 3600 * 1000
@@ -356,8 +414,10 @@ object Derived {
       val n = st.getPath.getName
       n match {
         case re(ffp) if ffp != liveFileFp =>
-          fs.delete(st.getPath, true)
-          memo.remove(s"$root/$n")
+          if (readMarker(fs, st.getPath).flatMap(_.pathsFp).contains(pathsFp)) {
+            fs.delete(st.getPath, true)
+            memo.remove(s"$root/$n")
+          }
         case _ if n.startsWith(".stage_") &&
             st.getModificationTime < System.currentTimeMillis() - dayMs =>
           fs.delete(st.getPath, true)

@@ -522,7 +522,12 @@ object Dedup {
       val s = next.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
       labels = next
-      converged = prevSum != null && s.compareTo(prevSum) == 0
+      // s == null means ZERO labels: an empty fixpoint, converged by
+      // definition. This arm matters when the footer-based edgeCount
+      // over-counted a filtered file-backed view down to emptiness —
+      // without it the NULL sum never equals anything and the loop
+      // burns maxIters before throwing.
+      converged = s == null || (prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       iter += 1
     }
@@ -1787,10 +1792,16 @@ object Dedup {
     * EVAL tier (a fixed fraction); the semi-join and islands shuffle
     * matched windows only.
     */
+  /** The held-out eval tier: doc_id ≡ 3 mod 10. ONE definition — the
+    * rule is a cross-query contract (q289's scrub, q299's heat matrix,
+    * and q300's near-dup matrix must agree on the boundary, and every
+    * DuckDB oracle hardcodes `% 10 = 3`); per-operator copies could
+    * silently desynchronize under a future tier change. */
+  private def evalTier(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 10 === 3
+
   def decontamScrub(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"a contamination run needs k >= 2 tokens, got $k")
-    def isEval(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      c % 10 === 3
     val toks = docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), Text.words(col("text")).as("w"))
@@ -1800,10 +1811,10 @@ object Dedup {
         posexplode(graft.functions.KrWindowFp.krWindowFp(col("w"), k))
           .as(Seq("p0", "fp")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("fp"))
-    val evalFp = pos.filter(isEval(col("doc_id"))).select(col("fp")).distinct()
+    val evalFp = pos.filter(evalTier(col("doc_id"))).select(col("fp")).distinct()
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("p"))
     val spans = pos
-      .filter(!isEval(col("doc_id")))
+      .filter(!evalTier(col("doc_id")))
       .join(evalFp.hint("shuffle_hash"), Seq("fp"), "left_semi")
       .withColumn("brk",
         when(col("p") - lag(col("p"), 1).over(byDoc) > k, 1).otherwise(0))
@@ -1814,7 +1825,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
     toks
-      .filter(!isEval(col("doc_id")))
+      .filter(!evalTier(col("doc_id")))
       .hint("shuffle_hash")
       .join(spans, Seq("doc_id"), "left")
       .withColumn("kept", when(col("cuts").isNull, col("w")).otherwise(
@@ -1848,8 +1859,6 @@ object Dedup {
     */
   def contaminationMatrix(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"a contamination run needs k >= 2 tokens, got $k")
-    def isEval(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      c % 10 === 3
     val toks = docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
@@ -1861,9 +1870,9 @@ object Dedup {
       .select(col("doc_id"), col("source"), (col("p0") + 1).as("p"), col("fp"))
     // (fp, eval_source) distinct: a window hits a given eval SOURCE once
     // no matter how many of that source's docs carry it
-    val evalFp = pos.filter(isEval(col("doc_id")))
+    val evalFp = pos.filter(evalTier(col("doc_id")))
       .select(col("fp"), col("source").as("eval_source")).distinct()
-    val hits = pos.filter(!isEval(col("doc_id")))
+    val hits = pos.filter(!evalTier(col("doc_id")))
       .hint("shuffle_hash")
       .join(evalFp.hint("shuffle_hash"), Seq("fp"))
       .select(col("doc_id"), col("source").as("train_source"),
@@ -1907,15 +1916,13 @@ object Dedup {
       docs: DataFrame,
       bands: Int = 4, rowsPerBand: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    def isEval(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      c % 10 === 3
     val pairs = minhashLsh(docs, bands, rowsPerBand, threshold)
     val src = docs.select(col("doc_id"), col("source"))
     val oriented = pairs
-      .filter(isEval(col("doc_a")) =!= isEval(col("doc_b")))
+      .filter(evalTier(col("doc_a")) =!= evalTier(col("doc_b")))
       .select(
-        when(isEval(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
-        when(isEval(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
+        when(evalTier(col("doc_a")), col("doc_b")).otherwise(col("doc_a")).as("train_doc"),
+        when(evalTier(col("doc_a")), col("doc_a")).otherwise(col("doc_b")).as("eval_doc"),
         col("jaccard"))
     oriented
       .join(src.select(col("doc_id").as("train_doc"), col("source").as("train_source")).hint("shuffle_hash"), Seq("train_doc"))

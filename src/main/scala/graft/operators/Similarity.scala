@@ -630,8 +630,12 @@ object Similarity {
   private def standingCentroids(emb: DataFrame, nCells: Int, iters: Int): DataFrame = {
     val bucketed = emb.withColumn("bucket", Corpus.hashBucket(col("vec_id")))
     val corpus = bucketed.filter(col("bucket") < 95).drop("bucket")
+    // fingerprint on the FILTERED relation, not the parent table: the
+    // plan half of the key then covers the tier split itself, so editing
+    // the split predicate re-keys the artifact instead of silently
+    // serving a codebook trained on the old tier from a persisted store
     graft.Derived.materialized(emb.sparkSession,
-      s"kmeans_cents_corpus95_c${nCells}_i$iters", Seq(emb)) {
+      s"kmeans_cents_corpus95_c${nCells}_i$iters", Seq(corpus)) {
       kmeansCentroidsInline(corpus, nCells, iters)
     }
   }

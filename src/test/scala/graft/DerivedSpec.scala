@@ -243,6 +243,35 @@ class DerivedSpec extends SparkSpec {
     }
   }
 
+  test("GC is dataset-scoped: same-name artifacts over DIFFERENT datasets coexist") {
+    withRoot { root =>
+      // sf0.001 unit tests and sf0.1 bench share one per-user root and
+      // build the same artifact NAMES from different inputs; reclaiming
+      // across datasets would make every run GC the other's live
+      // artifact in an endless rebuild ping-pong
+      val base = Files.createTempDirectory("derived-spec-gcx").toString
+      val (inA, inB) = (s"$base/dsA.parquet", s"$base/dsB.parquet")
+      freshInput(Seq((1L, "a")), inA)
+      freshInput(Seq((2L, "b"), (3L, "b")), inB)
+      def build(in: String) =
+        Derived.materialized(spark, "spec_gcx", Seq(spark.read.parquet(in))) {
+          spark.read.parquet(in).groupBy(col("v")).agg(count(lit(1)).as("n"))
+        }.collect()
+      build(inA)
+      build(inB)
+      assert(artifactDirs(root, "spec_gcx").length === 2,
+        "two datasets' artifacts under one name must coexist")
+      // regenerating dataset A reclaims only A's old generation
+      freshInput(Seq((1L, "a2")), inA)
+      build(inA)
+      val left = artifactDirs(root, "spec_gcx")
+      assert(left.length === 2,
+        s"A's old generation GC'd, B's live artifact untouched: $left")
+      assert(build(inB).map(_.getString(0)).toSet === Set("b"),
+        "dataset B still serves its own artifact")
+    }
+  }
+
   test("a lost publish race adopts the winner's artifact and leaks no nested stage copy") {
     withRoot { root =>
       import spark.implicits._
@@ -288,7 +317,7 @@ class DerivedSpec extends SparkSpec {
       val in = s"$base/input.parquet"
       freshInput(Seq((1L, "real"), (2L, "real")), in)
       val df = spark.read.parquet(in)
-      val (fileFp, planFp) = Derived.fingerprints(spark, Seq(df)).get
+      val (fileFp, planFp, _) = Derived.fingerprints(spark, Seq(df)).get
       // an attacker (or a torn copy) occupies the key with a _SUCCESS but
       // no self-identifying marker
       val target = new java.io.File(s"$root/spec_plant_${fileFp}_$planFp")
