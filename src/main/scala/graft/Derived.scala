@@ -69,6 +69,30 @@ object Derived {
   private val memo = new ConcurrentHashMap[String, String]()
   private val locks = new ConcurrentHashMap[String, Object]()
 
+  /** Tail-probe cache: the last <=1 KB of each input file, keyed by path
+    * and validated against (length, mtime). Without it every
+    * [[materialized]] call re-opens, seeks, and reads the tail of EVERY
+    * input file — ~3x the driver RPCs of a plain status probe, multiplied
+    * across 3 reps x 300 queries in Bench and painful on many-file or
+    * remote-FS inputs. With it, steady state is ONE getFileStatus per
+    * file; the tail is re-read only when the status changed.
+    *
+    * The git racy-index rule keeps the in-place-rewrite detection honest:
+    * an entry is STORED only when the file has been quiescent for
+    * [[TailRacyWindowMs]] (mtime comfortably older than now). A file
+    * whose tail we read moments after it was written is never cached, so
+    * a rewrite that lands in the same mtime tick — the accidental
+    * collision the tail probe exists to catch — is still re-read and
+    * detected on the next call. The residual hole is an adversarial
+    * rewrite of a LONG-quiescent file that deliberately backdates mtime
+    * and preserves length (same trust model as git's index); bench/test
+    * inputs are written immediately before use and always fall inside the
+    * racy window, so the DerivedSpec tail-probe contract is unaffected.
+    */
+  private case class TailEntry(len: Long, mtime: Long, tail: Array[Byte])
+  private val tailCache = new ConcurrentHashMap[String, TailEntry]()
+  private val TailRacyWindowMs = 30000L
+
   /** Cumulative wall seconds spent BUILDING each artifact name in this
     * JVM (the stage write, not the consumer scan). Bench/ScaleSmoke read
     * this after a sweep so the one-time build cost of every shared
@@ -170,13 +194,25 @@ object Derived {
       fmd.update(s"$f|${st.getLen}|${st.getModificationTime}|".getBytes("UTF-8"))
       val n = math.min(st.getLen, 1024L).toInt
       if (n > 0) {
-        val in = fs.open(p)
-        try {
-          in.seek(st.getLen - n)
-          val buf = new Array[Byte](n)
-          in.readFully(buf)
-          fmd.update(buf)
-        } finally in.close()
+        val cached = tailCache.get(f)
+        val tail =
+          if (cached != null && cached.len == st.getLen &&
+              cached.mtime == st.getModificationTime) cached.tail
+          else {
+            val in = fs.open(p)
+            val buf = new Array[Byte](n)
+            try {
+              in.seek(st.getLen - n)
+              in.readFully(buf)
+            } finally in.close()
+            // git racy-index rule: cache only quiescent files (see the
+            // tailCache scaladoc) so same-mtime-tick rewrites stay visible
+            if (st.getModificationTime + TailRacyWindowMs <=
+                System.currentTimeMillis())
+              tailCache.put(f, TailEntry(st.getLen, st.getModificationTime, buf))
+            buf
+          }
+        fmd.update(tail)
       }
     }
     val pmd = MessageDigest.getInstance("MD5")
@@ -237,7 +273,11 @@ object Derived {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         // one marker read serves both the memo-hit revalidation AND the
         // publish-time schema (a second read per plan construction would
-        // double the per-artifact RPCs on a remote-FS root)
+        // double the per-artifact RPCs on a remote-FS root). The memo-hit
+        // path skips the root OWNERSHIP probe deliberately: memo entries
+        // exist only after THIS JVM ran ensure(), which verifies root
+        // ownership before it will adopt or build anything
+
         def valid(): Option[Marker] =
           readMarker(fs, p).filter(m =>
             m.key == p.getName && fs.exists(new Path(p, "_SUCCESS")))
@@ -308,9 +348,15 @@ object Derived {
     val target = new Path(targetStr)
     val fs = target.getFileSystem(conf)
     val key = target.getName
-    if (adoptable(fs, target)) return
+    // root ownership is verified BEFORE any adoption: the pre-plant attack
+    // is another user pre-creating the per-user root and planting an
+    // artifact under it with a computable key and a well-formed marker
+    // (the key derives from world-readable inputs plus the deterministic
+    // plan string) — an adoptable() early-return that ran first would
+    // serve the planted data as query results
     val rootPath = target.getParent
     ensureRoot(fs, rootPath)
+    if (adoptable(fs, target)) return
     // an occupied but non-adoptable target is foreign or torn: reclaim it
     // BEFORE staging, so our publish rename can land (deleting after a
     // nesting rename would destroy our own staged copy with it). The
@@ -355,7 +401,8 @@ object Derived {
     // then the original stage path if the rename never consumed it
     fs.delete(new Path(target, stage.getName), true)
     fs.delete(stage, true)
-    gcSuperseded(fs, rootPath, name, fileFp, pathsFp)
+    gcSuperseded(fs, rootPath, name, fileFp, pathsFp,
+      s.conf.get("spark.graft.derived.gcGraceMs", "0").toLong)
   }
 
   /** Root bring-up, run on EVERY build (not just creation): a root that
@@ -398,12 +445,22 @@ object Derived {
     * a DIFFERENT dataset (sf0.001 unit tests and sf0.1 bench share one
     * per-user root; reclaiming across datasets would make every run GC
     * the other's live artifact in an endless rebuild ping-pong).
-    * Pre-path-digest markers are skipped, never guessed at. A concurrent
-    * session still scanning a reclaimed artifact rebuilds via memo
-    * revalidation — correctness is unaffected.
+    * Pre-path-digest markers are skipped, never guessed at.
+    *
+    * Cross-session race, stated honestly: memo revalidation runs at PLAN
+    * CONSTRUCTION only, so a concurrent session whose DataFrame was
+    * already constructed over the superseded generation fails mid-
+    * execution with FileNotFoundException when the delete lands — a
+    * TRANSIENT job failure (the session's next construction revalidates
+    * and rebuilds), not a silent wrong answer, but not a free rebuild
+    * either. `spark.graft.derived.gcGraceMs` (default 0 — reclaim
+    * immediately, the disk-stops-growing contract DerivedSpec pins)
+    * defers reclaim of superseded generations younger than the grace, so
+    * a long-lived shared root can shrink that window to the length of its
+    * longest-running consumer job.
     */
   private def gcSuperseded(fs: FileSystem, root: Path, name: String,
-      liveFileFp: String, pathsFp: String): Unit = {
+      liveFileFp: String, pathsFp: String, graceMs: Long): Unit = {
     val re = ("^" + java.util.regex.Pattern.quote(name) +
       "_([0-9a-f]{32})_[0-9a-f]{32}$").r
     val dayMs = 24L * 3600 * 1000
@@ -414,7 +471,8 @@ object Derived {
       val n = st.getPath.getName
       n match {
         case re(ffp) if ffp != liveFileFp =>
-          if (readMarker(fs, st.getPath).flatMap(_.pathsFp).contains(pathsFp)) {
+          if (readMarker(fs, st.getPath).flatMap(_.pathsFp).contains(pathsFp) &&
+              st.getModificationTime < System.currentTimeMillis() - graceMs) {
             fs.delete(st.getPath, true)
             memo.remove(s"$root/$n")
           }

@@ -129,24 +129,39 @@ object Tables {
 
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
-  /** Parquet schema memo, per table path. Spark 4 runs footer schema
-    * inference as a SPARK JOB on every cold `spark.read.parquet`
+  /** Parquet schema memo, per table path, VALIDATED against the table
+    * directory's mtime. Spark 4 runs footer schema inference as a SPARK
+    * JOB on every cold `spark.read.parquet`
     * (SchemaMergeUtils.mergeSchemasInParallel, even for one file), so an
     * uncached loader charges one job to every plan construction — Bench
     * reps, PlanDump, and the q283/q114 zero-jobs-at-construction
-    * contract all pay it. The testdata generations under one path are
-    * immutable for a JVM's lifetime (the driver regenerates between
-    * runs, never mid-run), so first read infers, later reads pass the
-    * schema explicitly. */
+    * contract all pay it. The memo key carries the directory's
+    * modification time rather than trusting JVM-lifetime immutability:
+    * a regeneration in place (ScaleSmoke's amplified-table writer, a
+    * driver rerun against a live JVM) rewrites the part files under the
+    * same dir — every parquet writer deletes/creates children, which
+    * bumps the DIRECTORY mtime — and a stale memoized schema would then
+    * yield wrong reads (e.g. the events ts layout this loader explicitly
+    * adapts to) with no revalidation. Cost: one driver-side
+    * getFileStatus per read instead of one inference JOB per cold read —
+    * still zero Spark jobs at plan construction. */
+  private case class MemoEntry(dirMtime: Long, schema: org.apache.spark.sql.types.StructType)
   private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String, MemoEntry]()
 
   private def read(s: SparkSession, path: String): DataFrame = {
+    val mtime =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getModificationTime
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     val known = schemaMemo.get(path)
-    if (known != null) s.read.schema(known).parquet(path)
+    if (known != null && mtime >= 0 && known.dirMtime == mtime)
+      s.read.schema(known.schema).parquet(path)
     else {
       val df = s.read.parquet(path)
-      schemaMemo.put(path, df.schema)
+      if (mtime >= 0) schemaMemo.put(path, MemoEntry(mtime, df.schema))
       df
     }
   }

@@ -363,6 +363,76 @@ class DerivedSpec extends SparkSpec {
       "a same-length same-mtime content rewrite must re-key via the tail checksum")
   }
 
+  test("a well-formed plant under a FOREIGN-OWNED root is refused on the adopt path, never served") {
+    // the pre-plant attack the adopt path must also close: the artifact
+    // key is computable from world-readable inputs plus the deterministic
+    // canonicalized plan, so an attacker can pre-create the per-user root
+    // and plant a COMPLETE artifact (_SUCCESS + correct .graft_fp) under
+    // it — adoption must be gated on root ownership exactly like builds
+    val nobody =
+      try Some(java.nio.file.FileSystems.getDefault
+        .getUserPrincipalLookupService.lookupPrincipalByName("nobody"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    assume(nobody.isDefined && sys.props.get("user.name").contains("root"),
+      "needs root + a 'nobody' principal to simulate a foreign owner")
+    val base = Files.createTempDirectory("derived-spec-foreign").toString
+    val in = s"$base/input.parquet"
+    freshInput(Seq((1L, "mine"), (2L, "mine")), in)
+    def q() = {
+      val df = spark.read.parquet(in)
+      Derived.materialized(spark, "spec_foreign", Seq(df)) {
+        df.groupBy(col("v")).agg(count(lit(1)).as("n"))
+      }.collect()
+    }
+    // victim's own root first: produce the exact bytes an attacker would
+    // plant (a fully adoptable artifact for the victim's key)
+    val victimRoot = s"$base/victim-root"
+    spark.conf.set("spark.graft.derived.root", victimRoot)
+    try q() finally spark.conf.unset("spark.graft.derived.root")
+    // attacker's root: same tree, foreign-owned
+    val attackerRoot = s"$base/attacker-root"
+    def copy(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => copy(f, new java.io.File(dst, f.getName)))
+      } else Files.copy(src.toPath, dst.toPath)
+    }
+    copy(new java.io.File(victimRoot), new java.io.File(attackerRoot))
+    Files.setOwner(java.nio.file.Paths.get(attackerRoot), nobody.get)
+    spark.conf.set("spark.graft.derived.root", attackerRoot)
+    try {
+      val e = intercept[java.io.IOException](q())
+      assert(e.getMessage.contains("owned by"),
+        s"adoption under a foreign root must refuse, got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.derived.root")
+  }
+
+  test("spark.graft.derived.gcGraceMs defers reclaim of superseded generations") {
+    withRoot { root =>
+      val base = Files.createTempDirectory("derived-spec-grace").toString
+      val in = s"$base/input.parquet"
+      freshInput(Seq((1L, "a")), in)
+      def build() =
+        Derived.materialized(spark, "spec_grace", Seq(spark.read.parquet(in))) {
+          spark.read.parquet(in).groupBy(col("v")).agg(count(lit(1)).as("n"))
+        }.collect()
+      build()
+      // a long grace keeps the superseded generation for in-flight scans
+      spark.conf.set("spark.graft.derived.gcGraceMs", "3600000")
+      try {
+        freshInput(Seq((1L, "b")), in)
+        build()
+        assert(artifactDirs(root, "spec_grace").length === 2,
+          "within the grace window the superseded generation must survive")
+      } finally spark.conf.unset("spark.graft.derived.gcGraceMs")
+      // default (0): the next publish reclaims everything superseded
+      freshInput(Seq((1L, "c")), in)
+      build()
+      assert(artifactDirs(root, "spec_grace").length === 1,
+        "past the grace window superseded generations are reclaimed")
+    }
+  }
+
   test("build wall time is recorded per artifact name, once — consumers scanning the artifact add nothing") {
     withRoot { _ =>
       val base = Files.createTempDirectory("derived-spec-timer").toString

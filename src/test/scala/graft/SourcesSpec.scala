@@ -83,6 +83,26 @@ class SourcesSpec extends SparkSpec {
     assert(real.limit(1).count() === 1)
   }
 
+  test("Tables schema memo revalidates on regeneration: a changed physical schema is picked up") {
+    import spark.implicits._
+    // the Derived staleness lesson applied to the SCHEMA memo: inputs can
+    // be regenerated in place mid-JVM (ScaleSmoke's amplified-table
+    // writer), and if the regeneration changes the physical layout a
+    // JVM-lifetime memo would read the new files under the OLD schema
+    val dir = java.nio.file.Files.createTempDirectory("sources-memo").toString
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.sources.Tables.documents(spark, dir).schema.fieldNames.toSeq
+      === Seq("doc_id", "text"))
+    // regenerate in place with an EXTRA column — the dir mtime moves
+    // (parquet overwrite deletes/creates children), so the memo must miss
+    Seq((1L, "a", 9L)).toDF("doc_id", "text", "extra")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.sources.Tables.documents(spark, dir).schema.fieldNames.toSeq
+      === Seq("doc_id", "text", "extra"),
+      "a stale memoized schema survived an in-place regeneration")
+  }
+
   test("decode tolerates malformed messages as null-field rows, not crashes") {
     import spark.implicits._
     val junk = Seq("{not json", """{"streamingeventid":"x1","heartrate":"nope"}""")
