@@ -84,6 +84,13 @@ def run_build_isolates(build: str, consumer_short: str, sf: str) -> list[float]:
         return []
     out = []
     for _ in range(ISOLATE_REPS):
+        # a crashed sbt run must yield NO reading for this rep, not a
+        # silent re-read of the previous rep's (or a prior isolate's)
+        # leftover file masquerading as fresh evidence
+        try:
+            os.remove("/tmp/bench_isolate.json")
+        except OSError:
+            pass
         subprocess.run(
             ["sbt", "-batch", "runMain graft.Bench"],
             capture_output=True, text=True,
@@ -131,6 +138,14 @@ def main() -> int:
     build_consumers = full.get("build_consumers", {})
     build_pins = baseline.get("builds", {})
     build_flagged = []
+    # advisory (non-gating) ratio vs the RAW pin for every pinned build:
+    # the 2.5 s floor means a sub-second build can regress ~5x before the
+    # gate trips, so drift must be VISIBLE in the artifact before it ever
+    # crosses the floored gate
+    build_ratios_raw = {
+        name: round(t / build_pins[name], 2)
+        for name, t in sorted(builds.items()) if build_pins.get(name)
+    }
     for name, t in sorted(builds.items()):
         pin = build_pins.get(name)
         if pin is None:
@@ -138,8 +153,12 @@ def main() -> int:
         denom = max(pin, BUILD_FLOOR_SEC)
         if t / denom > GATE:
             consumer = build_consumers.get(name, "")
+            # a build with no recorded consumer (triggered outside any
+            # timed query) CANNOT be isolated — report it as such instead
+            # of auto-confirming its single-shot sweep reading
             iso = run_build_isolates(name, consumer, sf) if consumer else []
             floor = min(iso) if iso else t
+            unisolatable = not consumer and not no_isolate()
             build_flagged.append({
                 "build": name, "sweep_sec": t, "pin_sec": pin,
                 "consumer": consumer,
@@ -147,7 +166,8 @@ def main() -> int:
                 "sweep_ratio_floored": round(t / denom, 2),
                 "isolates_sec": iso,
                 "isolate_floor_ratio_floored": round(floor / denom, 2),
-                "confirmed": floor / denom > GATE,
+                "unisolatable": unisolatable,
+                "confirmed": (not unisolatable) and floor / denom > GATE,
             })
 
     pin_sum = round(sum(pins.values()), 3)
@@ -176,6 +196,10 @@ def main() -> int:
         "flagged": flagged,
         "builds_sec": {k: builds[k] for k in sorted(builds)},
         "build_consumers": {k: build_consumers[k] for k in sorted(build_consumers)},
+        # ADVISORY, never gating: sweep/raw-pin ratio per pinned build, so
+        # sub-floor drift (a 0.86 s build sliding toward the 2.5 s floor)
+        # is visible rounds before the floored gate could trip
+        "build_ratios_vs_raw_pin": build_ratios_raw,
         "build_flagged": build_flagged,
         "confirmed_regressions": confirmed,
         "queries_sec": {k: qsec[k] for k in sorted(qsec)},
@@ -195,7 +219,13 @@ def main() -> int:
     for f in build_flagged:
         print("  FLAG build:" + f["build"], f["sweep_sec"], "vs pin",
               f["pin_sec"], "isolates", f["isolates_sec"],
-              "CONFIRMED" if f["confirmed"] else "box-state (cleared)")
+              "CONFIRMED" if f["confirmed"]
+              else ("UNISOLATABLE (no recorded consumer; not auto-confirmed)"
+                    if f.get("unisolatable") else "box-state (cleared)"))
+    for name, r in sorted(build_ratios_raw.items(), key=lambda kv: -kv[1]):
+        if r > 1.5:
+            print(f"  advisory build drift {name}: {r}x raw pin "
+                  f"({builds[name]} s vs {build_pins[name]} s; non-gating)")
     return 1 if confirmed else 0
 
 
