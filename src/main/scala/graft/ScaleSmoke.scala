@@ -253,16 +253,19 @@ object ScaleSmoke {
         graft.operators.Dedup.deltaDedup(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
       },
       timed("q200") {
-        graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
+        graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2,
+          threshold = 0.8, auditCap = 1000)
       },
-      // the audit family's second operating point + the quadratic-truth
-      // consumers (round-17: re-measured with the build/consumer split —
-      // the ngramJaccard truth and the threshold-independent band
-      // candidates are shared derived artifacts since round 16)
+      // the audit family's second operating point + the truth consumers.
+      // Round 18: the recall audits run on the bounded 1000-doc md5 tier
+      // (their O(cap²) truth builds are flat in corpus size by design),
+      // splitLeakage rides the shared verified LSH pair artifact, and
+      // q21 remains the one deliberate full-corpus quadratic-truth scan
       timed("q21") { graft.operators.Dedup.ngramJaccard(docs, threshold = 0.5) },
       timed("q234") { graft.operators.Dedup.splitLeakage(docs) },
       timed("q294") {
-        graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2, threshold = 0.5)
+        graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2,
+          threshold = 0.5, auditCap = 1000)
       },
       timed("q203") { graft.operators.Prep.dsirWeights(docs) },
       timed("q205") { graft.operators.Corpus.sourceDivergence(docs) },

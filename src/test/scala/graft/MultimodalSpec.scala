@@ -37,6 +37,42 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(3L) === ((w, h, sum)))
   }
 
+  test("sniffContainer routes by real magic bytes, unknown on junk") {
+    assert(Multimodal.sniffContainer(Multimodal.syntheticPng(9L)) === "png")
+    assert(Multimodal.sniffContainer(Multimodal.syntheticGif(7L)) === "gif")
+    assert(Multimodal.sniffContainer(Multimodal.syntheticWav(5L)) === "wav")
+    assert(Multimodal.sniffContainer("not a container".getBytes("UTF-8")) === "unknown")
+    assert(Multimodal.sniffContainer(Array.emptyByteArray) === "unknown")
+  }
+
+  test("meta reads header metadata from the REAL containers across all three modalities") {
+    val rows = Multimodal.meta(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))).toMap
+    assert(rows.size === 500)
+    // one id per modality, checked against the synthesis closed forms —
+    // the values came off reader.getWidth/getNumImages/getFrameLength,
+    // i.e. out of real container structures, not a stub formula
+    assert(rows(3L) === (("png", Some(16 + 3 % 48), Some(16 + (3 * 7) % 48), 1)))
+    assert(rows(7L) === (("gif", Some(8), Some(8), (1 + 7 % 8).toInt)))
+    assert(rows(5L) === (("wav", None, None, (256 + 5 % 512).toInt)))
+  }
+
+  test("decodeFeatures computes every feature from genuinely decoded content (tri-modal)") {
+    val rows = Multimodal.decodeFeatures(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)), r.getInt(4),
+          r.getLong(5)))).toMap
+    assert(rows.size === 500)
+    val (pw, ph, psum) = Multimodal.decodePng(Multimodal.syntheticPng(3L))
+    assert(rows(3L) === (("png", Some(pw), Some(ph), 1, psum)))
+    val gframes = Multimodal.decodeGifFrames(Multimodal.syntheticGif(7L))
+    assert(rows(7L) === (("gif", Some(8), Some(8), gframes.length,
+      gframes.map(_._2).sum)))
+    val (wn, _, wabs) = Multimodal.decodeWav(Multimodal.syntheticWav(5L))
+    assert(rows(5L) === (("wav", None, None, wn, wabs)))
+  }
+
   test("syntheticWav emits a real RIFF/WAVE container with formula sample count") {
     val bytes = Multimodal.syntheticWav(42L)
     assert(new String(bytes.take(4), "US-ASCII") === "RIFF", "RIFF magic")
