@@ -45,18 +45,109 @@ final class InMemoryKVStore extends KVStore {
   override def delete(key: String): Unit = { m.remove(key); () }
 }
 
-/** Name-keyed store registry. The name-lookup-from-task-threads pattern is
-  * a `local[*]` contract — executors share the driver JVM here, so the
-  * task resolves the driver's instance; on a real cluster each executor
-  * JVM would mint its own empty [[InMemoryKVStore]]. See README "Design
-  * for scale" (the KV state store bullet) for the deployment shape: a
-  * client-per-partition [[KVStore]] against a shared service behind the
-  * same trait.
+/** Durable file-backed [[KVStore]]: one file per key under `root`, every
+  * put staged to a unique temp file and ATOMICALLY renamed over the key's
+  * file — a reader (same JVM or another process) sees the old item or the
+  * new one, never a torn write; last rename wins, which is exactly the
+  * keyed LWW contract. Deletes are physical unlinks, so the governed-erase
+  * guarantees (RTBF state eviction, `forgetTributes`' residual check) are
+  * proven against real bytes on disk rather than a heap map: after
+  * `delete(k)`, `get(k)` is a filesystem probe that finds nothing.
+  *
+  * Encoding: keys URL-encode into file names (`k_<enc(key)>`); items are
+  * one `enc(field)\tenc(value)` line each (a null value encodes as the
+  * field alone), sorted by field for deterministic bytes. Everything is
+  * reversible, so `snapshot()` is a directory scan. This mirrors the
+  * event-log sink's discipline (one object per key, idempotent rewrite)
+  * and stands in for the reference's DynamoDB table with actual
+  * durability: a restarted process resolves the same root and reads the
+  * state the previous run converged to.
+  *
+  * Concurrency: temp names are unique per put (no two writers collide),
+  * rename is atomic within a filesystem, and readers tolerate keys
+  * vanishing mid-scan (concurrent delete) by skipping them.
+  */
+final class FileKVStore(root: String) extends KVStore {
+  import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+  private def rootPath = {
+    val p = JPaths.get(root)
+    JFiles.createDirectories(p)
+    p
+  }
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+  private def keyFile(key: String) = rootPath.resolve("k_" + enc(key))
+
+  override def put(key: String, item: Map[String, String]): Unit = {
+    val dir = rootPath
+    val tmp = JFiles.createTempFile(dir, ".put-", ".tmp")
+    val body = item.toSeq.sortBy(_._1).map { case (k, v) =>
+      if (v == null) enc(k) else enc(k) + "\t" + enc(v)
+    }.mkString("\n")
+    JFiles.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try JFiles.move(tmp, keyFile(key),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        JFiles.move(tmp, keyFile(key), StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def parse(body: String): Map[String, String] =
+    body.split("\n").iterator.filter(_.nonEmpty).map { line =>
+      line.split("\t", 2) match {
+        case Array(k, v) => dec(k) -> dec(v)
+        case Array(k) => dec(k) -> null
+      }
+    }.toMap
+
+  override def get(key: String): Option[Map[String, String]] =
+    try Some(parse(JFiles.readString(keyFile(key), StandardCharsets.UTF_8)))
+    catch {
+      case _: java.nio.file.NoSuchFileException => None
+      case _: java.io.FileNotFoundException => None
+    }
+
+  override def snapshot(): Map[String, Map[String, String]] = {
+    val out = Map.newBuilder[String, Map[String, String]]
+    val stream = JFiles.list(rootPath)
+    try stream.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("k_")) {
+        try out += dec(n.stripPrefix("k_")) ->
+          parse(JFiles.readString(p, StandardCharsets.UTF_8))
+        catch {
+          case _: java.nio.file.NoSuchFileException => // deleted mid-scan
+          case _: java.io.FileNotFoundException =>
+        }
+      }
+    } finally stream.close()
+    out.result()
+  }
+
+  override def delete(key: String): Unit = {
+    JFiles.deleteIfExists(keyFile(key))
+    ()
+  }
+}
+
+/** Name-keyed store registry. Names starting with `file:` resolve to a
+  * durable [[FileKVStore]] rooted at the path after the prefix — and
+  * because the NAME carries the full connection, task threads in ANY JVM
+  * resolve equivalent clients over the same filesystem state (the
+  * client-per-partition deployment shape, actually exercised). All other
+  * names resolve to a per-JVM [[InMemoryKVStore]], which makes the
+  * name-lookup-from-task-threads pattern a `local[*]` contract for them —
+  * executors share the driver JVM here, so the task resolves the driver's
+  * instance; on a real cluster each executor JVM would mint its own empty
+  * map. See README "Design for scale" (the KV state store bullet).
   */
 object KVRegistry {
   private val stores = new ConcurrentHashMap[String, KVStore]()
   def getOrCreate(name: String): KVStore =
-    stores.computeIfAbsent(name, _ => new InMemoryKVStore)
+    stores.computeIfAbsent(name, n =>
+      if (n.startsWith("file:")) new FileKVStore(n.stripPrefix("file:"))
+      else new InMemoryKVStore)
 }
 
 /** Hadoop Configuration is not Serializable; this wrapper ships it to
@@ -248,10 +339,19 @@ object TributePipeline {
     }
   }
 
+  /** The forget/tombstone side tables inherit the main store's
+    * durability: for a `file:` store they live in hidden subdirectories
+    * of its root (invisible to the parent's `k_`-prefixed snapshot
+    * scan), so victim registrations and erase audits survive restarts
+    * exactly like the state they govern — a forget request that died
+    * with the JVM would be a compliance hole, not an inconvenience.
+    */
   private[graft] def forgetStoreName(storeName: String): String =
-    s"forget:$storeName"
+    if (storeName.startsWith("file:")) s"$storeName/__forget"
+    else s"forget:$storeName"
   private[graft] def tombstoneStoreName(storeName: String): String =
-    s"tombstones:$storeName"
+    if (storeName.startsWith("file:")) s"$storeName/__tombstones"
+    else s"tombstones:$storeName"
 
   /** Right-to-be-forgotten propagation for the STREAMING side — q276's
     * twin. The batch erase rewrites warehouse partitions; a streaming

@@ -76,6 +76,37 @@ class KVSinkSpec extends SparkSpec {
     assert(e2.getMessage.contains("tributeId"))
   }
 
+  test("file: store — the V2 write is durable: a fresh client over the same root reads the converged state") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-kv-durable").toString + "/store"
+    val storeName = s"file:$root"
+    stateItems.write.format("graft-kv").option("store", storeName)
+      .mode("append").save()
+    // the registry client converged
+    val state = KVRegistry.getOrCreate(storeName).snapshot()
+    assert(state.size === 16)
+    assert(state("8")("status") === "ALIVE" && state("9")("status") === "ALIVE")
+    // REAL BYTES: one file per key on disk, atomic-renamed (no temps left)
+    val files = Files.list(Paths.get(root)).iterator()
+    val names = Iterator.continually(files).takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
+    assert(names.count(_.startsWith("k_")) === 16, s"one file per key: $names")
+    assert(!names.exists(_.endsWith(".tmp")), s"no staging temps may leak: $names")
+    // a FRESH client over the same root — another process, in effect —
+    // reads the identical state (the durability InMemoryKVStore can't offer)
+    val fresh = new graft.pipeline.FileKVStore(root)
+    assert(fresh.snapshot() === state)
+    assert(fresh.get("9").map(_("name")) === Some("Katniss"))
+    // physical delete: the key's FILE is gone, not just a map entry
+    fresh.delete("3")
+    assert(!Files.exists(Paths.get(root, "k_3")), "delete must unlink the key file")
+    assert(KVRegistry.getOrCreate(storeName).get("3").isEmpty,
+      "every client over the root must observe the physical delete")
+    // null-valued fields and odd characters round-trip through the encoding
+    fresh.put("weird/key\tname", Map("a b" -> null, "x" -> "line\nbreak\tand=%"))
+    assert(new graft.pipeline.FileKVStore(root).get("weird/key\tname")
+      === Some(Map("a b" -> null, "x" -> "line\nbreak\tand=%")))
+  }
+
   test("streaming V2 write converges per micro-batch") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = Files.createTempDirectory("graft-kv-stream")
