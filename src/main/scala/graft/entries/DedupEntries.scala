@@ -69,6 +69,9 @@ private[graft] object DedupEntries {
     // carries no exact window but still poisons the eval); two key-only
     // lookups + a |sources|²-row aggregate over the shared q22 artifact
     "q300_neardup_contamination" -> ((s, d) => Dedup.nearDupContamination(s, d)),
+    // q301: the audit OF the audit tier — per-source representation of
+    // the bounded md5 tier the recall audits (q200/q294) estimate from
+    "q301_audit_tier_profile" -> ((s, d) => Dedup.auditTierProfile(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1437,5 +1440,27 @@ private[graft] object DedupEntries {
         |FROM x JOIN documents ts ON ts.doc_id = x.train_doc
         |JOIN documents es ON es.doc_id = x.eval_doc
         |GROUP BY 1, 2""".stripMargin,
+
+    // q301: q200's tier CTE + two count profiles; shares/ratio are double
+    // divisions of exact counts (deterministic IEEE on both engines).
+    "q301_audit_tier_profile" ->
+      """WITH tier AS (
+        |  SELECT doc_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+        |), c AS (
+        |  SELECT source, COUNT(*) AS n_corpus FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT d.source, COUNT(*) AS n_tier
+        |  FROM documents d JOIN tier USING (doc_id) GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS total_corpus,
+        |         (SELECT COUNT(*) FROM tier) AS total_tier
+        |)
+        |SELECT c.source, c.n_corpus, COALESCE(t.n_tier, 0) AS n_tier,
+        |  CAST(c.n_corpus AS DOUBLE) / total_corpus AS corpus_share,
+        |  CAST(COALESCE(t.n_tier, 0) AS DOUBLE) / total_tier AS tier_share,
+        |  (CAST(COALESCE(t.n_tier, 0) AS DOUBLE) / total_tier)
+        |    / (CAST(c.n_corpus AS DOUBLE) / total_corpus) AS rep_ratio
+        |FROM c LEFT JOIN t ON c.source = t.source, tot""".stripMargin,
   )
 }

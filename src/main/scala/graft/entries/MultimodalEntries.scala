@@ -18,6 +18,8 @@ private[graft] object MultimodalEntries {
     "q27_multimodal_decode" -> (Multimodal.decodeFeatures _),
     "q36_mm_resize" -> (Multimodal.resizeThumbnail _),
     "q37_mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    // q302: corpus modality inventory over the real container headers
+    "q302_media_census" -> (Multimodal.mediaCensus _),
     "q69_mm_png_roundtrip" -> (Multimodal.pngRoundtrip _),
     "q72_mm_wav_roundtrip" -> (Multimodal.wavRoundtrip _),
     "q277_image_dhash_dups" -> ((s, d) => Multimodal.imageDHashDups(s, d)),
@@ -495,5 +497,26 @@ private[graft] object MultimodalEntries {
         |FROM perdoc p LEFT JOIN (
         |  SELECT doc_id, COUNT(*) AS n_segments, MAX(len) AS longest_voiced
         |  FROM segs GROUP BY 1) s ON s.doc_id = p.doc_id""".stripMargin,
+
+    // q302: q26's per-modality closed forms, aggregated per container
+    // (Spark's sum(int) widens to bigint; CAST matches; max over the
+    // all-NULL wav dimensions is NULL on both engines).
+    "q302_media_census" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS container,
+        |    CASE doc_id % 3 WHEN 0 THEN CAST(16 + doc_id % 48 AS INT)
+        |                    WHEN 1 THEN CAST(8 AS INT) ELSE CAST(NULL AS INT) END AS width,
+        |    CASE doc_id % 3 WHEN 0 THEN CAST(16 + (doc_id * 7) % 48 AS INT)
+        |                    WHEN 1 THEN CAST(8 AS INT) ELSE CAST(NULL AS INT) END AS height,
+        |    CASE doc_id % 3 WHEN 0 THEN CAST(1 AS INT)
+        |                    WHEN 1 THEN CAST(1 + doc_id % 8 AS INT)
+        |                    ELSE CAST(256 + doc_id % 512 AS INT) END AS n_frames
+        |  FROM documents
+        |)
+        |SELECT container, COUNT(*) AS n_objects,
+        |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+        |  MAX(width) AS max_width, MAX(height) AS max_height
+        |FROM m GROUP BY 1""".stripMargin,
   )
 }

@@ -1297,6 +1297,38 @@ object Dedup {
     lshRecallAudit(Tables.documents(s, dir), bands = 4, rowsPerBand = 2,
       threshold = 0.8, auditCap = 1000)
 
+  /** Audit-tier representativeness profile (q301): per source, how the
+    * md5 audit tier's composition compares to the corpus — doc counts,
+    * both shares, and their ratio. The audit OF the audit: the recall
+    * audits (q200/q294) read the tier estimate as the corpus number,
+    * which is licensed by the tier being a uniform sample; this table is
+    * what a reviewer checks before trusting that (a source absent from
+    * the tier reads rep_ratio 0 and is immediately visible).
+    *
+    * Scale: the tier is a bounded TakeOrdered (cap rows); its ids
+    * broadcast into a semi-join against the corpus scan, both counts are
+    * map-side-combined aggregates, totals ride single-row broadcast
+    * cross joins; output is |sources| rows.
+    */
+  def auditTierProfile(docs: DataFrame, cap: Int = 1000): DataFrame = {
+    val tierIds = auditTier(docs, cap).select(col("doc_id"))
+    val corpus = docs.groupBy(col("source")).agg(count(lit(1)).as("n_corpus"))
+    val tier = docs.join(broadcast(tierIds), Seq("doc_id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_tier"))
+    corpus.join(tier, Seq("source"), "left")
+      .na.fill(0L, Seq("n_tier"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("total_corpus"))))
+      .crossJoin(broadcast(tierIds.agg(count(lit(1)).as("total_tier"))))
+      .select(col("source"), col("n_corpus"), col("n_tier"),
+        (col("n_corpus").cast("double") / col("total_corpus")).as("corpus_share"),
+        (col("n_tier").cast("double") / col("total_tier")).as("tier_share"),
+        ((col("n_tier").cast("double") / col("total_tier")) /
+          (col("n_corpus").cast("double") / col("total_corpus"))).as("rep_ratio"))
+  }
+
+  def auditTierProfile(s: SparkSession, dir: String): DataFrame =
+    auditTierProfile(Tables.documents(s, dir))
+
   /** LSH banding cost planner (q222): for each candidate (bands,
     * rows-per-band) split of the 8-slice minhash signature, the candidate
     * volume the band self-join WOULD generate — `Σ_buckets n·(n−1)/2` —

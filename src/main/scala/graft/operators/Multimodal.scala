@@ -139,6 +139,22 @@ object Multimodal {
     }(enc)
   }
 
+  /** Media census (q302): the corpus-level modality inventory a curation
+    * pipeline reports before deciding decode budgets — per container,
+    * object count, total frames (PNG 1, GIF decoded frame count, WAVE
+    * PCM frames), and the dimension envelope. Rides [[meta]]'s real
+    * header parse, then ONE map-side-combined aggregate; output is
+    * |containers| rows, scale-flat past the metadata pass.
+    */
+  def mediaCensus(s: SparkSession, dir: String): DataFrame =
+    meta(s, dir)
+      .groupBy(col("container"))
+      .agg(
+        count(lit(1)).as("n_objects"),
+        sum(col("n_frames")).as("total_frames"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"))
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),

@@ -283,6 +283,32 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.derived.root")
   }
 
+  test("auditTierProfile: exact counts per source, shares sum to 1, absent source reads zero") {
+    import spark.implicits._
+    // 40 docs, skewed sources; cap 10 so the tier is a strict subset
+    val docs = (1L to 40L).map { i =>
+      (i, s"doc $i body", if (i <= 30) "big" else if (i <= 39) "mid" else "rare")
+    }.toDF("doc_id", "text", "source")
+    val rows = Dedup.auditTierProfile(docs, cap = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(4)))).toMap
+    // ground truth straight from the tier definition
+    val tierIds = Dedup.auditTier(docs, 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(tierIds.size === 10)
+    def expect(src: String, lo: Long, hi: Long) =
+      ((lo to hi).count(tierIds), (lo to hi).size.toLong)
+    val (bigT, bigN) = expect("big", 1L, 30L)
+    assert(rows("big") === ((bigN, bigT.toLong, bigT / 10.0)))
+    val (midT, midN) = expect("mid", 31L, 39L)
+    assert(rows("mid") === ((midN, midT.toLong, midT / 10.0)))
+    // every source appears even when the tier misses it entirely
+    assert(rows.contains("rare"))
+    assert(rows.values.map(_._2).sum === 10L, "tier counts must total the cap")
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-12,
+      "tier shares must sum to 1")
+  }
+
   test("deltaPairUpdate equals the from-scratch mining, with all three pair classes present") {
     import spark.implicits._
     // 200 docs in 10 heavy dup groups: the ~5% md5 delta tier is

@@ -73,6 +73,26 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(5L) === (("wav", None, None, wn, wabs)))
   }
 
+  test("mediaCensus aggregates the real header parses into the modality inventory") {
+    val rows = Multimodal.mediaCensus(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(rows.keySet === Set("png", "gif", "wav"))
+    assert(rows.values.map(_._1).sum === 500L)
+    // closed-form expectations over doc_id 0..499 per modality
+    val ids = (0L until 500L)
+    val png = ids.filter(_ % 3 == 0)
+    assert(rows("png") === ((png.size.toLong, png.size.toLong,
+      Some((16 + png.map(_ % 48).max).toInt),
+      Some((16 + png.map(i => (i * 7) % 48).max).toInt))))
+    val gif = ids.filter(_ % 3 == 1)
+    assert(rows("gif") === ((gif.size.toLong, gif.map(i => 1 + i % 8).sum,
+      Some(8), Some(8))))
+    val wav = ids.filter(_ % 3 == 2)
+    assert(rows("wav") === ((wav.size.toLong, wav.map(i => 256 + i % 512).sum,
+      None, None)), "wav has no dimensions — max over all-NULL must be NULL")
+  }
+
   test("syntheticWav emits a real RIFF/WAVE container with formula sample count") {
     val bytes = Multimodal.syntheticWav(42L)
     assert(new String(bytes.take(4), "US-ASCII") === "RIFF", "RIFF magic")
