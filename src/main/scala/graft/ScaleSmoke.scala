@@ -267,6 +267,11 @@ object ScaleSmoke {
         graft.operators.Dedup.lshRecallAudit(docs, bands = 4, rowsPerBand = 2,
           threshold = 0.5, auditCap = 1000)
       },
+      // the audit-of-the-audit + the modality census: both must stay
+      // scale-flat past their single corpus pass (bounded tier /
+      // header-parse metadata)
+      timed("q301") { graft.operators.Dedup.auditTierProfile(docs) },
+      timed("q302") { graft.operators.Multimodal.mediaCensus(docs) },
       timed("q203") { graft.operators.Prep.dsirWeights(docs) },
       timed("q205") { graft.operators.Corpus.sourceDivergence(docs) },
       timed("q210") { graft.operators.Corpus.bpeLearn(docs) },

@@ -103,8 +103,11 @@ object Multimodal {
     * now come out of real containers, and the oracle recomputes them
     * from the synthesis closed forms.
     */
-  def meta(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(s, dir).select(col("doc_id"))
+  def meta(s: SparkSession, dir: String): DataFrame =
+    meta(Tables.documents(s, dir))
+
+  def meta(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(metaSchema)
     ids.mapPartitions { rows: Iterator[Row] =>
@@ -147,7 +150,10 @@ object Multimodal {
     * |containers| rows, scale-flat past the metadata pass.
     */
   def mediaCensus(s: SparkSession, dir: String): DataFrame =
-    meta(s, dir)
+    mediaCensus(Tables.documents(s, dir))
+
+  def mediaCensus(docs: DataFrame): DataFrame =
+    meta(docs)
       .groupBy(col("container"))
       .agg(
         count(lit(1)).as("n_objects"),
