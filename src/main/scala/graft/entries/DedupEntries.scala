@@ -72,6 +72,9 @@ private[graft] object DedupEntries {
     // q301: the audit OF the audit tier — per-source representation of
     // the bounded md5 tier the recall audits (q200/q294) estimate from
     "q301_audit_tier_profile" -> ((s, d) => Dedup.auditTierProfile(s, d)),
+    // q303: the tier's statistical payoff — unbiased corpus dup-pair
+    // estimate from the O(cap²) tier truth, never the corpus quadratic
+    "q303_dup_rate_estimate" -> ((s, d) => Dedup.dupRateEstimate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1462,5 +1465,39 @@ private[graft] object DedupEntries {
         |  (CAST(COALESCE(t.n_tier, 0) AS DOUBLE) / total_tier)
         |    / (CAST(c.n_corpus AS DOUBLE) / total_corpus) AS rep_ratio
         |FROM c LEFT JOIN t ON c.source = t.source, tot""".stripMargin,
+
+    // q303: the q21 quadratic CTEs over the 1000-doc tier at t=0.8, then
+    // single-row Horvitz-Thompson arithmetic (pair inclusion probability
+    // m(m-1)/(n(n-1)) under a uniform size-m doc sample, inverted).
+    "q303_dup_rate_estimate" ->
+      """WITH tier AS (
+        |  SELECT doc_id, text FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+        |), d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM tier WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT COUNT(*) AS n_tier_pairs FROM (
+        |    SELECT 1
+        |    FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |    WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8)
+        |), m AS (SELECT COUNT(*) AS n_tier_docs FROM tier),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT n.n_docs, m.n_tier_docs, p.n_tier_pairs,
+        |  CAST(n.n_docs * (n.n_docs - 1) AS DOUBLE)
+        |    / (m.n_tier_docs * (m.n_tier_docs - 1)) AS scale_factor,
+        |  CAST(p.n_tier_pairs AS DOUBLE)
+        |    * CAST(n.n_docs * (n.n_docs - 1) AS DOUBLE)
+        |    / (m.n_tier_docs * (m.n_tier_docs - 1)) AS est_corpus_pairs,
+        |  CAST(p.n_tier_pairs AS DOUBLE) * 2.0 / m.n_tier_docs AS tier_dup_incidence
+        |FROM n, m, p""".stripMargin,
   )
 }

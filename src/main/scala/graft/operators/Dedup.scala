@@ -1329,6 +1329,54 @@ object Dedup {
   def auditTierProfile(s: SparkSession, dir: String): DataFrame =
     auditTierProfile(Tables.documents(s, dir))
 
+  /** Corpus dup-rate estimator from the audit tier (q303): the
+    * statistical payoff of the bounded tier — the quadratic truth over
+    * `cap` uniformly-sampled docs gives an UNBIASED estimate of the
+    * corpus-wide true near-dup pair count, because every corpus pair
+    * survives the doc sample with the same probability
+    * p = (cap/n)·((cap−1)/(n−1)) (sampling without replacement; the
+    * naive (cap/n)² is biased high by exactly the n−1 factor). Emits the
+    * tier observation, the inverse inclusion probability, the estimate,
+    * and the per-doc dup incidence rate inside the tier — the number a
+    * curation pipeline quotes ("~K duplicate pairs at Jaccard ≥ t")
+    * without ever paying the corpus quadratic.
+    *
+    * One row out; when cap ≥ n the scale factor is exactly 1 and the
+    * "estimate" IS the exact corpus count (the sf0.01 oracle regime).
+    *
+    * Scale: the tier truth is the shared O(cap²) derived artifact the
+    * recall audits already build; everything else is single-row
+    * arithmetic over three broadcast counts.
+    */
+  def dupRateEstimate(
+      docs: DataFrame, threshold: Double, cap: Int = 1000): DataFrame = {
+    val tier = auditTier(docs, cap)
+    val truth = graft.Derived.materialized(docs.sparkSession,
+      s"ngram_jaccard_audit${cap}_t${graft.Derived.paramKey(threshold)}",
+      Seq(tier)) {
+      ngramJaccardInline(tier, threshold)
+    }
+    val tierPairs = truth.agg(count(lit(1)).as("n_tier_pairs"))
+    val tierDocs = tier.agg(count(lit(1)).as("n_tier_docs"))
+    val corpusDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // pair inclusion prob under a uniform size-m doc sample of n docs:
+    // m(m−1) / (n(n−1)); its inverse scales the tier count up. Exact
+    // integer products, one double division at the end.
+    corpusDocs.crossJoin(broadcast(tierDocs)).crossJoin(broadcast(tierPairs))
+      .select(
+        col("n_docs"), col("n_tier_docs"), col("n_tier_pairs"),
+        ((col("n_docs") * (col("n_docs") - lit(1L))).cast("double") /
+          (col("n_tier_docs") * (col("n_tier_docs") - lit(1L)))).as("scale_factor"),
+        (col("n_tier_pairs").cast("double") *
+          (col("n_docs") * (col("n_docs") - lit(1L))).cast("double") /
+          (col("n_tier_docs") * (col("n_tier_docs") - lit(1L)))).as("est_corpus_pairs"),
+        (col("n_tier_pairs").cast("double") * 2.0 /
+          col("n_tier_docs")).as("tier_dup_incidence"))
+  }
+
+  def dupRateEstimate(s: SparkSession, dir: String): DataFrame =
+    dupRateEstimate(Tables.documents(s, dir), threshold = 0.8)
+
   /** LSH banding cost planner (q222): for each candidate (bands,
     * rows-per-band) split of the 8-slice minhash signature, the candidate
     * volume the band self-join WOULD generate — `Σ_buckets n·(n−1)/2` —

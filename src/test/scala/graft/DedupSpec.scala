@@ -309,6 +309,35 @@ class DedupSpec extends SparkSpec {
       "tier shares must sum to 1")
   }
 
+  test("dupRateEstimate: exact when the cap covers the corpus; Horvitz-Thompson scaling when it doesn't") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // 3 exact twins of one doc -> C(3,2)=3 true pairs at t=0.8; 17 unique
+    val docs = ((1L to 3L).map(i => (i, base)) ++
+      (4L to 20L).map(i => (i, (1 to 40).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val full = Dedup.dupRateEstimate(docs, threshold = 0.8, cap = 1000)
+      .collect().head
+    assert(full.getAs[Long]("n_docs") === 20L)
+    assert(full.getAs[Long]("n_tier_docs") === 20L)
+    assert(full.getAs[Long]("n_tier_pairs") === 3L)
+    assert(full.getAs[Double]("scale_factor") === 1.0,
+      "cap >= corpus must make the estimate exact")
+    assert(full.getAs[Double]("est_corpus_pairs") === 3.0)
+    // a strict subsample: the estimate is tier pairs x n(n-1)/(m(m-1))
+    val part = Dedup.dupRateEstimate(docs, threshold = 0.8, cap = 8)
+      .collect().head
+    val m = part.getAs[Long]("n_tier_docs")
+    assert(m === 8L)
+    val expFactor = (20.0 * 19.0) / (m * (m - 1)).toDouble
+    assert(part.getAs[Double]("scale_factor") === expFactor)
+    // same operation ORDER as the column expression (p·N)/M, not p·(N/M):
+    // double arithmetic is deterministic only per association
+    assert(part.getAs[Double]("est_corpus_pairs") ===
+      part.getAs[Long]("n_tier_pairs").toDouble * (20.0 * 19.0) /
+        (m * (m - 1)).toDouble)
+  }
+
   test("deltaPairUpdate equals the from-scratch mining, with all three pair classes present") {
     import spark.implicits._
     // 200 docs in 10 heavy dup groups: the ~5% md5 delta tier is
