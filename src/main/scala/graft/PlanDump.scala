@@ -54,7 +54,10 @@ object PlanDump {
     "q293_retention_sweep", "q294_lsh_recall_audit_t05",
     "q295_delta_pair_update", "q296_delta_assign", "q297_retrieval_eval",
     "q298_codebook_drift", "q299_contamination_matrix",
-    "q300_neardup_contamination")
+    "q300_neardup_contamination", "q200_lsh_recall_audit",
+    "q301_audit_tier_profile", "q302_media_census",
+    "q303_dup_rate_estimate", "q26_multimodal_meta",
+    "q27_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
