@@ -611,11 +611,12 @@ object Similarity {
       .select(col("vec_id"), col("cid"),
         Vectors.cosineFromParts(
           FixedPoint.dotF(col("embedding"), col("ce")), col("n2"), col("cn2")).as("ccos"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    vc.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
+    // argmax by max-of-struct (tie-break ccos DESC, cid ASC ≡ max of
+    // (ccos, -cid)) — a map-side-combinable aggregate instead of a
+    // per-key window sort, the q195/q296-monitor discipline
+    vc.groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("neg_cid"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_cid")).as("cid"))
   }
 
   def deltaAssign(s: SparkSession, dir: String): DataFrame =
