@@ -56,7 +56,7 @@ object PlanDump {
     "q298_codebook_drift", "q299_contamination_matrix",
     "q300_neardup_contamination", "q200_lsh_recall_audit",
     "q301_audit_tier_profile", "q302_media_census",
-    "q303_dup_rate_estimate", "q26_multimodal_meta",
+    "q303_dup_rate_estimate", "q304_dup_rate_ci", "q26_multimodal_meta",
     "q27_multimodal_decode")
 
   def main(args: Array[String]): Unit = {

@@ -75,6 +75,9 @@ private[graft] object DedupEntries {
     // q303: the tier's statistical payoff — unbiased corpus dup-pair
     // estimate from the O(cap²) tier truth, never the corpus quadratic
     "q303_dup_rate_estimate" -> ((s, d) => Dedup.dupRateEstimate(s, d)),
+    // q304: the q303 estimate's exact design-based standard error —
+    // three joint-inclusion classes over the same shared tier truth
+    "q304_dup_rate_ci" -> ((s, d) => Dedup.dupRateCi(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1499,5 +1502,68 @@ private[graft] object DedupEntries {
         |    / (m.n_tier_docs * (m.n_tier_docs - 1)) AS est_corpus_pairs,
         |  CAST(p.n_tier_pairs AS DOUBLE) * 2.0 / m.n_tier_docs AS tier_dup_incidence
         |FROM n, m, p""".stripMargin,
+
+    // q304: the q303 chain kept at PAIR level, endpoint degrees for the
+    // one-shared-doc joint-inclusion count, then the closed-form HT
+    // variance — π factors built ratio-by-ratio exactly as the Spark
+    // side does so the doubles agree bit-exactly.
+    "q304_dup_rate_ci" ->
+      """WITH tier AS (
+        |  SELECT doc_id, text FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 1000
+        |), d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM tier WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS sh
+        |  FROM d
+        |), cnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), tp AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.8
+        |), p AS (SELECT COUNT(*) AS n_tier_pairs FROM tp),
+        |deg AS (
+        |  SELECT dd, COUNT(*) AS c FROM (
+        |    SELECT doc_a AS dd FROM tp UNION ALL SELECT doc_b FROM tp)
+        |  GROUP BY dd
+        |), a AS (
+        |  SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) AS adj_ordered FROM deg
+        |), m AS (SELECT COUNT(*) AS n_tier_docs FROM tier),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |v AS (
+        |  SELECT n.n_docs, m.n_tier_docs, p.n_tier_pairs, a.adj_ordered,
+        |    p.n_tier_pairs * (p.n_tier_pairs - 1) - a.adj_ordered AS disj_ordered,
+        |    (CAST(m.n_tier_docs AS DOUBLE) / n.n_docs)
+        |      * (CAST(m.n_tier_docs - 1 AS DOUBLE) / (n.n_docs - 1)) AS p2,
+        |    (CAST(m.n_tier_docs AS DOUBLE) / n.n_docs)
+        |      * (CAST(m.n_tier_docs - 1 AS DOUBLE) / (n.n_docs - 1))
+        |      * (CAST(m.n_tier_docs - 2 AS DOUBLE) / (n.n_docs - 2)) AS p3,
+        |    (CAST(m.n_tier_docs AS DOUBLE) / n.n_docs)
+        |      * (CAST(m.n_tier_docs - 1 AS DOUBLE) / (n.n_docs - 1))
+        |      * (CAST(m.n_tier_docs - 2 AS DOUBLE) / (n.n_docs - 2))
+        |      * (CAST(m.n_tier_docs - 3 AS DOUBLE) / (n.n_docs - 3)) AS p4,
+        |    CAST(p.n_tier_pairs AS DOUBLE)
+        |      * CAST(n.n_docs * (n.n_docs - 1) AS DOUBLE)
+        |      / (m.n_tier_docs * (m.n_tier_docs - 1)) AS est_corpus_pairs
+        |  FROM n, m, p, a
+        |), w AS (
+        |  SELECT *,
+        |    (CAST(n_tier_pairs AS DOUBLE) * (1.0 - p2)) / (p2 * p2)
+        |      + (CAST(adj_ordered AS DOUBLE) * (p3 - p2 * p2)) / (p3 * (p2 * p2))
+        |      + (CAST(disj_ordered AS DOUBLE) * (p4 - p2 * p2)) / (p4 * (p2 * p2))
+        |      AS var_est
+        |  FROM v
+        |)
+        |SELECT n_docs, n_tier_docs, n_tier_pairs, adj_ordered, disj_ordered,
+        |  est_corpus_pairs, var_est,
+        |  SQRT(GREATEST(var_est, 0.0)) AS se_est,
+        |  CASE WHEN est_corpus_pairs > 0.0
+        |    THEN SQRT(GREATEST(var_est, 0.0)) / est_corpus_pairs END AS rel_se
+        |FROM w""".stripMargin,
   )
 }

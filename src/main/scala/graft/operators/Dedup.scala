@@ -1377,6 +1377,92 @@ object Dedup {
   def dupRateEstimate(s: SparkSession, dir: String): DataFrame =
     dupRateEstimate(Tables.documents(s, dir), threshold = 0.8)
 
+  /** Design-based standard error for the q303 dup-rate estimate (q304):
+    * the exact Horvitz–Thompson variance ESTIMATOR of the corpus
+    * dup-pair total under the md5 doc tier — the number that turns the
+    * point estimate into "K ± se pairs" a reviewer can actually act on.
+    *
+    * The tier is a uniform size-m doc sample of n docs, so a PAIR of
+    * docs survives with π₂ = (m/n)·((m−1)/(n−1)), and a pair OF TRUE
+    * PAIRS survives with a probability that depends only on how many
+    * docs the two pairs share: π₂ again (same pair), π₃ (one shared
+    * endpoint, 3 distinct docs), π₄ (disjoint, 4 docs). The
+    * Horvitz–Thompson variance estimator therefore collapses to three
+    * closed-form coefficients times three integer counts readable off
+    * the OBSERVED tier truth alone:
+    *
+    *   V̂ = T·(1−π₂)/π₂² + A·(π₃−π₂²)/(π₃·π₂²) + D·(π₄−π₂²)/(π₄·π₂²)
+    *
+    * with T = observed true pairs, A = ordered pairs of true pairs
+    * sharing exactly one doc (Σ_d deg(d)·(deg(d)−1) over pair-endpoint
+    * degrees — dup pairs cluster, and that clustering is exactly what
+    * inflates the variance), D = T·(T−1) − A the ordered disjoint
+    * count. When cap ≥ n every π is exactly 1 and V̂ is exactly 0 — the
+    * estimate is a census (the sf0.01 oracle regime exercises this
+    * branch; the sf0.1 cross-scale check exercises the real-subsample
+    * branch). The π products are built as ratios-of-doubles factor by
+    * factor ((m−k)/(n−k) for k = 0..3) because n(n−1)(n−2)(n−3)
+    * overflows int64 already at n ≈ 56k; the factor order is fixed and
+    * mirrored in the oracle so the doubles agree bit-exactly.
+    *
+    * Scale: rides the SAME shared tier-truth artifact as q200/q303 (no
+    * new build); the only new work is one endpoint-degree aggregate over
+    * the O(cap²)-bounded pair list plus single-row arithmetic.
+    */
+  def dupRateCi(
+      docs: DataFrame, threshold: Double, cap: Int = 1000): DataFrame = {
+    val tier = auditTier(docs, cap)
+    val truth = graft.Derived.materialized(docs.sparkSession,
+      s"ngram_jaccard_audit${cap}_t${graft.Derived.paramKey(threshold)}",
+      Seq(tier)) {
+      ngramJaccardInline(tier, threshold)
+    }
+    val tierPairs = truth.agg(count(lit(1)).as("n_tier_pairs"))
+    // ordered same-endpoint pairs of true pairs: Σ_d deg·(deg−1)
+    val adj = truth
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(sum(col("deg") * (col("deg") - lit(1L))), lit(0L))
+        .as("adj_ordered"))
+    val tierDocs = tier.agg(count(lit(1)).as("n_tier_docs"))
+    val corpusDocs = docs.agg(count(lit(1)).as("n_docs"))
+
+    val m = col("n_tier_docs")
+    val n = col("n_docs")
+    def f(k: Int): org.apache.spark.sql.Column =
+      (m - lit(k.toLong)).cast("double") / (n - lit(k.toLong))
+    val p2 = f(0) * f(1)
+    val p3 = p2 * f(2)
+    val p4 = p3 * f(3)
+    val tD = col("n_tier_pairs").cast("double")
+    val aD = col("adj_ordered").cast("double")
+    val disjD = col("disj_ordered").cast("double")
+    val varEst =
+      (tD * (lit(1.0) - p2)) / (p2 * p2) +
+        (aD * (p3 - p2 * p2)) / (p3 * (p2 * p2)) +
+        (disjD * (p4 - p2 * p2)) / (p4 * (p2 * p2))
+    val est = (col("n_tier_pairs").cast("double") *
+      (n * (n - lit(1L))).cast("double") /
+      (m * (m - lit(1L))))
+
+    corpusDocs.crossJoin(broadcast(tierDocs))
+      .crossJoin(broadcast(tierPairs)).crossJoin(broadcast(adj))
+      .withColumn("disj_ordered",
+        col("n_tier_pairs") * (col("n_tier_pairs") - lit(1L)) -
+          col("adj_ordered"))
+      .select(
+        col("n_docs"), col("n_tier_docs"), col("n_tier_pairs"),
+        col("adj_ordered"), col("disj_ordered"),
+        est.as("est_corpus_pairs"),
+        varEst.as("var_est"),
+        sqrt(greatest(varEst, lit(0.0))).as("se_est"),
+        when(est > lit(0.0),
+          sqrt(greatest(varEst, lit(0.0))) / est).as("rel_se"))
+  }
+
+  def dupRateCi(s: SparkSession, dir: String): DataFrame =
+    dupRateCi(Tables.documents(s, dir), threshold = 0.8)
+
   /** LSH banding cost planner (q222): for each candidate (bands,
     * rows-per-band) split of the 8-slice minhash signature, the candidate
     * volume the band self-join WOULD generate — `Σ_buckets n·(n−1)/2` —

@@ -338,6 +338,106 @@ class DedupSpec extends SparkSpec {
         (m * (m - 1)).toDouble)
   }
 
+  test("dupRateCi: zero variance in the census regime; closed-form HT variance on a strict subsample") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // census regime: 3 exact twins (a pair triangle: T=3, every endpoint
+    // degree 2 -> A=6 ordered, D=0) + 17 unique docs, cap >= corpus
+    val docs = ((1L to 3L).map(i => (i, base)) ++
+      (4L to 20L).map(i => (i, (1 to 40).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val census = Dedup.dupRateCi(docs, threshold = 0.8, cap = 1000)
+      .collect().head
+    assert(census.getAs[Long]("n_tier_pairs") === 3L)
+    assert(census.getAs[Long]("adj_ordered") === 6L)
+    assert(census.getAs[Long]("disj_ordered") === 0L)
+    assert(census.getAs[Double]("var_est") === 0.0,
+      "cap >= corpus is a census: every joint inclusion prob is exactly 1")
+    assert(census.getAs[Double]("se_est") === 0.0)
+    assert(census.getAs[Double]("rel_se") === 0.0)
+
+    // subsample regime on an all-twins corpus: ANY size-8 md5 tier has
+    // T=C(8,2)=28, deg(d)=7 for all 8 docs -> A=8*7*6=336 ordered,
+    // D=28*27-336=420 — the closed form is independent of which docs
+    // the md5 order picks
+    val twins = (1L to 20L).map(i => (i, base)).toDF("doc_id", "text")
+    val sub = Dedup.dupRateCi(twins, threshold = 0.8, cap = 8)
+      .collect().head
+    assert(sub.getAs[Long]("n_docs") === 20L)
+    assert(sub.getAs[Long]("n_tier_docs") === 8L)
+    assert(sub.getAs[Long]("n_tier_pairs") === 28L)
+    assert(sub.getAs[Long]("adj_ordered") === 336L)
+    assert(sub.getAs[Long]("disj_ordered") === 420L)
+    // the same factor order as the column expressions — double
+    // arithmetic is deterministic only per association
+    val p2 = (8.0 / 20.0) * (7.0 / 19.0)
+    val p3 = p2 * (6.0 / 18.0)
+    val p4 = p3 * (5.0 / 17.0)
+    val varExp =
+      (28.0 * (1.0 - p2)) / (p2 * p2) +
+        (336.0 * (p3 - p2 * p2)) / (p3 * (p2 * p2)) +
+        (420.0 * (p4 - p2 * p2)) / (p4 * (p2 * p2))
+    assert(sub.getAs[Double]("var_est") === varExp)
+    val estExp = 28.0 * (20.0 * 19.0) / 56.0
+    assert(sub.getAs[Double]("est_corpus_pairs") === estExp)
+    assert(sub.getAs[Double]("se_est") ===
+      math.sqrt(math.max(varExp, 0.0)))
+    assert(sub.getAs[Double]("rel_se") ===
+      math.sqrt(math.max(varExp, 0.0)) / estExp)
+    // degenerate by design: on an all-twins corpus EVERY size-8 tier
+    // reads T=28, so the estimator is constant and its true variance is
+    // 0 — the three-class estimator must agree up to float residue
+    assert(math.abs(sub.getAs[Double]("var_est")) < 1e-6)
+
+    // mixed composition: twin groups of size 10 and 6 among 40 docs,
+    // cap=15 — T/A/D now depend on which docs the md5 order picked, so
+    // derive them INDEPENDENTLY by replaying the public tier and
+    // enumerating within-group pairs, then hold the operator to the
+    // closed form over those independently-derived counts
+    val mixed = ((1L to 10L).map(i => (i, base)) ++
+      (11L to 16L).map(i => (i, (1 to 40).map(j => s"t$j").mkString(" "))) ++
+      (17L to 40L).map(i => (i, (1 to 40).map(j => s"v${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val tierIds = Dedup.auditTier(mixed, 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val g1 = tierIds.count(_ <= 10L)
+    val g2 = tierIds.count(i => i >= 11L && i <= 16L)
+    assert(g1 >= 2 || g2 >= 2,
+      "md5 draw left no twin pair in the tier — enlarge the groups")
+    val expT = g1.toLong * (g1 - 1) / 2 + g2.toLong * (g2 - 1) / 2
+    // every tier member of a group of size k has pair-degree k-1
+    val expA = g1.toLong * (g1 - 1) * (g1 - 2) + g2.toLong * (g2 - 1) * (g2 - 2)
+    val expD = expT * (expT - 1) - expA
+    val mix = Dedup.dupRateCi(mixed, threshold = 0.8, cap = 15)
+      .collect().head
+    assert(mix.getAs[Long]("n_tier_pairs") === expT)
+    assert(mix.getAs[Long]("adj_ordered") === expA)
+    assert(mix.getAs[Long]("disj_ordered") === expD)
+    val q2 = (15.0 / 40.0) * (14.0 / 39.0)
+    val q3 = q2 * (13.0 / 38.0)
+    val q4 = q3 * (12.0 / 37.0)
+    val varMix =
+      (expT.toDouble * (1.0 - q2)) / (q2 * q2) +
+        (expA.toDouble * (q3 - q2 * q2)) / (q3 * (q2 * q2)) +
+        (expD.toDouble * (q4 - q2 * q2)) / (q4 * (q2 * q2))
+    assert(mix.getAs[Double]("var_est") === varMix)
+    assert(mix.getAs[Double]("se_est") === math.sqrt(math.max(varMix, 0.0)))
+
+    // empty-truth regime: all-unique corpus, strict subsample -> every
+    // count 0, variance 0, rel_se NULL (no division by a zero estimate)
+    val uniq = (1L to 20L)
+      .map(i => (i, (1 to 40).map(j => s"v${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val none = Dedup.dupRateCi(uniq, threshold = 0.8, cap = 8)
+      .collect().head
+    assert(none.getAs[Long]("n_tier_pairs") === 0L)
+    assert(none.getAs[Long]("adj_ordered") === 0L)
+    assert(none.getAs[Long]("disj_ordered") === 0L)
+    assert(none.getAs[Double]("var_est") === 0.0)
+    assert(none.getAs[Double]("se_est") === 0.0)
+    assert(none.isNullAt(none.fieldIndex("rel_se")))
+  }
+
   test("deltaPairUpdate equals the from-scratch mining, with all three pair classes present") {
     import spark.implicits._
     // 200 docs in 10 heavy dup groups: the ~5% md5 delta tier is
