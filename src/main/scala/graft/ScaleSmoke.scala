@@ -272,6 +272,11 @@ object ScaleSmoke {
       // header-parse metadata)
       timed("q301") { graft.operators.Dedup.auditTierProfile(docs) },
       timed("q302") { graft.operators.Multimodal.mediaCensus(docs) },
+      // the tier's statistical payoff: estimate + exact design SE, both
+      // single-row arithmetic over the shared O(cap²) tier truth — must
+      // be as scale-flat as the tier build itself
+      timed("q303") { graft.operators.Dedup.dupRateEstimate(docs, threshold = 0.8) },
+      timed("q304") { graft.operators.Dedup.dupRateCi(docs, threshold = 0.8) },
       timed("q203") { graft.operators.Prep.dsirWeights(docs) },
       timed("q205") { graft.operators.Corpus.sourceDivergence(docs) },
       timed("q210") { graft.operators.Corpus.bpeLearn(docs) },
