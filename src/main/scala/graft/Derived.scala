@@ -102,6 +102,19 @@ object Derived {
     */
   private val buildSecs = new ConcurrentHashMap[String, java.lang.Double]()
 
+  /** Per-thread stack of "nested build seconds" accumulators: an artifact
+    * whose build consumes ANOTHER Derived artifact (round 18:
+    * copurchase_pairs_s3 filters the s2 artifact, the audit-tier t0p8
+    * truth filters the t0p5 one) triggers the dependency's build inside
+    * its own timed region. Each build's recorded wall time is therefore
+    * its EXCLUSIVE self time — total minus directly-nested child build
+    * totals — so the gate prices every build once instead of charging a
+    * chain head for work its dependencies already answer for.
+    */
+  private val nestedSecs = new ThreadLocal[java.util.ArrayDeque[java.lang.Double]] {
+    override def initialValue() = new java.util.ArrayDeque[java.lang.Double]()
+  }
+
   def buildSeconds: Map[String, Double] = {
     val out = Map.newBuilder[String, Double]
     buildSecs.forEach((k, v) => out += (k -> v.doubleValue()))
@@ -376,10 +389,17 @@ object Derived {
     // parquet scan until the explicit cleanup below removes it.
     val app = s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     val stage = new Path(rootPath, s".stage_${app}_$key")
+    val stack = nestedSecs.get()
+    stack.push(Double.box(0.0))
     val t0 = System.nanoTime()
     val built = build
     built.write.mode("overwrite").parquet(stage.toString)
-    buildSecs.merge(name, Double.box((System.nanoTime() - t0) / 1e9),
+    val total = (System.nanoTime() - t0) / 1e9
+    val nested = stack.pop().doubleValue()
+    // charge this build's TOTAL to the enclosing build (if any): the
+    // parent's exclusive time is its total minus directly-nested totals
+    if (!stack.isEmpty) stack.push(Double.box(stack.pop().doubleValue() + total))
+    buildSecs.merge(name, Double.box(total - nested),
       (a, b) => Double.box(a + b))
     // the key marker (+ the schema, sparing consumers an inference job,
     // + the dataset path digest that scopes GC) is written INSIDE the

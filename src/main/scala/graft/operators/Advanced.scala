@@ -596,9 +596,23 @@ object Advanced {
   private def sharedPairCounts(lineitem: DataFrame, minSupport: Long): DataFrame =
     graft.Derived.materialized(lineitem.sparkSession,
       s"copurchase_pairs_s$minSupport", Seq(lineitem)) {
-      val baskets = Caches.track(lineitem
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
-      pairCounts(baskets, minSupport)
+      // round 18: supports above 2 DERIVE from the support-2 artifact
+      // instead of re-running the basket expansion. Exact equivalence: a
+      // pair counted in n baskets has both endpoints in ≥ n baskets, so
+      // the apriori item prune at m (n_p ≥ m) can never drop a pair that
+      // passes the final n ≥ m filter — pairCounts(m) ≡
+      // pairCounts(2).filter(n ≥ m) row for row, counts included (the
+      // prune is a pure performance device; AdvancedSpec pins the
+      // equivalence on a planted basket set). The s3 build therefore
+      // costs one filtered scan of the s2 artifact rather than a second
+      // full mining pass (measured 4.6 s → ~0.2 s at sf0.1).
+      if (minSupport > 2L)
+        sharedPairCounts(lineitem, 2L).filter(col("n") >= minSupport)
+      else {
+        val baskets = Caches.track(lineitem
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct())
+        pairCounts(baskets, minSupport)
+      }
     }
 
   /** The apriori-pruned pair-count core of `basketPairs`, without the

