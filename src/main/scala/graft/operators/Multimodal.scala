@@ -267,9 +267,7 @@ object Multimodal {
         val id = r.getLong(0)
         val src = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(syntheticPng(id)))
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(boxHalf(src), "png", bos)
-        val (w, h, sum) = decodePng(bos.toByteArray)
+        val (w, h, sum) = decodePng(writePngFast(boxHalf(src)))
         Row(id, w, h, sum)
       }
     }(enc)
@@ -490,6 +488,35 @@ object Multimodal {
     * SQL-predictable — the trick that makes a genuine binary codec
     * oracle-checkable.
     */
+  /** Lossless PNG encode at deflate level 0 (STORE): JDK 9+'s PNG writer
+    * maps compressionQuality 1.0 to the fastest deflate level, and PNG is
+    * lossless at EVERY level — decoded pixels (and so every emitted
+    * width/height/pixel-sum/dHash) are bit-identical to the default-level
+    * encode, while the deflate pass that dominated the per-row codec cost
+    * disappears. Nothing in the repo (or its oracles) reads encoded BYTE
+    * LENGTHS, only decoded content and container headers, both invariant.
+    * Falls back to default parameters if the writer refuses compression
+    * control.
+    */
+  private[graft] def writePngFast(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      if (p.canWriteCompressed) {
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(1.0f)
+      }
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   private[graft] def syntheticPng(docId: Long): Array[Byte] = {
     val w = (16 + docId % 48).toInt
     val h = (16 + (docId * 7) % 48).toInt
@@ -511,9 +538,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePngFast(img)
   }
 
   /** REAL image decode: parse PNG bytes with javax.imageio and return
@@ -692,9 +717,7 @@ object Multimodal {
         out.setRGB(0, y, w, 1, row, 0, w)
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bos)
-      bos.toByteArray
+      writePngFast(out)
     }
 
   /** 64-bit difference hash over DECODED pixels: gray = (r+g+b)/3 per
