@@ -1073,23 +1073,33 @@ object Corpus {
   def lmFluency(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val db = Caches.track(docs
+    // round-18 reshape (the q265/q273 discipline): collapse to distinct
+    // (doc, bigram) pairs first (exchange-free partial agg — the
+    // repartition already clusters doc_id), derive the type ladder from
+    // the pair relation, price inv_p once per bigram TYPE, and probe the
+    // pair relation with ONE bigram-keyed join — the former shape joined
+    // the occurrence stream through two occurrence-scale exchanges.
+    // Per-doc sums are bit-identical: Σ_occ inv = Σ_pairs n·inv exactly.
+    val dp = Caches.track(docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(Text.bigrams(col("w"))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n")))
+    val bg = Caches.track(dp
+      .groupBy(col("bigram")).agg(sum(col("n")).as("n12"))
       .withColumn("w1", element_at(split(col("bigram"), " "), 1)))
-    val bg = db.groupBy(col("bigram")).agg(count(lit(1)).as("n12"))
-    val heads = Caches.track(db.groupBy(col("w1")).agg(count(lit(1)).as("n1")))
+    val heads = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
     val vocab = heads.agg(count(lit(1)).as("v"))
-    db.hint("shuffle_hash").join(bg.hint("shuffle_hash"), "bigram")
+    val typeScore = bg.hint("shuffle_hash")
       .join(heads.hint("shuffle_hash"), "w1")
       .crossJoin(broadcast(vocab))
-      .withColumn("inv_p_micro",
-        expr("(1000000 * (n1 + v)) div (n12 + 1)"))
+      .select(col("bigram"),
+        expr("(1000000 * (n1 + v)) div (n12 + 1)").as("inv_p_micro"))
+    dp.hint("shuffle_hash").join(typeScore.hint("shuffle_hash"), "bigram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("inv_p_micro").cast(dec)).as("s"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum((col("n").cast(dec) * col("inv_p_micro")).cast(dec)).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("s").cast("double") / col("n_bigrams").cast("double") / 1e6)
           .as("mean_inv_p"))
