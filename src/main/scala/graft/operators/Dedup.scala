@@ -285,8 +285,19 @@ object Dedup {
   private[graft] def minhashLshInline(
       docs: DataFrame,
       bands: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame =
+    minhashLshFromSets(Caches.track(docShingleSets(docs)),
+      bands, rowsPerBand, threshold)
+
+  /** The band self-join + verification over an ALREADY-CACHED shingle-set
+    * relation — the seam that lets deltaPairUpdate mine the delta tier
+    * with the shingle cache it already holds instead of building a second
+    * identical cache (two InMemoryRelations over the same 5% explode).
+    */
+  private def minhashLshFromSets(
+      shSets: DataFrame,
+      bands: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val shSets = Caches.track(docShingleSets(docs))
     val keys = bandKeys(shSets, bands, rowsPerBand)
     // shuffle_hash everywhere below: every frame derives from the cached
     // shingle pipeline, and a planner-chosen broadcast would execute that
@@ -1209,7 +1220,9 @@ object Dedup {
     val crossVerified = verifyCandidates(
       Caches.track(shCorpusCands.unionByName(shDelta)), crossCands, threshold)
     standing
-      .unionByName(minhashLshInline(delta, bands, rowsPerBand, threshold))
+      // delta-internal mining reuses the shDelta cache held above — the
+      // plain inline call would build a second identical InMemoryRelation
+      .unionByName(minhashLshFromSets(shDelta, bands, rowsPerBand, threshold))
       .unionByName(crossVerified)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
