@@ -1658,20 +1658,33 @@ object Corpus {
     val heads = Caches.track(db.groupBy(col("source").as("lm"), col("w1"))
       .agg(count(lit(1)).as("n1")))
     val lms = heads.groupBy(col("lm")).agg(count(lit(1)).as("v"))
-    // NOTE (round-18 A/B): collapsing the sampled occurrences to distinct
-    // (source, bigram) pairs with counts before the ×|lms| probes (the
-    // q265/q273 discipline) was measured and REVERTED — the sample's
-    // pair-dedup ratio is too low for the extra collapse exchange to pay
-    // (isolate floors: collapsed 1.91 s epoch-normalized vs 1.80 s as-is
-    // at sf0.1). The probes below stay occurrence-scale deliberately.
+    // Round-18 reshape: the former plan crossJoined the sampled stream
+    // ×|lms| BEFORE the two model probes, so both occurrence-scale
+    // exchanges carried |lms| copies of every sampled token. The model
+    // counts now collapse to per-KEY maps over the |lms| models (bounded
+    // by the source count — tens at any corpus size), the sample joins
+    // ONCE per key at 1× rows, and the ×|lms| expansion happens after
+    // the exchanges as a projection against the broadcast model list.
+    // try_element_at (never ANSI element_at) returns NULL for a model
+    // that lacks the key — exactly the former left-join miss — and the
+    // coalesce(…, 0) keeps the add-one arithmetic identical, so every
+    // inv_p_micro is the same integer as before. (An earlier A/B that
+    // collapsed the sample to distinct pairs instead was reverted — the
+    // sample's pair-dedup ratio is too low to pay for its exchange; this
+    // reshape shrinks the shipped bytes without any collapse.)
+    val bgm = bg.groupBy(col("bigram")).agg(map_from_arrays(
+      collect_list(col("lm")), collect_list(col("n12"))).as("m12"))
+    val hm = heads.groupBy(col("w1")).agg(map_from_arrays(
+      collect_list(col("lm")), collect_list(col("n1"))).as("m1"))
     val sample = db.filter(keep)
-    sample.crossJoin(broadcast(lms))
+    sample.hint("shuffle_hash")
+      .join(bgm.hint("shuffle_hash"), Seq("bigram"))
       .hint("shuffle_hash")
-      .join(bg, Seq("lm", "bigram"), "left")
-      .hint("shuffle_hash")
-      .join(heads, Seq("lm", "w1"), "left")
+      .join(hm.hint("shuffle_hash"), Seq("w1"))
+      .crossJoin(broadcast(lms))
       .withColumn("inv_p_micro",
-        expr("(1000000 * (coalesce(n1, 0) + v)) div (coalesce(n12, 0) + 1)"))
+        expr("(1000000 * (coalesce(try_element_at(m1, lm), 0) + v)) div " +
+          "(coalesce(try_element_at(m12, lm), 0) + 1)"))
       .groupBy(col("source"), col("lm"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("inv_p_micro").cast(dec)).as("sp"))
