@@ -392,8 +392,17 @@ object Derived {
     val stack = nestedSecs.get()
     stack.push(Double.box(0.0))
     val t0 = System.nanoTime()
-    val built = build
-    built.write.mode("overwrite").parquet(stage.toString)
+    // the frame pushed above MUST be popped even when the build or the
+    // parquet write throws: a leaked frame would make every later
+    // top-level build on this thread look nested, silently corrupting
+    // the exclusive-time accounting (round-18 ADVICE) — on failure the
+    // frame is discarded and nothing is charged to a parent
+    val built =
+      try {
+        val b = build
+        b.write.mode("overwrite").parquet(stage.toString)
+        b
+      } catch { case e: Throwable => stack.pop(); throw e }
     val total = (System.nanoTime() - t0) / 1e9
     val nested = stack.pop().doubleValue()
     // charge this build's TOTAL to the enclosing build (if any): the

@@ -19,6 +19,12 @@ object Verify {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the library's unpartitioned windows all read bounded grid/decile
+    // relations (spec-pinned, q256) — WindowExec's per-invocation WARN
+    // floods the verify tail and buries real signals (round-19)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Optional local-iteration filter, same contract as Bench:
     // SPARK_GRAFT_ONLY=q105,q106 runs only matching prefixes; unset = full

@@ -31,35 +31,45 @@ import org.apache.spark.sql.expressions.Aggregator
   * group — and above that a plain exact count-distinct was never an option
   * anyway.
   */
-final class KMinValues(k: Int) extends Aggregator[Long, List[Long], Long] {
+final class KMinValues(k: Int) extends Aggregator[Long, (Int, List[Long]), Long] {
   require(k >= 2, s"k must be >= 2, got $k")
 
-  /** Ascending insert keeping ≤ k distinct values; duplicates are absorbed
-    * (set semantics — that is what makes the sketch idempotent under data
-    * duplication and safe to feed undeduplicated rows).
+  /** Buffer: (size, values DESCENDING) — the kept set is identical to
+    * the former ascending list, but the steady-state rejection test
+    * (a full buffer whose LARGEST kept value ≤ h) reads `head` and the
+    * tracked size instead of walking k cons cells per row
+    * (`lengthCompare(k)` + `last` were O(k) per input — the round-18
+    * deferred per-row cost, guide §1.2). Duplicates are absorbed (set
+    * semantics — idempotent under data duplication); a full buffer
+    * drops its head (the largest) on insert, which is the former
+    * `take(k)` from the other end.
     */
-  private def insert(buf: List[Long], h: Long): List[Long] =
-    if (buf.lengthCompare(k) >= 0 && buf.last <= h) buf
+  private def insert(b: (Int, List[Long]), h: Long): (Int, List[Long]) = {
+    val (sz, ds) = b
+    if (sz >= k && ds.head <= h) b
     else {
-      val (pre, post) = buf.span(_ < h)
-      if (post.headOption.contains(h)) buf
-      else (pre ::: h :: post).take(k)
+      val (pre, post) = ds.span(_ > h)
+      if (post.headOption.contains(h)) b
+      else if (sz >= k) (sz, (pre ::: h :: post).tail)
+      else (sz + 1, pre ::: h :: post)
     }
+  }
 
-  override def zero: List[Long] = Nil
-  override def reduce(buf: List[Long], h: Long): List[Long] = insert(buf, h)
-  override def merge(b1: List[Long], b2: List[Long]): List[Long] =
-    b2.foldLeft(b1)(insert)
+  override def zero: (Int, List[Long]) = (0, Nil)
+  override def reduce(b: (Int, List[Long]), h: Long): (Int, List[Long]) =
+    insert(b, h)
+  override def merge(b1: (Int, List[Long]), b2: (Int, List[Long])): (Int, List[Long]) =
+    b2._2.foldLeft(b1)(insert)
 
   /** Exact size below k; otherwise the KMV inversion, in pure int64 math
     * (floor division — identical in Spark, DuckDB, and the JVM). `h_k = 0`
     * is unreachable: the buffer holds distinct non-negative values, so a
-    * zero last element would require k distinct values ≤ 0.
+    * zero head element would require k distinct values ≤ 0.
     */
-  override def finish(buf: List[Long]): Long =
-    if (buf.lengthCompare(k) < 0) buf.length.toLong
-    else ((k - 1).toLong << 48) / buf.last
+  override def finish(b: (Int, List[Long])): Long =
+    if (b._1 < k) b._1.toLong
+    else ((k - 1).toLong << 48) / b._2.head
 
-  override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[(Int, List[Long])] = ExpressionEncoder()
   override def outputEncoder: Encoder[Long] = ExpressionEncoder()
 }

@@ -41,33 +41,41 @@ import org.apache.spark.sql.expressions.Aggregator
   * sampled values sorted ASCENDING, ready for `element_at` rank picks.
   */
 final class BottomKQuantile(k: Int)
-    extends Aggregator[(Long, Long), List[(Long, Long)], Seq[Long]] {
+    extends Aggregator[(Long, Long), (Int, List[(Long, Long)]), Seq[Long]] {
   require(k >= 2, s"k must be >= 2, got $k")
 
   private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
     a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
 
-  /** Lexicographic insert keeping <= k distinct pairs (the KMinValues
-    * insert lifted from Long to (Long, Long)). */
-  private def insert(buf: List[(Long, Long)], p: (Long, Long)): List[(Long, Long)] =
-    if (buf.lengthCompare(k) >= 0 && !lt(p, buf.last)) buf
+  /** Buffer: (size, pairs lexicographically DESCENDING) — identical
+    * kept set to the former ascending list; the steady-state rejection
+    * (full buffer, p ≥ the largest kept pair) reads `head` and the
+    * tracked size instead of walking k cons cells per row (the
+    * KMinValues round-19 representation, see there). */
+  private def insert(b: (Int, List[(Long, Long)]),
+      p: (Long, Long)): (Int, List[(Long, Long)]) = {
+    val (sz, ds) = b
+    if (sz >= k && !lt(p, ds.head)) b
     else {
-      val (pre, post) = buf.span(lt(_, p))
-      if (post.headOption.contains(p)) buf
-      else (pre ::: p :: post).take(k)
+      val (pre, post) = ds.span(lt(p, _))
+      if (post.headOption.contains(p)) b
+      else if (sz >= k) (sz, (pre ::: p :: post).tail)
+      else (sz + 1, pre ::: p :: post)
     }
+  }
 
-  override def zero: List[(Long, Long)] = Nil
-  override def reduce(buf: List[(Long, Long)], p: (Long, Long)): List[(Long, Long)] =
-    insert(buf, p)
-  override def merge(b1: List[(Long, Long)], b2: List[(Long, Long)]): List[(Long, Long)] =
-    b2.foldLeft(b1)(insert)
+  override def zero: (Int, List[(Long, Long)]) = (0, Nil)
+  override def reduce(b: (Int, List[(Long, Long)]),
+      p: (Long, Long)): (Int, List[(Long, Long)]) = insert(b, p)
+  override def merge(b1: (Int, List[(Long, Long)]),
+      b2: (Int, List[(Long, Long)])): (Int, List[(Long, Long)]) =
+    b2._2.foldLeft(b1)(insert)
 
   /** The sample's values in ascending order — the hash was only the
     * sampling device; rank picks happen over values. */
-  override def finish(buf: List[(Long, Long)]): Seq[Long] =
-    buf.map(_._2).sorted
+  override def finish(b: (Int, List[(Long, Long)])): Seq[Long] =
+    b._2.map(_._2).sorted
 
-  override def bufferEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[(Int, List[(Long, Long)])] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }

@@ -31,7 +31,8 @@ final case class Scored(neighborId: Long, cosine: Double)
   * `Double.compare` ranks NaN above every other value, matching how both
   * Spark and DuckDB order NaN in a DESC sort.
   */
-final class BoundedTopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+final class BoundedTopK(k: Int)
+    extends Aggregator[Scored, (Int, List[Scored]), Seq[Scored]] {
   require(k > 0, s"k must be positive, got $k")
 
   private def beats(a: Scored, b: Scored): Boolean = {
@@ -39,19 +40,29 @@ final class BoundedTopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Sco
     c > 0 || (c == 0 && a.neighborId < b.neighborId)
   }
 
-  private def insert(buf: List[Scored], x: Scored): List[Scored] =
-    if (buf.lengthCompare(k) >= 0 && beats(buf.last, x)) buf
+  /** Buffer: (size, WORST-first list) — same kept set as the former
+    * best-first list; the steady-state rejection (full buffer whose
+    * worst entry beats x) reads `head` and the tracked size instead of
+    * walking k cons cells per row (the KMinValues round-19
+    * representation). A full buffer drops its head (the worst) on
+    * insert — the former `take(k)` from the best end. */
+  private def insert(b: (Int, List[Scored]), x: Scored): (Int, List[Scored]) = {
+    val (sz, wf) = b
+    if (sz >= k && beats(wf.head, x)) b
     else {
-      val (pre, post) = buf.span(beats(_, x))
-      (pre ::: x :: post).take(k)
+      val (pre, post) = wf.span(beats(x, _))
+      if (sz >= k) (sz, (pre ::: x :: post).tail)
+      else (sz + 1, pre ::: x :: post)
     }
+  }
 
-  override def zero: List[Scored] = Nil
-  override def reduce(buf: List[Scored], x: Scored): List[Scored] = insert(buf, x)
-  override def merge(b1: List[Scored], b2: List[Scored]): List[Scored] =
-    b2.foldLeft(b1)(insert)
-  override def finish(buf: List[Scored]): Seq[Scored] = buf
+  override def zero: (Int, List[Scored]) = (0, Nil)
+  override def reduce(b: (Int, List[Scored]), x: Scored): (Int, List[Scored]) =
+    insert(b, x)
+  override def merge(b1: (Int, List[Scored]), b2: (Int, List[Scored])): (Int, List[Scored]) =
+    b2._2.foldLeft(b1)(insert)
+  override def finish(b: (Int, List[Scored])): Seq[Scored] = b._2.reverse
 
-  override def bufferEncoder: Encoder[List[Scored]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[(Int, List[Scored])] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
 }

@@ -102,12 +102,16 @@ object Advanced {
     */
   def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
+    // exact unscaled-cents comparison (round-19 Exact.unscaled fast
+    // path): multiplying the former decimal inequality through by 100
+    // leaves its truth value untouched — price_c × n > Σprice_c
     val stats = o.groupBy(col("o_custkey").as("ck"))
       .agg(
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_tp"),
+        sum(unscaled(col("o_totalprice")).cast(DecimalType(38, 0))).as("sum_tp"),
         count(lit(1)).as("cnt"))
     o.join(stats, col("o_custkey") === col("ck"))
-      .filter(col("o_totalprice").cast(DecimalType(18, 2)) * col("cnt") > col("sum_tp"))
+      .filter(unscaled(col("o_totalprice")).cast(DecimalType(38, 0)) *
+        col("cnt") > col("sum_tp"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
@@ -136,11 +140,11 @@ object Advanced {
       .groupBy(col("event_type"), pmod(col("event_id"), lit(salts)).as("__salt"))
       .agg(
         count(lit(1)).as("pn"),
-        sum(col("value").cast(DecimalType(18, 2))).as("psum"))
+        sum(unscaled(col("value")).cast(DecimalType(38, 0))).as("psum"))
       .groupBy(col("event_type"))
       .agg(
         sum(col("pn")).as("n"),
-        sum(col("psum")).cast("double").as("sum_value"))
+        (sum(col("psum")) / lit(100L)).cast("double").as("sum_value"))
 
   /** Skew-proof equi-join — the join-side complement of saltedSkewAgg.
     * A hash join on a skewed key funnels each hot key's rows through ONE
@@ -212,7 +216,8 @@ object Advanced {
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), day.as("day"), col("o_totalprice"))
       .withColumn("trailing_30d",
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+        (sum(unscaled(col("o_totalprice")).cast(DecimalType(38, 0))).over(w) /
+          lit(100L)).cast("double"))
       .select(col("o_orderkey"), col("o_custkey"), col("day"), col("trailing_30d"))
   }
 
@@ -327,7 +332,7 @@ object Advanced {
     // chain of individually-rounded IEEE ops — identical in any engine
     // that doesn't fuse (JVM never does, vectorized kernels don't).
     def cents(c: Column): Column =
-      (c.cast(DecimalType(18, 2)) * 100).cast(DecimalType(18, 0))
+      unscaled(c).cast(DecimalType(18, 0))
     val nDec = col("n").cast(DecimalType(20, 0))
     val cov = (nDec * col("sxy") - col("sx") * col("sy")).cast("double")
     val vx = (nDec * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -490,7 +495,7 @@ object Advanced {
   def revenueAnomaly(orders: DataFrame, minHistory: Int = 14): DataFrame = {
     val daily = orders
       .groupBy(col("o_orderdate").cast("date").as("day"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+      .agg(sum(unscaled(col("o_totalprice"))
         .cast(DecimalType(18, 0))).as("cents"))
       .select(col("day"),
         datediff(col("day"), to_date(lit("1970-01-01"))).cast("long").as("day_num"),
@@ -752,8 +757,7 @@ object Advanced {
     val seqd = events
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"),
-        (col("value").cast(DecimalType(18, 2)) * 100)
-          .cast("long").as("cents"))
+        unscaled(col("value")).as("cents"))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
@@ -868,8 +872,7 @@ object Advanced {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-          .cast("long").as("cents"))
+        unscaled(col("o_totalprice")).as("cents"))
       .withColumn("peak", max(col("cents")).over(byCust))
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
@@ -976,9 +979,9 @@ object Advanced {
   def allocateProportional(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val byOrd = Window.partitionBy(col("l_orderkey"))
     val li = lineitem.select(col("l_orderkey"), col("l_linenumber"),
-      (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("qty_c"))
+      unscaled(col("l_quantity")).as("qty_c"))
     val o = orders.select(col("o_orderkey"),
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("total_c"))
+      unscaled(col("o_totalprice")).as("total_c"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("q_sum", sum(col("qty_c")).over(byOrd))
       .withColumn("base", expr("(total_c * qty_c) div q_sum"))
@@ -1181,7 +1184,7 @@ object Advanced {
     */
   def systematicSample(orders: DataFrame, k: Int = 500, buckets: Int = 32): DataFrame = {
     val rows = orders.select(col("o_orderkey"),
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("w"))
+      unscaled(col("o_totalprice")).as("w"))
     val tot = rows.agg(sum(col("w")).as("grand"))
     bucketedPrefix(rows, Seq(col("o_orderkey")), buckets)(
       spec => sum(col("w")).over(
@@ -1401,7 +1404,7 @@ object Advanced {
     val anchor = orders.agg(max(col("o_orderdate").cast("date")).as("anchor"))
     val base = orders
       .select(col("o_custkey"), col("o_orderdate"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        unscaled(col("o_totalprice")).as("cents"))
       .groupBy(col("o_custkey"))
       .agg(max(col("o_orderdate").cast("date")).as("last_date"),
         count(lit(1)).as("freq"), sum(col("cents")).as("mon_c"))
@@ -1461,8 +1464,7 @@ object Advanced {
   def abcClassification(lineitem: DataFrame, buckets: Int = 32): DataFrame = {
     val rev = lineitem
       .groupBy(col("l_partkey").as("part"))
-      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-        .cast("long")).as("rev_c"))
+      .agg(sum(unscaled(col("l_extendedprice"))).as("rev_c"))
     val tot = rev.agg(sum(col("rev_c")).as("grand"))
     bucketedPrefix(rev, Seq(col("rev_c").desc, col("part")), buckets)(
       spec => sum(col("rev_c")).over(
@@ -1501,7 +1503,7 @@ object Advanced {
     orders
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("d"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        unscaled(col("o_totalprice")).as("cents"))
       .withColumn("prev_key", lag(col("o_orderkey"), 1).over(byCust))
       .withColumn("prev_d", lag(col("d"), 1).over(byCust))
       .withColumn("prev_c", lag(col("cents"), 1).over(byCust))
@@ -1607,8 +1609,7 @@ object Advanced {
     */
   def revenueConcentration(orders: DataFrame, buckets: Int = 32): DataFrame = {
     val rev = orders.groupBy(col("o_custkey"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-        .cast("long")).as("rev_c"))
+      .agg(sum(unscaled(col("o_totalprice"))).as("rev_c"))
     val tot = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("grand"))
     // tracked: three tier branches re-read the ranked relation
     val ranked = Caches.track(
@@ -1684,7 +1685,7 @@ object Advanced {
   def priceBandMix(orders: DataFrame): DataFrame = {
     val cents = orders.select(col("o_orderkey"),
       date_trunc("month", col("o_orderdate")).cast("date").as("month"),
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+      unscaled(col("o_totalprice")).as("c"))
     val banded = cents.crossJoin(broadcast(quintileBounds(cents, "c")))
       .withColumn("band",
         lit(1) + (1 to 4).map(d =>
@@ -1718,7 +1719,7 @@ object Advanced {
           .cast("long").as("d"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
           .cast("long").as("ym"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        unscaled(col("o_totalprice")).as("cents"))
       .withColumn("cum_c", sum(col("cents")).over(
         byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("offset_m",
@@ -1801,8 +1802,7 @@ object Advanced {
     */
   def lorenzCurve(orders: DataFrame, buckets: Int = 32): DataFrame = {
     val rev = orders.groupBy(col("o_custkey"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-        .cast("long")).as("rev_c"))
+      .agg(sum(unscaled(col("o_totalprice"))).as("rev_c"))
     val tot = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("grand"))
     val ranked = Caches.track(
       bucketedPrefix(rev, Seq(col("rev_c"), col("o_custkey")), buckets)(
@@ -1921,7 +1921,7 @@ object Advanced {
       .select(col("o_custkey"), col("family")).distinct()
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_families"))
     val custRev = orders.groupBy(col("o_custkey"))
-      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .agg(sum(unscaled(col("o_totalprice")))
         .as("rev_c"))
     custFam.join(custRev, "o_custkey")
       .withColumn("breadth",
@@ -1945,7 +1945,7 @@ object Advanced {
     val ranked = orders
       .select(date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter"),
         col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        unscaled(col("o_totalprice")).as("cents"))
       .withColumn("rn", row_number().over(
         byQ.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
       .withColumn("n", count(lit(1)).over(byQ).cast("long"))
@@ -2009,7 +2009,7 @@ object Advanced {
     */
   def sizeRevenueCorr(lineitem: DataFrame, part: DataFrame): DataFrame = {
     val rev = lineitem.groupBy(col("l_partkey"))
-      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .agg(sum(unscaled(col("l_extendedprice")))
         .as("y"))
     val joined = rev.join(part.select(col("p_partkey"), col("p_brand"),
       col("p_size").cast("long").as("x")),
@@ -2064,7 +2064,7 @@ object Advanced {
     orders
       .groupBy(date_trunc("quarter", col("o_orderdate")).cast("date").as("quarter"))
       .agg(count_distinct(col("o_custkey")).as("n_active"),
-        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        sum(unscaled(col("o_totalprice")))
           .as("rev_c"))
       .withColumn("arpu",
         col("rev_c").cast("double") / col("n_active").cast("double") / 100.0)
@@ -2101,8 +2101,8 @@ object Advanced {
     */
   def quantityByPriceBand(lineitem: DataFrame): DataFrame = {
     val rows = lineitem.select(
-      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"),
-      (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("q"))
+      unscaled(col("l_extendedprice")).as("c"),
+      unscaled(col("l_quantity")).as("q"))
     rows.crossJoin(broadcast(quintileBounds(rows, "c")))
       .withColumn("band",
         (lit(1) + (1 to 4).map(d =>
@@ -2128,7 +2128,7 @@ object Advanced {
       .select(col("o_custkey"), col("o_orderkey"),
         datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long").as("d"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+        unscaled(col("o_totalprice")).as("c"))
       .withColumn("rn", row_number().over(byCust))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
       .withColumn("first_c", first(col("c")).over(

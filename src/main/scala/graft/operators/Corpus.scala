@@ -808,19 +808,20 @@ object Corpus {
     * Semantics pinned for cross-engine exactness: pair counts are
     * word-frequency-weighted int64 sums; the argmax tie-breaks on
     * (t1 ASC, t2 ASC); the apply step is the textbook greedy disjoint
-    * matching, expressed with windows instead of string replace because
-    * `replace()` mis-merges odd-length runs ("p p p p p" must become
-    * "pp pp p", not "pp p pp"): match positions form islands of
-    * consecutive pos, the odd ranks within each island merge, the
-    * following position is consumed, and positions renumber densely. The
-    * DuckDB oracle unrolls the loop (the q61 discipline) with the
-    * identical island windows.
+    * matching, NOT string replace, because `replace()` mis-merges
+    * odd-length runs ("p p p p p" must become "pp pp p", not
+    * "pp p pp"). The DuckDB oracle unrolls the loop (the q61
+    * discipline) with equivalent island windows; the Spark side runs
+    * the same greedy fold per word over a token ARRAY (round-19 —
+    * CorpusSpec pins fold ≡ the sequential reference, and the oracle
+    * hash pins fold ≡ the island formulation).
     *
     * Scale: the corpus collapses to its VOCABULARY (word, n_word) in one
     * map-side-combined agg — like q87, the supersteps never touch corpus
-    * rows. Each iteration's windows partition by `word` (high-cardinality,
-    * balanced) over the vocabulary token relation (~vocab × word length
-    * rows), lineage-truncated per superstep (the dupClusters
+    * rows. Each superstep is one codegen'd array fold + one
+    * map-side-combined pair-count aggregate over the vocabulary-row
+    * token-array relation — no windows, no per-superstep sorts —
+    * lineage-truncated per superstep (the dupClusters
     * localCheckpoint discipline); the per-step argmax collects ONE row to
     * the driver — the superstep scalar, same as dupClusters' convergence
     * check. Fails loudly if the corpus exhausts before `nMerges`.
@@ -833,7 +834,7 @@ object Corpus {
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(explode(Text.words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
-    val (merges, _) = bpeLoop(charToks(vocab), nMerges)
+    val (merges, _) = bpeLoop(charToksArr(vocab), nMerges)
     merges.toDF("merge_step", "t1", "t2", "pair_count")
       .select(col("merge_step"), col("t1"), col("t2"), col("pair_count"),
         concat(col("t1"), col("t2")).as("new_token"))
@@ -842,12 +843,18 @@ object Corpus {
   def bpeLearn(s: SparkSession, dir: String): DataFrame =
     bpeLearn(Tables.documents(s, dir))
 
-  /** Explodes a (word, n_word) vocabulary into the per-character token
-    * relation (word, n_word, pos, tok) that the BPE supersteps run on. */
-  private def charToks(vocab: DataFrame): DataFrame = vocab
-    .select(col("word"), col("n_word"),
-      posexplode(split(col("word"), "")).as(Seq("pos0", "tok")))
-    .select(col("word"), col("n_word"), (col("pos0") + 1).as("pos"), col("tok"))
+  /** Splits a (word, n_word) vocabulary into the per-word token-ARRAY
+    * relation (word, n_word, toks: array<string>) the BPE supersteps run
+    * on. Round-19 (guide §2.4/§1.2): the former per-character EXPLODED
+    * relation (word, n_word, pos, tok) made every superstep pay five
+    * (word, pos)-keyed window sorts over vocab×word-length rows (lead
+    * for the pair count; lead + two island row_numbers + lag + renumber
+    * for the merge). Tokens-as-array keeps each word's sequence row-local:
+    * the pair count explodes adjacent array pairs directly and the greedy
+    * merge is one codegen'd `aggregate` fold per word — zero windows,
+    * zero sorts, and the superstep relation is vocab-row-scale. */
+  private def charToksArr(vocab: DataFrame): DataFrame = vocab
+    .select(col("word"), col("n_word"), split(col("word"), "").as("toks"))
     .transform(graft.Checkpoints.truncate(_, eager = false))
 
   /** The BPE training loop shared by `bpeLearn` (returns the merge table)
@@ -859,14 +866,19 @@ object Corpus {
   private def bpeLoop(
       toks0: DataFrame,
       nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
-    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
     var toks = toks0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     (1 to nMerges).foreach { step =>
+      // adjacent pairs straight off the token array (zip of the array
+      // with its own 1-shift) — the former lead() window over the
+      // exploded relation, minus the per-superstep (word, pos) sort
       val best = toks
-        .withColumn("nxt", lead(col("tok"), 1).over(wWin))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("n_word"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("t1"), b.as("t2")))).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
         .agg(sum(col("n_word")).as("cnt"))
         .orderBy(col("cnt").desc, col("t1"), col("t2"))
         .limit(1).collect()
@@ -907,8 +919,10 @@ object Corpus {
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("n_sw")))
     val vocab = sw.groupBy(col("word")).agg(sum(col("n_sw")).as("n_word"))
-    val (_, toks) = bpeLoop(charToks(vocab), nMerges)
-    val nToks = toks.groupBy(col("word")).agg(count(lit(1)).as("n_toks"))
+    val (_, toks) = bpeLoop(charToksArr(vocab), nMerges)
+    // token count per word = the array length — a projection where the
+    // exploded relation needed a whole (word)-keyed count aggregate
+    val nToks = toks.select(col("word"), size(col("toks")).cast("long").as("n_toks"))
     sw.hint("shuffle_hash")
       .join(nToks, Seq("word"))
       .groupBy(col("source"))
@@ -927,32 +941,29 @@ object Corpus {
     bpeTokenize(Tables.documents(s, dir))
 
   /** One greedy left-to-right DISJOINT merge of the token pair (t1, t2)
-    * over a (word, n_word, pos, tok) relation — the apply step of a BPE
-    * iteration, exposed for the randomized equivalence test against a
-    * sequential-fold reference (CorpusSpec). Match positions form
-    * islands of consecutive pos; the odd ranks of each island merge,
-    * the following position is consumed, positions renumber densely.
+    * over a (word, n_word, toks: array<string>) relation — the apply
+    * step of a BPE iteration, exposed for the randomized equivalence
+    * test against a sequential-fold reference (CorpusSpec). One
+    * codegen'd `aggregate` fold per word replaces the former five
+    * island/renumber windows over the exploded (word, pos, tok)
+    * relation (round-19).
     */
-  private[graft] def applyMerge(toks: DataFrame, t1: String, t2: String): DataFrame = {
-    val wWin = Window.partitionBy(col("word")).orderBy(col("pos"))
-    toks
-      .withColumn("nxt", lead(col("tok"), 1).over(wWin))
-      .withColumn("mtch",
-        coalesce(col("tok") === lit(t1) && col("nxt") === lit(t2), lit(false)))
-      // island key: consecutive matching positions collapse to one run
-      .withColumn("mrk", when(col("mtch"), col("pos") - row_number().over(
-        Window.partitionBy(col("word"), col("mtch")).orderBy(col("pos")))))
-      // greedy disjoint: the 1st, 3rd, 5th... match of each run merges
-      .withColumn("sel", col("mtch") && (row_number().over(
-        Window.partitionBy(col("word"), col("mrk")).orderBy(col("pos"))) % 2 === 1))
-      .withColumn("prev_sel",
-        coalesce(lag(col("sel"), 1).over(wWin), lit(false)))
-      .filter(!col("prev_sel"))
-      .select(col("word"), col("n_word"),
-        row_number().over(wWin).as("pos"),
-        when(col("sel"), concat(col("tok"), col("nxt")))
-          .otherwise(col("tok")).as("tok"))
-  }
+  private[graft] def applyMerge(toks: DataFrame, t1: String, t2: String): DataFrame =
+    toks.withColumn("toks", aggregate(
+      col("toks"),
+      array().cast("array<string>"),
+      (acc, e) => {
+        val lastEl = element_at(acc, lit(-1))
+        // greedy left-to-right disjoint: merge e into the accumulated
+        // tail iff the tail ends with an UNMERGED t1 — and a merged
+        // element can never re-match, because concat(t1, t2) has
+        // strictly more characters than t1 (t2 is non-empty), so
+        // `last == t1` is false for any element this pass created
+        when(size(acc) > 0 && lastEl === lit(t1) && e === lit(t2),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(lastEl, e))))
+          .otherwise(concat(acc, array(e)))
+      }))
 
   /** Per-source dataset card (q223): the one-table manifest a corpus
     * release ships — per source: document/token/char volume, language

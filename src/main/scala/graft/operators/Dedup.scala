@@ -816,10 +816,14 @@ object Dedup {
     * first to strip mass-repeated shingles. In-memory inputs fall back
     * to the inline chain.
     */
-  private def rarityRanked(docs: DataFrame): DataFrame =
+  private def rarityRanked(docs: DataFrame, sets: DataFrame): DataFrame =
     graft.Derived.materialized(docs.sparkSession,
       "shingle_rarity_ranks", Seq(docs)) {
-      val sh = docShingleSets(docs).select(col("doc_id"), col("n_sh"),
+      // the caller's already-tracked shingle-set cache feeds the build
+      // (round-18 ADVICE): the inline fallback for in-memory inputs no
+      // longer re-pays the shingle explode, and a file-backed build
+      // reads through the same cache — identical values either way
+      val sh = sets.select(col("doc_id"), col("n_sh"),
         explode_outer(col("shs")).as("sh"))
       val byRarity = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("sh"))
@@ -835,7 +839,7 @@ object Dedup {
     // persisted: both sides of the self-join read the SAME materialized
     // prefix relation — without this the rank chain (or artifact scan +
     // filter) is paid twice, once per join side
-    val prefix = Caches.track(rarityRanked(docs)
+    val prefix = Caches.track(rarityRanked(docs, sets)
       // ceil guard: t*n for integral products (0.8 is not binary-exact)
       // can land a hair ABOVE the integer and ceil one too high,
       // shortening the prefix below the safe bound — shave an epsilon
@@ -907,7 +911,7 @@ object Dedup {
     // rarity-rank artifact (see rarityRanked): the contained side
     // filters it to a prefix, the container side keeps all tokens but
     // uses the rank in the positional bound below
-    val ranked = Caches.track(rarityRanked(docs))
+    val ranked = Caches.track(rarityRanked(docs, sets))
     val prefix = ranked
       // ceil guard: t*n for integral products (0.8 is not binary-exact)
       // can land a hair ABOVE the integer and ceil one too high,
@@ -1182,9 +1186,13 @@ object Dedup {
     val bucketed = docs.withColumn("bucket", Corpus.hashBucket(col("doc_id")))
     val corpus = bucketed.filter(col("bucket") < 95).drop("bucket")
     val delta = bucketed.filter(col("bucket") >= 95).drop("bucket")
-    // the standing corpus-internal pairs: one build per input generation
-    // (the Derived fingerprint covers the filter plan, so this artifact
-    // can never collide with the full-corpus minhashLsh artifact)
+    // the standing corpus-internal pairs: one build per input generation.
+    // The fingerprint input is the PARENT table (Seq(docs)), so the plan
+    // half of the key is the same as the full-corpus minhashLsh
+    // artifact's — collision is prevented by the distinct
+    // `lsh_pairs_corpus95_` artifact NAME, which also keeps the build
+    // gate pinning this tier's wall time separately (round-18 ADVICE
+    // comment fix)
     val standing = graft.Derived.materialized(docs.sparkSession,
       s"lsh_pairs_corpus95_b${bands}r${rowsPerBand}_t${graft.Derived.paramKey(threshold)}",
       Seq(docs)) {

@@ -265,8 +265,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
-        val src = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(syntheticPng(id)))
+        val src = readPng(syntheticPng(id))
         val (w, h, sum) = decodePng(writePngFast(boxHalf(src)))
         Row(id, w, h, sum)
       }
@@ -296,33 +295,37 @@ object Multimodal {
     val grays = Array.tabulate(256)(v => ((v << 16) | (v << 8) | v))
     val palette = new java.awt.image.IndexColorModel(
       8, 256, grays, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("gif").next()
+    val writer = gifWriterTL.get()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
-      writer.setOutput(ios)
-      writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < frames) {
-        val img = new java.awt.image.BufferedImage(
-          8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
-        val px = img.getRaster
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            px.setSample(x, y, 0, pixel(f, x, y))
-            x += 1
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+          val px = img.getRaster
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              px.setSample(x, y, 0, pixel(f, x, y))
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
         }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-        f += 1
+        writer.endWriteSequence()
+      } catch { case e: Throwable =>
+        writer.dispose(); gifWriterTL.remove(); throw e
       }
-      writer.endWriteSequence()
     } finally {
-      try ios.close() finally writer.dispose()
+      try writer.setOutput(null) catch { case _: Throwable => () }
+      ios.close()
     }
     bos.toByteArray
   }
@@ -498,20 +501,65 @@ object Multimodal {
     * Falls back to default parameters if the writer refuses compression
     * control.
     */
-  private[graft] def writePngFast(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+  /** Thread-local codec instances (round-19, guide §1.2 "per-task
+    * work" / the §4.5 initialise-once discipline transplanted to the
+    * JVM): `ImageIO.read`/`getImageWritersByFormatName` re-scan the SPI
+    * registry and instantiate a fresh reader/writer PER ROW.
+    * `setInput`/`setOutput` is the documented reuse protocol; a codec
+    * that throws is disposed and dropped from its slot so a corrupted
+    * internal state can never leak into the next row. Streams are
+    * constructed directly (`MemoryCache*`) — no registry lookup, no
+    * disk-backed cache file, and no null factory result to guard
+    * (the round-18 ADVICE writePngFast NPE hazard is gone by
+    * construction). Decoded pixels and encoded semantics are untouched.
+    */
+  private def codecTL[T <: AnyRef](mk: () => T): ThreadLocal[T] =
+    new ThreadLocal[T] { override def initialValue(): T = mk() }
+  private val pngReaderTL = codecTL(() =>
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+  private val pngWriterTL = codecTL(() =>
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  private val gifReaderTL = codecTL(() =>
+    javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+  private val gifWriterTL = codecTL(() =>
+    javax.imageio.ImageIO.getImageWritersByFormatName("gif").next())
+
+  /** Decode one PNG payload with the thread-local reader — same pixels
+    * as `ImageIO.read`, minus the per-row registry scan, reader
+    * construction and stream-factory hop. */
+  private[graft] def readPng(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val reader = pngReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
     try {
-      writer.setOutput(ios)
-      val p = writer.getDefaultWriteParam
-      if (p.canWriteCompressed) {
-        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        p.setCompressionQuality(1.0f)
-      }
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      reader.setInput(iis)
+      reader.read(0)
+    } catch { case e: Throwable =>
+      reader.dispose(); pngReaderTL.remove(); throw e
     } finally {
-      writer.dispose()
+      try reader.setInput(null) catch { case _: Throwable => () }
+      iis.close()
+    }
+  }
+
+  private[graft] def writePngFast(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = pngWriterTL.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      try {
+        writer.setOutput(ios)
+        val p = writer.getDefaultWriteParam
+        if (p.canWriteCompressed) {
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(1.0f)
+        }
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } catch { case e: Throwable =>
+        writer.dispose(); pngWriterTL.remove(); throw e
+      }
+    } finally {
+      try writer.setOutput(null) catch { case _: Throwable => () }
       ios.close()
     }
     bos.toByteArray
@@ -546,7 +594,7 @@ object Multimodal {
     * PIXELS — not from any metadata shortcut.
     */
   private[graft] def decodePng(payload: Array[Byte]): (Int, Int, Long) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val img = readPng(payload)
     val (w, h) = (img.getWidth, img.getHeight)
     // one bulk ARGB read instead of a per-pixel getRGB color-model hop;
     // values are identical ints, just fetched in one converted pass
@@ -695,8 +743,7 @@ object Multimodal {
   private[graft] def syntheticImageWithTwins(docId: Long): Array[Byte] =
     if (!plantedTwin(docId)) syntheticPng(docId)
     else {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(syntheticPng(docId - 1)))
+      val img = readPng(syntheticPng(docId - 1))
       val w = img.getWidth
       val h = img.getHeight
       val out = new java.awt.image.BufferedImage(
@@ -787,8 +834,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(syntheticImageWithTwins(id)))
+        val img = readPng(syntheticImageWithTwins(id))
         Row.fromSeq(id +: dHash64(img) +: (1 until r.length).map(r.get))
       }
     }(enc)
@@ -1226,15 +1272,17 @@ object Multimodal {
   /** REAL multi-frame decode to row-major 8×8 gray rasters, resources
     * released in try/finally. */
   private[graft] def decodeGifGray(payload: Array[Byte]): IndexedSeq[Array[Int]] = {
-    val reader = javax.imageio.ImageIO
-      .getImageReadersByFormatName("gif").next()
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    val reader = gifReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       reader.setInput(iis)
       (0 until reader.getNumImages(true)).map(f => grayRaster8(reader.read(f)))
+    } catch { case e: Throwable =>
+      reader.dispose(); gifReaderTL.remove(); throw e
     } finally {
-      try iis.close() finally reader.dispose()
+      try reader.setInput(null) catch { case _: Throwable => () }
+      iis.close()
     }
   }
 

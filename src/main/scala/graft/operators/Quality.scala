@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Caches
+import graft.functions.Exact.unscaled
 import graft.sources.Tables
 
 /** Data-quality audits — the checks a 100 TB warehouse runs nightly
@@ -194,8 +195,7 @@ object Quality {
     val share = expected.map(_._1).reduce((a, b) => coalesce(a, b))
     orders
       .select(col("o_orderpriority").as("priority"),
-        substring((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        substring(unscaled(col("o_totalprice")).cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("priority"), col("digit"))
       .agg(count(lit(1)).as("n"))
       .withColumn("n_prio",
@@ -219,11 +219,10 @@ object Quality {
   def orderReconciliation(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val lineSums = lineitem
       .groupBy(col("l_orderkey"))
-      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-        .cast("long")).as("line_c"))
+      .agg(sum(unscaled(col("l_extendedprice"))).as("line_c"))
     orders
       .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("total_c"))
+        unscaled(col("o_totalprice")).as("total_c"))
       .join(lineSums, col("o_orderkey") === col("l_orderkey"), "left")
       .withColumn("line_c", coalesce(col("line_c"), lit(0L)))
       .withColumn("drift_c", abs(col("total_c") - col("line_c")))
@@ -241,7 +240,7 @@ object Quality {
     * summary and the outlier screen. */
   private def segmentCents(orders: DataFrame, customer: DataFrame): DataFrame =
     orders.select(col("o_custkey"), col("o_orderkey"),
-      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      unscaled(col("o_totalprice")).as("cents"))
       .join(customer.select(col("c_custkey"), col("c_mktsegment").as("segment")),
         col("o_custkey") === col("c_custkey"))
 
@@ -484,8 +483,7 @@ object Quality {
       .select(col("l_returnflag").as("flag"),
         Corpus.h48(concat(col("l_orderkey").cast("string"), lit(":"),
           col("l_linenumber").cast("string"))).as("h"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-          .cast("long").as("v"))
+        unscaled(col("l_extendedprice")).as("v"))
       .groupBy(col("flag"))
       .agg(count(lit(1)).as("n_rows"), bkq(col("h"), col("v")).as("samp"))
       .select(col("flag") +: col("n_rows") +: rankPicks(): _*)
@@ -509,7 +507,7 @@ object Quality {
       .groupBy(window(col("ts"), "1 day").as("w"))
       .agg(count(lit(1)).as("n_events"),
         bkq(Corpus.h48(col("event_id").cast("string")),
-          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          unscaled(col("value")))
           .as("samp"))
       .select(col("w.start").as("w_start") +: col("n_events") +: rankPicks(): _*)
   }
@@ -966,6 +964,24 @@ object Quality {
     * and the per-doc probe join share ONE pair-relation shuffle
     * instead of paying it twice: sf0.1 4.79 → 3.26, 100× 12.3 →
     * 10.6 s. Net round-15: pin 5.28 → 3.26, 100× 17.3 → 10.6 s.
+    *
+    * Round-19 fusion (guide §2.3/§2.4): the two per-doc scores used to be
+    * SEPARATE aggregates joined back on doc_id — `sa` (dup share) scanned
+    * a second, doc_id-partitioned cache of the pair relation, `sb`
+    * (fluency) aggregated the inv_p probe join, and a doc-keyed
+    * shuffle-hash join stitched them. But every input either score needs
+    * is present in ONE relation — the g-partitioned pair cache joined to
+    * the per-type inv_p — because the typeScore join is a no-op row-wise
+    * (typeScore has exactly one row per g, derived from the same
+    * relation, so the inner join keeps every pair row exactly once), and
+    * `source` is functionally dependent on doc_id (primary key), so
+    * grouping by (doc_id, source) gives the same groups as doc_id.
+    * Both scores are now three sums in a single (doc_id, source)
+    * aggregate over that join: the doc_id-partitioned pair cache, the
+    * `sa` pass over it, and the scored join are gone — one InMemoryRelation
+    * build fewer, one full pair-relation pass fewer, one doc-keyed join
+    * exchange fewer. Bit-identical: n_grams ≡ the old nb (Σn over the
+    * same group), every sum is the same exact integer/decimal arithmetic.
     */
   def signalAgreement(docs: DataFrame, buckets: Int = 32): DataFrame = {
     import graft.functions.Text
@@ -987,34 +1003,22 @@ object Quality {
     // but at 100× this shape wins 13.7 s vs 16.3–20.7 s — the text
     // shuffle co-locates every per-doc aggregate and the types cache
     // spares two extra passes over the pair relation. Scale wins.
-    val dg = Caches.track(docs
+    // ONE pair-relation cache, g-partitioned: the type aggregate (bg)
+    // and the per-doc inv_p probe join both need g-clustering. The
+    // doc_id text shuffle before the explode makes the pair collapse
+    // exchange-free (hash(doc_id) clusters (doc_id, source, g)); the
+    // collapsed distinct pairs then take the one g-keyed exchange into
+    // the cache. The former second, doc_id-partitioned cache existed
+    // only for the separate dup-share aggregate — fused below.
+    val dgg = Caches.track(docs
       .repartition(shuffleWidth(docs), col("doc_id"))
       .select(col("doc_id"), col("source"), Text.words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"),
         explode(graft.functions.Text.bigrams(col("w"))).as("g"))
       .groupBy(col("doc_id"), col("source"), col("g"))
-      .agg(count(lit(1)).as("n")))
-    // score A: duplicate-bigram share on the 1e6 grid (q246's screen)
-    val sa = dg
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("n")).as("n_grams"),
-        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_mass"))
-      .select(col("doc_id"), col("source"),
-        expr("(1000000 * dup_mass) div n_grams").as("s_dup"))
-    // score B: q236's inverse-fluency as the exact integer mean. The
-    // whole model rolls up the TYPE ladder: pair counts → bigram types
-    // (n12 = Σ_docs n) → heads (n1 = Σ_types n12) → vocab (|heads|), so
-    // each aggregate shuffles one level SMALLER than the last, and
-    // inv_p is priced once per bigram TYPE — the pair relation then
-    // takes a single g-keyed join instead of the former two (g, then
-    // w1) pair-sized shuffles
-    // the pair relation cached a second time, g-partitioned: the type
-    // aggregate (bg) and the per-doc inv_p probe join both need
-    // g-clustering, and without this cache each paid its own full
-    // pair-relation shuffle (A/B: sf0.1 4.79 → 3.26 s, 100× 12.3 →
-    // 10.6 s — one shuffle write+read traded for a cache scan)
-    val dgg = Caches.track(dg.repartition(shuffleWidth(docs), col("g")))
+      .agg(count(lit(1)).as("n"))
+      .repartition(shuffleWidth(docs), col("g")))
     val bg = Caches.track(dgg.groupBy(col("g")).agg(sum(col("n")).as("n12"))
       .withColumn("w1", element_at(split(col("g"), " "), 1)))
     val heads = bg.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
@@ -1024,12 +1028,20 @@ object Quality {
       .crossJoin(broadcast(vocab))
       .select(col("g"),
         expr("(1000000 * (n1 + v)) div (n12 + 1)").as("inv_p_micro"))
-    val sb = dgg.hint("shuffle_hash").join(typeScore.hint("shuffle_hash"), "g")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("nb"),
-        sum((col("n").cast(dec) * col("inv_p_micro")).cast(dec)).as("s"))
-      .select(col("doc_id"), expr("cast(s div nb as long)").as("s_flu"))
-    val scored = Caches.track(sa.hint("shuffle_hash").join(sb, "doc_id"))
+    // BOTH scores in one (doc_id, source) aggregate over the pair ⋈
+    // typeScore relation (round-19 fusion — see scaladoc): score A
+    // (dup-bigram share, q246's screen) needs only n; score B (q236's
+    // inverse-fluency exact integer mean) needs n·inv_p; n_grams serves
+    // as both A's denominator and B's nb (Σn over the same group).
+    val scored = Caches.track(
+      dgg.hint("shuffle_hash").join(typeScore.hint("shuffle_hash"), "g")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("n")).as("n_grams"),
+          sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("dup_mass"),
+          sum((col("n").cast(dec) * col("inv_p_micro")).cast(dec)).as("s"))
+        .select(col("doc_id"), col("source"),
+          expr("(1000000 * dup_mass) div n_grams").as("s_dup"),
+          expr("cast(s div n_grams as long)").as("s_flu")))
     // exact midranks WITHOUT ranking any doc row (round 15): both
     // scores live on the 1e6 micro grid, so the tie-group relation
     // (sig, source, v, cnt) is GRID-BOUNDED — ≤ 1e6+1 rows per source

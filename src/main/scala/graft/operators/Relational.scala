@@ -400,8 +400,8 @@ object Relational {
   def partFamilyRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_partkey"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("rev_c"),
-        (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long").as("qty_c"))
+        unscaled(col("l_extendedprice")).as("rev_c"),
+        unscaled(col("l_quantity")).as("qty_c"))
       .join(Tables.part(s, dir).select(col("p_partkey"),
         substring_index(col("p_name"), " ", 1).as("family")),
         col("l_partkey") === col("p_partkey"))
@@ -464,7 +464,7 @@ object Relational {
   def brandShare(s: SparkSession, dir: String): DataFrame = {
     val fb = Tables.lineitem(s, dir)
       .select(col("l_partkey"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("rev_c"))
+        unscaled(col("l_extendedprice")).as("rev_c"))
       .join(Tables.part(s, dir).select(col("p_partkey"),
         substring_index(col("p_name"), " ", 1).as("family"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
@@ -489,7 +489,7 @@ object Relational {
   def lineDominance(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
-        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("c"))
+        unscaled(col("l_extendedprice")).as("c"))
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_lines"), sum(col("c")).as("tot_c"), max(col("c")).as("max_c"))
       .withColumn("band",
@@ -526,7 +526,7 @@ object Relational {
     val q = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey").as("part"),
         date_trunc("quarter", col("l_shipdate")).cast("date").as("quarter"))
-      .agg(sum((col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long"))
+      .agg(sum(unscaled(col("l_quantity")))
         .as("qty_c"))
     val rank = row_number().over(Window.partitionBy(col("quarter"))
       .orderBy(col("qty_c").desc, col("part")))

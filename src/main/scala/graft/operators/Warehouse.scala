@@ -408,11 +408,17 @@ object Warehouse {
     * hashes must agree.
     */
   def incrementalRollup(orders: DataFrame): DataFrame = {
+    // exact unscaled-cents partials (round-19: the Exact.unscaled fast
+    // path replaces the per-row string-based HALF_UP cast; the decimal
+    // tier sums stay exact and merge-order independent, and the single
+    // /100 before the double cast reproduces the former
+    // cast(sum(decimal(18,2)) AS double) rounding bit for bit)
     def partial(df: DataFrame): DataFrame =
       df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_partial"))
+          sum(unscaled(col("o_totalprice")).cast(DecimalType(38, 0)))
+            .as("rev_partial"))
     val cut = lit("1997-01-01").cast("timestamp")
     val base = partial(orders.filter(col("o_orderdate") < cut))
     val delta = partial(orders.filter(col("o_orderdate") >= cut))
@@ -422,7 +428,7 @@ object Warehouse {
         sum(col("n_orders")).as("n_orders"),
         sum(col("rev_partial")).as("rev_merged"))
       .select(col("month"), col("n_orders"),
-        col("rev_merged").cast("double").as("revenue"))
+        (col("rev_merged") / lit(100L)).cast("double").as("revenue"))
   }
 
   def incrementalRollup(s: SparkSession, dir: String): DataFrame =
@@ -460,7 +466,7 @@ object Warehouse {
       .select(col("o_custkey"),
         date_trunc("month", col("o_orderdate")).cast("date").as("month"),
         col("o_orderdate"), col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        unscaled(col("o_totalprice")).as("cents"))
       .withColumn("rn", row_number().over(byCustMonth))
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("month"), col("cents"))
@@ -509,7 +515,7 @@ object Warehouse {
           .otherwise("3y+"))
       .groupBy(col("age_bucket"))
       .agg(count(lit(1)).as("n_orders"),
-        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        sum(unscaled(col("o_totalprice")))
           .as("value_c"))
   }
 
@@ -527,13 +533,13 @@ object Warehouse {
       .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum((col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long")).as("qty_c"),
+        sum(unscaled(col("l_quantity"))).as("qty_c"),
         sum(when(col("l_returnflag") === "R",
-          (col("l_quantity").cast(DecimalType(18, 2)) * 100).cast("long"))
+          unscaled(col("l_quantity")))
           .otherwise(0L)).as("ret_qty_c"),
-        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long")).as("rev_c"),
+        sum(unscaled(col("l_extendedprice"))).as("rev_c"),
         sum(when(col("l_returnflag") === "R",
-          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+          unscaled(col("l_extendedprice")))
           .otherwise(0L)).as("ret_rev_c"))
       .select(col("month"), col("n_items"),
         (col("ret_qty_c").cast("double") / col("qty_c").cast("double")).as("qty_return_rate"),
@@ -555,7 +561,7 @@ object Warehouse {
     val perPart = lineitem
       .groupBy(col("l_partkey"))
       .agg(count_distinct(col("l_suppkey")).as("n_suppliers"),
-        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        sum(unscaled(col("l_extendedprice")))
           .as("rev_c"))
     perPart
       .withColumn("sourcing",
@@ -635,7 +641,7 @@ object Warehouse {
     val perPart = lineitem.groupBy(col("l_partkey"))
       .agg(max(col("l_shipdate").cast("date")).as("last_ship"),
         count(lit(1)).as("n_lifetime"),
-        sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        sum(unscaled(col("l_extendedprice")))
           .as("rev_c"))
     val horizon = perPart.agg(max(col("last_ship")).as("h"))
     perPart.crossJoin(broadcast(horizon))
@@ -654,7 +660,7 @@ object Warehouse {
   def basketSizes(orders: DataFrame, lineitem: DataFrame): DataFrame =
     lineitem.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
       .join(orders.select(col("o_orderkey"),
-        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents")),
+        unscaled(col("o_totalprice")).as("cents")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_lines"))
       .agg(count(lit(1)).as("n_orders"),
@@ -675,7 +681,7 @@ object Warehouse {
       .when(col("priority") === "3-MEDIUM", 120L)
       .otherwise(180L)
     lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
-      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long").as("rev_c"))
+      unscaled(col("l_extendedprice")).as("rev_c"))
       .join(orders.select(col("o_orderkey"), col("o_orderdate"),
         col("o_orderpriority").as("priority")),
         col("l_orderkey") === col("o_orderkey"))
@@ -701,7 +707,7 @@ object Warehouse {
   def discountEffect(lineitem: DataFrame): DataFrame =
     lineitem
       .select(col("l_returnflag"),
-        (col("l_discount").cast(DecimalType(18, 4)) * 10000).cast("long").as("bp"))
+        unscaled(col("l_discount"), 4).as("bp"))
       .withColumn("band",
         when(col("bp") === 0, "none")
           .when(col("bp") <= 500, "1-5%")
@@ -724,7 +730,7 @@ object Warehouse {
     val monthly = orders
       .groupBy(month(col("o_orderdate")).cast("long").as("month_of_year"))
       .agg(count(lit(1)).as("n_orders"),
-        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+        sum(unscaled(col("o_totalprice")))
           .as("rev_c"))
     monthly
       .withColumn("grand", sum(col("rev_c")).over(Window.partitionBy()))
@@ -791,7 +797,7 @@ object Warehouse {
       df.filter(col(bal) < 0)
         .groupBy(col(key).as("nationkey"))
         .agg(count(lit(1)).as("n_accounts"),
-          sum((col(bal).cast(DecimalType(18, 2)) * 100).cast("long")).as("exposure_c"))
+          sum(unscaled(col(bal))).as("exposure_c"))
         .withColumn("role", lit(role))
     side(customer, "c_nationkey", "c_acctbal", "customer")
       .unionByName(side(supplier, "s_nationkey", "s_acctbal", "supplier"))
@@ -818,7 +824,7 @@ object Warehouse {
     def rollup(df: DataFrame, n: String, r: String) =
       df.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as(n),
-          sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")).as(r))
+          sum(unscaled(col("o_totalprice"))).as(r))
     val base = rollup(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")), "n_base", "rev_base")
     val delta = rollup(orders.filter(col("o_orderdate") >= lit(cutoff).cast("timestamp")), "n_delta", "rev_delta")
     base.join(delta, Seq("month"), "full_outer")
@@ -886,8 +892,7 @@ object Warehouse {
     s.table(table).join(broadcast(dim), "month")
       .groupBy(col("month"))
       .agg(count(lit(1)).as("n_orders"),
-        sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-          .cast("long")).as("rev_c"))
+        sum(unscaled(col("o_totalprice"))).as("rev_c"))
   }
 
   def dppPrunedRevenue(s: SparkSession, dir: String): DataFrame =

@@ -403,7 +403,7 @@ class CorpusSpec extends SparkSpec {
     assert(re.toSeq === out.toSeq)
   }
 
-  test("applyMerge: island windows equal a sequential greedy fold on 200 random words") {
+  test("applyMerge: per-word array fold equals a sequential greedy fold on 200 random words") {
     import spark.implicits._
     // reference: the textbook sequential greedy-disjoint merge
     def refMerge(toks: List[String], t1: String, t2: String): List[String] = {
@@ -421,13 +421,12 @@ class CorpusSpec extends SparkSpec {
     val words = (1 to 200).map { i =>
       s"w$i" -> List.fill(1 + rnd.nextInt(12))(if (rnd.nextBoolean()) "a" else "b")
     }
-    val toks = words.flatMap { case (w, ts) =>
-      ts.zipWithIndex.map { case (t, p) => (w, 1L, (p + 1).toLong, t) }
-    }.toDF("word", "n_word", "pos", "tok")
+    val toks = words.map { case (w, ts) => (w, 1L, ts) }
+      .toDF("word", "n_word", "toks")
     for ((t1, t2) <- Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))) {
       val got = Corpus.applyMerge(toks, t1, t2).collect()
-        .map(r => (r.getAs[String]("word"), r.getAs[Number]("pos").longValue(), r.getAs[String]("tok")))
-        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+        .map(r => r.getAs[String]("word") ->
+          r.getAs[scala.collection.Seq[String]]("toks").toList).toMap
       val expected = words.map { case (w, ts) => w -> refMerge(ts, t1, t2) }.toMap
       assert(got === expected, s"divergence from the sequential fold for pair ($t1,$t2)")
     }

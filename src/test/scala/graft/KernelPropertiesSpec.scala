@@ -35,7 +35,7 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
-  private def kmvFold(k: KMinValues, xs: List[Long]): List[Long] =
+  private def kmvFold(k: KMinValues, xs: List[Long]): (Int, List[Long]) =
     xs.foldLeft(k.zero)(k.reduce)
 
   test("KMinValues: partition- and merge-order-invariant, duplication-idempotent, exact below k") {
@@ -56,8 +56,10 @@ class KernelPropertiesSpec extends AnyFunSuite {
       val distinct = xs.distinct
       if (distinct.length < 8)
         assert(kmv.finish(whole) === distinct.length.toLong)
-      // buffer is always the k smallest distinct values, ascending
-      assert(whole === distinct.sorted.take(8))
+      // buffer is always the k smallest distinct values (held
+      // descending since round 19) with its size tracked exactly
+      assert(whole._2.reverse === distinct.sorted.take(8))
+      assert(whole._1 === math.min(distinct.length, 8))
     }
   }
 
