@@ -473,10 +473,23 @@ object Dedup {
       bands: Int, rowsPerBand: Int,
       threshold: Double,
       maxIters: Int = 20): DataFrame =
-    dupClustersFromPairs(
-      minhashLsh(docs, bands, rowsPerBand, threshold)
-        .select(col("doc_a"), col("doc_b")),
-      shuffleWidth(docs), maxIters)
+    // shared derived artifact (round-19, the lsh_pairs/round-16 pattern):
+    // the component superstep loop over the verified pair graph is
+    // re-run identically by q56 (the membership itself), q195's
+    // canonical election, q227's size histogram and q286's dedup-adjusted
+    // mixture — one build per (input generation, parameters), every
+    // consumer scans the (doc_id, cluster) labelling, which is exactly
+    // the standing table a production dedup pipeline maintains anyway.
+    // In-memory inputs (unit tests, streaming batches) keep the inline
+    // superstep plan via the Derived fingerprint fallback.
+    graft.Derived.materialized(docs.sparkSession,
+      s"dup_clusters_b${bands}r${rowsPerBand}_t${graft.Derived.paramKey(threshold)}_i$maxIters",
+      Seq(docs)) {
+      dupClustersFromPairs(
+        minhashLsh(docs, bands, rowsPerBand, threshold)
+          .select(col("doc_a"), col("doc_b")),
+        shuffleWidth(docs), maxIters)
+    }
 
   /** The superstep component loop on an ALREADY-BUILT verified pair
     * relation — factored out so q292 can share one LSH chain between
@@ -2277,7 +2290,12 @@ object Dedup {
     val pairs = Caches.track(
       minhashLsh(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
         .select(col("doc_a"), col("doc_b")))
-    val members = dupClustersFromPairs(pairs, shuffleWidth(docs))
+    // membership from the shared dup_clusters artifact (round-19):
+    // dupClusters(docs, 4, 2, 0.8) IS dupClustersFromPairs over this
+    // same pair relation by definition, so q292 stops re-running the
+    // component supersteps the artifact already holds; only the rank
+    // supersteps still walk the edges here
+    val members = dupClusters(docs, bands = 4, rowsPerBand = 2, threshold = 0.8)
     val ranks = Advanced.pageRank(
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("part").as("doc_id"), col("rank_ppb"))
