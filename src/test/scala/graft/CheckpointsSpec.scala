@@ -14,8 +14,18 @@ class CheckpointsSpec extends SparkSpec {
   private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  /** An in-memory copy of a file-backed table: no Derived fingerprint, so
+    * operators take their inline superstep plans — this spec tests the
+    * checkpoint SEAM, which only the live superstep loop exercises (since
+    * round 19 the file-backed dupClusters serves a derived artifact and
+    * never re-runs the loop). */
+  private def inMemory(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(df.collect().toList.asJava, df.schema)
+  }
+
   test("dupClusters with spark.graft.checkpointDir set: same clusters, durable checkpoint files written") {
-    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val docs = inMemory(graft.sources.Tables.documents(spark, sf0001))
     val baseline = canon(Dedup.dupClusters(docs, bands = 4, rowsPerBand = 2, threshold = 0.8))
 
     val dir = Files.createTempDirectory("graft_ckpt").toString
@@ -89,7 +99,7 @@ class CheckpointsSpec extends SparkSpec {
       // hold the RESULT FRAME (it roots the checkpointed lineage) across
       // the liveness check, then drop it — cleaner fires on RDD GC
       var res: org.apache.spark.sql.DataFrame = Dedup.dupClusters(
-        graft.sources.Tables.documents(spark, sf0001),
+        inMemory(graft.sources.Tables.documents(spark, sf0001)),
         bands = 4, rowsPerBand = 2, threshold = 0.8)
       assert(res.collect().nonEmpty)
       graft.Caches.releaseAll()
