@@ -110,6 +110,20 @@ object ScaleSmoke {
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     }.reduce(_ unionAll _)
 
+  /** part amplified `mult`×: p_partkey shifted in lockstep with
+    * [[amplifyLineitem]]'s copies (same stride) so every copied line
+    * joins its own copy's catalog row; names (and so q158's families)
+    * repeat per copy — the same bounded family vocabulary a real N×
+    * catalog keeps, so the (order, family) pair population grows
+    * linearly while the family grid stays |families|². */
+  def amplifyPart(part: DataFrame, mult: Int, stride: Long = 100000000L): DataFrame =
+    (0 until mult).map { i =>
+      part.select(
+        (col("p_partkey") + lit(i * stride)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = if (args.length > 1) args(1).toInt else 10
@@ -180,6 +194,8 @@ object ScaleSmoke {
       amplifyLineitem(graft.sources.Tables.lineitem(spark, sfDir), mult))
     lazy val orders = materialize("orders",
       amplifyOrders(graft.sources.Tables.orders(spark, sfDir), mult))
+    lazy val part = materialize("part",
+      amplifyPart(graft.sources.Tables.part(spark, sfDir), mult))
     val nDocs = docs.count()
     val nEmb = emb.count()
 
@@ -437,6 +453,19 @@ object ScaleSmoke {
       // q283: per-copy disjoint catalogs -> edges/degrees grow linearly;
       // each superstep is one shuffle of the edge relation + rank agg
       timed("q283") { graft.operators.Advanced.copurchasePageRank(lineitem) },
+      // q158 (round 19): one order-keyed set aggregate + array pair
+      // expansion — the pair stream never crosses an exchange; both grid
+      // aggregates collapse map-side to |families|² rows
+      timed("q158") { graft.operators.Advanced.crossSellMatrix(lineitem, part) },
+      // q161 (round 19): the bucketedPrefix two-pass prefix sum + ONE
+      // decile-pick pass (formerly ten union branches re-scanning it)
+      timed("q161") { graft.operators.Advanced.lorenzCurve(orders) },
+      // q26 (round 19): header-only metadata pass, thread-local
+      // per-format readers — row-local, zero exchanges
+      timed("q26") { graft.operators.Multimodal.meta(docs) },
+      // q241 (round 19): bounded k+1 sample buffers with O(1)
+      // steady-state rejection; map-side partials ship k rows per group
+      timed("q241") { graft.operators.Quality.massEstimate(docs) },
       // q284: WAV codec + in-kernel run-length, row-local — the pure
       // codec-linear term with zero shuffles
       timed("q284") { graft.operators.Multimodal.audioVad(docs) },

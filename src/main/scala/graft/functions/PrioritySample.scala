@@ -35,7 +35,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * at most k+1 entries — the (k+1)-th is the threshold row τ.
   */
 final class PrioritySample(k: Int)
-    extends Aggregator[(Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+    extends Aggregator[(Long, Long), (Int, List[(Long, Long)]), Seq[(Long, Long)]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
   private def prio(p: (Long, Long)): BigInt =
@@ -50,21 +50,39 @@ final class PrioritySample(k: Int)
     else a._1 < b._1
   }
 
-  private def insert(buf: List[(Long, Long)], p: (Long, Long)): List[(Long, Long)] =
-    if (buf.lengthCompare(k + 1) >= 0 && !before(p, buf.last)) buf
+  /** Buffer: (size, entries in REJECTION order — lowest priority first).
+    * The kept set is identical to the former best-first list; holding it
+    * reversed puts the rejection threshold at `head`, so the
+    * steady-state test (a full buffer whose worst entry beats p) stops
+    * walking k cons cells per row (`lengthCompare(k+1)` + `last` were
+    * O(k) per input — the round-19 [[KMinValues]]/[[BottomKQuantile]]
+    * representation change, guide §1.2, applied to the one sketch it
+    * deferred on). `before` is a strict total order on (w, h) pairs
+    * (the tie-break covers both fields), so span/duplicate/cap behave
+    * exactly as the best-first `span`/`take(k+1)` did, mirrored; a full
+    * buffer reached past the rejection test guarantees p beats `head`,
+    * so the dropped `tail` head is never p itself.
+    */
+  private def insert(b: (Int, List[(Long, Long)]), p: (Long, Long)): (Int, List[(Long, Long)]) = {
+    val (sz, rev) = b
+    if (sz >= k + 1 && !before(p, rev.head)) b
     else {
-      val (pre, post) = buf.span(before(_, p))
-      if (post.headOption.contains(p)) buf
-      else (pre ::: p :: post).take(k + 1)
+      val (worse, rest) = rev.span(q => before(p, q))
+      if (rest.headOption.contains(p)) b
+      else if (sz >= k + 1) (sz, (worse ::: p :: rest).tail)
+      else (sz + 1, worse ::: p :: rest)
     }
+  }
 
-  override def zero: List[(Long, Long)] = Nil
-  override def reduce(buf: List[(Long, Long)], p: (Long, Long)): List[(Long, Long)] =
-    insert(buf, p)
-  override def merge(b1: List[(Long, Long)], b2: List[(Long, Long)]): List[(Long, Long)] =
-    b2.foldLeft(b1)(insert)
-  override def finish(buf: List[(Long, Long)]): Seq[(Long, Long)] = buf
+  override def zero: (Int, List[(Long, Long)]) = (0, Nil)
+  override def reduce(b: (Int, List[(Long, Long)]), p: (Long, Long)): (Int, List[(Long, Long)]) =
+    insert(b, p)
+  override def merge(b1: (Int, List[(Long, Long)]),
+      b2: (Int, List[(Long, Long)])): (Int, List[(Long, Long)]) =
+    b2._2.foldLeft(b1)(insert)
+  /** Output order is unchanged: priority DESC (highest first). */
+  override def finish(b: (Int, List[(Long, Long)])): Seq[(Long, Long)] = b._2.reverse
 
-  override def bufferEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()
+  override def bufferEncoder: Encoder[(Int, List[(Long, Long)])] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Long, Long)]] = ExpressionEncoder()
 }

@@ -1745,17 +1745,32 @@ object Advanced {
     * Directional (A→B and B→A both emitted, diagonal excluded).
     */
   def crossSellMatrix(lineitem: DataFrame, part: DataFrame): DataFrame = {
-    val fams = Caches.track(lineitem
+    // One (order → family set) aggregate replaces the distinct + o-keyed
+    // self-join (round 19): the former plan exchanged the (order, family)
+    // pair stream three times (distinct, then BOTH self-join sides
+    // re-keyed by order) and sort-merge-joined it against itself; here
+    // the per-order set rides ONE exchange, the directional pairs are a
+    // partition-local array expansion (the q110 basketPairs idiom), and
+    // both grid aggregates collapse map-side to |families|² rows before
+    // their exchanges. Equivalence: collect_set(family) per order holds
+    // exactly the former distinct (o, family) rows, all ordered pairs of
+    // a set are order-independent, and n_a is the set explode's count.
+    val ordFams = Caches.track(lineitem
       .select(col("l_orderkey").as("o"), col("l_partkey"))
       .join(part.select(col("p_partkey"),
         substring_index(col("p_name"), " ", 1).as("family")),
         col("l_partkey") === col("p_partkey"))
-      .select(col("o"), col("family")).distinct())
-    val famN = fams.groupBy(col("family")).agg(count(lit(1)).as("n_a"))
-    fams.as("a")
-      .join(fams.as("b"), col("a.o") === col("b.o") &&
-        col("a.family") =!= col("b.family"))
-      .groupBy(col("a.family").as("family_a"), col("b.family").as("family_b"))
+      .groupBy(col("o")).agg(collect_set(col("family")).as("fams")))
+    val famN = ordFams
+      .select(explode(col("fams")).as("family"))
+      .groupBy(col("family")).agg(count(lit(1)).as("n_a"))
+    ordFams
+      .select(explode(expr(
+        "flatten(transform(fams, x -> " +
+          "transform(filter(fams, y -> y != x), " +
+          "y -> struct(x AS family_a, y AS family_b))))")).as("pr"))
+      .select(col("pr.family_a"), col("pr.family_b"))
+      .groupBy(col("family_a"), col("family_b"))
       .agg(count(lit(1)).as("n_ab"))
       .join(famN.withColumnRenamed("family", "family_a"), "family_a")
       .select(col("family_a"), col("family_b"), col("n_ab"), col("n_a"),
@@ -1804,7 +1819,7 @@ object Advanced {
     val rev = orders.groupBy(col("o_custkey"))
       .agg(sum(unscaled(col("o_totalprice"))).as("rev_c"))
     val tot = rev.agg(count(lit(1)).as("n_cust"), sum(col("rev_c")).as("grand"))
-    val ranked = Caches.track(
+    val ranked =
       bucketedPrefix(rev, Seq(col("rev_c"), col("o_custkey")), buckets)(
         spec => struct(
           sum(lit(1L)).over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -1818,16 +1833,21 @@ object Advanced {
         (run, off) => struct(
           (run.getField("rk") + off.getField("rk")).as("rk"),
           (run.getField("cum") + off.getField("cum")).as("cum")))
-        .select(col("prefix.rk").as("rank"), col("prefix.cum").as("cum_c")))
-    val deciles = (1 to 10).map { d =>
-      ranked.crossJoin(broadcast(tot))
-        .filter(col("rank") === expr(s"($d * n_cust + 9) div 10"))
-        .select(lit(d.toLong).as("decile"), col("rank").as("n_cust_cum"),
-          col("cum_c"),
-          (col("cum_c").cast("double") / col("grand").cast("double"))
-            .as("cum_share"))
-    }
-    deciles.reduce(_ unionByName _)
+        .select(col("prefix.rk").as("rank"), col("prefix.cum").as("cum_c"))
+    // One pass picks all ten cut ranks (round 19): the former per-decile
+    // union re-scanned the ranked relation ten times (35 InMemoryRelation
+    // references, 125 Exchange mentions in the plan). Exploding the
+    // decile constant against each row and filtering on the same
+    // `(d·n_cust + 9) div 10` cut is row-for-row identical — each decile
+    // emits exactly the rows its union branch did — and the cached
+    // ranked relation (plus its ten scans) disappears outright.
+    ranked.crossJoin(broadcast(tot))
+      .select(explode(sequence(lit(1L), lit(10L))).as("decile"),
+        col("rank"), col("cum_c"), col("n_cust"), col("grand"))
+      .filter(col("rank") === expr("(decile * n_cust + 9) div 10"))
+      .select(col("decile"), col("rank").as("n_cust_cum"), col("cum_c"),
+        (col("cum_c").cast("double") / col("grand").cast("double"))
+          .as("cum_share"))
   }
 
   def lorenzCurve(s: SparkSession, dir: String): DataFrame =

@@ -98,18 +98,30 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
 
+  /** The lowest threshold any corpus-level truth consumer operates at
+    * (q217's sweep floor): the ONE mined pair artifact every stricter
+    * cut derives from by a filtered scan (see [[ngramJaccard]]). */
+  private[graft] val ngramTruthBase = 0.3
+
   /** Ground-truth near-dup pairs: docs sharing >=1 shingle, true Jaccard >=
     * threshold. The shingle self-join is the honest quadratic-in-collisions
     * baseline; use `minhashLsh` at scale.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
-    // shared derived artifact (round-16 pattern): the quadratic truth at
-    // t=0.5 feeds q21 and q294's recall denominator, t=0.8 feeds q200's
-    // and q234's — one build per (input generation, threshold), plan
-    // pinned on the inline chain
+    // shared derived artifact (round-16 pattern): one build per (input
+    // generation, threshold). Round 19: thresholds ABOVE the 0.3 sweep
+    // base DERIVE from the base artifact by a filtered scan instead of
+    // re-running the quadratic shingle self-join (the tierTruth chain
+    // convention) — exact, because the inline chain's very last step is
+    // `jaccard >= threshold` over the same pair relation, so
+    // inline(t) ≡ inline(base).filter(jaccard ≥ t) for every t ≥ base,
+    // row for row, jaccard values included. One corpus mine per
+    // generation now serves q21's t0.5 AND q217's whole sweep.
     graft.Derived.materialized(docs.sparkSession,
       s"ngram_jaccard_t${graft.Derived.paramKey(threshold)}", Seq(docs)) {
-      ngramJaccardInline(docs, threshold)
+      if (threshold > ngramTruthBase)
+        ngramJaccard(docs, ngramTruthBase).filter(col("jaccard") >= threshold)
+      else ngramJaccardInline(docs, threshold)
     }
 
   private[graft] def ngramJaccardInline(docs: DataFrame, threshold: Double): DataFrame = {
@@ -137,36 +149,37 @@ object Dedup {
     ngramJaccard(Tables.documents(s, dir), threshold)
 
   /** Dedup threshold-sensitivity sweep (q217): the pair Jaccards are
-    * computed ONCE (the q21 shingle-join chain), then every candidate
-    * threshold reads its consequences off that one relation — dup pairs
-    * at or above the cut, documents touched by any such pair, and
-    * documents the min-id keep rule would drop (those with a smaller-id
-    * counterpart). This is the ablation table a curation pipeline
-    * consults to pick its dedup aggressiveness: one pass instead of one
-    * dedup run per candidate threshold.
+    * computed ONCE — read from the shared `ngram_jaccard_t<min>` Derived
+    * artifact (built once per input generation by the q21 chain) — then
+    * every candidate threshold reads its consequences off that one
+    * relation: dup pairs at or above the cut, documents touched by any
+    * such pair, and documents the min-id keep rule would drop (those
+    * with a smaller-id counterpart). This is the ablation table a
+    * curation pipeline consults to pick its dedup aggressiveness: one
+    * standing pair table instead of one quadratic mine per candidate
+    * threshold per run.
     *
-    * Scale: everything after the (once-computed, cached) pair relation
-    * is pair-population-scale × a constant threshold count; the distinct
-    * counts are two-phase hash aggregates. Thresholds that catch nothing
-    * still appear, zero-filled, via the left join from the constant
-    * threshold relation — a sweep table with silently missing rows would
-    * misread as "no data" rather than "no dups".
+    * Scale: everything after the artifact scan is pair-population-scale
+    * × a constant threshold count; the distinct counts are two-phase
+    * hash aggregates. Thresholds that catch nothing still appear,
+    * zero-filled, via the left join from the constant threshold
+    * relation — a sweep table with silently missing rows would misread
+    * as "no data" rather than "no dups".
     */
   def dedupSweep(
       docs: DataFrame,
       thresholds: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.8, 0.9)): DataFrame = {
     require(thresholds.nonEmpty, "dedupSweep needs at least one threshold")
     import docs.sparkSession.implicits._
-    val sh = Caches.track(docShingles(docs))
-    // shuffle_hash for the ngramJaccard reason (see above): the shingle
-    // relation can never broadcast at real corpus scale
-    val inter = sh.as("a").hint("shuffle_hash")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // The pair relation at the sweep's LOWEST cut is the shared Derived
+    // truth artifact (round 19) — pairs below thresholds.min fail every
+    // sweep filter, so restricting to the ≥ min artifact before the
+    // explode is an identity, and the quadratic shingle self-join stops
+    // re-running inside every sweep rep. In-memory inputs keep the
+    // inline single-pass plan (the materialized fallback).
+    val pairs = ngramJaccard(docs, thresholds.min)
     val swept = Caches.track(
-      withJaccard(inter, shingleCounts(sh))
+      pairs
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           explode(array(thresholds.map(lit(_)): _*)).as("threshold"))
         .filter(col("jaccard") >= col("threshold")))

@@ -122,17 +122,29 @@ object Multimodal {
             try Row(id, "wav", null, null, ais.getFrameLength.toInt)
             finally ais.close()
           case img @ ("png" | "gif") =>
-            val iis = javax.imageio.ImageIO.createImageInputStream(
+            // per-format thread-local reader (round 19): the sniff picks
+            // the SLOT, but every emitted value — the container name
+            // included — still comes from the reader's actual header
+            // parse, which throws on bytes the sniffed format cannot
+            // parse. The former per-row `getImageReaders` registry probe
+            // re-scanned the SPI list and built a fresh reader for every
+            // object; the probe reads the same magic bytes the sniff
+            // already matched, so the chosen reader class is identical.
+            val slot = if (img == "png") pngReaderTL else gifReaderTL
+            val reader = slot.get()
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(payload))
-            val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
             try {
               reader.setInput(iis)
               // container name from the READER (the parse), not the sniff
               val fmt = reader.getFormatName.toLowerCase
               val frames = if (img == "gif") reader.getNumImages(true) else 1
               Row(id, fmt, reader.getWidth(0), reader.getHeight(0), frames)
+            } catch { case e: Throwable =>
+              reader.dispose(); slot.remove(); throw e
             } finally {
-              try iis.close() finally reader.dispose()
+              try reader.setInput(null) catch { case _: Throwable => () }
+              iis.close()
             }
           case other =>
             throw new IllegalArgumentException(

@@ -24,11 +24,13 @@ class PrioritySampleSpec extends SparkSpec {
         rp.foldLeft(agg.zero)(agg.reduce))
       assert(merged === single, s"split at $cut (rev=$rev) diverged")
     }
-    assert(single.length === 3, "buffer must cap at k+1")
+    val sample = agg.finish(single)
+    assert(sample.length === 3, "buffer must cap at k+1")
+    assert(single._1 === 3, "tracked size must match the kept entries")
     // priorities w*2^64/(h+1): the tiny-hash row (5, 10) dominates, the
     // huge-hash row (7, 7e11) has the smallest priority of the kept set?
     // — verify the canonical order is by the floored priority
-    val prios = single.map(p => (BigInt(p._1) << 64) / (BigInt(p._2) + 1))
+    val prios = sample.map(p => (BigInt(p._1) << 64) / (BigInt(p._2) + 1))
     assert(prios === prios.sorted.reverse, "sample must be priority-descending")
   }
 
