@@ -1058,4 +1058,34 @@ class DedupSpec extends SparkSpec {
     assert(t05.exists(t => t._1 == 0L && t._2 == 6L && t._3 < 0.8),
       s"planted mid-band pair missing from the 0.5 truth: $t05")
   }
+
+  test("ngram truth 0.3-base chain equals the direct mine at every sweep threshold (round-19 derivation)") {
+    import spark.implicits._
+    // the round-18 mid-band plant plus a LOW-BAND pair: two interior
+    // word changes put (0, 7) at jaccard 7/17 ≈ 0.41 — inside the 0.3
+    // base, outside every stricter cut, so the chain's base filter and
+    // each derived threshold filter all separate something here
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val planted = corpus.unionByName(Seq(
+      (6L, base.replace("jumps", "leaps")),
+      (7L, base.replace("jumps", "leaps").replace("river", "creek")))
+      .toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("jaccard"))).toSet
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9)) {
+      val scope = Caches.open()
+      try {
+        // ngramJaccard(t > 0.3) formulates as base-mine + filter (the
+        // q217/q21 shared-artifact chain); the direct inline mine at t
+        // is the retired shape — they must agree pair for pair, jaccard
+        // values included
+        val chained = rows(Dedup.ngramJaccard(planted, threshold = t))
+        val direct = rows(Dedup.ngramJaccardInline(planted, threshold = t))
+        assert(chained === direct, s"chain != direct mine at t=$t")
+      } finally scope.release()
+    }
+    val t03 = rows(Dedup.ngramJaccard(planted, threshold = 0.3))
+    assert(t03.exists(t => t._1 == 0L && t._2 == 7L && t._3 < 0.5),
+      s"planted low-band pair missing from the 0.3 base: $t03")
+  }
 }
