@@ -149,6 +149,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
   }
 
+  test("q217: the sweep reads the shared ngram-truth artifact — no shingle self-join in the consumer plan") {
+    val df = graft.operators.Dedup.dedupSweep(
+      graft.sources.Tables.documents(spark, sf0001))
+    try {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // the quadratic self-join lives in the once-per-generation t0p3
+      // BUILD; the sweep's own plan is artifact scan -> threshold
+      // explode -> two two-phase hash aggregates (round 19)
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"sweep consumer must not re-mine the pair relation:\n$plan")
+      assert(plan.contains("ngram_jaccard_t0p3"),
+        s"sweep must scan the 0.3-base truth artifact:\n$plan")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("q161: all ten decile picks ride one pass — no per-decile union branches") {
+    val df = graft.operators.Advanced.lorenzCurve(
+      graft.sources.Tables.orders(spark, sf0001))
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Union"),
+        s"decile picks must not re-scan the rank relation per decile:\n$plan")
+      assert(plan.split("Generate").length - 1 === 1,
+        s"expected exactly the one decile-constant explode:\n$plan")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("q158: co-membership comes from one order-keyed set aggregate — the pair stream never crosses an exchange") {
+    val df = graft.operators.Advanced.crossSellMatrix(
+      graft.sources.Tables.lineitem(spark, sf0001),
+      graft.sources.Tables.part(spark, sf0001))
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("collect_set"),
+        s"expected the per-order family-set aggregate:\n$plan")
+      // the retired plan exchanged the (o, family) pair stream three
+      // times (distinct + both self-join sides = 4+ o-keyed exchange
+      // prints); exactly ONE o-keyed exchange — the set aggregate's —
+      // may remain. It prints twice: the cached ordFams subplan is
+      // reprinted under each of its two InMemoryTableScans
+      assert(plan.split(java.util.regex.Pattern.quote("hashpartitioning(o#")).length - 1 <= 2,
+        s"pair stream must not be re-exchanged by order key:\n$plan")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("q35: ivf probe semi-restricts the embedding relation to candidates before scoring") {
     val df = graft.operators.Similarity.annIvf(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
