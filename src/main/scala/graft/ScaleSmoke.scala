@@ -460,6 +460,10 @@ object ScaleSmoke {
       // q161 (round 19): the bucketedPrefix two-pass prefix sum + ONE
       // decile-pick pass (formerly ten union branches re-scanning it)
       timed("q161") { graft.operators.Advanced.lorenzCurve(orders) },
+      // q148 (round 19): one spans pass emits both sweep-line boundary
+      // rows (formerly a union re-running the orders ⋈ lineitem-max
+      // join per boundary side)
+      timed("q148") { graft.operators.Advanced.orderBacklog(orders, lineitem) },
       // q26 (round 19): header-only metadata pass, thread-local
       // per-format readers — row-local, zero exchanges
       timed("q26") { graft.operators.Multimodal.meta(docs) },

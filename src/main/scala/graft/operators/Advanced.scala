@@ -682,11 +682,16 @@ object Advanced {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val sessions = seqd.groupBy(col("user_id"), col("session_seq"))
       .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    // both boundary rows explode out of ONE pass over the sessions
+    // (round 19): the former union of two selects planned the whole
+    // sessionize chain (scan -> exchange -> two windows -> aggregate)
+    // TWICE — identical rows, half the upstream work
     val bounds = sessions
+      .select(col("user_id"), col("session_seq"), explode(array(
+        struct(col("s_us").as("us"), lit(1L).as("delta")),
+        struct((col("e_us") + 1).as("us"), lit(-1L).as("delta")))).as("b"))
       .select(col("user_id"), col("session_seq"),
-        col("s_us").as("us"), lit(1L).as("delta"))
-      .unionByName(sessions.select(col("user_id"), col("session_seq"),
-        (col("e_us") + 1).as("us"), lit(-1L).as("delta")))
+        col("b.us").as("us"), col("b.delta").as("delta"))
     bucketedPrefix(bounds,
       Seq(col("us"), col("delta"), col("user_id"), col("session_seq")), buckets)(
       w => sum(col("delta")).over(
@@ -1582,10 +1587,14 @@ object Advanced {
         .agg(max(datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
           .cast("long")).as("close_d")),
         col("o_orderkey") === col("l_orderkey"))
+    // one pass emits both boundary rows (round 19, the q111 shape): the
+    // former union of two selects re-ran the orders ⋈ per-order-max
+    // lineitem aggregate TWICE — identical rows, half the upstream work
     val bounds = spans
-      .select(col("o_orderkey"), col("open_d").as("d"), lit(1L).as("delta"))
-      .unionByName(spans.select(col("o_orderkey"),
-        (col("close_d") + 1).as("d"), lit(-1L).as("delta")))
+      .select(col("o_orderkey"), explode(array(
+        struct(col("open_d").as("d"), lit(1L).as("delta")),
+        struct((col("close_d") + 1).as("d"), lit(-1L).as("delta")))).as("b"))
+      .select(col("o_orderkey"), col("b.d").as("d"), col("b.delta").as("delta"))
     bucketedPrefix(bounds, Seq(col("d"), col("delta"), col("o_orderkey")), buckets)(
       spec => sum(col("delta")).over(
         spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

@@ -177,6 +177,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("q111/q148: sweep-line boundary rows explode out of ONE upstream pass — no per-side union") {
+    // the former union of two selects planned the sessionize chain
+    // (q111) / the orders ⋈ lineitem-max join (q148) once per boundary
+    // side; the explode emits identical rows from one pass (round 19)
+    val q111 = graft.operators.Advanced.concurrentSessions(
+      graft.sources.Tables.events(spark, sf0001))
+    val q148 = graft.operators.Advanced.orderBacklog(
+      graft.sources.Tables.orders(spark, sf0001),
+      graft.sources.Tables.lineitem(spark, sf0001))
+    try {
+      for ((name, df) <- Seq("q111" -> q111, "q148" -> q148)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Union"),
+          s"$name: boundary emission must not re-plan its upstream per side:\n$plan")
+      }
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("q158: co-membership comes from one order-keyed set aggregate — the pair stream never crosses an exchange") {
     val df = graft.operators.Advanced.crossSellMatrix(
       graft.sources.Tables.lineitem(spark, sf0001),
